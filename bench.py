@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Headline benchmark: run the engine's query library at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count over the result — forces
+the full plan without driver-side collect of wide rows). A warmup pass
+of the smallest query absorbs JVM/codegen startup so per-query numbers
+measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+    from olap_project_spark.session import build_session
+
+    _import_all()
+    spark = build_session(app_name="olap-project-spark-bench",
+                          extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: smallest scan, primes JVM + parquet footer caches.
+    QUERY_REGISTRY["events_by_hour"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, q in QUERY_REGISTRY.items():
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "query_library_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""The engine's query library.
+
+Every query is registered with:
+- a DataFrame implementation ``(spark, sf_dir) -> DataFrame`` — the
+  engine's native, Catalyst-optimized path;
+- optionally an ANSI-SQL oracle string DuckDB can run over the same
+  parquet tables (pre-registered views) — the driver's correctness gate.
+
+Cross-engine hash-stability conventions (every query obeys these):
+- calendar fields cast to INT on both sides (DuckDB's year()/hour()
+  return BIGINT natively, Spark's return INT);
+- counts stay BIGINT; DuckDB SUM(integer) is HUGEINT → CAST AS BIGINT;
+- money/doubles rounded to 2 dp, ratios to 6 dp, on both sides;
+- every LIMIT is preceded by a total order (unique tiebreaker) so the
+  selected rows are engine-independent;
+- matching column aliases in the DataFrame code and the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str
+
+
+QUERY_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator registering a query implementation (+ optional oracle)."""
+
+    def deco(fn):
+        QUERY_REGISTRY[name] = QueryDef(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one star-schema table (ns-timestamp-normalizing). A plain
+    parquet scan: Catalyst pushes filters/projections into it, and
+    partition discovery applies when the table is a partitioned
+    directory (as our sinks write at scale)."""
+    from olap_project_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, table)
+
+
+def _import_all() -> None:
+    # Import for registration side effects.
+    from olap_project_spark.queries import (  # noqa: F401
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _import_all()
+    return {n: q.fn for n, q in QUERY_REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _import_all()
+    return {n: q.oracle for n, q in QUERY_REGISTRY.items() if q.oracle}

@@ -1,0 +1,407 @@
+"""The reference's OLAP question surface (Q1-Q9, requirements.md:42-53)
+over the driver's ``events`` stream table — each prose/DAX question as a
+native Spark query with a DuckDB oracle (SURVEY.md §2.4).
+
+``events`` stands in for the Kafka transaction fact: (event_id, ts,
+user_id, event_type, value, props). Mapping: event_type ↔ transaction
+category (with 'error' ↔ the error stream), value ↔ Amount, user_id ↔
+User, ts ↔ transaction_date.
+
+Engine-parity pitfalls handled here:
+- DuckDB ``hour()/dayofweek()`` return BIGINT, Spark's return INT →
+  explicit INTEGER casts in the SQL.
+- DuckDB ``dayofweek`` is 0=Sunday..6=Saturday; Spark's is 1..7 →
+  weekend sets (0,6) vs (1,7).
+- ``ts`` is ns in parquet; Spark truncates to µs on load
+  (sources.registry), DuckDB keeps ns → oracles CAST to µs TIMESTAMP
+  before epoch math so sub-second gaps agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_project_spark.queries import load, register
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Q1 — busiest time of day
+# --------------------------------------------------------------------------
+@register(
+    "events_by_hour",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 "busiest time of day" (requirements.md:42): activity histogram
+    by hour.
+
+    Scale: 24-group hash agg — map-side partials collapse each scan
+    partition to ≤24 rows; the shuffle is negligible at any SF."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1b — anomalous hour windows (count vs avg ± k·stddev)
+# --------------------------------------------------------------------------
+@register(
+    "anomalous_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour_bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT AVG(CAST(n_events AS DOUBLE)) AS mu,
+             stddev_samp(CAST(n_events AS DOUBLE)) AS sigma
+      FROM hourly
+    )
+    SELECT hour_bucket, n_events
+    FROM hourly, stats
+    WHERE CAST(n_events AS DOUBLE) > mu + 2 * sigma
+    """,
+)
+def anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's anomaly half (requirements.md:42-43): hour buckets whose
+    event count exceeds mean + 2σ of all hour buckets.
+
+    Scale: hourly pre-aggregation shrinks the data to one row per
+    wall-clock hour; the stats are a 1-row broadcast joined back — no
+    second pass over the fact."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+            "hour_bucket"
+        )
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.agg(
+        F.avg(F.col("n_events").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("sigma"),
+    )
+    return (
+        hourly.join(F.broadcast(stats))
+        .filter(F.col("n_events").cast("double") > F.col("mu") + 2 * F.col("sigma"))
+        .select("hour_bucket", "n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2/Q3 — top dimension by value and by count
+# --------------------------------------------------------------------------
+@register(
+    "event_type_summary",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+           ROUND(CAST(MIN(value) AS DOUBLE), 2) AS min_value,
+           ROUND(CAST(MAX(value) AS DOUBLE), 2) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 "highest-value / top dimension" (requirements.md:44-45):
+    per-category totals, averages, extremes, distinct users.
+
+    Scale: COUNT(DISTINCT) expands to a two-phase partial-distinct
+    aggregate in Spark (no naive global set); everything else is
+    map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+            F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 6).alias("avg_value"),
+            F.round(F.min("value").cast("double"), 2).alias("min_value"),
+            F.round(F.max("value").cast("double"), 2).alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — anomalously high error rate per dimension
+# --------------------------------------------------------------------------
+@register(
+    "user_error_rates",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS error_rate
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 "dimension with anomalously high fraud rate"
+    (requirements.md:46): error share per user — the reference's DAX
+    ratio-of-filtered-counts as one conditional aggregate."""
+    ev = load(spark, sf_dir, "events")
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(err).cast("double") / F.count("*"), 6).alias("error_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — consecutive events in a short window (bursts)
+# --------------------------------------------------------------------------
+@register(
+    "user_bursts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch(CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+           COUNT(gap_s) AS n_gaps
+    FROM seq
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 "users with many consecutive transactions in a short window"
+    (requirements.md:47): per-user lag gaps, counting gaps under 60 s.
+
+    Scale: window partitioned by user — per-key state, distributed; the
+    sub-minute threshold compares µs-truncated epochs on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    )
+    seq = ev.withColumn("gap_s", gap_s).filter(F.col("gap_s").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.sum(F.when(F.col("gap_s") < 60, 1).otherwise(0)).cast("bigint").alias("n_bursts"),
+        F.count("gap_s").alias("n_gaps"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5b — sessionization (gap > 30 min starts a new session)
+# --------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)) >= 1800
+                       OR lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(new_session), 6) AS events_per_session
+    FROM seq
+    GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 sessionized (SURVEY.md §7 "hard parts"): a session breaks after
+    a ≥30-minute silence. Batch formulation = lag + boundary flag + sum;
+    the streaming layer exposes the same semantic as
+    ``F.session_window`` (streaming.windows).
+
+    Scale: one per-user window pass; no cross-partition state."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1
+    ).otherwise(0)
+    seq = ev.withColumn("new_session", new_session)
+    return seq.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.count("*").cast("double") / F.sum("new_session"), 6).alias(
+            "events_per_session"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — when/where do large transactions occur
+# --------------------------------------------------------------------------
+@register(
+    "large_events_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE value > 400
+    GROUP BY 1, 2
+    """,
+)
+def large_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 "when/where do large transactions occur" (requirements.md:48,
+    filter F5): high-value events profiled by hour × type.
+
+    Scale: the value>400 predicate is pushed into the parquet scan
+    (rowgroup min/max skip) before any shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 400)
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("int").alias("hour_of_day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — error trend by day
+# --------------------------------------------------------------------------
+@register(
+    "daily_error_trend",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_errors,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS error_value
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def daily_error_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 "fraud trend over time" (requirements.md:49) on the error
+    subset: daily counts and value."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
+        F.count("*").alias("n_errors"),
+        F.round(F.sum(_dec("value")).cast("double"), 2).alias("error_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — weekday vs weekend
+# --------------------------------------------------------------------------
+@register(
+    "weekend_vs_weekday",
+    oracle="""
+    SELECT CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6) THEN 'Yes' ELSE 'No' END
+             AS is_weekend,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def weekend_vs_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 weekday/weekend split (requirements.md:50) — the Is_Weekend
+    derivation (clean() P12) applied to the stream fact. Note the
+    cross-engine dayofweek convention difference handled in the oracle
+    (DuckDB 0=Sunday vs Spark 1=Sunday)."""
+    ev = load(spark, sf_dir, "events")
+    is_weekend = F.when(F.dayofweek("ts").isin(1, 7), "Yes").otherwise("No")
+    return ev.groupBy(is_weekend.alias("is_weekend")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 6).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — users above the population average (conditional counts)
+# --------------------------------------------------------------------------
+@register(
+    "above_avg_error_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_errors
+    FROM per_user
+    WHERE CAST(n_errors AS DOUBLE) >
+          (SELECT AVG(CAST(n_errors AS DOUBLE)) FROM per_user)
+    """,
+)
+def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 "users with above-average error counts" (requirements.md:51):
+    per-user conditional count vs a global scalar (broadcast, not a
+    self-join)."""
+    ev = load(spark, sf_dir, "events")
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    per_user = ev.groupBy("user_id").agg(F.sum(err).cast("bigint").alias("n_errors"))
+    stats = per_user.agg(F.avg(F.col("n_errors").cast("double")).alias("mu"))
+    return (
+        per_user.join(F.broadcast(stats))
+        .filter(F.col("n_errors").cast("double") > F.col("mu"))
+        .select("user_id", "n_errors")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 — stream fact × dimension join
+# --------------------------------------------------------------------------
+@register(
+    "segment_event_value",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value by customer segment — the broadcast dimension
+    enrichment the reference does as a frozen closure literal (P14) done
+    properly as a join (SURVEY.md §2.5).
+
+    Scale: customer is broadcast; the stream fact never shuffles."""
+    ev = load(spark, sf_dir, "events")
+    cu = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,459 @@
+"""Relational OLAP queries over the star schema — the generic shapes of
+the reference's query surface (SURVEY.md §2.4-§2.8) expressed
+Spark-first, each with a DuckDB oracle.
+
+Determinism strategy (cross-engine hash equality):
+- Money math is done in DECIMAL (exact, order-independent) and only the
+  final aggregate is rounded and cast to double. Summing raw doubles
+  would make the result depend on partition/addition order — different
+  between engines AND between runs of the same engine at different
+  parallelism.
+- avg is computed as exact-decimal-sum / count in double (DuckDB's
+  avg(DECIMAL) returns double with its own summation order; we avoid it
+  on both sides).
+- Every LIMIT has a unique-tiebreaker total order.
+
+Scale notes are per-query docstrings; the common ones:
+- dimension joins (region/nation/supplier/customer) are broadcast —
+  dims grow ~linearly with SF but stay ≪ fact size; at 100 TB supplier
+  may exceed the broadcast threshold, where AQE falls back to shuffle
+  join on its own (we hint, not force).
+- windows partition by a key (customer) — never a global single
+  partition — so state scales out with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_project_spark.queries import load, register
+
+# Exact decimal for money columns (input doubles have ≤2 fractional
+# digits; DECIMAL(18,2) is lossless for them).
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation — full aggregate-function inventory on the largest fact
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)   AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2)      AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the full §2.4 aggregate inventory
+    (sum/avg/count + arithmetic over columns) on the biggest fact.
+
+    Scale: single hash aggregate over a 4-row grouping key — partial
+    (map-side) aggregation reduces each of the ~800 input partitions at
+    100 TB to 4 rows before the shuffle; the shipdate filter is pushed
+    into the parquet scan (min/max rowgroup skipping)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 joins — multi-way star join with broadcast dims
+# --------------------------------------------------------------------------
+@register(
+    "nation_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation: the star join the reference's spec
+    implies but never built (SURVEY.md §2.5 — population-correlation
+    equi-join analog).
+
+    Scale: supplier/nation/region are broadcast (≪ fact) so the fact
+    table never shuffles for the join — one scan, map-side joins, then a
+    25-group aggregate. At SFs where supplier outgrows the broadcast
+    threshold AQE demotes it to a shuffle join automatically."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 top-k — TakeOrderedAndProject
+# --------------------------------------------------------------------------
+@register(
+    "top10_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime spend (reference Q3's TOPN analog).
+
+    Scale: aggregate first (map-side partials shrink the shuffle), then
+    Spark compiles orderBy+limit to TakeOrderedAndProject — each
+    partition keeps only its top 10, the driver merges k·p rows, no
+    global sort. Tiebreak on c_custkey keeps the cut deterministic."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q0 — rollup / grouping sets
+# --------------------------------------------------------------------------
+@register(
+    "order_volume_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER))
+    """,
+)
+def order_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-period rollup (reference Q0, requirements.md:10-13): order
+    count + total value at day→month→year→grand-total levels (here
+    month→year→total).
+
+    Scale: ROLLUP is one shuffle producing all grouping sets via partial
+    aggregation — not N separate scans as the reference's per-level
+    Power BI measures imply."""
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .withColumn("o_month", F.month("o_orderdate").cast("int"))
+        .rollup("o_year", "o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — conditional aggregates (ratio-of-counts)
+# --------------------------------------------------------------------------
+@register(
+    "segment_large_order_share",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS large_share
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_large_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of large orders per market segment — the reference's
+    fraud-rate DAX pattern DIVIDE(COUNTROWS(FILTER(...)), COUNTROWS(...))
+    (sample_data/README.md:77-83) as a conditional aggregate.
+
+    Scale: one broadcast join + one aggregate; the CASE folds into the
+    partial agg so the ratio costs nothing extra."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    large = F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(large).cast("double") / F.count("*"), 6).alias("large_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — compare to a global scalar (subquery / cross-join of an aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "above_avg_spenders",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, total_spend
+    FROM spend
+    WHERE total_spend > (SELECT AVG(total_spend) FROM spend)
+    """,
+)
+def above_avg_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose lifetime spend exceeds the population average
+    (reference Q9, requirements.md:51).
+
+    Scale: per-customer aggregate, then the global average is a 1-row
+    broadcast (scalar subquery) — no self-join shuffle. The boundary
+    itself is an exact-decimal-derived double on both engines, so the
+    > comparison is deterministic."""
+    od = load(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend")
+    )
+    avg_spend = spend.agg(F.avg("total_spend").alias("a"))
+    return (
+        spend.join(F.broadcast(avg_spend))
+        .filter(F.col("total_spend") > F.col("a"))
+        .select("custkey", "total_spend")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 / §2.8 — lag windows (inter-event gaps)
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS INTEGER) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(gap_days) AS n_gaps,
+           ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days), 6) AS avg_gap_days,
+           CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gap statistics (reference Q5's
+    "consecutive transactions" shape, requirements.md:47): lag() over a
+    per-customer event sequence, then aggregate the deltas.
+
+    Scale: the window partitions by customer — state is per-key and
+    spreads across executors; no global sort. Deterministic lag order
+    via (o_orderdate, o_orderkey)."""
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = od.withColumn(
+        "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("int")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.round(F.sum("gap_days").cast("double") / F.count("gap_days"), 6).alias("avg_gap_days"),
+        F.max("gap_days").cast("int").alias("max_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 — running aggregates (frame spec)
+# --------------------------------------------------------------------------
+@register(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer — the moving-aggregate
+    frame spec the reference's trend questions imply (SURVEY.md §2.8).
+
+    Scale: per-customer frames, decimal-exact cumulative sums (a running
+    double sum would drift between engines). Output is row-per-order;
+    at 100 TB this is a transformation you'd write back out, not
+    collect."""
+    od = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 — ranked top-N per group
+# --------------------------------------------------------------------------
+@register(
+    "top3_parts_per_brand",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand — per-group top-N via row_number
+    (the reference's TOPN-per-dimension dashboards, SURVEY.md §2.6).
+
+    Scale: one shuffle on p_brand; Spark's WindowGroupLimit pushes the
+    rn<=3 limit into the sort so each partition never materializes full
+    groups."""
+    pa = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        pa.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 — semi / anti joins
+# --------------------------------------------------------------------------
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 open ('P') order — LEFT SEMI join (EXISTS).
+
+    Scale: semi join short-circuits per key and ships no payload columns
+    from the probe side; the status filter is pushed to the orders scan."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_without_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no open order — LEFT ANTI join (NOT EXISTS): the
+    exclusion shape for dead-letter/holdout analyses (SURVEY.md §2.5)."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — set operations
+# --------------------------------------------------------------------------
+@register(
+    "trading_nations",
+    oracle="""
+    SELECT n_nationkey AS nationkey, 'customer' AS side FROM nation
+    WHERE n_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+    UNION ALL
+    SELECT n_nationkey AS nationkey, 'supplier' AS side FROM nation
+    WHERE n_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations appearing on the customer side ∪ supplier side — UNION
+    ALL + semi-join membership (the §2.7 set-op surface; the reference's
+    only set-op is the DAG's pd.concat UNION ALL).
+
+    Scale: nation is tiny; the DISTINCT sides are semi joins against
+    broadcast key sets — no full shuffle of either dimension."""
+    na = load(spark, sf_dir, "nation")
+    cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    cust_side = na.join(cu, na.n_nationkey == cu.k, "left_semi").select(
+        F.col("n_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp_side = na.join(su, na.n_nationkey == su.k, "left_semi").select(
+        F.col("n_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cust_side.unionByName(supp_side)

@@ -44,6 +44,10 @@ def build_session(
         # error (the clean() transform additionally uses try_* variants so
         # it is safe under ANSI sessions too).
         .config("spark.sql.ansi.enabled", "false")
+        # Read INT64 TIMESTAMP(NANOS) parquet columns (which Spark cannot
+        # represent natively) as long nanoseconds; sources.registry
+        # converts them to µs TimestampType on load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # AQE: coalesce shuffle partitions, split skewed joins, convert
         # sort-merge→broadcast at runtime when a side turns out small.
         .config("spark.sql.adaptive.enabled", "true")
