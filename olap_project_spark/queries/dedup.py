@@ -1,1 +1,351 @@
-"""Placeholder — filled in by the training-data ops milestone."""
+"""Deduplication operators over the ``documents`` table — the core
+training-data pipeline surface (exact, n-gram Jaccard, MinHash+LSH,
+SimHash). Each is a first-class query with a DuckDB oracle: the portable
+48-bit md5-derived hash (functions.text.portable_hash48) makes even the
+sketch-based dedups bit-identical across engines.
+
+Scale design (the point of each operator at 100 TB):
+- exact: shuffle 8-byte fingerprints, never documents.
+- n-gram Jaccard: |shingle|-row explode → equi-join on shingle — the
+  quadratic pair space is never materialized, only co-shingled pairs.
+- MinHash LSH: k=32 permutations, 8 bands × 4 rows; candidate pairs
+  come from band-key equality (a hash-partitioned groupBy), then exact
+  Jaccard verifies candidates only. This is the sub-quadratic scale
+  path: cost ~ O(docs · k + candidates).
+- SimHash: 16-bit majority fingerprint per doc; pairing here is the
+  small-data all-pairs check, with band-prefix blocking documented as
+  the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_project_spark.functions.text import (
+    MERSENNE31,
+    minhash_param,
+    normalize_text,
+    portable_hash48,
+    tokens,
+    word_shingles,
+)
+from olap_project_spark.queries import load, register
+
+N_PERM = 32          # minhash permutations
+BAND_ROWS = 4        # rows per LSH band → 8 bands
+JACCARD_THRESHOLD = 0.7
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SQL_SHINGLES = """
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)
+      WHERE len(ts) >= 3
+    ),
+    shc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-gram word shingles per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_summary",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT f) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT f) AS n_dupes
+    FROM fp GROUP BY source
+    """,
+)
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash) dedup accounting per source: documents whose
+    whitespace-normalized md5 collides are duplicates.
+
+    Scale: the shuffle carries (source, 16-byte md5); distinct-count is
+    Spark's two-phase partial-distinct. To *materialize* the deduped set
+    you'd groupBy(fingerprint).agg(min(doc_id)) — same shuffle shape."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5(normalize_text(F.col("text"))).alias("f"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        (F.count("*") - F.countDistinct("f")).alias("n_dupes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@register(
+    "ngram_dup_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+             AS jaccard
+    FROM pairs
+    JOIN shc ca ON ca.doc_id = doc_a
+    JOIN shc cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.7.
+
+    Scale: explode-to-shingles then equi-join on the shingle — only
+    co-shingled pairs reach the aggregate (never |docs|²). Hot shingles
+    (boilerplate) are the skew risk: AQE skew-join splitting handles
+    moderate skew; the MinHash variant below is the designed fix."""
+    sh = _shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    params_rows = ", ".join(
+        f"({k}, {minhash_param(k)[0]}, {minhash_param(k)[1]})" for k in range(N_PERM)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    params(k, a, b) AS (VALUES {params_rows}),
+    hashes AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) % {MERSENNE31} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, k, MIN((a * h + b) % {MERSENNE31}) AS mh
+      FROM hashes, params
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
+      FROM sig GROUP BY doc_id, k // {BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+             AS jaccard
+    FROM verified v
+    JOIN shc ca ON ca.doc_id = v.doc_a
+    JOIN shc cb ON cb.doc_id = v.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("minhash_dup_pairs", oracle=_minhash_oracle())
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates,
+    verified by exact Jaccard ≥ 0.7 — the sub-quadratic scale path for
+    corpus dedup.
+
+    The hash family is (a·h48 + b) mod 2^31-1 over the portable md5-
+    derived shingle hash, so the DuckDB oracle reproduces the *exact*
+    signatures, not just the final pairs.
+
+    Scale: signatures are one explode + (doc,k)-groupBy; banding is a
+    second small groupBy; candidate generation is an equi-join on
+    (band, band_key) — hash-partitioned, no broadcast of the corpus.
+    At ~0.7 similarity, P(candidate) = 1-(1-s^4)^8 ≈ 0.93."""
+    sh = _shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    hashes = sh.select(
+        "doc_id", (portable_hash48(F.col("shingle")) % MERSENNE31).alias("h")
+    )
+    params = spark.createDataFrame(
+        [(k, *minhash_param(k)) for k in range(N_PERM)], "k INT, a LONG, b LONG"
+    )
+    sig = (
+        hashes.join(F.broadcast(params))
+        .groupBy("doc_id", "k")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("k") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    verified = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + close pairs
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hashes AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+      FROM sh
+    ),
+    bitsum AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashes GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsum)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+@register("simhash_dup_pairs", oracle=_simhash_oracle())
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, distinct 3-gram-shingle features) near-dup pairs
+    with Hamming distance ≤ 3. (Unigram features are useless on a
+    small shared vocabulary — every doc's token *set* converges; the
+    shingle feature space keeps fingerprints discriminative.)
+
+    Scale: fingerprints are one explode + groupBy (32 conditional sums
+    fused into one aggregate). The all-pairs Hamming join here is the
+    small-corpus form; at 100 TB block by fingerprint bands (split the
+    32 bits into 4 bytes — a ≤3-bit-distant pair shares ≥1 exact byte,
+    so 4 equi-joins cover all candidates — same trick as MinHash
+    banding)."""
+    sh = _shingle_df(spark, sf_dir)
+    hashes = sh.select("doc_id", portable_hash48(F.col("shingle")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bitsum = hashes.groupBy("doc_id").agg(*bit_sums)
+    fp_expr = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = bitsum.select("doc_id", fp_expr.cast("bigint").alias("simhash"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Multimodal pipeline query: binary media column → Arrow-batched
+mapInPandas decode → metadata aggregate. The decode stub is pure
+arithmetic on byte length (functions.multimodal), which makes the whole
+Pandas-UDF pipeline oracle-checkable in SQL — the point is to verify
+the *plumbing* (binary column, Arrow batches, schema contract), not a
+codec."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_project_spark.functions.multimodal import decode_media, with_media_column
+from olap_project_spark.queries import load, register
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             64 + octet_length(encode(text)) % 577 AS width,
+             64 + (octet_length(encode(text)) * 31) % 353 AS height,
+             1 + octet_length(encode(text)) % 7 AS n_frames
+      FROM documents
+    )
+    SELECT CAST(n_frames AS INTEGER) AS n_frames,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(width) AS INTEGER) AS max_width,
+           CAST(MAX(height) AS INTEGER) AS max_height
+    FROM decoded
+    GROUP BY 1
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata profile via the mapInPandas decode pipeline:
+    binary payload → Arrow batch → (width, height, n_frames) → aggregate.
+
+    Scale: decode is a narrow map over Arrow batches (the only Python
+    in the hot path, amortized per-batch); the aggregate shuffles 7
+    groups. At 100 TB, repartition by target batch size first so
+    decode memory is bounded."""
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_media(with_media_column(docs))
+    return decoded.groupBy(F.col("n_frames").cast("int").alias("n_frames")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("width").cast("int").alias("max_width"),
+        F.max("height").cast("int").alias("max_height"),
+    )

@@ -1,1 +1,208 @@
-"""Placeholder — filled in by the training-data ops milestone."""
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float>[64], label) — approximate-nearest-neighbor and
+embedding near-dup surfaces for the training-data pipeline.
+
+All vector math is JVM-native higher-order functions
+(``zip_with``/``aggregate`` — no UDF, no collect of the corpus): the
+dot product folds left-to-right in double precision, which DuckDB's
+``list_dot_product`` over a DOUBLE[] cast reproduces bit-for-bit, so
+even the *unrounded* cosines agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_project_spark.queries import load, register
+
+NEAR_DUP_COS = 0.45   # corpus max pairwise cosine is ~0.513 (synthetic)
+TOP_K = 10
+N_CENTROIDS = 16
+QUERY_VEC_ID = 0
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (matches DuckDB
+    list_dot_product element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with the vector cast float[]→double[] once (so all
+    downstream arithmetic is double, matching the oracle's DOUBLE[])."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force top-k (the correctness baseline)
+# --------------------------------------------------------------------------
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))), 6) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_dot_product(e.emb, q.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.emb, q.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector (vec_id=0) — the ANN
+    correctness baseline.
+
+    Scale: the query vector is a 1-row broadcast (cross join); the scan
+    side computes one fused dot product per row and Spark turns
+    orderBy+limit into TakeOrderedAndProject (per-partition top-k, no
+    global sort). 100 TB of vectors stream through at scan speed."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    cos = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicate pairs
+# --------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) — semantic
+    dedup of the corpus.
+
+    Scale: this is the all-pairs form (correct at any size, quadratic
+    cost) — usable up to ~10⁵ vectors per partition-block. The designed
+    scale path is ``ann_ivf_topk``'s coarse quantizer: assign → pairs
+    within a cell only."""
+    e = _emb(spark, sf_dir)
+    n = e.select("vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style bucketed ANN (the scale path)
+# --------------------------------------------------------------------------
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             list_dot_product(e.emb, cent.cemb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(cent.cemb, cent.cemb))) AS c,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    qcell AS (SELECT cid FROM assign WHERE vec_id = {QUERY_VEC_ID}),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))), 6) AS cos_sim
+    FROM e
+    JOIN assign ON assign.vec_id = e.vec_id
+    JOIN qcell ON assign.cid = qcell.cid, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_dot_product(e.emb, q.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.emb, q.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: a 16-cell coarse quantizer (centroids = the
+    first 16 vectors — deterministic, no training loop), nprobe=1:
+    search only the query's cell.
+
+    Scale: centroids are broadcast; assignment is one fused pass over
+    the corpus (no shuffle); the search space shrinks by ~n_cells.
+    At 100 TB you'd persist `assign` bucketed by cid so queries prune
+    to one bucket's files — the Spark analog of an IVF index."""
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+    c = cosine(F.col("emb"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "cid", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qcell = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cid").alias("qcid")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    cos_q = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )

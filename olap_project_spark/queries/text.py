@@ -1,1 +1,227 @@
-"""Placeholder — filled in by the training-data ops milestone."""
+"""Text-analysis queries over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting surface a training-data
+pipeline needs (task brief "text analysis"; beyond the reference's own
+operators).
+
+All expressions are JVM-native (functions.text); each query carries a
+DuckDB oracle exercising the identical semantics, so tokenization and
+regex behavior are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_project_spark.functions.text import (
+    LANG_STOPWORDS,
+    normalize_text,
+    punct_count,
+    sql_stopword_pattern,
+    stopword_hits,
+    token_count,
+)
+from olap_project_spark.queries import load, register
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+@register(
+    "token_stats_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+    FROM toks
+    GROUP BY source
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per source — the sizing pass every
+    training-data pipeline runs first (token budget accounting).
+
+    Scale: tokenization is a codegen'd split (no UDF); one partial-agg
+    shuffle on the source key. At 100 TB this is scan-bound — exactly
+    what you want."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias("avg_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+_PUNCT_SQL = "length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\-]', '', 'g'))"
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             {_PUNCT_SQL} AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           CASE WHEN n_tokens >= 20 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM feat
+    WHERE n_tokens > 0 AND n_chars > 0
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + keep/drop bucket (length and
+    punctuation-density heuristics — the C4/Gopher-style filter shape).
+
+    Scale: pure per-row expressions; at 100 TB this pipelines with the
+    scan and writes back out — no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        punct_count(F.col("text")).alias("n_punct"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        F.when((F.col("n_tokens") >= 20) & (punct_ratio < 0.1), "keep")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (stopword-hit argmax)
+# --------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n             ".join(
+        f"len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), "
+        f"'{sql_stopword_pattern(lang)}')) AS hits_{lang}"
+        for lang in LANG_STOPWORDS
+    )
+    # deterministic argmax: first language (in dict order) reaching the max
+    order = list(LANG_STOPWORDS)
+    pred = "CASE "
+    for lang in order:
+        others = [f"hits_{o}" for o in order if o != lang]
+        pred += (
+            f"WHEN hits_{lang} >= greatest({', '.join(others)}) THEN '{lang}' "
+        )
+    pred += "END"
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {hit_cols}
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang, {pred} AS pred_lang FROM hits
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM pred
+    GROUP BY lang
+    """
+
+
+@register("lang_id_accuracy", oracle=_lang_id_oracle())
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic scored against the table's
+    ground-truth ``lang`` label: per-language doc count and accuracy.
+
+    The classifier is argmax over per-language stopword hit counts with
+    a fixed tie order (en>de>es>fr>zh) — fully declarative, no UDF.
+
+    Scale: 5 regex counts per row, fused into the scan stage; the
+    aggregate is 5 groups."""
+    docs = load(spark, sf_dir, "documents")
+    hits = docs.select(
+        "doc_id",
+        "lang",
+        *[stopword_hits(F.col("text"), lang).alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+    )
+    order = list(LANG_STOPWORDS)
+    pred = None
+    for lang in order:
+        others = [F.col(f"hits_{o}") for o in order if o != lang]
+        cond = F.col(f"hits_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    correct = F.when(pred == F.col("lang"), 1).otherwise(0)
+    return (
+        hits.select("lang", correct.alias("ok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           CAST('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 12)
+                AS BIGINT) AS fp48
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprints: full md5 plus the
+    portable 48-bit integer form used as the join/dedup key elsewhere
+    (functions.text.portable_hash48).
+
+    Scale: per-row hash in codegen; fingerprints are the currency of
+    exact dedup at 100 TB (shuffle 8-byte keys, not documents)."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    docs = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        portable_hash48(norm).alias("fp48"),
+    )

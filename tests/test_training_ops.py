@@ -1,0 +1,168 @@
+"""Tests for the training-data operators (dedup / similarity / text /
+multimodal) against independent pure-Python references — complementing
+the DuckDB oracle gate (tools/oracle_check.py) with semantic checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from olap_project_spark.functions.text import (
+    MERSENNE31,
+    minhash_param,
+    portable_hash48,
+    token_count,
+)
+from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+_import_all()
+
+
+def q(name):
+    return QUERY_REGISTRY[name].fn
+
+
+class TestTextFunctions:
+    def test_portable_hash48_matches_hashlib(self, spark):
+        df = spark.createDataFrame([("hello world",)], "s string")
+        got = df.select(portable_hash48(F.col("s")).alias("h")).collect()[0]["h"]
+        want = int(hashlib.md5(b"hello world").hexdigest()[:12], 16)
+        assert got == want
+
+    def test_token_count_edges(self, spark):
+        rows = [("a b  c",), ("  ",), ("",), ("one",), (None,)]
+        df = spark.createDataFrame(rows, "s string")
+        got = [r["n"] for r in df.select(token_count(F.col("s")).alias("n")).collect()]
+        assert got == [3, 0, 0, 1, None]
+
+    def test_minhash_params_deterministic(self):
+        assert minhash_param(0) == minhash_param(0)
+        assert len({minhash_param(k) for k in range(32)}) == 32
+        for k in range(32):
+            a, b = minhash_param(k)
+            assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def truth_pairs(self, spark, sf_dir):
+        """Ground-truth near-dup pairs: exact shingle Jaccard ≥ 0.7,
+        computed by an independent pure-Python implementation."""
+        import duckdb  # only to read parquet conveniently
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        shingles = {}
+        for doc_id, text in rows:
+            toks = text.strip().lower().split()
+            shingles[doc_id] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        pairs = {}
+        ids = sorted(shingles)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(shingles[a] & shingles[b])
+                if not inter:
+                    continue
+                jac = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+                if jac >= 0.7:
+                    pairs[(a, b)] = round(jac, 6)
+        return pairs
+
+    def test_ngram_pairs_match_python_reference(self, spark, sf_dir, truth_pairs):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q("ngram_dup_pairs")(spark, sf_dir).collect()
+        }
+        assert got == truth_pairs
+
+    def test_minhash_recall_and_precision(self, spark, sf_dir, truth_pairs):
+        got = {
+            (r["doc_a"], r["doc_b"]) for r in q("minhash_dup_pairs")(spark, sf_dir).collect()
+        }
+        # Precision is 1.0 by construction (candidates are verified with
+        # exact Jaccard); recall bounded by the LSH miss rate.
+        assert got <= set(truth_pairs)
+        if truth_pairs:
+            recall = len(got) / len(truth_pairs)
+            assert recall >= 0.8, f"LSH recall {recall:.2f} too low"
+
+    def test_simhash_finds_mostly_true_pairs(self, spark, sf_dir, truth_pairs):
+        got = {
+            (r["doc_a"], r["doc_b"]) for r in q("simhash_dup_pairs")(spark, sf_dir).collect()
+        }
+        if truth_pairs:
+            # sketch-based: allow some slack both directions, but it must
+            # overlap the truth set substantially
+            inter = got & set(truth_pairs)
+            assert len(inter) >= 0.6 * len(truth_pairs)
+            assert len(got) <= 3 * len(truth_pairs) + 5
+
+    def test_exact_dedup_consistent_totals(self, spark, sf_dir):
+        rows = q("exact_dedup_summary")(spark, sf_dir).collect()
+        for r in rows:
+            assert r["n_docs"] == r["n_unique"] + r["n_dupes"]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, sf_dir):
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        return {vid: np.array(emb, dtype=np.float64) for vid, emb in rows}
+
+    def test_bruteforce_topk_matches_numpy(self, spark, sf_dir, vectors):
+        qv = vectors[0]
+        sims = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for vid, v in vectors.items()
+            if vid != 0
+        }
+        want = sorted(sims, key=lambda k: (-sims[k], k))[:10]
+        got = [r["vec_id"] for r in q("ann_topk_bruteforce")(spark, sf_dir).collect()]
+        assert got == want  # result arrives in rank order
+        for r in q("ann_topk_bruteforce")(spark, sf_dir).collect():
+            assert r["cos_sim"] == pytest.approx(sims[r["vec_id"]], abs=1e-6)
+
+    def test_ivf_results_subset_of_corpus_cell(self, spark, sf_dir, vectors):
+        got = q("ann_ivf_topk")(spark, sf_dir).collect()
+        assert 0 < len(got) <= 10
+        # every IVF hit's cosine must match the exact cosine
+        qv = vectors[0]
+        for r in got:
+            v = vectors[r["vec_id"]]
+            exact = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            assert r["cos_sim"] == pytest.approx(exact, abs=1e-6)
+
+
+class TestMultimodal:
+    def test_decode_pipeline_schema_and_determinism(self, spark, sf_dir):
+        from olap_project_spark.functions.multimodal import (
+            decode_media,
+            with_media_column,
+        )
+        from olap_project_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        media = with_media_column(docs)
+        assert dict(media.dtypes)["media_bytes"] == "binary"
+        decoded = decode_media(media.repartition(7))  # exercise batch boundaries
+        assert decoded.columns == ["doc_id", "n_bytes", "width", "height", "n_frames"]
+        rows = {r["doc_id"]: r for r in decoded.collect()}
+        docs_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert len(rows) == len(docs_rows)
+        for doc_id, text in list(docs_rows.items())[:20]:
+            n = len(text.encode("utf-8"))
+            r = rows[doc_id]
+            assert r["n_bytes"] == n
+            assert r["width"] == 64 + n % 577
+            assert r["height"] == 64 + (n * 31) % 353
+            assert r["n_frames"] == 1 + n % 7
