@@ -377,6 +377,42 @@ def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.1 S3 — JSON payload decode (the Kafka-value parse, batch form)
+# --------------------------------------------------------------------------
+@register(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-payload field extraction + aggregate — the reference's
+    Kafka-value decode (S3, ``from_json``/``get_json_object``) exercised
+    on the stream fact's ``props`` column.
+
+    Scale: get_json_object is a codegen'd SIMD-JSON-style path walk —
+    no UDF, no full JSON materialization; for multi-field extraction
+    switch to ``from_json`` with an explicit schema (one parse, N
+    fields)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.5 — stream fact × dimension join
 # --------------------------------------------------------------------------
 @register(
