@@ -31,24 +31,25 @@ def tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles (space-joined) from a token array.
+def word_shingles(tok: Column, n: int = 3, distinct: bool = False) -> Column:
+    """N-gram word shingles (space-joined) from a token array.
     Guarded for size < n (Spark's ``sequence(1, 0)`` would *descend*).
     DuckDB: ``ts[i] || ' ' || ts[i+1] || ... FROM UNNEST(range(1, len-n+2))``.
-    """
-    # array of shingles via transform over a 1-based index sequence
+
+    ``distinct=False`` by default: higher-order functions run
+    interpreted (no codegen), so per-array ``array_distinct`` is an
+    O(n²) interpreted loop — dedup at the DataFrame level instead
+    (hash aggregate, codegen'd) when you need set semantics."""
     expr = F.when(
         F.size(tok) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tok, i + k) for k in range(n)]
-                ),
-            )
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + k) for k in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return expr
+    return F.array_distinct(expr) if distinct else expr
 
 
 def portable_hash48(col: Column) -> Column:

@@ -44,23 +44,49 @@ _SQL_SHINGLES = """
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)
       WHERE len(ts) >= 3
+    ),
+    -- join/aggregate on the portable 48-bit hash: 8-byte keys shuffle
+    -- and compare far faster than shingle strings, identically in both
+    -- engines (collision odds ~|shingles|²/2^48 — negligible)
+    sh AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle
+      FROM sh0
     ),
     shc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-gram word shingles per doc."""
+def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-gram word shingles per doc.
+
+    Cached by default: every consumer self-joins it (pairs need it 2-3
+    times), and without persistence Spark re-runs the scan+tokenize+
+    explode once per plan branch. The cached form is a few MB per 10⁴
+    docs; at 100 TB you'd materialize it to a bucketed table instead."""
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
-        )
+    # A small corpus arrives as one parquet file = ONE partition; the
+    # tokenize/shingle/hash projection is the expensive part, so spread
+    # it across cores first (at 100 TB the scan is already parallel and
+    # this repartition is a no-op cost-wise).
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, "doc_id")
+        # materialize the token array BEFORE shingling: HOFs are
+        # interpreted without common-subexpression elimination, so an
+        # inlined split() would re-tokenize the text once per
+        # element_at — O(len·shingles) instead of O(len)
+        .select("doc_id", tokens(F.col("text")).alias("tok"))
+        .select("doc_id", F.explode(word_shingles(F.col("tok"), 3)).alias("shingle_str"))
+        .select("doc_id", portable_hash48(F.col("shingle_str")).alias("shingle"))
+        # set semantics via codegen'd hash aggregate, not interpreted
+        # per-array array_distinct (see word_shingles docstring)
+        .distinct()
     )
+    return sh.persist() if cache else sh
 
 
 # --------------------------------------------------------------------------
@@ -152,26 +178,30 @@ def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup pairs
 # --------------------------------------------------------------------------
 def _minhash_oracle() -> str:
-    params_rows = ", ".join(
-        f"({k}, {minhash_param(k)[0]}, {minhash_param(k)[1]})" for k in range(N_PERM)
+    min_exprs = ",\n             ".join(
+        f"MIN(({minhash_param(k)[0]} * h + {minhash_param(k)[1]}) % {MERSENNE31}) AS mh{k}"
+        for k in range(N_PERM)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {b} AS band,
+             md5({" || ',' || ".join(f"CAST(mh{k} AS VARCHAR)" for k in range(b * BAND_ROWS, (b + 1) * BAND_ROWS))})
+               AS band_key FROM sig"""
+        for b in range(N_PERM // BAND_ROWS)
     )
     return f"""
     WITH {_SQL_SHINGLES},
-    params(k, a, b) AS (VALUES {params_rows}),
     hashes AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) % {MERSENNE31} AS h
+      SELECT doc_id, shingle % {MERSENNE31} AS h
       FROM sh
     ),
     sig AS (
-      SELECT doc_id, k, MIN((a * h + b) % {MERSENNE31}) AS mh
-      FROM hashes, params
-      GROUP BY doc_id, k
+      SELECT doc_id,
+             {min_exprs}
+      FROM hashes
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, k // {BAND_ROWS} AS band,
-             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS band_key
-      FROM sig GROUP BY doc_id, k // {BAND_ROWS}
+{band_selects}
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -206,39 +236,41 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived shingle hash, so the DuckDB oracle reproduces the *exact*
     signatures, not just the final pairs.
 
-    Scale: signatures are one explode + (doc,k)-groupBy; banding is a
-    second small groupBy; candidate generation is an equi-join on
-    (band, band_key) — hash-partitioned, no broadcast of the corpus.
-    At ~0.7 similarity, P(candidate) = 1-(1-s^4)^8 ≈ 0.93."""
+    Scale: all 32 permutation minima are computed as 32 aggregate
+    expressions in ONE (doc_id)-groupBy over the shingle-hash rows — no
+    k× row blowup, fully map-side-combinable. Banding is a per-row
+    projection exploded to 8 (band, key) rows/doc; candidate generation
+    is an equi-join on (band, band_key) — hash-partitioned, no broadcast
+    of the corpus. At ~0.7 similarity, P(candidate)=1-(1-s^4)^8 ≈ 0.93."""
     sh = _shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
-    hashes = sh.select(
-        "doc_id", (portable_hash48(F.col("shingle")) % MERSENNE31).alias("h")
+    # shingle is already the uniform 48-bit hash — fold into the field
+    hashes = sh.select("doc_id", (F.col("shingle") % MERSENNE31).alias("h"))
+    sig = hashes.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(minhash_param(k)[0]) * F.col("h") + F.lit(minhash_param(k)[1])) % MERSENNE31).alias(f"mh{k}")
+            for k in range(N_PERM)
+        ]
     )
-    params = spark.createDataFrame(
-        [(k, *minhash_param(k)) for k in range(N_PERM)], "k INT, a LONG, b LONG"
-    )
-    sig = (
-        hashes.join(F.broadcast(params))
-        .groupBy("doc_id", "k")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("mh"))
-    )
-    bands = (
-        sig.withColumn("band", (F.col("k") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("k", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"mh{k}").cast("string")
+                        for k in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(N_PERM // BAND_ROWS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -292,19 +324,28 @@ def _simhash_oracle() -> str:
     return f"""
     WITH {_SQL_SHINGLES},
     hashes AS (
-      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
-      FROM sh
+      SELECT doc_id, shingle AS h FROM sh
     ),
     bitsum AS (
       SELECT doc_id,
              {bit_sums}
       FROM hashes GROUP BY doc_id
     ),
-    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsum)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsum),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS fa,
+                      y.doc_id AS doc_b, y.simhash AS fb
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {HAMMING_MAX}
     """
 
 
@@ -316,13 +357,16 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle feature space keeps fingerprints discriminative.)
 
     Scale: fingerprints are one explode + groupBy (32 conditional sums
-    fused into one aggregate). The all-pairs Hamming join here is the
-    small-corpus form; at 100 TB block by fingerprint bands (split the
-    32 bits into 4 bytes — a ≤3-bit-distant pair shares ≥1 exact byte,
-    so 4 equi-joins cover all candidates — same trick as MinHash
-    banding)."""
+    fused into one aggregate). Candidate pairs come from byte-band
+    blocking — pigeonhole: a pair ≤3 bits apart over 4 bytes must share
+    ≥1 exact byte, so an equi-join on (band, byte) finds every such
+    pair without the |docs|² Hamming scan; the xor-popcount check then
+    runs on candidates only. Band buckets grow linearly with corpus
+    size (256 values/band) — at extreme scale widen bands to 16 bits
+    (≤1-flip guarantee per half) or pre-partition by a fingerprint
+    prefix."""
     sh = _shingle_df(spark, sf_dir)
-    hashes = sh.select("doc_id", portable_hash48(F.col("shingle")).alias("h"))
+    hashes = sh.select("doc_id", F.col("shingle").alias("h"))  # already hashed
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
@@ -335,17 +379,34 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
         fp_expr = term if fp_expr is None else fp_expr + term
     fp = bitsum.select("doc_id", fp_expr.cast("bigint").alias("simhash"))
-    a = fp.alias("a")
-    b = fp.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(hamming <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        # python-side F.shiftright needs a literal shift; SQL shiftright
+        # accepts a column expression
+        "key", F.expr("shiftright(simhash, band * 8) & 255")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("fa"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        cand.filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )

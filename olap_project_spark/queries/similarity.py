@@ -39,9 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with the vector cast float[]→double[] once (so all
-    downstream arithmetic is double, matching the oracle's DOUBLE[])."""
-    return load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    downstream arithmetic is double, matching the oracle's DOUBLE[]).
+
+    Repartitioned across cores: the corpus arrives as one parquet file
+    (one partition), which would serialize every downstream pair scan /
+    fold onto a single thread."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        load(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+        )
     )
 
 
@@ -117,14 +126,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.alias("a")
     b = n.alias("b")
     cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # project the cosine ONCE, then filter on the column — evaluating the
+    # 64-element fold in both a filter and a projection doubles the
+    # dominant cost of the quadratic pair scan
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= NEAR_DUP_COS)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     )
 
 
