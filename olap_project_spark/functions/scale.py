@@ -1,0 +1,103 @@
+"""Scale tooling: bucketed co-located joins, salted aggregation, and
+salted joins for skewed keys (task brief "Partitioning & shuffle";
+SURVEY.md §4 shuffle-sizing row).
+
+These are the three manual levers that remain once AQE has done its
+part:
+- **bucketing** pre-shuffles a table ONCE at write time; every future
+  join/agg on the bucket key skips its exchange (the Spark analog of a
+  clustered index). Worth it for fact tables joined repeatedly on the
+  same key at 100 TB.
+- **salted aggregation** splits a hot grouping key across
+  ``n_salts`` partial groups, then merges — bounding any single task's
+  state when one key dominates (power-law user activity).
+- **salted join** spreads a skewed probe key over replicated build
+  rows. AQE's skew-join split handles moderate skew automatically;
+  salting is for the pathological single-key case AQE can't split
+  (one key larger than a whole executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Aggregates that decompose into (partial, merge) with the same function.
+_SELF_MERGING = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+    Joins/aggregations between tables bucketed identically on the join
+    key run with NO exchange (verified by plan in tests)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a synthetic salt: ``aggs`` maps column
+    → one of sum/count/min/max. Result is identical to the direct
+    groupBy (all listed functions merge associatively); the benefit is
+    that a key with N rows contributes ≤ N/n_salts rows to any single
+    partial group.
+
+    The salt must vary WITHIN a key — it derives from
+    ``spark_partition_id`` + a row hash, never from the key itself."""
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("_salt")
+
+    partial_exprs, final_exprs = [], []
+    for col, fn in aggs.items():
+        out = f"{fn}_{col}"
+        if fn in _SELF_MERGING:
+            partial_exprs.append(_SELF_MERGING[fn](col).alias(out))
+            final_exprs.append(_SELF_MERGING[fn](out).alias(out))
+        elif fn == "count":
+            partial_exprs.append(F.count(col).alias(out))
+            final_exprs.append(F.sum(out).cast("bigint").alias(out))
+        else:
+            raise ValueError(f"unsupported salted aggregate: {fn}")
+
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s key distribution has pathological
+    hot keys: each skewed row picks a salt bucket, the small side is
+    replicated ``n_salts``× with every salt value, and the join runs on
+    (key, salt) — splitting each hot key across n_salts tasks.
+
+    Result rows are identical to the plain join; cost trades a
+    n_salts× replication of the small side for even task sizing."""
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    left = skewed.withColumn("_salt", salt)
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left.join(right, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

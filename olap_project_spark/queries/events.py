@@ -377,6 +377,97 @@ def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pivot (wide OLAP cross-tab — the dashboard matrix shape)
+# --------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "hourly_type_pivot",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × event-type cross-tab via the pivot operator — the
+    dashboard-matrix shape Power BI produced for the reference.
+
+    Scale: pivot with an EXPLICIT value list compiles to one pass of
+    conditional aggregates (map-side combinable); without the list,
+    Spark runs an extra distinct-values job first — always pin the
+    columns in production."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+        .na.fill(0)
+    )
+    return out.select(
+        "hour_of_day", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram (fixed-width bucket distribution)
+# --------------------------------------------------------------------------
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS INTEGER) AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS bucket_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (50-unit buckets) — the distribution
+    profile behind dashboard histograms; bucketing is a pure projection
+    so the aggregate stays map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double"), 2).alias("bucket_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group
+# --------------------------------------------------------------------------
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — Spark ``percentile`` == DuckDB ``quantile_cont`` (both linear
+    interpolation over the sorted set).
+
+    Scale: exact percentiles sort per group; for 100 TB switch to
+    ``approx_percentile`` (t-digest, mergeable sketches) — kept exact
+    here because the oracle must agree bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.1 S3 — JSON payload decode (the Kafka-value parse, batch form)
 # --------------------------------------------------------------------------
 @register(

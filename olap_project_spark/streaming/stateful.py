@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+— the extension point for semantics Spark's built-in windows can't
+express (SURVEY.md ST7 "our additions"; task brief: custom stateful
+operators).
+
+Example operator: a per-key running total with threshold alerts —
+emits a row whenever a key's cumulative value crosses another multiple
+of ``threshold`` (the "large cumulative spend" alert a fraud pipeline
+wants *mid-stream*, not at window close). Not expressible with
+tumbling/session windows: state is a monotone accumulator over the
+whole stream, and emission is value-triggered, not time-triggered.
+
+Scale notes:
+- state is one (sum, alert_count) pair per key — O(keys) bytes, hash-
+  partitioned across executors by groupBy; no global state.
+- timeouts: GroupStateTimeout.NoTimeout keeps state forever (running
+  totals); swap to EventTimeTimeout + state.setTimeoutTimestamp to
+  evict idle keys when the key domain is unbounded.
+- data flows through Arrow batches per key-group — vectorized, not
+  row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cum_value", DoubleType()),
+        StructField("alerts_so_far", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("cum_value", DoubleType()),
+        StructField("alerts", LongType()),
+    ]
+)
+
+
+def cumulative_threshold_alerts(
+    events: DataFrame,
+    threshold: float = 1000.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key cumulative-sum alerts: emit one row each time a
+    key's running total crosses another multiple of ``threshold``.
+
+    Works on a streaming DataFrame grouped by ``key_col``; state is the
+    running (sum, alert_count). Batch-deterministic for a replayed
+    source: alerts depend only on the per-key prefix sums, and rows
+    within a key arrive in micro-batch order.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cum, alerts = state.get
+        else:
+            cum, alerts = 0.0, 0
+        # a key's rows are gathered from many input partitions with no
+        # order guarantee — impose event-time order within the batch so
+        # the prefix sums (and therefore alerts) are deterministic
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if "ts" in batch.columns:
+            batch = batch.sort_values("ts", kind="mergesort")
+        out_rows = []
+        for v in batch[value_col]:
+            new_cum = cum + float(v)
+            if int(new_cum // threshold) > int(cum // threshold):
+                alerts += 1
+                out_rows.append((key[0], round(new_cum, 2), alerts))
+            cum = new_cum
+        state.update((cum, alerts))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["user_id", "cum_value", "alerts_so_far"])
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -12,10 +12,15 @@ REFERENCE_ROOT = "/root/reference"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = build_session(
         app_name="olap-project-spark-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark
     spark.stop()

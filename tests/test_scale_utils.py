@@ -1,0 +1,100 @@
+"""Scale-tooling tests: bucketed joins skip the exchange, salted
+aggregation/join return results identical to their plain forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_project_spark.functions.scale import salted_agg, salted_join, write_bucketed
+from olap_project_spark.sources import load_table
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed(orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        # at this tiny SF Spark would broadcast (also shuffle-free);
+        # force the sort-merge path to show the bucketing property that
+        # matters at 100 TB, where neither side broadcasts
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located buckets: sort-merge join with NO ShuffleExchange
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # and the result is the plain join's result
+        plain = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert joined.count() == plain.count()
+
+
+class TestSaltedAggregation:
+    def test_salted_agg_matches_plain(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        got = {
+            r["event_type"]: (r["sum_value"], r["count_value"], r["max_value"])
+            for r in salted_agg(ev, ["event_type"], {"value": "sum"}, n_salts=8)
+            .join(
+                salted_agg(ev, ["event_type"], {"value": "count"}, n_salts=8),
+                "event_type",
+            )
+            .join(
+                salted_agg(ev, ["event_type"], {"value": "max"}, n_salts=8),
+                "event_type",
+            )
+            .collect()
+        }
+        want = {
+            r["event_type"]: (r["sum_value"], r["count_value"], r["max_value"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.sum("value").alias("sum_value"),
+                F.count("value").alias("count_value"),
+                F.max("value").alias("max_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][1] == want[k][1]  # counts exact
+            assert got[k][2] == want[k][2]  # max exact
+            assert got[k][0] == pytest.approx(want[k][0], rel=1e-9)  # sum fp-assoc
+
+    def test_salted_agg_has_two_aggregate_phases(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        plan = (
+            salted_agg(ev, ["event_type"], {"value": "sum"}, n_salts=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+class TestSaltedJoin:
+    def test_salted_join_matches_plain(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "k")
+        cu = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), "c_mktsegment"
+        )
+        got = salted_join(ev, cu, "k", n_salts=8)
+        plain = ev.join(cu, "k")
+        assert got.count() == plain.count()
+        g = got.groupBy("c_mktsegment").count().collect()
+        p = plain.groupBy("c_mktsegment").count().collect()
+        assert {r["c_mktsegment"]: r["count"] for r in g} == {
+            r["c_mktsegment"]: r["count"] for r in p
+        }

@@ -1,0 +1,107 @@
+"""applyInPandasWithState custom stateful operator: streaming run vs a
+pure-Python replay of the same semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from olap_project_spark.sources import load_table
+from olap_project_spark.streaming.stateful import cumulative_threshold_alerts
+
+THRESHOLD = 1000.0
+
+
+class TestCumulativeAlerts:
+    @pytest.fixture(scope="class")
+    def events_dir(self, spark, sf_dir, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("ev_state"))
+        load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(d)
+        return d
+
+    def test_alerts_match_python_replay(self, spark, sf_dir, events_dir):
+        ev = load_table(spark, sf_dir, "events")
+        stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+        q = (
+            cumulative_threshold_alerts(stream, threshold=THRESHOLD)
+            .writeStream.format("memory")
+            .queryName("alerts_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["alerts_so_far"]): r["cum_value"]
+            for r in spark.table("alerts_test").collect()
+        }
+
+        # Python truth: per-user event-time-ordered prefix sums
+        rows = (
+            ev.select("user_id", "ts", "value")
+            .toPandas()
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        )
+        want = {}
+        for uid, grp in rows.groupby("user_id"):
+            cum, alerts = 0.0, 0
+            for v in grp["value"]:
+                new_cum = cum + float(v)
+                if int(new_cum // THRESHOLD) > int(cum // THRESHOLD):
+                    alerts += 1
+                    want[(uid, alerts)] = round(new_cum, 2)
+                cum = new_cum
+        assert len(got) == len(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=1e-6), k
+
+    def test_state_survives_across_batches(self, spark, sf_dir, tmp_path):
+        """Two files → (at least potentially) two micro-batches; the
+        running totals must continue, not reset."""
+        ev = load_table(spark, sf_dir, "events").limit(400)
+        first = ev.filter("event_id < 200")
+        second = ev.filter("event_id >= 200")
+        d = str(tmp_path / "two_batches")
+        first.coalesce(1).write.mode("overwrite").parquet(d)
+        second.coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            cumulative_threshold_alerts(stream, threshold=500.0)
+            .writeStream.format("memory")
+            .queryName("alerts_batches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("alerts_batches").toPandas()
+
+        rows = (
+            ev.select("user_id", "ts", "value")
+            .toPandas()
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        )
+        # batch boundary splits by event_id, and within each batch rows
+        # re-sort by ts — replicate exactly: file order is (id<200), (>=200)
+        ids = ev.select("event_id", "user_id", "ts", "value").toPandas()
+        ids["batch"] = (ids["event_id"] >= 200).astype(int)
+        ids = ids.sort_values(["batch", "user_id", "ts"], kind="mergesort")
+        want_count = 0
+        for uid, grp in ids.groupby("user_id"):
+            cum, alerts = 0.0, 0
+            for _, r in grp.sort_values(["batch", "ts"], kind="mergesort").iterrows():
+                new_cum = cum + float(r["value"])
+                if int(new_cum // 500.0) > int(cum // 500.0):
+                    alerts += 1
+                    want_count += 1
+                cum = new_cum
+        assert len(got) == want_count
+        # alert sequence numbers per user must be contiguous from 1
+        for uid, grp in got.groupby("user_id"):
+            seq = sorted(grp["alerts_so_far"])
+            assert seq == list(range(1, len(seq) + 1))
