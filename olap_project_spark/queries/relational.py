@@ -204,6 +204,45 @@ def order_volume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q0b — explicit GROUPING SETS with grouping flags
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER)  AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (flag-level and status-level margins plus
+    the grand total in one pass) with GROUPING() null-vs-margin
+    disambiguation — the general form of Q0's rollup (SURVEY.md §2.4).
+
+    Scale: like rollup, one expand+aggregate — each input row fans out
+    only to the grouping sets it belongs to; partial aggregation still
+    applies."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q4 — conditional aggregates (ratio-of-counts)
 # --------------------------------------------------------------------------
 @register(

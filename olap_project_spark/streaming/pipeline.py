@@ -70,6 +70,33 @@ def read_kafka_stream(
     )
 
 
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "Card",
+) -> StreamingQuery:
+    """Kafka sink (K5, pos_simulator.py:133-141 semantics): JSON-encode
+    each row as the value, key by card number so a card's events stay
+    ordered within a partition. Requires the spark-sql-kafka package on
+    the cluster (no broker in this test env — untested here, covered by
+    the reference contract)."""
+    from pyspark.sql import functions as F
+
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_pipeline(
     raw_stream: DataFrame,
     out_dir: str,

@@ -1,0 +1,80 @@
+"""Compaction + batch-source tests."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_project_spark.export.compact import compact_partition
+from olap_project_spark.sources.batch import (
+    read_raw_csv,
+    read_raw_json,
+    synthesize_timestamp,
+)
+from olap_project_spark.transforms import clean, route
+from olap_project_spark.transforms.clean import to_output
+from tests.fixtures import raw_transactions_df
+
+
+class TestCompaction:
+    def test_compacts_fragmented_partition(self, spark, tmp_path):
+        sink = str(tmp_path / "sink")
+        cleaned = clean(raw_transactions_df(spark), processed_at="2024-01-15 09:00:00")
+        valid = to_output(route(cleaned)["valid"])
+        # simulate many micro-batches: 5 appends → ≥5 files per partition
+        for _ in range(5):
+            valid.repartition(2).write.mode("append").partitionBy(
+                "Year", "Month", "Day"
+            ).parquet(sink)
+
+        part = Path(sink) / "Year=2024" / "Month=1" / "Day=15"
+        before_rows = spark.read.parquet(sink).count()
+        n_before, n_after = compact_partition(
+            spark, sink, {"Year": 2024, "Month": 1, "Day": 15}
+        )
+        assert n_before >= 5
+        assert n_after == 1  # tiny partition → single target file
+        assert len(list(part.glob("*.parquet"))) == 1
+        # no data change, and other partitions untouched
+        assert spark.read.parquet(sink).count() == before_rows
+
+    def test_missing_partition_raises(self, spark, tmp_path):
+        sink = str(tmp_path / "sink2")
+        clean(raw_transactions_df(spark), processed_at="2024-01-15 09:00:00")
+        with pytest.raises(FileNotFoundError):
+            compact_partition(spark, sink, {"Year": 1999, "Month": 1, "Day": 1})
+
+
+class TestBatchSources:
+    def test_csv_reader_pins_schema(self, spark, raw_transactions_csv):
+        df = read_raw_csv(spark, raw_transactions_csv)
+        assert df.schema.fieldNames() == [
+            "User", "Card", "Year", "Month", "Day", "Time", "Amount", "Use Chip",
+            "Merchant Name", "Merchant City", "Merchant State", "Zip", "MCC",
+            "Errors?", "Is Fraud?", "timestamp",
+        ]
+        assert df.count() == 123
+
+    def test_timestamp_synthesis_null_safe(self, spark, raw_transactions_csv):
+        df = synthesize_timestamp(read_raw_csv(spark, raw_transactions_csv))
+        # every fixture row has full calendar + time → timestamp present
+        assert df.filter(F.col("timestamp").isNull()).count() == 0
+        row = df.select("timestamp").first()
+        assert "T" in row["timestamp"]
+        # null component → null timestamp
+        broken = synthesize_timestamp(
+            read_raw_csv(spark, raw_transactions_csv).withColumn(
+                "Time", F.lit(None).cast("string")
+            )
+        )
+        assert broken.filter(F.col("timestamp").isNotNull()).count() == 0
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        raw = raw_transactions_df(spark)
+        path = str(tmp_path / "raw_json")
+        raw.write.mode("overwrite").json(path)
+        back = read_raw_json(spark, path)
+        assert back.count() == raw.count()
+        assert back.schema == raw.schema
