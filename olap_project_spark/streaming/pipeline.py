@@ -70,6 +70,22 @@ def read_kafka_stream(
     )
 
 
+def write_console(
+    df: DataFrame,
+    output_mode: str = "append",
+    truncate: bool = True,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Console debug sink (K1, reference write_to_console :285-304)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("console")
+        .option("truncate", str(truncate).lower())
+        .trigger(**(trigger or {"processingTime": "5 seconds"}))
+        .start()
+    )
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,
@@ -106,6 +122,7 @@ def start_pipeline(
     processed_at: str | None = None,
     trigger: dict | None = None,
     max_records_per_file: int = 1_000_000,
+    sink_format: str = "parquet",
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
 ) -> StreamingQuery:
     """Run the full ingest pipeline as ONE streaming query with
@@ -136,12 +153,15 @@ def start_pipeline(
             counts: dict[str, int] = {}
             for name in ("valid", "fraud"):
                 out = to_output(streams[name])
-                (
+                writer = (
                     out.write.mode("append")
                     .option("maxRecordsPerFile", str(max_records_per_file))
                     .partitionBy(*PARTITION_COLS)
-                    .parquet(f"{out_dir}/{name}")
                 )
+                if sink_format == "csv":  # reference K2 shape
+                    writer.option("header", True).csv(f"{out_dir}/{name}")
+                else:
+                    writer.parquet(f"{out_dir}/{name}")
                 counts[name] = out.count()
             err = to_output(streams["error"])
             err.write.mode("append").parquet(f"{out_dir}/error")

@@ -79,6 +79,43 @@ class TestIngestPipeline:
         assert inv.count() == want["invalid"]
         assert "invalid_reason" in inv.columns
 
+    def test_csv_sink_mode(self, spark, raw_json_dir, tmp_path):
+        """Reference K2 shape: valid/fraud as partitioned CSV."""
+        out = str(tmp_path / "out_csv")
+        q = start_pipeline(
+            read_file_stream(spark, raw_json_dir, fmt="json"),
+            out_dir=out,
+            checkpoint_dir=str(tmp_path / "ckpt_csv"),
+            processed_at=FIXED_TS,
+            trigger={"availableNow": True},
+            sink_format="csv",
+        )
+        q.awaitTermination(120)
+        valid = spark.read.option("header", True).csv(f"{out}/valid")
+        from tests.fixtures import raw_transactions_df
+
+        want = route(clean(raw_transactions_df(spark), processed_at=FIXED_TS))[
+            "valid"
+        ].count()
+        assert valid.count() == want
+        assert os.path.isdir(f"{out}/valid/Year=2024")
+
+    def test_complete_mode_running_counts(self, spark, raw_json_dir):
+        """ST2: update/complete output modes for streaming aggregates —
+        a complete-mode running count over the replayed fixture."""
+        stream = read_file_stream(spark, raw_json_dir, fmt="json")
+        agg = clean(stream, processed_at=FIXED_TS).groupBy("Is_Fraud").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("complete_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["Is_Fraud"]: r["count"] for r in spark.table("complete_counts").collect()}
+        assert got.get("Yes") == 2  # fixture fraud rows
+
     def test_restart_is_exactly_once(self, spark, raw_json_dir, tmp_path):
         """Re-starting with the same checkpoint must not duplicate sink
         rows (ST3 exactly-once file sinks)."""
