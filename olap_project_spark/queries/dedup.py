@@ -12,16 +12,14 @@ Scale design (the point of each operator at 100 TB):
   come from band-key equality (a hash-partitioned groupBy), then exact
   Jaccard verifies candidates only. This is the sub-quadratic scale
   path: cost ~ O(docs · k + candidates).
-- SimHash: 16-bit majority fingerprint per doc; pairing here is the
-  small-data all-pairs check, with band-prefix blocking documented as
-  the scale path.
+- SimHash: 32-bit majority fingerprint per doc; byte-band blocking
+  (pigeonhole over 4 bytes) replaces the all-pairs Hamming scan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from olap_project_spark.functions.text import (
     MERSENNE31,

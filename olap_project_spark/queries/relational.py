@@ -467,6 +467,125 @@ def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# §2.6/Q3-shape — selective date-range star join with top-k
+# --------------------------------------------------------------------------
+@register(
+    "urgent_revenue_window",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-04-01 00:00:00'
+      AND o_orderpriority LIKE '1%'
+      AND l_shipdate > o_orderdate
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def urgent_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped selective join: date-range + LIKE predicate on
+    orders, a join-dependent predicate (shipped after ordering), per-
+    order revenue, top-20.
+
+    Scale: both single-table predicates push into their scans (the
+    LIKE prefix becomes a StringStartsWith pushed filter); only the
+    surviving slice shuffles for the join; top-k is
+    TakeOrderedAndProject."""
+    od = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-04-01").cast("timestamp"))
+        & F.col("o_orderpriority").like("1%")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        od.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12-shape — CASE-bucket aggregation over a join
+# --------------------------------------------------------------------------
+@register(
+    "priority_shipping_buckets",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+    """,
+)
+def priority_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped CASE bucketing: high/low-priority line counts
+    per line status — IN-list predicates inside conditional aggregates.
+
+    Scale: the CASE folds into partial aggregation; the join is the
+    only shuffle (or none, once orders/lineitem are bucketed on the
+    order key — functions.scale.write_bucketed)."""
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13-shape — left join with distinct-count distribution
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped distribution: orders-per-customer histogram via
+    LEFT join (customers with zero orders count as n_orders=0 —
+    COUNT(col) skips the nulls the outer join introduces).
+
+    Scale: two cascaded aggregations, both map-side combinable; the
+    outer join preserves the small side's key set."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
 # §2.7 — set operations
 # --------------------------------------------------------------------------
 @register(
