@@ -589,6 +589,105 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.7 — set operations
 # --------------------------------------------------------------------------
 @register(
+    "customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present on the customer side but not the supplier
+    side — EXCEPT (distinct set difference), completing §2.7's set-op
+    algebra alongside union and intersect.
+
+    Scale: compiles to a left-anti join over pre-distincted keys —
+    key-only shuffle."""
+    cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.distinct().subtract(su.distinct())
+
+
+@register(
+    "shared_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def shared_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys on BOTH sides — INTERSECT (distinct), the semi-join
+    form of §2.7."""
+    cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.intersect(su)
+
+
+@register(
+    "order_recency_buckets",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders)
+    SELECT CASE WHEN datediff('day', o_orderdate, mx) <= 90  THEN 'last_quarter'
+                WHEN datediff('day', o_orderdate, mx) <= 365 THEN 'last_year'
+                ELSE 'older' END AS recency,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders, anchor
+    GROUP BY 1
+    """,
+)
+def order_recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic recency bucketing relative to the dataset's own
+    horizon (max order date as the anchor — a 1-row broadcast, so the
+    query is deterministic with no wall-clock dependence).
+
+    Scale: datediff is a codegen'd projection; one 3-group aggregate."""
+    od = load(spark, sf_dir, "orders")
+    anchor = od.agg(F.max("o_orderdate").alias("mx"))
+    dd = F.datediff(F.col("mx"), F.col("o_orderdate"))
+    recency = (
+        F.when(dd <= 90, "last_quarter").when(dd <= 365, "last_year").otherwise("older")
+    )
+    return (
+        od.join(F.broadcast(anchor))
+        .groupBy(recency.alias("recency"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "price_quantity_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(var_samp(l_discount), 6)                    AS discount_var,
+           ROUND(stddev_samp(l_extendedprice), 4)            AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (correlation, covariance, variance,
+    stddev) per return flag — the §2.4 long tail beyond sum/avg.
+
+    Both engines accumulate co-moments in scan order; results agree to
+    well past the rounded precision (values are O(1)-scaled, drift is
+    ~1e-12 relative)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+@register(
     "trading_nations",
     oracle="""
     SELECT n_nationkey AS nationkey, 'customer' AS side FROM nation
