@@ -142,6 +142,80 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-bucketed near-dup pairs (sub-quadratic semantic dedup)
+# --------------------------------------------------------------------------
+@register(
+    "ivf_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    n AS (SELECT e.vec_id, cid, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+          FROM e JOIN assign ON assign.vec_id = e.vec_id)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {NEAR_DUP_COS}
+    """,
+)
+def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs restricted to same-IVF-cell candidates —
+    the sub-quadratic scale path promised by ``embedding_near_dup_pairs``
+    (which stays as the exact baseline): pair cost drops from |corpus|²
+    to Σ|cell|², at the price of missing cross-cell pairs (recall
+    measured against the exact baseline in tests).
+
+    Scale: assignment is a broadcast-centroid pass; the pair join is an
+    equi-join on cid — hash-partitioned, each cell's pairs computed
+    where its vectors live."""
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+    c = cosine(F.col("emb"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "cid", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    n = e.join(assign, "vec_id").select(
+        "vec_id", "cid", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path)
 # --------------------------------------------------------------------------
 @register(

@@ -197,6 +197,97 @@ def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex tokenization (sub-word-ready token accounting)
+# --------------------------------------------------------------------------
+# Letter runs | digit runs | single non-alnum marks — the pre-merge
+# word-splitting pass of a BPE tokenizer. Identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookarounds, no unicode classes.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_word
+    FROM toks
+    GROUP BY source
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a BPE-style regex pre-tokenizer (letter
+    runs / digit runs / punctuation marks) vs whitespace words — the
+    fertility ratio a training-data pipeline tracks per source.
+
+    Scale: two regex counts per row fused into the scan; tiny
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"), token_count(F.col("text")).alias("n_ws"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias("bpe_per_word"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary: top tokens by document frequency
+# --------------------------------------------------------------------------
+@register(
+    "top_tokens_by_doc_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    )
+    SELECT tok AS token, COUNT(*) AS doc_freq
+    FROM tok
+    GROUP BY tok
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def top_tokens_by_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 tokens by document frequency — the
+    vocab/stopword-construction pass of a corpus pipeline.
+
+    Scale: explode → per-doc distinct → count; the distinct is the
+    shuffle (token,doc) — at 100 TB pre-aggregate per partition
+    (map-side distinct) which Spark's two-phase distinct already does;
+    top-k is TakeOrderedAndProject."""
+    from olap_project_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting
 # --------------------------------------------------------------------------
 @register(

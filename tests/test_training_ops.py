@@ -132,6 +132,22 @@ class TestSimilarity:
         for r in q("ann_topk_bruteforce")(spark, sf_dir).collect():
             assert r["cos_sim"] == pytest.approx(sims[r["vec_id"]], abs=1e-6)
 
+    def test_ivf_near_dups_subset_of_exact(self, spark, sf_dir):
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in q("embedding_near_dup_pairs")(spark, sf_dir).collect()
+        }
+        ivf = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in q("ivf_near_dup_pairs")(spark, sf_dir).collect()
+        }
+        # precision 1.0: every IVF pair is a true near-dup with the same cosine
+        for k, v in ivf.items():
+            assert k in exact and exact[k] == v
+        # recall: same-cell restriction misses cross-cell pairs; require >0
+        if exact:
+            assert len(ivf) > 0
+
     def test_ivf_results_subset_of_corpus_cell(self, spark, sf_dir, vectors):
         got = q("ann_ivf_topk")(spark, sf_dir).collect()
         assert 0 < len(got) <= 10
