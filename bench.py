@@ -34,8 +34,19 @@ def main() -> None:
                           extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: smallest scan, primes JVM + parquet footer caches.
-    QUERY_REGISTRY["events_by_hour"].fn(spark, sf_dir).count()
+    # Warmup: prime JVM JIT/codegen for every operator family (scan+agg,
+    # HOF shingling, vector folds, window, streaming) at the smallest
+    # available scale so per-query numbers measure plans, not first-run
+    # compilation. Falls back to the bench scale if no smaller sibling.
+    sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = sibling if os.path.isdir(sibling) else sf_dir
+    for warm_q in (
+        "events_by_hour",
+        "ngram_dup_pairs",
+        "embedding_near_dup_pairs",
+        "customer_order_gaps",
+    ):
+        QUERY_REGISTRY[warm_q].fn(spark, warm_dir).count()
 
     times: dict[str, float] = {}
     for name, q in QUERY_REGISTRY.items():
