@@ -64,6 +64,7 @@ def _import_all() -> None:
         relational,
         similarity,
         streaming_queries,
+        temporal,
         text,
     )
 

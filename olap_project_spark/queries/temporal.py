@@ -1,0 +1,201 @@
+"""Temporal join operators Spark lacks as built-ins — as-of
+(point-in-time) join and range join — implemented as compositions of
+existing DataFrame ops (the task brief's option (a)), with DuckDB's
+native ASOF JOIN / inequality joins as the oracles.
+
+As-of join, the Spark-scalable formulation: union the two timelines,
+sort per key by (time, side), and carry the last dimension row forward
+with ``last(..., ignorenulls=True)`` over an unbounded-preceding frame.
+One shuffle on the key, no per-row probe — this is how you do
+point-in-time enrichment of 100 TB of events against a slowly-changing
+dimension (the alternative — a range join — is quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_project_spark.queries import load, register
+
+DEC = "decimal(18,2)"
+
+
+# --------------------------------------------------------------------------
+# As-of join: each event ↔ the user's latest order at-or-before it
+# --------------------------------------------------------------------------
+@register(
+    "asof_last_order",
+    oracle="""
+    WITH ords AS (
+      -- one row per (custkey, orderdate): greatest orderkey wins, so
+      -- the as-of match is deterministic under date ties
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT ev.event_id,
+           ev.user_id,
+           strftime(ords.o_orderdate, '%Y-%m-%d') AS last_order_date,
+           ords.o_orderkey AS last_orderkey,
+           CAST(datediff('day', ords.o_orderdate, ev.ts) AS INTEGER) AS days_since_order
+    FROM ev ASOF JOIN ords
+      ON ev.user_id = ords.o_custkey AND ev.ts >= ords.o_orderdate
+    """,
+)
+def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every event, the user's most recent order at or
+    before the event time (point-in-time-correct enrichment — the
+    feature-store join).
+
+    Spark has no ASOF JOIN; this is the union-and-carry-forward
+    composition: both timelines union on (key, time), a per-key window
+    ordered by (time, side) carries the latest order's columns forward
+    with last(ignorenulls), and the event rows are kept. Exactly one
+    shuffle (by key) regardless of how many dimension versions exist.
+
+    The DuckDB oracle uses its native ASOF JOIN — matching results
+    prove the composition implements the standard semantics."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    ords = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t")
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        "k", "t", "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(1).alias("is_event"),
+    )
+    right = ords.select(
+        "k", "t",
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("t").alias("o_date"),
+        F.lit(0).alias("is_event"),
+    )
+    # at equal timestamps the order row sorts first (is_event 0 < 1) →
+    # "at-or-before" is inclusive
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        left.unionByName(right)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_order_ts", F.last("o_date", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .filter(F.col("last_orderkey").isNotNull())  # inner asof
+    )
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.date_format("last_order_ts", "yyyy-MM-dd").alias("last_order_date"),
+        "last_orderkey",
+        F.datediff(F.to_date("t"), F.to_date("last_order_ts"))
+        .cast("int")
+        .alias("days_since_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: prices ↔ a band dimension (lo ≤ p < hi)
+# --------------------------------------------------------------------------
+PRICE_BANDS = [
+    ("budget", 0, 20_000),
+    ("mid", 20_000, 45_000),
+    ("premium", 45_000, 70_000),
+    ("luxury", 70_000, 10_000_000),
+]
+
+
+@register(
+    "price_band_distribution",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+    SELECT band,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS band_revenue
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def price_band_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: each lineitem matched to its price band
+    (lo ≤ price < hi) — the interval-dimension join shape (tiering,
+    SLA buckets, geo ranges).
+
+    Scale: the band table is tiny → broadcast nested-loop with interval
+    predicates, evaluated stream-side with zero shuffle. For a LARGE
+    interval dimension, quantize both sides to a bucket key
+    (floor(p/width)) and equi-join bucket-to-overlapping-bucket — turns
+    the nested loop into a hash join."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band STRING, lo LONG, hi LONG")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double"), 2
+            ).alias("band_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decile windows (ntile)
+# --------------------------------------------------------------------------
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, total_spend,
+             CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS INTEGER)
+               AS decile
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(total_spend), 2) AS decile_spend
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value deciles via ntile(10) — the cohort-bucketing
+    window shape (whale analysis / pareto curves).
+
+    Scale caveat: ntile over a GLOBAL order is a single-partition
+    window — fine for the post-aggregation row count here (one row per
+    customer), wrong on raw events; pre-aggregate first, as done here."""
+    od = load(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total_spend"), 2).alias("decile_spend"),
+    )
