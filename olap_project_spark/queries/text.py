@@ -290,6 +290,58 @@ def top_tokens_by_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Document fingerprinting
 # --------------------------------------------------------------------------
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+               c -> unicode(c)) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(cs,
+                (acc, x) -> (CAST(acc AS BIGINT) * {ROLLING_BASE} + x) % {ROLLING_MOD})
+             AS BIGINT) AS rolling_hash,
+           CAST(len(cs) AS BIGINT) AS n_chars
+    FROM chars
+    WHERE len(cs) > 0
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash content fingerprint
+    (h = Σ c·31^i mod 1e9+7 over normalized codepoints) — the
+    Rabin-Karp-style fingerprint the brief names; unlike md5 it extends
+    incrementally, which is what makes streaming/windowed fingerprints
+    of document prefixes cheap.
+
+    Cross-engine: Spark's per-char ascii() and DuckDB's unicode() agree
+    on full Unicode codepoints (CJK included); the fold is
+    left-to-right on both sides, with DuckDB's first-element-as-seed
+    reduce semantics replicated via slice+element_at."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.split(normalize_text(F.col("text")), ""), lambda c: F.ascii(c)
+    )
+    df = docs.select("doc_id", chars.alias("cs")).filter(F.size("cs") > 0)
+    # DuckDB list_reduce seeds with element 1 and folds from element 2.
+    rolling = F.aggregate(
+        F.slice(F.col("cs"), 2, F.size("cs") - 1),
+        F.element_at(F.col("cs"), 1).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+    return df.select(
+        "doc_id",
+        rolling.cast("bigint").alias("rolling_hash"),
+        F.size("cs").cast("bigint").alias("n_chars"),
+    )
+
+
 @register(
     "doc_fingerprints",
     oracle="""
