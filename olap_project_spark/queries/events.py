@@ -377,6 +377,40 @@ def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Custom UDAF extension point (Arrow grouped-agg pandas UDF)
+# --------------------------------------------------------------------------
+@register(
+    "geometric_mean_value",
+    oracle="""
+    SELECT event_type,
+           ROUND(exp(avg(ln(value))), 6) AS geo_mean_value,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def geometric_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event value per type via a CUSTOM AGGREGATE —
+    the engine's UDAF extension point (SURVEY.md §2.10: the reference
+    had no UDAF surface at all). Implemented as an Arrow grouped-agg
+    pandas UDF: one vectorized numpy reduction per group, never
+    row-at-a-time Python.
+
+    Scale: grouped-agg pandas UDFs receive whole groups — fine for
+    bounded groups like these 5; for unbounded groups decompose into
+    algebraic parts (here: built-in avg(ln) would do) and keep the UDAF
+    for genuinely non-decomposable statistics."""
+    from olap_project_spark.functions.udafs import geo_mean, group_size
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean_value"),
+        group_size("value").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Pivot (wide OLAP cross-tab — the dashboard matrix shape)
 # --------------------------------------------------------------------------
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -85,6 +85,15 @@ class TestOperatorCompilation:
             assert "BatchEvalPython" not in p, f"{name} fell off codegen into Python"
             assert "ArrowEvalPython" not in p, f"{name} uses a pandas UDF needlessly"
 
+    def test_asof_join_is_joinless(self, plan):
+        """The as-of composition must compile to union+window — no join
+        operator at all (that's the scalability claim: one shuffle on
+        the key, no per-row probe)."""
+        p = plan("asof_last_order")
+        assert "Window" in p
+        for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+            assert join_op not in p, f"asof fell back to {join_op}"
+
     def test_multimodal_uses_arrow_not_row_python(self, plan):
         p = plan("multimodal_decode_stats")
         assert "MapInPandas" in p  # Arrow-batched
