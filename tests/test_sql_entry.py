@@ -1,0 +1,30 @@
+"""The SQL entry point (SURVEY.md §3.3: `engine.sql(...)` is the
+primary analyst interface): register the star schema as views and run
+Spark SQL directly — same catalog names the DuckDB oracle uses."""
+
+from __future__ import annotations
+
+from olap_project_spark.sources import register_tables
+
+
+class TestSqlEntry:
+    def test_sql_over_registered_views(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        row = spark.sql(
+            """
+            SELECT r_name, ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY v DESC
+            LIMIT 1
+            """
+        ).collect()[0]
+        assert row["r_name"] and float(row["v"]) > 0
+
+    def test_sql_sees_normalized_event_timestamps(self, spark, sf_dir):
+        register_tables(spark, sf_dir)
+        got = spark.sql("SELECT MIN(hour(ts)) h FROM events").collect()[0]["h"]
+        assert got == 0  # ts arrived as TimestampType, not raw ns longs
