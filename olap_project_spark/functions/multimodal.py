@@ -63,6 +63,93 @@ def with_media_column(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature_norm", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stub: real impl would decode → PIL/opencv resize →
+    re-encode. The fake computes the post-resize byte size
+    deterministically from the target box (3 bytes/pixel) so the
+    pipeline shape (binary in → binary-metadata out, narrow map) is
+    real and testable."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [target_w] * n,
+                    "height": [target_h] * n,
+                    "resized_bytes": [target_w * target_h * 3] * n,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
+    """Frame-sampling stub (video → every Nth frame): emits one output
+    row per sampled 'frame', i.e. a one-to-MANY mapInPandas — the shape
+    that matters for video pipelines (output cardinality ≫ input).
+    Deterministic fake: a frame boundary every ``every_n_bytes``."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["media_bytes"]):
+                n_frames = max(1, len(data) // every_n_bytes)
+                rows.extend(
+                    (doc_id, i, i * every_n_bytes) for i in range(n_frames)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "frame_offset_bytes"]
+            )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stub (media → embedding): real impl runs a
+    vision/audio model over Arrow batches. The fake folds the payload
+    bytes into a deterministic scalar 'feature norm' so downstream
+    similarity plumbing can be exercised end-to-end."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norms = [
+                sum(data[:: max(1, len(data) // FEATURE_DIM)]) % 1_000_000_007
+                for data in pdf["media_bytes"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature_norm": norms})
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas decode: each Arrow batch arrives as a pandas
     DataFrame with the raw bytes; the stub extracts metadata. Narrow

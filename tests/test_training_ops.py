@@ -160,6 +160,36 @@ class TestSimilarity:
 
 
 class TestMultimodal:
+    def test_resize_frames_features_plumbing(self, spark, sf_dir):
+        from olap_project_spark.functions.multimodal import (
+            extract_features,
+            resize_media,
+            sample_frames,
+            with_media_column,
+        )
+        from olap_project_spark.sources import load_table
+
+        media = with_media_column(load_table(spark, sf_dir, "documents")).repartition(5)
+        n_docs = media.count()
+
+        resized = resize_media(media, 64, 48)
+        assert resized.columns == ["doc_id", "width", "height", "resized_bytes"]
+        r = resized.first()
+        assert (r["width"], r["height"], r["resized_bytes"]) == (64, 48, 64 * 48 * 3)
+        assert resized.count() == n_docs
+
+        frames = sample_frames(media, every_n_bytes=100)
+        assert frames.count() > n_docs  # one-to-many expansion
+        one = frames.filter(F.col("frame_index") == 1).first()
+        assert one["frame_offset_bytes"] == 100
+
+        feats = extract_features(media)
+        assert feats.count() == n_docs
+        # deterministic across runs
+        a = {r["doc_id"]: r["feature_norm"] for r in feats.collect()}
+        b = {r["doc_id"]: r["feature_norm"] for r in extract_features(media).collect()}
+        assert a == b
+
     def test_decode_pipeline_schema_and_determinism(self, spark, sf_dir):
         from olap_project_spark.functions.multimodal import (
             decode_media,
