@@ -60,6 +60,7 @@ def _import_all() -> None:
     from olap_project_spark.queries import (  # noqa: F401
         dedup,
         events,
+        iterative,
         multimodal,
         relational,
         similarity,

@@ -1,0 +1,91 @@
+"""Iterative algorithms — the driver contract's genuinely
+non-SQL-expressible category (fixed-point loops over DataFrames).
+Registered WITHOUT an oracle: the driver applies its rows-only check,
+and tests/test_training_ops.py asserts the algorithmic invariants.
+
+Pattern (the Spark-idiomatic iterative shape): the BIG side (vectors)
+stays distributed and is re-scanned per iteration; the SMALL side
+(centroids) is collected to the driver and re-broadcast — k·dim doubles
+per round, never the corpus. This is how MLlib's own Lloyd iterations
+work, re-expressed on the public DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_project_spark.queries import register
+from olap_project_spark.queries.similarity import _emb
+
+K_CLUSTERS = 8
+N_ITERATIONS = 3
+
+
+@register("kmeans_cluster_profile", oracle=None)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 3 Lloyd iterations, deterministic init = the first
+    k vectors) over the embeddings corpus; returns per-cluster sizes
+    and dispersion.
+
+    Per iteration: assignment is one fused pass over the corpus
+    (broadcast centroid literals, argmin of squared distance with
+    cluster-id tie-break); the centroid update aggregates per
+    (cluster, dimension) via posexplode — both map-side combinable —
+    and only the k×dim result reaches the driver."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["emb"]])
+        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    ]
+    centroids = [c for _, c in sorted(centroids)]
+
+    def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        # squared distance to each centroid as a fused literal expression;
+        # argmin with index tie-break via array_position of array_min
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("emb"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        ).alias("dists")
+        return df.select("vec_id", "emb", dists).select(
+            "vec_id",
+            "emb",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("dists").alias("dist"),
+        )
+
+    assigned = None
+    for _ in range(N_ITERATIONS):
+        assigned = assign(e, centroids)
+        new_cents = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_cents:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cluster.get(k, {}).get(p, centroids[k][p]) for p in range(dim)]
+            for k in range(K_CLUSTERS)
+        ]
+
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+    )

@@ -159,6 +159,24 @@ class TestSimilarity:
             assert r["cos_sim"] == pytest.approx(exact, abs=1e-6)
 
 
+class TestIterative:
+    def test_kmeans_invariants(self, spark, sf_dir):
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        rows = q("kmeans_cluster_profile")(spark, sf_dir).collect()
+        assert sum(r["n_vectors"] for r in rows) == n  # partition of corpus
+        assert 1 <= len(rows) <= 8
+        assert all(r["mean_sq_dist"] >= 0 for r in rows)
+        # deterministic across runs (fixed init, fixed iterations)
+        rows2 = q("kmeans_cluster_profile")(spark, sf_dir).collect()
+        assert sorted((r["cluster"], r["n_vectors"]) for r in rows) == sorted(
+            (r["cluster"], r["n_vectors"]) for r in rows2
+        )
+
+
 class TestMultimodal:
     def test_resize_frames_features_plumbing(self, spark, sf_dir):
         from olap_project_spark.functions.multimodal import (
