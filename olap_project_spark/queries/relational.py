@@ -688,6 +688,43 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (nulls / distincts / extrema) of the orders table
+    — the one-pass data-quality reconnaissance (functions.profile): all
+    statistics for all columns are computed in a SINGLE aggregate over
+    one scan, vs the oracle's per-column UNION (which scans once per
+    column — the naive formulation this operator replaces)."""
+    from olap_project_spark.functions.profile import profile
+
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return profile(od)
+
+
+@register(
     "trading_nations",
     oracle="""
     SELECT n_nationkey AS nationkey, 'customer' AS side FROM nation
