@@ -377,6 +377,153 @@ def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Latest-record dedup (argmax row per key)
+# --------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — THE workhorse dedup/compaction shape
+    (current-state view over an append-only log): row_number over
+    (ts desc, id desc) and keep rank 1.
+
+    Scale: one shuffle on the key; WindowGroupLimit prunes each
+    partition to its top row before materializing."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion (ordered event-sequence matching)
+# --------------------------------------------------------------------------
+@register(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN first_signup IS NULL THEN 'no_signup'
+                WHEN first_purchase IS NULL OR first_purchase < first_signup
+                     THEN 'signup_only'
+                ELSE 'converted' END AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM firsts
+    GROUP BY 1
+    """,
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who purchased AFTER their first
+    signup vs signup-only vs never-signed-up — the event-sequence
+    pattern (MATCH_RECOGNIZE-lite) as conditional min-timestamps, no
+    self-join.
+
+    Scale: one aggregate pass; the sequence condition is a comparison
+    of two per-user scalars, not an events×events join."""
+    ev = load(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("first_signup"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    stage = (
+        F.when(F.col("first_signup").isNull(), "no_signup")
+        .when(
+            F.col("first_purchase").isNull()
+            | (F.col("first_purchase") < F.col("first_signup")),
+            "signup_only",
+        )
+        .otherwise("converted")
+    )
+    return firsts.groupBy(stage.alias("funnel_stage")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (week-over-week return rate)
+# --------------------------------------------------------------------------
+@register(
+    "weekly_retention",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                 CAST(ts AS TIMESTAMP)) / 7) AS INTEGER) AS week
+      FROM events
+    )
+    SELECT a.week AS cohort_week,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           COUNT(DISTINCT b.user_id) AS n_retained,
+           ROUND(CAST(COUNT(DISTINCT b.user_id) AS DOUBLE)
+                 / COUNT(DISTINCT a.user_id), 6) AS retention
+    FROM user_weeks a
+    LEFT JOIN user_weeks b
+      ON b.user_id = a.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of the users active in week N, how
+    many return in week N+1 — the cohort self-join on (user, week+1).
+
+    Scale: the fact collapses to DISTINCT (user, week) first — the
+    self-join runs on the small activity matrix, never on raw events."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+    ).cast("int")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    a = uw.alias("a")
+    b = uw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("cohort_week"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("n_active"),
+            F.countDistinct(F.col("b.user_id")).alias("n_retained"),
+            F.round(
+                F.countDistinct(F.col("b.user_id")).cast("double")
+                / F.countDistinct(F.col("a.user_id")),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Custom UDAF extension point (Arrow grouped-agg pandas UDF)
 # --------------------------------------------------------------------------
 @register(
