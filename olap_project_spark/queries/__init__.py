@@ -67,6 +67,7 @@ def _import_all() -> None:
         streaming_queries,
         temporal,
         text,
+        tpch_suite,
     )
 
 
