@@ -98,3 +98,56 @@ class TestOperatorCompilation:
         p = plan("multimodal_decode_stats")
         assert "MapInPandas" in p  # Arrow-batched
         assert "BatchEvalPython" not in p  # never row-at-a-time
+
+
+class TestTpchSuitePlans:
+    """Scale promises of the decision-support suite (queries/tpch_suite)."""
+
+    def test_q6_is_scan_and_aggregate_only(self, plan):
+        """Q6 must be scan→agg with every predicate pushed — no join, no
+        wide shuffle."""
+        p = plan("revenue_increase_q6")
+        assert "Join" not in p
+        scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in scan
+
+    def test_q19_or_bounds_reach_the_scan(self, plan):
+        """Catalyst must extract the common quantity envelope from the
+        OR-of-ANDs and push it into the lineitem scan."""
+        p = plan("discounted_revenue_or")
+        scan = next(
+            l for l in p.splitlines() if "FileScan parquet" in l and "l_quantity" in l
+        )
+        assert "l_quantity" in scan.split("DataFilters")[-1]
+
+    def test_exists_shapes_compile_to_semi_anti(self, plan):
+        assert "LeftSemi" in plan("priority_order_counts")
+        assert "LeftAnti" in plan("idle_rich_customers")
+
+    def test_q18_aggregates_before_joining(self, plan):
+        """The qty>250 HAVING must run on lineitem BEFORE the joins —
+        the aggregate appears below the first join in the plan tree."""
+        p = plan("large_volume_customers")
+        lines = p.splitlines()
+        first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+        assert any("HashAggregate" in l for l in lines[first_join:]), (
+            "pre-join aggregate missing — HAVING filter would shuffle full fact"
+        )
+        assert "TakeOrderedAndProject" in p
+
+    def test_recent_filter_pushed_in_q22(self, plan):
+        p = plan("idle_rich_customers")
+        scan = next(
+            l for l in p.splitlines() if "FileScan parquet" in l and "o_orderdate" in l
+        )
+        assert "2001-01-01" in scan
+
+    def test_no_python_in_suite(self, plan):
+        for name in (
+            "local_supplier_volume",
+            "volume_shipping",
+            "national_market_share",
+            "small_qty_revenue_loss",
+        ):
+            assert "BatchEvalPython" not in plan(name), name
