@@ -22,10 +22,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from olap_project_spark.queries import register
-from olap_project_spark.streaming.windows import windowed_event_stats
+from olap_project_spark.streaming.windows import (
+    session_event_counts,
+    windowed_event_stats,
+)
 
 WATERMARK = "10 minutes"
 WINDOW = "1 hour"
+
+
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """File-source streaming replay of the events table, normalizing the
+    INT64(NANOS) parquet timestamp the same way the batch loader does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(batch_schema["ts"].dataType, LongType):  # ns-as-long file
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(spark: SparkSession, df, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 @register(
@@ -56,32 +87,126 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: in production this is the same code with a Kafka source and
     a parquet sink — state is bounded by the watermark (≤ ~2 windows
     per key live at once), shuffles partition on (window, key)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    stream = _event_stream(spark, sf_dir)
+    out = _run_to_memory(
+        spark,
+        windowed_event_stats(stream, window=WINDOW, watermark=WATERMARK),
+        "streaming_hourly",
     )
-    if isinstance(batch_schema["ts"].dataType, LongType):  # ns-as-long file
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-
-    name = f"streaming_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_event_stats(stream, window=WINDOW, watermark=WATERMARK)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).select(
+    return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
         "event_type",
         "n_events",
         "total_value",
+    )
+
+
+@register(
+    "streaming_sliding_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ),
+    mx AS (SELECT max(ts) AS m FROM ev),
+    expanded AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM ev
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM ev
+    ),
+    agg AS (
+      SELECT ws, event_type,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      FROM expanded GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           event_type, n_events, total_value
+    FROM agg, mx
+    WHERE ws + INTERVAL 2 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
+def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window event stats by the streaming engine: 2-hour
+    windows advancing every hour (each event lands in exactly two
+    windows), watermarked append mode under availableNow replay.
+
+    The oracle expands each event into its two hourly-aligned window
+    starts (UNION ALL) — the relational definition of a sliding window —
+    and applies the append emission rule window_end <= max(ts) - delay.
+
+    Scale: sliding windows multiply shuffle rows by window/slide (2×
+    here) — that fan-out happens map-side pre-aggregated, and state per
+    (window, key) is still watermark-bounded."""
+    stream = _event_stream(spark, sf_dir)
+    out = _run_to_memory(
+        spark,
+        windowed_event_stats(stream, window="2 hours", slide="1 hour", watermark=WATERMARK),
+        "streaming_sliding",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+    ),
+    mx AS (SELECT max(ts) AS m FROM ev),
+    seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts - lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grp AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM grp GROUP BY user_id, sid
+    )
+    SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, n_events
+    FROM sess, mx
+    WHERE session_end <= m - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows by the streaming engine: per-user sessions closed
+    by a 30-minute silence (native session_window state merging), the
+    streaming twin of the batch ``user_sessions`` gaps-and-islands query.
+
+    The oracle rebuilds sessions relationally (lag → boundary flag →
+    running session id → per-session span with end = last event + gap)
+    and applies the append emission rule session_end <= max(ts) - delay.
+
+    Scale: session state merges per key and is evicted once the
+    watermark passes the session end — memory is O(open sessions), not
+    O(events); the shuffle partitions on user_id."""
+    stream = _event_stream(spark, sf_dir)
+    out = _run_to_memory(
+        spark,
+        session_event_counts(stream, gap="30 minutes", watermark="30 minutes"),
+        "streaming_sessions",
+    )
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
     )
