@@ -713,3 +713,39 @@ def segment_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 long tail — sketch-based approximate aggregates (HLL / KLL-style)
+# --------------------------------------------------------------------------
+@register(
+    "approx_distinct_summary",
+    oracle=None,  # sketch estimates are engine-specific (Spark HLL++ vs
+    # DuckDB HLL differ by construction); the rows-only gate checks
+    # shape, and tests/test_tpch_suite.py bounds the estimation error
+    # against the exact answer (<2% for rsd=0.01).
+)
+def approx_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates per event type: HLL++ distinct-user
+    estimate next to the exact count, plus approx_percentile (the
+    one-pass quantile sketch) of event value.
+
+    Scale: THIS is how distinct-count works at 100 TB — the HLL sketch
+    is a few KB per group, merges associatively map-side, and never
+    shuffles the key universe; exact COUNT(DISTINCT) shuffles every
+    distinct (group, user) pair. The exact column here exists only to
+    exhibit the error bound at test scale (drop it in production).
+
+    Reference parity: no sketch surface exists in the reference — this
+    is part of the §2.4 long tail a warehouse user expects."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.round(
+            F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")[0], 2
+        ).alias("p50_value"),
+        F.round(
+            F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")[1], 2
+        ).alias("p95_value"),
+    )

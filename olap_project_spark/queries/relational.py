@@ -751,3 +751,51 @@ def trading_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
     )
     return cust_side.unionByName(supp_side)
+
+
+# --------------------------------------------------------------------------
+# §2.8 — ranking-function long tail in one pass
+# --------------------------------------------------------------------------
+@register(
+    "segment_balance_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(rank()        OVER w AS INTEGER) AS bal_rank,
+           CAST(dense_rank()  OVER w AS INTEGER) AS bal_dense_rank,
+           ROUND(percent_rank() OVER w, 6)       AS bal_pct_rank,
+           ROUND(cume_dist()    OVER w, 6)       AS bal_cume_dist,
+           CAST(ntile(10)     OVER w AS INTEGER) AS bal_decile,
+           first_value(c_custkey) OVER w         AS richest_custkey,
+           lead(c_custkey)        OVER w         AS next_custkey,
+           nth_value(c_custkey, 2) OVER w        AS second_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def segment_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete §2.8 ranking-function inventory in ONE window pass:
+    rank, dense_rank, percent_rank, cume_dist, ntile, first_value, lead,
+    nth_value — all sharing a single (partition, order) spec per market
+    segment.
+
+    Scale: sharing one WINDOW spec means ONE shuffle + ONE sort computes
+    all eight functions (Catalyst fuses same-spec window expressions
+    into a single Window operator) — the naive one-function-per-pass
+    formulation would shuffle eight times. Unique tiebreaker
+    (c_custkey) makes every rank deterministic."""
+    cu = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.ntile(10).over(w).cast("int").alias("bal_decile"),
+        F.first_value("c_custkey").over(w).alias("richest_custkey"),
+        F.lead("c_custkey").over(w).alias("next_custkey"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_custkey"),
+    )

@@ -86,3 +86,27 @@ def test_all_tpch_queries_registered():
     for name in TPCH_NAMES:
         assert name in QUERY_REGISTRY
         assert QUERY_REGISTRY[name].oracle is not None
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct
+    count, and the percentile sketch within the value domain."""
+    rows = QUERY_REGISTRY["approx_distinct_summary"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.02 * r.exact_users), (
+            r.event_type, r.approx_users, r.exact_users)
+        assert r.p50_value <= r.p95_value
+
+
+def test_window_longtail_single_exchange(spark, sf_dir):
+    """All eight same-spec ranking functions must fuse into ONE Window
+    operator (one shuffle + one sort)."""
+    plan = (
+        QUERY_REGISTRY["segment_balance_ranks"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
