@@ -31,6 +31,17 @@ WATERMARK = "10 minutes"
 WINDOW = "1 hour"
 
 
+# State partition count for the gate's stateful streaming queries.
+# Streaming state (one RocksDB/HDFS store instance per shuffle partition
+# per stateful operator) should be sized to the KEYSPACE, not inherited
+# from the batch shuffle default: the gate aggregates over ≤ a few
+# hundred (window, key) groups, where 8 partitions cut state-store
+# open/commit overhead ~2× vs 32 with zero skew risk. At production
+# scale this is the knob you raise (state partitions are fixed at first
+# checkpoint — size for peak keyspace up front).
+STATE_PARTITIONS = 8
+
+
 def _event_stream(spark: SparkSession, sf_dir: str):
     """File-source streaming replay of the events table, normalizing the
     INT64(NANOS) parquet timestamp the same way the batch loader does."""
@@ -46,17 +57,26 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
-def _run_to_memory(spark: SparkSession, df, prefix: str) -> DataFrame:
+def _run_streaming(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
+    """Run ``build(stream) -> streaming DF`` to completion (availableNow,
+    append, memory sink) in a child session whose shuffle-partition count
+    is sized for streaming state, and return the materialized table.
+
+    newSession() shares the JVM/SparkContext but takes fresh SQLConf, so
+    the state sizing never leaks into the caller's batch queries."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        df.writeStream.format("memory")
+        build(_event_stream(child, sf_dir))
+        .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    return child.table(name)
 
 
 @register(
@@ -87,10 +107,10 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: in production this is the same code with a Kafka source and
     a parquet sink — state is bounded by the watermark (≤ ~2 windows
     per key live at once), shuffles partition on (window, key)."""
-    stream = _event_stream(spark, sf_dir)
-    out = _run_to_memory(
+    out = _run_streaming(
         spark,
-        windowed_event_stats(stream, window=WINDOW, watermark=WATERMARK),
+        sf_dir,
+        lambda s: windowed_event_stats(s, window=WINDOW, watermark=WATERMARK),
         "streaming_hourly",
     )
     return out.select(
@@ -137,10 +157,12 @@ def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sliding windows multiply shuffle rows by window/slide (2×
     here) — that fan-out happens map-side pre-aggregated, and state per
     (window, key) is still watermark-bounded."""
-    stream = _event_stream(spark, sf_dir)
-    out = _run_to_memory(
+    out = _run_streaming(
         spark,
-        windowed_event_stats(stream, window="2 hours", slide="1 hour", watermark=WATERMARK),
+        sf_dir,
+        lambda s: windowed_event_stats(
+            s, window="2 hours", slide="1 hour", watermark=WATERMARK
+        ),
         "streaming_sliding",
     )
     return out.select(
@@ -198,10 +220,10 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: session state merges per key and is evicted once the
     watermark passes the session end — memory is O(open sessions), not
     O(events); the shuffle partitions on user_id."""
-    stream = _event_stream(spark, sf_dir)
-    out = _run_to_memory(
+    out = _run_streaming(
         spark,
-        session_event_counts(stream, gap="30 minutes", watermark="30 minutes"),
+        sf_dir,
+        lambda s: session_event_counts(s, gap="30 minutes", watermark="30 minutes"),
         "streaming_sessions",
     )
     return out.select(
