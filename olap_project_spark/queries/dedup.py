@@ -408,3 +408,69 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING — connected components over the dup-pair graph
+# --------------------------------------------------------------------------
+def _cluster_oracle() -> str:
+    """Transitive closure by recursive CTE over the verified ngram dup
+    pairs, then component id = min reachable doc_id. Closure size is
+    bounded by sum(|component|²) — near-dup clusters are small, so this
+    stays cheap for the oracle even though the Spark path uses the
+    iterative formulation that scales."""
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ngram_sql = QUERY_REGISTRY["ngram_dup_pairs"].oracle
+    return f"""
+    WITH RECURSIVE jp AS ({ngram_sql}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jp
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id
+    """
+
+
+@register("near_dup_clusters", oracle=_cluster_oracle())
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate PAIRS into CLUSTERS (connected components)
+    — the step a real corpus-dedup pipeline runs after pair detection,
+    so one canonical doc per cluster survives (keep doc_id ==
+    cluster_id, drop the rest). Returns (doc_id, cluster_id,
+    cluster_size) for every document that has at least one near-dup;
+    cluster_id = min doc_id of the component.
+
+    Spark-first formulation: iterative min-label propagation over
+    DataFrame joins — label(x) ← min(label(x), min label of x's
+    neighbors) until a fixpoint, converging in O(component diameter)
+    rounds (near-dup clusters are tiny; 2-4 rounds in practice). Each
+    round localCheckpoints to cut lineage (same driver-loop pattern as
+    queries/iterative.py k-means).
+
+    Scale: each round is one equi-join edges⋈labels + one groupBy —
+    both partition on doc_id, no broadcast of the corpus, no driver-side
+    graph. For planet-scale graphs you'd switch to the large-star/
+    small-star variant (fewer rounds on high-diameter graphs); for
+    dup-cluster graphs (diameter ~2-3) plain propagation is already
+    optimal. The oracle checks the SAME answer via a recursive-CTE
+    transitive closure — the formulation that does NOT scale but is
+    exact at test size."""
+    from olap_project_spark.functions.graph import connected_components
+
+    edges = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )

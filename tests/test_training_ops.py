@@ -230,3 +230,23 @@ class TestMultimodal:
             assert r["width"] == 64 + n % 577
             assert r["height"] == 64 + (n * 31) % 353
             assert r["n_frames"] == 1 + n % 7
+
+
+class TestConnectedComponents:
+    """Multi-hop convergence of the graph primitive on synthetic edges
+    (the corpus's real dup clusters are mostly diameter-1 pairs)."""
+
+    def test_chain_and_island(self, spark):
+        from olap_project_spark.functions.graph import connected_components
+
+        # chain 1-2-3-4-5 (diameter 4) + island pair 10-11 + triangle 20-21-22
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "src: bigint, dst: bigint",
+        )
+        got = {
+            r.doc_id: r.label
+            for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
