@@ -20,6 +20,7 @@ from olap_project_spark.functions.text import (
     sql_stopword_pattern,
     stopword_hits,
     token_count,
+    tokens,
 )
 from olap_project_spark.queries import load, register
 
@@ -367,4 +368,65 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         portable_hash48(norm).alias("fp48"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-training chunking — fixed-size overlapping token windows per doc
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+             ts[i : i + {CHUNK_TOKENS - 1}] AS chunk
+      FROM toks, UNNEST(range(1, len(ts) + 1, {CHUNK_STRIDE})) AS t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INTEGER) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size OVERLAPPING token chunks
+    ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}) — the standard
+    pre-tokenization step of an LLM training pipeline. Returns one row
+    per chunk with its token count and content hash (the hash stands in
+    for the chunk text to keep gate results compact; production would
+    carry the text).
+
+    Scale: pure narrow ops — tokenize once, explode the stride
+    positions per doc (sequence), slice the token array per position.
+    No shuffle at all until a downstream consumer groups; at 100 TB
+    this runs scan-speed and writes chunk files partition-parallel.
+    The chunk explosion multiplies rows by ~len/stride but each output
+    row is bounded (≤{CHUNK_TOKENS} tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("ts"), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        (((F.col("i") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_idx"),
+        F.slice(F.col("ts"), F.col("i"), F.lit(CHUNK_TOKENS)).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
     )

@@ -250,3 +250,29 @@ class TestConnectedComponents:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                        10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+class TestUdtfExtensionPoint:
+    """§2.10 UDTF surface: the escape hatch must agree with the native
+    chunking path on the common subset."""
+
+    def test_udtf_matches_native_chunker(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from olap_project_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        docs.createOrReplaceTempView("udtf_docs")
+        via_udtf = spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_idx, c.n_tokens, md5(c.chunk_text) AS chunk_hash
+            FROM udtf_docs d, LATERAL chunk_tokens(d.text, 50, 40) c
+            """
+        )
+        native = QUERY_REGISTRY["doc_chunks"].fn(spark, sf_dir)
+        doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+        native_sub = native.filter(F.col("doc_id").isin(doc_ids))
+        got = {tuple(r) for r in via_udtf.collect()}
+        want = {tuple(r) for r in native_sub.collect()}
+        assert got == want and len(got) > 0
