@@ -232,3 +232,88 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
     )
+
+
+@register(
+    "streaming_click_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, value, event_type
+      FROM events
+    )
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS micros_between,
+           p.value AS purchase_value
+    FROM ev c JOIN ev p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval self-join by the streaming engine: every
+    (click, purchase) pair of the same user where the purchase lands
+    within one hour after the click — the attribution join the
+    reference's fraud-trend questions gesture at but can't express
+    (§2.9 has no joins at all).
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so Spark bounds join state: click state is
+    droppable once the watermark passes click_ts + 1 hour, purchase
+    state once it passes purchase_ts. Inner stream-stream join in
+    append mode emits each qualifying pair exactly once regardless of
+    which micro-batch each side arrived in — so the final table equals
+    the batch interval join, which is the oracle.
+
+    Scale: state is O(events within the interval horizon) per key —
+    the watermark is the knob that keeps a 100 TB/day stream's join
+    state bounded; the shuffle partitions on user_id."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    stream = _event_stream(child, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_between"
+        ),
+        "purchase_value",
+    )
+    name = f"streaming_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return child.table(name)
