@@ -430,3 +430,68 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
     )
+
+
+@register(
+    "repeated_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, ts[i : i + {CHUNK_TOKENS - 1}] AS chunk
+      FROM toks, UNNEST(range(1, len(ts) + 1, {CHUNK_STRIDE})) AS t(i)
+    ),
+    full_chunks AS (
+      SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM chunks WHERE len(chunk) = {CHUNK_TOKENS}
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM full_chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: fixed-size token windows appearing
+    in MORE THAN ONE document — the passage-granular form of corpus
+    dedup (repeated boilerplate/licenses/templates survive doc-level
+    dedup; window-hash collision finds them). Full windows only:
+    tail fragments would alias short docs together.
+
+    Scale: the shuffle carries (16-byte hash, doc_id) — never text; the
+    aggregate is map-side combinable. This is the scalable core of
+    suffix-style substring dedup: window hashing approximates the
+    suffix-array approach at a fraction of the cost, with the stride
+    trading recall for volume."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    full_chunks = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("ts"), F.lit(1)), F.lit(CHUNK_STRIDE)
+                )
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id", F.slice(F.col("ts"), F.col("i"), F.lit(CHUNK_TOKENS)).alias("chunk")
+        )
+        .filter(F.size("chunk") == CHUNK_TOKENS)
+        .select("doc_id", F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"))
+    )
+    return (
+        full_chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

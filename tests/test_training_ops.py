@@ -276,3 +276,46 @@ class TestUdtfExtensionPoint:
         got = {tuple(r) for r in via_udtf.collect()}
         want = {tuple(r) for r in native_sub.collect()}
         assert got == want and len(got) > 0
+
+
+class TestConnectedComponentsProperty:
+    """Property: the DataFrame CC must agree with a union-find reference
+    on random graphs (multi-hop paths, cycles, isolated pairs)."""
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        from olap_project_spark.functions.graph import connected_components
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            # union-find reference
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            touched = {v for e in edges for v in e}
+            want = {}
+            for v in touched:
+                root_min = min(u for u in touched if find(u) == find(v))
+                want[v] = root_min
+            got = {
+                r.doc_id: r.label
+                for r in connected_components(
+                    spark.createDataFrame(edges, "src: bigint, dst: bigint")
+                ).collect()
+            }
+            assert got == want, f"trial {trial}"
