@@ -41,10 +41,17 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
         .persist()
     )
+    # Fold the first propagation round into initialization: label₀(x) =
+    # min(x, min direct neighbor) — one groupBy instead of distinct +
+    # identity-join round (propagation from the identity labeling would
+    # compute exactly this).
     labels = (
-        sym.select(F.col("_s").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        sym.groupBy("_s")
+        .agg(F.min("_d").alias("_m"))
+        .select(
+            F.col("_s").alias("doc_id"),
+            F.least(F.col("_s"), F.col("_m")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = None
