@@ -45,6 +45,8 @@ def main() -> None:
         "ngram_dup_pairs",
         "embedding_near_dup_pairs",
         "customer_order_gaps",
+        "streaming_hourly_stats",   # streaming machinery + state store
+        "near_dup_clusters",        # iterative driver-loop path
     ):
         QUERY_REGISTRY[warm_q].fn(spark, warm_dir).count()
 

@@ -50,3 +50,33 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").cast("int").alias("max_width"),
         F.max("height").cast("int").alias("max_height"),
     )
+
+
+@register(
+    "frame_sample_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(greatest(octet_length(encode(text)) // 100, 1) AS BIGINT) AS n_frames,
+           CAST((greatest(octet_length(encode(text)) // 100, 1) - 1) * 100 AS BIGINT)
+             AS last_offset
+    FROM documents
+    """,
+)
+def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: the one-to-MANY mapInPandas shape
+    (each media payload explodes into one row per sampled frame), then
+    re-aggregated per document. The stub samples a 'frame' every 100
+    bytes; the oracle replays that arithmetic relationally.
+
+    Scale: output cardinality ≫ input is the defining property of video
+    pipelines — mapInPandas streams frames out per Arrow batch without
+    materializing a per-doc frame array, and the aggregate shuffles
+    (doc_id, count) only."""
+    from olap_project_spark.functions.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(with_media_column(docs), every_n_bytes=100)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_offset_bytes").cast("bigint").alias("last_offset"),
+    )
