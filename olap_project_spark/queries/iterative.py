@@ -30,10 +30,11 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per iteration: assignment is one fused pass over the corpus
     (broadcast centroid literals, argmin of squared distance with
-    cluster-id tie-break); the centroid update aggregates per
-    (cluster, dimension) via posexplode — both map-side combinable —
-    and only the k×dim result reaches the driver."""
-    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cluster-id tie-break); the centroid update aggregates dim element
+    sums per cluster (emb[i] extraction — no posexplode row blow-up:
+    the shuffle carries k rows of k×(dim+1) partials, not N×dim
+    exploded rows) and only the k×dim result reaches the driver."""
+    e = _emb(spark, sf_dir).select("vec_id", "emb").persist()
 
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["emb"]])
@@ -67,23 +68,22 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("dists").alias("dist"),
         )
 
+    dim = len(centroids[0])
     assigned = None
     for _ in range(N_ITERATIONS):
         assigned = assign(e, centroids)
         new_cents = (
-            assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("mean"))
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("emb")[i]).alias(f"s{i}") for i in range(dim)],
+            )
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_cents:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
-        dim = len(centroids[0])
-        centroids = [
-            [by_cluster.get(k, {}).get(p, centroids[k][p]) for p in range(dim)]
-            for k in range(K_CLUSTERS)
-        ]
+        by_cluster = {
+            r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in new_cents
+        }
+        centroids = [by_cluster.get(k, centroids[k]) for k in range(K_CLUSTERS)]
 
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_vectors"),
