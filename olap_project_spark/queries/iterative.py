@@ -43,29 +43,32 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [c for _, c in sorted(centroids)]
 
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        # squared distance to each centroid as a fused literal expression;
-        # argmin with index tie-break via array_position of array_min
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("emb"),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        ).alias("dists")
-        return df.select("vec_id", "emb", dists).select(
-            "vec_id",
-            "emb",
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min("dists").alias("dist"),
+        # Literal-free assignment: centroids travel as a broadcast
+        # DataFrame, distance is ONE zip_with/aggregate expression over
+        # (emb, cvec), argmin via per-vector row_number with cluster-id
+        # tie-break. The plan is IDENTICAL every iteration (only the
+        # broadcast data changes), so codegen is compiled once and
+        # cache-hit for the rest of the loop — the literal-specialized
+        # formulation (8 centroid arrays inlined as 512 literals)
+        # recompiled the whole stage per iteration and cost more than
+        # the arithmetic itself.
+        from pyspark.sql.window import Window
+
+        cents_df = spark.createDataFrame(
+            [(k, c) for k, c in enumerate(cents)], "cluster int, cvec array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            df.crossJoin(F.broadcast(cents_df))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "cluster", "dist")
         )
 
     dim = len(centroids[0])
