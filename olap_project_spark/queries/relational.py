@@ -799,3 +799,61 @@ def segment_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("c_custkey").over(w).alias("next_custkey"),
         F.nth_value("c_custkey", 2).over(w).alias("second_custkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 — CUBE (all 2^n grouping sets)
+# --------------------------------------------------------------------------
+@register(
+    "returnflag_status_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets —
+    detail, both one-dim margins, grand total — in one pass, completing
+    the §2.4 multi-level aggregation family (rollup, grouping sets,
+    cube). GROUPING() flags disambiguate real NULLs from margins.
+
+    Scale: one expand (4× the aggregate input rows, each pre-reduced
+    map-side) + one shuffle — vs four separate scans in the naive
+    per-level formulation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — multiset set-op (EXCEPT ALL)
+# --------------------------------------------------------------------------
+@register(
+    "nation_key_multiset_diff",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_key_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, multiplicity-aware): each customer
+    occurrence of a nation key survives unless cancelled by a supplier
+    occurrence — the multiset complement of ``customer_only_nations``'s
+    distinct EXCEPT, completing §2.7's set-op algebra.
+
+    Scale: compiles to a count-compare per key (aggregate both sides on
+    the key, emit max(0, n_left - n_right) copies) — a key-only shuffle,
+    no row-by-row anti join."""
+    cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.exceptAll(su)
