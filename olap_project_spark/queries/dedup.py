@@ -474,3 +474,103 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(sizes, "label")
         .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching (blocked levenshtein join)
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM names a
+    JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: part-name pairs within edit distance 3,
+    with candidate pairs BLOCKED on the shared noun token — the
+    entity-resolution pattern (block on a cheap exact key, verify the
+    expensive string metric only inside blocks). Spark and DuckDB both
+    implement classic Levenshtein, so the metric is oracle-exact.
+
+    Scale: levenshtein is O(|s|²) per pair — the blocking equi-join is
+    what keeps the pair space linear-ish (never |names|²). At corpus
+    scale, block on several redundant keys (first-k-chars, length
+    bucket, phonetic code) and union candidates, same as the LSH
+    band-union above."""
+    part = load(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration over the near-dup graph
+# --------------------------------------------------------------------------
+def _triangle_oracle() -> str:
+    """Triangles over the verified ngram dup-pair edge set (edges are
+    stored once with doc_a < doc_b, so each triangle a<b<c is emitted
+    exactly once)."""
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ngram_sql = QUERY_REGISTRY["ngram_dup_pairs"].oracle
+    return f"""
+    WITH jp AS ({ngram_sql}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM jp)
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+
+
+@register("dup_triangles", oracle=_triangle_oracle())
+def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the near-duplicate graph — the graph
+    analytics primitive behind clustering-coefficient / community
+    checks on dedup output (a triangle means three docs are mutually
+    near-dups: strong evidence of a template family rather than a
+    chance pair). Ordered-edge self-join emits each triangle once.
+
+    Scale: the standard distributed triangle algorithm (edges oriented
+    low→high, two-path join + closing-edge semi-join) — cost is
+    O(Σ deg²) on the ORIENTED graph, which skew-caps at high-degree
+    nodes; near-dup graphs are sparse so the two-path frontier stays
+    small. The edge set is computed once and reused across all three
+    join branches via persist."""
+    edges = (
+        ngram_dup_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("doc_a"),
+            F.col("e1.b").alias("doc_b"),
+            F.col("e2.b").alias("doc_c"),
+        )
+    )

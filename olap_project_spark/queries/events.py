@@ -793,3 +793,58 @@ def salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value_dec").cast("double"), 2).alias("total_value"),
         F.col("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix (event-type bigrams per user)
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6)
+             AS p_transition
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the path
+    model behind funnel and next-action analytics. ``event_id``
+    tiebreaks equal timestamps so the sequence (and thus the matrix)
+    is deterministic cross-engine.
+
+    Scale: one shuffle on user_id for the lead() window (sequences
+    stay local to their user partition), then a |types|² aggregate —
+    tiny — with the row-normalization a window over that tiny matrix,
+    not over events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_total),
+            6,
+        ).alias("p_transition"),
+    )

@@ -857,3 +857,83 @@ def nation_key_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cu.exceptAll(su)
+
+
+# --------------------------------------------------------------------------
+# §2.4 — heavy hitters (frequent-item mining with a global support floor)
+# --------------------------------------------------------------------------
+HEAVY_HITTER_SUPPORT = 0.0006  # fraction of total fact rows
+
+
+@register(
+    "heavy_hitter_parts",
+    oracle=f"""
+    SELECT l_partkey,
+           COUNT(*) AS n_items,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS support
+    FROM lineitem, (SELECT COUNT(*) AS n FROM lineitem) t
+    GROUP BY l_partkey, t.n
+    HAVING CAST(COUNT(*) AS DOUBLE)
+           >= CAST({HEAVY_HITTER_SUPPORT} AS DOUBLE) * CAST(t.n AS DOUBLE)
+    """,
+)
+def heavy_hitter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: parts appearing in ≥ 0.06% of all lineitems — the
+    exact form of frequent-item mining (the reference's "top products"
+    reporting generalized to a support threshold instead of a fixed k).
+
+    Scale: one map-side-combinable count per key plus a broadcast 1-row
+    total — the threshold comparison never shuffles the fact twice. At
+    100 TB with adversarial key cardinality, swap the exact count for a
+    count-min / Misra-Gries sketch pre-filter and verify survivors
+    exactly (same shape as the MinHash→exact-Jaccard verify pattern)."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n_items"))
+    total = li.agg(F.count("*").alias("n_total"))
+    support = F.col("n_items").cast("double") / F.col("n_total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_items").cast("double")
+            >= F.lit(HEAVY_HITTER_SUPPORT) * F.col("n_total").cast("double")
+        )
+        .select("l_partkey", "n_items", F.round(support, 6).alias("support"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 — unpivot / melt (wide metrics → long key-value form)
+# --------------------------------------------------------------------------
+@register(
+    "brand_measure_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT p_brand,
+             ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_price,
+             ROUND(CAST(SUM(p_size) AS DOUBLE) / COUNT(*), 6) AS avg_size
+      FROM part
+      GROUP BY p_brand
+    )
+    SELECT p_brand, 'avg_price' AS measure, avg_price AS value FROM agg
+    UNION ALL
+    SELECT p_brand, 'avg_size'  AS measure, avg_size  AS value FROM agg
+    """,
+)
+def brand_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-brand wide metrics → long (brand, measure,
+    value) form — the inverse of ``hourly_type_pivot`` and the shape
+    BI tools and metric stores ingest. Spark's native ``unpivot``
+    compiles to a single Expand node (one pass, no self-union rescan —
+    the UNION ALL oracle formulation would scan the aggregate twice).
+
+    Scale: Expand multiplies rows AFTER aggregation (|brands|×2, not
+    |part|×2), so the wide→long conversion is on the small side."""
+    part = load(spark, sf_dir, "part")
+    agg = part.groupBy("p_brand").agg(
+        F.round(
+            F.sum(_dec("p_retailprice")).cast("double") / F.count("*"), 6
+        ).alias("avg_price"),
+        F.round(F.sum("p_size").cast("double") / F.count("*"), 6).alias("avg_size"),
+    )
+    return agg.unpivot("p_brand", ["avg_price", "avg_size"], "measure", "value")

@@ -199,3 +199,131 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("total_spend"), 2).alias("decile_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+# --------------------------------------------------------------------------
+@register(
+    "rolling_week_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_7d,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS orders_7d
+    FROM orders
+    """,
+)
+def rolling_week_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day spend per customer at each order — a TIME-RANGE
+    window frame (``RANGE BETWEEN INTERVAL``), not a row-count frame:
+    the frame holds every order whose date falls in the closed interval
+    [current − 6 days, current], however many rows that is. Spark has
+    no interval literal in ``rangeBetween``, so the timestamp is
+    ordered as epoch seconds and the frame is ±seconds — semantically
+    identical for fixed-width intervals (no DST in naive timestamps).
+    TIMESTAMP_NTZ has no direct long cast in Spark 4; routing through
+    TIMESTAMP_LTZ is exact because the session timezone is pinned UTC.
+
+    Scale: state is one running frame per customer partition — scales
+    out by key like every other window here; frame eviction is O(1)
+    per row (monotone order)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_7d"),
+        F.count("*").over(w).cast("bigint").alias("orders_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles)
+# --------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), CAST(maxd.d AS DATE))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+      FROM orders, maxd
+      GROUP BY o_custkey, maxd.d
+    ),
+    scored AS (
+      SELECT o_custkey, monetary_dec,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey)       AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey)     AS f_score,
+             ntile(4) OVER (ORDER BY monetary_dec DESC, o_custkey)  AS m_score
+      FROM cust
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(monetary_dec) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score each customer on Recency (days
+    since last order), Frequency (order count), Monetary (exact decimal
+    spend), concatenate the scores into a segment id (111..444), and
+    profile each segment — the canonical customer-analytics rollup the
+    reference's dashboards imply. Every ntile orders with the customer
+    key as tiebreaker so quartile boundaries are deterministic
+    cross-engine; monetary stays DECIMAL until the final division.
+
+    Scale: the per-customer aggregate shuffles the fact once; the three
+    global ntiles sort only the CUSTOMER dimension (≪ fact, same
+    justification as ``customer_spend_deciles``) — at extreme
+    cardinality switch to approx-quantile cutpoints + a broadcast range
+    join, trading exact quartile boundaries for no global sort."""
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("global_max"))
+    cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.first("global_max")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
+        )
+    )
+    scored = cust.select(
+        "monetary_dec",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .cast("int")
+            .alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("monetary_dec").cast("double") / F.count("*"), 2
+            ).alias("avg_monetary"),
+        )
+    )

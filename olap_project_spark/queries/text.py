@@ -495,3 +495,72 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term weighting (top-3 characteristic terms per document)
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tok AS token
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, ROUND(w, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY w DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: weight each (doc, token) by tf · ln(N/df) and keep each
+    document's top-3 most characteristic terms — the classic corpus
+    keyword extraction / relevance-weighting pass. All inputs to the
+    double math are integers (tf, df, N), so the weight — and therefore
+    the rank order — is bit-identical cross-engine; ties break on the
+    token string.
+
+    Scale: tf is a (doc,token) aggregate, df a token aggregate on the
+    same exploded input (one explode feeding both via a persisted
+    intermediate at real scale), the N is a broadcast 1-row aggregate,
+    and the top-3 is WindowGroupLimit-pruned per doc — nothing touches
+    |docs|·|vocab|."""
+    from olap_project_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", w.alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("token"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", F.round("w", 6).alias("tfidf"))
+    )
