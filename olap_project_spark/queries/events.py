@@ -848,3 +848,75 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules (market-basket co-occurrence over user baskets)
+# --------------------------------------------------------------------------
+@register(
+    "event_type_associations",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY 1),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / n.n_users, 6) AS support,
+           ROUND(CAST(n_both AS DOUBLE) / sa.n_type, 6) AS confidence,
+           ROUND(CAST(n_both AS DOUBLE) * n.n_users / (sa.n_type * sb.n_type), 6)
+             AS lift
+    FROM p
+    JOIN s sa ON sa.event_type = p.type_a
+    JOIN s sb ON sb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def event_type_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user "baskets" of event types:
+    support, confidence(A→B), and lift for every co-occurring type
+    pair — the market-basket analysis classic, with users as baskets.
+    All ratios divide integers, so the doubles are cross-engine exact.
+
+    Scale: baskets come from a two-phase distinct (map-side partial),
+    pairs from a self-join WITHIN user (cost Σ|basket|², bounded by the
+    type-cardinality squared per user — tiny — never |users|²); the
+    margins and the user count are broadcast dimension-sized sides."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    s = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = s.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("na"))
+    sb = s.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("nb"))
+    both = F.col("n_both").cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(both / F.col("n_users"), 6).alias("support"),
+            F.round(both / F.col("na"), 6).alias("confidence"),
+            F.round(both * F.col("n_users") / (F.col("na") * F.col("nb")), 6).alias(
+                "lift"
+            ),
+        )
+    )

@@ -317,3 +317,35 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return child.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming deduplication (dropDuplicates state)
+# --------------------------------------------------------------------------
+@register(
+    "streaming_distinct_user_types",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over (user_id,
+    event_type) as a REAL StreamingQuery — the stream-native form of
+    first-touch dedup (ST7 family; the reference has no streaming
+    dedup at all). Projecting to the key columns BEFORE dedup makes
+    the emitted set exactly the distinct key set, so the result is
+    order-independent and hash-checkable against plain DISTINCT —
+    emission order varies, content does not.
+
+    Scale: dedup state is one entry per distinct key, hash-partitioned
+    across the state store. Unbounded streams need
+    ``dropDuplicatesWithinWatermark`` so state is evicted once the key
+    ages past the watermark — kept exact-unbounded here because the
+    replay is finite and the oracle must see every key."""
+
+    def build(stream):
+        return stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+
+    return _run_streaming(spark, sf_dir, build, "streaming_distinct")
