@@ -920,3 +920,84 @@ def event_type_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Outlier detection from exact moments (z-score per group)
+# --------------------------------------------------------------------------
+@register(
+    "value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2)))  AS sum_dec,
+             SUM(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS sumsq_dec
+      FROM events
+      GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             CAST(sum_dec AS DOUBLE) / n AS mean,
+             sqrt(CAST(sumsq_dec AS DOUBLE) / n
+                  - (CAST(sum_dec AS DOUBLE) / n)
+                    * (CAST(sum_dec AS DOUBLE) / n)) AS std
+      FROM m
+    )
+    SELECT e.event_type,
+           CAST(s.n AS BIGINT) AS n_events,
+           ROUND(s.mean, 6) AS mean_value,
+           ROUND(s.std, 6) AS std_value,
+           CAST(SUM(CASE WHEN abs(e.value - s.mean) > 3 * s.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type, s.n, s.mean, s.std
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|x − μ| > 3σ) with μ
+    and σ derived from EXACT decimal moments (Σx, Σx² — the input
+    doubles carry ≤2 fractional digits, so their squares are exact in
+    DECIMAL at scale 4): the aggregates are order-independent, the
+    double math after them is scalar — so even a variance-based
+    detector is bit-reproducible cross-engine. Plain stddev() of
+    doubles would not be.
+
+    Scale: two passes — a map-side-combinable moment aggregate
+    (|types| rows), then a broadcast join of the tiny stats back onto
+    the fact for the threshold count. This two-pass moments+filter
+    shape is THE standard big-data outlier scan; the one-pass
+    alternative (collect per-group arrays) does not scale."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("sum_dec"),
+        F.sum(vdec * vdec).alias("sumsq_dec"),
+    )
+    mean = F.col("sum_dec").cast("double") / F.col("n")
+    std = F.sqrt(
+        F.col("sumsq_dec").cast("double") / F.col("n") - mean * mean
+    )
+    stats = m.select("event_type", "n", mean.alias("mean"), std.alias("std"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("mean", 6).alias("mean_value"),
+            F.round("std", 6).alias("std_value"),
+            "n_outliers",
+        )
+    )

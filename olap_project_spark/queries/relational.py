@@ -937,3 +937,119 @@ def brand_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p_size").cast("double") / F.count("*"), 6).alias("avg_size"),
     )
     return agg.unpivot("p_brand", ["avg_price", "avg_size"], "measure", "value")
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: referential integrity + constraint violations
+# --------------------------------------------------------------------------
+@register(
+    "integrity_audit",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'order_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'negative_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'null_orderdate',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential-integrity orphan counts (facts
+    whose foreign key matches no parent) plus domain-constraint
+    violations — the validation pass the reference's routing layer
+    (SURVEY.md §2.3) does per-row, generalized to the batch contract
+    checks a warehouse load runs before publishing a partition.
+
+    Scale: each orphan check is a LEFT ANTI join (broadcast when the
+    parent is dimension-sized, shuffle otherwise — Catalyst picks);
+    the range checks are map-side counts. All five checks scan
+    independently and union 1-row results — at 100 TB you'd fuse the
+    same-table checks into one pass with conditional sums (as
+    `orders_profile` does); kept separate here to exercise the anti
+    join inventory."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_orphans",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        one(
+            "order_orphans",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        one("negative_quantity", li.filter(F.col("l_quantity") <= 0)),
+        one(
+            "discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("null_orderdate", orders.filter(F.col("o_orderdate").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# --------------------------------------------------------------------------
+# §2.4 — LISTAGG / string_agg (ordered string aggregation)
+# --------------------------------------------------------------------------
+@register(
+    "region_nation_list",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg: per region, the alphabetized CSV of its
+    nations — ordered string aggregation (the SQL:2016 LISTAGG /
+    DuckDB string_agg surface). Spark-side the deterministic form is
+    collect_list → array_sort → array_join: the explicit sort makes
+    the result independent of partition arrival order, which a bare
+    WITHIN GROUP mapping would also guarantee but collect_list alone
+    would NOT.
+
+    Scale: collect_list materializes each group in memory — correct
+    for bounded per-group cardinality (nations per region); for
+    unbounded groups cap with slice() after sorting (top-N list) so a
+    hot key can't OOM an executor."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+    )

@@ -564,3 +564,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", F.round("w", 6).alias("tfidf"))
     )
+
+
+# --------------------------------------------------------------------------
+# Reproducible train/val/test split (hash-based assignment)
+# --------------------------------------------------------------------------
+@register(
+    "doc_split_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by hashing the
+    document id — the standard leakage-safe split for training corpora:
+    assignment is a pure function of the id (stable across runs,
+    machines, and engine versions — unlike rand() or TABLESAMPLE), so
+    adding documents never reshuffles existing ones across splits.
+    Uses the portable 48-bit md5 hash both engines compute identically.
+
+    Scale: a stateless projection — no shuffle at all for the
+    assignment; downstream writers partition by split. This is also the
+    deterministic-sampling primitive (`h % 100 < k` = reproducible k%
+    sample) for eval subsets."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = portable_hash48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+        )
+    )
