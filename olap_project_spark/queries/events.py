@@ -1001,3 +1001,78 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics (median / MAD outliers)
+# --------------------------------------------------------------------------
+@register(
+    "value_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.median_value,
+             abs(e.value - m.median_value) AS adev, e.value
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             quantile_cont(adev, 0.5) AS mad_value
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(d.median_value, 6) AS median_value,
+           ROUND(a.mad_value, 6) AS mad_value,
+           CAST(SUM(CASE WHEN abs(d.value - d.median_value)
+                              > 3 * 1.4826 * a.mad_value
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_outliers
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type, d.median_value, a.mad_value
+    """,
+)
+def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per event type: median, MAD (median absolute
+    deviation), and the robust outlier count (|x − med| > 3·1.4826·MAD
+    — the consistency-scaled MAD rule) — the heavy-tail-safe companion
+    to the moment-based ``value_outliers``. Exact interpolated medians
+    are deterministic (no summation), so even the two-level composition
+    hash-matches cross-engine.
+
+    Scale: two grouped exact percentiles (each sorts within its
+    type partition) + a broadcast of the |types|-row stats back onto
+    the fact. At 100 TB swap exact quantiles for approx_percentile
+    sketches — same shape, mergeable state."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        "value",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_value")
+    )
+    robust = F.abs(F.col("value") - F.col("median_value")) > 3 * 1.4826 * F.col(
+        "mad_value"
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.sum(F.when(robust, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_robust_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("median_value", 6).alias("median_value"),
+            F.round("mad_value", 6).alias("mad_value"),
+            "n_robust_outliers",
+        )
+    )

@@ -349,3 +349,60 @@ def streaming_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return _run_streaming(spark, sf_dir, build, "streaming_distinct")
+
+
+# --------------------------------------------------------------------------
+# Continuous (hypertable-style) rollup, end-to-end through the gate
+# --------------------------------------------------------------------------
+@register(
+    "streaming_continuous_rollup",
+    oracle="""
+    SELECT substr(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'), 1, 10) AS dt,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value,
+           ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hypertable-style rollup run END-TO-END as a real
+    streaming pipeline: availableNow replay → per-batch partial
+    aggregation → incremental merge into a date-partitioned parquet
+    rollup table (dynamic partition overwrite) → read back with derived
+    measures. The maintained sums are exact decimals cast to 2-decimal
+    doubles, so the incrementally-merged table equals the one-shot
+    aggregate bit-for-bit — which is exactly what the oracle asserts
+    (merge-correctness, not just row counts).
+
+    Scale: per-batch cost is O(batch + touched partitions), independent
+    of table history — the continuous-aggregate property; the rollup
+    table is the partition-pruned serving index for dashboards
+    (`read_rollup` derives avg at read time from algebraic parts)."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.streaming.rollup import (
+        read_rollup,
+        start_continuous_rollup,
+    )
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    work = tempfile.mkdtemp(prefix="gate_rollup_")
+    try:
+        q = start_continuous_rollup(
+            _event_stream(child, sf_dir),
+            rollup_dir=f"{work}/rollup",
+            checkpoint_dir=f"{work}/ckpt",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        # materialize before the workdir disappears
+        out = read_rollup(child, f"{work}/rollup").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

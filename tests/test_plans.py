@@ -151,3 +151,62 @@ class TestTpchSuitePlans:
             "small_qty_revenue_loss",
         ):
             assert "BatchEvalPython" not in plan(name), name
+
+
+class TestNewFamilyPlans:
+    """Plan shapes for the frequent-item / window / text-mining and
+    audit families added after the decision-support suite."""
+
+    def test_heavy_hitters_broadcasts_total(self, plan):
+        """The 1-row global total must broadcast onto the per-key
+        counts — a shuffle join against a single row would serialize
+        the whole aggregate through one partition."""
+        p = plan("heavy_hitter_parts")
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+    def test_unpivot_compiles_to_expand(self, plan):
+        """unpivot must be a single Expand over the aggregate, not a
+        UNION ALL double-scan."""
+        p = plan("brand_measure_unpivot")
+        assert "Expand" in p
+        assert p.count("FileScan parquet") == 1
+
+    def test_rolling_week_is_single_range_window(self, plan):
+        p = plan("rolling_week_spend")
+        assert "RangeFrame" in p.replace(" ", "") or "specifiedwindowframe(RangeFrame" in p or "windowspecdefinition" in p
+        # one shuffle on the partition key, no join
+        assert "Join" not in p
+
+    def test_tfidf_topk_uses_window_group_limit(self, plan):
+        """The per-doc top-3 must prune below the full sort via
+        WindowGroupLimit (rank-limit pushdown)."""
+        p = plan("tfidf_top_terms")
+        assert "WindowGroupLimit" in p
+
+    def test_integrity_audit_uses_anti_joins(self, plan):
+        p = plan("integrity_audit")
+        assert "LeftAnti" in p
+
+    def test_outliers_broadcast_stats_back(self, plan):
+        """The tiny per-type moments join back onto the fact via
+        broadcast — the fact must not shuffle for the threshold pass."""
+        p = plan("value_outliers")
+        assert "BroadcastHashJoin" in p
+
+    def test_no_python_in_new_families(self, plan):
+        for q in (
+            "heavy_hitter_parts",
+            "brand_measure_unpivot",
+            "rolling_week_spend",
+            "rfm_segments",
+            "event_transition_matrix",
+            "tfidf_top_terms",
+            "fuzzy_part_name_pairs",
+            "event_type_associations",
+            "doc_split_assignment",
+            "integrity_audit",
+            "region_nation_list",
+            "value_outliers",
+        ):
+            p = plan(q)
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
