@@ -1076,3 +1076,89 @@ def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_robust_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar densification (time spine, zero-fill + LOCF gap filling)
+# --------------------------------------------------------------------------
+@register(
+    "hourly_spine_filled",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.hour_ts, '%Y-%m-%d %H:00') AS hour_bucket,
+           t.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+           ROUND(last_value(CAST(a.sum_dec AS DOUBLE) / a.n IGNORE NULLS) OVER (
+                   PARTITION BY t.event_type ORDER BY s.hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_avg_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour_ts = s.hour_ts AND a.event_type = t.event_type
+    """,
+)
+def hourly_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated hourly spine × the type
+    dimension, LEFT-joined to the actual hourly aggregate so silent
+    hours appear as explicit zero rows, with the hourly average
+    carried forward over gaps (LOCF via ``last(..., ignorenulls)``)
+    — the sparse→dense regularization every time-series consumer
+    (forecasting, dashboards, anomaly baselines) needs, and an
+    operator the reference simply cannot express in its sink-side
+    reporting.
+
+    Scale: the spine is |hours|×|types| — generated, never scanned;
+    the fact contributes one pre-aggregated row per non-empty cell.
+    The LOCF window partitions by type, so fill state scales out by
+    key. Exact-decimal hourly sums keep the filled averages
+    hash-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    b = ev.agg(
+        F.min(hour).alias("h0"),
+        F.max(hour).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        hour.alias("hour_ts"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+    )
+    joined = (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["hour_ts", "event_type"], "left")
+    )
+    avg_val = F.col("sum_dec").cast("double") / F.col("n")
+    locf = F.last(avg_val, ignorenulls=True).over(
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.round(locf, 6).alias("filled_avg_value"),
+    )

@@ -293,3 +293,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered vector search (metadata predicate + top-k)
+# --------------------------------------------------------------------------
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))), 6) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label % 2 = 0
+    ORDER BY list_dot_product(e.emb, q.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.emb, q.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k cosine under a metadata predicate
+    (label even — standing in for tenant/language/date filters) — the
+    operator real vector stores treat as distinct from plain ANN
+    because pre- vs post-filtering changes both recall and cost.
+    This is PRE-filtering: the predicate prunes the scan before any
+    distance is computed — exact, and strictly cheaper than unfiltered.
+
+    Scale: the predicate is pushed to the parquet scan (row-group
+    pruning on label statistics); distances are computed only for
+    survivors, and orderBy+limit stays TakeOrderedAndProject. The IVF
+    variant composes the same way (filter within probed cells)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    cos = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.filter((F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") % 2 == 0))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )

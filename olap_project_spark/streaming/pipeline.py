@@ -43,6 +43,34 @@ def read_file_stream(
     return getattr(reader, fmt)(source_dir)
 
 
+def encode_kafka_payload(df: DataFrame, key_col: str = "Card") -> DataFrame:
+    """The Kafka WIRE FORMAT, producer side (pos_simulator.py:133-141
+    semantics): (key, value) where value is the row JSON-encoded and
+    key is the card number (keeps a card's events ordered within a
+    topic partition). Pure DataFrame→DataFrame so the format is
+    testable without a broker — the sink merely appends the transport."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def decode_kafka_value(df: DataFrame) -> DataFrame:
+    """The Kafka WIRE FORMAT, consumer side (S3,
+    spark_streaming_consumer.py:177-212): JSON-decode the string value
+    against the fixed raw-transaction schema and flatten. Inverse of
+    ``encode_kafka_payload`` (checked by test_kafka_wire_format)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.from_json(F.col("value").cast("string"), RAW_TRANSACTION_SCHEMA).alias(
+            "data"
+        )
+    ).select("data.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -53,8 +81,6 @@ def read_kafka_stream(
     value against the fixed schema, flatten. Matches the reference's
     source contract (spark_streaming_consumer.py:177-212) — requires the
     spark-sql-kafka package on the cluster (not in this test env)."""
-    from pyspark.sql import functions as F
-
     kafka = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -63,11 +89,7 @@ def read_kafka_stream(
         .option("failOnDataLoss", "false")
         .load()
     )
-    return (
-        kafka.selectExpr("CAST(value AS STRING) AS value")
-        .select(F.from_json("value", RAW_TRANSACTION_SCHEMA).alias("data"))
-        .select("data.*")
-    )
+    return decode_kafka_value(kafka)
 
 
 def write_console(
@@ -96,14 +118,9 @@ def write_kafka_stream(
     """Kafka sink (K5, pos_simulator.py:133-141 semantics): JSON-encode
     each row as the value, key by card number so a card's events stay
     ordered within a partition. Requires the spark-sql-kafka package on
-    the cluster (no broker in this test env — untested here, covered by
-    the reference contract)."""
-    from pyspark.sql import functions as F
-
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
-    )
+    the cluster (no broker in this test env — the wire format itself is
+    broker-free and covered by test_kafka_wire_format)."""
+    payload = encode_kafka_payload(df, key_col=key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
