@@ -1162,3 +1162,87 @@ def hourly_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         F.round(locf, 6).alias("filled_avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (argmax join within a time window)
+# --------------------------------------------------------------------------
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             CAST(value AS DECIMAL(18,2)) AS value_dec
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, p.value_dec,
+             c.click_id, c.click_ts, p.purchase_ts
+      FROM purch p
+      JOIN clicks c ON c.user_id = p.user_id
+        AND c.click_ts <  p.purchase_ts
+        AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, click_id,
+           CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS BIGINT)
+             AS micros_since_click,
+           CAST(value_dec AS DOUBLE) AS purchase_value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY purchase_id
+            ORDER BY click_ts DESC, click_id DESC) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-touch attribution: each purchase credits the user's most
+    recent click in the preceding hour (row_number argmax over the
+    candidate window, click_id tiebreak) — the batch attribution model
+    complementing ``streaming_click_attribution``, which enumerates ALL
+    click→purchase pairs; attribution picks exactly one.
+
+    Scale: the interval join shuffles both sides on user_id and
+    range-prunes candidates per user; the argmax is a per-purchase
+    WindowGroupLimit (rank ≤ 1 pushes the limit below the sort). At
+    100 TB add a coarse time-bucket equi-key (user, hour) to the join
+    so candidates co-locate without a cross-day range scan."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+    cand = purch.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("purchase_id").orderBy(
+            F.desc("click_ts"), F.desc("click_id")
+        )
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            .cast("bigint")
+            .alias("micros_since_click"),
+            F.col("value_dec").cast("double").alias("purchase_value"),
+        )
+    )

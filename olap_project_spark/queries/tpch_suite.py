@@ -639,3 +639,68 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q3-shape — shipping-priority top-k over a three-way selective star join
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape: the 10 highest-revenue orders placed before the cutoff
+    but (partly) unshipped after it, for one market segment — the
+    canonical selective star join + top-k: every single-table predicate
+    prunes BEFORE its join, and the final ordering is a bounded top-k,
+    not a full sort.
+
+    Scale: customer (filtered to one segment) broadcasts into orders;
+    the orders⋈lineitem fact-fact join shuffles on the order key
+    (bucket both on l_orderkey/o_orderkey at scale to eliminate it);
+    orderBy+limit compiles to TakeOrderedAndProject. The revenue
+    tiebreak is the order key, so the LIMIT edge is deterministic."""
+    cutoff = "1998-03-15 00:00:00"
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
