@@ -1246,3 +1246,112 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_dec").cast("double").alias("purchase_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding distinct count (rolling 24h active users, hourly grain)
+# --------------------------------------------------------------------------
+@register(
+    "rolling_daily_active_users",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b
+    )
+    SELECT strftime(s.hour_ts, '%Y-%m-%d %H:00') AS hour_bucket,
+           COUNT(DISTINCT e.user_id) AS active_users_24h
+    FROM spine s
+    JOIN events e
+      ON e.ts >  s.hour_ts - INTERVAL 23 HOUR
+     AND e.ts <= s.hour_ts + INTERVAL 1 HOUR
+    GROUP BY s.hour_ts
+    """,
+)
+def rolling_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour distinct active users at hourly grain — the DAU
+    curve every product dashboard runs, and the canonical HARD sliding
+    aggregate: COUNT(DISTINCT) does not decompose over window frames,
+    so it cannot ride a RANGE frame like ``rolling_week_spend``.
+    Formulated as spine × range join: each hour joins the events in its
+    trailing 24h window, then a two-phase distinct per bucket.
+
+    Scale: the |hours| spine broadcasts (a nested-loop join against the
+    fact, range-pruned); each event lands in ≤24 buckets, so the
+    shuffled pair volume is 24×|events| — bounded fan-out, not
+    quadratic. At 100 TB replace the exact distinct with per-hour HLL
+    sketches merged over the trailing 24 (mergeability is exactly what
+    the sketch buys; `approx_distinct_summary` shows the primitive)."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    b = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    joined = ev.join(
+        F.broadcast(spine),
+        (F.col("ts") > F.col("hour_ts") - F.expr("INTERVAL 23 HOUR"))
+        & (F.col("ts") <= F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour_bucket")
+    ).agg(F.countDistinct("user_id").alias("active_users_24h"))
+
+
+# --------------------------------------------------------------------------
+# Period-over-period growth (weekly revenue, lag-based deltas)
+# --------------------------------------------------------------------------
+@register(
+    "weekly_value_growth",
+    oracle="""
+    WITH w AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+             SUM(CAST(value AS DECIMAL(18,2))) AS value_dec,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY date_trunc('week', ts)
+    )
+    SELECT week_start,
+           CAST(value_dec AS DOUBLE) AS total_value,
+           n_events,
+           ROUND(CAST(value_dec - lag(value_dec) OVER (ORDER BY week_start)
+                      AS DOUBLE)
+                 / CAST(lag(value_dec) OVER (ORDER BY week_start) AS DOUBLE),
+                 6) AS wow_growth
+    FROM w
+    """,
+)
+def weekly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly exact-decimal value totals with a
+    lag-based growth ratio — the period-over-period delta every BI
+    report leads with. Monday-start ``date_trunc('week')`` agrees
+    between engines; the growth ratio divides two exact decimals cast
+    to double (deterministic scalar math; NULL for the first week).
+
+    Scale: the weekly aggregate is map-side combinable; the lag window
+    runs over |weeks| rows — a single tiny partition by design (the
+    series itself is small; per-entity series would partition by the
+    entity key)."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        F.count("*").alias("n_events"),
+    )
+    lag = F.lag("value_dec").over(Window.orderBy("week_start"))
+    return w.select(
+        "week_start",
+        F.col("value_dec").cast("double").alias("total_value"),
+        "n_events",
+        F.round(
+            (F.col("value_dec") - lag).cast("double") / lag.cast("double"), 6
+        ).alias("wow_growth"),
+    )
