@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from olap_project_spark.functions.text import (
     MERSENNE31,
@@ -572,5 +573,72 @@ def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.a").alias("doc_a"),
             F.col("e1.b").alias("doc_b"),
             F.col("e2.b").alias("doc_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN similarity graph (top-3 neighbors per document)
+# --------------------------------------------------------------------------
+def _knn_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ngram_sql = QUERY_REGISTRY["ngram_dup_pairs"].oracle
+    return f"""
+    WITH jp AS ({ngram_sql}),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM jp
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS neighbor_id, jaccard FROM jp
+    )
+    SELECT doc_id, neighbor_id, jaccard,
+           CAST(rn AS INTEGER) AS neighbor_rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY jaccard DESC, neighbor_id) AS rn
+          FROM sym)
+    WHERE rn <= 3
+    """
+
+
+@register("doc_knn_graph", oracle=_knn_oracle())
+def doc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN similarity graph: each document's top-3 most similar
+    neighbors (by shingle Jaccard), ranked — the graph-construction
+    step ahead of graph-based clustering / semi-supervised label
+    propagation, and the per-doc view of the same pair set the
+    clustering and triangle operators consume. Symmetrize the oriented
+    pair list (each undirected pair serves both endpoints), then a
+    per-doc WindowGroupLimit keeps the k best.
+
+    Scale: the candidate pairs are already sub-quadratic (shingle
+    equi-join); symmetrizing doubles them, and the rank-≤-k window
+    prunes per partition before any global work. No all-pairs stage
+    anywhere."""
+    jp = ngram_dup_pairs(spark, sf_dir).persist()
+    sym = jp.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        jp.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("jaccard"), F.asc("neighbor_id")
+        )
+    )
+    return (
+        sym.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "neighbor_id",
+            "jaccard",
+            F.col("rn").cast("int").alias("neighbor_rank"),
         )
     )

@@ -340,3 +340,41 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality measurement: recall@k of the IVF index vs the exact scan
+# --------------------------------------------------------------------------
+def _recall_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    exact_sql = QUERY_REGISTRY["ann_topk_bruteforce"].oracle
+    ivf_sql = QUERY_REGISTRY["ann_ivf_topk"].oracle
+    return f"""
+    WITH exact_k AS ({exact_sql}),
+    ivf_k AS ({ivf_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+    FROM exact_k JOIN ivf_k ON exact_k.vec_id = ivf_k.vec_id
+    """
+
+
+@register("ann_ivf_recall", oracle=_recall_oracle())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact scan for the gate's
+    query vector — the quality metric that justifies (or vetoes) an
+    approximate index: an ANN operator without a measured recall is a
+    guess. Computed in-engine as a semi-join of the two top-k sets, so
+    the gate pins BOTH the index contents and its measured quality.
+
+    Scale: both sides are k-row results — the recall join is free; the
+    expensive parts (scan + index probe) are the same plans already
+    benchmarked by their own gate entries. Production practice: sample
+    Q query ids, report mean recall (same composition, Q× cost)."""
+    exact_k = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    ivf_k = ann_ivf_topk(spark, sf_dir).select("vec_id")
+    hits = exact_k.join(ivf_k, "vec_id")
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.round(F.count("*").cast("double") / TOP_K, 6).alias("recall_at_k"),
+    )
