@@ -1053,3 +1053,75 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations_csv"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.5 — population-correlation equi-join (the dimension the reference
+# spec asks for but never built)
+# --------------------------------------------------------------------------
+@register(
+    "nation_population_correlation",
+    oracle="""
+    WITH pop AS (
+      SELECT n_nationkey, n_name,
+             (n_nationkey + 1) * 1000000 AS population
+      FROM nation
+    ),
+    rev AS (
+      SELECT s_nationkey AS n_nationkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue_dec
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+    )
+    SELECT COUNT(*) AS n_nations,
+           ROUND(corr(CAST(rev.revenue_dec AS DOUBLE),
+                      CAST(pop.population AS DOUBLE)), 6) AS rev_pop_corr,
+           ROUND(CAST(SUM(rev.revenue_dec) AS DOUBLE)
+                 / SUM(pop.population), 6) AS rev_per_capita
+    FROM rev JOIN pop ON pop.n_nationkey = rev.n_nationkey
+    """,
+)
+def nation_population_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The population-correlation question the reference spec poses
+    (requirements.md:44 "liên hệ với dân số" — correlate city value
+    with population) but never implements because it has no population
+    dimension (SURVEY.md §2.5): generated deterministic population dim
+    → broadcast equi-join onto exact per-nation revenue → correlation
+    + per-capita ratio. The dimension synthesis (a pure expression of
+    the key) stands in for the census table a deployment would load.
+
+    Scale: revenue aggregates the fact once (map-side combinable); the
+    population dim is |nations| rows — broadcast; corr over the
+    25-row joined result is driver-trivial but expressed as an
+    aggregate so the same plan works at any dimension cardinality."""
+    na = load(spark, sf_dir, "nation")
+    su = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    pop = na.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") + 1) * 1000000).alias("population"),
+    )
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+            ).alias("revenue_dec")
+        )
+    )
+    j = rev.join(F.broadcast(pop), "n_nationkey")
+    return j.agg(
+        F.count("*").alias("n_nations"),
+        F.round(
+            F.corr(
+                F.col("revenue_dec").cast("double"),
+                F.col("population").cast("double"),
+            ),
+            6,
+        ).alias("rev_pop_corr"),
+        F.round(
+            F.sum("revenue_dec").cast("double") / F.sum("population"), 6
+        ).alias("rev_per_capita"),
+    )
