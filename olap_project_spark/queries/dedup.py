@@ -59,6 +59,25 @@ _SQL_SHINGLES = """
 """
 
 
+# Session-scoped memo of the two intermediates every dedup/graph query
+# rebuilds otherwise: the shingle set and the verified ngram dup pairs.
+# Keyed by (JVM session, sf_dir); a gate/bench run calls 6+ queries over
+# the same corpus, and without this each one re-tokenizes and re-joins
+# from scratch (the persist() below only shares across branches WITHIN
+# one query's plan). At 100 TB the equivalent is materializing both as
+# bucketed tables once per corpus version.
+_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark.sparkContext._jsc), sf_dir, kind)
+    df = _MEMO.get(key)
+    if df is None:
+        df = build().persist()
+        _MEMO[key] = df
+    return df
+
+
 def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
     """(doc_id, shingle) — distinct 3-gram word shingles per doc.
 
@@ -66,6 +85,10 @@ def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFra
     times), and without persistence Spark re-runs the scan+tokenize+
     explode once per plan branch. The cached form is a few MB per 10⁴
     docs; at 100 TB you'd materialize it to a bucketed table instead."""
+    if cache:
+        return _memo(
+            spark, sf_dir, "shingles", lambda: _shingle_df(spark, sf_dir, False)
+        )
     docs = load(spark, sf_dir, "documents")
     # A small corpus arrives as one parquet file = ONE partition; the
     # tokenize/shingle/hash projection is the expensive part, so spread
@@ -85,7 +108,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFra
         # per-array array_distinct (see word_shingles docstring)
         .distinct()
     )
-    return sh.persist() if cache else sh
+    return sh
 
 
 # --------------------------------------------------------------------------
@@ -150,7 +173,17 @@ def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode-to-shingles then equi-join on the shingle — only
     co-shingled pairs reach the aggregate (never |docs|²). Hot shingles
     (boilerplate) are the skew risk: AQE skew-join splitting handles
-    moderate skew; the MinHash variant below is the designed fix."""
+    moderate skew; the MinHash variant below is the designed fix.
+
+    The verified pair set is memoized per (session, corpus): the
+    clustering, triangle, and kNN-graph operators all consume it, and
+    each would otherwise redo the shingle self-join."""
+    return _memo(
+        spark, sf_dir, "ngram_pairs", lambda: _ngram_pairs_build(spark, sf_dir)
+    )
+
+
+def _ngram_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -558,12 +591,10 @@ def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     low→high, two-path join + closing-edge semi-join) — cost is
     O(Σ deg²) on the ORIENTED graph, which skew-caps at high-degree
     nodes; near-dup graphs are sparse so the two-path frontier stays
-    small. The edge set is computed once and reused across all three
-    join branches via persist."""
-    edges = (
-        ngram_dup_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist()
+    small. The edge set (the memoized, persisted ngram pair set) is
+    computed once and reused across all three join branches."""
+    edges = ngram_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
@@ -615,7 +646,7 @@ def doc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join); symmetrizing doubles them, and the rank-≤-k window
     prunes per partition before any global work. No all-pairs stage
     anywhere."""
-    jp = ngram_dup_pairs(spark, sf_dir).persist()
+    jp = ngram_dup_pairs(spark, sf_dir)
     sym = jp.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
