@@ -45,6 +45,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Session-scoped memo for intermediates shared by several queries (the
+# shingle set, the verified ngram pairs, the cast embeddings corpus). A
+# gate/bench run executes the whole registry against one corpus; without
+# this each consumer re-derives the intermediate from the raw scan. At
+# 100 TB the equivalent is materializing these once as bucketed tables.
+_SESSION_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def session_memo(
+    spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Build-once, persist, and reuse ``kind`` for (session, corpus)."""
+    key = (id(spark.sparkContext._jsc), sf_dir, kind)
+    df = _SESSION_MEMO.get(key)
+    if df is None:
+        df = build().persist()
+        _SESSION_MEMO[key] = df
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one star-schema table (ns-timestamp-normalizing). A plain
     parquet scan: Catalyst pushes filters/projections into it, and

@@ -30,7 +30,7 @@ from olap_project_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from olap_project_spark.queries import load, register
+from olap_project_spark.queries import load, register, session_memo
 
 N_PERM = 32          # minhash permutations
 BAND_ROWS = 4        # rows per LSH band → 8 bands
@@ -59,25 +59,6 @@ _SQL_SHINGLES = """
 """
 
 
-# Session-scoped memo of the two intermediates every dedup/graph query
-# rebuilds otherwise: the shingle set and the verified ngram dup pairs.
-# Keyed by (JVM session, sf_dir); a gate/bench run calls 6+ queries over
-# the same corpus, and without this each one re-tokenizes and re-joins
-# from scratch (the persist() below only shares across branches WITHIN
-# one query's plan). At 100 TB the equivalent is materializing both as
-# bucketed tables once per corpus version.
-_MEMO: dict[tuple[int, str, str], DataFrame] = {}
-
-
-def _memo(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (id(spark.sparkContext._jsc), sf_dir, kind)
-    df = _MEMO.get(key)
-    if df is None:
-        df = build().persist()
-        _MEMO[key] = df
-    return df
-
-
 def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
     """(doc_id, shingle) — distinct 3-gram word shingles per doc.
 
@@ -86,7 +67,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFra
     explode once per plan branch. The cached form is a few MB per 10⁴
     docs; at 100 TB you'd materialize it to a bucketed table instead."""
     if cache:
-        return _memo(
+        return session_memo(
             spark, sf_dir, "shingles", lambda: _shingle_df(spark, sf_dir, False)
         )
     docs = load(spark, sf_dir, "documents")
@@ -178,7 +159,7 @@ def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verified pair set is memoized per (session, corpus): the
     clustering, triangle, and kNN-graph operators all consume it, and
     each would otherwise redo the shingle self-join."""
-    return _memo(
+    return session_memo(
         spark, sf_dir, "ngram_pairs", lambda: _ngram_pairs_build(spark, sf_dir)
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olap_project_spark.queries import load, register
+from olap_project_spark.queries import load, register, session_memo
 
 NEAR_DUP_COS = 0.45   # corpus max pairwise cosine is ~0.513 (synthetic)
 TOP_K = 10
@@ -43,15 +43,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Repartitioned across cores: the corpus arrives as one parquet file
     (one partition), which would serialize every downstream pair scan /
-    fold onto a single thread."""
-    par = spark.sparkContext.defaultParallelism
-    return (
-        load(spark, sf_dir, "embeddings")
-        .repartition(par, "vec_id")
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    fold onto a single thread. Memoized per (session, corpus): six
+    similarity queries consume this identical frame."""
+
+    def build() -> DataFrame:
+        par = spark.sparkContext.defaultParallelism
+        return (
+            load(spark, sf_dir, "embeddings")
+            .repartition(par, "vec_id")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+                "label",
+            )
         )
-    )
+
+    return session_memo(spark, sf_dir, "embeddings_double", build)
 
 
 # --------------------------------------------------------------------------
