@@ -45,13 +45,18 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign(df: DataFrame, cents: list[list[float]]) -> DataFrame:
         # Literal-free assignment: centroids travel as a broadcast
         # DataFrame, distance is ONE zip_with/aggregate expression over
-        # (emb, cvec), argmin via per-vector row_number with cluster-id
-        # tie-break. The plan is IDENTICAL every iteration (only the
+        # (emb, cvec). The plan is IDENTICAL every iteration (only the
         # broadcast data changes), so codegen is compiled once and
         # cache-hit for the rest of the loop — the literal-specialized
         # formulation (8 centroid arrays inlined as 512 literals)
         # recompiled the whole stage per iteration and cost more than
         # the arithmetic itself.
+        #
+        # Argmin via per-vector row_number with cluster-id tie-break.
+        # (A min(struct(dist, cluster, emb)) aggregate was tried and is
+        # SLOWER: the 64-double vector rides inside the aggregation
+        # buffer and every partial-merge compares/copies it; the window
+        # sorts only the k-expanded (dist, cluster) keys.)
         from pyspark.sql.window import Window
 
         cents_df = spark.createDataFrame(
@@ -73,8 +78,12 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = len(centroids[0])
     assigned = None
-    for _ in range(N_ITERATIONS):
+    for it in range(N_ITERATIONS):
         assigned = assign(e, centroids)
+        if it == N_ITERATIONS - 1:
+            # the final assignment feeds the profile aggregate below —
+            # cache it so the last Lloyd pass isn't executed twice
+            assigned = assigned.persist()
         new_cents = (
             assigned.groupBy("cluster")
             .agg(

@@ -80,3 +80,61 @@ def frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.max("frame_offset_bytes").cast("bigint").alias("last_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal join: text metadata ⋈ embedding index
+# --------------------------------------------------------------------------
+@register(
+    "doc_embedding_join_stats",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT n.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           ROUND(MIN(n.nrm), 6) AS min_norm,
+           ROUND(MAX(n.nrm), 6) AS max_norm
+    FROM documents d JOIN n ON n.vec_id = d.doc_id
+    GROUP BY n.label
+    """,
+)
+def doc_embedding_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal equi-join: the text corpus joined to its embedding
+    index (doc_id = vec_id) with per-cluster-label profile — the
+    canonical multimodal-pipeline step of reuniting a modality table
+    with a derived feature/index table (same pattern for image ⋈
+    caption, audio ⋈ transcript). Aggregates stay order-independent:
+    integer sums, counts, and min/max of the (deterministic
+    sequential-fold) vector norms — never a sum of doubles.
+
+    Scale: both sides hash-partition on the id — at 100 TB bucket both
+    tables by the id and the join is shuffle-free; the per-label
+    aggregate is map-side combinable."""
+    from olap_project_spark.queries.similarity import _emb, dot
+
+    docs = load(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    )
+    return (
+        docs.join(n, docs.doc_id == n.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+                "avg_chars"
+            ),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
