@@ -1370,3 +1370,94 @@ def weekly_value_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value_dec") - lag).cast("double") / lag.cast("double"), 6
         ).alias("wow_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution shape (skewness / kurtosis) from exact higher moments
+# --------------------------------------------------------------------------
+@register(
+    "value_moment_shape",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(8,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))) AS s2,
+             SUM(CAST(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))
+                      AS DECIMAL(19,4))
+                 * CAST(value AS DECIMAL(8,2))) AS s3,
+             SUM(CAST(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))
+                      AS DECIMAL(19,4))
+                 * CAST(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))
+                        AS DECIMAL(19,4))) AS s4
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+      FROM m
+    ),
+    c AS (
+      SELECT event_type, n,
+             s1 / nd AS mean,
+             (s2 / nd) - ((s1 / nd) * (s1 / nd)) AS v,
+             (s3 / nd) - (((3 * (s1 / nd)) * s2) / nd)
+               + ((2 * (s1 / nd)) * (s1 / nd)) * (s1 / nd) AS m3,
+             (s4 / nd) - (((4 * (s1 / nd)) * s3) / nd)
+               + ((((6 * (s1 / nd)) * (s1 / nd)) * s2) / nd)
+               - (((3 * (s1 / nd)) * (s1 / nd)) * ((s1 / nd) * (s1 / nd))) AS m4
+      FROM d
+    )
+    SELECT event_type, n AS n_events,
+           ROUND(mean, 6) AS mean_value,
+           ROUND(v, 6) AS variance_value,
+           ROUND(m3 / (v * sqrt(v)), 6) AS skewness,
+           ROUND((m4 / (v * v)) - 3, 6) AS excess_kurtosis
+    FROM c
+    """,
+)
+def value_moment_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type from
+    EXACT decimal power sums (Σx..Σx⁴ — values carry ≤2 fractional
+    digits and are <1000, so x⁴ is exact at scale 8 well inside
+    DECIMAL(38)). The central-moment algebra afterwards is scalar IEEE
+    double written with IDENTICAL association on both engines, and
+    v^1.5 is spelled v·√v (sqrt is correctly rounded everywhere;
+    pow(x,1.5) is not guaranteed to be). Spark's own skewness()/
+    kurtosis() stream doubles and are partition-order dependent —
+    unusable for a bit-exact gate.
+
+    Scale: one map-side-combinable pass, 4 partial sums per group —
+    the same shape at 100 TB, scan-bound, no extra shuffle."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(8,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum((x * x) * x).alias("s3"),
+        F.sum((x * x) * (x * x)).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / nd
+    v = (s2 / nd) - (mean * mean)
+    m3 = (s3 / nd) - (((3 * mean) * s2) / nd) + ((2 * mean) * mean) * mean
+    m4 = (
+        (s4 / nd)
+        - (((4 * mean) * s3) / nd)
+        + ((((6 * mean) * mean) * s2) / nd)
+        - (((3 * mean) * mean) * (mean * mean))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(v, 6).alias("variance_value"),
+        F.round(m3 / (v * F.sqrt(v)), 6).alias("skewness"),
+        F.round((m4 / (v * v)) - 3, 6).alias("excess_kurtosis"),
+    )

@@ -1125,3 +1125,137 @@ def nation_population_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("revenue_dec").cast("double") / F.sum("population"), 6
         ).alias("rev_per_capita"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear regression from exact moments (scalable OLS)
+# --------------------------------------------------------------------------
+@register(
+    "price_quantity_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(7,2)))                    AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)))               AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(7,2))
+                 * CAST(l_extendedprice AS DECIMAL(19,2)))             AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(7,2))
+                 * CAST(l_quantity AS DECIMAL(7,2)))                  AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                 * CAST(l_extendedprice AS DECIMAL(19,2)))             AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS nd, CAST(n AS BIGINT) AS n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy
+      FROM m
+    ),
+    s AS (
+      SELECT l_returnflag, n, nd, sx, sy,
+             ((nd * sxy) - (sx * sy)) / ((nd * sxx) - (sx * sx)) AS slope,
+             (((nd * sxy) - (sx * sy)) * ((nd * sxy) - (sx * sy)))
+               / (((nd * sxx) - (sx * sx)) * ((nd * syy) - (sy * sy))) AS r2
+      FROM d
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           ROUND(slope, 6) AS slope,
+           ROUND((sy - (slope * sx)) / nd, 6) AS intercept,
+           ROUND(r2, 6) AS r2
+    FROM s
+    """,
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit extendedprice ~ quantity computed from
+    EXACT decimal co-moments (n, Σx, Σy, Σxy, Σx², Σy²): the inputs
+    carry ≤2 fractional digits so every product is exact at scale 4,
+    the sums are order-independent, and the slope/intercept/r² math
+    after them is scalar IEEE double — identical cross-engine. A
+    naive ``regr_slope`` over doubles would be partition-order
+    dependent.
+
+    Scale: ONE map-side-combinable aggregate pass over the fact (6
+    partial sums per group, |returnflag| groups) — the textbook
+    distributed-OLS shape. No second pass, no shuffle beyond the
+    |groups|-row exchange; at 100 TB this is scan-bound."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(7,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (nd * sxy) - (sx * sy)
+    varx = (nd * sxx) - (sx * sx)
+    vary = (nd * syy) - (sy * sy)
+    slope = cov / varx
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - (slope * sx)) / nd, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-based, reproducible at any scale)
+# --------------------------------------------------------------------------
+@register(
+    "stratified_customer_sample",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+                              AS BIGINT) % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+           ROUND(CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+                              AS BIGINT) % 20 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS sample_rate,
+           CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+                              AS BIGINT) % 20 = 0
+                    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS sample_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stratified_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% per-segment sample: a row is IN the sample iff
+    portable_hash48(c_custkey) % 20 == 0. Unlike ``df.sample()`` (seeded
+    per-partition-split, so membership changes with partitioning) the
+    hash predicate is a pure row property — the same rows are selected
+    on any cluster layout, any engine, any day. This is how training
+    pipelines carve reproducible holdouts (cf. doc_split_assignment's
+    80/10/10 split).
+
+    Scale: single aggregate pass with conditional aggregates — sampling
+    adds zero shuffles; the predicate is codegen'd per row."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    cu = load(spark, sf_dir, "customer")
+    in_sample = (
+        portable_hash48(F.col("c_custkey").cast("string")) % 20 == 0
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    return cu.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("n_sample"),
+        F.round(
+            F.sum(F.when(in_sample, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("sample_rate"),
+        F.sum(F.when(in_sample, bal)).cast("double").alias("sample_acctbal"),
+    )

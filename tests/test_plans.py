@@ -210,3 +210,37 @@ class TestNewFamilyPlans:
         ):
             p = plan(q)
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+
+
+class TestMomentFamilyPlans:
+    """Plan shapes for the exact-moment statistics family (OLS
+    regression, skewness/kurtosis, deterministic stratified sample)."""
+
+    def test_regression_is_single_pass_no_join(self, plan):
+        """OLS from co-moments must be ONE aggregate over the fact —
+        no self-join, no second scan."""
+        p = plan("price_quantity_regression")
+        assert "Join" not in p
+        assert p.count("FileScan parquet") == 1
+
+    def test_moment_shape_is_single_pass_no_join(self, plan):
+        p = plan("value_moment_shape")
+        assert "Join" not in p
+        assert p.count("FileScan parquet") == 1
+
+    def test_stratified_sample_no_extra_shuffle(self, plan):
+        """Hash-predicate sampling must add zero shuffles beyond the
+        group-by exchange (df.sample-style splits add none either, but
+        a join-against-sampled-keys design would)."""
+        p = plan("stratified_customer_sample")
+        assert "Join" not in p
+        assert p.count("Exchange") <= 2  # partial/final agg exchange only
+
+    def test_no_python_in_moment_family(self, plan):
+        for q in (
+            "price_quantity_regression",
+            "value_moment_shape",
+            "stratified_customer_sample",
+        ):
+            p = plan(q)
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
