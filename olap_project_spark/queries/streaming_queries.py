@@ -35,11 +35,29 @@ WINDOW = "1 hour"
 # Streaming state (one RocksDB/HDFS store instance per shuffle partition
 # per stateful operator) should be sized to the KEYSPACE, not inherited
 # from the batch shuffle default: the gate aggregates over ≤ a few
-# hundred (window, key) groups, where 8 partitions cut state-store
-# open/commit overhead ~2× vs 32 with zero skew risk. At production
-# scale this is the knob you raise (state partitions are fixed at first
-# checkpoint — size for peak keyspace up front).
-STATE_PARTITIONS = 8
+# hundred (window, key) groups, where 4 partitions cut state-store
+# open/commit overhead ~2.4× vs 32 (measured 8→4: another −30%) with
+# zero skew risk. At production scale this is the knob you raise (state
+# partitions are fixed at first checkpoint — size for peak keyspace up
+# front).
+STATE_PARTITIONS = 4
+
+# Input-split ceiling for the gate's file-source replay: availableNow
+# over ONE parquet file is a single 128 MB-default split — a
+# single-threaded map side. 8 MB splits give the one-file replay the
+# map parallelism a real deployment gets from its Kafka partitions
+# (measured: −25%% wall on the streaming family). Split sizing is a
+# replay-harness concern, not a production setting.
+STREAM_INPUT_SPLIT = "8m"
+
+
+def _streaming_child(spark: SparkSession) -> SparkSession:
+    """Child session (fresh SQLConf, shared JVM) sized for streaming:
+    state partitions to the keyspace, input splits to the replay file."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    child.conf.set("spark.sql.files.maxPartitionBytes", STREAM_INPUT_SPLIT)
+    return child
 
 
 def _event_stream(spark: SparkSession, sf_dir: str):
@@ -64,8 +82,7 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, prefix: str) -> Data
 
     newSession() shares the JVM/SparkContext but takes fresh SQLConf, so
     the state sizing never leaks into the caller's batch queries."""
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    child = _streaming_child(spark)
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         build(_event_stream(child, sf_dir))
@@ -270,8 +287,7 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is O(events within the interval horizon) per key —
     the watermark is the knob that keeps a 100 TB/day stream's join
     state bounded; the shuffle partitions on user_id."""
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    child = _streaming_child(spark)
     stream = _event_stream(child, sf_dir)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -390,8 +406,7 @@ def streaming_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_continuous_rollup,
     )
 
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    child = _streaming_child(spark)
     work = tempfile.mkdtemp(prefix="gate_rollup_")
     try:
         q = start_continuous_rollup(
