@@ -1259,3 +1259,100 @@ def stratified_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sample_rate"),
         F.sum(F.when(in_sample, bal)).cast("double").alias("sample_acctbal"),
     )
+
+
+@register(
+    "nation_key_multiset_common",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nation_key_multiset_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection, multiplicity-aware): a nation
+    key appears min(customer-count, supplier-count) times — with
+    ``shared_nations`` (INTERSECT) and ``nation_key_multiset_diff``
+    (EXCEPT ALL) this completes the §2.7 set-op algebra in both
+    distinct and multiset forms.
+
+    Scale: like EXCEPT ALL this compiles to per-key count aggregation
+    (emit min(n_left, n_right) copies) — a key-only shuffle, never a
+    row-pairing join."""
+    cu = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.intersectAll(su)
+
+
+@register(
+    "priority_flag_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
+           bool_or(o_totalprice > 400000)  AS has_jumbo,
+           bool_and(o_totalprice > 1000)   AS all_above_floor,
+           ROUND(CAST(count_if(o_totalprice > 150000) AS DOUBLE)
+                 / COUNT(*), 6) AS large_share
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / conditional aggregate inventory (count_if, bool_or,
+    bool_and) per order priority — the flag-rollup shape dashboards
+    compile to (``any segment breached X?``, ``did every order clear
+    the floor?``). All three are order-independent aggregates, so the
+    result is engine-exact without decimal tricks.
+
+    Scale: single hash aggregate, map-side combinable (booleans merge
+    with OR/AND, count_if with +) — scan-bound at any SF."""
+    o = load(spark, sf_dir, "orders")
+    large = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count_if(large).cast("bigint").alias("n_large"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("has_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_floor"),
+        F.round(F.count_if(large).cast("double") / F.count("*"), 6).alias(
+            "large_share"
+        ),
+    )
+
+
+@register(
+    "price_neighborhood_density",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+           ) AS BIGINT) AS n_neighbors
+    FROM orders
+    """,
+)
+def price_neighborhood_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (numeric) RANGE window frame: for every order, how
+    many same-priority orders fall within ±5000 of its total price —
+    the density estimate behind dynamic price banding. Completes the
+    frame-spec inventory (ROWS frames in the ranking family, time
+    RANGE in rolling_week_spend, numeric RANGE here). COUNT over a
+    range frame is tie-insensitive, so a double order key is safe.
+
+    Scale: one shuffle on the partition key; within each partition the
+    range frame is a sliding two-pointer pass over the sorted run —
+    O(n) state, no per-row rescan."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).cast("bigint").alias("n_neighbors"),
+    )
