@@ -7,6 +7,9 @@ that breaks filter pushdown still passes value tests)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
 from olap_project_spark.queries import QUERY_REGISTRY, _import_all
@@ -244,3 +247,20 @@ class TestMomentFamilyPlans:
         ):
             p = plan(q)
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+
+
+def test_plan_lint_clean(plan):
+    """Every non-executing query's physical plan passes the scale lint:
+    no CartesianProduct, no row-at-a-time Python, global windows only
+    where whitelisted (tools/plan_lint.py documents each rule)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_lint import EXECUTING, lint_one
+
+    problems = []
+    for name in QUERY_REGISTRY:
+        if name in EXECUTING:
+            continue
+        errors, warns = lint_one(name, plan(name))
+        problems += [f"{name}: {e}" for e in errors]
+        problems += [f"{name}: {w}" for w in warns]
+    assert not problems, problems

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Lint the physical plan of EVERY registered (non-executing) query
+against the engine's scale rules — the automated form of the review
+each query's docstring claims:
+
+ERROR-level (exit 1):
+  E1  CartesianProduct — an unconstrained NxM join never survives scale.
+      (BroadcastNestedLoopJoin is allowed: the engine uses it only for
+      deliberate 1-row/tiny broadcasts — global totals, centroid rows.)
+  E2  BatchEvalPython — row-at-a-time Python in a hot path. Python is
+      allowed only Arrow-batched (ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas) and only in the whitelisted families.
+
+WARN-level (reported, exit 0):
+  W1  Exchange SinglePartition feeding a Window — a global (
+      unpartitioned) window serializes through one task. Whitelisted
+      where a global total order is the query's semantics (global
+      deciles/ntile) and the input is one aggregated row per key.
+  W2  Arrow-batched Python outside the multimodal/udaf families.
+
+Usage:
+    python3 tools/plan_lint.py            # lint everything
+    python3 tools/plan_lint.py q1 q2      # lint a subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries that execute work at build time (streaming, driver-loop
+# iteration) — their final DataFrame is a materialized table, so the
+# interesting plans are asserted in their dedicated tests instead.
+EXECUTING = {
+    "streaming_hourly_stats",
+    "streaming_sliding_stats",
+    "streaming_session_counts",
+    "streaming_click_attribution",
+    "streaming_distinct_user_types",
+    "streaming_continuous_rollup",
+    "kmeans_cluster_profile",
+    "near_dup_clusters",
+}
+
+# Queries whose semantics REQUIRE a global total order over a small
+# (per-key aggregated) input — the single-partition window is the spec,
+# and its input is ≤|keys| rows, not the fact table.
+GLOBAL_WINDOW_OK = {
+    "customer_spend_deciles",
+    "rfm_segments",
+    "customer_order_distribution",
+    "top10_customers",
+    "heavy_hitter_parts",
+    "price_band_distribution",
+    "value_histogram",
+    "segment_balance_ranks",
+    "weekly_retention",
+    "event_transition_matrix",
+    "ann_ivf_recall",
+    # SinglePartition here is a deliberate 1-row GLOBAL-TOTAL aggregate
+    # (corpus size / overall total) broadcast back — the window itself
+    # is per-key; or the window input is an already-aggregated spine
+    # (hours / weeks), ≤ thousands of rows at any SF.
+    "tfidf_top_terms",
+    "hourly_spine_filled",
+    "weekly_value_growth",
+}
+
+# Families where Arrow-batched Python is the documented extension point
+# (multimodal decode, custom grouped-agg sketches, UDTF chunking).
+ARROW_PY_OK_PREFIXES = (
+    "multimodal_",
+    "frame_sample_",
+    "doc_chunks",
+    "repeated_chunks",
+)
+
+
+def lint_one(name: str, plan: str) -> tuple[list[str], list[str]]:
+    errors: list[str] = []
+    warns: list[str] = []
+    if "CartesianProduct" in plan:
+        errors.append("E1 CartesianProduct")
+    if "BatchEvalPython" in plan:
+        errors.append("E2 row-at-a-time Python (BatchEvalPython)")
+    arrow_py = any(
+        tok in plan
+        for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )
+    if arrow_py and not name.startswith(ARROW_PY_OK_PREFIXES):
+        warns.append("W2 Arrow Python outside whitelisted family")
+    if (
+        "Exchange SinglePartition" in plan
+        and "Window" in plan
+        and name not in GLOBAL_WINDOW_OK
+    ):
+        warns.append("W1 global window (Exchange SinglePartition)")
+    return errors, warns
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument(
+        "--sf", default=os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    )
+    args = ap.parse_args()
+
+    from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+    from olap_project_spark.session import build_session
+
+    _import_all()
+    names = args.queries or [q for q in QUERY_REGISTRY if q not in EXECUTING]
+    spark = build_session(
+        app_name="plan-lint", extra_conf={"spark.ui.enabled": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_err = 0
+    for name in names:
+        df = QUERY_REGISTRY[name].fn(spark, args.sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        errors, warns = lint_one(name, plan)
+        for e in errors:
+            print(f"ERROR {name}: {e}")
+        for w in warns:
+            print(f"warn  {name}: {w}")
+        n_err += len(errors)
+    print(f"linted {len(names)} plans: {n_err} errors")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
