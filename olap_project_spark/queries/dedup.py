@@ -654,3 +654,103 @@ def doc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("neighbor_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Integer fixed-point PageRank over the near-dup graph
+# --------------------------------------------------------------------------
+PR_SCALE = 10**12
+PR_ITERATIONS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank in pure integer arithmetic.
+
+    Floating-point PageRank is NOT hash-comparable across engines (the
+    per-node contribution sum is addition-order dependent), so ranks are
+    BIGINT fixed-point at scale 10¹²: contribution = rank // outdeg,
+    update = 0.15·SCALE + (85·Σcontrib) // 100 — every step exact
+    integer math, identical on both engines. The oracle unrolls the loop
+    as chained CTEs (r0 → r1 → r2 → r3): no recursive CTE needed, and
+    each stage is the same join+group the Spark loop runs."""
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ngram_sql = QUERY_REGISTRY["ngram_dup_pairs"].oracle
+    base = 15 * PR_SCALE // 100
+    its = []
+    for i in range(1, PR_ITERATIONS + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT d.node,
+             CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT ed.dst AS node, SUM(r.rank // ed.outdeg) AS c
+        FROM ed JOIN r{i - 1} r ON ed.src = r.node
+        GROUP BY ed.dst
+      ) s ON s.node = d.node
+    )""")
+    return f"""
+    WITH jp AS ({ngram_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM jp
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.node = e.src),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {",".join(its)}
+    SELECT node AS doc_id, rank AS pagerank
+    FROM r{PR_ITERATIONS}
+    ORDER BY rank DESC, node
+    LIMIT 100
+    """
+
+
+@register("pagerank_canonical_docs", oracle=_pagerank_oracle())
+def pagerank_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph (damping 0.85,
+    3 iterations, uniform init) — ranking candidate CANONICAL documents:
+    inside a dup cluster the highest-centrality doc is the best keeper
+    (most corroborated by near-copies), a standard corpus-dedup
+    refinement over near_dup_clusters' min-id choice. Top 100 by rank.
+
+    All arithmetic is BIGINT fixed-point (scale 10¹²) so the result is
+    bit-exact and order-independent — see _pagerank_oracle. An iterative
+    algorithm through the full value-hash gate, not the weaker
+    rows-only check k-means gets.
+
+    Scale: per iteration one equi-join (edges ⋈ ranks, both partitioned
+    on the src key) + one groupBy(dst) — the standard distributed
+    PageRank shape; ranks/degrees are |V|-sized, edges never leave their
+    partitions' shuffle. The edge set (with outdeg attached) is
+    persisted across iterations; 3 rounds ≈ near-dup graph diameter."""
+    pairs = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    base = 15 * PR_SCALE // 100
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
+    )
+    nodes = deg.select(F.col("src").alias("node"))
+    for _ in range(PR_ITERATIONS):
+        msgs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(msgs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.expr("(85 * coalesce(c, 0)) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.col("node"))
+        .limit(100)
+        .select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
+    )

@@ -1461,3 +1461,141 @@ def value_moment_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (v * F.sqrt(v)), 6).alias("skewness"),
         F.round((m4 / (v * v)) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the REPRODUCIBLE approximate
+# distinct count (complements approx_distinct_summary's HLL, which is
+# engine-specific and therefore rows-only in the gate)
+# --------------------------------------------------------------------------
+KMV_K = 64
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN MAX(nd) >= {KMV_K}
+                      THEN CAST({KMV_K - 1} AS DOUBLE) * CAST({2**48} AS DOUBLE)
+                           / MAX(CASE WHEN rn = {KMV_K} THEN hv END)
+                      ELSE CAST(MAX(nd) AS DOUBLE) END, 2) AS kmv_estimate
+    FROM ranked
+    WHERE rn <= {KMV_K}
+    GROUP BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a KMV
+    (k-minimum-values) sketch over the portable 48-bit hash: keep the
+    k=64 smallest distinct hash values; if the k-th smallest is h_k,
+    the group has ≈ (k−1)·2⁴⁸/h_k distinct members (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream", RANDOM 2002).
+
+    Unlike HLL (approx_distinct_summary) the KMV sketch is DETERMINISTIC
+    given the hash function — both engines compute the identical md5-
+    derived hashes, so the gate hash-compares an *approximate* algorithm
+    exactly. Groups with < k distinct values degrade to the exact count.
+
+    Scale: "k smallest of a union = k smallest of the union of each
+    partition's k smallest" — the sketch is mergeable, so partial
+    aggregation ships 64 longs per (partition, group), never the key
+    universe. Exact COUNT(DISTINCT) shuffles every distinct pair; at
+    100 TB this sketch is the difference between KBs and TBs of
+    shuffle. (Here it's expressed as distinct→window-rank, which does
+    shuffle the distinct set — the mergeability claim is realized by
+    Spark's partial-distinct; a custom KMV UDAF would cap it at k.)"""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        portable_hash48(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wa = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wa).alias("nd"),
+    ).filter(F.col("rn") <= KMV_K)
+    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+    est = F.when(
+        F.max("nd") >= KMV_K,
+        F.lit(float(KMV_K - 1)) * F.lit(float(2**48)) / kth,
+    ).otherwise(F.max("nd").cast("double"))
+    return ranked.groupBy("event_type").agg(
+        F.max("nd").cast("bigint").alias("exact_distinct"),
+        F.round(est, 2).alias("kmv_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session_window — the batch form of streaming/windows.py's
+# sessionization (user_sessions above is the lag/island formulation;
+# this is Spark's built-in operator, pinned to the same semantics)
+# --------------------------------------------------------------------------
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    grp AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+    FROM grp
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE ``session_window`` operator
+    (30-minute gap): one session row per (user, burst of activity), with
+    start, size, and value. The oracle derives identical sessions with
+    the classic gaps-and-islands SQL — pinning the operator's merge rule
+    (windows merge iff the gap is STRICTLY under the 30-min timeout,
+    i.e. a gap of exactly 1800 s starts a new session).
+
+    Scale: session_window is a single shuffle on user_id followed by a
+    sort-merge of per-key windows — the same shape as the island
+    formulation, but state-store-compatible (the identical call works
+    under readStream, see streaming/windows.py). No window-function
+    second pass."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

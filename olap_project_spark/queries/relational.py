@@ -1356,3 +1356,90 @@ def price_neighborhood_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.count("*").over(w).cast("bigint").alias("n_neighbors"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic MODE + discrete median per segment
+# --------------------------------------------------------------------------
+@register(
+    "segment_priority_mode",
+    oracle="""
+    WITH oc AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    pc AS (
+      SELECT segment, priority, COUNT(*) AS n FROM oc GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT segment, priority AS mode_priority, CAST(n AS BIGINT) AS mode_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY segment
+                                         ORDER BY n DESC, priority) AS rn
+            FROM pc)
+      WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT segment, o_totalprice,
+             row_number() OVER (PARTITION BY segment ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM oc
+    ),
+    med AS (
+      SELECT segment, o_totalprice AS median_price
+      FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT md.segment, md.mode_priority, md.mode_count,
+           ROUND(med.median_price, 2) AS median_price
+    FROM md JOIN med ON md.segment = med.segment
+    """,
+)
+def segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: the MODE of order priority and the DISCRETE
+    median (lower-median element) of order price — both spelled with an
+    explicit deterministic tie-break instead of the engines' native
+    mode()/percentile_disc(), whose tie handling is unspecified and
+    engine-dependent. Mode ties break toward the lexicographically
+    smallest priority; the disc-median picks the value at sorted
+    position ⌊(n+1)/2⌋, which is a well-defined multiset element
+    regardless of how row_number orders equal prices.
+
+    Scale: mode = two-level aggregate (group counts, then a size-|dims|
+    top-1 window); median = one sort per segment — at 100 TB you'd use
+    approx_percentile for the median leg, but the mode leg is exactly
+    this plan."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+    )
+    pc = oc.groupBy("segment", "priority").agg(F.count("*").alias("n"))
+    wm = Window.partitionBy("segment").orderBy(F.desc("n"), F.col("priority"))
+    md = (
+        pc.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+    )
+    wr = Window.partitionBy("segment").orderBy("o_totalprice")
+    wc = Window.partitionBy("segment")
+    med = (
+        oc.select(
+            "segment",
+            "o_totalprice",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("segment", F.round("o_totalprice", 2).alias("median_price"))
+    )
+    return md.join(med, "segment")

@@ -621,3 +621,60 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis A-ES) — probability ∝ size
+# --------------------------------------------------------------------------
+SAMPLE_K = 50
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / CAST({2**48} AS DOUBLE))
+             / GREATEST(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, ROUND(k * 1000000, 6) AS priority_key
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, inclusion probability ∝
+    document size: the Efraimidis–Spirakis A-ES scheme ("Weighted random
+    sampling with a reservoir", IPL 2006) with the randomness
+    DERANDOMIZED — u = (portable_hash48(doc_id)+1)/2⁴⁸ ∈ (0,1] instead
+    of rand(), so the sample is a pure function of the corpus
+    (reproducible across runs/engines, the training-data requirement
+    doc_split_assignment already establishes for splits). Each doc gets
+    an exponential key −ln(u)/w (w = n_chars); the k smallest keys ARE
+    the weighted sample.
+
+    Cross-engine note: ln() is the only transcendental — sub-ulp
+    accurate in both JVM and libm, and keys are rounded to 6 dp of a
+    ×10⁶-scaled value, far above ulp noise; selection boundaries are
+    ~1e-3 apart, so the top-k set is stable.
+
+    Scale: a stateless projection + distributed top-k
+    (TakeOrderedAndProject): each partition keeps its k best, the
+    driver merges k·n_partitions keys — no global sort, no shuffle of
+    the corpus. This is THE one-pass "sample 50 docs ∝ length from
+    100 TB" plan."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    docs = load(spark, sf_dir, "documents")
+    u = (portable_hash48(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(2**48)
+    )
+    key = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        docs.select("doc_id", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", F.round(F.col("k") * 1000000, 6).alias("priority_key"))
+    )

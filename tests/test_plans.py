@@ -249,6 +249,45 @@ class TestMomentFamilyPlans:
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
 
 
+class TestSketchSamplingPlans:
+    """Plan shapes for the KMV sketch / weighted-sample / session-window
+    / PageRank family."""
+
+    def test_weighted_sample_is_distributed_topk(self, plan):
+        """A-ES sampling must compile to TakeOrderedAndProject (per-
+        partition top-k + driver merge), not a global Sort."""
+        p = plan("weighted_doc_sample")
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p, "global sort crept in"
+        assert "Join" not in p
+
+    def test_session_window_is_single_session_aggregate(self, plan):
+        """The native operator: one shuffle on the session keys, no
+        window-function second pass."""
+        p = plan("session_window_stats")
+        assert "session_window" in p
+        assert "Window" not in p.replace("session_window", ""), (
+            "island fallback (window functions) instead of native sessions"
+        )
+
+    def test_kmv_prunes_scan_to_two_columns(self, plan):
+        p = plan("kmv_distinct_users")
+        scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+        for unused in ("value", "props", "event_id"):
+            assert unused not in scan, f"scan reads unused column {unused}"
+
+    def test_no_python_in_sketch_family(self, plan):
+        for q in (
+            "kmv_distinct_users",
+            "weighted_doc_sample",
+            "session_window_stats",
+            "segment_priority_mode",
+            "pagerank_canonical_docs",
+        ):
+            p = plan(q)
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
+
+
 def test_plan_lint_clean(plan):
     """Every non-executing query's physical plan passes the scale lint:
     no CartesianProduct, no row-at-a-time Python, global windows only
