@@ -39,6 +39,7 @@ EXECUTING = {
     "streaming_sliding_stats",
     "streaming_session_counts",
     "streaming_click_attribution",
+    "streaming_left_outer_attribution",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "kmeans_cluster_profile",
