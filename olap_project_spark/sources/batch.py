@@ -41,3 +41,51 @@ def synthesize_timestamp(raw: DataFrame) -> DataFrame:
             F.format_string("%04d-%02d-%02dT%s", "Year", "Month", "Day", "Time"),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Generic warehouse table IO — one dispatcher per direction so every
+# query/export path speaks every columnar+text format Spark ships with
+# --------------------------------------------------------------------------
+
+# Formats bundled with a stock Spark distribution. Avro ships as an
+# external package (org.apache.spark:spark-avro); it is dispatched when
+# present and reported clearly when not.
+BUNDLED_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", *,
+                mode: str = "overwrite", partition_by: list[str] | None = None,
+                compression: str | None = None) -> None:
+    """Write ``df`` at ``path`` in any supported format.
+
+    Columnar formats (parquet/ORC) keep statistics + predicate-pushdown
+    ability; text formats (CSV/JSON) exist for interchange, cost a full
+    re-parse on read, and lose types (CSV) — the engine's own sinks are
+    columnar, matching the reference's parquet fact store
+    (spark_streaming_consumer.py:306-332)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None) -> DataFrame:
+    """Read a table written by :func:`write_table`. Partition-directory
+    columns are recovered automatically for every format (Spark
+    partition discovery — SURVEY.md §2.1 S6 for free). An explicit
+    ``schema`` skips inference (required for typed CSV/JSON at scale;
+    columnar formats carry their own)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+        if schema is None:
+            r = r.option("inferSchema", True)
+    return r.format(fmt).load(path)
