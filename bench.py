@@ -65,10 +65,15 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # n_queries/sec_per_query make the coverage denominator explicit:
+    # the total grows every time the library gains an operator family,
+    # which is breadth, not regression.
     print(json.dumps({
         "metric": "query_library_total",
         "value": total,
         "unit": "sec",
+        "n_queries": len(times),
+        "sec_per_query": round(total / len(times), 3),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

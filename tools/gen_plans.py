@@ -75,6 +75,28 @@ SHOWCASE = [
         "(vectorized Arrow batches) for the opaque-binary decode — never "
         "row-at-a-time BatchEvalPython.",
     ),
+    (
+        "session_window_stats",
+        "Native sessionization: ONE shuffle on the session keys feeding "
+        "an UpdatingSessionsIterator aggregate (session_window in the "
+        "group keys) — no second window-function pass, and the identical "
+        "call is streaming-state compatible.",
+    ),
+    (
+        "weighted_doc_sample",
+        "Derandomized weighted sampling: a stateless projection (hash, "
+        "ln, divide — all codegen'd) into TakeOrderedAndProject — the "
+        "whole corpus is sampled with zero shuffles and no global sort.",
+    ),
+    (
+        "pagerank_canonical_docs",
+        "Iterative PageRank, 3 unrolled rounds: each round is one "
+        "equi-join of the persisted degree-annotated edge list "
+        "(InMemoryTableScan) with the previous ranks plus one hash "
+        "aggregate — rank/degree vectors are |V|-sized, the fact-scale "
+        "pair derivation runs once (session memo), and all arithmetic "
+        "is BIGINT fixed-point (exactly reproducible).",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
