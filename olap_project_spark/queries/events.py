@@ -1599,3 +1599,44 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew path #2 — salted JOIN through the gate
+# --------------------------------------------------------------------------
+@register(
+    "salted_nation_event_stats",
+    oracle="""
+    SELECT CAST(c_nationkey AS INTEGER) AS nation_key,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def salted_nation_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stats per customer nation routed through the SALTED JOIN
+    (functions.scale.salted_join) — the companion to salted_type_stats'
+    salted aggregation: each fact row picks one of 16 salt buckets, the
+    dimension is replicated 16× (one copy per salt), and the join runs
+    on (key, salt) so a hot user's rows split across 16 tasks. The
+    oracle proves row-identical results to the plain equi-join.
+
+    Downstream aggregation stays exact under salting (decimal partials,
+    count merge). At 100 TB this is the fallback when the dimension is
+    too large to broadcast AND the fact key is skewed beyond what AQE
+    skew-split handles; with a broadcastable dim (this corpus) you'd
+    broadcast instead — see segment_event_value for that plan."""
+    from olap_project_spark.functions.scale import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    j = salted_join(ev, cu, key="user_id", n_salts=16)
+    return j.groupBy(
+        F.col("c_nationkey").cast("int").alias("nation_key")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+    )

@@ -327,3 +327,49 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build (effective-dated versions via lead)
+# --------------------------------------------------------------------------
+@register(
+    "scd2_customer_price_ranges",
+    oracle="""
+    SELECT o_custkey AS cust_key,
+           o_orderkey AS order_key,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                    '%Y-%m-%d') AS valid_to,
+           ROUND(o_totalprice, 2) AS snapshot_price
+    FROM orders
+    """,
+)
+def scd2_customer_price_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the order history:
+    each order becomes a customer-state VERSION effective from its
+    order date until the next order (open-ended for the current state,
+    valid_to null) — the standard warehouse versioning the reference's
+    append-only BigQuery table (SURVEY.md §1.1) cannot answer
+    point-in-time questions without. Consumers range-join on
+    valid_from <= ts < valid_to (the as-of composition in this module
+    is the read side of exactly this shape).
+
+    Determinism: same-day orders tie-break on order key, and the lead
+    window uses the identical total order in both engines; dates emit
+    as strings (DATE hashes differently via pandas across engines).
+
+    Scale: one window pass partitioned by customer — the SCD2 build is
+    a single shuffle at any scale, no self-join against the 'next
+    version' as naive SQL would."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        F.round("o_totalprice", 2).alias("snapshot_price"),
+    )
