@@ -1640,3 +1640,60 @@ def salted_nation_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-timezone calendar analytics (ICU/IANA tz conversion)
+# --------------------------------------------------------------------------
+@register(
+    "timezone_business_hours",
+    oracle="""
+    SELECT z.zone,
+           CAST(hour(timezone(z.zone, CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'))
+                AS INTEGER) AS local_hour,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    CROSS JOIN (VALUES ('America/New_York'), ('Asia/Tokyo')) AS z(zone)
+    WHERE hour(timezone(z.zone, CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'))
+          BETWEEN 9 AND 17
+    GROUP BY 1, 2
+    """,
+)
+def timezone_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event traffic during LOCAL business hours (9:00–17:59) in each
+    office timezone: the UTC event time is converted per zone with the
+    IANA tz database (``convert_timezone`` — DST-correct, unlike the
+    fixed-offset arithmetic naive pipelines use), then bucketed by
+    local wall-clock hour. Both engines resolve zone rules through the
+    same IANA data, so even DST-transition rows hash identically.
+
+    The zone list rides along as an exploded literal array — a
+    per-row generate, NOT a cartesian join (the plan-lint bans
+    CartesianProduct); each event contributes one row per zone.
+
+    Scale: stateless projection + one grouped aggregate; the zone
+    fan-out multiplies rows by |zones| before the partial aggregate,
+    which immediately collapses them to |zones|×24 groups map-side."""
+    ev = load(spark, sf_dir, "events")
+    local_ts = F.convert_timezone(
+        F.lit("UTC"), F.col("zone"), F.col("ts")
+    )
+    return (
+        ev.select(
+            F.explode(
+                F.array(F.lit("America/New_York"), F.lit("Asia/Tokyo"))
+            ).alias("zone"),
+            "ts",
+            "value",
+        )
+        .select(
+            "zone", F.hour(local_ts).cast("int").alias("local_hour"), "value"
+        )
+        .filter(F.col("local_hour").between(9, 17))
+        .groupBy("zone", "local_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+    )

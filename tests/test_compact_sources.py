@@ -135,3 +135,39 @@ class TestFormatDispatch:
             .toString()
         )
         assert "PushedFilters" in plan and "GreaterThan(value" in plan
+
+
+class TestSchemaEvolution:
+    """The warehouse reality the reference's fixed 21-column contract
+    ignores: new columns arrive over time. Parquet + mergeSchema reads
+    old and new files as one table (missing columns null-filled)."""
+
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a")], "id bigint, old_col string"
+        ).write.parquet(path + "/batch=1")
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id bigint, old_col string, new_col double"
+        ).write.parquet(path + "/batch=2")
+
+        merged = spark.read.option("mergeSchema", True).parquet(path)
+        assert {"id", "old_col", "new_col", "batch"} <= set(merged.columns)
+        rows = {r["id"]: r for r in merged.collect()}
+        assert rows[1]["new_col"] is None  # old file null-fills
+        assert rows[2]["new_col"] == 9.5
+
+    def test_without_merge_schema_first_file_wins_silently(self, spark, tmp_path):
+        """Documents WHY mergeSchema matters: the default read may pick
+        a footer lacking the new column — readers must opt in."""
+        path = str(tmp_path / "evolving2")
+        spark.createDataFrame([(1,)], "id bigint").write.parquet(path + "/batch=1")
+        spark.createDataFrame(
+            [(2, 1.0)], "id bigint, new_col double"
+        ).write.parquet(path + "/batch=2")
+        default_cols = set(spark.read.parquet(path).columns) - {"batch"}
+        merged_cols = set(
+            spark.read.option("mergeSchema", True).parquet(path).columns
+        ) - {"batch"}
+        assert merged_cols == {"id", "new_col"}
+        assert default_cols <= merged_cols
