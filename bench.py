@@ -54,7 +54,9 @@ def main() -> None:
         "embedding_near_dup_pairs",
         "customer_order_gaps",
         "streaming_hourly_stats",   # streaming machinery + state store
+        "streaming_click_attribution",  # symmetric-hash join state
         "near_dup_clusters",        # iterative driver-loop path
+        "kmeans_cluster_profile",   # broadcast-centroid assignment codegen
     ):
         QUERY_REGISTRY[warm_q].fn(spark, warm_dir).count()
 
