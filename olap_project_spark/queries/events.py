@@ -1697,3 +1697,182 @@ def timezone_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct (users-to-date) — the rewrite that scales
+# --------------------------------------------------------------------------
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS event_date,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS users_to_date
+    FROM per_day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users EVER SEEN up to each day (the growth-curve
+    number), via the rewrite that scales: a cumulative COUNT(DISTINCT)
+    window does not decompose (every day would re-count its whole
+    prefix), but "first-seen date per user → new users per day →
+    running sum" is two hash aggregates plus a window over ≤|days|
+    rows. rolling_daily_active_users makes the same point for a
+    bounded window; this is the unbounded-prefix variant.
+
+    Scale: the user-level aggregate partial-aggregates map-side; the
+    running sum runs on the tiny per-day frame (a deliberate
+    whitelisted global window over ≤|days| rows — see
+    tools/plan_lint.py W1)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("event_date"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series resampling #2 — LINEAR interpolation across gaps
+# --------------------------------------------------------------------------
+@register(
+    "hourly_spine_interpolated",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM events GROUP BY 1, 2
+    ),
+    legs AS (
+      SELECT s.hour_ts, t.event_type,
+             CAST(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+             epoch(s.hour_ts) // 3600 AS t,
+             last_value(CAST(a.sum_dec AS DOUBLE) / a.n IGNORE NULLS) OVER wp AS v_prev,
+             last_value(CASE WHEN a.n IS NOT NULL
+                             THEN epoch(s.hour_ts) // 3600 END IGNORE NULLS)
+               OVER wp AS t_prev,
+             first_value(CAST(a.sum_dec AS DOUBLE) / a.n IGNORE NULLS) OVER wn AS v_next,
+             first_value(CASE WHEN a.n IS NOT NULL
+                              THEN epoch(s.hour_ts) // 3600 END IGNORE NULLS)
+               OVER wn AS t_next
+      FROM spine s
+      CROSS JOIN types t
+      LEFT JOIN actual a ON a.hour_ts = s.hour_ts AND a.event_type = t.event_type
+      WINDOW
+        wp AS (PARTITION BY t.event_type ORDER BY s.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY t.event_type ORDER BY s.hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(hour_ts, '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type, is_gap,
+           ROUND(CASE WHEN t_prev IS NULL THEN v_next
+                      WHEN t_next IS NULL THEN v_prev
+                      WHEN t_next = t_prev THEN v_prev
+                      ELSE v_prev + ((v_next - v_prev) * CAST(t - t_prev AS DOUBLE))
+                                    / CAST(t_next - t_prev AS DOUBLE)
+                 END, 6) AS interp_avg_value
+    FROM legs
+    """,
+)
+def hourly_spine_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification with LINEAR interpolation: gap hours get
+    the value linearly blended between the nearest known hourly
+    averages on each side (edges back-/forward-fill) — the resampling
+    rule forecasting pipelines want when LOCF's step function
+    (hourly_spine_filled) biases the series.
+
+    Both interpolation legs are one window each (carry-forward and its
+    mirror, carry-backward via a FOLLOWING frame); the blend arithmetic
+    is written with identical association in both engines so the
+    doubles hash equal.
+
+    Scale: identical shape to hourly_spine_filled — the window state is
+    per event_type over the |hours| spine, never the fact."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    b = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(hour.alias("hour_ts"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+    )
+    joined = spine.crossJoin(F.broadcast(types)).join(
+        actual, ["hour_ts", "event_type"], "left"
+    )
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4 — route via ltz
+    # (the session is UTC, so the epoch agrees with DuckDB's).
+    t = (F.col("hour_ts").cast("timestamp_ltz").cast("long") / 3600).cast(
+        "bigint"
+    )
+    avg_val = F.col("sum_dec").cast("double") / F.col("n")
+    known_t = F.when(F.col("n").isNotNull(), t)
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    legs = joined.select(
+        "hour_ts",
+        "event_type",
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        t.alias("t"),
+        F.last(avg_val, ignorenulls=True).over(wp).alias("v_prev"),
+        F.last(known_t, ignorenulls=True).over(wp).alias("t_prev"),
+        F.first(avg_val, ignorenulls=True).over(wn).alias("v_next"),
+        F.first(known_t, ignorenulls=True).over(wn).alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("t_prev").isNull(), F.col("v_next"))
+        .when(F.col("t_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (
+                (F.col("v_next") - F.col("v_prev"))
+                * (F.col("t") - F.col("t_prev")).cast("double")
+            )
+            / (F.col("t_next") - F.col("t_prev")).cast("double")
+        )
+    )
+    return legs.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+        "is_gap",
+        F.round(interp, 6).alias("interp_avg_value"),
+    )

@@ -68,7 +68,9 @@ GLOBAL_WINDOW_OK = {
     # (hours / weeks), ≤ thousands of rows at any SF.
     "tfidf_top_terms",
     "hourly_spine_filled",
+    "hourly_spine_interpolated",
     "weekly_value_growth",
+    "cumulative_unique_users",
 }
 
 # Families where Arrow-batched Python is the documented extension point
