@@ -678,3 +678,140 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_K)
         .select("doc_id", F.round(F.col("k") * 1000000, 6).alias("priority_key"))
     )
+
+
+# --------------------------------------------------------------------------
+# The full curation pipeline as ONE dataflow (flagship composition)
+# --------------------------------------------------------------------------
+@register(
+    "corpus_curation_report",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, text,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             {_PUNCT_SQL} AS n_punct
+      FROM documents
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    qual AS (
+      SELECT * FROM dedup
+      WHERE n_tokens >= 20 AND n_chars > 0
+        AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+    ),
+    split AS (
+      SELECT *, CASE WHEN h % 100 < 80 THEN 'train'
+                     WHEN h % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM (SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                           AS BIGINT) AS h
+            FROM qual)
+    ),
+    raw_s AS (SELECT source, COUNT(*) AS n_raw FROM fp GROUP BY source),
+    dedup_s AS (SELECT source, COUNT(*) AS n_dedup FROM dedup GROUP BY source),
+    qual_s AS (SELECT source, COUNT(*) AS n_quality FROM qual GROUP BY source),
+    split_s AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN split = 'train' THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS train_tokens
+      FROM split GROUP BY source
+    )
+    SELECT r.source, r.n_raw,
+           COALESCE(d.n_dedup, 0) AS n_dedup,
+           COALESCE(q.n_quality, 0) AS n_quality,
+           COALESCE(s.n_train, 0) AS n_train,
+           COALESCE(s.n_val, 0) AS n_val,
+           COALESCE(s.n_test, 0) AS n_test,
+           COALESCE(s.train_tokens, 0) AS train_tokens
+    FROM raw_s r
+    LEFT JOIN dedup_s d ON d.source = r.source
+    LEFT JOIN qual_s q ON q.source = r.source
+    LEFT JOIN split_s s ON s.source = r.source
+    """,
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as one dataflow — what a
+    training-data team actually runs nightly: exact dedup (canonical
+    survivor = min doc_id per normalized-text fingerprint, so
+    cross-source duplicates resolve deterministically) → quality gate
+    (length + punctuation-density) → reproducible hash split → per-
+    source funnel accounting with train-token budget. Composes the
+    operators doc_fingerprints / doc_quality_scores /
+    doc_split_assignment prove individually; this query proves they
+    compose in one plan.
+
+    Scale: one scan computes fingerprint+features; dedup is a single
+    row_number window on the fingerprint key; every later stage is a
+    narrow filter/projection on that flow, and the three stage
+    summaries are tiny per-source aggregates broadcast-joined at the
+    end. The fact is scanned ONCE."""
+    from olap_project_spark.functions.text import (
+        normalize_text as _norm,
+        portable_hash48 as _h48,
+        punct_count as _punct,
+        token_count as _ntok,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(_norm(F.col("text"))).alias("f"),
+        _ntok(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        _punct(F.col("text")).alias("n_punct"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("f").orderBy("doc_id"))
+    dedup = fp.withColumn("rn", rn).filter(F.col("rn") == 1)
+    qual = dedup.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars") > 0)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+    )
+    bucket = _h48(F.col("doc_id").cast("string")) % 100
+    split = qual.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    raw_s = fp.groupBy("source").agg(F.count("*").alias("n_raw"))
+    dedup_s = dedup.groupBy("source").agg(F.count("*").alias("n_dedup"))
+    qual_s = qual.groupBy("source").agg(F.count("*").alias("n_quality"))
+    flag = lambda name: F.sum(  # noqa: E731
+        F.when(F.col("split") == name, 1).otherwise(0)
+    ).cast("bigint")
+    split_s = split.groupBy("source").agg(
+        flag("train").alias("n_train"),
+        flag("val").alias("n_val"),
+        flag("test").alias("n_test"),
+        F.sum(F.when(F.col("split") == "train", F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("train_tokens"),
+    )
+    out = (
+        raw_s.join(dedup_s, "source", "left")
+        .join(qual_s, "source", "left")
+        .join(split_s, "source", "left")
+    )
+    fill = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
+    return out.select(
+        "source",
+        "n_raw",
+        fill("n_dedup"),
+        fill("n_quality"),
+        fill("n_train"),
+        fill("n_val"),
+        fill("n_test"),
+        fill("train_tokens"),
+    )
