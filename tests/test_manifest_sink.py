@@ -1,0 +1,66 @@
+"""Exactly-once manifest-commit sink: committed files are readable,
+uncommitted staging output is invisible, appends accumulate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from olap_project_spark.export.manifest_sink import (
+    ManifestSinkDataSource,
+    read_committed,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestSinkDataSource)
+    return spark
+
+
+SCHEMA = "k bigint, v string"
+
+
+def _write(spark, path, rows):
+    (
+        spark.createDataFrame(rows, SCHEMA)
+        .repartition(4)
+        .write.format("manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+
+class TestManifestSink:
+    def test_round_trip_and_manifest_shape(self, registered, tmp_path):
+        path = str(tmp_path / "wh")
+        rows = [(i, f"v{i}") for i in range(100)]
+        _write(registered, path, rows)
+        manifests = [e for e in os.listdir(path) if e.startswith("_manifest-")]
+        assert len(manifests) == 1
+        m = json.load(open(os.path.join(path, manifests[0])))
+        assert m["n_rows"] == 100 and len(m["files"]) == 4
+        back = read_committed(registered, path, SCHEMA)
+        assert sorted((r["k"], r["v"]) for r in back.collect()) == rows
+
+    def test_appends_accumulate_one_manifest_each(self, registered, tmp_path):
+        path = str(tmp_path / "wh2")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")])
+        assert read_committed(registered, path, SCHEMA).count() == 2
+        assert (
+            len([e for e in os.listdir(path) if e.startswith("_manifest-")]) == 2
+        )
+
+    def test_uncommitted_staging_is_invisible(self, registered, tmp_path):
+        path = str(tmp_path / "wh3")
+        _write(registered, path, [(1, "a")])
+        # simulate a crashed attempt: orphan staging file, no manifest
+        orphan = os.path.join(path, "_staging", "part-deadbeef.jsonl")
+        with open(orphan, "w") as f:
+            f.write(json.dumps({"k": 99, "v": "ghost"}) + "\n")
+        got = read_committed(registered, path, SCHEMA)
+        assert [r["k"] for r in got.collect()] == [1]
