@@ -1876,3 +1876,52 @@ def hourly_spine_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.round(interp, 6).alias("interp_avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured #2 — VariantType (Spark 4's binary JSON)
+# --------------------------------------------------------------------------
+@register(
+    "props_variant_buckets",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    )
+    SELECT k_bucket,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM x
+    GROUP BY k_bucket
+    """,
+)
+def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same semi-structured payload via Spark 4's VARIANT type:
+    ``parse_json`` decodes the JSON string ONCE into the binary variant
+    encoding, then ``try_variant_get`` path-extracts with a type — the
+    shredded-access model (one parse, many typed reads) that replaces
+    repeated per-field string path-walks (props_json_stats shows that
+    older model). try_* semantics: malformed payloads yield null, never
+    a failed task — the posture a 100 TB ingest needs.
+
+    The oracle reads the identical field through DuckDB's JSON path
+    API; the variant encoding is an engine-internal detail, so the
+    RESULTS (not the encodings) are what must match.
+
+    Scale: variant parse+get are codegen'd JVM expressions; for
+    repeatedly-queried fields you'd shred the variant to a column at
+    write time — this query is the read-side half of that trade."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .select("event_type", F.expr("k div 10").alias("k_bucket"))
+        .filter(F.col("k_bucket").isNotNull())
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        )
+    )

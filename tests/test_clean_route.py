@@ -237,3 +237,32 @@ class TestGoldenEndToEnd:
                 if m != w:
                     mismatches.append((mine["User"], col, m, w))
         assert not mismatches, mismatches[:10]
+
+
+class TestObservability:
+    """Production metric collection with the Observation API: pipeline
+    health counters ride along with the action (no second scan), the
+    in-flight form of the reference's console-sink debugging."""
+
+    def test_clean_metrics_ride_along(self, spark):
+        from pyspark.sql import Observation
+
+        raw = raw_transactions_df(spark)
+        obs = Observation("clean_metrics")
+        cleaned = clean(raw).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("Amount_USD").isNull(), 1).otherwise(0)
+            ).alias("n_bad_amount"),
+            F.sum(F.when(F.col("Is_Fraud") == "Yes", 1).otherwise(0)).alias(
+                "n_fraud"
+            ),
+        )
+        n = cleaned.count()  # ONE action: metrics observed during it
+        got = obs.get
+        assert got["n_rows"] == n
+        want_fraud = clean(raw).filter(F.col("Is_Fraud") == "Yes").count()
+        want_bad = clean(raw).filter(F.col("Amount_USD").isNull()).count()
+        assert got["n_fraud"] == want_fraud
+        assert got["n_bad_amount"] == want_bad
