@@ -624,3 +624,61 @@ def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination(300)
     return child.table(name)
+
+
+@register(
+    "streaming_update_mode_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third emission semantic (every other
+    streaming gate query is append): each micro-batch emits the NEW
+    running total for every (window, type) group it touched, so the
+    sink sees a changelog. The final state of each key is recovered by
+    max() over its changelog — exact because a count only grows — and
+    equals the plain batch aggregate over ALL windows (update mode has
+    no append-style watermark cutoff: even the last, still-open window
+    has emitted its latest total by end of replay).
+
+    This is the mode a live dashboard consumes (upsert by key); append
+    is the mode an immutable audit log consumes; complete re-emits the
+    world. The engine supports all three on the same windowed plan.
+
+    Scale: update mode's state is identical to append's; what changes
+    is sink traffic — O(changed keys) per batch instead of
+    O(closed windows)."""
+    child = _streaming_child(spark)
+    stream = _event_stream(child, sf_dir)
+    win = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"streaming_upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # Changelog → final state: last (= max, counts are monotone) per key.
+    return (
+        child.table(name)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -41,6 +41,7 @@ EXECUTING = {
     "streaming_click_attribution",
     "streaming_left_outer_attribution",
     "streaming_full_outer_attribution",
+    "streaming_update_mode_counts",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "kmeans_cluster_profile",
