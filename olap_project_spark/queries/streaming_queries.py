@@ -682,3 +682,47 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register(
+    "streaming_complete_mode_totals",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode closes the output-mode triad (append =
+    immutable log of closed windows, update = changelog of touched
+    keys, complete = the whole result re-emitted every batch): the
+    memory sink holds the full refreshed table, so after the bounded
+    replay drains it IS the batch aggregate — compared verbatim against
+    the plain GROUP BY oracle, decimal-exact money included.
+
+    Complete mode needs no watermark (state is the whole result by
+    definition) — which is also its scale warning: output traffic is
+    O(|result|) per batch, so it fits low-cardinality rollups (here:
+    |event types|), never high-cardinality keys. The engine's
+    continuous_rollup (foreachBatch incremental merge) is the
+    high-cardinality answer."""
+    child = _streaming_child(spark)
+    stream = _event_stream(child, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    name = f"streaming_cmp_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return child.table(name)

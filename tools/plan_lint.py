@@ -42,6 +42,7 @@ EXECUTING = {
     "streaming_left_outer_attribution",
     "streaming_full_outer_attribution",
     "streaming_update_mode_counts",
+    "streaming_complete_mode_totals",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "kmeans_cluster_profile",
