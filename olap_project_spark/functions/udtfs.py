@@ -40,5 +40,52 @@ class ChunkTokens:
 
 def register_udtfs(spark) -> None:
     """Register the UDTF surface for SQL use:
-    ``SELECT * FROM chunk_tokens('some text', 50, 40)``."""
+    ``SELECT * FROM chunk_tokens('some text', 50, 40)`` /
+    ``SELECT * FROM parse_delimited('1|2', 'a|b', '|')``."""
     spark.udtf.register("chunk_tokens", ChunkTokens)
+    spark.udtf.register("parse_delimited", _parse_delimited_udtf())
+
+
+def _parse_delimited_udtf():
+    """Build the polymorphic ParseDelimited UDTF (deferred so importing
+    this module never fails on an older API surface)."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class ParseDelimited:
+        """POLYMORPHIC UDTF (Spark 4 ``analyze`` API): output schema is
+        computed at QUERY-ANALYSIS time from the literal header
+        argument — ``parse_delimited(line, 'user|card|amount', '|')``
+        yields columns (user, card, amount). This is the API for
+        format-aware splitters whose shape isn't known until the call
+        site; the engine's fixed-shape splitters (from_csv, the chunker
+        above) stay on static schemas.
+
+        Values beyond the header are dropped, missing ones null-fill —
+        the lenient posture of the reference's CSV handling
+        (SURVEY.md §1.2)."""
+
+        @staticmethod
+        def analyze(
+            line: AnalyzeArgument,
+            header: AnalyzeArgument,
+            sep: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            if header.value is None:
+                raise ValueError("parse_delimited: header must be a literal")
+            sep_v = sep.value if sep.value is not None else "|"
+            schema = StructType()
+            for name in str(header.value).split(sep_v):
+                schema = schema.add(name.strip(), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, line: str, header: str, sep: str = "|"):
+            n = len(header.split(sep))
+            if line is None:
+                yield tuple([None] * n)
+                return
+            parts = line.split(sep)
+            yield tuple((parts[i] if i < len(parts) else None) for i in range(n))
+
+    return ParseDelimited

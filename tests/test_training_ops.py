@@ -319,3 +319,45 @@ class TestConnectedComponentsProperty:
                 ).collect()
             }
             assert got == want, f"trial {trial}"
+
+
+class TestPolymorphicUdtf:
+    """Spark 4 analyze()-API UDTF: output schema computed from the
+    literal header argument at analysis time."""
+
+    def test_schema_follows_header_literal(self, spark):
+        from olap_project_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        got = spark.sql(
+            "SELECT * FROM parse_delimited('7|4111|125.50', 'user|card|amount', '|')"
+        )
+        assert got.columns == ["user", "card", "amount"]
+        row = got.collect()[0]
+        assert (row["user"], row["card"], row["amount"]) == ("7", "4111", "125.50")
+
+    def test_short_lines_null_fill_and_long_lines_truncate(self, spark):
+        from olap_project_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        short = spark.sql(
+            "SELECT * FROM parse_delimited('only', 'a|b|c', '|')"
+        ).collect()[0]
+        assert (short["a"], short["b"], short["c"]) == ("only", None, None)
+        long = spark.sql(
+            "SELECT * FROM parse_delimited('1|2|3|4', 'a|b', '|')"
+        ).collect()[0]
+        assert (long["a"], long["b"]) == ("1", "2")
+
+    def test_lateral_over_table(self, spark):
+        from olap_project_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        spark.createDataFrame(
+            [("1|a",), ("2|b",)], "line string"
+        ).createOrReplaceTempView("raw_lines")
+        got = spark.sql(
+            """SELECT p.k, p.v FROM raw_lines r,
+               LATERAL parse_delimited(r.line, 'k|v', '|') p"""
+        ).collect()
+        assert sorted((r["k"], r["v"]) for r in got) == [("1", "a"), ("2", "b")]
