@@ -1925,3 +1925,68 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_type").cast("bigint").alias("n_types"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnostics — the numbers that decide broadcast/salt/AQE strategy
+# --------------------------------------------------------------------------
+@register(
+    "user_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_rows
+      FROM freq
+    )
+    SELECT n_keys,
+           n_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top1_rows,
+           ROUND(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE)
+                 / MAX(n_rows), 6) AS top1_share,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10_rows,
+           ROUND(CAST(MAX(n_rows) AS DOUBLE) / MAX(n_keys), 6) AS mean_rows_per_key,
+           ROUND(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE)
+                 / (CAST(MAX(n_rows) AS DOUBLE) / MAX(n_keys)), 6)
+             AS top1_to_mean_ratio
+    FROM ranked
+    GROUP BY n_keys, n_rows
+    """,
+)
+def user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the stream fact's user_id — the
+    numbers that decide the physical strategy BEFORE a 100 TB join:
+    top-1/top-10 key row shares and the hot-key-to-mean ratio. Rule of
+    thumb this feeds: ratio ≲ 10 → plain shuffle join; 10-100 → AQE
+    skew-split handles it; ≫100 → salt (salted_nation_event_stats) or
+    filter the hot key onto a broadcast path. functions/profile.py
+    does the generic one-pass version; this exposes the join-planning
+    cut through the gate.
+
+    Scale: one partial-aggregated count per key, then a top-k style
+    window over the per-key frame (|keys| rows, not |rows|)."""
+    ev = load(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.col("user_id")))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_keys"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("n_rows"),
+    )
+    top1 = F.max(F.when(F.col("rk") == 1, F.col("n")))
+    mean = F.max("n_rows").cast("double") / F.max("n_keys")
+    return ranked.groupBy("n_keys", "n_rows").agg(
+        top1.cast("bigint").alias("top1_rows"),
+        F.round(top1.cast("double") / F.max("n_rows"), 6).alias("top1_share"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("top10_rows"),
+        F.round(mean, 6).alias("mean_rows_per_key"),
+        F.round(top1.cast("double") / mean, 6).alias("top1_to_mean_ratio"),
+    )

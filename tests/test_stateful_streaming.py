@@ -105,3 +105,50 @@ class TestCumulativeAlerts:
         for uid, grp in got.groupby("user_id"):
             seq = sorted(grp["alerts_so_far"])
             assert seq == list(range(1, len(seq) + 1))
+
+
+class TestQueryableStateStore:
+    """Spark 4's state data source: the checkpointed state of a
+    streaming aggregate is itself a readable table — the ops surface
+    for debugging watermarks/state growth without instrumenting the
+    query. The reference's only state visibility was the console sink."""
+
+    def test_statestore_reflects_aggregation_state(self, spark, sf_dir, tmp_path):
+        import uuid
+
+        from pyspark.sql import functions as F
+        from olap_project_spark.queries.streaming_queries import (
+            _event_stream,
+            _streaming_child,
+        )
+
+        child = _streaming_child(spark)
+        ck = str(tmp_path / "ckpt")
+        agg = (
+            _event_stream(child, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        name = f"state_probe_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        state = spark.read.format("statestore").load(ck)
+        # the value struct carries the PHYSICAL aggregate buffer's field
+        # names (e.g. count(1)), not the query alias — read by position
+        got = {r["key"][0]: r["value"][0] for r in state.collect()}
+        want = {
+            r["event_type"]: r["n"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want

@@ -73,6 +73,7 @@ GLOBAL_WINDOW_OK = {
     "hourly_spine_interpolated",
     "weekly_value_growth",
     "cumulative_unique_users",
+    "user_key_skew_profile",
 }
 
 # Families where Arrow-batched Python is the documented extension point
