@@ -99,3 +99,67 @@ def cumulative_threshold_alerts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the
+# successor API (typed state handles, timers, TTL) that replaces the
+# (fn, state-schema) closure style above. Both implementations are kept
+# and pinned to identical output by tests: the engine's custom-operator
+# surface works on whichever API a deployment standardizes on.
+# --------------------------------------------------------------------------
+def cumulative_threshold_alerts_tws(
+    events: DataFrame,
+    threshold: float = 1000.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """``cumulative_threshold_alerts`` on the StatefulProcessor API:
+    state is a typed ValueState handle the runtime manages (RocksDB-
+    backed at scale, with changelog checkpointing), instead of an
+    opaque tuple the closure re-packs every batch. Timers/TTL hooks
+    (``handleExpiredTimer``) are where idle-key eviction goes when the
+    key domain is unbounded.
+
+    Runtime requirement: the TWS Python worker speaks protobuf to the
+    JVM — environments without a working ``google.protobuf`` must use
+    :func:`cumulative_threshold_alerts` (identical semantics, pinned by
+    tests/test_stateful_streaming.py whenever protobuf is present)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AlertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("acc", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cum, alerts = (
+                self.state.get() if self.state.exists() else (0.0, 0)
+            )
+            batch = pd.concat(list(rows), ignore_index=True)
+            if "ts" in batch.columns:
+                batch = batch.sort_values("ts", kind="mergesort")
+            out = []
+            for v in batch[value_col]:
+                new_cum = cum + float(v)
+                if int(new_cum // threshold) > int(cum // threshold):
+                    alerts += 1
+                    out.append((key[0], round(new_cum, 2), alerts))
+                cum = new_cum
+            self.state.update((cum, alerts))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "cum_value", "alerts_so_far"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        AlertProcessor(),
+        outputStructType=ALERT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
