@@ -171,3 +171,35 @@ class TestSchemaEvolution:
         ) - {"batch"}
         assert merged_cols == {"id", "new_col"}
         assert default_cols <= merged_cols
+
+
+class TestAggregatePushdown:
+    """MIN/MAX/COUNT answered from parquet FOOTER METADATA (v2 reader +
+    spark.sql.parquet.aggregatePushdown): at 100 TB a row-count or
+    column-extent probe touches O(files) footers instead of scanning
+    data — the difference between seconds and hours for the profiling
+    passes functions/profile.py runs."""
+
+    def test_min_max_count_come_from_footers(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        child = spark.newSession()
+        child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        child.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = child.read.parquet(f"{sf_dir}/orders.parquet")
+        agg = df.agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan or "min(o_totalprice)" in plan
+        row = agg.collect()[0]
+        want = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(
+                F.min("o_totalprice"), F.max("o_totalprice"), F.count("*")
+            )
+            .collect()[0]
+        )
+        assert (row["mn"], row["mx"], row["n"]) == tuple(want)
