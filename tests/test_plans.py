@@ -303,3 +303,36 @@ def test_plan_lint_clean(plan):
         problems += [f"{name}: {e}" for e in errors]
         problems += [f"{name}: {w}" for w in warns]
     assert not problems, problems
+
+
+class TestRuntimeBloomFilter:
+    """Runtime row-level filtering: when a shuffle join's build side is
+    selectively filtered, the optimizer injects a bloom-filter
+    semi-reduction on the probe side (might_contain over the scan) —
+    rows that cannot join die before the shuffle. At 100 TB this is the
+    free 'semi-join reducer' for every selective dim filter that is too
+    big to broadcast."""
+
+    def test_bloom_semi_reduction_injected(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        try:
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                "o_orderpriority = '1-URGENT'"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan.lower()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
