@@ -89,6 +89,14 @@ SHOWCASE = [
         "whole corpus is sampled with zero shuffles and no global sort.",
     ),
     (
+        "corpus_curation_report",
+        "The end-to-end curation funnel in ONE plan: a single documents "
+        "scan computes fingerprint+features, the dedup survivor is one "
+        "row_number window on the fingerprint key, quality/split are "
+        "narrow filters on that flow, and the three per-source stage "
+        "summaries join back broadcast — no second scan of the corpus.",
+    ),
+    (
         "pagerank_canonical_docs",
         "Iterative PageRank, 3 unrolled rounds: each round is one "
         "equi-join of the persisted degree-annotated edge list "
