@@ -704,3 +704,61 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q9-shape — multi-dimension star join with derived profit measure
+# --------------------------------------------------------------------------
+@register(
+    "supplier_nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           ROUND(CAST(SUM(
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               - CAST(p.p_retailprice AS DECIMAL(18,2))
+                 * CAST(l.l_quantity AS DECIMAL(18,2))
+           ) AS DOUBLE), 2) AS profit,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    JOIN part     p ON p.p_partkey  = l.l_partkey
+    GROUP BY n.n_name, YEAR(l.l_shipdate)
+    ORDER BY nation, ship_year
+    """,
+)
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: margin (discounted revenue minus a
+    retail-price x quantity cost proxy — the star schema has no partsupp
+    table, so p_retailprice stands in for ps_supplycost) by supplier
+    nation and ship year. The widest dimension fan-in in the suite: one
+    fact joined to three dimensions at once.
+
+    Scale: all three joins broadcast (supplier/nation/part are dims);
+    the fact never shuffles for joins — the only exchange is the final
+    25-nation x few-year hash aggregate, reduced map-side first. Profit
+    math stays DECIMAL end-to-end (exact, order-independent) and is cast
+    to double only after the SUM. Reference parity: extends the Q0
+    merchant rollup family (requirements.md:10-13) to multi-dim joins
+    the reference's spec implies (SURVEY.md section 2.5) but never built."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pa = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    margin = _disc_price() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(margin).cast("double"), 2).alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation", "ship_year")
+    )

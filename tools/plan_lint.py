@@ -74,6 +74,11 @@ GLOBAL_WINDOW_OK = {
     "weekly_value_growth",
     "cumulative_unique_users",
     "user_key_skew_profile",
+    # Lorenz rank over one aggregated row per customer; frontier scan
+    # over distinct (price,size) measure pairs — both inputs are the
+    # post-aggregation reduced set, never the fact table.
+    "customer_revenue_gini",
+    "part_price_skyline",
 }
 
 # Families where Arrow-batched Python is the documented extension point
