@@ -762,3 +762,338 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "ship_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2-shape — correlated min over a derived supplier-part cost relation
+# --------------------------------------------------------------------------
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice * (1 - l_discount) / l_quantity) AS ucost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS bp, MIN(ucost) AS best_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT p_partkey AS partkey, p_name AS part_name, s_name AS supplier,
+           n_name AS nation,
+           ROUND(CAST(s_acctbal AS DOUBLE), 2) AS acctbal,
+           ROUND(ucost, 2) AS unit_cost
+    FROM cost
+    JOIN best     ON bp = l_partkey AND ucost = best_cost
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_type = 'PROMO' AND p_size <= 10
+    ORDER BY acctbal DESC, nation, supplier, partkey
+    LIMIT 25
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated minimum: for small PROMO parts, the
+    supplier(s) offering the lowest observed unit cost — the star schema
+    has no partsupp table, so the supplier-part cost relation is derived
+    from lineitem history (min effective unit price per supplier-part).
+
+    Scale: the part filter broadcasts and SEMI-reduces lineitem BEFORE
+    the cost aggregation, so only matching parts' lines shuffle; the
+    per-part best cost is a window MIN over the already-aggregated
+    (part, supplier) relation — no second shuffle (same key). The unit
+    cost divides double-by-double in source order on both engines, so
+    the correlated equality join is exact."""
+    from pyspark.sql import Window
+
+    pa = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    ucost = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ) / F.col("l_quantity")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min(ucost).alias("ucost"))
+    best = F.min("ucost").over(Window.partitionBy("l_partkey"))
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    return (
+        cost.withColumn("best_cost", best)
+        .filter(F.col("ucost") == F.col("best_cost"))
+        .join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
+            F.round(F.col("ucost"), 2).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "supplier", "partkey")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-shape — group-sum filtered by a scalar-subquery fraction of total
+# --------------------------------------------------------------------------
+@register(
+    "important_part_values",
+    oracle="""
+    WITH supval AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(val) AS total FROM supval)
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(val AS DOUBLE), 2) AS part_value
+    FROM supval, tot
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped importance cut: parts whose revenue through one
+    nation's suppliers exceeds 0.1% of that nation's total — a group
+    aggregate thresholded by a scalar subquery over itself.
+
+    Scale: the nation-3 supplier set broadcasts as a SEMI reduction on
+    the scan; the per-part aggregate shuffles once; the grand total is
+    a 1-row broadcast back onto it (no second pass over the fact). The
+    threshold compares exact decimal sums cast to double identically on
+    both engines, so the cut row-set is deterministic."""
+    su = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    supval = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("val"))
+    tot = supval.agg(F.sum("val").alias("total"))
+    return (
+        supval.join(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double") > F.col("total").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16-shape — distinct-count with NOT IN exclusion subquery
+# --------------------------------------------------------------------------
+@register(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity: how many distinct suppliers
+    ship each (brand, type, size) combination, excluding one brand, one
+    type, off-list sizes, and suppliers in arrears (the NOT IN
+    complaint-supplier analog — supplier keys are never null here, so
+    ANTI join implements NOT IN exactly).
+
+    Scale: both dimension filters broadcast (part as a SEMI reduction,
+    bad suppliers as an ANTI); the only wide exchange is the distinct-
+    count aggregate, which Spark executes as partial dedup on
+    (group, suppkey) before the final count — no row-level shuffle of
+    the raw fact."""
+    pa = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-shape — nested aggregation threshold (share-of-part dominance)
+# --------------------------------------------------------------------------
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), ptot AS (
+      SELECT l_partkey AS tp, SUM(qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name AS supplier, n_name AS nation
+    FROM shipped
+    JOIN ptot     ON tp = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE)
+    ORDER BY supplier, nation
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped excess-share detection: suppliers who shipped
+    more than 30% of a 'small%' part's total volume in one year — the
+    availqty-vs-shipped threshold of Q20 re-derived from lineitem
+    (no partsupp table in this star schema).
+
+    Scale: name+date filters reduce the fact before any exchange (the
+    part filter broadcast-SEMI, the date range pushed to parquet); the
+    per-(supplier, part) aggregate shuffles once and the per-part total
+    is a window SUM over it on the same key — no second shuffle.
+    Quantity sums are exact decimals; the 30% cut compares doubles
+    derived identically on both engines."""
+    from pyspark.sql import Window
+
+    pa = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.withColumn("total_qty", total)
+        .filter(
+            F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double")
+        )
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("supplier", "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21-shape — sole-blame detection (EXISTS + NOT EXISTS as one aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "sole_late_suppliers",
+    oracle="""
+    WITH li2 AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), ord AS (
+      SELECT l_orderkey AS ok, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      FROM li2 GROUP BY l_orderkey
+    )
+    SELECT s_name AS supplier, COUNT(*) AS numwait
+    FROM li2
+    JOIN ord      ON ok = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, supplier
+    LIMIT 20
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-blame ranking: suppliers who were the ONLY
+    late shipper (>90 days after order date — the star schema has no
+    commit/receipt dates) on finished multi-supplier orders.
+
+    Spark-first reformulation: Q21's EXISTS / NOT EXISTS self-joins are
+    algebraically a per-order aggregate — n_suppliers > 1 AND
+    n_late_suppliers = 1 AND this supplier late — so instead of two
+    extra fact self-joins, one groupBy derives per-(order, supplier)
+    lateness and a window on the SAME key derives the order stats: one
+    shuffle total, versus three for the literal EXISTS plan.
+
+    Scale: the status filter pushes to the orders scan; orders⋈lineitem
+    is the one wide join (bucket both on the order key to eliminate);
+    everything after lives on l_orderkey partitioning unchanged."""
+    from pyspark.sql import Window
+
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+        .limit(20)
+    )

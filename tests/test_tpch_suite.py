@@ -30,6 +30,13 @@ TPCH_NAMES = [
     "large_volume_customers",
     "discounted_revenue_or",
     "idle_rich_customers",
+    "q3_shipping_priority",
+    "supplier_nation_profit",
+    "min_cost_supplier",
+    "important_part_values",
+    "part_supplier_diversity",
+    "dominant_part_suppliers",
+    "sole_late_suppliers",
 ]
 
 
