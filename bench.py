@@ -58,13 +58,23 @@ def main() -> None:
         "near_dup_clusters",        # iterative driver-loop path
         "kmeans_cluster_profile",   # broadcast-centroid assignment codegen
     ):
-        QUERY_REGISTRY[warm_q].fn(spark, warm_dir).count()
+        # Warmup is best-effort: a failure here must never zero the run
+        # (round 2's bench died in warmup and recorded no timings at all).
+        try:
+            QUERY_REGISTRY[warm_q].fn(spark, warm_dir).count()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     families: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERY_REGISTRY.items():
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
+        try:
+            q.fn(spark, sf_dir).count()
+        except Exception as exc:  # one broken query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:120]
+            continue
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         fam = q.fn.__module__.rsplit(".", 1)[-1]
@@ -82,33 +92,35 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"total_sec": total, "queries": times}, fh, indent=1,
-                  sort_keys=True)
+        json.dump({"total_sec": total, "queries": times, "errors": errors},
+                  fh, indent=1, sort_keys=True)
 
     # n_queries/sec_per_query make the coverage denominator explicit:
     # the total grows every time the library gains an operator family,
     # which is breadth, not regression.
-    line = json.dumps({
+    base = {
         "metric": "query_library_total",
         "value": total,
         "unit": "sec",
         "n_queries": len(times),
-        "sec_per_query": round(total / len(times), 3),
-        "queries": headline,
-        "families": families,
+        "n_errors": len(errors),
+        "sec_per_query": round(total / max(len(times), 1), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    })
-    if len(line) > 1800:  # never overflow the driver's tail capture
-        line = json.dumps({
-            "metric": "query_library_total",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(times),
-            "sec_per_query": round(total / len(times), 3),
-            "queries": dict(sorted(times.items(),
-                                   key=lambda kv: -kv[1])[:12]),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        })
+    }
+    # Progressively shrink until the line fits the driver's 2000-char
+    # stdout tail capture; the full breakdown is in BENCH_DETAIL.json.
+    candidates = [
+        {**base, "queries": headline, "families": families,
+         "errors": {n: m[:60] for n, m in errors.items()}},
+        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:12]),
+         "errors": {n: m[:40] for n, m in list(errors.items())[:5]}},
+        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:6])},
+        base,
+    ]
+    line = next(
+        (s for c in candidates if len(s := json.dumps(c)) <= 1800),
+        json.dumps(base),
+    )
     print(line)
 
 

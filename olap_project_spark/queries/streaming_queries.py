@@ -19,9 +19,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from olap_project_spark.queries import register
+from olap_project_spark.sources.registry import normalize_timestamps
 from olap_project_spark.streaming.windows import (
     session_event_counts,
     windowed_event_stats,
@@ -62,7 +62,10 @@ def _streaming_child(spark: SparkSession) -> SparkSession:
 
 def _event_stream(spark: SparkSession, sf_dir: str):
     """File-source streaming replay of the events table, normalizing the
-    INT64(NANOS) parquet timestamp the same way the batch loader does."""
+    timestamp column exactly as the batch loader does (INT64-nanos-as-long
+    and TIMESTAMP_NTZ forms both become plain TimestampType — NTZ would
+    otherwise make ``withWatermark`` throw
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -70,9 +73,7 @@ def _event_stream(spark: SparkSession, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(batch_schema["ts"].dataType, LongType):  # ns-as-long file
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_timestamps(stream, ["ts"])
 
 
 def _run_streaming(spark: SparkSession, sf_dir: str, build, prefix: str) -> DataFrame:
