@@ -122,7 +122,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load(spark, sf_dir, "region")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -1103,7 +1103,7 @@ def nation_population_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         ((F.col("n_nationkey") + 1) * 1000000).alias("population"),
     )
     rev = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("n_nationkey"))
         .agg(
             F.sum(
@@ -1410,7 +1410,7 @@ def segment_priority_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = (
         load(spark, sf_dir, "orders")
         .join(
-            F.broadcast(load(spark, sf_dir, "customer")),
+            load(spark, sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

@@ -162,10 +162,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load(spark, sf_dir, "nation")
     re = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        od.join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        od.join(cu, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(su),
+            su,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -221,8 +221,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -284,10 +284,10 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (
         li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(re), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -340,7 +340,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         od.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
@@ -387,7 +387,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC),
     )
     return (
-        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 num.cast("double") * 100 / F.sum(_disc_price()).cast("double"), 6
@@ -438,7 +438,7 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -484,7 +484,7 @@ def small_qty_revenue_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*") * 0.2).alias("thresh")
     )
     return (
-        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
         .join(pq, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("thresh"))
         .agg(
@@ -531,7 +531,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -582,7 +582,7 @@ def discounted_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 30)
     )
     return (
-        li.join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pa, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
@@ -688,7 +688,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                cust, orders.o_custkey == cust.c_custkey
             ).select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -749,9 +749,9 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     margin = _disc_price() - _dec("p_retailprice") * _dec("l_quantity")
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("ship_year"),
@@ -813,7 +813,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        pa, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     ucost = (
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
@@ -825,8 +825,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cost.withColumn("best_cost", best)
         .filter(F.col("ucost") == F.col("best_cost"))
-        .join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(pa, F.col("p_partkey") == F.col("l_partkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             F.col("p_partkey").alias("partkey"),
@@ -878,7 +878,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        su, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     supval = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("val"))
     tot = supval.agg(F.sum("val").alias("total"))
@@ -939,11 +939,11 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
     )
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1003,7 +1003,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"),
+        .join(pa, F.col("l_partkey") == F.col("p_partkey"),
               "left_semi")
     )
     shipped = li.groupBy("l_suppkey", "l_partkey").agg(
@@ -1017,7 +1017,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double")
         )
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
         .distinct()
@@ -1091,7 +1091,7 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "supplier")

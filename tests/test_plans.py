@@ -288,10 +288,12 @@ class TestSketchSamplingPlans:
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
 
 
-def test_plan_lint_clean(plan):
-    """Every non-executing query's physical plan passes the scale lint:
-    no CartesianProduct, no row-at-a-time Python, global windows only
-    where whitelisted (tools/plan_lint.py documents each rule)."""
+def test_plan_lint_clean(spark, sf_dir):
+    """Every non-executing query passes the scale lint: no
+    CartesianProduct, no row-at-a-time Python, no forced broadcast of an
+    SF-scaling table (E3, on the analyzed logical plan where hints are
+    visible), global windows only where whitelisted (tools/plan_lint.py
+    documents each rule)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from plan_lint import EXECUTING, lint_one
 
@@ -299,7 +301,10 @@ def test_plan_lint_clean(plan):
     for name in QUERY_REGISTRY:
         if name in EXECUTING:
             continue
-        errors, warns = lint_one(name, plan(name))
+        qe = QUERY_REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+        errors, warns = lint_one(
+            name, qe.executedPlan().toString(), qe.analyzed().toString()
+        )
         problems += [f"{name}: {e}" for e in errors]
         problems += [f"{name}: {w}" for w in warns]
     assert not problems, problems

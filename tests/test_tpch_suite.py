@@ -96,14 +96,15 @@ def test_all_tpch_queries_registered():
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL++ at rsd=0.01 must land within 2% of the exact distinct
-    count, and the percentile sketch within the value domain."""
+    """The self-validating sketch contract: every tolerance boolean the
+    oracle asserts as TRUE must actually be TRUE (HLL within 2% of the
+    exact distinct count, percentile sketches within 5% of the exact
+    interpolated percentiles)."""
     rows = QUERY_REGISTRY["approx_distinct_summary"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) <= max(2, 0.02 * r.exact_users), (
-            r.event_type, r.approx_users, r.exact_users)
-        assert r.p50_value <= r.p95_value
+        assert r.hll_within_2pct, (r.event_type, r.exact_users)
+        assert r.p50_within_5pct and r.p95_within_5pct, r.event_type
 
 
 def test_window_longtail_single_exchange(spark, sf_dir):

@@ -10,6 +10,13 @@ ERROR-level (exit 1):
   E2  BatchEvalPython — row-at-a-time Python in a hot path. Python is
       allowed only Arrow-batched (ArrowEvalPython / MapInPandas /
       FlatMapGroupsInPandas) and only in the whitelisted families.
+  E3  Explicit broadcast hint on an SF-scaling table — a ResolvedHint
+      (broadcast) whose subtree scans customer/supplier/part/orders/
+      lineitem/events/documents/embeddings without an intervening
+      Aggregate. Such a hint forces an executor-OOM plan at 100×; drop
+      it and let AQE convert to broadcast at runtime when the side is
+      actually small. Bounded exceptions (1-row query vector, ≤16
+      centroid rows selected by a constant predicate) are whitelisted.
 
 WARN-level (reported, exit 0):
   W1  Exchange SinglePartition feeding a Window — a global (
@@ -91,11 +98,71 @@ ARROW_PY_OK_PREFIXES = (
 )
 
 
-def lint_one(name: str, plan: str) -> tuple[list[str], list[str]]:
+# SF-scaling tables: broadcasting any un-aggregated slice of these is
+# wrong at scale, whatever the current gate size says. Identified in
+# analyzed-plan Relation nodes by a signature column (the plan string
+# doesn't carry file paths).
+SCALING_TABLES = {
+    "customer": "c_custkey#",
+    "supplier": "s_suppkey#",
+    "part": "p_partkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_orderkey#",
+    "events": "event_id#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+
+# Queries whose broadcast hints cover constant-bounded slices of a
+# scaling table (1-row query vector `vec_id = 0`, ≤16 centroid rows
+# `vec_id < 16`) — bounded by a literal, not by SF.
+BROADCAST_BOUNDED_OK = {
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "embedding_near_dup_pairs",
+    "ivf_near_dup_pairs",
+}
+
+
+def _hinted_scaling_scan(analyzed: str) -> str | None:
+    """Return the first SF-scaling table whose scan sits under a
+    broadcast ResolvedHint with no Aggregate between hint and scan."""
+    lines = analyzed.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "BROADCAST" not in line.upper():
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        block: list[str] = []
+        for sub in lines[i + 1:]:
+            sub_indent = len(sub) - len(sub.lstrip(" :+-"))
+            if sub.strip() and sub_indent <= indent:
+                break
+            block.append(sub)
+        blk = "\n".join(block)
+        if "Aggregate" in blk or "Deduplicate" in blk or "Distinct" in blk:
+            continue  # broadcast of an aggregated/deduplicated frame — fine
+        for line_ in block:
+            if "Relation [" not in line_:
+                continue
+            for t, marker in SCALING_TABLES.items():
+                if marker in line_:
+                    return t
+    return None
+
+
+def lint_one(
+    name: str, plan: str, analyzed: str | None = None
+) -> tuple[list[str], list[str]]:
     errors: list[str] = []
     warns: list[str] = []
     if "CartesianProduct" in plan:
         errors.append("E1 CartesianProduct")
+    if analyzed is not None and name not in BROADCAST_BOUNDED_OK:
+        hinted = _hinted_scaling_scan(analyzed)
+        if hinted:
+            errors.append(f"E3 forced broadcast of SF-scaling table {hinted}")
     if "BatchEvalPython" in plan:
         errors.append("E2 row-at-a-time Python (BatchEvalPython)")
     arrow_py = any(
@@ -134,8 +201,10 @@ def main() -> int:
     n_err = 0
     for name in names:
         df = QUERY_REGISTRY[name].fn(spark, args.sf)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        errors, warns = lint_one(name, plan)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        analyzed = qe.analyzed().toString()
+        errors, warns = lint_one(name, plan, analyzed)
         for e in errors:
             print(f"ERROR {name}: {e}")
         for w in warns:
