@@ -7,17 +7,22 @@ the spec requiring a daily rate (requirements.md:10). Its fetch cascade
 is VCB XML API → VCB web scrape → hard default 25 057
 (exchange_rate_service.py:42-57).
 
-Here the cascade is a pluggable provider chain (offline-friendly: the
-network providers are stubs that decline in this environment), and the
-result is a *dimension DataFrame* (rate_date, rate_vnd_per_usd) that
-enrichment broadcast-joins — so each transaction gets its own day's
-rate, and a backfill can replay history with historical rates.
+Here the cascade is a pluggable provider chain where the XML and HTML
+PARSING is fully implemented and offline-tested against fixture
+documents (the reference's Exrate/@Transfer XML walk and rate-table
+scrape), with only the network TRANSPORT stubbed to decline in this
+environment. The result is a *dimension DataFrame* (rate_date,
+rate_vnd_per_usd) that enrichment broadcast-joins — so each transaction
+gets its own day's rate, and a backfill can replay history with
+historical rates.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Iterable
 from datetime import date, timedelta
+from html.parser import HTMLParser
+from xml.etree import ElementTree
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,17 +30,137 @@ from olap_project_spark.schemas import DEFAULT_VND_PER_USD, EXCHANGE_RATE_SCHEMA
 
 RateProvider = Callable[[date], float | None]
 
+# A transport fetches the raw payload for a date (HTTP in a real
+# deployment); parsing is transport-agnostic so the full parse logic is
+# testable offline against fixture documents.
+Transport = Callable[[date], "bytes | str | None"]
 
-def api_provider(d: date) -> float | None:
-    """VCB XML API analog. No network in this environment → declines.
-    A real deployment implements the HTTP/XML fetch here (reference
-    exchange_rate_service.py:59-93) — driver-side, never per-row."""
+# The rate-table id the reference's scraper targets, with a generic
+# class-based fallback (exchange_rate_service.py:112-114).
+_RATE_TABLE_ID = "ctl00_Content_ExrateView_GridView1"
+
+
+def parse_rate_xml(payload: bytes | str) -> float | None:
+    """Parse a VCB-shaped XML rate document: the ``Transfer`` attribute
+    of the ``Exrate`` element whose ``CurrencyCode`` is USD, with
+    thousands separators stripped (reference exchange_rate_service.py:
+    69-83 behavior). Returns None on malformed/rate-less documents —
+    the cascade then falls through."""
+    try:
+        root = ElementTree.fromstring(payload)
+    except ElementTree.ParseError:
+        return None
+    for exrate in root.iter("Exrate"):
+        if exrate.get("CurrencyCode") == "USD":
+            transfer = exrate.get("Transfer")
+            if transfer:
+                try:
+                    return float(transfer.replace(",", ""))
+                except ValueError:
+                    return None
     return None
 
 
-def scrape_provider(d: date) -> float | None:
-    """HTML-scrape fallback analog (reference :95-137). Declines offline."""
+class _RateTableParser(HTMLParser):
+    """Stdlib HTML walk of the VCB rate table (no bs4 in this
+    environment): prefer the table with the known grid id, fall back to
+    any ``class="table"``; within it, the row whose first cell is USD
+    carries the transfer rate in its fourth cell (reference
+    exchange_rate_service.py:108-128 behavior)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.tables: list[dict] = []  # {"id":…, "cls":…, "rows":[[cell,…],…]}
+        self._cell: list[str] | None = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "table":
+            self.tables.append(
+                {"id": a.get("id"), "cls": a.get("class"), "rows": []}
+            )
+        elif tag == "tr" and self.tables:
+            self.tables[-1]["rows"].append([])
+        elif tag == "td" and self.tables and self.tables[-1]["rows"]:
+            self._cell = []
+            self.tables[-1]["rows"][-1].append(self._cell)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "td":
+            self._cell = None
+
+    def handle_data(self, data: str) -> None:
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def parse_rate_html(payload: bytes | str) -> float | None:
+    """Extract the USD transfer rate from a VCB-shaped rate page."""
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", errors="replace")
+    parser = _RateTableParser()
+    try:
+        parser.feed(payload)
+    except Exception:
+        return None
+    tables = [t for t in parser.tables if t["id"] == _RATE_TABLE_ID] or [
+        t for t in parser.tables if t["cls"] and "table" in t["cls"].split()
+    ]
+    for table in tables:
+        for row in table["rows"]:
+            cells = ["".join(c).strip() for c in row]
+            if len(cells) >= 4 and cells[0] == "USD":
+                try:
+                    return float(cells[3].replace(",", ""))
+                except ValueError:
+                    return None
     return None
+
+
+def _offline_transport(d: date) -> bytes | None:
+    """No network in this environment; a real deployment substitutes an
+    HTTP GET against the VCB endpoints here — driver-side, never
+    per-row."""
+    return None
+
+
+def make_api_provider(transport: Transport = _offline_transport) -> RateProvider:
+    """VCB XML API step of the cascade, with pluggable transport."""
+
+    def provider(d: date) -> float | None:
+        payload = transport(d)
+        return parse_rate_xml(payload) if payload is not None else None
+
+    return provider
+
+
+def make_scrape_provider(transport: Transport = _offline_transport) -> RateProvider:
+    """HTML-scrape fallback step, with pluggable transport."""
+
+    def provider(d: date) -> float | None:
+        payload = transport(d)
+        return parse_rate_html(payload) if payload is not None else None
+
+    return provider
+
+
+# Default instances (offline transport → decline, cascade falls through).
+api_provider = make_api_provider()
+scrape_provider = make_scrape_provider()
+
+
+def cached(provider: RateProvider) -> RateProvider:
+    """Per-date memo around a provider — the reference's cache-by-day
+    semantics (exchange_rate_service.py:37-40), so a replayed backfill
+    fetches each day at most once."""
+    memo: dict[date, float | None] = {}
+
+    def wrapper(d: date) -> float | None:
+        if d not in memo:
+            memo[d] = provider(d)
+        return memo[d]
+
+    return wrapper
 
 
 def default_provider(d: date) -> float | None:
