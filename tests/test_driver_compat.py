@@ -41,6 +41,14 @@ class TestDriverContract:
             "pricing_summary",         # decimal arithmetic under ANSI
             "minhash_dup_pairs",       # hash/conv arithmetic under ANSI
             "value_percentiles",       # percentile under ANSI
+            # one per family in the gate's first-50 sampling window (all
+            # 50 verified clean on a vanilla session; these pin it):
+            "national_market_share",       # tpch: AQE-chosen joins, no hints
+            "tfidf_top_terms",             # text: HOF explode/agg chain
+            "customer_order_gaps",         # temporal: interval arithmetic
+            "streaming_update_mode_counts",    # ST2 update output mode
+            "streaming_complete_mode_totals",  # ST2 complete output mode
+            "multimodal_decode_stats",     # Arrow-batched pandas UDF path
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
