@@ -754,3 +754,74 @@ def pagerank_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination detection (train/eval n-gram overlap)
+# --------------------------------------------------------------------------
+# Deterministic stand-in for the benchmark corpus: every 20th doc plays
+# the eval set. In production the eval side is a real benchmark table.
+CONTAM_EVAL_MOD = 20
+CONTAM_MIN_OVERLAP = 0.3  # fraction of the eval doc's shingles found in train
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    ev AS (SELECT doc_id AS eval_doc, shingle FROM sh
+           WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id AS train_doc, shingle FROM sh
+           WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+    hits AS (
+      SELECT train_doc, eval_doc, COUNT(*) AS n_common
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT train_doc, eval_doc, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / c.n_sh, 6) AS overlap_frac
+    FROM hits JOIN shc c ON c.doc_id = eval_doc
+    WHERE CAST(n_common AS DOUBLE) / c.n_sh >= {CONTAM_MIN_OVERLAP}
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection — the LLM-curation step that
+    finds training documents leaking benchmark content: for each
+    (train doc, eval doc) pair sharing 3-gram word shingles, report the
+    fraction of the EVAL doc's shingles present in the training doc;
+    pairs at ≥ 30% overlap are contamination candidates (n-gram overlap
+    is the standard decontamination criterion, cf. GPT-3/PaLM appendix
+    methodology).
+
+    Scale: candidates come from the shingle equi-join (hash-partitioned,
+    never |train|×|eval|), reusing the memoized corpus shingle frame. A
+    real benchmark set is tiny and fixed, so at 100 TB the eval side
+    collapses to a broadcast and the scan-side join filters training
+    shards at read speed; here the eval slice derives from the corpus
+    (scales with SF), so no broadcast hint — AQE decides (lint rule E3).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
+    ev = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ev_sizes = ev.groupBy("eval_doc").agg(F.count("*").alias("n_sh"))
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    frac = F.col("n_common").cast("double") / F.col("n_sh")
+    return (
+        hits.join(ev_sizes, "eval_doc")
+        .filter(frac >= CONTAM_MIN_OVERLAP)
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_common",
+            F.round(frac, 6).alias("overlap_frac"),
+        )
+    )

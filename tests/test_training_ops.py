@@ -108,6 +108,21 @@ class TestDedup:
         for r in rows:
             assert r["n_docs"] == r["n_unique"] + r["n_dupes"]
 
+    def test_benchmark_contamination_invariants(self, spark, sf_dir):
+        """Train/eval roles are disjoint by construction, overlap is a
+        valid fraction, and every reported pair clears the threshold."""
+        from olap_project_spark.queries.dedup import (
+            CONTAM_EVAL_MOD,
+            CONTAM_MIN_OVERLAP,
+        )
+
+        rows = q("benchmark_contamination")(spark, sf_dir).collect()
+        for r in rows:
+            assert r["eval_doc"] % CONTAM_EVAL_MOD == 0
+            assert r["train_doc"] % CONTAM_EVAL_MOD != 0
+            assert CONTAM_MIN_OVERLAP <= r["overlap_frac"] <= 1.0
+            assert r["n_common"] >= 1
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
