@@ -1312,35 +1312,60 @@ def rolling_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing 24h window, then a two-phase distinct per bucket.
 
     Scale: NOT the naive spine×fact nested-loop range join (that
-    evaluates |hours|·|events| predicates — measured 8.5 s at sf0.1).
-    Instead each event EXPLODES to its ≤25 candidate trailing-window
-    buckets (a generated sequence, then the exact range predicate),
-    giving bounded 24×|events| fan-out straight into a hash aggregate
-    — linear, shuffle-partitioned by bucket, no join at all. At 100 TB
-    replace the exact distinct with per-hour HLL sketches merged over
-    the trailing 24 (mergeability is exactly what the sketch buys;
-    `approx_distinct_summary` shows the primitive)."""
+    evaluates |hours|·|events| predicates — measured 8.5 s at sf0.1),
+    and NOT even a per-event explode: bucket membership depends only on
+    the event's HOUR plus an exactly-on-the-boundary flag, so the fact
+    first reduces to distinct (user, hour, on_boundary) — at most two
+    rows per active user-hour regardless of raw volume — and only THAT
+    set explodes to its ≤25 candidate buckets. At 100 TB the reduction
+    is |events| → |active user-hours| (orders of magnitude) before any
+    fan-out; the boundary predicate keeps it EXACT, not hour-truncated.
+    To go further, replace the exact distinct with per-hour HLL
+    sketches merged over the trailing 24 (mergeability is exactly what
+    the sketch buys; `approx_distinct_summary` shows the primitive)."""
     ev = load(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     b = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    # (user, hour, on_boundary): the minimal exact carrier of bucket
+    # membership — ts > B−23h and ts ≤ B+1h resolve per hour except at
+    # the two edges, where "was ts exactly on its hour boundary" decides.
+    pts = ev.select(
+        "user_id", hour.alias("h"), (F.col("ts") == hour).alias("ob")
+    ).distinct()
     # candidate buckets: the hourly grid points whose trailing-24h
-    # window can contain ts — floor_hour(ts) − 1h .. floor_hour(ts) + 23h
-    # (the −1h edge catches events exactly on the hour); the exact
-    # predicate below then prunes precisely, and the broadcast bounds
-    # clip buckets that fall outside the observed spine.
-    cand = ev.select(
+    # window can contain an event in hour h — h − 1h .. h + 23h (the
+    # −1h edge catches events exactly on the hour); the broadcast
+    # bounds clip buckets outside the observed spine.
+    cand = pts.select(
         "user_id",
-        "ts",
+        "h",
+        "ob",
         F.explode(
             F.sequence(
-                hour - F.expr("INTERVAL 1 HOUR"),
-                hour + F.expr("INTERVAL 23 HOUR"),
+                F.col("h") - F.expr("INTERVAL 1 HOUR"),
+                F.col("h") + F.expr("INTERVAL 23 HOUR"),
                 F.expr("INTERVAL 1 HOUR"),
             )
         ).alias("hour_ts"),
     ).filter(
-        (F.col("ts") > F.col("hour_ts") - F.expr("INTERVAL 23 HOUR"))
-        & (F.col("ts") <= F.col("hour_ts") + F.expr("INTERVAL 1 HOUR"))
+        # ts > hour_ts − 23h: true whenever h is strictly inside, and at
+        # the h == hour_ts−23h edge only for ts strictly past the
+        # boundary (¬ob). ts ≤ hour_ts + 1h: true for h ≤ hour_ts, and
+        # at h == hour_ts+1h only for ts exactly on the boundary (ob).
+        (
+            (F.col("h") > F.col("hour_ts") - F.expr("INTERVAL 23 HOUR"))
+            | (
+                (F.col("h") == F.col("hour_ts") - F.expr("INTERVAL 23 HOUR"))
+                & ~F.col("ob")
+            )
+        )
+        & (
+            (F.col("h") <= F.col("hour_ts"))
+            | (
+                (F.col("h") == F.col("hour_ts") + F.expr("INTERVAL 1 HOUR"))
+                & F.col("ob")
+            )
+        )
     )
     clipped = cand.join(F.broadcast(b)).filter(
         (F.col("hour_ts") >= F.col("h0")) & (F.col("hour_ts") <= F.col("h1"))
