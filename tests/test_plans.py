@@ -288,6 +288,36 @@ class TestSketchSamplingPlans:
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q
 
 
+class TestRewriteShapes:
+    def test_rolling_dau_dedupes_before_fanout(self, plan):
+        """The 25× candidate explode must sit ABOVE the distinct
+        (user, hour, boundary) aggregate — the |events| → |user-hours|
+        reduction is the operator's scale property."""
+        p = plan("rolling_daily_active_users")
+        gen_pos = p.find("Generate explode")
+        assert gen_pos != -1
+        # a HashAggregate (the distinct) must appear below the explode
+        # in the tree (later in the plan string)
+        assert "HashAggregate" in p[gen_pos:], "explode fans out raw events"
+
+    def test_embedding_near_dup_candidates_equi_join(self, plan):
+        """Candidate generation must be the multi-probe cell equi-join:
+        the only nested-loop allowed is the bounded 16-row centroid
+        broadcast; the corpus must never self-join by theta predicate
+        alone."""
+        p = plan("embedding_near_dup_pairs")
+        assert "CartesianProduct" not in p
+        # the candidate self-join keys on the probed cell id
+        assert any(
+            "Join [cid" in l and ("SortMerge" in l or "Hash" in l)
+            for l in p.splitlines()
+        ), "candidate generation lost the cid equi-join"
+        # nested loops only for the 16-row centroid broadcast, which
+        # appears once under each side of the cell self-join before the
+        # memoized assignment frame materializes
+        assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_plan_lint_clean(spark, sf_dir):
     """Every non-executing query passes the scale lint: no
     CartesianProduct, no row-at-a-time Python, no forced broadcast of an
