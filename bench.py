@@ -22,6 +22,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def build_line(
+    total: float,
+    times: dict[str, float],
+    families: dict[str, float],
+    headline: dict[str, float],
+    errors: dict[str, str],
+    sf: str,
+    cap: int = 1800,
+) -> str:
+    """The one JSON line the driver parses. Must ALWAYS fit ``cap``
+    chars (the driver captures only the last 2000 chars of stdout) and
+    always be valid JSON, whatever the query count or error volume —
+    progressively shrinks until it fits."""
+    base = {
+        "metric": "query_library_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "sec_per_query": round(total / max(len(times), 1), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    candidates = [
+        {**base, "queries": headline, "families": families,
+         "errors": {n: m[:60] for n, m in errors.items()}},
+        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:12]),
+         "errors": {n: m[:40] for n, m in list(errors.items())[:5]}},
+        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:6])},
+        base,
+    ]
+    return next(
+        (s for c in candidates if len(s := json.dumps(c)) <= cap),
+        json.dumps(base),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,31 +133,10 @@ def main() -> None:
 
     # n_queries/sec_per_query make the coverage denominator explicit:
     # the total grows every time the library gains an operator family,
-    # which is breadth, not regression.
-    base = {
-        "metric": "query_library_total",
-        "value": total,
-        "unit": "sec",
-        "n_queries": len(times),
-        "n_errors": len(errors),
-        "sec_per_query": round(total / max(len(times), 1), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    # Progressively shrink until the line fits the driver's 2000-char
-    # stdout tail capture; the full breakdown is in BENCH_DETAIL.json.
-    candidates = [
-        {**base, "queries": headline, "families": families,
-         "errors": {n: m[:60] for n, m in errors.items()}},
-        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:12]),
-         "errors": {n: m[:40] for n, m in list(errors.items())[:5]}},
-        {**base, "queries": dict(sorted(times.items(), key=lambda kv: -kv[1])[:6])},
-        base,
-    ]
-    line = next(
-        (s for c in candidates if len(s := json.dumps(c)) <= 1800),
-        json.dumps(base),
-    )
-    print(line)
+    # which is breadth, not regression. The full per-query breakdown is
+    # in BENCH_DETAIL.json; the printed line always fits the driver's
+    # tail capture (build_line shrinks progressively).
+    print(build_line(total, times, families, headline, errors, sf))
 
 
 if __name__ == "__main__":
