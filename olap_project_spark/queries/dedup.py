@@ -492,6 +492,67 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup materialization: per-cluster keeper selection by quality
+# --------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    cluster_sql = QUERY_REGISTRY["near_dup_clusters"].oracle
+    return f"""
+    WITH comp AS ({cluster_sql}),
+    scored AS (
+      SELECT c.cluster_id, c.cluster_size, d.doc_id,
+             length(d.text) AS quality,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc,
+           quality AS kept_quality,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM scored WHERE rn = 1
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, materialized: for every near-dup cluster,
+    keep the highest-quality member (longest text; deterministic doc_id
+    tie-break) and count what gets dropped — the step that turns pair/
+    cluster detection into an actionable corpus delta. near_dup_clusters
+    picks min-id keepers; this variant picks BY QUALITY, which is what
+    production curation does (keep the best copy, not the first).
+
+    Scale: clusters join back to documents on doc_id (hash-partitioned
+    equi-join touching only clustered docs — a tiny fraction of the
+    corpus), and the keeper choice is a per-cluster WindowGroupLimit,
+    state bounded by cluster size. The full deduped corpus is then an
+    anti-join of documents against the non-keepers — same shuffle
+    shape, omitted here to keep the gate result compact."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality").alias("kept_quality"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy entity matching (blocked levenshtein join)
 # --------------------------------------------------------------------------
 @register(
