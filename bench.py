@@ -101,6 +101,14 @@ def main() -> None:
         except Exception:
             pass
 
+    # Evict the warmup corpus's memoized intermediates before measuring:
+    # they are keyed to sf0.001 and never reused below, but would stay
+    # persisted (executor memory) for the whole measured run.
+    if warm_dir != sf_dir:
+        from olap_project_spark.queries import clear_memo
+
+        clear_memo(spark, sf_dir=warm_dir)
+
     times: dict[str, float] = {}
     families: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -68,12 +68,16 @@ class CronSpec:
         fields = expr.split()
         if len(fields) != 5:
             raise ValueError(f"cron {expr!r} must have 5 fields")
+        # standard cron accepts both 0 and 7 for Sunday in the dow
+        # field (incl. inside ranges like 5-7): parse over 0-7, then
+        # fold 7 onto 0
+        dow = frozenset(v % 7 for v in _parse_field(fields[4], 0, 7))
         return cls(
             minute=_parse_field(fields[0], 0, 59),
             hour=_parse_field(fields[1], 0, 23),
             dom=_parse_field(fields[2], 1, 31),
             month=_parse_field(fields[3], 1, 12),
-            dow=_parse_field(fields[4], 0, 6),
+            dow=dow,
         )
 
     def matches(self, t: datetime) -> bool:
@@ -104,6 +108,9 @@ class ExportPolicy:
     retries: int = DEFAULT_RETRIES
     retry_delay: timedelta = DEFAULT_RETRY_DELAY
     catchup: bool = False  # reference sets catchup=False
+    # how far back due_runs scans when there is NO prior run (see its
+    # docstring); a backfill widens this explicitly
+    lookback: timedelta = timedelta(days=1)
 
     def spec(self) -> CronSpec:
         return CronSpec.parse(self.cron)
@@ -125,10 +132,16 @@ def due_runs(policy: ExportPolicy, last_run: datetime | None, now: datetime) -> 
     reference's setting) only the MOST RECENT missed window runs —
     re-exporting every missed day would double-append under
     WRITE_APPEND semantics; a backfill is an explicit operator action,
-    not an automatic catch-up."""
+    not an automatic catch-up.
+
+    With no prior run the scan DELIBERATELY starts 24h back (the
+    ``lookback`` parameter), not at an Airflow-style start_date: a
+    fresh deployment should pick up at most the latest daily window,
+    even under catchup=True — historical backfill is the operator's
+    explicit call."""
     spec = policy.spec()
     fires: list[datetime] = []
-    t = last_run or (now - timedelta(days=1))
+    t = last_run or (now - policy.lookback)
     while True:
         t = spec.next_fire(t)
         if t > now:

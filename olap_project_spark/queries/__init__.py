@@ -65,6 +65,29 @@ def session_memo(
     return df
 
 
+def clear_memo(spark: SparkSession | None = None, sf_dir: str | None = None) -> int:
+    """Unpersist and evict memoized intermediates; returns the number
+    evicted. Filters: only ``spark``'s context, only ``sf_dir``'s
+    corpus, or everything when both are None. A long-lived session
+    (notebook server, multi-corpus bench) calls this when it is done
+    with a corpus — otherwise the memo grows by (corpus × kinds)
+    persisted DataFrames for the life of the process."""
+    removed = 0
+    for key in list(_SESSION_MEMO):
+        ctx_id, key_sf, _kind = key
+        if spark is not None and ctx_id != id(spark.sparkContext._jsc):
+            continue
+        if sf_dir is not None and key_sf != sf_dir:
+            continue
+        df = _SESSION_MEMO.pop(key)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+        removed += 1
+    return removed
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one star-schema table (ns-timestamp-normalizing). A plain
     parquet scan: Catalyst pushes filters/projections into it, and
@@ -75,17 +98,77 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return load_table(spark, sf_dir, table)
 
 
+# The driver's correctness gate samples the FIRST 50 registered
+# queries. Rather than relying on module import order, the window is an
+# explicit name list and the registry is rebuilt in that order after all
+# modules import. Round-4 window = the 44 queries that have never had a
+# driver CORRECTNESS row (all 37 of `relational`, the 6 oracle-backed
+# newcomers from r3, and `kmeans_cluster_profile` — now carrying a
+# self-validating contract oracle) plus 6 regression canaries that
+# already passed but guard this round's riskiest drift surfaces
+# (timestamp re-encoding, IVF recall, HLL tolerance, the one bench
+# outlier). Rotate the list each round to cycle coverage.
+GATE_WINDOW: tuple[str, ...] = (
+    # relational — 37, registered after the window every prior round
+    "pricing_summary",
+    "nation_revenue",
+    "top10_customers",
+    "order_volume_rollup",
+    "lineitem_grouping_sets",
+    "segment_large_order_share",
+    "above_avg_spenders",
+    "customer_order_gaps",
+    "running_customer_spend",
+    "top3_parts_per_brand",
+    "customers_with_open_orders",
+    "customers_without_open_orders",
+    "urgent_revenue_window",
+    "priority_shipping_buckets",
+    "customer_order_distribution",
+    "customer_only_nations",
+    "shared_nations",
+    "order_recency_buckets",
+    "price_quantity_stats",
+    "orders_profile",
+    "trading_nations",
+    "segment_balance_ranks",
+    "returnflag_status_cube",
+    "nation_key_multiset_diff",
+    "heavy_hitter_parts",
+    "brand_measure_unpivot",
+    "integrity_audit",
+    "region_nation_list",
+    "nation_population_correlation",
+    "price_quantity_regression",
+    "stratified_customer_sample",
+    "nation_key_multiset_common",
+    "priority_flag_profile",
+    "price_neighborhood_density",
+    "segment_priority_mode",
+    "customer_revenue_gini",
+    "part_price_skyline",
+    # r3 newcomers with no driver row yet — 6
+    "dedup_keep_best",
+    "benchmark_contamination",
+    "ann_ivf_topk",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "doc_embedding_join_stats",
+    # last rows-only query, now oracle-backed via contract row
+    "kmeans_cluster_profile",
+    # regression canaries — 6 already-green rows guarding drift surfaces
+    "priority_order_counts",  # the one r3 bench outlier (+34%)
+    "user_bursts",  # ts-encoding drift canary (r2's failure mode)
+    "user_sessions",  # ts-encoding drift canary
+    "last_touch_attribution",  # ts-encoding drift canary
+    "embedding_near_dup_pairs",  # IVF multi-probe recall vs exact oracle
+    "approx_distinct_summary",  # HLL self-validating tolerance contract
+)
+
+
 def _import_all() -> None:
-    # Import for registration side effects. ORDER MATTERS: the driver's
-    # correctness gate samples the first 50 registered queries, so the
-    # families that have not yet had a driver-oracle row go first
-    # (tpch_suite 19 + text 13 + temporal 6 + streaming 10 + multimodal 3
-    # = 51 ≈ the 50-slot window, every one oracle-backed); the families
-    # already verified in earlier rounds (dedup, events, similarity)
-    # register last, and the two rows-only queries (kmeans, HLL summary)
-    # sit past the window so every sampled row gets the full hash check.
-    # Rotate this order in later rounds to cycle coverage (relational
-    # next).
+    # Import for registration side effects, then rebuild the registry
+    # with GATE_WINDOW first (the driver gate samples the first 50).
     from olap_project_spark.queries import (  # noqa: F401
         tpch_suite,
         text,
@@ -98,6 +181,12 @@ def _import_all() -> None:
         dedup,
         events,
     )
+
+    ordered = [n for n in GATE_WINDOW if n in QUERY_REGISTRY]
+    ordered += [n for n in QUERY_REGISTRY if n not in GATE_WINDOW]
+    reordered = {n: QUERY_REGISTRY[n] for n in ordered}
+    QUERY_REGISTRY.clear()
+    QUERY_REGISTRY.update(reordered)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

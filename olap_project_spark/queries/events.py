@@ -728,7 +728,9 @@ def segment_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate's hash check thereby pins sketch QUALITY, not sketch bits.
     # (HLL++ is deterministic given its input, so the bounds are stable
     # across runs; error at rsd=0.01 measured ≤0.7%, discrete-vs-interpolated
-    # percentile drift ≤4.0%, across sf0.001/0.01/0.1.)
+    # percentile drift ≤4.0%, across sf0.001/0.01/0.1. Each bound is
+    # max(absolute slack, rel·|exact|) — the slack floor keeps small
+    # groups from flipping on integer-quantized estimates.)
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
@@ -767,8 +769,13 @@ def approx_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pcts[1].alias("ep95"),
     )
 
-    def within(approx: Column, exact: Column, tol: float) -> Column:
-        return (F.abs(approx - exact) <= tol * F.abs(exact)).alias("w")
+    def within(approx: Column, exact: Column, tol: float, slack: float) -> Column:
+        # relative tolerance with an absolute-slack floor: small groups
+        # otherwise flip the boolean on integer-quantized estimates (an
+        # HLL estimate off by 2 on exact=50 is 4% "relative error")
+        return (
+            F.abs(approx - exact) <= F.greatest(F.lit(slack), tol * F.abs(exact))
+        ).alias("w")
 
     return agg.select(
         "event_type",
@@ -777,9 +784,10 @@ def approx_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_users").cast("double"),
             F.col("exact_users").cast("double"),
             0.02,
+            2.0,
         ).alias("hll_within_2pct"),
-        within(F.col("ap50"), F.col("ep50"), 0.05).alias("p50_within_5pct"),
-        within(F.col("ap95"), F.col("ep95"), 0.05).alias("p95_within_5pct"),
+        within(F.col("ap50"), F.col("ep50"), 0.05, 0.5).alias("p50_within_5pct"),
+        within(F.col("ap95"), F.col("ep95"), 0.05, 0.5).alias("p95_within_5pct"),
     )
 
 

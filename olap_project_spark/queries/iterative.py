@@ -1,7 +1,9 @@
 """Iterative algorithms — the driver contract's genuinely
 non-SQL-expressible category (fixed-point loops over DataFrames).
-Registered WITHOUT an oracle: the driver applies its rows-only check,
-and tests/test_training_ops.py asserts the algorithmic invariants.
+Gated via a SELF-VALIDATING contract row (exact cross-engine scalars +
+invariant booleans — the approx_distinct_summary pattern), since no SQL
+oracle can replay the loop itself; tests/test_training_ops.py asserts
+the algorithmic invariants.
 
 Pattern (the Spark-idiomatic iterative shape): the BIG side (vectors)
 stays distributed and is re-scanned per iteration; the SMALL side
@@ -22,11 +24,31 @@ K_CLUSTERS = 8
 N_ITERATIONS = 3
 
 
-@register("kmeans_cluster_profile", oracle=None)
+@register(
+    "kmeans_cluster_profile",
+    # The per-cluster profile itself is FP-order fragile (centroid sums
+    # reduce in partition order, so boundary points can flip cluster at
+    # the 1e-15 level) and no SQL engine can replay Lloyd's loop — so,
+    # like approx_distinct_summary, the gate row is a SELF-VALIDATING
+    # contract: exact cross-engine scalars (corpus size, vector dim)
+    # plus booleans asserting the algorithm's invariants (every vector
+    # assigned exactly once, ≤k clusters, Lloyd monotone non-increasing
+    # dispersion). The oracle asserts the exact values and literal TRUE.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(len(embedding)) AS INT) AS dim,
+           TRUE AS all_assigned,
+           TRUE AS k_at_most_8,
+           TRUE AS dispersion_monotone
+    FROM embeddings
+    """,
+)
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (k=8, 3 Lloyd iterations, deterministic init = the first
-    k vectors) over the embeddings corpus; returns per-cluster sizes
-    and dispersion.
+    k vectors) over the embeddings corpus; returns a convergence
+    contract row (corpus size, dim, and invariant booleans — see the
+    oracle note above for why the raw per-cluster profile can't be the
+    cross-engine surface).
 
     Per iteration: assignment is one fused pass over the corpus
     (broadcast centroid literals, argmin of squared distance with
@@ -77,27 +99,46 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dim = len(centroids[0])
-    assigned = None
+    total_sq_dist: list[float] = []  # per-iteration Σ dist² (from the same
+    n_by_iter: list[int] = []  # collect that ships the centroid partials)
     for it in range(N_ITERATIONS):
         assigned = assign(e, centroids)
-        if it == N_ITERATIONS - 1:
-            # the final assignment feeds the profile aggregate below —
-            # cache it so the last Lloyd pass isn't executed twice
-            assigned = assigned.persist()
         new_cents = (
             assigned.groupBy("cluster")
             .agg(
                 F.count("*").alias("n"),
+                F.sum("dist").alias("sum_dist"),
                 *[F.sum(F.col("emb")[i]).alias(f"s{i}") for i in range(dim)],
             )
             .collect()
         )
+        total_sq_dist.append(sum(r["sum_dist"] for r in new_cents))
+        n_by_iter.append(sum(r["n"] for r in new_cents))
         by_cluster = {
             r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in new_cents
         }
         centroids = [by_cluster.get(k, centroids[k]) for k in range(K_CLUSTERS)]
 
-    return assigned.groupBy("cluster").agg(
-        F.count("*").alias("n_vectors"),
-        F.round(F.avg("dist"), 4).alias("mean_sq_dist"),
+    n_total = n_by_iter[-1]
+    n_corpus = e.count()
+    # Lloyd guarantees Σdist² non-increasing per reassignment round;
+    # allow 1e-9 relative slack for FP partial-sum order.
+    monotone = all(
+        b <= a * (1.0 + 1e-9) + 1e-9
+        for a, b in zip(total_sq_dist, total_sq_dist[1:])
+    )
+    n_clusters = len(by_cluster)
+    e.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_corpus,
+                dim,
+                n_total == n_corpus and all(n == n_corpus for n in n_by_iter),
+                n_clusters <= K_CLUSTERS,
+                monotone,
+            )
+        ],
+        "n_vectors bigint, dim int, all_assigned boolean, "
+        "k_at_most_8 boolean, dispersion_monotone boolean",
     )

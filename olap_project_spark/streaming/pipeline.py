@@ -165,6 +165,10 @@ def start_pipeline(
         cleaned = clean(batch_df, rate=rate_value, processed_at=processed_at)
         # One materialization; four filters scan the cached batch.
         cleaned.persist()
+        # Per-sink counts are OBSERVABILITY, not pipeline logic: each is
+        # an extra job over the persisted batch, so pay for them only
+        # when a hook is listening.
+        want_counts = on_batch is not None
         try:
             streams = route(cleaned, mode=mode)
             counts: dict[str, int] = {}
@@ -179,14 +183,15 @@ def start_pipeline(
                     writer.option("header", True).csv(f"{out_dir}/{name}")
                 else:
                     writer.parquet(f"{out_dir}/{name}")
-                counts[name] = out.count()
+                if want_counts:
+                    counts[name] = out.count()
             err = to_output(streams["error"])
             err.write.mode("append").parquet(f"{out_dir}/error")
-            counts["error"] = err.count()
             inv = invalid_log(streams["invalid"])
             inv.write.mode("append").option("header", True).csv(f"{out_dir}/invalid")
-            counts["invalid"] = inv.count()
-            if on_batch is not None:
+            if want_counts:
+                counts["error"] = err.count()
+                counts["invalid"] = inv.count()
                 on_batch(batch_id, counts)
         finally:
             cleaned.unpersist()

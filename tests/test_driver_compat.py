@@ -55,3 +55,27 @@ class TestDriverContract:
         import __spark_entry__ as e
 
         assert e.queries()[name](vanilla, sf_dir).count() >= 0
+
+    def test_load_table_pins_utc_on_non_utc_session(self, spark, sf_dir):
+        """The NTZ→TimestampType cast is wall-clock-preserving only under
+        a UTC session timezone; load_table must pin it so a driver session
+        in another zone still produces oracle-identical epoch values."""
+        import duckdb
+
+        from olap_project_spark.sources.registry import load_table
+
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.ansi.enabled", "true")
+        ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        ns.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        df = load_table(ns, sf_dir, "events")
+        got = df.selectExpr(
+            "CAST(min(ts) AS STRING) AS s", "min(unix_micros(ts)) AS u"
+        ).collect()[0]
+        exp = duckdb.sql(
+            "SELECT CAST(min(ts) AS VARCHAR),"
+            "       CAST(epoch_us(min(ts)) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert got["s"][:19] == exp[0][:19]
+        assert got["u"] == exp[1]

@@ -1,0 +1,68 @@
+"""The driver's correctness gate samples the FIRST 50 registered
+queries. These tests pin the round-4 rotation: the 44 never-checked
+queries (relational ×37, the 6 r3 newcomers, kmeans) occupy the window,
+every windowed query is oracle-backed, and reordering loses nothing."""
+
+from __future__ import annotations
+
+from olap_project_spark.queries import GATE_WINDOW, QUERY_REGISTRY, _import_all
+
+
+def setup_module():
+    _import_all()
+
+
+def test_window_is_first_50_registered():
+    assert len(GATE_WINDOW) == 50
+    assert list(QUERY_REGISTRY)[:50] == list(GATE_WINDOW)
+
+
+def test_window_names_all_exist():
+    missing = [n for n in GATE_WINDOW if n not in QUERY_REGISTRY]
+    assert missing == []
+
+
+def test_every_windowed_query_is_oracle_backed():
+    weak = [n for n in GATE_WINDOW if QUERY_REGISTRY[n].oracle is None]
+    assert weak == []
+
+
+def test_rotation_loses_no_queries():
+    # reordering must be a permutation, not a filter
+    assert len(QUERY_REGISTRY) >= 144
+    assert len(set(QUERY_REGISTRY)) == len(QUERY_REGISTRY)
+
+
+def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
+    from olap_project_spark.queries import _SESSION_MEMO, clear_memo, session_memo
+
+    clear_memo()
+    df = session_memo(
+        spark, sf_dir, "gate_window_test", lambda: spark.range(10)
+    )
+    assert df.count() == 10
+    assert any(k[2] == "gate_window_test" for k in _SESSION_MEMO)
+    # wrong corpus → no-op; right corpus → evicted and unpersisted
+    assert clear_memo(spark, sf_dir="/nonexistent") == 0
+    n = clear_memo(spark, sf_dir=sf_dir)
+    assert n >= 1
+    assert not any(k[1] == sf_dir for k in _SESSION_MEMO)
+    assert df.storageLevel.useMemory is False
+
+
+def test_window_covers_the_never_checked_families():
+    w = set(GATE_WINDOW)
+    # all 37 relational queries
+    from olap_project_spark.queries import relational  # noqa: F401
+
+    assert "pricing_summary" in w and "part_price_skyline" in w
+    for name in (
+        "dedup_keep_best",
+        "benchmark_contamination",
+        "ann_ivf_topk",
+        "ann_filtered_topk",
+        "ann_ivf_recall",
+        "doc_embedding_join_stats",
+        "kmeans_cluster_profile",
+    ):
+        assert name in w, name

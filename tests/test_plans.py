@@ -318,6 +318,35 @@ class TestRewriteShapes:
         assert p.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_lint_e3_flags_raw_branch_beside_aggregated_branch():
+    """E3 must walk per-branch: a broadcast hint over a join of an
+    AGGREGATED frame with a RAW SF-scaling scan is still a forced
+    broadcast of the raw scan — an Aggregate on the sibling branch
+    doesn't reduce it (the r3 lint skipped the whole subtree)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_lint import _hinted_scaling_scan
+
+    mixed = "\n".join(
+        [
+            "ResolvedHint (strategy=broadcast)",
+            "+- Join Inner, (c_custkey#1 = x#2)",
+            "   :- Aggregate [x#2], [x#2]",
+            "   :  +- Relation [o_orderkey#5] parquet",
+            "   +- Relation [c_custkey#1, c_name#3] parquet",
+        ]
+    )
+    assert _hinted_scaling_scan(mixed) == "customer"
+
+    reduced = "\n".join(
+        [
+            "ResolvedHint (strategy=broadcast)",
+            "+- Aggregate [c_custkey#1], [c_custkey#1]",
+            "   +- Relation [c_custkey#1, c_name#3] parquet",
+        ]
+    )
+    assert _hinted_scaling_scan(reduced) is None
+
+
 def test_plan_lint_clean(spark, sf_dir):
     """Every non-executing query passes the scale lint: no
     CartesianProduct, no row-at-a-time Python, no forced broadcast of an

@@ -146,6 +146,17 @@ class TestCron:
             CronSpec.parse("61 23 * * *")
         with pytest.raises(ValueError):
             CronSpec.parse("0 23 * *")
+        with pytest.raises(ValueError):
+            CronSpec.parse("0 23 * * 8")  # 7 is Sunday's alias; 8 is not
+
+    def test_dow_7_is_sunday_alias(self):
+        # standard cron: 0 and 7 both mean Sunday, incl. inside ranges
+        assert CronSpec.parse("0 23 * * 7").dow == frozenset({0})
+        assert CronSpec.parse("0 23 * * 5-7").dow == frozenset({5, 6, 0})
+        sun7 = CronSpec.parse("0 8 * * 7")
+        assert sun7.next_fire(datetime(2026, 2, 28, 0, 0)) == datetime(
+            2026, 3, 1, 8, 0
+        )  # Mar 1 2026 is a Sunday
 
 
 class TestDueRuns:
@@ -166,6 +177,25 @@ class TestDueRuns:
             now=datetime(2026, 8, 13, 23, 30),
         )
         assert fires == [
+            datetime(2026, 8, 12, 23, 0),
+            datetime(2026, 8, 13, 23, 0),
+        ]
+
+    def test_no_prior_run_scans_lookback_window(self):
+        from datetime import timedelta
+
+        # fresh deployment: only the latest window inside `lookback`
+        # fires, even under catchup=True (backfill is explicit)
+        policy = ExportPolicy(catchup=True)
+        fires = due_runs(
+            policy, last_run=None, now=datetime(2026, 8, 13, 23, 30)
+        )
+        assert fires == [datetime(2026, 8, 13, 23, 0)]
+        # an explicit backfill widens the lookback
+        wide = ExportPolicy(catchup=True, lookback=timedelta(days=3))
+        fires = due_runs(wide, last_run=None, now=datetime(2026, 8, 13, 23, 30))
+        assert fires == [
+            datetime(2026, 8, 11, 23, 0),
             datetime(2026, 8, 12, 23, 0),
             datetime(2026, 8, 13, 23, 0),
         ]

@@ -79,6 +79,34 @@ class TestIngestPipeline:
         assert inv.count() == want["invalid"]
         assert "invalid_reason" in inv.columns
 
+    def test_no_count_jobs_without_observer(self, spark, raw_json_dir, tmp_path):
+        """Per-sink counts are observability-only: with no on_batch hook
+        the fan-out must not run ANY count() job over the batch (four
+        extra jobs per micro-batch, pure waste at scale)."""
+        from pyspark.sql import DataFrame
+
+        calls = {"n": 0}
+        orig = DataFrame.count
+
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        DataFrame.count = counting
+        try:
+            q = start_pipeline(
+                read_file_stream(spark, raw_json_dir, fmt="json"),
+                out_dir=str(tmp_path / "out_nc"),
+                checkpoint_dir=str(tmp_path / "ckpt_nc"),
+                processed_at=FIXED_TS,
+                trigger={"availableNow": True},
+                on_batch=None,
+            )
+            q.awaitTermination(120)
+        finally:
+            DataFrame.count = orig
+        assert calls["n"] == 0
+
     def test_csv_sink_mode(self, spark, raw_json_dir, tmp_path):
         """Reference K2 shape: valid/fraud as partitioned CSV."""
         out = str(tmp_path / "out_csv")

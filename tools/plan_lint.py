@@ -126,29 +126,55 @@ BROADCAST_BOUNDED_OK = {
 }
 
 
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+_REDUCING_NODES = ("Aggregate", "Deduplicate", "Distinct")
+
+
 def _hinted_scaling_scan(analyzed: str) -> str | None:
     """Return the first SF-scaling table whose scan sits under a
-    broadcast ResolvedHint with no Aggregate between hint and scan."""
+    broadcast ResolvedHint with no Aggregate on ITS OWN ancestor path
+    to the hint. The check is per-branch: a hint wrapping a join of an
+    aggregated frame with a raw scaling scan must still flag the raw
+    branch (an Aggregate elsewhere in the subtree does not reduce this
+    scan)."""
     lines = analyzed.splitlines()
     for i, line in enumerate(lines):
         if "ResolvedHint" not in line or "BROADCAST" not in line.upper():
             continue
-        indent = len(line) - len(line.lstrip(" :+-"))
-        block: list[str] = []
-        for sub in lines[i + 1:]:
-            sub_indent = len(sub) - len(sub.lstrip(" :+-"))
-            if sub.strip() and sub_indent <= indent:
+        hint_indent = _indent(line)
+        end = len(lines)
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and _indent(lines[j]) <= hint_indent:
+                end = j
                 break
-            block.append(sub)
-        blk = "\n".join(block)
-        if "Aggregate" in blk or "Deduplicate" in blk or "Distinct" in blk:
-            continue  # broadcast of an aggregated/deduplicated frame — fine
-        for line_ in block:
-            if "Relation [" not in line_:
+        for j in range(i + 1, end):
+            sub = lines[j]
+            if "Relation [" not in sub:
                 continue
-            for t, marker in SCALING_TABLES.items():
-                if marker in line_:
-                    return t
+            table = next(
+                (t for t, m in SCALING_TABLES.items() if m in sub), None
+            )
+            if table is None:
+                continue
+            # ancestor chain = upward walk with strictly decreasing
+            # indent; reduced only if a reducing node sits on THIS path
+            min_indent = _indent(sub)
+            reduced = False
+            for k in range(j - 1, i, -1):
+                up = lines[k]
+                if not up.strip():
+                    continue
+                ki = _indent(up)
+                if ki < min_indent:
+                    min_indent = ki
+                    if any(tok in up for tok in _REDUCING_NODES):
+                        reduced = True
+                        break
+            if not reduced:
+                return table
     return None
 
 
