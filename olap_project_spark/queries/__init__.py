@@ -156,8 +156,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "doc_embedding_join_stats",
     # last rows-only query, now oracle-backed via contract row
     "kmeans_cluster_profile",
-    # regression canaries — 6 already-green rows guarding drift surfaces
-    "priority_order_counts",  # the one r3 bench outlier (+34%)
+    # new this round: the bucketed co-located join lever through the gate
+    "bucketed_order_revenue",
+    # regression canaries — 5 already-green rows guarding drift surfaces
     "user_bursts",  # ts-encoding drift canary (r2's failure mode)
     "user_sessions",  # ts-encoding drift canary
     "last_touch_attribution",  # ts-encoding drift canary

@@ -1567,3 +1567,94 @@ def part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "size")
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — the write-once shuffle-elimination lever
+# --------------------------------------------------------------------------
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders+lineitem as tables bucketed 16-ways on the
+    join key (write-once per session+corpus; the table name carries a
+    fingerprint of the corpus path+mtime so regenerated testdata never
+    aliases a stale warehouse dir). At 100 TB this is the clustered
+    layout a warehouse maintains for its hot fact-fact join: every
+    later join/agg on the bucket key skips its Exchange."""
+    import hashlib
+    import os
+    import shutil
+
+    from olap_project_spark.functions.scale import write_bucketed
+
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+
+    def ensure(table: str, key: str, build) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # a prior SESSION may have left the managed location behind
+        # (in-memory catalog dies with the session, the dir does not);
+        # a managed CTAS refuses a pre-existing location, so clear it
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, table)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        write_bucketed(build(), table, [key], 16, sort_cols=[key])
+
+    ensure(
+        t_orders,
+        "o_orderkey",
+        lambda: load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+    )
+    ensure(
+        t_lineitem,
+        "l_orderkey",
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+    )
+    return t_orders, t_lineitem
+
+
+@register(
+    "bucketed_order_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue over the orders⋈lineitem fact-fact join,
+    run on BUCKETED tables so the join is co-located: both sides are
+    written bucketed 16-ways on the order key, and the sort-merge join
+    reads matching buckets with NO Exchange on either input (asserted
+    in tests/test_plans.py) — the one shuffle left is the final 5-group
+    rollup. The result is byte-identical to the plain-scan join; only
+    the physical plan differs.
+
+    Scale: this is the §2.5 lever for the 100 TB fact-fact join —
+    bucketing pre-pays the shuffle once at write time; every subsequent
+    join/aggregation on the key rides it for free. AQE can't do this
+    (it optimizes within a query); bucketing optimizes ACROSS queries."""
+    t_orders, t_lineitem = _bucketed_fact_tables(spark, sf_dir)
+    ob = spark.table(t_orders)
+    lb = spark.table(t_lineitem)
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
+        )
+    )

@@ -318,6 +318,23 @@ class TestRewriteShapes:
         assert p.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_bucketed_order_revenue_join_has_no_input_exchange(spark, sf_dir):
+    """The bucketed fact-fact join must read co-located buckets: no
+    Exchange on either join input (the only shuffle is the final
+    5-group rollup). Broadcast is disabled to show the 100 TB shape,
+    where neither side fits an executor."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERY_REGISTRY["bucketed_order_revenue"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
 def test_lint_e3_flags_raw_branch_beside_aggregated_branch():
     """E3 must walk per-branch: a broadcast hint over a join of an
     AGGREGATED frame with a RAW SF-scaling scan is still a forced

@@ -41,6 +41,34 @@ class TestBucketing:
         assert joined.count() == plain.count()
 
 
+class TestBucketedGateQuery:
+    def test_tolerates_orphaned_warehouse_location(self, spark, sf_dir):
+        """A prior session's managed-table dir survives while the
+        in-memory catalog does not; the bucketed gate query must clear
+        the orphan instead of dying with LOCATION_ALREADY_EXISTS."""
+        import hashlib
+        import os
+
+        from olap_project_spark.queries.relational import _bucketed_fact_tables
+
+        st = os.stat(f"{sf_dir}/orders.parquet")
+        tag = hashlib.md5(
+            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:10]
+        spark.sql(f"DROP TABLE IF EXISTS orders_bkt_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_bkt_{tag}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        orphan = os.path.join(wh, f"orders_bkt_{tag}")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "junk"), "w") as fh:
+            fh.write("stale")
+        t_orders, t_lineitem = _bucketed_fact_tables(spark, sf_dir)
+        assert spark.table(t_orders).count() > 0
+        assert spark.table(t_lineitem).count() > 0
+
+
 class TestSaltedAggregation:
     def test_salted_agg_matches_plain(self, spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")

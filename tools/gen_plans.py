@@ -97,6 +97,14 @@ SHOWCASE = [
         "summaries join back broadcast — no second scan of the corpus.",
     ),
     (
+        "bucketed_order_revenue",
+        "Bucketed fact-fact join: orders and lineitem are written "
+        "bucketed 16-ways on the order key, so the SortMergeJoin reads "
+        "co-located buckets with NO Exchange on either input — the only "
+        "shuffle is the final 5-group rollup. Bucketing pre-pays the "
+        "join shuffle once at write time, across every future query.",
+    ),
+    (
         "pagerank_canonical_docs",
         "Iterative PageRank, 3 unrolled rounds: each round is one "
         "equi-join of the persisted degree-annotated edge list "
