@@ -117,3 +117,30 @@ def punct_count(col: Column) -> Column:
     return (
         F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"()\-]", ""))
     ).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# --------------------------------------------------------------------------
+# One pattern string per PII class, shared verbatim with the DuckDB
+# oracle SQL — both engines' regex dialects (Java util.regex / RE2)
+# agree on this conservative subset (char classes, +/*/{m,}, no
+# backrefs or lookaround).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+CCN_PATTERN = r"[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, international-format phone numbers, and
+    dash-grouped card numbers with typed placeholder tags — the
+    scrub-before-training operator, JVM-native (three chained
+    ``regexp_replace``; no Python in the hot path). Order matters:
+    the card pattern must run before the phone pattern, which would
+    otherwise eat a 4-4-4-4 digit group as a phone prefix.
+    DuckDB: the same three ``regexp_replace(x, pat, tag, 'g')`` calls
+    (DuckDB replaces first-match-only without the 'g' flag; Spark is
+    always global)."""
+    out = F.regexp_replace(col, CCN_PATTERN, "<CCN>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")

@@ -1658,3 +1658,41 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SQL front-end parity — one query submitted as raw ANSI SQL text
+# --------------------------------------------------------------------------
+_SQL_URGENT_OPEN = """
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY r_name, n_name
+"""
+
+
+@register("sql_urgent_open_customers", oracle=_SQL_URGENT_OPEN)
+def sql_urgent_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end parity: the ONE query in the library submitted as
+    raw ANSI SQL text (``spark.sql`` over the registered star-schema
+    views) — the oracle is the LITERAL same string, so the gate proves
+    the engine's SQL surface accepts and evaluates the dialect the
+    oracle engine runs, not just the DataFrame DSL.
+
+    The shape itself exercises Catalyst's subquery decorrelation: the
+    correlated EXISTS becomes a LeftSemi join, the correlated NOT
+    EXISTS a LeftAnti — set-logic predicates with no floating-point
+    threshold, so the result is engine-order independent.
+
+    Scale: both decorrelated joins are equi-joins on c_custkey against
+    an aggregated-by-key orders slice; the dimension joins broadcast.
+    Nothing here differs from the DataFrame plans — that is the point."""
+    from olap_project_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_URGENT_OPEN)

@@ -815,3 +815,112 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill("n_test"),
         fill("train_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — scrub-before-training, cross-engine-verified
+# --------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from olap_project_spark.functions.text import (
+        CCN_PATTERN,
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' card 4000-1234-5678-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(txt,"
+        f" '{CCN_PATTERN}', '<CCN>', 'g'),"
+        f" '{EMAIL_PATTERN}', '<EMAIL>', 'g'),"
+        f" '{PHONE_PATTERN}', '<PHONE>', 'g')"
+    )
+    return f"""
+    WITH seeded AS (
+      SELECT source, {seeded} AS txt
+      FROM documents
+    ),
+    red AS (SELECT source, txt, {redacted} AS redacted FROM seeded)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(txt, '{EMAIL_PATTERN}'))) AS BIGINT) AS emails_found,
+           CAST(SUM(len(regexp_extract_all(txt, '{PHONE_PATTERN}'))) AS BIGINT) AS phones_found,
+           CAST(SUM(len(regexp_extract_all(txt, '{CCN_PATTERN}'))) AS BIGINT) AS cards_found,
+           CAST(SUM(length(txt) - length(redacted)) AS BIGINT) AS chars_removed,
+           CAST(SUM(CAST('0x' || substr(md5(redacted), 1, 12) AS BIGINT)) AS BIGINT) AS redacted_hash_sum,
+           CAST(SUM(CASE WHEN regexp_matches(redacted, '{EMAIL_PATTERN}')
+                          OR regexp_matches(redacted, '{PHONE_PATTERN}')
+                          OR regexp_matches(redacted, '{CCN_PATTERN}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_leaking
+    FROM red
+    GROUP BY source
+    """
+
+
+@register("pii_redaction_stats", oracle=_pii_oracle())
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: emails / phone numbers /
+    card numbers replaced by typed tags (functions.text.redact_pii —
+    three chained JVM-native regexp_replace, no Python). The synthetic
+    corpus carries no real PII, so the query SEEDS deterministic PII
+    derived from doc_id on both engines, then redacts and verifies:
+    per-source match counts, the redacted-text length delta, a
+    portable 48-bit content hash over every redacted document (pins
+    the redacted text byte-for-byte across engines), and a
+    docs_leaking count the oracle independently recomputes — 0 means
+    no seeded identifier survived redaction.
+
+    Scale: one narrow projection pass — regex work is per-row,
+    partition-parallel, no shuffle before the per-source rollup;
+    the hash-sum aggregates map-side. At 100 TB this runs at scan
+    speed, which is exactly what a scrub pass must do."""
+    from olap_project_spark.functions.text import (
+        CCN_PATTERN,
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        portable_hash48,
+        redact_pii,
+    )
+
+    seeded = load(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4000-1234-5678-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    red = seeded.withColumn("redacted", redact_pii(F.col("txt")))
+    leak = (
+        F.col("redacted").rlike(EMAIL_PATTERN)
+        | F.col("redacted").rlike(PHONE_PATTERN)
+        | F.col("redacted").rlike(CCN_PATTERN)
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(F.col("txt"), F.lit(EMAIL_PATTERN)))
+        .cast("bigint")
+        .alias("emails_found"),
+        F.sum(F.regexp_count(F.col("txt"), F.lit(PHONE_PATTERN)))
+        .cast("bigint")
+        .alias("phones_found"),
+        F.sum(F.regexp_count(F.col("txt"), F.lit(CCN_PATTERN)))
+        .cast("bigint")
+        .alias("cards_found"),
+        F.sum(F.length("txt") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.sum(portable_hash48(F.col("redacted")))
+        .cast("bigint")
+        .alias("redacted_hash_sum"),
+        F.sum(F.when(leak, 1).otherwise(0)).cast("bigint").alias("docs_leaking"),
+    )

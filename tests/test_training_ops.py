@@ -45,6 +45,30 @@ class TestTextFunctions:
             a, b = minhash_param(k)
             assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
 
+    def test_redact_pii(self, spark):
+        from olap_project_spark.functions.text import redact_pii
+
+        rows = [
+            ("mail me at a.b+tag@sub.example.co.uk today",),
+            ("call +84-123-4567 or +1-555-123-4567 now",),
+            ("card 1234-5678-9012-3456 expired",),
+            ("multi j@x.io k@y.org +1-555-0000 9999-8888-7777-6666",),
+            ("clean text, no pii at all",),
+            ("",),
+            (None,),
+        ]
+        df = spark.createDataFrame(rows, "s string")
+        got = [
+            r["r"] for r in df.select(redact_pii(F.col("s")).alias("r")).collect()
+        ]
+        assert got[0] == "mail me at <EMAIL> today"
+        assert got[1] == "call <PHONE> or <PHONE> now"
+        assert got[2] == "card <CCN> expired"
+        assert got[3] == "multi <EMAIL> <EMAIL> <PHONE> <CCN>"
+        assert got[4] == "clean text, no pii at all"
+        assert got[5] == ""
+        assert got[6] is None
+
 
 class TestDedup:
     @pytest.fixture(scope="class")
