@@ -32,13 +32,21 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
     Joins/aggregations between tables bucketed identically on the join
-    key run with NO exchange (verified by plan in tests)."""
+    key run with NO exchange (verified by plan in tests).
+
+    ``path`` makes the table EXTERNAL at that location instead of
+    managed under ``spark.sql.warehouse.dir`` — use it when the
+    warehouse dir (defaults to the process cwd) may not be writable;
+    bucketing metadata is preserved either way."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

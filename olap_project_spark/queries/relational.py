@@ -1591,19 +1591,24 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ).hexdigest()[:10]
     t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
 
+    # External location under /tmp, not the managed warehouse dir: the
+    # warehouse defaults to the PROCESS CWD, which a driver-owned
+    # session may not be able to write; the per-pid root also keeps
+    # concurrent gate processes from racing on one location.
+    root = os.path.join(
+        "/tmp", f"olap_project_spark_bucketed_{os.getpid()}"
+    )
+
     def ensure(table: str, key: str, build) -> None:
         if spark.catalog.tableExists(table):
             return
-        # a prior SESSION may have left the managed location behind
-        # (in-memory catalog dies with the session, the dir does not);
-        # a managed CTAS refuses a pre-existing location, so clear it
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, table)
+        # a prior SESSION in this process may have left the location
+        # behind (the in-memory catalog dies with the session, files do
+        # not); overwrite-CTAS refuses a pre-existing dir, so clear it
+        loc = os.path.join(root, table)
         if os.path.isdir(loc):
             shutil.rmtree(loc)
-        write_bucketed(build(), table, [key], 16, sort_cols=[key])
+        write_bucketed(build(), table, [key], 16, sort_cols=[key], path=loc)
 
     ensure(
         t_orders,

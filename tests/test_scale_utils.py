@@ -42,10 +42,11 @@ class TestBucketing:
 
 
 class TestBucketedGateQuery:
-    def test_tolerates_orphaned_warehouse_location(self, spark, sf_dir):
-        """A prior session's managed-table dir survives while the
-        in-memory catalog does not; the bucketed gate query must clear
-        the orphan instead of dying with LOCATION_ALREADY_EXISTS."""
+    def test_tolerates_orphaned_table_location(self, spark, sf_dir):
+        """A prior session's table dir survives while the in-memory
+        catalog does not; the bucketed gate query must clear the orphan
+        instead of dying with LOCATION_ALREADY_EXISTS, and must write
+        under /tmp (a driver session's cwd/warehouse may be read-only)."""
         import hashlib
         import os
 
@@ -57,16 +58,21 @@ class TestBucketedGateQuery:
         ).hexdigest()[:10]
         spark.sql(f"DROP TABLE IF EXISTS orders_bkt_{tag}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_bkt_{tag}")
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        orphan = os.path.join(wh, f"orders_bkt_{tag}")
+        root = os.path.join("/tmp", f"olap_project_spark_bucketed_{os.getpid()}")
+        orphan = os.path.join(root, f"orders_bkt_{tag}")
         os.makedirs(orphan, exist_ok=True)
         with open(os.path.join(orphan, "junk"), "w") as fh:
             fh.write("stale")
         t_orders, t_lineitem = _bucketed_fact_tables(spark, sf_dir)
         assert spark.table(t_orders).count() > 0
         assert spark.table(t_lineitem).count() > 0
+        # external location under the per-process /tmp root
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t_orders}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        )
+        assert root in loc
 
 
 class TestSaltedAggregation:
