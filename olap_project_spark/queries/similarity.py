@@ -443,3 +443,112 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hits"),
         F.round(F.count("*").cast("double") / TOP_K, 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization — the ANN memory-compression lever
+# --------------------------------------------------------------------------
+QUANT_TOL = 0.05  # max |cos_quant − cos_exact| the contract allows
+
+
+@register(
+    "quantized_cosine_quality",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, emb,
+             list_transform(emb, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+      FROM s
+    ),
+    qq AS (SELECT vec_id, emb, qv FROM q),
+    a AS (SELECT emb AS qemb, qv AS qqv FROM qq WHERE vec_id = {QUERY_VEC_ID}),
+    pairs AS (
+      SELECT qq.vec_id,
+             list_dot_product(qq.emb, a.qemb)
+               / (sqrt(list_dot_product(qq.emb, qq.emb))
+                  * sqrt(list_dot_product(a.qemb, a.qemb))) AS cos_exact,
+             CAST(list_dot_product(
+                    list_transform(qq.qv, x -> CAST(x AS DOUBLE)),
+                    list_transform(a.qqv, x -> CAST(x AS DOUBLE))) AS BIGINT)
+               AS qdot,
+             list_dot_product(list_transform(qq.qv, x -> CAST(x AS DOUBLE)),
+                              list_transform(qq.qv, x -> CAST(x AS DOUBLE)))
+               AS qn_a,
+             list_dot_product(list_transform(a.qqv, x -> CAST(x AS DOUBLE)),
+                              list_transform(a.qqv, x -> CAST(x AS DOUBLE)))
+               AS qn_b
+      FROM qq, a
+      WHERE qq.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id,
+           ROUND(cos_exact, 6) AS cos_exact,
+           qdot,
+           ROUND(qdot / (sqrt(qn_a) * sqrt(qn_b)), 6) AS cos_quant,
+           (abs(qdot / (sqrt(qn_a) * sqrt(qn_b)) - cos_exact) <= {QUANT_TOL})
+             AS within_tol
+    FROM pairs
+    ORDER BY cos_exact DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def quantized_cosine_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (per-vector
+    scale = 127/max|x|, round-half-away — both engines' rounding rule)
+    with a measured-quality contract: for the gate query vector's exact
+    top-k, report the exact cosine, the INTEGER quantized dot product
+    (bit-exact across engines — this pins the quantized vectors
+    themselves), the quantized cosine, and a |Δcos| ≤ 0.05 boolean.
+
+    Scale: quantization is a narrow per-row map (no shuffle) that cuts
+    vector memory 4× (int8 vs float32, 8× vs double) — the difference
+    between an in-memory and a spilling ANN index at 100 TB; the
+    quality contract is the evidence the compression is admissible.
+    The integer dot is exact, so scoring can run entirely in int
+    SIMD-friendly arithmetic with one final float correction."""
+    e = _emb(spark, sf_dir)
+    scale = F.lit(127.0) / F.array_max(
+        F.transform(F.col("emb"), lambda x: F.abs(x))
+    )
+    qv = F.transform(F.col("emb"), lambda x: F.round(x * F.col("scale")).cast("bigint"))
+    q = e.select("vec_id", "emb", scale.alias("scale")).select(
+        "vec_id", "emb", qv.alias("qv")
+    )
+    a = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("a_emb"), F.col("qv").alias("a_qv")
+    )
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    ad = F.transform(F.col("a_qv"), lambda x: x.cast("double"))
+    cos_exact = cosine(F.col("emb"), F.col("a_emb"))
+    qdot = dot(qd, ad).cast("bigint")
+    qn_a = dot(qd, qd)
+    qn_b = dot(ad, ad)
+    cos_quant = F.col("qdot") / (F.sqrt(F.col("qn_a")) * F.sqrt(F.col("qn_b")))
+    return (
+        q.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(a))
+        .select(
+            "vec_id",
+            cos_exact.alias("cos_exact_raw"),
+            qdot.alias("qdot"),
+            qn_a.alias("qn_a"),
+            qn_b.alias("qn_b"),
+        )
+        .orderBy(F.desc("cos_exact_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.round(F.col("cos_exact_raw"), 6).alias("cos_exact"),
+            "qdot",
+            F.round(cos_quant, 6).alias("cos_quant"),
+            (F.abs(cos_quant - F.col("cos_exact_raw")) <= QUANT_TOL).alias(
+                "within_tol"
+            ),
+        )
+    )

@@ -924,3 +924,72 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("redacted_hash_sum"),
         F.sum(F.when(leak, 1).otherwise(0)).cast("bigint").alias("docs_leaking"),
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window packing — concatenate-and-chunk sequence assembly
+# --------------------------------------------------------------------------
+PACK_BUDGET = 512  # tokens per context window (gate-scale; a knob)
+
+_SQL_NTOK = (
+    "CASE WHEN trim(text)='' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "context_packing_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY source, bin
+    """,
+)
+def context_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing for LM training: documents are
+    concatenated in deterministic (source, doc_id) order and chunked
+    into PACK_BUDGET(=512)-token windows; each document lands in the bin
+    where its starting token offset falls (the concatenate-and-chunk
+    recipe — the per-window rollup reports how many docs and tokens
+    each training sequence draws).
+
+    Spark-first shape: the running token offset is ONE window cumsum
+    partitioned by source (state scales out with sources; never a
+    global single-partition order), followed by a map-side-combinable
+    rollup. At 100 TB this is a single shuffle by source + bin.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("source").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor((cum - F.col("n_tokens")) / float(PACK_BUDGET)).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

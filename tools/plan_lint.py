@@ -123,6 +123,7 @@ BROADCAST_BOUNDED_OK = {
     "ann_ivf_recall",
     "embedding_near_dup_pairs",
     "ivf_near_dup_pairs",
+    "quantized_cosine_quality",
 }
 
 
