@@ -93,6 +93,12 @@ def main() -> None:
         "streaming_click_attribution",  # symmetric-hash join state
         "near_dup_clusters",        # iterative driver-loop path
         "kmeans_cluster_profile",   # broadcast-centroid assignment codegen
+        # relational runs FIRST in the measured pass (gate-window order)
+        # — prime its codegen variants so slot order doesn't tax it:
+        "pricing_summary",          # wide scan+agg, decimal arithmetic
+        "local_supplier_volume",    # multi-way broadcast star join
+        "segment_balance_ranks",    # fused ranking-window inventory
+        "lineitem_grouping_sets",   # grouping-sets/cube aggregate paths
     ):
         # Warmup is best-effort: a failure here must never zero the run
         # (round 2's bench died in warmup and recorded no timings at all).

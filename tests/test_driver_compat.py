@@ -49,6 +49,18 @@ class TestDriverContract:
             "streaming_update_mode_counts",    # ST2 update output mode
             "streaming_complete_mode_totals",  # ST2 complete output mode
             "multimodal_decode_stats",     # Arrow-batched pandas UDF path
+            # round-4 window newcomers — first driver exposure, so pin
+            # their vanilla-session behavior too:
+            "bucketed_order_revenue",      # saveAsTable + bucketed SMJ
+            "kmeans_cluster_profile",      # driver-loop + contract row
+            "dedup_keep_best",             # CC + quality-ranked keeper
+            "benchmark_contamination",     # shingle equi-join overlap
+            "ann_ivf_recall",              # composed top-k semi-join
+            "doc_embedding_join_stats",    # cross-modal equi-join
+            "pii_redaction_stats",         # regex chain under ANSI
+            "sql_urgent_open_customers",   # raw-SQL front end
+            "context_packing_stats",       # window cumsum + floor div
+            "quantized_cosine_quality",    # round/cast int8 under ANSI
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
