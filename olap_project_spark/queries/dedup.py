@@ -482,8 +482,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact at test size."""
     from olap_project_spark.functions.graph import connected_components
 
-    edges = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    def build_labels() -> DataFrame:
+        edges = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        return connected_components(edges, src="doc_a", dst="doc_b")
+
+    # memoized: dedup_keep_best consumes the same component labels —
+    # without this the iterative CC loop runs once per consumer
+    labels = session_memo(spark, sf_dir, "near_dup_cc_labels", build_labels)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
