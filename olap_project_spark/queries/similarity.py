@@ -132,18 +132,26 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the query vector is a 1-row broadcast (cross join); the scan
     side computes one fused dot product per row and Spark turns
     orderBy+limit into TakeOrderedAndProject (per-partition top-k, no
-    global sort). 100 TB of vectors stream through at scan speed."""
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
-    cos = cosine(F.col("emb"), F.col("q_emb"))
-    return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q))
-        .select("vec_id", cos.alias("cos_raw"))
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
-    )
+    global sort). 100 TB of vectors stream through at scan speed.
+    Memoized per (session, corpus): ``ann_ivf_recall`` consumes the
+    same k-row result, so the corpus scan runs once."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("emb").alias("q_emb")
+        )
+        cos = cosine(F.col("emb"), F.col("q_emb"))
+        return (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .join(F.broadcast(q))
+            .select("vec_id", cos.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+        )
+
+    return session_memo(spark, sf_dir, "ann_topk_exact", build)
 
 
 # --------------------------------------------------------------------------
@@ -338,26 +346,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids are broadcast; assignment is one fused pass over
     the corpus (no shuffle); the search space shrinks by ~n_cells.
     At 100 TB you'd persist `assign` bucketed by cid so queries prune
-    to one bucket's files — the Spark analog of an IVF index."""
-    e = _emb(spark, sf_dir)
-    assign = (
-        _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).select("vec_id", "cid")
-    )
-    qcell = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("cid").alias("qcid")
-    )
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
-    cos_q = cosine(F.col("emb"), F.col("q_emb"))
-    return (
-        e.join(assign, "vec_id")
-        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
-        .join(F.broadcast(q))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", cos_q.alias("cos_raw"))
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
-    )
+    to one bucket's files — the Spark analog of an IVF index.
+    Memoized per (session, corpus): ``ann_ivf_recall`` consumes the
+    same k-row result, so the probe runs once."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        assign = (
+            _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).select(
+                "vec_id", "cid"
+            )
+        )
+        qcell = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("cid").alias("qcid")
+        )
+        q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("emb").alias("q_emb")
+        )
+        cos_q = cosine(F.col("emb"), F.col("q_emb"))
+        return (
+            e.join(assign, "vec_id")
+            .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+            .join(F.broadcast(q))
+            .filter(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", cos_q.alias("cos_raw"))
+            .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+        )
+
+    return session_memo(spark, sf_dir, "ann_topk_ivf", build)
 
 
 # --------------------------------------------------------------------------
