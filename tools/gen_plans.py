@@ -102,7 +102,10 @@ SHOWCASE = [
         "bucketed 16-ways on the order key, so the SortMergeJoin reads "
         "co-located buckets with NO Exchange on either input — the only "
         "shuffle is the final 5-group rollup. Bucketing pre-pays the "
-        "join shuffle once at write time, across every future query.",
+        "join shuffle once at write time, across every future query. "
+        "(Plan captured with auto-broadcast disabled to show the 100 TB "
+        "shape; at the tiny doc scale AQE would broadcast the small "
+        "side, which is also shuffle-free.)",
     ),
     (
         "pagerank_canonical_docs",
@@ -133,10 +136,23 @@ def main() -> int:
     spark = build_session(
         app_name="gen-plans", extra_conf={"spark.ui.enabled": "false"}
     )
+    # Queries whose showcase plan needs auto-broadcast off (to exhibit
+    # the large-scale join strategy AQE would override at doc scale).
+    NO_AUTOBROADCAST = {"bucketed_order_revenue"}
+
     out = [HEADER]
     for name, why in SHOWCASE:
-        df = QUERY_REGISTRY[name].fn(spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name in NO_AUTOBROADCAST:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                df = QUERY_REGISTRY[name].fn(spark, SF)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            df = QUERY_REGISTRY[name].fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         out.append(f"## {name}\n\n{why}\n\n```\n{plan.rstrip()}\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
