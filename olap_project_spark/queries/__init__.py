@@ -107,7 +107,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # self-validating contract oracle) plus 6 regression canaries that
 # already passed but guard this round's riskiest drift surfaces
 # (timestamp re-encoding, IVF recall, HLL tolerance, the one bench
-# outlier). Rotate the list each round to cycle coverage.
+# outlier). Rotate the list each round to cycle coverage. Round-5 plan:
+# rotate in the four queries added after this window froze
+# (pii_redaction_stats, sql_urgent_open_customers, context_packing_stats,
+# quantized_cosine_quality) plus the families whose last driver rows are
+# oldest (dedup/events/similarity, round 1).
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
     "pricing_summary",
