@@ -30,6 +30,7 @@ def build_line(
     errors: dict[str, str],
     sf: str,
     cap: int = 1800,
+    ingest_eps: float | None = None,
 ) -> str:
     """The one JSON line the driver parses. Must ALWAYS fit ``cap``
     chars (the driver captures only the last 2000 chars of stdout) and
@@ -44,6 +45,10 @@ def build_line(
         "sec_per_query": round(total / max(len(times), 1), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ingest_eps is not None:
+        # clean+route transform throughput, comparable to the
+        # reference's ~0.2-1 events/s producer cadence (BASELINE.md)
+        base["ingest_eps"] = ingest_eps
     candidates = [
         {**base, "queries": headline, "families": families,
          "errors": {n: m[:60] for n, m in errors.items()}},
@@ -56,6 +61,50 @@ def build_line(
         (s for c in candidates if len(s := json.dumps(c)) <= cap),
         json.dumps(base),
     )
+
+
+def measure_ingest_eps(spark, n_rows: int = 200_000) -> float:
+    """Events/sec through the full clean+route ingest transform chain
+    (P2-P16 + F1-F4) over a synthetic raw-transaction frame — the
+    number comparable to the reference's published ingest operating
+    point (~0.2-1 events/s producer cadence, BASELINE.md). Generated
+    JVM-side from spark.range: measures the transforms, not a parser."""
+    from pyspark.sql import functions as F
+
+    from olap_project_spark.transforms import clean, route
+
+    i = F.col("id")
+    raw = spark.range(n_rows).select(
+        (i % 1000).cast("string").alias("User"),
+        (i % 7).cast("string").alias("Card"),
+        F.lit(2024).alias("Year"),
+        ((i % 12) + 1).cast("int").alias("Month"),
+        ((i % 28) + 1).cast("int").alias("Day"),
+        F.format_string("%02d:%02d", (i % 24), (i * 7 % 60)).alias("Time"),
+        F.format_string("$%d.%02d", (i % 5000) + 1, i % 100).alias("Amount"),
+        F.element_at(
+            F.array(F.lit("Chip Transaction"), F.lit("Online Transaction"),
+                    F.lit("Swipe Transaction")),
+            (i % 3 + 1).cast("int"),
+        ).alias("Use Chip"),
+        F.format_string("M%d", i % 120).alias("Merchant Name"),
+        F.format_string("City%d", i % 27).alias("Merchant City"),
+        F.lit("CA").alias("Merchant State"),
+        F.format_string("%05d", i % 99999).alias("Zip"),
+        (i % 9999).cast("string").alias("MCC"),
+        F.when(i % 31 == 0, F.lit("Technical Glitch")).alias("Errors?"),
+        F.when(i % 17 == 0, F.lit("Yes")).otherwise(F.lit("No")).alias("Is Fraud?"),
+        F.format_string(
+            "2024-%02d-%02dT%02d:%02d", (i % 12) + 1, (i % 28) + 1, i % 24,
+            i * 7 % 60
+        ).alias("timestamp"),
+    )
+    t0 = time.perf_counter()
+    streams = route(clean(raw, processed_at="2024-01-15 08:30:20"))
+    n_routed = sum(df.count() for df in streams.values())
+    dt = time.perf_counter() - t0
+    assert n_routed >= n_rows  # reference-mode valid/fraud overlap
+    return round(n_rows / dt, 1)
 
 
 def main() -> None:
@@ -131,6 +180,10 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + dt, 3)
 
     total = round(sum(times.values()), 3)
+    try:
+        ingest_eps = measure_ingest_eps(spark)
+    except Exception:
+        ingest_eps = None
     # The driver captures only the last 2000 chars of stdout, so the
     # one-line JSON must stay compact: headline TPC-H-suite queries
     # individually + per-family totals; the full 130-query breakdown
@@ -150,7 +203,8 @@ def main() -> None:
     # which is breadth, not regression. The full per-query breakdown is
     # in BENCH_DETAIL.json; the printed line always fits the driver's
     # tail capture (build_line shrinks progressively).
-    print(build_line(total, times, families, headline, errors, sf))
+    print(build_line(total, times, families, headline, errors, sf,
+                     ingest_eps=ingest_eps))
 
 
 if __name__ == "__main__":
