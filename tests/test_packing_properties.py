@@ -99,5 +99,45 @@ def test_registered_query_partitions_the_corpus(spark, sf_dir):
             assert a["last_doc"] < b["first_doc"]  # contiguous tiling
 
 
+pii_text = st.text(
+    alphabet=st.sampled_from("ab @.+-0123456789<>"), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(pii_text, min_size=1, max_size=20))
+def test_redact_pii_idempotent_and_complete(spark, texts):
+    """Redaction is a fixpoint (tags contain nothing matchable) and no
+    PII pattern survives one pass, for adversarial near-PII strings."""
+    from olap_project_spark.functions.text import (
+        CCN_PATTERN,
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    once = redact_pii(F.col("s"))
+    rows = df.select(
+        once.alias("r1"),
+        redact_pii(once).alias("r2"),
+        (
+            F.col("s").rlike(EMAIL_PATTERN)
+            | F.col("s").rlike(PHONE_PATTERN)
+            | F.col("s").rlike(CCN_PATTERN)
+        ).alias("had_pii"),
+    ).collect()
+    for r in rows:
+        assert r["r1"] == r["r2"]  # idempotent
+        for pat in (EMAIL_PATTERN, PHONE_PATTERN, CCN_PATTERN):
+            import re
+
+            assert not re.search(pat, r["r1"]), (r["r1"], pat)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
