@@ -110,7 +110,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # outlier). Rotate the list each round to cycle coverage. Round-5 plan:
 # rotate in the four queries added after this window froze
 # (pii_redaction_stats, sql_urgent_open_customers, context_packing_stats,
-# quantized_cosine_quality) plus the families whose last driver rows are
+# quantized_cosine_quality), the curation batch (repetition_quality_stats,
+# boilerplate_coverage_stats, training_shard_stats, source_mixture_plan,
+# cluster_label_purity), plus the families whose last driver rows are
 # oldest (dedup/events/similarity, round 1).
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
@@ -184,6 +186,7 @@ def _import_all() -> None:
         relational,
         similarity,
         dedup,
+        curation,
         events,
     )
 

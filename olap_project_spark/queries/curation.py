@@ -1,0 +1,320 @@
+"""Corpus-curation operators over the ``documents`` table — the
+repetition-quality, boilerplate-coverage, shard-assignment, and
+data-mixture surface of a training-data pipeline (task brief "beyond
+the reference"; the reference itself has no document corpus — these
+compose the same Spark-first primitives as queries/text.py).
+
+Determinism contract (shared with the whole registry): every reported
+ratio is a quotient of EXACT integer aggregates (never an AVG over
+per-row doubles — FP summation order differs across engines), every
+per-row flag is integer arithmetic (``top*5 > total``, not
+``top/total > 0.2``), and grouping keys are the portable 48-bit md5
+hash both engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_project_spark.functions.text import (
+    portable_hash48,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from olap_project_spark.queries import load, register
+
+# Gopher-style repetition thresholds (integer-arithmetic form below):
+# a document is repetition-flagged when its most frequent bigram covers
+# > 1/5 of all bigram positions, or when > 1/2 of bigram positions are
+# repeats of an earlier bigram.
+_TOP_FRAC_DEN = 5     # top_count * 5 > total  ⇔  top/total > 0.2
+_DUP_FRAC_DEN = 2     # dup_count * 2 > total  ⇔  dup/total > 0.5
+
+N_SHARDS = 16
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+@register(
+    "repetition_quality_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 12) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+      WHERE len(ts) >= 2
+    ),
+    cnts AS (
+      SELECT doc_id, source, h, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             SUM(cnt) AS total, COUNT(*) AS n_distinct, MAX(cnt) AS top
+      FROM cnts GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(top) AS DOUBLE) / SUM(total), 6)
+             AS pooled_top_bigram_frac,
+           ROUND(CAST(SUM(total - n_distinct) AS DOUBLE) / SUM(total), 6)
+             AS pooled_dup_bigram_frac,
+           CAST(SUM(CASE WHEN top * {_TOP_FRAC_DEN} > total
+                           OR (total - n_distinct) * {_DUP_FRAC_DEN} > total
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals per source — the Gopher
+    repetition rules (top-n-gram fraction, duplicate-n-gram fraction)
+    that catch boilerplate/spam documents n-gram dedup won't (they are
+    self-similar, not similar to OTHER documents). Documents with < 2
+    tokens have no bigrams and are excluded.
+
+    Scale: explode to bigrams → two hash aggregates (doc×bigram, then
+    doc) → one per-source aggregate. The bigram shuffle carries 8-byte
+    hashes, not strings; everything map-side combines. The flags are
+    integer arithmetic so the result is bit-stable across engines and
+    partitionings — the pooled fractions divide exact integer sums."""
+    docs = load(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("tok"), 2)).alias("bigram"),
+        )
+        .select("doc_id", "source", portable_hash48(F.col("bigram")).alias("h"))
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "h")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top"),
+        )
+    )
+    flagged = (F.col("top") * _TOP_FRAC_DEN > F.col("total")) | (
+        (F.col("total") - F.col("n_distinct")) * _DUP_FRAC_DEN > F.col("total")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("top").cast("double") / F.sum("total"), 6).alias(
+            "pooled_top_bigram_frac"
+        ),
+        F.round(
+            (F.sum(F.col("total") - F.col("n_distinct"))).cast("double")
+            / F.sum("total"),
+            6,
+        ).alias("pooled_dup_bigram_frac"),
+        F.sum(flagged.cast("bigint")).cast("bigint").alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate coverage
+# --------------------------------------------------------------------------
+@register(
+    "boilerplate_coverage_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)
+      WHERE len(ts) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle
+      FROM sh0
+    ),
+    nd AS (SELECT shingle, COUNT(*) AS ndocs FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM sh JOIN nd USING (shingle)
+      GROUP BY 1
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p.n_shared) AS DOUBLE) / SUM(p.n_sh), 6)
+             AS pooled_shared_frac,
+           CAST(SUM(CASE WHEN p.n_shared * 2 > p.n_sh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_mostly_shared
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def boilerplate_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-shingle coverage per source — the
+    exact-substring-dedup SIGNAL (RefinedWeb-style): what fraction of
+    each document's distinct 3-gram shingles also occur in some other
+    document, and how many documents are mostly (> 1/2) shared
+    material. Pair-based dedup reports WHO matches whom; this reports
+    HOW MUCH of the corpus is cross-document duplication — the number
+    that decides whether substring-level dedup is worth running.
+
+    Scale: reuses the memoized (doc_id, shingle-hash) intermediate the
+    LSH family already built (one corpus-wide groupBy(shingle) — the
+    document-frequency aggregate — then an equi-join back on the
+    8-byte hash). No pair space, no strings in the shuffle. Docs with
+    < 3 tokens have no shingles and are excluded."""
+    from olap_project_spark.queries.dedup import _shingle_df
+
+    sh = _shingle_df(spark, sf_dir)
+    nd = sh.groupBy("shingle").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        sh.join(nd, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum((F.col("ndocs") > 1).cast("bigint")).alias("n_shared"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_shared").cast("double") / F.sum("n_sh"), 6).alias(
+                "pooled_shared_frac"
+            ),
+            F.sum((F.col("n_shared") * 2 > F.col("n_sh")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_docs_mostly_shared"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard assignment
+# --------------------------------------------------------------------------
+@register(
+    "training_shard_stats",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+               % {N_SHARDS} AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             source, lang
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM sharded GROUP BY shard
+    """,
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard assignment (md5(doc_id) mod 16) with
+    per-shard document/token/source/language accounting — the "write
+    training shards" operator: shard membership must be a pure function
+    of the document id (reproducible across runs and engines, no RNG),
+    and the accounting verifies the hash spreads sources and languages
+    evenly instead of clumping (a skewed shard starves data-parallel
+    trainers).
+
+    Scale: one narrow projection plus one 16-key hash aggregate — at
+    100 TB this is the same plan, followed by
+    ``df.write.partitionBy("shard")`` (or ``repartition(N, "shard")``
+    for exactly-N output files) which shuffles each document once to
+    its shard writer."""
+    docs = load(spark, sf_dir, "documents")
+    sharded = docs.select(
+        (portable_hash48(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+        "source",
+        "lang",
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture planning (uniform-target sampling weights)
+# --------------------------------------------------------------------------
+@register(
+    "source_mixture_plan",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                  AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS n_sources
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.total_tokens,
+           ROUND(CAST(p.total_tokens AS DOUBLE) / c.corpus_tokens, 6)
+             AS actual_share,
+           ROUND(CAST(c.corpus_tokens AS DOUBLE)
+                 / (c.n_sources * p.total_tokens), 6) AS sampling_weight,
+           (p.total_tokens * c.n_sources < c.corpus_tokens) AS oversample
+    FROM per_src p, corpus c
+    """,
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture plan: each source's token share of the corpus and
+    the sampling weight (= epochs over that source) that would flatten
+    the mixture to uniform at constant total token budget — the
+    source-weighting step every pretraining run decides before shard
+    writing. ``oversample`` marks sources below uniform share (weight
+    > 1 ⇒ repeat; < 1 ⇒ subsample), computed in exact integer
+    arithmetic (``tokens·n_sources < corpus_tokens``).
+
+    Scale: a per-source aggregate joined with a ONE-ROW corpus total —
+    the 1-row side broadcasts (an aggregated frame, lint rule E3's
+    sanctioned shape), so no shuffle beyond the source groupBy. The
+    weights feed `weighted_doc_sample` (queries/text.py), which
+    executes such a plan."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+    corpus = per_src.agg(
+        F.sum("total_tokens").cast("bigint").alias("corpus_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return per_src.join(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
+        ).alias("actual_share"),
+        F.round(
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_sources") * F.col("total_tokens")),
+            6,
+        ).alias("sampling_weight"),
+        (F.col("total_tokens") * F.col("n_sources") < F.col("corpus_tokens")).alias(
+            "oversample"
+        ),
+    )

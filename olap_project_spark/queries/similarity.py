@@ -464,6 +464,83 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF cell quality: majority-label purity per cell
+# --------------------------------------------------------------------------
+@register(
+    "cluster_label_purity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    counts AS (
+      SELECT a.cid, e.label, COUNT(*) AS cnt
+      FROM assign a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT cid, label, cnt,
+             SUM(cnt) OVER (PARTITION BY cid) AS total,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY cnt DESC, label) AS rn
+      FROM counts
+    )
+    SELECT cid, label AS majority_label,
+           CAST(total AS BIGINT) AS n_vecs,
+           CAST(cnt AS BIGINT) AS n_majority,
+           ROUND(CAST(cnt AS DOUBLE) / total, 6) AS purity
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label purity of each IVF cell — the external-validity
+    check on the coarse quantizer: if cells mix labels uniformly the
+    index partitions noise, and both semantic dedup and filtered ANN
+    over those cells inherit it. Mode per cell is deterministic (max
+    count, ties to the smallest label — the registry's mode rule).
+
+    Scale: assignment is the memoized broadcast-centroid pass; then a
+    (cid, label) hash aggregate and a 16×|labels|-row window. The
+    expensive part is shared with every other IVF consumer; the purity
+    math is free. At 100 TB the same two aggregates, map-side combined."""
+    e = _emb(spark, sf_dir)
+    assign = (
+        _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).select("vec_id", "cid")
+    )
+    counts = (
+        e.select("vec_id", "label")
+        .join(assign, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("label"))
+    w_all = Window.partitionBy("cid")
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("majority_label"),
+            F.col("total").cast("bigint").alias("n_vecs"),
+            F.col("cnt").cast("bigint").alias("n_majority"),
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("purity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Int8 embedding quantization — the ANN memory-compression lever
 # --------------------------------------------------------------------------
 QUANT_TOL = 0.05  # max |cos_quant − cos_exact| the contract allows

@@ -19,6 +19,14 @@ _import_all()
 
 @pytest.fixture(scope="module")
 def plan(spark, sf_dir):
+    # Plan-shape assertions are written against the FRESH (uncached)
+    # lineage; memoized intermediates persisted by earlier test files
+    # would splice InMemoryRelation stored plans into the string (and
+    # double-count their operators), so start from a clean memo.
+    from olap_project_spark.queries import clear_memo
+
+    clear_memo()
+
     def get(name: str) -> str:
         return (
             QUERY_REGISTRY[name]

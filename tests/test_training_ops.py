@@ -403,3 +403,125 @@ class TestPolymorphicUdtf:
                LATERAL parse_delimited(r.line, 'k|v', '|') p"""
         ).collect()
         assert sorted((r["k"], r["v"]) for r in got) == [("1", "a"), ("2", "b")]
+
+
+class TestCurationOps:
+    """Pure-Python references for the corpus-curation operators
+    (queries/curation.py) — complementing their DuckDB oracles."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, sf_dir):
+        import duckdb
+
+        return duckdb.sql(
+            f"SELECT doc_id, text, source, lang FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+
+    def test_repetition_stats_match_python(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        per_source = {}
+        for doc_id, text, source, _lang in docs:
+            toks = text.lower().strip().split()
+            if len(toks) < 2:
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            total = sum(c.values())
+            n_distinct = len(c)
+            top = max(c.values())
+            s = per_source.setdefault(source, [0, 0, 0, 0, 0])
+            s[0] += 1
+            s[1] += top
+            s[2] += total - n_distinct
+            s[3] += total
+            s[4] += int(top * 5 > total or (total - n_distinct) * 2 > total)
+        got = {
+            r["source"]: r
+            for r in q("repetition_quality_stats")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(per_source)
+        for src, (n, top_sum, dup_sum, tot, flagged) in per_source.items():
+            r = got[src]
+            assert r["n_docs"] == n
+            assert r["n_flagged"] == flagged
+            assert r["pooled_top_bigram_frac"] == pytest.approx(
+                top_sum / tot, abs=1e-6
+            )
+            assert r["pooled_dup_bigram_frac"] == pytest.approx(
+                dup_sum / tot, abs=1e-6
+            )
+
+    def test_boilerplate_coverage_matches_python(self, spark, sf_dir, docs):
+        shingles = {}  # doc_id -> set of 3-gram shingles
+        source_of = {}
+        for doc_id, text, source, _lang in docs:
+            toks = text.lower().strip().split()
+            source_of[doc_id] = source
+            if len(toks) >= 3:
+                shingles[doc_id] = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+        ndocs = {}
+        for sh_set in shingles.values():
+            for s in sh_set:
+                ndocs[s] = ndocs.get(s, 0) + 1
+        per_source = {}
+        for doc_id, sh_set in shingles.items():
+            n_sh = len(sh_set)
+            n_shared = sum(1 for s in sh_set if ndocs[s] > 1)
+            agg = per_source.setdefault(source_of[doc_id], [0, 0, 0, 0])
+            agg[0] += 1
+            agg[1] += n_shared
+            agg[2] += n_sh
+            agg[3] += int(n_shared * 2 > n_sh)
+        got = {
+            r["source"]: r
+            for r in q("boilerplate_coverage_stats")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(per_source)
+        for src, (n, shared, tot, mostly) in per_source.items():
+            r = got[src]
+            assert r["n_docs"] == n
+            assert r["n_docs_mostly_shared"] == mostly
+            assert r["pooled_shared_frac"] == pytest.approx(shared / tot, abs=1e-6)
+
+    def test_shard_assignment_deterministic_and_complete(self, spark, sf_dir, docs):
+        got = q("training_shard_stats")(spark, sf_dir).collect()
+        # every document lands in exactly one shard; shards cover 0..15
+        assert sum(r["n_docs"] for r in got) == len(docs)
+        assert all(0 <= r["shard"] < 16 for r in got)
+        # deterministic: same hash in python
+        shard_of = {
+            doc_id: int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 16
+            for doc_id, *_ in docs
+        }
+        from collections import Counter
+
+        want = Counter(shard_of.values())
+        assert {r["shard"]: r["n_docs"] for r in got} == dict(want)
+
+    def test_mixture_plan_invariants(self, spark, sf_dir):
+        rows = q("source_mixture_plan")(spark, sf_dir).collect()
+        shares = [r["actual_share"] for r in rows]
+        assert sum(shares) == pytest.approx(1.0, abs=1e-3)
+        for r in rows:
+            # weight and share are reciprocal around uniform:
+            # weight = (1/n_sources) / share
+            assert r["sampling_weight"] == pytest.approx(
+                (1.0 / len(rows)) / r["actual_share"], rel=1e-3
+            )
+            assert r["oversample"] == (r["sampling_weight"] > 1.0)
+
+    def test_cluster_purity_invariants(self, spark, sf_dir):
+        rows = q("cluster_label_purity")(spark, sf_dir).collect()
+        import duckdb
+
+        n_vecs = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_vecs"] for r in rows) == n_vecs
+        for r in rows:
+            assert 0 < r["n_majority"] <= r["n_vecs"]
+            assert r["purity"] == pytest.approx(
+                r["n_majority"] / r["n_vecs"], abs=1e-6
+            )

@@ -124,6 +124,7 @@ BROADCAST_BOUNDED_OK = {
     "embedding_near_dup_pairs",
     "ivf_near_dup_pairs",
     "quantized_cosine_quality",
+    "cluster_label_purity",
 }
 
 
