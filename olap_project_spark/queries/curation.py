@@ -318,3 +318,96 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oversample"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality proxy (integer-exact)
+# --------------------------------------------------------------------------
+@register(
+    "token_frequency_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+      FROM toks, UNNEST(ts) AS u(tok)
+      WHERE len(ts) >= 1 AND ts <> ['']
+    ),
+    uni AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h),
+    per_doc AS (
+      SELECT occ.doc_id, occ.source,
+             COUNT(*) AS n_tokens,
+             SUM(uni.cnt) AS freq_sum
+      FROM occ JOIN uni USING (h)
+      GROUP BY 1, 2
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(freq_sum) AS BIGINT) AS corpus_freq
+      FROM per_doc
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p.freq_sum) AS DOUBLE) / SUM(p.n_tokens), 6)
+             AS mean_token_freq,
+           CAST(SUM(CASE WHEN p.freq_sum * c.corpus_tokens
+                              > c.corpus_freq * p.n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_corpus_mean
+    FROM per_doc p, corpus c
+    GROUP BY p.source
+    """,
+)
+def token_frequency_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy per source: the mean corpus-frequency of
+    each document's tokens — the integer-exact stand-in for unigram
+    log-likelihood scoring (docs of very common tokens ⇒ boilerplate;
+    docs of very rare tokens ⇒ noise/garbled). True logprob sums are
+    FP-order-fragile across engines; frequency sums are exact integers,
+    and the above-corpus-mean flag cross-multiplies integers
+    (``freq_sum·corpus_tokens > corpus_freq·n_tokens``) so no ratio is
+    ever compared in floating point.
+
+    Scale: two hash aggregates (the unigram LM, then per-doc) linked by
+    an 8-byte-key equi-join, then the per-source rollup against a 1-row
+    corpus aggregate. The LM table is |vocab| rows — tiny relative to
+    the corpus — and every aggregate map-side combines. (The integer
+    cross-product pair fits int64 up to ~10^9-token corpora per doc
+    pair; beyond that, scale both sides down by a common constant.)"""
+    docs = load(spark, sf_dir, "documents")
+    occ = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+        .filter((F.size("tok") >= 1) & (F.col("tok") != F.array(F.lit(""))))
+        .select("doc_id", "source", F.explode("tok").alias("t"))
+        .select("doc_id", "source", portable_hash48(F.col("t")).alias("h"))
+    )
+    uni = occ.groupBy("h").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        occ.join(uni, "h")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"), F.sum("cnt").alias("freq_sum"))
+    )
+    corpus = per_doc.agg(
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("freq_sum").cast("bigint").alias("corpus_freq"),
+    )
+    return (
+        per_doc.join(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("freq_sum").cast("double") / F.sum("n_tokens"), 6).alias(
+                "mean_token_freq"
+            ),
+            F.sum(
+                (
+                    F.col("freq_sum") * F.col("corpus_tokens")
+                    > F.col("corpus_freq") * F.col("n_tokens")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_above_corpus_mean"),
+        )
+    )

@@ -729,3 +729,70 @@ def streaming_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination(300)
     return child.table(name)
+
+
+@register(
+    "streaming_segment_enrichment",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+    ),
+    mx AS (SELECT max(ts) AS m FROM ev),
+    agg AS (
+      SELECT date_trunc('hour', ev.ts) AS ws,
+             c.c_mktsegment AS segment,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+      FROM ev JOIN customer c ON c.c_custkey = ev.user_id
+      GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           segment, n_events, total_value
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
+def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched with the customer
+    dimension (market segment) before the watermarked hourly rollup —
+    the standard "join the stream against the warehouse dim table"
+    operator, distinct from the stream-stream interval joins: the
+    static side is stateless (no watermark bookkeeping, re-planned per
+    micro-batch against the table's current snapshot — which is also
+    how dim updates become visible mid-stream).
+
+    Scale: the stream side shuffles on the join key per micro-batch;
+    the static side is a plain batch scan Catalyst prunes to the two
+    join/output columns, broadcast when AQE sizes it under threshold
+    (no forced hint — customer scales with SF, rule E3). State is the
+    windowed aggregate's only — the join itself holds none."""
+    from olap_project_spark.queries import load
+
+    def build(stream):
+        child = stream.sparkSession
+        dim = load(child, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        return (
+            stream.withWatermark("ts", WATERMARK)
+            .join(dim, "user_id")
+            .groupBy(F.window("ts", WINDOW).alias("win"), "segment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+                ).alias("total_value"),
+            )
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:00").alias(
+                    "window_start"
+                ),
+                "segment",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _run_streaming(spark, sf_dir, build, "streaming_enrich")

@@ -525,3 +525,35 @@ class TestCurationOps:
             assert r["purity"] == pytest.approx(
                 r["n_majority"] / r["n_vecs"], abs=1e-6
             )
+
+    def test_token_frequency_quality_matches_python(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        uni = Counter()
+        doc_toks = {}
+        for doc_id, text, source, _lang in docs:
+            toks = text.lower().strip().split()
+            if text.strip() == "":
+                continue
+            doc_toks[doc_id] = (source, toks)
+            uni.update(toks)
+        per_source = {}
+        corpus_tokens = sum(len(t) for _, t in doc_toks.values())
+        corpus_freq = sum(uni[tok] for _, t in doc_toks.values() for tok in t)
+        for doc_id, (source, toks) in doc_toks.items():
+            fs = sum(uni[t] for t in toks)
+            s = per_source.setdefault(source, [0, 0, 0, 0])
+            s[0] += 1
+            s[1] += fs
+            s[2] += len(toks)
+            s[3] += int(fs * corpus_tokens > corpus_freq * len(toks))
+        got = {
+            r["source"]: r
+            for r in q("token_frequency_quality")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(per_source)
+        for src, (n, fs, nt, above) in per_source.items():
+            r = got[src]
+            assert r["n_docs"] == n
+            assert r["n_above_corpus_mean"] == above
+            assert r["mean_token_freq"] == pytest.approx(fs / nt, abs=1e-6)

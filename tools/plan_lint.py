@@ -52,6 +52,7 @@ EXECUTING = {
     "streaming_complete_mode_totals",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
+    "streaming_segment_enrichment",
     "kmeans_cluster_profile",
     "near_dup_clusters",
 }
