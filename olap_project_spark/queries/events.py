@@ -2055,3 +2055,134 @@ def user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_rows_per_key"),
         F.round(top1.cast("double") / mean, 6).alias("top1_to_mean_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Debounce dedup (drop rapid-fire repeats per user+type)
+# --------------------------------------------------------------------------
+DEBOUNCE_SECONDS = 5
+
+
+@register(
+    "debounced_event_counts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NOT NULL
+                   AND epoch(ts) - epoch(lag(ts) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)) <= {DEBOUNCE_SECONDS}
+                  THEN 1 ELSE 0 END AS dropped
+      FROM ev
+    )
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(dropped) AS DOUBLE) / COUNT(*), 6) AS drop_frac
+    FROM lagged GROUP BY event_type
+    """,
+)
+def debounced_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce deduplication accounting: an event is a rapid-fire
+    repeat (double-click, retry storm, sensor chatter) when it follows
+    the PREVIOUS event of the same (user, type) within 5 seconds — the
+    lag-based form every SQL engine agrees on (true
+    relative-to-last-KEPT debouncing is inherently sequential; the
+    lag form is the standard one-pass approximation and an upper
+    bound on kept rows). Tiebreak on event_id makes the order total.
+
+    Scale: one window partitioned by (user_id, event_type) — state
+    scales out with the keyspace — then a per-type rollup. The
+    streaming twin is dropDuplicatesWithinWatermark
+    (streaming_distinct_user_types); this is the batch/backfill form."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    dropped = (
+        prev_ts.isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+            <= DEBOUNCE_SECONDS
+        )
+    ).cast("bigint")
+    lagged = ev.select("event_type", dropped.alias("dropped"))
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        (F.count("*") - F.sum("dropped")).cast("bigint").alias("n_kept"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.round(F.sum("dropped").cast("double") / F.count("*"), 6).alias(
+            "drop_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark-lateness accounting (how late does this stream arrive?)
+# --------------------------------------------------------------------------
+LATENESS_WATERMARK_S = 600  # the 10-minute watermark the gate's streams use
+
+
+@register(
+    "late_event_accounting",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    seen AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY user_id
+                           ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM ev
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN epoch(high_water) - epoch(ts)
+                              > {LATENESS_WATERMARK_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(CAST(SUM(CASE WHEN epoch(high_water) - epoch(ts)
+                                    > {LATENESS_WATERMARK_S}
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS late_frac
+    FROM seen GROUP BY event_type
+    """,
+)
+def late_event_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning diagnostics: per event type, how many events
+    arrive more than the streaming watermark (10 min) behind the
+    high-water mark of event time already seen on their own key's
+    arrival order (event_id = ingestion sequence)? These are exactly
+    the rows a watermarked streaming aggregate would DROP — measured
+    here on the batch table, which is how you pick a watermark before
+    deploying the stream (too tight drops data, too loose bloats
+    state).
+
+    Scale: the running high-water mark is a per-user window (state
+    scales out; no global order), then a per-type rollup. Counts and
+    flags are integer-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    high_water = F.max("ts").over(w)
+    late = (
+        (F.unix_timestamp(high_water) - F.unix_timestamp("ts"))
+        > LATENESS_WATERMARK_S
+    ).cast("bigint")
+    seen = ev.select("event_type", late.alias("late"))
+    return seen.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.round(F.sum("late").cast("double") / F.count("*"), 6).alias(
+            "late_frac"
+        ),
+    )
