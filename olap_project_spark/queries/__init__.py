@@ -112,8 +112,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (pii_redaction_stats, sql_urgent_open_customers, context_packing_stats,
 # quantized_cosine_quality), the curation batch (repetition_quality_stats,
 # boilerplate_coverage_stats, training_shard_stats, source_mixture_plan,
-# cluster_label_purity), plus the families whose last driver rows are
-# oldest (dedup/events/similarity, round 1).
+# cluster_label_purity, token_frequency_quality), the event-cleaning pair
+# (debounced_event_counts, late_event_accounting), the stream-static join
+# (streaming_segment_enrichment), plus the families whose last driver rows
+# are oldest (dedup/events/similarity, round 1).
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
     "pricing_summary",
