@@ -109,3 +109,42 @@ def salted_join(
     )
     out = left.join(right, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) key: bit-interleave the low ``bits`` of two
+    non-negative integer columns — the multi-dimensional clustering
+    lever (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog, here a pure
+    Catalyst expression). Sorting/range-partitioning a table by this
+    key clusters it in BOTH dimensions at once, so per-file min/max
+    statistics prune selective predicates on EITHER column — a linear
+    sort gives that power to its leading column only.
+
+    The interleaved terms occupy disjoint bit positions, so plain
+    addition is a bitwise OR; everything stays in one codegen'd int64
+    expression. DuckDB equivalent: ``sql_zorder_key`` below.
+
+    At 100 TB: ``df.repartitionByRange(n, zorder_key(...)).sortWithinPartitions(...)
+    .write...`` produces the clustered layout; re-run per partition to
+    compact (the incremental OPTIMIZE pattern)."""
+    out: Column | None = None
+    for i in range(bits):
+        xb = F.shiftleft(
+            F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        yb = F.shiftleft(
+            F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = xb + yb
+        out = term if out is None else out + term
+    assert out is not None
+    return out.cast("bigint")
+
+
+def sql_zorder_key(x: str, y: str, bits: int = 8) -> str:
+    """The DuckDB-SQL text computing exactly ``zorder_key(x, y, bits)``."""
+    terms: list[str] = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

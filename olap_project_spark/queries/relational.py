@@ -1701,3 +1701,80 @@ def sql_urgent_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return spark.sql(_SQL_URGENT_OPEN)
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering quality — the multi-dimensional layout lever
+# --------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from olap_project_spark.functions.scale import sql_zorder_key
+
+    return f"""
+    WITH b AS (
+      SELECT MAX(o_custkey) AS ck_max,
+             MIN(CAST(o_orderdate AS DATE)) AS d_min,
+             MAX(CAST(o_orderdate AS DATE)) AS d_max
+      FROM orders
+    ),
+    pts AS (
+      SELECT CAST(floor(o_custkey * 256 / (ck_max + 1)) AS BIGINT) AS x8,
+             CAST(floor(date_diff('day', d_min, CAST(o_orderdate AS DATE)) * 256
+                  / (date_diff('day', d_min, d_max) + 1)) AS BIGINT) AS y8
+      FROM orders, b
+    ),
+    z AS (SELECT x8, y8, {sql_zorder_key('x8', 'y8')} AS zkey FROM pts)
+    SELECT zkey >> 10 AS zbucket,
+           COUNT(*) AS n_orders,
+           CAST(MAX(x8) - MIN(x8) + 1 AS BIGINT) AS custkey_cells,
+           CAST(MAX(y8) - MIN(y8) + 1 AS BIGINT) AS day_cells
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_layout_stats", oracle=_zorder_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality over orders on (customer, order day):
+    both dimensions are quantized to 256 cells, bit-interleaved into a
+    16-bit Morton key (functions.scale.zorder_key), and the table is
+    carved into 64 z-buckets (the files a clustered write would emit).
+    Per bucket the query reports how many cells of EACH dimension the
+    bucket spans — the min/max statistics a reader would prune on.
+
+    Why it matters: a layout sorted by customer alone yields buckets
+    spanning ~4 customer cells but all 256 day cells (a date predicate
+    prunes nothing); the z-layout spans ~32 cells in BOTH (either
+    predicate prunes ~7/8 of files). This query IS the layout review —
+    run it before committing a 100 TB table to a sort order.
+
+    Scale: the bounds are a 1-row broadcast aggregate; the key is one
+    codegen'd integer expression; the rollup is a 64-group hash
+    aggregate. The clustered WRITE this models uses the same key:
+    ``repartitionByRange(n, zkey)`` + ``sortWithinPartitions(zkey)``.
+    Quantization is floor over exactly-represented doubles (ints
+    < 2^53), bit-identical across engines."""
+    from olap_project_spark.functions.scale import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+    )
+    o = orders.join(F.broadcast(bounds))
+    x8 = F.floor(F.col("o_custkey") * 256 / (F.col("ck_max") + 1)).cast("bigint")
+    dnum = F.datediff(F.col("o_orderdate").cast("date"), F.col("d_min"))
+    dspan = F.datediff(F.col("d_max"), F.col("d_min")) + 1
+    y8 = F.floor(dnum * 256 / dspan).cast("bigint")
+    pts = o.select(x8.alias("x8"), y8.alias("y8"))
+    z = pts.select(
+        "x8", "y8", zorder_key(F.col("x8"), F.col("y8")).alias("zkey")
+    )
+    return (
+        z.select(F.shiftright("zkey", 10).alias("zbucket"), "x8", "y8")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.max("x8") - F.min("x8") + 1).cast("bigint").alias("custkey_cells"),
+            (F.max("y8") - F.min("y8") + 1).cast("bigint").alias("day_cells"),
+        )
+    )

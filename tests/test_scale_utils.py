@@ -132,3 +132,40 @@ class TestSaltedJoin:
         assert {r["c_mktsegment"]: r["count"] for r in g} == {
             r["c_mktsegment"]: r["count"] for r in p
         }
+
+
+class TestZorder:
+    def test_key_matches_python_interleave(self, spark):
+        from olap_project_spark.functions.scale import zorder_key
+        from pyspark.sql import functions as F
+
+        def py_z(x, y, bits=8):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [(x, y) for x in (0, 1, 5, 127, 200, 255) for y in (0, 3, 64, 255)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        got = df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+        for r in got:
+            assert r["z"] == py_z(r["x"], r["y"]), (r["x"], r["y"])
+
+    def test_layout_localizes_both_dimensions(self, spark, sf_dir):
+        """The point of the z-layout: every bucket spans far fewer than
+        all 256 cells of EACH dimension (a linear sort spans all cells
+        of its trailing dimension)."""
+        from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+        _import_all()
+        rows = QUERY_REGISTRY["zorder_layout_stats"].fn(spark, sf_dir).collect()
+        assert rows
+        # 64 buckets → 6-bit z-prefix → 3 bits per dim → ≤ 2^(8-3)=32
+        # cells per dim per bucket (exactly, by construction of Morton
+        # order: a fixed prefix fixes the top bits of both dims)
+        for r in rows:
+            assert r["custkey_cells"] <= 32
+            assert r["day_cells"] <= 32
