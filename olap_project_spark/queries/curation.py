@@ -23,7 +23,7 @@ from olap_project_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from olap_project_spark.queries import load, register
+from olap_project_spark.queries import load, register, session_memo
 
 # Gopher-style repetition thresholds (integer-arithmetic form below):
 # a document is repetition-flagged when its most frequent bigram covers
@@ -376,13 +376,21 @@ def token_frequency_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — and every aggregate map-side combines. (The integer
     cross-product pair fits int64 up to ~10^9-token corpora per doc
     pair; beyond that, scale both sides down by a common constant.)"""
-    docs = load(spark, sf_dir, "documents")
-    occ = (
-        docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
-        .filter((F.size("tok") >= 1) & (F.col("tok") != F.array(F.lit(""))))
-        .select("doc_id", "source", F.explode("tok").alias("t"))
-        .select("doc_id", "source", portable_hash48(F.col("t")).alias("h"))
-    )
+    # The tokenize+explode pass is the expensive leg and this plan uses
+    # it on two branches (the unigram LM and the per-doc join); without
+    # persistence Catalyst re-runs it per branch (no common-subplan
+    # elimination). Memoized per (session, corpus) — at 100 TB you'd
+    # materialize it once as a bucketed table.
+    def build_occ() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+            .filter((F.size("tok") >= 1) & (F.col("tok") != F.array(F.lit(""))))
+            .select("doc_id", "source", F.explode("tok").alias("t"))
+            .select("doc_id", "source", portable_hash48(F.col("t")).alias("h"))
+        )
+
+    occ = session_memo(spark, sf_dir, "unigram_occ", build_occ)
     uni = occ.groupBy("h").agg(F.count("*").alias("cnt"))
     per_doc = (
         occ.join(uni, "h")
