@@ -61,6 +61,18 @@ class TestDriverContract:
             "sql_urgent_open_customers",   # raw-SQL front end
             "context_packing_stats",       # window cumsum + floor div
             "quantized_cosine_quality",    # round/cast int8 under ANSI
+            # round-4 post-window additions (rotate into the round-5
+            # gate window) — pin vanilla-session behavior up front:
+            "repetition_quality_stats",    # bigram hash-agg, int flags
+            "boilerplate_coverage_stats",  # shingle doc-freq join
+            "training_shard_stats",        # md5 % N_SHARDS under ANSI
+            "source_mixture_plan",         # 1-row broadcast + int cross-mult
+            "token_frequency_quality",     # memoized explode + LM join
+            "cluster_label_purity",        # IVF assign + mode window
+            "debounced_event_counts",      # lag + unix_timestamp arithmetic
+            "late_event_accounting",       # running max window
+            "streaming_segment_enrichment",  # stream-static join
+            "zorder_layout_stats",         # shifts/bitwiseAND under ANSI
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
