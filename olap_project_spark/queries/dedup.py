@@ -239,30 +239,22 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("minhash_dup_pairs", oracle=_minhash_oracle())
-def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates,
-    verified by exact Jaccard ≥ 0.7 — the sub-quadratic scale path for
-    corpus dedup.
-
-    The hash family is (a·h48 + b) mod 2^31-1 over the portable md5-
-    derived shingle hash, so the DuckDB oracle reproduces the *exact*
-    signatures, not just the final pairs.
-
-    Scale: all 32 permutation minima are computed as 32 aggregate
-    expressions in ONE (doc_id)-groupBy over the shingle-hash rows — no
-    k× row blowup, fully map-side-combinable. Banding is a per-row
-    projection exploded to 8 (band, key) rows/doc; candidate generation
-    is an equi-join on (band, band_key) — hash-partitioned, no broadcast
-    of the corpus. At ~0.7 similarity, P(candidate)=1-(1-s^4)^8 ≈ 0.93."""
-    sh = _shingle_df(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): the 8 LSH band keys per document from
+    the MinHash(32) signature. All 32 permutation minima are computed
+    as aggregate expressions in ONE (doc_id)-groupBy over the
+    shingle-hash rows — no k× row blowup, fully map-side-combinable;
+    banding is a per-row projection exploded to 8 rows/doc. Shared by
+    the symmetric (corpus×corpus) and incremental (batch×corpus)
+    dedup queries."""
     # shingle is already the uniform 48-bit hash — fold into the field
     hashes = sh.select("doc_id", (F.col("shingle") % MERSENNE31).alias("h"))
     sig = hashes.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(minhash_param(k)[0]) * F.col("h") + F.lit(minhash_param(k)[1])) % MERSENNE31).alias(f"mh{k}")
+            F.min(
+                (F.lit(minhash_param(k)[0]) * F.col("h") + F.lit(minhash_param(k)[1]))
+                % MERSENNE31
+            ).alias(f"mh{k}")
             for k in range(N_PERM)
         ]
     )
@@ -281,9 +273,34 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_PERM // BAND_ROWS)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+@register("minhash_dup_pairs", oracle=_minhash_oracle())
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates,
+    verified by exact Jaccard ≥ 0.7 — the sub-quadratic scale path for
+    corpus dedup.
+
+    The hash family is (a·h48 + b) mod 2^31-1 over the portable md5-
+    derived shingle hash, so the DuckDB oracle reproduces the *exact*
+    signatures, not just the final pairs.
+
+    Scale: all 32 permutation minima are computed as 32 aggregate
+    expressions in ONE (doc_id)-groupBy over the shingle-hash rows — no
+    k× row blowup, fully map-side-combinable. Banding is a per-row
+    projection exploded to 8 (band, key) rows/doc; candidate generation
+    is an equi-join on (band, band_key) — hash-partitioned, no broadcast
+    of the corpus. At ~0.7 similarity, P(candidate)=1-(1-s^4)^8 ≈ 0.93."""
+    sh = _shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bands = _minhash_bands(sh)
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -890,4 +907,131 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             F.round(frac, 6).alias("overlap_frac"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental-ingest dedup (new batch vs existing corpus)
+# --------------------------------------------------------------------------
+INCR_MOD = 10
+INCR_REM = 9  # doc_id % 10 == 9 plays the "incoming batch" role
+
+
+def _incremental_oracle() -> str:
+    min_exprs = ",\n             ".join(
+        f"MIN(({minhash_param(k)[0]} * h + {minhash_param(k)[1]}) % {MERSENNE31}) AS mh{k}"
+        for k in range(N_PERM)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {b} AS band,
+             md5({" || ',' || ".join(f"CAST(mh{k} AS VARCHAR)" for k in range(b * BAND_ROWS, (b + 1) * BAND_ROWS))})
+               AS band_key FROM sig"""
+        for b in range(N_PERM // BAND_ROWS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hashes AS (
+      SELECT doc_id, shingle % {MERSENNE31} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {min_exprs}
+      FROM hashes
+      GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT y.doc_id AS new_doc, x.doc_id AS dup_of
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_key = y.band_key
+       AND x.doc_id % {INCR_MOD} <> {INCR_REM}
+       AND y.doc_id % {INCR_MOD} = {INCR_REM}
+    ),
+    verified AS (
+      SELECT c.new_doc, c.dup_of, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_doc
+      JOIN sh b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT v.new_doc, v.dup_of,
+             CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jac
+      FROM verified v
+      JOIN shc ca ON ca.doc_id = v.new_doc
+      JOIN shc cb ON cb.doc_id = v.dup_of
+    ),
+    best AS (
+      SELECT new_doc, dup_of, jac,
+             row_number() OVER (PARTITION BY new_doc
+                                ORDER BY jac DESC, dup_of) AS rn
+      FROM scored WHERE jac >= {JACCARD_THRESHOLD}
+    )
+    SELECT new_doc, dup_of, ROUND(jac, 6) AS jaccard
+    FROM best WHERE rn = 1
+    """
+
+
+@register("incremental_dedup_matches", oracle=_incremental_oracle())
+def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: every INCOMING document (batch role:
+    doc_id % 10 == 9) that near-duplicates some EXISTING corpus
+    document, with its best match (highest exact Jaccard ≥ 0.7, ties
+    to the smallest corpus id). This is the production shape corpus
+    dedup actually runs day-to-day — the nightly batch is deduped
+    AGAINST the corpus without recomparing the corpus to itself, so
+    cost is O(batch·bands + candidates), not O(corpus²).
+
+    Scale: reuses the memoized shingle frame and the shared MinHash
+    band builder (_minhash_bands); the candidate join keys on
+    (band, band_key) with the batch/corpus role split as join-side
+    predicates — at 100 TB the corpus side's bands are a materialized
+    index you append to, and only the batch side is computed fresh.
+    Verification (exact Jaccard) touches candidates only; the best
+    match is a per-new-doc window over candidate matches."""
+    sh = _shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bands = _minhash_bands(sh)
+    x = bands.filter(F.col("doc_id") % INCR_MOD != INCR_REM).alias("x")
+    y = bands.filter(F.col("doc_id") % INCR_MOD == INCR_REM).alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.col("y.doc_id").alias("new_doc"), F.col("x.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    verified = (
+        cand.join(a, F.col("a.doc_id") == F.col("new_doc"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("dup_of"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.desc("jac"), F.asc("dup_of"))
+    return (
+        verified.join(ca, F.col("new_doc") == F.col("ca.doc_id"))
+        .join(cb, F.col("dup_of") == F.col("cb.doc_id"))
+        .select("new_doc", "dup_of", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_doc", "dup_of", F.round("jac", 6).alias("jaccard"))
     )
