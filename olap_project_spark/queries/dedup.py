@@ -1035,3 +1035,72 @@ def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("new_doc", "dup_of", F.round("jac", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split (split by near-dup GROUP, not doc)
+# --------------------------------------------------------------------------
+SPLIT_MOD = 10  # buckets 0-7 train, 8 val, 9 test
+
+
+def _leakage_safe_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    cluster_sql = QUERY_REGISTRY["near_dup_clusters"].oracle
+    return f"""
+    WITH comp AS ({cluster_sql}),
+    g AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS gid,
+             CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS clustered
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    s AS (
+      SELECT doc_id, gid, clustered,
+             CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 12) AS BIGINT)
+               % {SPLIT_MOD} AS b
+      FROM g
+    )
+    SELECT CASE WHEN b <= 7 THEN 'train'
+                WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT gid) AS n_groups,
+           CAST(SUM(clustered) AS BIGINT) AS n_clustered_docs
+    FROM s GROUP BY 1
+    """
+
+
+@register("leakage_safe_split_stats", oracle=_leakage_safe_oracle())
+def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment hashed on the NEAR-DUP GROUP, not the
+    document: all members of a near-dup cluster land in the same split
+    (singletons group as themselves), so no evaluation example has a
+    near-duplicate in training — the leakage mode a plain per-doc hash
+    split (doc_split_assignment, queries/text.py) cannot prevent, and
+    the reason production pipelines split AFTER dedup clustering.
+    Buckets: md5(group) mod 10 → 0-7 train / 8 val / 9 test.
+
+    Scale: one left equi-join of the corpus against the (memoized,
+    tiny) cluster labels, then a hash split identical in cost to the
+    per-doc one. The within-one-split invariant for every verified
+    near-dup pair is asserted in tests/test_training_ops.py."""
+    clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    g = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gid"),
+        F.col("cluster_id").isNotNull().cast("bigint").alias("clustered"),
+    )
+    b = portable_hash48(F.col("gid").cast("string")) % SPLIT_MOD
+    s = g.select(
+        "doc_id",
+        "gid",
+        "clustered",
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("gid").alias("n_groups"),
+        F.sum("clustered").cast("bigint").alias("n_clustered_docs"),
+    )

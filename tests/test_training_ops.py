@@ -557,3 +557,37 @@ class TestCurationOps:
             assert r["n_docs"] == n
             assert r["n_above_corpus_mean"] == above
             assert r["mean_token_freq"] == pytest.approx(fs / nt, abs=1e-6)
+
+
+class TestLeakageSafeSplit:
+    def test_no_near_dup_pair_straddles_splits(self, spark, sf_dir):
+        """The operator's defining invariant: every verified near-dup
+        pair shares a split."""
+        from olap_project_spark.functions.text import portable_hash48 as _  # noqa: F401
+
+        pairs = q("ngram_dup_pairs")(spark, sf_dir).collect()
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in q("near_dup_clusters")(spark, sf_dir).collect()
+        }
+
+        def split_of(doc_id):
+            gid = clusters.get(doc_id, doc_id)
+            b = int(hashlib.md5(str(gid).encode()).hexdigest()[:12], 16) % 10
+            return "train" if b <= 7 else ("val" if b == 8 else "test")
+
+        for r in pairs:
+            assert split_of(r["doc_a"]) == split_of(r["doc_b"]), (
+                r["doc_a"],
+                r["doc_b"],
+            )
+
+    def test_split_totals_cover_corpus(self, spark, sf_dir):
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        rows = q("leakage_safe_split_stats")(spark, sf_dir).collect()
+        assert sum(r["n_docs"] for r in rows) == n
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
