@@ -300,7 +300,10 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus. At ~0.7 similarity, P(candidate)=1-(1-s^4)^8 ≈ 0.93."""
     sh = _shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    bands = _minhash_bands(sh)
+    # memoized: incremental_dedup_matches consumes the same band index
+    bands = session_memo(
+        spark, sf_dir, "minhash_bands", lambda: _minhash_bands(sh)
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -994,7 +997,9 @@ def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     match is a per-new-doc window over candidate matches."""
     sh = _shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    bands = _minhash_bands(sh)
+    bands = session_memo(
+        spark, sf_dir, "minhash_bands", lambda: _minhash_bands(sh)
+    )
     x = bands.filter(F.col("doc_id") % INCR_MOD != INCR_REM).alias("x")
     y = bands.filter(F.col("doc_id") % INCR_MOD == INCR_REM).alias("y")
     cand = (

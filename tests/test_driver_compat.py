@@ -73,6 +73,9 @@ class TestDriverContract:
             "late_event_accounting",       # running max window
             "streaming_segment_enrichment",  # stream-static join
             "zorder_layout_stats",         # shifts/bitwiseAND under ANSI
+            "incremental_dedup_matches",   # asymmetric LSH band join
+            "leakage_safe_split_stats",    # CC labels + group hash split
+            "hash_sampled_value_stats",    # decimal sums + sample modulo
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
