@@ -2345,3 +2345,78 @@ def value_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection (same-slot-of-week comparison)
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_hour_anomalies",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slot AS (
+      SELECT event_type, h, c,
+             CAST(dayofweek(h) AS INTEGER) AS dow,
+             CAST(hour(h) AS INTEGER) AS hod
+      FROM hc
+    ),
+    base AS (
+      SELECT event_type, dow, hod,
+             CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n
+      FROM slot GROUP BY 1, 2, 3
+    )
+    SELECT s.event_type,
+           COUNT(*) AS n_slots,
+           CAST(SUM(CASE WHEN 2 * abs(s.c * b.n - b.s) > b.s * b.n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           ROUND(CAST(SUM(CASE WHEN 2 * abs(s.c * b.n - b.s) > b.s * b.n
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS anomaly_frac
+    FROM slot s
+    JOIN base b ON b.event_type = s.event_type
+               AND b.dow = s.dow AND b.hod = s.hod
+    GROUP BY s.event_type
+    """,
+)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each observed hour's event
+    count is compared against the mean of ITS OWN weekly slot — same
+    day-of-week, same hour-of-day — and flagged when it deviates more
+    than 50% from that seasonal baseline. A global-mean detector
+    (anomalous_hours) calls every Friday evening an anomaly and misses
+    a quiet Friday; the seasonal baseline does neither. The deviation
+    test cross-multiplies integers (``2·|c·n − S| > S·n``), so no
+    floating-point mean is ever compared.
+
+    Scale: an hourly pre-aggregate (map-side combined), a (type, dow,
+    hod)-keyed baseline over ≤ |types|·168 groups, and an equi-join of
+    the two — the baseline side is tiny and AQE broadcasts it. Hours
+    with zero events are absent, not zero-filled (the spine-filled
+    variants handle gap semantics)."""
+    ev = load(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    slot = hc.select(
+        "event_type",
+        "c",
+        (F.dayofweek("h") - 1).cast("int").alias("dow"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    base = slot.groupBy("event_type", "dow", "hod").agg(
+        F.sum("c").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    j = slot.join(base, ["event_type", "dow", "hod"])
+    anom = (
+        2 * F.abs(F.col("c") * F.col("n") - F.col("s")) > F.col("s") * F.col("n")
+    ).cast("bigint")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_slots"),
+        F.sum(anom).cast("bigint").alias("n_anomalous"),
+        F.round(F.sum(anom).cast("double") / F.count("*"), 6).alias(
+            "anomaly_frac"
+        ),
+    )
