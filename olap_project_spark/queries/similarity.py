@@ -647,3 +647,149 @@ def quantized_cosine_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-probe ANN top-k (the recall/cost knob)
+# --------------------------------------------------------------------------
+TOPK_NPROBE = 3
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    qcells AS (SELECT cid FROM scored
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {TOPK_NPROBE}),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))), 6) AS cos_sim
+    FROM e
+    JOIN assign ON assign.vec_id = e.vec_id
+    JOIN qcells ON assign.cid = qcells.cid, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY list_dot_product(e.emb, q.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.emb, q.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE IVF top-k: search the query's 3 nearest cells
+    instead of 1 — the recall/cost knob every IVF deployment tunes
+    (nprobe=1 misses neighbors that quantized into an adjacent cell;
+    probing p cells multiplies cost by ~p and closes most of the recall
+    gap long before p = n_cells). Corpus assignment stays rn=1; only
+    the QUERY fans out to its top-p cells.
+
+    Scale: identical plan shape to ann_ivf_topk with a p-row broadcast
+    of probed cell ids instead of 1 — the scan side still prunes to
+    Σ|probed cells| vectors, and orderBy+limit stays
+    TakeOrderedAndProject. Compare its gate rows against
+    ann_topk_bruteforce / ann_ivf_topk to read the recall ladder."""
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qcells = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= TOPK_NPROBE)
+    ).select(F.col("cid").alias("qcid"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    cos_q = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Filtered search on the IVF index (predicate inside probed cells)
+# --------------------------------------------------------------------------
+@register(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    qcells AS (SELECT cid FROM scored
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {TOPK_NPROBE}),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.emb, q.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(q.emb, q.emb))), 6) AS cos_sim
+    FROM e
+    JOIN assign ON assign.vec_id = e.vec_id
+    JOIN qcells ON assign.cid = qcells.cid, q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label % 2 = 0
+    ORDER BY list_dot_product(e.emb, q.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(q.emb, q.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search ON THE INDEX: the metadata predicate (label
+    even) applied INSIDE the query's probed cells — composing
+    ann_filtered_topk's pre-filtering with the IVF scale path. This is
+    the shape vector stores call 'filtered ANN with pre-filtering':
+    the filter prunes candidates before any full distance is computed,
+    and the index prunes the corpus before the filter even runs. With
+    harsh filters the probed cells may underfill k — production
+    systems escalate nprobe when that happens; here the fixed 3-probe
+    result is itself the gate-pinned contract.
+
+    Scale: cell pruning (≈ p/n_cells of the corpus) × predicate
+    pruning, both before the cosine fold; the predicate additionally
+    pushes into the parquet scan (row-group stats on label)."""
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qcells = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= TOPK_NPROBE)
+    ).select(F.col("cid").alias("qcid"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    cos_q = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.filter((F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") % 2 == 0))
+        .join(assign, "vec_id")
+        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )

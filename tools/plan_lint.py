@@ -126,6 +126,8 @@ BROADCAST_BOUNDED_OK = {
     "ivf_near_dup_pairs",
     "quantized_cosine_quality",
     "cluster_label_purity",
+    "ann_multiprobe_topk",
+    "ann_ivf_filtered_topk",
 }
 
 
