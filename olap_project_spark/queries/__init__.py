@@ -114,8 +114,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # boilerplate_coverage_stats, training_shard_stats, source_mixture_plan,
 # cluster_label_purity, token_frequency_quality), the event-cleaning pair
 # (debounced_event_counts, late_event_accounting), the stream-static join
-# (streaming_segment_enrichment), plus the families whose last driver rows
-# are oldest (dedup/events/similarity, round 1).
+# (streaming_segment_enrichment), zorder_layout_stats, the dedup additions
+# (incremental_dedup_matches, leakage_safe_split_stats), the events
+# additions (hash_sampled_value_stats, value_outlier_profile,
+# seasonal_hour_anomalies), the ANN variants (ann_multiprobe_topk,
+# ann_ivf_filtered_topk), plus the families whose last driver rows are
+# oldest (dedup/events/similarity, round 1).
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
     "pricing_summary",
