@@ -793,3 +793,35 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
     )
+
+
+def _multiprobe_recall_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    exact_sql = QUERY_REGISTRY["ann_topk_bruteforce"].oracle
+    mp_sql = QUERY_REGISTRY["ann_multiprobe_topk"].oracle
+    return f"""
+    WITH exact_k AS ({exact_sql}),
+    mp_k AS ({mp_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+    FROM exact_k JOIN mp_k ON exact_k.vec_id = mp_k.vec_id
+    """
+
+
+@register("ann_multiprobe_recall", oracle=_multiprobe_recall_oracle())
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the 3-probe search against the exact scan — the
+    second rung of the recall ladder (ann_ivf_recall measures
+    nprobe=1). Together the two gate rows quantify what each extra
+    probe buys, which is exactly the curve an IVF deployment reads
+    before fixing its nprobe.
+
+    Scale: both sides are k-row memoized results; the join is free."""
+    exact_k = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    mp_k = ann_multiprobe_topk(spark, sf_dir).select("vec_id")
+    hits = exact_k.join(mp_k, "vec_id")
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.round(F.count("*").cast("double") / TOP_K, 6).alias("recall_at_k"),
+    )

@@ -128,6 +128,7 @@ BROADCAST_BOUNDED_OK = {
     "cluster_label_purity",
     "ann_multiprobe_topk",
     "ann_ivf_filtered_topk",
+    "ann_multiprobe_recall",
 }
 
 
