@@ -72,6 +72,7 @@ GLOBAL_WINDOW_OK = {
     "weekly_retention",
     "event_transition_matrix",
     "ann_ivf_recall",
+    "ann_multiprobe_recall",
     # SinglePartition here is a deliberate 1-row GLOBAL-TOTAL aggregate
     # (corpus size / overall total) broadcast back — the window itself
     # is per-key; or the window input is an already-aggregated spine
