@@ -138,3 +138,58 @@ def doc_embedding_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Feature extraction + resize — the remaining mapInPandas legs, gate-checked
+# --------------------------------------------------------------------------
+@register(
+    "media_feature_stats",
+    oracle="""
+    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(SUM(ord(substr(text, CAST(i AS INTEGER), 1)))
+                  % 1000000007 AS BIGINT) AS feature_norm
+      FROM m, UNNEST(range(1, n + 1, greatest(n // 8, 1))) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, feature_norm,
+           CAST(224 AS INTEGER) AS width,
+           CAST(224 AS INTEGER) AS height,
+           CAST(224 * 224 * 3 AS BIGINT) AS resized_bytes
+    FROM feat
+    """,
+)
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining two multimodal mapInPandas legs — feature
+    extraction (media bytes → deterministic feature norm; the stand-in
+    for an Arrow-batched vision/audio model) and resize (fixed 224×224
+    target box) — joined per document and pinned by the gate. The
+    oracle replays the stub's strided byte-sum relationally (the corpus
+    is ASCII, so DuckDB's ``ord(substr(...))`` reads the same bytes the
+    Python UDF sees), which verifies the exact Arrow payload handed to
+    the UDF, not just row counts.
+
+    Scale: both legs are narrow Arrow-batched maps over the same scan
+    (no shuffle until the doc_id equi-join, which disappears if both
+    are computed in ONE mapInPandas in production); a real model swap
+    changes only the per-batch function body."""
+    from olap_project_spark.functions.multimodal import (
+        extract_features,
+        resize_media,
+        with_media_column,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_column(docs)
+    feat = extract_features(media)
+    resized = resize_media(media).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("resized_bytes").cast("bigint").alias("resized_bytes"),
+    )
+    return feat.join(resized, "doc_id").select(
+        "doc_id", "feature_norm", "width", "height", "resized_bytes"
+    )

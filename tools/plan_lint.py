@@ -95,6 +95,7 @@ GLOBAL_WINDOW_OK = {
 ARROW_PY_OK_PREFIXES = (
     "multimodal_",
     "frame_sample_",
+    "media_feature_",
     "doc_chunks",
     "repeated_chunks",
 )
