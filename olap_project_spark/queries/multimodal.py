@@ -146,7 +146,8 @@ def doc_embedding_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_feature_stats",
     oracle="""
-    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE octet_length(encode(text)) = length(text)),
     feat AS (
       SELECT doc_id,
              CAST(SUM(ord(substr(text, CAST(i AS INTEGER), 1)))
@@ -181,7 +182,13 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_media_column,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # ASCII guard, mirrored in the oracle: the SQL replay reads bytes
+    # via ord(substr(...)), which equals the UDF's byte view only when
+    # char == byte. Non-ASCII docs (none in current corpora) are
+    # excluded on BOTH sides rather than silently hash-diverging.
+    docs = load(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     media = with_media_column(docs)
     feat = extract_features(media)
     resized = resize_media(media).select(
