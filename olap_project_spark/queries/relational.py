@@ -1778,3 +1778,77 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("y8") - F.min("y8") + 1).cast("bigint").alias("day_cells"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis (who drives 80% of revenue?)
+# --------------------------------------------------------------------------
+@register(
+    "pareto_customer_classes",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM cr),
+    ranked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cr
+    ),
+    classed AS (
+      SELECT r.o_custkey, r.rev,
+             CASE WHEN r.cum * 5 <= t.total * 4 THEN 'A'
+                  WHEN r.cum * 20 <= t.total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked r, tot t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(t.total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed, tot t
+    GROUP BY abc_class
+    """,
+)
+def pareto_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation: customers ranked by revenue, classed
+    A (the head up to 80% of cumulative revenue), B (80-95%), C (the
+    tail) — the classic who-funds-the-business cut. The cumulative sum
+    runs over EXACT decimals in a total order (rev desc, custkey), and
+    the class boundaries cross-multiply decimals (``cum·5 ≤ total·4``),
+    so classification never compares floats.
+
+    Scale: one map-side-combined per-customer aggregate, then a
+    single-partition cumulative window over the REDUCED per-customer
+    frame (|customers| rows, not |orders| — the same deliberate
+    global-order shape as customer_revenue_gini; at 100 TB you'd range-
+    partition the cumulative step or precompute decile boundaries)."""
+    orders = load(spark, sf_dir, "orders")
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    tot = cr.agg(F.sum("rev").alias("total"))
+    w = (
+        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cr.withColumn("cum", F.sum("rev").over(w))
+    classed = ranked.join(F.broadcast(tot)).select(
+        "rev",
+        "total",
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev").cast("double"), 2).alias("class_revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )

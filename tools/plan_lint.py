@@ -88,6 +88,7 @@ GLOBAL_WINDOW_OK = {
     # post-aggregation reduced set, never the fact table.
     "customer_revenue_gini",
     "part_price_skyline",
+    "pareto_customer_classes",
 }
 
 # Families where Arrow-batched Python is the documented extension point
