@@ -80,6 +80,9 @@ class TestDriverContract:
             "seasonal_hour_anomalies",     # dayofweek/hour int casts
             "ann_multiprobe_topk",         # probed-cell broadcast joins
             "ann_ivf_filtered_topk",       # filter + index composition
+            "ann_multiprobe_recall",       # composed k-row semi-join
+            "media_feature_stats",         # two mapInPandas legs + join
+            "pareto_customer_classes",     # decimal cumulative window
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
