@@ -117,9 +117,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (streaming_segment_enrichment), zorder_layout_stats, the dedup additions
 # (incremental_dedup_matches, leakage_safe_split_stats), the events
 # additions (hash_sampled_value_stats, value_outlier_profile,
-# seasonal_hour_anomalies), the ANN variants (ann_multiprobe_topk,
-# ann_ivf_filtered_topk), plus the families whose last driver rows are
-# oldest (dedup/events/similarity, round 1).
+# seasonal_hour_anomalies, pareto_customer_classes), the ANN variants
+# (ann_multiprobe_topk, ann_ivf_filtered_topk, ann_multiprobe_recall),
+# media_feature_stats, plus the families whose last driver rows are
+# oldest (dedup/events/similarity, round 1). That's 25 round-4
+# additions — they plus the oldest-checked fill the 50 slots.
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
     "pricing_summary",
