@@ -1109,3 +1109,76 @@ def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gid").alias("n_groups"),
         F.sum("clustered").cast("bigint").alias("n_clustered_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy pairs → components → canonical name
+# --------------------------------------------------------------------------
+def _entity_cluster_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    fuzzy_sql = QUERY_REGISTRY["fuzzy_part_name_pairs"].oracle
+    return f"""
+    WITH RECURSIVE fp AS ({fuzzy_sql}),
+    ids AS (SELECT p_name, MIN(p_partkey) AS nid FROM part GROUP BY p_name),
+    pe AS (
+      SELECT na.nid AS a, nb.nid AS b
+      FROM fp
+      JOIN ids na ON na.p_name = fp.name_a
+      JOIN ids nb ON nb.p_name = fp.name_b
+    ),
+    edges AS (
+      SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS nid, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT c.cluster_id,
+           COUNT(*) AS n_names,
+           MIN(canon.p_name) AS canonical_name
+    FROM comp c
+    JOIN ids canon ON canon.nid = c.cluster_id
+    GROUP BY c.cluster_id
+    """
+
+
+@register("part_entity_clusters", oracle=_entity_cluster_oracle())
+def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END on the part dimension: the blocked
+    Levenshtein pairs (fuzzy_part_name_pairs) become an undirected
+    match graph, connected components merge transitive matches
+    ("almond antique blue" ~ "almond antique blues" ~ "almond antiqu
+    blues"), and each entity gets a deterministic canonical name (the
+    name owning the cluster's smallest part key). This is the master-
+    data-management shape: pairwise matchers over-segment without the
+    transitive-closure step, and a canonical survivor is what downstream
+    joins actually need. Exercises the CC primitive on a SECOND domain
+    (string entities via stable integer ids) beyond document dedup.
+
+    Scale: names map to integer ids by a groupBy (min part key); the
+    component loop is the same O(diameter)-round label propagation as
+    near_dup_clusters — entity-match graphs are shallow (diameter
+    ~2-3). The oracle replays it as a recursive-CTE closure."""
+    part = load(spark, sf_dir, "part")
+    ids = part.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    fp = fuzzy_part_name_pairs(spark, sf_dir)
+    na = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("a"))
+    nb = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("b"))
+    edges = fp.join(na, "name_a").join(nb, "name_b").select("a", "b")
+    from olap_project_spark.functions.graph import connected_components
+
+    labels = connected_components(edges, src="a", dst="b")
+    canon = ids.select(
+        F.col("nid").alias("cluster_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_names"))
+        .select(F.col("label").alias("cluster_id"), "n_names")
+        .join(canon, "cluster_id")
+        .groupBy("cluster_id", "n_names")
+        .agg(F.min("canonical_name").alias("canonical_name"))
+    )

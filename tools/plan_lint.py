@@ -55,6 +55,7 @@ EXECUTING = {
     "streaming_segment_enrichment",
     "kmeans_cluster_profile",
     "near_dup_clusters",
+    "part_entity_clusters",
 }
 
 # Queries whose semantics REQUIRE a global total order over a small
