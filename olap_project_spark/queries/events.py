@@ -2420,3 +2420,56 @@ def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomaly_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Trending: top-k per time bucket
+# --------------------------------------------------------------------------
+TRENDING_K = 3
+
+
+@register(
+    "trending_types_daily",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type, n_events,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM dc
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rnk AS INTEGER) AS rnk,
+           event_type, n_events
+    FROM ranked WHERE rnk <= {TRENDING_K}
+    """,
+)
+def trending_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: the top-3 event types of EACH day with
+    their rank — the per-time-bucket top-k every activity dashboard
+    renders (distinct from global top-k: the ranking restarts per
+    bucket, so a type can trend Monday and vanish Tuesday).
+    Deterministic tiebreak on the type name.
+
+    Scale: a (day, type) pre-aggregate (map-side combined) feeds a
+    rank window PARTITIONED BY DAY — Spark compiles the rnk <= k
+    filter to WindowGroupLimit, keeping only k rows per partition
+    inside the shuffle instead of ranking every group. State per task
+    is O(k), not O(|types|)."""
+    ev = load(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        dc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TRENDING_K)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -83,6 +83,8 @@ class TestDriverContract:
             "ann_multiprobe_recall",       # composed k-row semi-join
             "media_feature_stats",         # two mapInPandas legs + join
             "pareto_customer_classes",     # decimal cumulative window
+            "part_entity_clusters",        # CC loop + levenshtein block
+            "trending_types_daily",        # WindowGroupLimit per bucket
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
