@@ -116,8 +116,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (debounced_event_counts, late_event_accounting), the stream-static join
 # (streaming_segment_enrichment), zorder_layout_stats, the dedup additions
 # (incremental_dedup_matches, leakage_safe_split_stats), the events
-# additions (hash_sampled_value_stats, value_outlier_profile,
-# seasonal_hour_anomalies, pareto_customer_classes), the ANN variants
+# additions (hash_sampled_value_stats, seasonal_hour_anomalies,
+# pareto_customer_classes), the ANN variants
 # (ann_multiprobe_topk, ann_ivf_filtered_topk, ann_multiprobe_recall),
 # media_feature_stats, plus the families whose last driver rows are
 # oldest (dedup/events/similarity, round 1). That's 25 round-4

@@ -2273,81 +2273,6 @@ def hash_sampled_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Robust outlier detection (median / MAD)
-# --------------------------------------------------------------------------
-MAD_K = 5  # |x - median| > K * MAD flags an outlier
-
-
-@register(
-    "value_outlier_profile",
-    oracle=f"""
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
-    ),
-    dev AS (
-      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
-      FROM events e JOIN med m ON m.event_type = e.event_type
-    ),
-    mad AS (
-      SELECT event_type, quantile_cont(adev, 0.5) AS mad
-      FROM dev GROUP BY event_type
-    )
-    SELECT d.event_type,
-           COUNT(*) AS n_events,
-           ROUND(MIN(d.med), 6) AS median_value,
-           ROUND(MIN(m.mad), 6) AS mad_value,
-           CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers,
-           ROUND(CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS outlier_frac
-    FROM dev d JOIN mad m ON m.event_type = d.event_type
-    GROUP BY d.event_type
-    """,
-)
-def value_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust per-type outlier detection: median / median-absolute-
-    deviation bounds (|x − med| > 5·MAD) — the estimator that survives
-    the very outliers it hunts, unlike mean/stddev (one fat-fingered
-    transaction drags a z-score baseline; it cannot move the median).
-    Exact interpolated percentiles keep the result bit-stable
-    cross-engine (selection + one interpolation — no FP summation).
-
-    Scale: two grouped exact percentiles (each sorts within its
-    |type| partitions) and two equi-joins against 5-row aggregated
-    frames. For 100 TB, swap the exact percentiles for
-    approx_percentile's mergeable t-digests and keep the same shape —
-    the joins and flags are unchanged."""
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "value",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
-    flagged = (F.col("adev") > MAD_K * F.col("mad")).cast("bigint")
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.min("med"), 6).alias("median_value"),
-            F.round(F.min("mad"), 6).alias("mad_value"),
-            F.sum(flagged).cast("bigint").alias("n_outliers"),
-            F.round(F.sum(flagged).cast("double") / F.count("*"), 6).alias(
-                "outlier_frac"
-            ),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # Seasonal-baseline anomaly detection (same-slot-of-week comparison)
 # --------------------------------------------------------------------------
 @register(

@@ -76,7 +76,7 @@ class TestDriverContract:
             "incremental_dedup_matches",   # asymmetric LSH band join
             "leakage_safe_split_stats",    # CC labels + group hash split
             "hash_sampled_value_stats",    # decimal sums + sample modulo
-            "value_outlier_profile",       # exact percentile under ANSI
+            "value_robust_stats",          # exact percentile under ANSI
             "seasonal_hour_anomalies",     # dayofweek/hour int casts
             "ann_multiprobe_topk",         # probed-cell broadcast joins
             "ann_ivf_filtered_topk",       # filter + index composition

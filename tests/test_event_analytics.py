@@ -123,13 +123,12 @@ def test_mad_outliers_match_python(spark, sf_dir, events):
     vals = defaultdict(list)
     for _eid, _uid, etype, _ts, v in events:
         vals[etype].append(v)
-    got = {r["event_type"]: r for r in q("value_outlier_profile")(spark, sf_dir).collect()}
+    got = {r["event_type"]: r for r in q("value_robust_stats")(spark, sf_dir).collect()}
     for etype, xs in vals.items():
         med = statistics.median(xs)  # interpolated for even n (quantile_cont semantics)
         mad = statistics.median(abs(x - med) for x in xs)
-        n_out = sum(1 for x in xs if abs(x - med) > 5 * mad)
+        n_out = sum(1 for x in xs if abs(x - med) > 3 * 1.4826 * mad)
         r = got[etype]
-        assert r["n_events"] == len(xs)
         assert r["median_value"] == pytest.approx(med, abs=1e-6)
         assert r["mad_value"] == pytest.approx(mad, abs=1e-6)
-        assert r["n_outliers"] == n_out
+        assert r["n_robust_outliers"] == n_out
