@@ -593,11 +593,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 80/10/10 train/val/test split by hashing the
-    document id — the standard leakage-safe split for training corpora:
-    assignment is a pure function of the id (stable across runs,
-    machines, and engine versions — unlike rand() or TABLESAMPLE), so
-    adding documents never reshuffles existing ones across splits.
+    document id: assignment is a pure function of the id (stable across
+    runs, machines, and engine versions — unlike rand() or TABLESAMPLE),
+    so adding documents never reshuffles existing ones across splits.
     Uses the portable 48-bit md5 hash both engines compute identically.
+    Note: a per-DOC hash can still place near-duplicates on both sides
+    of the split — ``leakage_safe_split_stats`` (queries/dedup.py) is
+    the group-keyed variant that closes that leak.
 
     Scale: a stateless projection — no shuffle at all for the
     assignment; downstream writers partition by split. This is also the
