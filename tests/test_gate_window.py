@@ -66,3 +66,14 @@ def test_window_covers_the_never_checked_families():
         "kmeans_cluster_profile",
     ):
         assert name in w, name
+
+
+def test_catalog_in_sync_with_registry():
+    """QUERIES.md is generated from the registry (tools/gen_catalog.py);
+    it must list every registered query so the catalog never rots."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    text = open(path).read()
+    missing = [n for n in QUERY_REGISTRY if f"`{n}`" not in text]
+    assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
