@@ -116,6 +116,41 @@ SHOWCASE = [
         "pair derivation runs once (session memo), and all arithmetic "
         "is BIGINT fixed-point (exactly reproducible).",
     ),
+    (
+        "zorder_layout_stats",
+        "Z-order layout lever: the whole Morton interleave is ONE "
+        "codegen'd integer expression (nested shiftleft/shiftright/AND "
+        "in a single Project — no UDF), the scan is pruned to exactly "
+        "the two clustering columns (ReadSchema), the quantization "
+        "bounds are a 1-row broadcast aggregate, and the only shuffle "
+        "is the 64-key rollup with a map-side partial. With 64 buckets "
+        "(6-bit prefix = 3 bits/dim) every bucket spans <= 32 of 256 "
+        "cells in BOTH dimensions (asserted on real data in "
+        "tests/test_scale_utils.py) — the file-stats pruning a linear "
+        "sort gives only its leading column.",
+    ),
+    (
+        "incremental_dedup_matches",
+        "Incremental-ingest dedup — the asymmetric LSH join: the "
+        "memoized MinHash(32)+LSH(8x4) band index is filtered into a "
+        "corpus side (doc_id % 10 <> 9) and a batch side (= 9), "
+        "candidates come from the (band, band_key) equi-join of the "
+        "two — batch x corpus ONLY, never corpus x corpus — and exact "
+        "Jaccard verifies candidates before a per-new-doc "
+        "WindowGroupLimit picks the best match. Cost is "
+        "O(batch·bands + candidates): the nightly job scales with the "
+        "BATCH, not the corpus squared.",
+    ),
+    (
+        "leakage_safe_split_stats",
+        "Leakage-safe split: documents LEFT-join the (memoized, tiny) "
+        "near-dup component labels, gid = coalesce(cluster_id, doc_id), "
+        "and the 0-7/8/9 md5 split hashes the GROUP — so every member "
+        "of a near-dup cluster lands in one split (invariant asserted "
+        "in tests/test_training_ops.py). The plan is the per-doc hash "
+        "split plus one equi-join that touches only the clustered "
+        "subset.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
