@@ -1852,3 +1852,64 @@ def pareto_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / F.max("total").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Format dispatch through the gate: ORC / CSV / JSON round-trips
+# --------------------------------------------------------------------------
+_FMT_KINDS = ("orc", "csv", "json")
+
+
+@register(
+    "format_roundtrip_stats",
+    oracle="""
+    SELECT f.fmt,
+           (SELECT COUNT(*) FROM region) AS n_regions,
+           (SELECT COUNT(*) FROM nation) AS n_nations,
+           (SELECT COUNT(*) FROM nation n JOIN region r
+             ON r.r_regionkey = n.n_regionkey) AS n_joined
+    FROM (VALUES ('orc'), ('csv'), ('json')) AS f(fmt)
+    """,
+)
+def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-dispatch round-trip THROUGH THE GATE: region and nation
+    are written to ORC, CSV, and JSON (write-once per process, explicit
+    schema on re-read for the text formats) and read back; per format
+    the query reports row counts and the dimension-join cardinality —
+    all three must equal the parquet source's numbers, which is exactly
+    what the oracle asserts. This drives sources/batch.write_table/
+    read_table's non-parquet legs through the driver's correctness gate
+    rather than only unit tests.
+
+    Scale: the engine's own sinks stay columnar (parquet/ORC carry
+    stats + pushdown); CSV/JSON exist for interchange and pay a full
+    re-parse — this query is the contract that the dispatch preserves
+    content exactly either way. The written dims are SF-independent
+    (25 nations / 5 regions)."""
+    import os
+
+    from olap_project_spark.sources.batch import read_table, write_table
+
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    root = f"/tmp/olap_project_spark_fmt_{os.getpid()}"
+    rows = []
+    for fmt in _FMT_KINDS:
+        rdir = os.path.join(root, fmt, "region")
+        ndir = os.path.join(root, fmt, "nation")
+        if not os.path.isdir(rdir):
+            write_table(region, rdir, fmt)
+            write_table(nation, ndir, fmt)
+        r = read_table(spark, rdir, fmt, schema=region.schema)
+        n = read_table(spark, ndir, fmt, schema=nation.schema)
+        rows.append(
+            (
+                fmt,
+                r.count(),
+                n.count(),
+                n.join(r, n.n_regionkey == r.r_regionkey).count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "fmt string, n_regions bigint, n_nations bigint, n_joined bigint"
+    )

@@ -56,6 +56,7 @@ EXECUTING = {
     "kmeans_cluster_profile",
     "near_dup_clusters",
     "part_entity_clusters",
+    "format_roundtrip_stats",
 }
 
 # Queries whose semantics REQUIRE a global total order over a small
