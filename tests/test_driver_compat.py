@@ -85,6 +85,7 @@ class TestDriverContract:
             "pareto_customer_classes",     # decimal cumulative window
             "part_entity_clusters",        # CC loop + levenshtein block
             "trending_types_daily",        # WindowGroupLimit per bucket
+            "format_roundtrip_stats",      # ORC/CSV/JSON under ANSI parse
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
