@@ -62,17 +62,34 @@ class ManifestWriter(DataSourceWriter):
         return _PartCommit(file_name=name, n_rows=n)
 
     def commit(self, messages: list[_PartCommit]) -> None:
+        # Sequential snapshot versions: each commit claims the next
+        # integer version with an O_EXCL create (two racing committers
+        # cannot claim the same version; the loser retries the next
+        # number). The table's state at version v = the union of all
+        # commits with version <= v — append-only snapshot semantics,
+        # which is what makes read_committed(as_of=...) time travel.
         manifest = {
             "files": sorted(m.file_name for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
         }
         tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}.tmp")
-        final = os.path.join(
-            self.path, f"_manifest-{uuid.uuid4().hex}.json"
-        )
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, final)  # the atomic commit point
+        while True:
+            version = 1 + max(
+                (v for v, _ in _list_manifests(self.path)), default=0
+            )
+            final = os.path.join(self.path, f"_manifest-{version:06d}.json")
+            try:
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the race for this version; take the next
+            os.close(fd)
+            manifest["version"] = version
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, final)  # the atomic commit point
+            break
 
     def abort(self, messages: list[_PartCommit]) -> None:
         for m in messages:
@@ -91,15 +108,43 @@ class ManifestSinkDataSource(DataSource):
         return ManifestWriter(self.options, overwrite)
 
 
-def read_committed(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Read ONLY manifest-committed files (uncommitted staging output is
-    invisible). Driver-side listing is O(#manifests); the data read is
-    a parallel JSON-lines scan of exactly the committed files."""
-    committed: list[str] = []
-    for entry in os.listdir(path):
+def _list_manifests(path: str) -> list[tuple[int, str]]:
+    """(version, filename) for every committed manifest. Legacy
+    uuid-named manifests (pre-versioning) sort first as version 0."""
+    out: list[tuple[int, str]] = []
+    for entry in sorted(os.listdir(path)):
         if entry.startswith("_manifest-") and entry.endswith(".json"):
+            stem = entry[len("_manifest-") : -len(".json")]
+            out.append((int(stem) if stem.isdigit() else 0, entry))
+    return out
+
+
+def table_versions(path: str) -> list[int]:
+    """Committed snapshot versions, ascending — the time-travel axis."""
+    return sorted(v for v, _ in _list_manifests(path))
+
+
+def read_committed(
+    spark: SparkSession, path: str, schema, as_of: int | None = None
+) -> DataFrame:
+    """Read ONLY manifest-committed files (uncommitted staging output is
+    invisible). ``as_of`` reads the table AS OF that snapshot version —
+    the union of all commits with version <= as_of (append-only
+    semantics), so a reader can reproduce yesterday's training set
+    after today's append. Driver-side listing is O(#manifests); the
+    data read is a parallel JSON-lines scan of exactly the committed
+    files."""
+    committed: list[str] = []
+    for version, entry in _list_manifests(path):
+        if as_of is not None and version > as_of:
+            continue
+        try:
             with open(os.path.join(path, entry)) as f:
                 committed += json.load(f)["files"]
+        except (json.JSONDecodeError, OSError):
+            # a version file claimed (O_EXCL) but not yet atomically
+            # replaced with its content — a commit in flight; skip
+            continue
     if not committed:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]

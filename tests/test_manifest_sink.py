@@ -64,3 +64,44 @@ class TestManifestSink:
             f.write(json.dumps({"k": 99, "v": "ghost"}) + "\n")
         got = read_committed(registered, path, SCHEMA)
         assert [r["k"] for r in got.collect()] == [1]
+
+
+class TestTimeTravel:
+    def test_as_of_reads_each_snapshot(self, registered, spark, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            read_committed,
+            table_versions,
+        )
+
+        path = str(tmp_path / "tt")
+        schema = "k bigint, v string"
+        spark.createDataFrame([(1, "a")], schema).write.format(
+            "manifest_sink"
+        ).option("path", path).mode("append").save()
+        spark.createDataFrame([(2, "b")], schema).write.format(
+            "manifest_sink"
+        ).option("path", path).mode("append").save()
+        versions = table_versions(path)
+        assert versions == [1, 2]
+        from pyspark.sql.types import StructType
+
+        sch = spark.createDataFrame([(1, "a")], schema).schema
+        v1 = read_committed(spark, path, sch, as_of=1)
+        assert sorted(r["k"] for r in v1.collect()) == [1]
+        v2 = read_committed(spark, path, sch, as_of=2)
+        assert sorted(r["k"] for r in v2.collect()) == [1, 2]
+        latest = read_committed(spark, path, sch)
+        assert sorted(r["k"] for r in latest.collect()) == [1, 2]
+
+    def test_manifest_carries_its_version(self, registered, spark, tmp_path):
+        import json
+        import os
+
+        path = str(tmp_path / "ver")
+        spark.createDataFrame([(1, "a")], "k bigint, v string").write.format(
+            "manifest_sink"
+        ).option("path", path).mode("append").save()
+        entries = [e for e in os.listdir(path) if e.startswith("_manifest-")]
+        assert entries == ["_manifest-000001.json"]
+        m = json.load(open(os.path.join(path, entries[0])))
+        assert m["version"] == 1
