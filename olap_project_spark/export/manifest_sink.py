@@ -49,6 +49,9 @@ class ManifestWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_sink requires a 'path' option")
+        self.kind = options.get("kind", "append")
+        if self.kind not in ("append", "rewrite"):
+            raise ValueError(f"unknown manifest kind: {self.kind}")
 
     def write(self, iterator: Iterator[Row]) -> _PartCommit:
         staging = os.path.join(self.path, "_staging")
@@ -69,6 +72,7 @@ class ManifestWriter(DataSourceWriter):
         # commits with version <= v — append-only snapshot semantics,
         # which is what makes read_committed(as_of=...) time travel.
         manifest = {
+            "kind": self.kind,
             "files": sorted(m.file_name for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
         }
@@ -140,12 +144,43 @@ def read_committed(
             continue
         try:
             with open(os.path.join(path, entry)) as f:
-                committed += json.load(f)["files"]
+                m = json.load(f)
         except (json.JSONDecodeError, OSError):
             # a version file claimed (O_EXCL) but not yet atomically
             # replaced with its content — a commit in flight; skip
             continue
+        if m.get("kind", "append") == "rewrite":
+            # a rewrite snapshot REPLACES everything before it: it holds
+            # the consolidated table state, so it becomes the new base
+            committed = list(m["files"])
+        else:
+            committed += m["files"]
     if not committed:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]
     return spark.read.schema(schema).json(paths)
+
+
+def compact_snapshots(spark: SparkSession, path: str, schema) -> int:
+    """Consolidate the table's current committed state into ONE rewrite
+    snapshot — the small-file compaction lever for the manifest table
+    (appends accumulate a staging file per task per commit; training
+    readers pay per-file open cost). The rewrite commit lists the full
+    consolidated state and supersedes earlier manifests for readers at
+    or past its version, while every EARLIER version stays re-readable
+    from the untouched old staging files — compaction preserves time
+    travel. Returns the new snapshot version.
+
+    Scale: the consolidation is a normal distributed read + write
+    through the same exactly-once writer (one shuffle-free pass);
+    expired staging files are garbage to collect only once no reader
+    needs pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
+    current = read_committed(spark, path, schema)
+    (
+        current.write.format("manifest_sink")
+        .option("path", path)
+        .option("kind", "rewrite")
+        .mode("append")
+        .save()
+    )
+    return max(table_versions(path))

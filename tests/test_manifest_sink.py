@@ -105,3 +105,37 @@ class TestTimeTravel:
         assert entries == ["_manifest-000001.json"]
         m = json.load(open(os.path.join(path, entries[0])))
         assert m["version"] == 1
+
+
+class TestCompaction:
+    def test_rewrite_preserves_state_and_time_travel(
+        self, registered, spark, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            read_committed,
+            table_versions,
+        )
+
+        path = str(tmp_path / "cmp")
+        schema = "k bigint, v string"
+        sch = spark.createDataFrame([(0, "x")], schema).schema
+        for k, v in [(1, "a"), (2, "b"), (3, "c")]:
+            spark.createDataFrame([(k, v)], schema).write.format(
+                "manifest_sink"
+            ).option("path", path).mode("append").save()
+        ver = compact_snapshots(spark, path, sch)
+        assert ver == 4
+        # state after compaction == state before
+        latest = read_committed(spark, path, sch)
+        assert sorted(r["k"] for r in latest.collect()) == [1, 2, 3]
+        # time travel to pre-compaction versions still works
+        v2 = read_committed(spark, path, sch, as_of=2)
+        assert sorted(r["k"] for r in v2.collect()) == [1, 2]
+        # appends after compaction stack on the rewrite base
+        spark.createDataFrame([(4, "d")], schema).write.format(
+            "manifest_sink"
+        ).option("path", path).mode("append").save()
+        after = read_committed(spark, path, sch)
+        assert sorted(r["k"] for r in after.collect()) == [1, 2, 3, 4]
+        assert table_versions(path) == [1, 2, 3, 4, 5]
