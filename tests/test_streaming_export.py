@@ -362,3 +362,52 @@ class TestDailyRates:
         assert got["1"] == (pytest.approx(1000.0 * 30000.0), 30000)  # Jan 13
         # day with no rate row → default fallback
         assert got["3"][1] == 25057
+
+
+class TestStreamingManifestCommit:
+    def test_each_microbatch_commits_one_snapshot(
+        self, spark, raw_json_dir, tmp_path
+    ):
+        """Streaming ingest writing THROUGH the manifest sink: every
+        micro-batch commits exactly one snapshot version, so the stream
+        gets the transactional fence the reference's WRITE_APPEND path
+        lacked — a failed batch leaves only invisible staging files,
+        and downstream readers see batch-atomic state."""
+        from olap_project_spark.export.manifest_sink import (
+            ManifestSinkDataSource,
+            read_committed,
+            table_versions,
+        )
+        from olap_project_spark.streaming.pipeline import read_file_stream
+        from olap_project_spark.transforms import clean
+
+        spark.dataSource.register(ManifestSinkDataSource)
+        path = str(tmp_path / "mtbl")
+        ckpt = str(tmp_path / "mckpt")
+        stream = read_file_stream(spark, raw_json_dir, fmt="json")
+
+        def commit_batch(batch_df, batch_id):
+            out = clean(batch_df, processed_at=FIXED_TS).select(
+                "User", "Amount_USD", "Is_Fraud"
+            )
+            (
+                out.write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        versions = table_versions(path)
+        assert versions == [1]  # one micro-batch → one snapshot
+        sch = "User string, Amount_USD double, Is_Fraud string"
+        from pyspark.sql.types import _parse_datatype_string
+
+        got = read_committed(spark, path, _parse_datatype_string(sch))
+        assert got.count() == len(sample_rows())  # every fixture row, once
