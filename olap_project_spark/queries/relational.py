@@ -1913,3 +1913,70 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fmt string, n_regions bigint, n_nations bigint, n_joined bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Lakehouse snapshots through the gate: versioned manifest commits
+# --------------------------------------------------------------------------
+@register(
+    "manifest_snapshot_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, (SELECT CAST(COUNT(*) AS BIGINT) FROM region WHERE r_regionkey < 3)),
+      (2, (SELECT CAST(COUNT(*) AS BIGINT) FROM region)),
+      (3, (SELECT CAST(COUNT(*) AS BIGINT) FROM region))
+    ) AS t(version, n_rows)
+    """,
+)
+def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse snapshot semantics THROUGH THE GATE: the region dim is
+    committed to a manifest table in two exactly-once batches
+    (r_regionkey < 3, then the rest), the table is compacted into a
+    rewrite snapshot, and the query reads the table AS OF each version
+    — v1 = first batch only, v2 = both, v3 (the rewrite) = identical
+    state from consolidated files. The oracle pins the per-version row
+    counts, so time travel, append isolation, and compaction
+    state-preservation are all driver-verified, not just unit-tested.
+
+    Scale: commits are O(tasks) manifest writes (no data rewrite);
+    the compaction pass streams the table once through the same
+    exactly-once writer; reads list manifests driver-side (O(#commits))
+    and scan exactly the committed files."""
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ManifestSinkDataSource,
+        compact_snapshots,
+        read_committed,
+    )
+
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    import hashlib
+
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_manifest_{os.getpid()}_{tag}"
+    path = os.path.join(root, "region_tbl")
+    done = os.path.join(root, "_built")
+    if not os.path.exists(done):
+        for batch in (
+            region.filter(F.col("r_regionkey") < 3),
+            region.filter(F.col("r_regionkey") >= 3),
+        ):
+            (
+                batch.write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        compact_snapshots(spark, path, region.schema)
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    rows = [
+        (v, read_committed(spark, path, region.schema, as_of=v).count())
+        for v in (1, 2, 3)
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows bigint")

@@ -57,6 +57,7 @@ EXECUTING = {
     "near_dup_clusters",
     "part_entity_clusters",
     "format_roundtrip_stats",
+    "manifest_snapshot_stats",
 }
 
 # Queries whose semantics REQUIRE a global total order over a small
