@@ -86,6 +86,7 @@ class TestDriverContract:
             "part_entity_clusters",        # CC loop + levenshtein block
             "trending_types_daily",        # WindowGroupLimit per bucket
             "format_roundtrip_stats",      # ORC/CSV/JSON under ANSI parse
+            "manifest_snapshot_stats",     # DataSource writer + time travel
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
