@@ -1967,7 +1967,10 @@ def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             region.filter(F.col("r_regionkey") >= 3),
         ):
             (
-                batch.write.format("manifest_sink")
+                # 5-row dim → one writer task; at real scale you keep
+                # the natural partitioning (commit cost is O(tasks))
+                batch.coalesce(1)
+                .write.format("manifest_sink")
                 .option("path", path)
                 .mode("append")
                 .save()
