@@ -2398,3 +2398,75 @@ def trending_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark tuning curve (drop fraction per candidate delay)
+# --------------------------------------------------------------------------
+WATERMARK_CANDIDATES_S = (60, 300, 600, 1800)
+
+
+@register(
+    "watermark_tuning_curve",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    seen AS (
+      SELECT event_type,
+             epoch(max(ts) OVER (PARTITION BY user_id
+                                 ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)) - epoch(ts)
+               AS lateness_s
+      FROM ev
+    ),
+    thr AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in WATERMARK_CANDIDATES_S)}) AS t(threshold_s))
+    SELECT s.event_type,
+           thr.threshold_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN s.lateness_s > thr.threshold_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(CASE WHEN s.lateness_s > thr.threshold_s
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS drop_frac
+    FROM seen s, thr
+    GROUP BY s.event_type, thr.threshold_s
+    """,
+)
+def watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark DECISION CURVE: for each candidate delay (1 m,
+    5 m, 10 m, 30 m), the fraction of events a streaming aggregate
+    with that watermark would drop — late_event_accounting generalized
+    from the deployed 10-minute point to the curve you actually read
+    when choosing the delay (tight → data loss, loose → state bloat;
+    pick the knee). Lateness is measured against the per-key event-time
+    high-water mark in arrival order; all counts are integer-exact.
+
+    Scale: the per-user running-max window computes lateness ONCE; the
+    4-row threshold frame joins by broadcast, so the curve costs the
+    same single pass as one point plus a 4× larger (still tiny)
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lateness = F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+    seen = ev.select("event_type", lateness.alias("lateness_s"))
+    thr = spark.createDataFrame(
+        [(t,) for t in WATERMARK_CANDIDATES_S], "threshold_s int"
+    )
+    dropped = (F.col("lateness_s") > F.col("threshold_s")).cast("bigint")
+    return (
+        seen.join(F.broadcast(thr))
+        .groupBy("event_type", "threshold_s")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.round(F.sum(dropped).cast("double") / F.count("*"), 6).alias(
+                "drop_frac"
+            ),
+        )
+    )
