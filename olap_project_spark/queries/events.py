@@ -2470,3 +2470,82 @@ def watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis over deterministic user buckets
+# --------------------------------------------------------------------------
+@register(
+    "ab_bucket_metrics",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             user_id, event_type, value
+      FROM events
+    ),
+    per_user AS (
+      SELECT bucket, user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             SUM(CAST(value AS DECIMAL(18,2))) AS user_value
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT bucket,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+           CAST(SUM(n_purchases) AS BIGINT) AS total_purchases,
+           ROUND(CAST(SUM(user_value) AS DOUBLE), 2) AS total_value
+    FROM per_user GROUP BY bucket
+    """,
+)
+def ab_bucket_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over DETERMINISTIC assignment: users hash
+    into bucket A or B (md5 — reproducible, balanced, and immune to the
+    reassignment churn a random split suffers on re-runs), and each
+    bucket reports user count, converted users (>= 1 purchase),
+    conversion rate, purchase volume, and exact decimal value — the
+    experiment-analysis table every growth dashboard renders. Unit of
+    analysis is the USER (per-user pre-aggregate), not the event —
+    event-level rates overweight heavy users (the classic A/B pitfall).
+
+    Scale: one (bucket, user) map-side-combined pre-aggregate, then a
+    2-group rollup; assignment is a pure projection pushed to the scan.
+    Significance testing adds per-bucket variance of the same per-user
+    frame — identical shape, two more aggregate columns."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    bucket = F.when(
+        portable_hash48(F.col("user_id").cast("string")) % 2 == 0, "A"
+    ).otherwise("B")
+    per_user = (
+        ev.select(
+            bucket.alias("bucket"),
+            "user_id",
+            (F.col("event_type") == "purchase").cast("bigint").alias("is_p"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("bucket", "user_id")
+        .agg(
+            F.sum("is_p").cast("bigint").alias("n_purchases"),
+            F.sum("v").alias("user_value"),
+        )
+    )
+    return per_user.groupBy("bucket").agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("n_purchases") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.round(
+            F.sum((F.col("n_purchases") > 0).cast("bigint")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("conversion_rate"),
+        F.sum("n_purchases").cast("bigint").alias("total_purchases"),
+        F.round(F.sum("user_value").cast("double"), 2).alias("total_value"),
+    )
