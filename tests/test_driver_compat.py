@@ -87,6 +87,8 @@ class TestDriverContract:
             "trending_types_daily",        # WindowGroupLimit per bucket
             "format_roundtrip_stats",      # ORC/CSV/JSON under ANSI parse
             "manifest_snapshot_stats",     # DataSource writer + time travel
+            "watermark_tuning_curve",      # running max + threshold join
+            "ab_bucket_metrics",           # per-user pre-agg + decimal
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
