@@ -119,9 +119,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # additions (hash_sampled_value_stats, seasonal_hour_anomalies,
 # pareto_customer_classes), the ANN variants
 # (ann_multiprobe_topk, ann_ivf_filtered_topk, ann_multiprobe_recall),
-# media_feature_stats, plus the families whose last driver rows are
-# oldest (dedup/events/similarity, round 1). That's 25 round-4
-# additions — they plus the oldest-checked fill the 50 slots.
+# media_feature_stats, the entity/trending/format/lakehouse batch
+# (part_entity_clusters, trending_types_daily, format_roundtrip_stats,
+# manifest_snapshot_stats), and the tuning/experiment pair
+# (watermark_tuning_curve, ab_bucket_metrics), plus the families whose
+# last driver rows are oldest (dedup/events/similarity, round 1).
+# ~30 round-4 additions — they plus the oldest-checked fill the 50
+# slots; overflow rolls to round 6.
 GATE_WINDOW: tuple[str, ...] = (
     # relational — 37, registered after the window every prior round
     "pricing_summary",
