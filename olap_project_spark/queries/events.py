@@ -2549,3 +2549,88 @@ def ab_bucket_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purchases").cast("bigint").alias("total_purchases"),
         F.round(F.sum("user_value").cast("double"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime-value curve (value companion to weekly_retention)
+# --------------------------------------------------------------------------
+@register(
+    "cohort_value_curve",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(floor(datediff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                 CAST(ts AS TIMESTAMP)) / 7) AS INTEGER) AS week,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id),
+    cell AS (
+      SELECT c.cohort_week,
+             w.week - c.cohort_week AS weeks_since,
+             SUM(w.v) AS week_value
+      FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM cohort GROUP BY 1)
+    SELECT cell.cohort_week,
+           CAST(cell.weeks_since AS INTEGER) AS weeks_since,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           ROUND(CAST(SUM(cell.week_value) OVER (
+                   PARTITION BY cell.cohort_week
+                   ORDER BY cell.weeks_since
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_value,
+           ROUND(CAST(SUM(cell.week_value) OVER (
+                   PARTITION BY cell.cohort_week
+                   ORDER BY cell.weeks_since
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / s.cohort_users, 6) AS cum_value_per_user
+    FROM cell JOIN sizes s ON s.cohort_week = cell.cohort_week
+    """,
+)
+def cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-active week,
+    each cohort's CUMULATIVE event value per user tracked week by week
+    — the LTV readout that pairs with ``weekly_retention`` (retention
+    counts who comes back; this accumulates what they're worth, which
+    is what acquisition spend is actually judged against). The
+    cumulative sum runs over exact decimals in (cohort, weeks_since)
+    order, so every reported cent is engine-order independent.
+
+    Scale: the fact collapses to (cohort_week, weeks_since) decimal
+    cells first (map-side combined); the cumulative window runs per
+    cohort over ≤ |weeks| rows — never over raw events."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    weeks = ev.select(
+        "user_id", week.alias("week"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cell = (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .agg(F.sum("v").alias("week_value"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("week_value").over(w)
+    return (
+        cell.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("weeks_since").cast("int").alias("weeks_since"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.round(cum.cast("double"), 2).alias("cum_value"),
+            F.round(cum.cast("double") / F.col("cohort_users"), 6).alias(
+                "cum_value_per_user"
+            ),
+        )
+    )
