@@ -89,6 +89,7 @@ class TestDriverContract:
             "manifest_snapshot_stats",     # DataSource writer + time travel
             "watermark_tuning_curve",      # running max + threshold join
             "ab_bucket_metrics",           # per-user pre-agg + decimal
+            "cohort_value_curve",          # decimal cumulative per cohort
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
