@@ -2634,3 +2634,136 @@ def cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Strict in-session sequence funnel (MATCH_RECOGNIZE stand-in)
+# --------------------------------------------------------------------------
+FUNNEL_GAP_S = 1800  # the same 30-minute silence that bounds user_sessions
+
+
+@register(
+    "session_funnel_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > {FUNNEL_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    v AS (
+      SELECT user_id, sid,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v1
+      FROM sess GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s.user_id, s.sid,
+             min(CASE WHEN s.event_type = 'click' AND s.ts > v.v1
+                      THEN s.ts END) AS c1
+      FROM sess s JOIN v ON v.user_id = s.user_id AND v.sid = s.sid
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT s.user_id, s.sid,
+             CAST(max(CASE WHEN s.event_type = 'purchase' AND s.ts > c.c1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM sess s JOIN c ON c.user_id = s.user_id AND c.sid = s.sid
+      GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN v.v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_view,
+           CAST(SUM(CASE WHEN c.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_then_click,
+           CAST(SUM(p.converted) AS BIGINT) AS n_full_funnel,
+           ROUND(CAST(SUM(p.converted) AS DOUBLE) / COUNT(*), 6)
+             AS funnel_rate
+    FROM v
+    JOIN c ON c.user_id = v.user_id AND c.sid = v.sid
+    JOIN p ON p.user_id = v.user_id AND p.sid = v.sid
+    """,
+)
+def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT in-session sequence funnel — view, THEN a click after
+    that view, THEN a purchase after that click, all inside one
+    30-minute-gap session: the true-subsequence semantics of SQL
+    MATCH_RECOGNIZE (which Spark lacks), composed from sessionization
+    + staged conditional aggregates. signup_purchase_funnel compares
+    USER-lifetime first timestamps; this one is session-scoped and
+    three-stage with each stage anchored AFTER the previous stage's
+    first occurrence — the pattern ad-attribution and UX funnels
+    actually need.
+
+    Scale: island sessionization (per-user window), then three
+    aggregate passes linked by (user, session) equi-joins — the stage
+    anchors are per-session scalars, so the events×events self-join a
+    naive pattern matcher would do never happens."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > FUNNEL_GAP_S)
+    ).cast("int")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.select(
+        "user_id", "event_type", "ts", new_s.alias("new_s")
+    ).withColumn("sid", F.sum("new_s").over(wsum))
+    v = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v1")
+    )
+    c = (
+        sess.join(v, ["user_id", "sid"])
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v1")),
+                    F.col("ts"),
+                )
+            ).alias("c1")
+        )
+    )
+    p = (
+        sess.join(c, ["user_id", "sid"])
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("converted")
+        )
+    )
+    joined = v.join(c, ["user_id", "sid"]).join(p, ["user_id", "sid"])
+    return joined.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("v1").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_with_view"),
+        F.sum(F.col("c1").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_view_then_click"),
+        F.sum("converted").cast("bigint").alias("n_full_funnel"),
+        F.round(F.sum("converted").cast("double") / F.count("*"), 6).alias(
+            "funnel_rate"
+        ),
+    )
