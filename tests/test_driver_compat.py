@@ -90,6 +90,7 @@ class TestDriverContract:
             "watermark_tuning_curve",      # running max + threshold join
             "ab_bucket_metrics",           # per-user pre-agg + decimal
             "cohort_value_curve",          # decimal cumulative per cohort
+            "session_funnel_stats",        # sessionized staged funnel
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
