@@ -92,6 +92,9 @@ GLOBAL_WINDOW_OK = {
     "customer_revenue_gini",
     "part_price_skyline",
     "pareto_customer_classes",
+    # per-user sessionization windows + a final ONE-ROW global funnel
+    # aggregate — the SinglePartition is the 1-row result, not a window
+    "session_funnel_stats",
 }
 
 # Families where Arrow-batched Python is the documented extension point
