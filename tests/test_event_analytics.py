@@ -132,3 +132,41 @@ def test_mad_outliers_match_python(spark, sf_dir, events):
         assert r["median_value"] == pytest.approx(med, abs=1e-6)
         assert r["mad_value"] == pytest.approx(mad, abs=1e-6)
         assert r["n_robust_outliers"] == n_out
+
+
+def test_session_funnel_matches_python(spark, sf_dir, events):
+    from olap_project_spark.queries.events import FUNNEL_GAP_S
+
+    by_user = defaultdict(list)
+    for eid, uid, etype, ts, _v in events:
+        by_user[uid].append((ts, eid, etype))
+    sessions = []
+    for uid, rows in by_user.items():
+        rows.sort()
+        cur = []
+        prev = None
+        for ts, eid, etype in rows:
+            if prev is not None and (ts - prev).total_seconds() > FUNNEL_GAP_S:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, etype))
+            prev = ts
+        sessions.append(cur)
+    n_sessions = len(sessions)
+    n_view = n_vc = n_full = 0
+    for sess in sessions:
+        v1 = min((t for t, e in sess if e == "view"), default=None)
+        if v1 is None:
+            continue
+        n_view += 1
+        c1 = min((t for t, e in sess if e == "click" and t > v1), default=None)
+        if c1 is None:
+            continue
+        n_vc += 1
+        if any(e == "purchase" and t > c1 for t, e in sess):
+            n_full += 1
+    r = q("session_funnel_stats")(spark, sf_dir).collect()[0]
+    assert r["n_sessions"] == n_sessions
+    assert r["n_with_view"] == n_view
+    assert r["n_view_then_click"] == n_vc
+    assert r["n_full_funnel"] == n_full
