@@ -185,6 +185,66 @@ GATE_WINDOW: tuple[str, ...] = (
 )
 
 
+# Round-5 window, pre-staged (NOT active): at round-5 start, run the
+# ts-encoding canaries, then replace GATE_WINDOW with this tuple and
+# keep tests/test_gate_window.py green. 31 round-4 additions (never
+# driver-checked) + 19 oldest-checked round-1 rows = 50.
+GATE_WINDOW_R5_DRAFT: tuple[str, ...] = (
+    # round-4 additions — 31, no driver CORRECTNESS row yet
+    "repetition_quality_stats",
+    "boilerplate_coverage_stats",
+    "training_shard_stats",
+    "source_mixture_plan",
+    "token_frequency_quality",
+    "cluster_label_purity",
+    "debounced_event_counts",
+    "late_event_accounting",
+    "watermark_tuning_curve",
+    "streaming_segment_enrichment",
+    "zorder_layout_stats",
+    "incremental_dedup_matches",
+    "leakage_safe_split_stats",
+    "hash_sampled_value_stats",
+    "seasonal_hour_anomalies",
+    "trending_types_daily",
+    "pareto_customer_classes",
+    "part_entity_clusters",
+    "media_feature_stats",
+    "ann_multiprobe_topk",
+    "ann_ivf_filtered_topk",
+    "ann_multiprobe_recall",
+    "format_roundtrip_stats",
+    "manifest_snapshot_stats",
+    "ab_bucket_metrics",
+    "cohort_value_curve",
+    "session_funnel_stats",
+    "pii_redaction_stats",
+    "sql_urgent_open_customers",
+    "context_packing_stats",
+    "quantized_cosine_quality",
+    # oldest driver rows (round 1) — 19 refresh slots
+    "ann_topk_bruteforce",
+    "ivf_near_dup_pairs",
+    "exact_dedup_summary",
+    "ngram_dup_pairs",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "near_dup_clusters",
+    "fuzzy_part_name_pairs",
+    "dup_triangles",
+    "doc_knn_graph",
+    "pagerank_canonical_docs",
+    "events_by_hour",
+    "anomalous_hours",
+    "event_type_summary",
+    "user_error_rates",
+    "large_events_profile",
+    "daily_error_trend",
+    "weekend_vs_weekday",
+    "above_avg_error_users",
+)
+
+
 def _import_all() -> None:
     # Import for registration side effects, then rebuild the registry
     # with GATE_WINDOW first (the driver gate samples the first 50).

@@ -77,3 +77,18 @@ def test_catalog_in_sync_with_registry():
     text = open(path).read()
     missing = [n for n in QUERY_REGISTRY if f"`{n}`" not in text]
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
+
+
+def test_r5_draft_window_is_valid():
+    """The pre-staged round-5 window must stay swappable: exactly 50
+    unique names, all registered, all oracle-backed."""
+    from olap_project_spark.queries import GATE_WINDOW_R5_DRAFT
+
+    assert len(GATE_WINDOW_R5_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R5_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R5_DRAFT if n not in QUERY_REGISTRY]
+    assert missing == []
+    weak = [
+        n for n in GATE_WINDOW_R5_DRAFT if QUERY_REGISTRY[n].oracle is None
+    ]
+    assert weak == []
