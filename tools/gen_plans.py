@@ -142,6 +142,25 @@ SHOWCASE = [
         "BATCH, not the corpus squared.",
     ),
     (
+        "session_funnel_stats",
+        "MATCH_RECOGNIZE stand-in: per-user sessionization windows "
+        "(lag + running sum, PARTITION BY user — state scales out) "
+        "feed three staged conditional aggregates linked by "
+        "(user, session) equi-joins; each funnel stage anchors on the "
+        "previous stage's per-session scalar, so the true-subsequence "
+        "semantics never need an events-by-events self-join. The only "
+        "SinglePartition exchange is the final ONE-ROW funnel rollup.",
+    ),
+    (
+        "cohort_value_curve",
+        "Cohort LTV: the fact collapses to (cohort_week, weeks_since) "
+        "DECIMAL cells first (map-side combined partial aggregates), "
+        "then the cumulative window runs PER COHORT over <= |weeks| "
+        "rows — the curve costs two small aggregates and a window over "
+        "the reduced frame, never a scan-sized sort; every cent is "
+        "decimal-exact and engine-order independent.",
+    ),
+    (
         "leakage_safe_split_stats",
         "Leakage-safe split: documents LEFT-join the (memoized, tiny) "
         "near-dup component labels, gid = coalesce(cluster_id, doc_id), "
