@@ -101,95 +101,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-4 window = the 44 queries that have never had a
-# driver CORRECTNESS row (all 37 of `relational`, the 6 oracle-backed
-# newcomers from r3, and `kmeans_cluster_profile` — now carrying a
-# self-validating contract oracle) plus 6 regression canaries that
-# already passed but guard this round's riskiest drift surfaces
-# (timestamp re-encoding, IVF recall, HLL tolerance, the one bench
-# outlier). Rotate the list each round to cycle coverage. Round-5 plan:
-# rotate in the four queries added after this window froze
-# (pii_redaction_stats, sql_urgent_open_customers, context_packing_stats,
-# quantized_cosine_quality), the curation batch (repetition_quality_stats,
-# boilerplate_coverage_stats, training_shard_stats, source_mixture_plan,
-# cluster_label_purity, token_frequency_quality), the event-cleaning pair
-# (debounced_event_counts, late_event_accounting), the stream-static join
-# (streaming_segment_enrichment), zorder_layout_stats, the dedup additions
-# (incremental_dedup_matches, leakage_safe_split_stats), the events
-# additions (hash_sampled_value_stats, seasonal_hour_anomalies,
-# pareto_customer_classes), the ANN variants
-# (ann_multiprobe_topk, ann_ivf_filtered_topk, ann_multiprobe_recall),
-# media_feature_stats, the entity/trending/format/lakehouse batch
-# (part_entity_clusters, trending_types_daily, format_roundtrip_stats,
-# manifest_snapshot_stats), and the tuning/experiment pair
-# (watermark_tuning_curve, ab_bucket_metrics), plus the families whose
-# last driver rows are oldest (dedup/events/similarity, round 1).
-# ~30 round-4 additions — they plus the oldest-checked fill the 50
-# slots; overflow rolls to round 6.
+# modules import. Round-5 window (swapped in from the pre-staged r5
+# draft after the ts-encoding canaries passed on the regenerated
+# testdata): the 31 round-4 additions that have never had a driver
+# CORRECTNESS row + the 19 queries whose driver rows are oldest
+# (round 1) = 50. Rotate the list each round to cycle coverage.
+# Round-6 plan: rotate in everything added during round 5 (see
+# GATE_WINDOW_R6_DRAFT below, maintained as queries are added) plus the
+# next-oldest rows (round-1 events family remainder, round-3
+# tpch/streaming rows).
 GATE_WINDOW: tuple[str, ...] = (
-    # relational — 37, registered after the window every prior round
-    "pricing_summary",
-    "nation_revenue",
-    "top10_customers",
-    "order_volume_rollup",
-    "lineitem_grouping_sets",
-    "segment_large_order_share",
-    "above_avg_spenders",
-    "customer_order_gaps",
-    "running_customer_spend",
-    "top3_parts_per_brand",
-    "customers_with_open_orders",
-    "customers_without_open_orders",
-    "urgent_revenue_window",
-    "priority_shipping_buckets",
-    "customer_order_distribution",
-    "customer_only_nations",
-    "shared_nations",
-    "order_recency_buckets",
-    "price_quantity_stats",
-    "orders_profile",
-    "trading_nations",
-    "segment_balance_ranks",
-    "returnflag_status_cube",
-    "nation_key_multiset_diff",
-    "heavy_hitter_parts",
-    "brand_measure_unpivot",
-    "integrity_audit",
-    "region_nation_list",
-    "nation_population_correlation",
-    "price_quantity_regression",
-    "stratified_customer_sample",
-    "nation_key_multiset_common",
-    "priority_flag_profile",
-    "price_neighborhood_density",
-    "segment_priority_mode",
-    "customer_revenue_gini",
-    "part_price_skyline",
-    # r3 newcomers with no driver row yet — 6
-    "dedup_keep_best",
-    "benchmark_contamination",
-    "ann_ivf_topk",
-    "ann_filtered_topk",
-    "ann_ivf_recall",
-    "doc_embedding_join_stats",
-    # last rows-only query, now oracle-backed via contract row
-    "kmeans_cluster_profile",
-    # new this round: the bucketed co-located join lever through the gate
-    "bucketed_order_revenue",
-    # regression canaries — 5 already-green rows guarding drift surfaces
-    "user_bursts",  # ts-encoding drift canary (r2's failure mode)
-    "user_sessions",  # ts-encoding drift canary
-    "last_touch_attribution",  # ts-encoding drift canary
-    "embedding_near_dup_pairs",  # IVF multi-probe recall vs exact oracle
-    "approx_distinct_summary",  # HLL self-validating tolerance contract
-)
-
-
-# Round-5 window, pre-staged (NOT active): at round-5 start, run the
-# ts-encoding canaries, then replace GATE_WINDOW with this tuple and
-# keep tests/test_gate_window.py green. 31 round-4 additions (never
-# driver-checked) + 19 oldest-checked round-1 rows = 50.
-GATE_WINDOW_R5_DRAFT: tuple[str, ...] = (
     # round-4 additions — 31, no driver CORRECTNESS row yet
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
@@ -243,6 +164,14 @@ GATE_WINDOW_R5_DRAFT: tuple[str, ...] = (
     "weekend_vs_weekday",
     "above_avg_error_users",
 )
+
+
+# Round-6 window draft, maintained live as round-5 queries are added:
+# every query registered during round 5 goes here first (so it is never
+# forgotten), then at round-6 start the list is topped up with the
+# next-oldest driver rows to exactly 50 and swapped into GATE_WINDOW
+# (after the ts-encoding canaries, per the standing procedure).
+GATE_WINDOW_R6_DRAFT: tuple[str, ...] = ()
 
 
 def _import_all() -> None:

@@ -1,7 +1,8 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-4 rotation: the 44 never-checked
-queries (relational ×37, the 6 r3 newcomers, kmeans) occupy the window,
-every windowed query is oracle-backed, and reordering loses nothing."""
+queries. These tests pin the round-5 rotation: the 31 round-4 additions
+that had never been driver-checked occupy the window alongside the 19
+oldest (round-1) rows, every windowed query is oracle-backed, and
+reordering loses nothing."""
 
 from __future__ import annotations
 
@@ -52,18 +53,18 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # all 37 relational queries
-    from olap_project_spark.queries import relational  # noqa: F401
-
-    assert "pricing_summary" in w and "part_price_skyline" in w
+    # the round-4 additions that had no driver row before this rotation
     for name in (
-        "dedup_keep_best",
-        "benchmark_contamination",
-        "ann_ivf_topk",
-        "ann_filtered_topk",
-        "ann_ivf_recall",
-        "doc_embedding_join_stats",
-        "kmeans_cluster_profile",
+        "repetition_quality_stats",
+        "streaming_segment_enrichment",
+        "zorder_layout_stats",
+        "incremental_dedup_matches",
+        "part_entity_clusters",
+        "media_feature_stats",
+        "ann_multiprobe_recall",
+        "manifest_snapshot_stats",
+        "session_funnel_stats",
+        "quantized_cosine_quality",
     ):
         assert name in w, name
 
@@ -79,16 +80,16 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r5_draft_window_is_valid():
-    """The pre-staged round-5 window must stay swappable: exactly 50
-    unique names, all registered, all oracle-backed."""
-    from olap_project_spark.queries import GATE_WINDOW_R5_DRAFT
+def test_r6_draft_tracks_round5_additions():
+    """Every query registered during round 5 must be staged in the
+    round-6 draft window so the rotation never forgets it; names must
+    be unique and registered. (Oracle-backed is checked at swap time —
+    a genuinely non-SQL-expressible op may ride the weaker rows-only
+    check.)"""
+    from olap_project_spark.queries import GATE_WINDOW_R6_DRAFT
 
-    assert len(GATE_WINDOW_R5_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R5_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R5_DRAFT if n not in QUERY_REGISTRY]
+    assert len(set(GATE_WINDOW_R6_DRAFT)) == len(GATE_WINDOW_R6_DRAFT)
+    missing = [n for n in GATE_WINDOW_R6_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
-    weak = [
-        n for n in GATE_WINDOW_R5_DRAFT if QUERY_REGISTRY[n].oracle is None
-    ]
-    assert weak == []
+    overlap = set(GATE_WINDOW_R6_DRAFT) & set(GATE_WINDOW)
+    assert overlap == set(), overlap
