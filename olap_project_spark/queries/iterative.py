@@ -119,8 +119,10 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         centroids = [by_cluster.get(k, centroids[k]) for k in range(K_CLUSTERS)]
 
+    from olap_project_spark.sources.registry import table_row_count
+
     n_total = n_by_iter[-1]
-    n_corpus = e.count()
+    n_corpus = table_row_count(sf_dir, "embeddings")  # footer metadata, no job
     # Lloyd guarantees Σdist² non-increasing per reassignment round;
     # allow 1e-9 relative slack for FP partial-sum order.
     monotone = all(

@@ -193,10 +193,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector-attach joins are plain equi-joins on vec_id. With √n centroids
     (instead of the gate's fixed 16) the candidate fraction shrinks as
     the corpus grows."""
+    from olap_project_spark.sources.registry import table_row_count
+
     e = _emb(spark, sf_dir)
     nprobe = (
-        N_CENTROIDS if e.count() <= EXACT_COMPLETE_N else NEAR_DUP_NPROBE
-    )  # e is memoized+persisted: the count is one cheap cached pass
+        N_CENTROIDS
+        if table_row_count(sf_dir, "embeddings") <= EXACT_COMPLETE_N
+        else NEAR_DUP_NPROBE
+    )  # corpus cardinality from the parquet footer — no eager Spark job
+    # at plan-build time (at cluster scale: catalog/table stats)
     probes = _ivf_ranked(spark, sf_dir).filter(
         F.col("rn") <= nprobe
     ).select("vec_id", "cid")

@@ -56,6 +56,87 @@ def normalize_timestamps(df: DataFrame, ns_long_cols: list[str] = ()) -> DataFra
     return df
 
 
+_FOOTER_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _arrow_to_spark_type(t):
+    """Map an Arrow type to the Spark type ``spark.read.parquet`` would
+    INFER for it under the engine's session confs (nanosAsLong=true).
+    Mirroring inference exactly matters: the explicit schema must be
+    byte-identical to the inferred one or the reader's behavior drifts
+    from the no-schema path."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if pa.types.is_int8(t):
+        return T.ByteType()
+    if pa.types.is_int16(t):
+        return T.ShortType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_date(t):
+        return T.DateType()
+    if pa.types.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            # spark.sql.legacy.parquet.nanosAsLong=true → LongType
+            return T.LongType()
+        # tz-tagged (isAdjustedToUTC) → TimestampType; untagged → NTZ
+        return T.TimestampType() if t.tz is not None else T.TimestampNTZType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.ArrayType(_arrow_to_spark_type(t.value_type))
+    if pa.types.is_map(t):
+        return T.MapType(
+            _arrow_to_spark_type(t.key_type), _arrow_to_spark_type(t.item_type)
+        )
+    if pa.types.is_struct(t):
+        return T.StructType(
+            [
+                T.StructField(f.name, _arrow_to_spark_type(f.type), f.nullable)
+                for f in t
+            ]
+        )
+    raise TypeError(f"unmapped arrow type in parquet footer: {t}")
+
+
+def footer_schema(sf_dir: str, table: str):
+    """Spark schema for a table, read from the parquet FOOTER on the
+    driver (memoized). Passing this to ``spark.read.schema(...)`` skips
+    Spark's schema-inference job, so building a query plan launches
+    ZERO jobs. At cluster scale the schema comes from the catalog; the
+    footer read is the local analogue and stays drift-proof when the
+    driver regenerates testdata with different physical encodings."""
+    from pyspark.sql import types as T
+
+    key = (sf_dir, table)
+    schema = _FOOTER_SCHEMA_CACHE.get(key)
+    if schema is None:
+        import pyarrow.parquet as pq
+
+        arrow = pq.ParquetFile(f"{sf_dir}/{table}.parquet").schema_arrow
+        schema = T.StructType(
+            [
+                T.StructField(f.name, _arrow_to_spark_type(f.type), f.nullable)
+                for f in arrow
+            ]
+        )
+        _FOOTER_SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one table; normalize timestamp columns to TimestampType.
 
@@ -69,8 +150,35 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = (
+        spark.read.schema(footer_schema(sf_dir, table))
+        .parquet(f"{sf_dir}/{table}.parquet")
+    )
     return normalize_timestamps(df, _NANOS_TS_COLUMNS.get(table, []))
+
+
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, table: str) -> int:
+    """Table cardinality from parquet FOOTER metadata — no Spark job.
+
+    Query constructors that pick a plan knob by corpus size (e.g. the
+    adaptive IVF probe width) must not run an eager action at plan-build
+    time; the row count is already sitting in the file footer. At
+    cluster scale the same number comes from catalog/table statistics
+    (ANALYZE TABLE / lakehouse manifest) — the footer read is the
+    single-file local analogue. Memoized per (dir, table): testdata is
+    immutable within a round.
+    """
+    key = (sf_dir, table)
+    n = _ROW_COUNT_CACHE.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        _ROW_COUNT_CACHE[key] = n
+    return n
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

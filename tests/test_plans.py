@@ -425,3 +425,28 @@ class TestRuntimeBloomFilter:
             assert "might_contain" in plan.lower()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_constructors_launch_no_jobs(spark, sf_dir):
+    """Building a query PLAN must not run a query: constructing every
+    registered DataFrame launches zero Spark jobs (schema from the
+    parquet footer, cardinality knobs from footer metadata — at cluster
+    scale, the catalog). Allowlist: CONSTRUCT_EXECUTES (streaming runs,
+    iterative algorithms, write-side showcases), whose execution IS the
+    semantics. Constructed in registry order, as the driver does."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_lint import CONSTRUCT_EXECUTES
+
+    from olap_project_spark.queries import clear_memo
+
+    clear_memo()
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    offenders = {}
+    for name in QUERY_REGISTRY:
+        before = dag.nextJobId()
+        QUERY_REGISTRY[name].fn(spark, sf_dir)
+        after = dag.nextJobId()
+        if after != before:
+            offenders[name] = after - before
+    unexpected = {n: c for n, c in offenders.items() if n not in CONSTRUCT_EXECUTES}
+    assert unexpected == {}, f"eager constructors: {unexpected}"

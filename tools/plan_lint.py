@@ -60,6 +60,22 @@ EXECUTING = {
     "manifest_snapshot_stats",
 }
 
+# Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
+# EXECUTING set (streaming runs, write-side showcases) plus the
+# iterative-algorithm family, where per-iteration convergence checks /
+# centroid collects are bounded scalar actions and part of the
+# algorithm, not plan-build eagerness. Every other registered query
+# must build its DataFrame with ZERO jobs (schema comes from the
+# parquet footer, cardinality knobs from footer metadata) — enforced by
+# tests/test_plans.py::test_constructors_launch_no_jobs.
+CONSTRUCT_EXECUTES = EXECUTING | {
+    "leakage_safe_split_stats",  # dup-cluster CC (iterative)
+    "near_dup_clusters",  # CC label propagation (iterative)
+    "dup_triangles",  # built on the CC memo
+    "pagerank_canonical_docs",  # fixed-point iteration
+    "bucketed_order_revenue",  # writes the bucketed table once
+}
+
 # Queries whose semantics REQUIRE a global total order over a small
 # (per-key aggregated) input — the single-partition window is the spec,
 # and its input is ≤|keys| rows, not the fact table.
