@@ -171,7 +171,11 @@ GATE_WINDOW: tuple[str, ...] = (
 # forgotten), then at round-6 start the list is topped up with the
 # next-oldest driver rows to exactly 50 and swapped into GATE_WINDOW
 # (after the ts-encoding canaries, per the standing procedure).
-GATE_WINDOW_R6_DRAFT: tuple[str, ...] = ()
+GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
+    # round-5 additions, staged as they are registered
+    "stateful_spend_alerts",
+    "zorder_pruning_benefit",
+)
 
 
 def _import_all() -> None:

@@ -1781,6 +1781,150 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Z-order read benefit — what the clustered layout saves at scan time
+# --------------------------------------------------------------------------
+def _zorder_pruning_oracle() -> str:
+    from olap_project_spark.functions.scale import sql_zorder_key
+
+    return f"""
+    WITH b AS (
+      SELECT MAX(o_custkey) AS ck_max,
+             MIN(CAST(o_orderdate AS DATE)) AS d_min,
+             MAX(CAST(o_orderdate AS DATE)) AS d_max
+      FROM orders
+    ),
+    pts AS (
+      SELECT o_custkey,
+             CAST(floor(o_custkey * 256 / (ck_max + 1)) AS BIGINT) AS x8,
+             CAST(floor(date_diff('day', d_min, CAST(o_orderdate AS DATE)) * 256
+                  / (date_diff('day', d_min, d_max) + 1)) AS BIGINT) AS y8,
+             CAST(floor(o_custkey * 64 / (ck_max + 1)) AS BIGINT) AS lin_file
+      FROM orders, b
+    ),
+    z AS (
+      SELECT x8, y8, lin_file,
+             {sql_zorder_key('x8', 'y8')} >> 10 AS z_file
+      FROM pts
+    ),
+    lin_stats AS (
+      SELECT lin_file AS file_id, MIN(x8) AS x_min, MAX(x8) AS x_max,
+             MIN(y8) AS y_min, MAX(y8) AS y_max, COUNT(*) AS nrows
+      FROM z GROUP BY 1
+    ),
+    z_stats AS (
+      SELECT z_file AS file_id, MIN(x8) AS x_min, MAX(x8) AS x_max,
+             MIN(y8) AS y_min, MAX(y8) AS y_max, COUNT(*) AS nrows
+      FROM z GROUP BY 1
+    )
+    SELECT 'linear_custkey' AS layout, 'custkey_cell' AS pred_dim,
+           COUNT(*) FILTER (x_min <= 100 AND 100 <= x_max) AS files_read,
+           COUNT(*) AS files_total,
+           CAST(COALESCE(SUM(nrows) FILTER (x_min <= 100 AND 100 <= x_max), 0)
+                AS BIGINT) AS rows_read
+    FROM lin_stats
+    UNION ALL
+    SELECT 'linear_custkey', 'day_cell',
+           COUNT(*) FILTER (y_min <= 100 AND 100 <= y_max), COUNT(*),
+           CAST(COALESCE(SUM(nrows) FILTER (y_min <= 100 AND 100 <= y_max), 0)
+                AS BIGINT)
+    FROM lin_stats
+    UNION ALL
+    SELECT 'zorder', 'custkey_cell',
+           COUNT(*) FILTER (x_min <= 100 AND 100 <= x_max), COUNT(*),
+           CAST(COALESCE(SUM(nrows) FILTER (x_min <= 100 AND 100 <= x_max), 0)
+                AS BIGINT)
+    FROM z_stats
+    UNION ALL
+    SELECT 'zorder', 'day_cell',
+           COUNT(*) FILTER (y_min <= 100 AND 100 <= y_max), COUNT(*),
+           CAST(COALESCE(SUM(nrows) FILTER (y_min <= 100 AND 100 <= y_max), 0)
+                AS BIGINT)
+    FROM z_stats
+    """
+
+
+@register("zorder_pruning_benefit", oracle=_zorder_pruning_oracle())
+def zorder_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout's SCAN-PRUNING payoff, quantified: carve
+    orders into 64 files two ways — linear range-carve on o_custkey
+    (what ``repartitionByRange(custkey)`` writes) and z-bucket carve on
+    the 16-bit Morton key of (custkey cell, order-day cell) — compute
+    each file's min/max column statistics (exactly what parquet footers
+    / lakehouse manifests store), and replay a reader's file-skipping
+    decision for a point predicate on each dimension: a file is read
+    iff its [min,max] covers the predicate value.
+
+    The result is the pruning table a layout review wants: under the
+    linear layout a custkey predicate reads ~1 file but a DATE
+    predicate reads ALL 64 (every file spans every day); the z-layout
+    reads ~8 files for EITHER predicate. Same simulation on both
+    engines — integer cells end-to-end, so the row hashes pin the exact
+    file counts (sf0.01: a day predicate reads 64/64 linear files but
+    8/64 z-files). tests/test_scale_utils.py proves the same effect on
+    REAL parquet row-group footers written both ways.
+
+    Scale: two 64-group hash aggregates over one projection of orders;
+    the bounds row is a 1-row broadcast. No window, no shuffle beyond
+    the two aggs."""
+    from olap_project_spark.functions.scale import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+    )
+    o = orders.join(F.broadcast(bounds))
+    x8 = F.floor(F.col("o_custkey") * 256 / (F.col("ck_max") + 1)).cast("bigint")
+    dnum = F.datediff(F.col("o_orderdate").cast("date"), F.col("d_min"))
+    dspan = F.datediff(F.col("d_max"), F.col("d_min")) + 1
+    y8 = F.floor(dnum * 256 / dspan).cast("bigint")
+    lin_file = F.floor(F.col("o_custkey") * 64 / (F.col("ck_max") + 1)).cast(
+        "bigint"
+    )
+    pts = o.select(x8.alias("x8"), y8.alias("y8"), lin_file.alias("lin_file"))
+    z = pts.withColumn(
+        "z_file", F.shiftright(zorder_key(F.col("x8"), F.col("y8")), 10)
+    )
+
+    def file_stats(df: DataFrame, file_col: str) -> DataFrame:
+        return df.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("x8").alias("x_min"),
+            F.max("x8").alias("x_max"),
+            F.min("y8").alias("y_min"),
+            F.max("y8").alias("y_max"),
+            F.count("*").alias("nrows"),
+        )
+
+    def pruning_row(
+        stats: DataFrame, layout: str, dim: str, lo: str, hi: str
+    ) -> DataFrame:
+        hit = (F.col(lo) <= 100) & (F.lit(100) <= F.col(hi))
+        return stats.agg(
+            F.lit(layout).alias("layout"),
+            F.lit(dim).alias("pred_dim"),
+            F.count(F.when(hit, 1)).alias("files_read"),
+            F.count("*").alias("files_total"),
+            F.coalesce(F.sum(F.when(hit, F.col("nrows"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_read"),
+        )
+
+    lin_stats = file_stats(z, "lin_file")
+    z_stats = file_stats(z, "z_file")
+    return (
+        pruning_row(lin_stats, "linear_custkey", "custkey_cell", "x_min", "x_max")
+        .unionAll(
+            pruning_row(lin_stats, "linear_custkey", "day_cell", "y_min", "y_max")
+        )
+        .unionAll(
+            pruning_row(z_stats, "zorder", "custkey_cell", "x_min", "x_max")
+        )
+        .unionAll(pruning_row(z_stats, "zorder", "day_cell", "y_min", "y_max"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Pareto / ABC analysis (who drives 80% of revenue?)
 # --------------------------------------------------------------------------
 @register(

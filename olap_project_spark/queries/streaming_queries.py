@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from olap_project_spark.queries import register
 from olap_project_spark.sources.registry import normalize_timestamps
+from olap_project_spark.streaming.stateful import cumulative_threshold_alerts
 from olap_project_spark.streaming.windows import (
     session_event_counts,
     windowed_event_stats,
@@ -67,11 +68,12 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     otherwise make ``withWatermark`` throw
     EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). UTC pin: the NTZ cast is
     wall-clock-preserving only under a UTC session timezone."""
+    from olap_project_spark.sources.registry import footer_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(footer_schema(sf_dir, "events"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -796,3 +798,73 @@ def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_streaming(spark, sf_dir, build, "streaming_enrich")
+
+
+@register(
+    "stateful_spend_alerts",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, cents,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ev
+    ),
+    x AS (
+      SELECT user_id, ts, event_id, cum,
+             CASE WHEN cum // 100000 > (cum - cents) // 100000
+                  THEN 1 ELSE 0 END AS is_alert
+      FROM s
+    )
+    SELECT user_id,
+           CAST(cum AS DOUBLE) AS cum_cents,
+           CAST(SUM(is_alert) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS alerts_so_far
+    FROM x WHERE is_alert = 1
+    """,
+)
+def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR through the gate: per-user cumulative-
+    spend threshold alerts computed by ``applyInPandasWithState``
+    (streaming/stateful.py) under availableNow replay — one alert row
+    each time a user's running total crosses another $1000 multiple.
+    Value-triggered emission over a whole-stream accumulator is exactly
+    what tumbling/session windows cannot express; this query makes the
+    engine's custom-stateful extension point driver-verified rather
+    than pytest-only.
+
+    Determinism contract (what lets a Python state machine hash-match a
+    SQL window oracle): values are quantized to integer cents BEFORE
+    accumulation (float64 holds integers exactly to 2^53, so Python's
+    running sum and DuckDB's windowed SUM agree bit-for-bit — no FP
+    association-order drift), and rows within a key are ordered by
+    (ts, event_id), a total order.
+
+    Scale: state is one (sum, count) pair per user — O(keys) bytes hash-
+    partitioned by the groupBy; rows move once (shuffle to their key's
+    state partition); emission is append-mode. Production swaps the
+    replay source for Kafka and the memory sink for parquet, unchanged.
+    """
+
+    def build(stream):
+        ev = stream.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("double").alias("cents"),
+        )
+        return cumulative_threshold_alerts(
+            ev, threshold=100000.0, value_col="cents"
+        )
+
+    out = _run_streaming(spark, sf_dir, build, "stateful_alerts")
+    return out.select(
+        "user_id",
+        F.col("cum_value").alias("cum_cents"),
+        "alerts_so_far",
+    )

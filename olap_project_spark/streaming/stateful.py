@@ -73,11 +73,13 @@ def cumulative_threshold_alerts(
         else:
             cum, alerts = 0.0, 0
         # a key's rows are gathered from many input partitions with no
-        # order guarantee — impose event-time order within the batch so
-        # the prefix sums (and therefore alerts) are deterministic
+        # order guarantee — impose event-time order within the batch
+        # (event_id as a total-order tiebreaker when present) so the
+        # prefix sums (and therefore alerts) are deterministic
         batch = pd.concat(list(pdfs), ignore_index=True)
-        if "ts" in batch.columns:
-            batch = batch.sort_values("ts", kind="mergesort")
+        order = [c for c in ("ts", "event_id") if c in batch.columns]
+        if order:
+            batch = batch.sort_values(order, kind="mergesort")
         out_rows = []
         for v in batch[value_col]:
             new_cum = cum + float(v)
@@ -139,8 +141,9 @@ def cumulative_threshold_alerts_tws(
                 self.state.get() if self.state.exists() else (0.0, 0)
             )
             batch = pd.concat(list(rows), ignore_index=True)
-            if "ts" in batch.columns:
-                batch = batch.sort_values("ts", kind="mergesort")
+            order = [c for c in ("ts", "event_id") if c in batch.columns]
+            if order:
+                batch = batch.sort_values(order, kind="mergesort")
             out = []
             for v in batch[value_col]:
                 new_cum = cum + float(v)

@@ -169,3 +169,76 @@ class TestZorder:
         for r in rows:
             assert r["custkey_cells"] <= 32
             assert r["day_cells"] <= 32
+
+
+class TestZorderRealFooterPruning:
+    def test_row_group_stats_prune_more_under_zorder(self, spark, sf_dir, tmp_path):
+        """Write orders twice — sorted linearly by custkey and sorted by
+        the Morton key — with small row groups, then replay a parquet
+        reader's row-group-skipping decision from the REAL footer
+        min/max statistics: for a predicate on the NON-leading dimension
+        (order date), the z-order layout must let the reader skip row
+        groups the linear layout cannot (which keeps every date in every
+        group)."""
+        import pyarrow.parquet as pq
+
+        from olap_project_spark.functions.scale import zorder_key
+
+        orders = load_table(spark, sf_dir, "orders")
+        bounds = orders.agg(
+            F.max("o_custkey").alias("ck_max"),
+            F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+            F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+        )
+        o = orders.join(F.broadcast(bounds))
+        x8 = F.floor(F.col("o_custkey") * 256 / (F.col("ck_max") + 1)).cast(
+            "bigint"
+        )
+        dnum = F.datediff(F.col("o_orderdate").cast("date"), F.col("d_min"))
+        dspan = F.datediff(F.col("d_max"), F.col("d_min")) + 1
+        y8 = F.floor(dnum * 256 / dspan).cast("bigint")
+        pts = o.select(x8.alias("x8"), y8.alias("y8"))
+
+        def write_sorted(df, order_col, path):
+            # one sorted task emitting ≤100-row files: the files are the
+            # skip unit (dict-encoded test data never fills a row group)
+            (
+                df.orderBy(order_col)
+                .coalesce(1)
+                .write.option("maxRecordsPerFile", 100)
+                .mode("overwrite")
+                .parquet(str(path))
+            )
+
+        write_sorted(pts, F.col("x8"), tmp_path / "linear")
+        write_sorted(
+            pts.withColumn("zkey", zorder_key(F.col("x8"), F.col("y8"))),
+            F.col("zkey"),
+            tmp_path / "zorder",
+        )
+
+        def surviving_row_groups(path, column, value):
+            import glob
+
+            files = glob.glob(f"{path}/*.parquet")
+            total = survive = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }[column]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    total += 1
+                    if st.min <= value <= st.max:
+                        survive += 1
+            return survive, total
+
+        y_lin, n_lin = surviving_row_groups(tmp_path / "linear", "y8", 100)
+        y_z, n_z = surviving_row_groups(tmp_path / "zorder", "y8", 100)
+        # enough row groups for skipping to be meaningful at all
+        assert n_lin >= 8 and n_z >= 8
+        # linear-by-custkey keeps (nearly) every date in every group
+        assert y_lin >= n_lin - 1
+        # the z-layout localizes dates too: the reader skips most groups
+        assert y_z <= n_z // 2, (y_z, n_z)

@@ -53,6 +53,7 @@ EXECUTING = {
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "streaming_segment_enrichment",
+    "stateful_spend_alerts",
     "kmeans_cluster_profile",
     "near_dup_clusters",
     "part_entity_clusters",
