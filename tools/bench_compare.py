@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Median-based bench comparison: totals drift ±25% same-code between
+runs (measured round 4), so cross-round comparisons must quote the
+MEDIAN per-query ratio over the intersection, never the totals.
+
+Usage:
+    python3 tools/bench_compare.py OLD_DETAIL.json NEW_DETAIL.json
+
+Prints the intersection size, median/p25/p75 of new/old per-query time
+ratios, and the biggest movers in each direction. A median near 1.0
+with a grown total just means the library gained queries.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old = json.load(open(sys.argv[1]))["queries"]
+    new = json.load(open(sys.argv[2]))["queries"]
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no common queries")
+        return 1
+    ratios = {n: new[n] / old[n] for n in common if old[n] > 0}
+    vals = sorted(ratios.values())
+    q = statistics.quantiles(vals, n=4) if len(vals) >= 4 else [vals[0], vals[len(vals) // 2], vals[-1]]
+    print(f"common queries: {len(common)}  (old total {sum(old[n] for n in common):.1f}s, "
+          f"new total {sum(new[n] for n in common):.1f}s on the intersection)")
+    print(f"ratio new/old: median {statistics.median(vals):.3f}  p25 {q[0]:.3f}  p75 {q[2]:.3f}")
+    movers = sorted(ratios.items(), key=lambda kv: kv[1])
+    print("fastest movers:", [(n, round(r, 2)) for n, r in movers[:3]])
+    print("slowest movers:", [(n, round(r, 2)) for n, r in movers[-3:]])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
