@@ -175,6 +175,12 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     # round-5 additions, staged as they are registered
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
+    "scd2_user_type_history",
+    "merge_upsert_stats",
+    "table_profile_summary",
+    "cohort_retention_matrix",
+    "multi_touch_attribution",
+    "approx_quantile_contract",
 )
 
 
@@ -193,6 +199,7 @@ def _import_all() -> None:
         dedup,
         curation,
         events,
+        warehouse,
     )
 
     ordered = [n for n in GATE_WINDOW if n in QUERY_REGISTRY]

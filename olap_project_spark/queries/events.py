@@ -2767,3 +2767,247 @@ def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "funnel_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix (the classic weekly triangle)
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY 1),
+    coh AS (SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY 1),
+    j AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, a.wk) // 7 AS INTEGER)
+               AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN first f ON f.user_id = a.user_id
+      GROUP BY 1, 2
+    )
+    SELECT strftime(j.cohort, '%Y-%m-%d') AS cohort_week,
+           j.week_offset, j.n_active, c.n_cohort,
+           ROUND(j.n_active * 1.0 / c.n_cohort, 6) AS retention
+    FROM j JOIN coh c ON c.cohort = j.cohort
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the week
+    of their FIRST event; retention[cohort][k] is the fraction of that
+    cohort active in week cohort+k. The table behind every retention
+    curve a growth team reads — and the leakage-prone computation
+    (cohorting must come from the GLOBAL first event, not the slice
+    under study) done once, correctly, at the engine level.
+
+    Scale: activity dedups to (user, week) FIRST (the biggest
+    reduction, map-side combined), cohorts derive from a per-user min,
+    and the matrix is a (cohort × offset) aggregate over the deduped
+    frame — every shuffle is on user_id or the tiny cohort key.
+    Week 0 retention is 1.0 by construction (a self-check the oracle
+    hash pins)."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    coh = first.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    j = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return j.join(coh, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (U-shaped, exact integer credit)
+# --------------------------------------------------------------------------
+@register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    cand AS (
+      SELECT p.purchase_id, t.event_id, t.event_type,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.ts, t.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM purch p
+      JOIN touch t ON t.user_id = p.user_id
+        AND t.ts <  p.purchase_ts
+        AND t.ts >= p.purchase_ts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+      SELECT event_type, purchase_id,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS credit_ppm
+      FROM cand
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+           COUNT(DISTINCT purchase_id) AS n_conversions
+    FROM credited GROUP BY event_type
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED multi-touch attribution: every purchase splits credit
+    across ALL its touches in the preceding hour — 40% to the first
+    touch, 40% to the last, 20% split over the middle (single touch
+    gets 100%, a pair 50/50) — complementing ``last_touch_attribution``
+    (argmax, one winner). Credit is integer PARTS-PER-MILLION with
+    floor division for the middle split: the stated spec is exact
+    integer math, so the cross-engine hash pins it with no
+    floating-point association-order risk.
+
+    Scale: same interval-join shape as last-touch (shuffle both sides
+    on user_id, per-purchase window for position/count — one window
+    shuffle serves both row_number and count), then a hash aggregate
+    by event_type. At 100 TB add the (user, hour-bucket) coarse
+    equi-key to the join."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type"),
+    )
+    cand = purch.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("ts") < F.col("purchase_ts"))
+        & (F.col("ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(w.orderBy("ts", "event_id"))
+    n = F.count("*").over(w)
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000)
+        )
+        .otherwise(F.floor(F.lit(200000) / (F.col("n") - 2)))
+    )
+    return (
+        cand.select(
+            "purchase_id",
+            "event_type",
+            pos.alias("pos"),
+            n.alias("n"),
+        )
+        .withColumn("credit_ppm", credit)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm"),
+            F.countDistinct("purchase_id").alias("n_conversions"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate-quantile sketch with a self-validating rank contract
+# --------------------------------------------------------------------------
+QUANTILE_PS = (0.5, 0.9, 0.99)
+QUANTILE_ACCURACY = 1000  # percentile_approx: rank error <= n / accuracy
+
+
+@register(
+    "approx_quantile_contract",
+    oracle="""
+    SELECT 0.5 AS p, ROUND(quantile_cont(value, 0.5), 4) AS exact_p,
+           TRUE AS rank_ok
+    FROM events
+    UNION ALL
+    SELECT 0.9, ROUND(quantile_cont(value, 0.9), 4), TRUE FROM events
+    UNION ALL
+    SELECT 0.99, ROUND(quantile_cont(value, 0.99), 4), TRUE FROM events
+    """,
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (``percentile_approx`` — Spark's
+    KLL/Greenwald-Khanna-family mergeable sketch) under a
+    SELF-VALIDATING rank contract, the sketch-family pattern the HLL
+    and k-means queries established: the query re-derives the rank
+    interval of each sketch answer against the full data and asserts
+    it lies within the sketch's published bound (rank error ≤
+    n/accuracy, ties handled by checking the [count(<v), count(≤v)]
+    interval). The oracle pins the EXACT interpolated quantiles (both
+    engines: linear interpolation at p·(n−1)) and expects every
+    ``rank_ok`` to be literally TRUE — a sketch regression flips the
+    hash.
+
+    Scale: the sketch is mergeable (one partial per partition, O(1/ε)
+    state) — the distributed-quantile operator; the verification pass
+    is a 3-row broadcast against one conditional aggregate over the
+    scan."""
+    ev = load(spark, sf_dir, "events")
+    ps = list(QUANTILE_PS)
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    one = ev.agg(
+        F.percentile_approx("value", p_arr, F.lit(QUANTILE_ACCURACY)).alias(
+            "approx"
+        ),
+        F.expr(
+            f"percentile(value, array({', '.join(str(p) for p in ps)}))"
+        ).alias("exact"),
+        F.count("*").alias("n"),
+    )
+    per = one.select(
+        F.explode(
+            F.arrays_zip(
+                p_arr.alias("p"), F.col("approx").alias("a"),
+                F.col("exact").alias("e"),
+            )
+        ).alias("z"),
+        "n",
+    ).select(
+        F.col("z.p").alias("p"),
+        F.col("z.a").alias("a"),
+        F.col("z.e").alias("e"),
+        "n",
+    )
+    j = ev.select("value").join(F.broadcast(per))
+    ranks = j.groupBy("p", "a", "e", "n").agg(
+        F.sum((F.col("value") <= F.col("a")).cast("bigint")).alias("rank_le"),
+        F.sum((F.col("value") < F.col("a")).cast("bigint")).alias("rank_lt"),
+    )
+    err = F.col("n") / QUANTILE_ACCURACY + 1
+    target = F.col("p") * F.col("n")
+    rank_ok = (F.col("rank_le") >= target - err) & (
+        F.col("rank_lt") <= target + err
+    )
+    return ranks.select(
+        "p", F.round("e", 4).alias("exact_p"), rank_ok.alias("rank_ok")
+    )

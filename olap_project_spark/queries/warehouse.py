@@ -1,0 +1,269 @@
+"""Warehouse-maintenance query family: SCD2 dimension building,
+MERGE-style rollup maintenance, and table profiling — the operations a
+user of the reference runs in BigQuery scheduled queries
+(bigquery_update_scheduler.py, SURVEY.md §2.11 K4), here engine-native
+and oracle-checked.
+
+Built on the generic operators in functions/merge.py; see each
+docstring for the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olap_project_spark.queries import load, register
+
+
+# --------------------------------------------------------------------------
+# SCD2: compress a change stream into validity intervals
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    dom AS (
+      SELECT user_id, day, event_type AS dominant_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                         ORDER BY c DESC, event_type) AS rn
+            FROM daily)
+      WHERE rn = 1
+    ),
+    flag AS (
+      SELECT user_id, day, dominant_type,
+             CASE WHEN lag(dominant_type) OVER (PARTITION BY user_id
+                                                ORDER BY day)
+                       IS DISTINCT FROM dominant_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM dom
+    ),
+    ver AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS v
+      FROM flag
+    ),
+    iv AS (
+      SELECT user_id, dominant_type, MIN(day) AS valid_from,
+             MAX(day) AS valid_to, COUNT(*) AS n_obs
+      FROM ver GROUP BY user_id, v, dominant_type
+    )
+    SELECT user_id, dominant_type,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           n_obs,
+           valid_to = MAX(valid_to) OVER (PARTITION BY user_id) AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) build: each user's
+    daily dominant event type (count-desc, type-asc tiebreak) is a
+    dimension snapshot; consecutive days with the same value collapse
+    into one validity interval [valid_from, valid_to] with an
+    ``is_current`` marker — the history table a warehouse keeps for
+    "what was this user's segment ON date X" joins. Compression is the
+    generic ``functions.merge.scd2_compress`` operator (gaps-and-
+    islands: null-safe change flags → running version → interval
+    rollup).
+
+    Scale: the daily snapshot is a map-side-combined aggregate; the
+    compression is ONE window shuffle on user_id reused by the interval
+    rollup (same partitioning, no second exchange). Dimension history
+    stays O(changes), not O(snapshots) — the point of SCD2 at 100 TB.
+
+    Reference parity: the reference stores only current-state rows
+    (merchants.csv reload, SURVEY §2.1); this is the history-preserving
+    upgrade its BigQuery users would schedule."""
+    from olap_project_spark.functions.merge import scd2_compress
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy(
+            F.desc("c"), F.asc("event_type")
+        )
+    )
+    dom = (
+        daily.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("dominant_type"))
+    )
+    return scd2_compress(dom, ["user_id"], ["dominant_type"], "day").select(
+        "user_id",
+        "dominant_type",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("n_obs"),
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE-style rollup maintenance
+# --------------------------------------------------------------------------
+@register(
+    "merge_upsert_stats",
+    oracle="""
+    WITH full_r AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders GROUP BY 1
+    ),
+    stale AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders WHERE o_orderkey % 5 != 0 GROUP BY 1
+    ),
+    b AS (SELECT MAX(month) AS mx FROM full_r),
+    tgt AS (SELECT s.* FROM stale s, b
+            WHERE s.month <= mx - INTERVAL 12 MONTH),
+    src AS (SELECT f.* FROM full_r f, b
+            WHERE f.month > mx - INTERVAL 24 MONTH),
+    merged AS (
+      SELECT t.* FROM tgt t LEFT JOIN src s USING (month)
+      WHERE s.month IS NULL
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT strftime(month, '%Y-%m-%d') AS month, n_orders, revenue,
+           CASE WHEN month > mx - INTERVAL 12 MONTH THEN 'inserted'
+                WHEN month > mx - INTERVAL 24 MONTH THEN 'updated'
+                ELSE 'kept' END AS action
+    FROM merged, b
+    """,
+)
+def merge_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup maintenance with MERGE semantics: a stale monthly revenue
+    rollup (built before 20% of orders arrived, truncated 12 months
+    ago) is repaired by merging in a freshly computed rollup of the
+    trailing 24 months — matched months are REPLACED (updated),
+    missing months INSERTED, untouched history KEPT. The merge is the
+    generic ``functions.merge.merge_upsert`` (anti-join + union) —
+    Spark-native MERGE INTO without a lakehouse dependency; the
+    ``action`` column audits which path each output row took.
+
+    Scale: the anti join shuffles only the (months × 1 row) rollups,
+    never the fact table; the fresh rollup scans only the trailing
+    window (partition-pruned on o_orderdate at 100 TB). This is the
+    incremental-maintenance pattern: recompute a bounded recent slice,
+    merge, leave deep history untouched."""
+    from olap_project_spark.functions.merge import merge_upsert
+
+    orders = load(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+
+    full_r = rollup(orders)
+    stale = rollup(orders.filter(F.col("o_orderkey") % 5 != 0))
+    b = full_r.agg(F.max("month").alias("mx"))
+    tgt = (
+        stale.join(F.broadcast(b))
+        .filter(F.col("month") <= F.add_months(F.col("mx"), -12))
+        .drop("mx")
+    )
+    src = (
+        full_r.join(F.broadcast(b))
+        .filter(F.col("month") > F.add_months(F.col("mx"), -24))
+        .drop("mx")
+    )
+    merged = merge_upsert(tgt, src, ["month"])
+    action = (
+        F.when(
+            F.col("month") > F.add_months(F.col("mx"), -12), F.lit("inserted")
+        )
+        .when(
+            F.col("month") > F.add_months(F.col("mx"), -24), F.lit("updated")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        merged.join(F.broadcast(b))
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            "n_orders",
+            "revenue",
+            action.alias("action"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (the ANALYZE pass a pipeline runs before training)
+# --------------------------------------------------------------------------
+_PROFILE_COLUMNS: dict[str, list[str]] = {
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    "events": ["user_id", "event_type", "value"],
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for table, cols in _PROFILE_COLUMNS.items():
+        for c in cols:
+            parts.append(
+                f"SELECT '{table}' AS tbl, '{c}' AS col,"
+                f" COUNT(*) AS n_rows,"
+                f" COUNT(*) - COUNT({c}) AS n_nulls,"
+                f" COUNT(DISTINCT {c}) AS n_distinct"
+                f" FROM {table}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@register("table_profile_summary", oracle=_profile_oracle())
+def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile over the warehouse's hot tables: row
+    count, null count, and EXACT distinct count per column — the
+    ANALYZE/profiling pass a training-data pipeline runs to catch
+    schema rot (nulls appearing in a key column, cardinality
+    explosions) before they poison a run.
+
+    Scale: ONE pass per table — all per-column counts and distincts
+    compute in a single multi-distinct aggregate (Catalyst plans the
+    Expand), then ``stack`` unpivots the 1-row result into per-column
+    rows. No per-column rescans. At 100 TB swap the exact distincts
+    for ``approx_count_distinct`` (the HLL path events.py's sketch
+    family already verifies) — the plan shape is identical."""
+    out: DataFrame | None = None
+    for table, cols in _PROFILE_COLUMNS.items():
+        df = load(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+            aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', n_rows - n_{c}, d_{c}" for c in cols
+        )
+        rows = one.select(
+            F.lit(table).alias("tbl"),
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+            ),
+        ).select("tbl", "col", "n_rows", "n_nulls", "n_distinct")
+        out = rows if out is None else out.unionByName(rows)
+    assert out is not None
+    return out
