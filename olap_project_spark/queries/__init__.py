@@ -181,6 +181,7 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "cohort_retention_matrix",
     "multi_touch_attribution",
     "approx_quantile_contract",
+    "point_in_time_dimension_join",
 )
 
 

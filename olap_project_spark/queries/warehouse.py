@@ -19,10 +19,10 @@ from olap_project_spark.queries import load, register
 # --------------------------------------------------------------------------
 # SCD2: compress a change stream into validity intervals
 # --------------------------------------------------------------------------
-@register(
-    "scd2_user_type_history",
-    oracle="""
-    WITH daily AS (
+# The interval-build CTE chain, shared by the history query and the
+# point-in-time join oracle below (same text → provably same dimension).
+_SCD2_IV_CTE = """
+    daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
       FROM events GROUP BY 1, 2, 3
     ),
@@ -51,6 +51,35 @@ from olap_project_spark.queries import load, register
              MAX(day) AS valid_to, COUNT(*) AS n_obs
       FROM ver GROUP BY user_id, v, dominant_type
     )
+"""
+
+
+def _user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 interval frame (dates as DATE, for joining): each
+    user's dominant-event-type validity intervals."""
+    from olap_project_spark.functions.merge import scd2_compress
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "day").orderBy(
+            F.desc("c"), F.asc("event_type")
+        )
+    )
+    dom = (
+        daily.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("dominant_type"))
+    )
+    return scd2_compress(dom, ["user_id"], ["dominant_type"], "day")
+
+
+@register(
+    "scd2_user_type_history",
+    oracle=f"""
+    WITH {_SCD2_IV_CTE}
     SELECT user_id, dominant_type,
            strftime(valid_from, '%Y-%m-%d') AS valid_from,
            strftime(valid_to, '%Y-%m-%d') AS valid_to,
@@ -78,23 +107,7 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference stores only current-state rows
     (merchants.csv reload, SURVEY §2.1); this is the history-preserving
     upgrade its BigQuery users would schedule."""
-    from olap_project_spark.functions.merge import scd2_compress
-
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.count("*").alias("c"))
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "day").orderBy(
-            F.desc("c"), F.asc("event_type")
-        )
-    )
-    dom = (
-        daily.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", F.col("event_type").alias("dominant_type"))
-    )
-    return scd2_compress(dom, ["user_id"], ["dominant_type"], "day").select(
+    return _user_type_intervals(spark, sf_dir).select(
         "user_id",
         "dominant_type",
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
@@ -267,3 +280,69 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = rows if out is None else out.unionByName(rows)
     assert out is not None
     return out
+
+
+# --------------------------------------------------------------------------
+# Point-in-time dimension join (the leakage-safe feature join)
+# --------------------------------------------------------------------------
+@register(
+    "point_in_time_dimension_join",
+    oracle=f"""
+    WITH {_SCD2_IV_CTE},
+    purch AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(i.dominant_type, 'UNKNOWN') AS dominant_type,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(p.v) AS DOUBLE), 2) AS total_value
+    FROM purch p LEFT JOIN iv i
+      ON i.user_id = p.user_id
+     AND p.day BETWEEN i.valid_from AND i.valid_to
+    GROUP BY 1
+    """,
+)
+def point_in_time_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (as-of) dimension join against the SCD2 history:
+    each purchase is enriched with the user's dominant event type AS OF
+    the purchase day — interval containment against the type-2
+    dimension, NOT the current value. This is the leakage-safe feature
+    join an ML training pipeline must use: joining today's dimension
+    value onto last year's fact rows leaks the future into the
+    features; the SCD2 interval join cannot.
+
+    Correctness by construction: intervals are non-overlapping per
+    user (scd2_compress partitions the observed days), so the join
+    multiplicity is ≤ 1 — no fan-out, and a purchase day (itself an
+    event day) always falls inside exactly one interval.
+
+    Scale: equi-join on user_id with an interval residual — both sides
+    shuffle on the key once, per-user interval lists are O(changes)
+    and scanned linearly per probe. At 100 TB sort intervals per user
+    and binary-search (the as-of merge pattern), or band the join with
+    a coarse month key so residual scans stay bounded."""
+    iv = _user_type_intervals(spark, sf_dir)
+    purch = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    j = purch.join(
+        iv,
+        (F.col("user_id") == F.col("p_user"))
+        & F.col("day").between(F.col("valid_from"), F.col("valid_to")),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("dominant_type"), F.lit("UNKNOWN")).alias(
+            "dominant_type"
+        )
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("v").cast("double"), 2).alias("total_value"),
+    )
