@@ -182,6 +182,8 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "multi_touch_attribution",
     "approx_quantile_contract",
     "point_in_time_dimension_join",
+    "bm25_retrieval_topk",
+    "cascading_delete_audit",
 )
 
 

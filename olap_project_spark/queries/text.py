@@ -995,3 +995,104 @@ def context_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (the IR scoring function behind every search sidecar)
+# --------------------------------------------------------------------------
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / g.avgdl)) AS w
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.tok = tf.tok
+      CROSS JOIN g
+    ),
+    total AS (
+      SELECT doc_id, ROUND(SUM(w), 6) AS bm25 FROM scored GROUP BY 1
+    )
+    SELECT doc_id, bm25
+    FROM total ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+@register("bm25_retrieval_topk", oracle=_bm25_oracle())
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query
+    ({terms}): the Okapi scoring function — IDF·tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75 — summed over query
+    terms, top-10 by score with doc_id tiebreak. The lexical-retrieval
+    operator that pairs with the ANN family's dense retrieval
+    (similarity.py) for hybrid search.
+
+    Scale: tokens explode ONCE and filter to the query's terms BEFORE
+    the tf aggregate (the explode output that survives is O(matches),
+    not O(corpus tokens)); doc length and the global (N, avgdl) row are
+    broadcast back; the final ranking is a TakeOrderedAndProject. At
+    100 TB the tf/df frames are the inverted index you'd materialize
+    once and reuse across queries.
+
+    Cross-engine: ln() is the only transcendental (sub-ulp libm drift
+    absorbed by round 6, the tfidf/weighted-sample precedent)."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .join(F.broadcast(g))
+        .select("doc_id", w.alias("w"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )

@@ -346,3 +346,136 @@ def point_in_time_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.round(F.sum("v").cast("double"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cascading delete (right-to-be-forgotten) audit
+# --------------------------------------------------------------------------
+@register(
+    "cascading_delete_audit",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+      SELECT o.o_orderkey, o.o_custkey FROM orders o
+      JOIN del_cust d ON o.o_custkey = d.c_custkey
+    ),
+    del_li AS (
+      SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+      JOIN del_orders d ON l.l_orderkey = d.o_orderkey
+    ),
+    rem_orders AS (
+      SELECT o.* FROM orders o
+      LEFT JOIN del_cust d ON o.o_custkey = d.c_custkey
+      WHERE d.c_custkey IS NULL
+    ),
+    rem_li AS (
+      SELECT l.* FROM lineitem l
+      LEFT JOIN del_orders d ON l.l_orderkey = d.o_orderkey
+      WHERE d.o_orderkey IS NULL
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM del_cust) AS n_deleted,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del_cust)
+             AS n_remaining,
+           0 AS n_orphans
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM del_orders),
+           (SELECT COUNT(*) FROM rem_orders),
+           (SELECT COUNT(*) FROM rem_orders r
+            JOIN del_cust d ON r.o_custkey = d.c_custkey)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM del_li),
+           (SELECT COUNT(*) FROM rem_li),
+           (SELECT COUNT(*) FROM rem_li r
+            JOIN del_orders d ON r.l_orderkey = d.o_orderkey)
+    """,
+)
+def cascading_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN cascade audit: a deterministic erasure
+    set (customers with key ≡ 0 mod 97) propagates through the FK
+    chain customer → orders → lineitem; the query reports, per table,
+    how many rows the cascade deletes, how many remain, and — the
+    audit that matters — that the remaining rows contain ZERO orphans
+    referencing a deleted parent (the n_orphans column the compliance
+    check asserts to be 0, pinned by the oracle hash).
+
+    Scale: the cascade is semi-join propagation (each level shuffles
+    on its FK once; the erasure set is broadcast when small) and the
+    orphan checks are the matching anti/semi joins — no row is
+    rewritten here; in production each level feeds the manifest sink's
+    atomic rewrite (export/manifest_sink.py) partition-by-partition."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+    del_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    rem_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_anti"
+    )
+    rem_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+
+    def counted(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count("*").alias(alias))
+
+    c_del = counted(del_cust, "n")
+    c_all = counted(cust, "n_all")
+    o_del = counted(del_orders, "n")
+    o_rem = counted(rem_orders, "n_rem")
+    o_orph = counted(
+        rem_orders.join(
+            del_cust, rem_orders.o_custkey == del_cust.c_custkey, "left_semi"
+        ),
+        "n_orph",
+    )
+    l_del = counted(del_li, "n")
+    l_rem = counted(rem_li, "n_rem")
+    l_orph = counted(
+        rem_li.join(
+            del_orders.select("o_orderkey"),
+            rem_li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        ),
+        "n_orph",
+    )
+    cust_row = c_del.join(F.broadcast(c_all)).select(
+        F.lit("customer").alias("tbl"),
+        F.col("n").alias("n_deleted"),
+        (F.col("n_all") - F.col("n")).alias("n_remaining"),
+        F.lit(0).cast("bigint").alias("n_orphans"),
+    )
+    ord_row = (
+        o_del.join(F.broadcast(o_rem))
+        .join(F.broadcast(o_orph))
+        .select(
+            F.lit("orders").alias("tbl"),
+            F.col("n").alias("n_deleted"),
+            F.col("n_rem").alias("n_remaining"),
+            F.col("n_orph").alias("n_orphans"),
+        )
+    )
+    li_row = (
+        l_del.join(F.broadcast(l_rem))
+        .join(F.broadcast(l_orph))
+        .select(
+            F.lit("lineitem").alias("tbl"),
+            F.col("n").alias("n_deleted"),
+            F.col("n_rem").alias("n_remaining"),
+            F.col("n_orph").alias("n_orphans"),
+        )
+    )
+    return cust_row.unionByName(ord_row).unionByName(li_row)
