@@ -184,6 +184,9 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "point_in_time_dimension_join",
     "bm25_retrieval_topk",
     "cascading_delete_audit",
+    "minhash_lsh_quality",
+    "value_drift_psi",
+    "hybrid_rrf_retrieval",
 )
 
 

@@ -3011,3 +3011,134 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "p", F.round("e", 4).alias("exact_p"), rank_ok.alias("rank_ok")
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (PSI) between the month's two halves
+# --------------------------------------------------------------------------
+@register(
+    "value_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT MAX(value) AS vmax,
+             MIN(CAST(ts AS DATE)) AS d0,
+             MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    ev AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) <=
+                       d0 + CAST(date_diff('day', d0, d1) // 2 AS INTEGER)
+                  THEN 0 ELSE 1 END AS half,
+             LEAST(CAST(floor(value * 10 / vmax) AS INTEGER), 9) AS bucket
+      FROM events, b
+    ),
+    c AS (
+      SELECT event_type, half, bucket, COUNT(*) AS c
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT event_type, half, SUM(c) AS n FROM c GROUP BY 1, 2),
+    spine AS (
+      SELECT DISTINCT e.event_type, t.bucket
+      FROM (SELECT DISTINCT event_type FROM events) e,
+           UNNEST(range(10)) AS t(bucket)
+    ),
+    freq AS (
+      SELECT s.event_type, s.bucket,
+             (COALESCE(c0.c, 0) + 1.0) / (n0.n + 10.0) AS p,
+             (COALESCE(c1.c, 0) + 1.0) / (n1.n + 10.0) AS q
+      FROM spine s
+      JOIN n n0 ON n0.event_type = s.event_type AND n0.half = 0
+      JOIN n n1 ON n1.event_type = s.event_type AND n1.half = 1
+      LEFT JOIN c c0 ON c0.event_type = s.event_type
+                    AND c0.half = 0 AND c0.bucket = s.bucket
+      LEFT JOIN c c1 ON c1.event_type = s.event_type
+                    AND c1.half = 1 AND c1.bucket = s.bucket
+    )
+    SELECT f.event_type,
+           CAST(n0.n AS BIGINT) AS n_first,
+           CAST(n1.n AS BIGINT) AS n_second,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM freq f
+    JOIN n n0 ON n0.event_type = f.event_type AND n0.half = 0
+    JOIN n n1 ON n1.event_type = f.event_type AND n1.half = 1
+    GROUP BY 1, 2, 3
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT detection: Population Stability Index of the
+    value distribution between the observation window's two halves,
+    per event type — the standard ML-monitoring statistic (PSI < 0.1
+    stable, > 0.25 drifted) a training pipeline computes between the
+    corpus a model was trained on and the corpus it scores. Ten
+    equal-width buckets over [0, max], Laplace-smoothed frequencies
+    ((c+1)/(n+10), so empty buckets contribute finitely), PSI =
+    Σ (p−q)·ln(p/q).
+
+    The bucket SPINE is explicit (types × range(10)): a bucket empty
+    in both halves still contributes its smoothed term — dropping
+    absent groups would silently understate drift.
+
+    Scale: one pass bucketizes (bounds broadcast), the counts are a
+    (type, half, bucket) ≤ |types|·20-group aggregate, and everything
+    after operates on that tiny frame. The halves generalize to
+    train-corpus vs serve-corpus scans."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.max("value").alias("vmax"),
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    mid = F.date_add(
+        F.col("d0"), F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    )
+    bucket = F.least(
+        F.floor(F.col("value") * 10 / F.col("vmax")).cast("int"), F.lit(9)
+    )
+    half = F.when(F.col("ts").cast("date") <= mid, 0).otherwise(1)
+    e = ev.join(F.broadcast(b)).select(
+        "event_type", half.alias("half"), bucket.alias("bucket")
+    )
+    c = e.groupBy("event_type", "half", "bucket").agg(F.count("*").alias("c"))
+    n = c.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket")
+        )
+    )
+    n0 = n.filter(F.col("half") == 0).select(
+        "event_type", F.col("n").alias("n0")
+    )
+    n1 = n.filter(F.col("half") == 1).select(
+        "event_type", F.col("n").alias("n1")
+    )
+    c0 = c.filter(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("c").alias("c0")
+    )
+    c1 = c.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    freq = (
+        spine.join(n0, "event_type")
+        .join(n1, "event_type")
+        .join(c0, ["event_type", "bucket"], "left")
+        .join(c1, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            ((F.coalesce(F.col("c0"), F.lit(0)) + 1.0) / (F.col("n0") + 10.0)).alias("p"),
+            ((F.coalesce(F.col("c1"), F.lit(0)) + 1.0) / (F.col("n1") + 10.0)).alias("q"),
+        )
+    )
+    return freq.groupBy(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n_first"),
+        F.col("n1").cast("bigint").alias("n_second"),
+    ).agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )

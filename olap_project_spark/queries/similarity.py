@@ -830,3 +830,89 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hits"),
         F.round(F.count("*").cast("double") / TOP_K, 6).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense top-k
+# --------------------------------------------------------------------------
+RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    bm_sql = QUERY_REGISTRY["bm25_retrieval_topk"].oracle
+    ann_sql = QUERY_REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH bm AS (SELECT doc_id, bm25 FROM ({bm_sql})),
+    ann AS (SELECT vec_id, cos_sim FROM ({ann_sql})),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+    ),
+    annr AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+      FROM ann
+    ),
+    u AS (
+      SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + b.r), 0)
+               + COALESCE(1.0 / ({RRF_K} + a.r), 0) AS rrf,
+             COALESCE(b.r, 0) AS bm25_rank,
+             COALESCE(a.r, 0) AS ann_rank
+      FROM bmr b FULL JOIN annr a ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf_score, bm25_rank, ann_rank
+    FROM u ORDER BY rrf DESC, doc_id LIMIT {TOP_K}
+    """
+
+
+@register("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH: reciprocal-rank fusion (k=60) of the lexical
+    BM25 top-10 (text.bm25_retrieval_topk) and the dense cosine top-10
+    (ann_topk_bruteforce, query vector 0) over the doc_id↔vec_id
+    aligned corpus — each candidate scores Σ 1/(60+rank) over the
+    lists it appears in, the standard zero-tuning fusion for
+    RAG/retrieval stacks. Rank 0 in the output means "absent from that
+    list". The oracle COMPOSES the two registered oracles verbatim, so
+    the fused result is pinned against exactly the rankings the
+    component queries are gated on.
+
+    Scale: both component retrievals are already distributed top-k
+    (TakeOrderedAndProject); the fusion is a full outer join of two
+    10-row frames and a re-sort — driver-scale work. Ranks derive from
+    the ROUNDED component scores (what the components publish), so
+    cross-engine rank ties cannot flip on sub-ulp score noise."""
+    from olap_project_spark.queries.text import bm25_retrieval_topk
+
+    bm = bm25_retrieval_topk(spark, sf_dir)
+    ann = ann_topk_bruteforce(spark, sf_dir)
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_ann = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    bmr = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+    annr = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_ann).alias("r_ann"),
+    )
+    u = bmr.join(annr, "doc_id", "full")
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("r_ann")), F.lit(0.0)
+    )
+    return (
+        u.select(
+            "doc_id",
+            rrf.alias("rrf"),
+            F.coalesce(F.col("r_bm"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("r_ann"), F.lit(0)).alias("ann_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOP_K)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "bm25_rank",
+            "ann_rank",
+        )
+    )

@@ -93,6 +93,8 @@ GLOBAL_WINDOW_OK = {
     "event_transition_matrix",
     "ann_ivf_recall",
     "ann_multiprobe_recall",
+    # rank windows over the two 10-row component top-k results
+    "hybrid_rrf_retrieval",
     # SinglePartition here is a deliberate 1-row GLOBAL-TOTAL aggregate
     # (corpus size / overall total) broadcast back — the window itself
     # is per-key; or the window input is an already-aggregated spine
@@ -155,6 +157,8 @@ BROADCAST_BOUNDED_OK = {
     "ann_multiprobe_topk",
     "ann_ivf_filtered_topk",
     "ann_multiprobe_recall",
+    # composes ann_topk_bruteforce (1-row `vec_id = 0` query vector)
+    "hybrid_rrf_retrieval",
 }
 
 
