@@ -170,6 +170,30 @@ SHOWCASE = [
         "split plus one equi-join that touches only the clustered "
         "subset.",
     ),
+    (
+        "point_in_time_dimension_join",
+        "Leakage-safe as-of feature join: purchases equi-join the SCD2 "
+        "interval frame on user_id with the BETWEEN residual evaluated "
+        "post-join — one shuffle per side on the key, per-user interval "
+        "lists O(changes). The SCD2 build itself is ONE window exchange "
+        "reused by the interval rollup (same partitioning).",
+    ),
+    (
+        "bm25_retrieval_topk",
+        "Lexical retrieval: tokens explode once and filter to the query "
+        "terms BEFORE the tf aggregate (surviving explode output is "
+        "O(matches)); df and the global (N, avgdl) row broadcast back; "
+        "the final ranking compiles to TakeOrderedAndProject — no "
+        "global sort of scores.",
+    ),
+    (
+        "merge_upsert_stats",
+        "MERGE as a plan rewrite: the kept branch is a LEFT ANTI join "
+        "of the stale rollup against the fresh slice, unioned with the "
+        "fresh slice — both sides are already month-grain aggregates, "
+        "so the merge shuffles rollup rows, never the fact table. The "
+        "fact scans carry the month-range filters down to parquet.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
