@@ -187,6 +187,7 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "minhash_lsh_quality",
     "value_drift_psi",
     "hybrid_rrf_retrieval",
+    "trailing_user_features",
 )
 
 

@@ -3142,3 +3142,67 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi")
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing point-in-time features (the leakage-safe rolling backfill)
+# --------------------------------------------------------------------------
+@register(
+    "trailing_user_features",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, event_type,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_prior_7d,
+             CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 0)
+                  AS DOUBLE) AS value_prior_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, n_prior_7d,
+           ROUND(value_prior_7d, 2) AS value_prior_7d
+    FROM f WHERE event_type = 'purchase'
+    """,
+)
+def trailing_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING point-in-time features for every purchase: the user's
+    event count and total value over the 7 days STRICTLY BEFORE the
+    purchase instant — the rolling-feature backfill a training pipeline
+    runs to label conversion events, with the leakage guard built into
+    the frame itself: ``RANGE … AND 1 PRECEDING`` excludes the current
+    event AND its exact-timestamp peers, so no feature can see its own
+    label's moment. Complements ``point_in_time_dimension_join``
+    (categorical as-of state) with continuous rolling aggregates.
+
+    Frame bounds are integer epoch-MICROSECONDS on both engines (no
+    interval arithmetic, no DST surface); the monetary sum is exact
+    DECIMAL inside the frame, cast to double only at the end.
+
+    Scale: one window shuffle on user_id computes features at EVERY
+    event in a single pass (frame eviction is O(1) per row); the
+    purchase filter then keeps the labeled rows. Backfilling features
+    for a year of labels costs one sort per key, not one scan per
+    label."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, -1)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count("*").over(w).cast("bigint").alias("n_prior_7d"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w), F.lit(0)
+        )
+        .cast("double")
+        .alias("value_prior_7d"),
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "n_prior_7d",
+        F.round("value_prior_7d", 2).alias("value_prior_7d"),
+    )
