@@ -188,6 +188,9 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "value_drift_psi",
     "hybrid_rrf_retrieval",
     "trailing_user_features",
+    "revenue_share_drilldown",
+    "revenue_growth_mom_yoy",
+    "part_cooccurrence_topk",
 )
 
 

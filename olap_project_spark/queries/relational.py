@@ -2127,3 +2127,187 @@ def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (1, 2, 3)
     ]
     return spark.createDataFrame(rows, "version int, n_rows bigint")
+
+
+# --------------------------------------------------------------------------
+# Percent-of-parent drilldown (share of region, share of total)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_share_drilldown",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def revenue_share_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-PARENT drilldown: each nation's revenue with its
+    share of its region and of the grand total — the ratio-to-parent
+    measure every OLAP drilldown UI shows next to the raw number.
+    Shares divide DECIMAL-exact sums (cast to double only for the one
+    division), so both engines divide identical numerators and
+    denominators.
+
+    Scale: the star join broadcasts the three dimensions; the windowed
+    parent totals run over the 25-row nation rollup, not the fact
+    table — W1-whitelisted global window over an aggregated input."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period growth (MoM and YoY on the monthly rollup)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_growth_mom_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT month, rev,
+             lag(rev, 1) OVER (ORDER BY month) AS prev_m,
+             lag(rev, 12) OVER (ORDER BY month) AS prev_y
+      FROM m
+    )
+    SELECT strftime(month, '%Y-%m-%d') AS month,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(prev_m AS DOUBLE) - 1, 6)
+             AS mom_growth,
+           ROUND(CAST(rev AS DOUBLE) / CAST(prev_y AS DOUBLE) - 1, 6)
+             AS yoy_growth
+    FROM g
+    """,
+)
+def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD growth: month-over-month and year-over-year
+    revenue growth from one monthly rollup and two lag() offsets (1 and
+    12) — the canonical trend pair of every revenue dashboard. NULL
+    growth in the first month/year is the honest answer, not zero.
+
+    Scale: the window runs over the ~80-row month rollup (aggregated
+    input — W1-whitelisted single-partition window); the fact table is
+    touched once by the rollup."""
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    g = m.select(
+        "month",
+        "rev",
+        F.lag("rev", 1).over(w).alias("prev_m"),
+        F.lag("rev", 12).over(w).alias("prev_y"),
+    )
+    return g.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("prev_m").cast("double") - 1, 6
+        ).alias("mom_growth"),
+        F.round(
+            F.col("rev").cast("double") / F.col("prev_y").cast("double") - 1, 6
+        ).alias("yoy_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket part co-occurrence (order-line affinity)
+# --------------------------------------------------------------------------
+BASKET_TOP_K = 10
+
+
+@register(
+    "part_cooccurrence_topk",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET affinity on order lines: the part pairs most often
+    bought in the same order (distinct parts per order, a<b
+    canonicalization, top-10 by co-occurrence with a full tiebreak) —
+    the order-line complement to the session-based
+    ``event_type_associations`` rules.
+
+    Scale: the self-join is an equi-join on l_orderkey whose fan-out is
+    bounded by lines-per-order² (TPC-H ≤ 7 lines → ≤ 21 pairs/order),
+    NOT by table size — per-key quadratic with a constant key bound is
+    linear overall. The pair aggregate partial-combines map-side and
+    the ranking compiles to TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(BASKET_TOP_K)

@@ -95,6 +95,10 @@ GLOBAL_WINDOW_OK = {
     "ann_multiprobe_recall",
     # rank windows over the two 10-row component top-k results
     "hybrid_rrf_retrieval",
+    # share-of-total / lag windows over nation (25-row) / month (~80-row)
+    # rollups — aggregated inputs, never the fact table
+    "revenue_share_drilldown",
+    "revenue_growth_mom_yoy",
     # SinglePartition here is a deliberate 1-row GLOBAL-TOTAL aggregate
     # (corpus size / overall total) broadcast back — the window itself
     # is per-key; or the window input is an already-aggregated spine
