@@ -148,12 +148,18 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     value (``ts.cast('double')``, ``unix_micros``, streaming windows)
     away from the DuckDB oracle.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = (
-        spark.read.schema(footer_schema(sf_dir, table))
-        .parquet(f"{sf_dir}/{table}.parquet")
-    )
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        # partitioned directory: partition columns live in dir names,
+        # not footers — let Spark's inference discover and append them
+        # (the footer-schema fast path is for single-file tables)
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.schema(footer_schema(sf_dir, table)).parquet(path)
     return normalize_timestamps(df, _NANOS_TS_COLUMNS.get(table, []))
 
 
@@ -171,12 +177,25 @@ def table_row_count(sf_dir: str, table: str) -> int:
     single-file local analogue. Memoized per (dir, table): testdata is
     immutable within a round.
     """
+    import os
+
     key = (sf_dir, table)
     n = _ROW_COUNT_CACHE.get(key)
     if n is None:
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        path = f"{sf_dir}/{table}.parquet"
+        if os.path.isdir(path):
+            # partitioned/multi-file table: sum the per-file footers
+            # (still driver-side metadata only — no data scan)
+            n = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
         _ROW_COUNT_CACHE[key] = n
     return n
 
