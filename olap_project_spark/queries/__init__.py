@@ -166,13 +166,14 @@ GATE_WINDOW: tuple[str, ...] = (
 )
 
 
-# Round-6 window draft, maintained live as round-5 queries are added:
-# every query registered during round 5 goes here first (so it is never
-# forgotten), then at round-6 start the list is topped up with the
-# next-oldest driver rows to exactly 50 and swapped into GATE_WINDOW
-# (after the ts-encoding canaries, per the standing procedure).
+# Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
+# round-6 start AFTER the ts-encoding canaries, per the standing
+# procedure): the 18 round-5 additions (never driver-checked) + the 32
+# queries whose driver rows are oldest (26 from round 2, the 6 oldest
+# round-3 rows) = 50. If round 6 adds queries before swapping, keep
+# this list at 50 by trimming round-3 refresh slots from the tail.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions, staged as they are registered
+    # round-5 additions — 18, no driver CORRECTNESS row yet
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
     "scd2_user_type_history",
@@ -191,6 +192,40 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "revenue_share_drilldown",
     "revenue_growth_mom_yoy",
     "part_cooccurrence_topk",
+    # oldest driver rows (round 2) — 26 refresh slots
+    "latest_event_per_user",
+    "signup_purchase_funnel",
+    "weekly_retention",
+    "geometric_mean_value",
+    "hourly_type_pivot",
+    "value_histogram",
+    "value_percentiles",
+    "props_json_stats",
+    "segment_event_value",
+    "salted_type_stats",
+    "event_transition_matrix",
+    "event_type_associations",
+    "value_outliers",
+    "value_robust_stats",
+    "hourly_spine_filled",
+    "rolling_daily_active_users",
+    "weekly_value_growth",
+    "value_moment_shape",
+    "kmv_distinct_users",
+    "session_window_stats",
+    "salted_nation_event_stats",
+    "timezone_business_hours",
+    "cumulative_unique_users",
+    "hourly_spine_interpolated",
+    "props_variant_buckets",
+    "user_key_skew_profile",
+    # oldest round-3 rows — 6 refresh slots
+    "revenue_increase_q6",
+    "priority_order_counts",
+    "local_supplier_volume",
+    "volume_shipping",
+    "national_market_share",
+    "returned_item_customers",
 )
 
 

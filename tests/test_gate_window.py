@@ -80,16 +80,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r6_draft_tracks_round5_additions():
-    """Every query registered during round 5 must be staged in the
-    round-6 draft window so the rotation never forgets it; names must
-    be unique and registered. (Oracle-backed is checked at swap time —
-    a genuinely non-SQL-expressible op may ride the weaker rows-only
-    check.)"""
+def test_r6_draft_window_is_valid():
+    """The pre-staged round-6 window must stay swappable: exactly 50
+    unique registered names, all oracle-backed, none overlapping the
+    active round-5 window (every slot either adds a first-time row or
+    refreshes one of the oldest)."""
     from olap_project_spark.queries import GATE_WINDOW_R6_DRAFT
 
-    assert len(set(GATE_WINDOW_R6_DRAFT)) == len(GATE_WINDOW_R6_DRAFT)
+    assert len(GATE_WINDOW_R6_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R6_DRAFT)) == 50
     missing = [n for n in GATE_WINDOW_R6_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
+    weak = [
+        n for n in GATE_WINDOW_R6_DRAFT if QUERY_REGISTRY[n].oracle is None
+    ]
+    assert weak == []
     overlap = set(GATE_WINDOW_R6_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap
