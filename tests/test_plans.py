@@ -450,3 +450,58 @@ def test_constructors_launch_no_jobs(spark, sf_dir):
             offenders[name] = after - before
     unexpected = {n: c for n, c in offenders.items() if n not in CONSTRUCT_EXECUTES}
     assert unexpected == {}, f"eager constructors: {unexpected}"
+
+
+class TestRound5PlanShapes:
+    """Plan-shape pins for the round-5 operator families."""
+
+    def test_bm25_compiles_to_distributed_topk(self, plan):
+        p = plan("bm25_retrieval_topk")
+        assert "TakeOrderedAndProject" in p  # no global sort of scores
+        # the term filter must sit below the tf aggregate: the explode
+        # output that survives is O(matching tokens), not O(all tokens)
+        assert "tok" in p and "Filter" in p
+
+    def test_trailing_features_single_window_pass(self, plan):
+        """One window over user_id computes both rolling features; the
+        purchase filter must NOT add a second window or join."""
+        p = plan("trailing_user_features")
+        assert p.count("Window") == 1
+        assert "Join" not in p
+
+    def test_pit_join_is_keyed_not_cartesian(self, plan):
+        """The as-of interval join must be an equi-join on user_id with
+        the BETWEEN as a residual — never a cartesian/theta-only join."""
+        p = plan("point_in_time_dimension_join")
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    def test_merge_upsert_kept_branch_is_anti_join(self, plan):
+        p = plan("merge_upsert_stats")
+        assert "LeftAnti" in p
+        assert "Union" in p
+
+    def test_cooccurrence_joins_on_order_key(self, plan):
+        """The basket self-join must hash on l_orderkey (bounded
+        per-key fan-out), and the ranking must compile to top-k."""
+        p = plan("part_cooccurrence_topk")
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_profile_is_single_pass_per_table(self, plan):
+        """Multi-distinct profiling must Expand once per table, not
+        rescan per column: 3 tables → exactly 3 parquet scans."""
+        p = plan("table_profile_summary")
+        assert p.count("FileScan parquet") == 3
+        assert "Expand" in p
+
+    def test_scd2_reuses_one_user_partitioning(self, plan):
+        """The SCD2 chain (dominant-type rank → change flags → version
+        sum → interval rollup) must not re-exchange on user_id between
+        the windows and the aggregate."""
+        p = plan("scd2_user_type_history")
+        # exactly one exchange per grain change: (user,day,type) count,
+        # (user,day) dominant-type rank, user_id change/version windows.
+        # The interval rollup AND the is_current window both reuse the
+        # user_id partitioning — a naive build adds a 4th and 5th.
+        assert p.count("Exchange hashpartitioning") == 3
