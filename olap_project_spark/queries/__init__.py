@@ -168,12 +168,12 @@ GATE_WINDOW: tuple[str, ...] = (
 
 # Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
 # round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 18 round-5 additions (never driver-checked) + the 32
-# queries whose driver rows are oldest (26 from round 2, the 6 oldest
+# procedure): the 19 round-5 additions (never driver-checked) + the 31
+# queries whose driver rows are oldest (26 from round 2, the 5 oldest
 # round-3 rows) = 50. If round 6 adds queries before swapping, keep
 # this list at 50 by trimming round-3 refresh slots from the tail.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions — 18, no driver CORRECTNESS row yet
+    # round-5 additions — 19, no driver CORRECTNESS row yet
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
     "scd2_user_type_history",
@@ -192,6 +192,7 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "revenue_share_drilldown",
     "revenue_growth_mom_yoy",
     "part_cooccurrence_topk",
+    "incremental_join_view",
     # oldest driver rows (round 2) — 26 refresh slots
     "latest_event_per_user",
     "signup_purchase_funnel",
@@ -219,13 +220,12 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "hourly_spine_interpolated",
     "props_variant_buckets",
     "user_key_skew_profile",
-    # oldest round-3 rows — 6 refresh slots
+    # oldest round-3 rows — 5 refresh slots
     "revenue_increase_q6",
     "priority_order_counts",
     "local_supplier_volume",
     "volume_shipping",
     "national_market_share",
-    "returned_item_customers",
 )
 
 
