@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Scaling-curve evidence: run one representative query per operator
+shape at sf0.001 / sf0.01 / sf0.1 and print the markdown table
+ARCHITECTURE.md embeds ("Measured scaling"). Each SF gets a fresh
+memo (clear_memo) so numbers are cold-per-corpus and comparable.
+
+Usage: python3 tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = [
+    ("pricing_summary", "scan-bound agg"),
+    ("q3_shipping_priority", "3-way join"),
+    ("ngram_dup_pairs", "shingle equi-join"),
+    ("minhash_dup_pairs", "LSH banded"),
+    ("embedding_near_dup_pairs", "IVF blocked pairs"),
+    ("ann_topk_bruteforce", "vector top-k"),
+    ("user_sessions", "per-key windows"),
+    ("bm25_retrieval_topk", "explode+topk retrieval"),
+    ("scd2_user_type_history", "window-chain SCD2"),
+    ("trailing_user_features", "time-RANGE features"),
+    ("streaming_hourly_stats", "real stream"),
+]
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    from olap_project_spark.queries import QUERY_REGISTRY, _import_all, clear_memo
+    from olap_project_spark.session import build_session
+
+    _import_all()
+    spark = build_session(
+        app_name="bench-scaling",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen once so sf0.001 isn't taxed with JIT cost
+    for name, _ in REPS:
+        try:
+            QUERY_REGISTRY[name].fn(spark, f"{base}/sf0.001").count()
+        except Exception:
+            pass
+    clear_memo(spark)
+
+    times: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        sf_dir = f"{base}/{sf}"
+        for name, _ in REPS:
+            t0 = time.perf_counter()
+            QUERY_REGISTRY[name].fn(spark, sf_dir).count()
+            times.setdefault(name, {})[sf] = time.perf_counter() - t0
+        clear_memo(spark, sf_dir=sf_dir)
+
+    print("| operator (shape) | sf0.001 | sf0.01 | sf0.1 | sf0.1 ÷ sf0.01 (data ×10) |")
+    print("|---|---|---|---|---|")
+    for name, shape in REPS:
+        t = times[name]
+        ratio = t["sf0.1"] / t["sf0.01"] if t["sf0.01"] > 0 else float("nan")
+        print(
+            f"| {name} ({shape}) | {t['sf0.001']:.2f} s | {t['sf0.01']:.2f} s "
+            f"| {t['sf0.1']:.2f} s | {ratio:.2f}× |"
+        )
+
+
+if __name__ == "__main__":
+    main()
