@@ -91,6 +91,27 @@ class TestDriverContract:
             "ab_bucket_metrics",           # per-user pre-agg + decimal
             "cohort_value_curve",          # decimal cumulative per cohort
             "session_funnel_stats",        # sessionized staged funnel
+            # round-5 additions (rotate into the round-6 gate window) —
+            # pin vanilla-session behavior up front:
+            "stateful_spend_alerts",       # applyInPandasWithState stream
+            "zorder_pruning_benefit",      # bit shifts + file-stat sim
+            "scd2_user_type_history",      # window chain + null-safe eq
+            "merge_upsert_stats",          # anti-join+union, add_months
+            "table_profile_summary",       # multi-distinct + stack
+            "cohort_retention_matrix",     # date_trunc week + datediff
+            "multi_touch_attribution",     # interval join + floor div
+            "approx_quantile_contract",    # percentile_approx + explode
+            "point_in_time_dimension_join",  # interval containment join
+            "bm25_retrieval_topk",         # ln/division under ANSI
+            "cascading_delete_audit",      # semi/anti cascade
+            "minhash_lsh_quality",         # band join + count ratios
+            "value_drift_psi",             # spine left-joins + ln
+            "hybrid_rrf_retrieval",        # composed top-k full join
+            "trailing_user_features",      # micros RANGE frame
+            "revenue_share_drilldown",     # decimal window shares
+            "revenue_growth_mom_yoy",      # lag(12) over month rollup
+            "part_cooccurrence_topk",      # order-key self-join top-k
+            "incremental_join_view",       # four-quadrant delta merge
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
