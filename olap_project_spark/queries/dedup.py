@@ -1290,3 +1290,89 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance over the kNN similarity graph
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 97
+
+
+def _bfs_oracle() -> str:
+    """Unrolled breadth-first search: the recursive frontier loop as
+    chained CTEs (v0 → f1 → f2 → f3), each stage exactly the
+    join + dedup + not-yet-visited anti-join the Spark loop runs."""
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    knn_sql = QUERY_REGISTRY["doc_knn_graph"].oracle
+    stages, visited = [], ["v0"]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        prev = f"f{i - 1}" if i > 1 else "v0"
+        seen = " UNION ALL ".join(f"SELECT doc_id FROM {v}" for v in visited)
+        stages.append(f"""
+    f{i} AS (
+      SELECT DISTINCT e.dst AS doc_id
+      FROM ed e JOIN {prev} p ON e.src = p.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM ({seen}) s
+                        WHERE s.doc_id = e.dst)
+    )""")
+        visited.append(f"f{i}")
+    hops_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {h} AS hops FROM {v}"
+        for h, v in enumerate(visited)
+    )
+    return f"""
+    WITH knn AS ({knn_sql}),
+    ed AS (
+      SELECT doc_id AS src, neighbor_id AS dst FROM knn
+      UNION
+      SELECT neighbor_id AS src, doc_id AS dst FROM knn
+    ),
+    v0 AS (SELECT doc_id FROM documents
+           WHERE doc_id % {BFS_SEED_MOD} = 0),{",".join(stages)}
+    SELECT doc_id, CAST(hops AS INTEGER) AS hops
+    FROM ({hops_union})
+    """
+
+
+@register("knn_bfs_hops", oracle=_bfs_oracle())
+def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from a deterministic seed set
+    (doc_id ≡ 0 mod {BFS_SEED_MOD}) over the symmetrized kNN
+    similarity graph, out to {BFS_MAX_HOPS} hops — the graph-traversal
+    primitive behind "expand a curated seed set to its similarity
+    neighborhood" (semi-supervised label spreading, contamination
+    blast-radius queries). Each document gets its MINIMUM hop count;
+    unreached documents are absent.
+
+    Scale: the textbook distributed BFS — per level one equi-join of
+    the CURRENT FRONTIER (shrinking) against the edge list, a distinct,
+    and an anti-join against the visited set; no driver-side state, no
+    collect. Level count is fixed ({BFS_MAX_HOPS}), so the lazy plan is
+    a bounded chain; at a 1000-executor scale each level is one
+    shuffle-on-key of frontier-sized data, never corpus-sized."""
+    knn = doc_knn_graph(spark, sf_dir).select("doc_id", "neighbor_id")
+    edges = (
+        knn.select(F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .union(
+            knn.select(
+                F.col("neighbor_id").alias("src"), F.col("doc_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    docs = load(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
+    visited = seeds.withColumn("hops", F.lit(0))
+    frontier = seeds
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+        )
+        visited = visited.union(nxt.withColumn("hops", F.lit(hop)))
+        frontier = nxt
+    return visited.select("doc_id", F.col("hops").cast("int").alias("hops"))

@@ -3206,3 +3206,193 @@ def trailing_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior_7d",
         F.round("value_prior_7d", 2).alias("value_prior_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (distributed sketch, contract-checked)
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT user_id, true_count, i AS row_i,
+             CAST('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || '#'
+                                  || CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) % {CMS_WIDTH} AS bucket
+      FROM exact, UNNEST(range(0, {CMS_DEPTH})) AS t(i)
+    ),
+    buckets AS (
+      SELECT row_i, bucket, SUM(true_count) AS bucket_count
+      FROM cells GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.user_id, c.true_count,
+             MIN(b.bucket_count) AS cms_estimate
+      FROM cells c
+      JOIN buckets b ON b.row_i = c.row_i AND b.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT user_id, true_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY true_count DESC, user_id
+    LIMIT {CMS_TOP_K}
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({CMS_DEPTH}×{CMS_WIDTH}) heavy hitters over
+    ``user_id`` — the streaming-sketch primitive for frequency
+    estimation on keyspaces too large to count exactly, here run
+    side-by-side with the exact counts so the one-sided error contract
+    (estimate ≥ truth, overestimate bounded by colliding mass) is
+    directly visible in the result. The sketch rows use the portable
+    48-bit md5 hash, so Spark and the oracle build bit-identical
+    sketches.
+
+    Scale: one exact hash-aggregate on the key (the same shuffle any
+    per-key count pays), then all sketch arithmetic runs on the
+    KEY-CARDINALITY relation, not the event stream: explode keys ×
+    {CMS_DEPTH} rows, two hash-aggregates over a {CMS_DEPTH}×{CMS_WIDTH}
+    cell space, and a distributed top-k (TakeOrderedAndProject). In a
+    true streaming deployment the same cell table is the partial state
+    that merges associatively across executors."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    cells = exact.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+        ).alias("row_i"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            portable_hash48(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("row_i").cast("string"),
+                    F.lit("#"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    buckets = cells.groupBy("row_i", "bucket").agg(
+        F.sum("true_count").alias("bucket_count")
+    )
+    est = (
+        cells.join(buckets, ["row_i", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("bucket_count").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("true_count"), F.asc("user_id"))
+        .limit(CMS_TOP_K)
+        .select(
+            "user_id",
+            "true_count",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session path mining — top event-type trigram paths within sessions
+# --------------------------------------------------------------------------
+PATH_TOP_K = 10
+
+
+@register(
+    "session_path_topk",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)) >= 1800
+                       OR lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM seq
+    ),
+    tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id, sess_id
+               ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id, sess_id
+               ORDER BY ts, event_id) AS t3
+      FROM sess
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           COUNT(*) AS n_occurrences
+    FROM tri
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the {PATH_TOP_K} most frequent
+    three-step event-type sequences WITHIN a session (30-minute-gap
+    sessionization, same boundary rule as ``user_sessions``) — the
+    navigation-pattern query behind funnel discovery, next-action
+    models, and UX audits. Sequences never cross a session boundary
+    (the lead window is partitioned by session), unlike a naive
+    per-user trigram which would stitch Friday's last click to
+    Monday's first.
+
+    Scale: two window passes over the SAME (user_id → ts) partitioning
+    — Catalyst reuses one sort+shuffle for both (the session-id running
+    sum and the lead pair) — then a trigram hash-aggregate on compact
+    path strings and a distributed top-k (TakeOrderedAndProject). No
+    per-session row explosion, no collect_list of whole sessions."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1
+    ).otherwise(0)
+    sess_id = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.withColumn("sess_id", sess_id)
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )

@@ -1096,3 +1096,77 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------
+VOCAB_K = 500
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t AS tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t <> ''
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (
+                 ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM tok GROUP BY tok
+      ) WHERE rn <= {VOCAB_K}
+    )
+    SELECT source,
+           COUNT(*) AS n_positions,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN tok.tok END)
+             AS n_distinct_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+    GROUP BY source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: fix the vocabulary to the corpus's
+    top-{VOCAB_K} tokens (frequency-ranked, token-ascending tiebreak so
+    the cut is engine-independent), then report each source's
+    out-of-vocabulary token-position rate — the coverage statistic that
+    drives tokenizer retraining / source-mixture decisions in an LLM
+    data pipeline.
+
+    Scale: one explode → one hash-aggregate for the frequency table;
+    the {VOCAB_K}-row cut is a distributed top-k (TakeOrderedAndProject
+    — per-partition heaps, never a global sort), and the membership
+    probe is a broadcast left join against the exploded positions (no
+    shuffle of the big side). The OOV rate divides exact integer
+    sums."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    probed = tok.join(
+        F.broadcast(vocab), tok["tok"] == vocab["vtok"], "left"
+    )
+    is_oov = F.col("vtok").isNull()
+    return probed.groupBy("source").agg(
+        F.count("*").alias("n_positions"),
+        F.sum(is_oov.cast("bigint")).cast("bigint").alias("n_oov"),
+        F.count_distinct(F.when(is_oov, F.col("tok"))).alias("n_distinct_oov"),
+        F.round(
+            F.sum(is_oov.cast("bigint")).cast("double") / F.count("*"), 6
+        ).alias("oov_rate"),
+    )
