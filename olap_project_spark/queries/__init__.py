@@ -168,12 +168,19 @@ GATE_WINDOW: tuple[str, ...] = (
 
 # Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
 # round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 19 round-5 additions (never driver-checked) + the 31
-# queries whose driver rows are oldest (26 from round 2, the 5 oldest
-# round-3 rows) = 50. If round 6 adds queries before swapping, keep
-# this list at 50 by trimming round-3 refresh slots from the tail.
+# procedure): the 24 round-5 additions (never driver-checked) + the 26
+# round-2 rows (the oldest driver rows) = 50. The 5 round-3 refresh
+# slots were trimmed from the tail when the second round-5 batch
+# (countmin/session-path/bfs/vocab/bloom) landed, per the standing
+# keep-at-50 rule. If round 6 adds queries before swapping, trim
+# round-2 refresh slots from the tail next.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions — 19, no driver CORRECTNESS row yet
+    # round-5 additions — 24, no driver CORRECTNESS row yet
+    "countmin_heavy_hitters",
+    "session_path_topk",
+    "knn_bfs_hops",
+    "vocab_oov_rate",
+    "bloom_pruned_urgent_revenue",
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
     "scd2_user_type_history",
@@ -220,12 +227,6 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "hourly_spine_interpolated",
     "props_variant_buckets",
     "user_key_skew_profile",
-    # oldest round-3 rows — 5 refresh slots
-    "revenue_increase_q6",
-    "priority_order_counts",
-    "local_supplier_volume",
-    "volume_shipping",
-    "national_market_share",
 )
 
 

@@ -1352,16 +1352,26 @@ def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect. Level count is fixed ({BFS_MAX_HOPS}), so the lazy plan is
     a bounded chain; at a 1000-executor scale each level is one
     shuffle-on-key of frontier-sized data, never corpus-sized."""
-    knn = doc_knn_graph(spark, sf_dir).select("doc_id", "neighbor_id")
-    edges = (
-        knn.select(F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .union(
+    def _edges() -> DataFrame:
+        knn = doc_knn_graph(spark, sf_dir).select("doc_id", "neighbor_id")
+        return (
             knn.select(
-                F.col("neighbor_id").alias("src"), F.col("doc_id").alias("dst")
+                F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")
             )
+            .union(
+                knn.select(
+                    F.col("neighbor_id").alias("src"),
+                    F.col("doc_id").alias("dst"),
+                )
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    # Memoized+persisted: every BFS level joins the SAME edge table, so
+    # cache it once instead of re-inlining the whole kNN lineage into
+    # each level's plan (at scale: the materialized edge list any graph
+    # engine keeps between supersteps).
+    edges = session_memo(spark, sf_dir, "knn_bfs_edges", _edges)
     docs = load(spark, sf_dir, "documents")
     seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
     visited = seeds.withColumn("hops", F.lit(0))

@@ -112,6 +112,11 @@ class TestDriverContract:
             "revenue_growth_mom_yoy",      # lag(12) over month rollup
             "part_cooccurrence_topk",      # order-key self-join top-k
             "incremental_join_view",       # four-quadrant delta merge
+            "countmin_heavy_hitters",      # pmod/conv sketch under ANSI
+            "session_path_topk",           # double window + concat_ws
+            "knn_bfs_hops",                # frontier joins + modulo seed
+            "vocab_oov_rate",              # top-k vocab broadcast probe
+            "bloom_pruned_urgent_revenue",  # runtime bloom child session
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

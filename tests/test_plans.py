@@ -505,3 +505,55 @@ class TestRound5PlanShapes:
         # The interval rollup AND the is_current window both reuse the
         # user_id partitioning — a naive build adds a 4th and 5th.
         assert p.count("Exchange hashpartitioning") == 3
+
+
+class TestRound5bPlanShapes:
+    """Plan-shape pins for the second round-5 operator batch."""
+
+    def test_bloom_query_injects_runtime_filter(self, spark, sf_dir):
+        """The registered query itself (not just a synthetic probe)
+        must plan the bloom semi-reduction: might_contain on the
+        lineitem probe side fed by a bloom_filter_agg subquery."""
+        p = (
+            QUERY_REGISTRY["bloom_pruned_urgent_revenue"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in p.lower()
+        assert "bloom_filter_agg" in p.lower()
+
+    def test_session_paths_share_one_user_shuffle(self, plan):
+        """Both windows (session-id running sum, trigram leads) must
+        ride ONE hash exchange on user_id — partitioning by user_id
+        already clusters (user_id, sess_id)."""
+        p = plan("session_path_topk")
+        assert p.count("Exchange hashpartitioning(user_id") == 1
+        assert "TakeOrderedAndProject" in p
+
+    def test_countmin_is_key_cardinality_work(self, plan):
+        """Sketch arithmetic runs on the aggregated key relation: the
+        bucket-table join must broadcast (4×256 cells max), and the
+        final ranking is a distributed top-k."""
+        p = plan("countmin_heavy_hitters")
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastHashJoin" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_vocab_probe_broadcasts_cut(self, plan):
+        """The 500-token vocabulary cut compiles to TakeOrdered and is
+        broadcast to the exploded positions — the big side never
+        shuffles for the membership probe."""
+        p = plan("vocab_oov_rate")
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_bfs_is_keyed_joins_only(self, plan):
+        """Every BFS level is an equi-join + anti-join — no cartesian,
+        no Python, and the frontier chain stays join-keyed."""
+        p = plan("knn_bfs_hops")
+        assert "CartesianProduct" not in p
+        assert "LeftAnti" in p
+        assert "BatchEvalPython" not in p

@@ -1,0 +1,172 @@
+"""Semantic checks for the second round-5 batch of operators (CMS heavy
+hitters, session path mining, kNN-graph BFS, vocabulary OOV coverage,
+runtime-bloom-filtered join) — complementing their DuckDB oracles
+(tools/oracle_check.py) with property-level assertions the hash compare
+can't express (one-sided sketch error, BFS level soundness, bloom
+result-invariance)."""
+
+from __future__ import annotations
+
+import pytest
+
+from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+_import_all()
+
+
+def run(spark, sf_dir, name):
+    return QUERY_REGISTRY[name].fn(spark, sf_dir).toPandas()
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_contract(self, spark, sf_dir):
+        """CMS never underestimates: estimate ≥ truth on every row, and
+        the reported overestimate is exactly their difference."""
+        df = run(spark, sf_dir, "countmin_heavy_hitters")
+        assert len(df) > 0
+        assert (df.cms_estimate >= df.true_count).all()
+        assert (df.overestimate == df.cms_estimate - df.true_count).all()
+
+    def test_top1_matches_exact_count(self, spark, sf_dir):
+        import duckdb
+
+        df = run(spark, sf_dir, "countmin_heavy_hitters")
+        top = duckdb.sql(
+            f"""SELECT user_id, COUNT(*) AS c
+                FROM '{sf_dir}/events.parquet'
+                GROUP BY 1 ORDER BY c DESC, user_id LIMIT 1"""
+        ).fetchone()
+        assert (df.iloc[0].user_id, df.iloc[0].true_count) == top
+
+
+class TestSessionPaths:
+    def test_paths_are_trigrams_ranked(self, spark, sf_dir):
+        df = run(spark, sf_dir, "session_path_topk")
+        assert len(df) > 0
+        assert (df.path.str.count(">") == 2).all()
+        assert (df.n_occurrences.diff().dropna() <= 0).all()
+
+    def test_counts_match_python_reference(self, spark, sf_dir):
+        """Independent per-row Python reference: sessionize with the
+        30-min gap rule, count trigram paths per session, and check the
+        engine's top-k against the reference's ranking."""
+        import collections
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""SELECT user_id, epoch(CAST(ts AS TIMESTAMP)), event_type
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY user_id, CAST(ts AS TIMESTAMP), event_id"""
+        ).fetchall()
+        counts: collections.Counter = collections.Counter()
+        cur_user, prev_ts, sess = None, None, []
+        sessions = []
+        for uid, ts, et in rows:
+            if uid != cur_user or (prev_ts is not None and ts - prev_ts >= 1800):
+                if sess:
+                    sessions.append(sess)
+                sess = []
+            sess.append(et)
+            cur_user, prev_ts = uid, ts
+        if sess:
+            sessions.append(sess)
+        for s in sessions:
+            for i in range(len(s) - 2):
+                counts[f"{s[i]}>{s[i + 1]}>{s[i + 2]}"] += 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        df = run(spark, sf_dir, "session_path_topk")
+        got = list(zip(df.path, df.n_occurrences))
+        assert got == want
+
+
+class TestKnnBfs:
+    def test_levels_are_sound(self, spark, sf_dir):
+        """Hop 0 = exactly the seed set; every hop-h node (h ≥ 1) is
+        adjacent to some hop-(h-1) node and NOT to any smaller level."""
+        import duckdb
+
+        from olap_project_spark.queries.dedup import BFS_SEED_MOD
+
+        hops = run(spark, sf_dir, "knn_bfs_hops")
+        seeds = {
+            r[0]
+            for r in duckdb.sql(
+                f"""SELECT doc_id FROM '{sf_dir}/documents.parquet'
+                    WHERE doc_id % {BFS_SEED_MOD} = 0"""
+            ).fetchall()
+        }
+        assert set(hops[hops.hops == 0].doc_id) == seeds
+        assert hops.hops.between(0, 3).all()
+        assert hops.doc_id.is_unique
+
+        knn = run(spark, sf_dir, "doc_knn_graph")
+        adj: dict[int, set[int]] = {}
+        for a, b in zip(knn.doc_id, knn.neighbor_id):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        level = dict(zip(hops.doc_id, hops.hops))
+        for d, h in level.items():
+            if h == 0:
+                continue
+            best = min(
+                (level.get(n, 99) for n in adj.get(d, ())), default=99
+            )
+            assert best == h - 1, f"doc {d} at hop {h} has min-neighbor {best}"
+
+
+class TestVocabOov:
+    def test_rates_and_totals(self, spark, sf_dir):
+        import duckdb
+
+        df = run(spark, sf_dir, "vocab_oov_rate")
+        assert len(df) > 0
+        assert df.oov_rate.between(0, 1).all()
+        assert (df.n_oov <= df.n_positions).all()
+        total = duckdb.sql(
+            f"""SELECT COUNT(*) FROM (
+                  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+                  FROM '{sf_dir}/documents.parquet') WHERE t <> ''"""
+        ).fetchone()[0]
+        assert df.n_positions.sum() == total
+
+
+class TestBloomPrunedJoin:
+    def test_result_invariant_under_bloom(self, spark, sf_dir):
+        """The runtime bloom filter is a pure physical optimization:
+        the query's result must be byte-identical to the plain join on
+        a session with no bloom confs."""
+        from pyspark.sql import functions as F
+
+        from olap_project_spark.queries import load
+
+        got = (
+            run(spark, sf_dir, "bloom_pruned_urgent_revenue")
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+        want = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
+            )
+            .toPandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_child_confs_do_not_leak(self, spark, sf_dir):
+        before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        run(spark, sf_dir, "bloom_pruned_urgent_revenue")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
