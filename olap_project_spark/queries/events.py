@@ -3396,3 +3396,209 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(PATH_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set operations (theta-sketch-style union/intersection)
+# --------------------------------------------------------------------------
+_HASH_SPACE = 2**48
+
+
+@register(
+    "kmv_set_similarity",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS t,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    nd AS (SELECT t, COUNT(*) AS n FROM h GROUP BY t),
+    sk AS (
+      SELECT t, hv FROM (
+        SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv) AS rn
+        FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb FROM nd a JOIN nd b ON a.t < b.t
+    ),
+    u AS (
+      SELECT DISTINCT p.ta, p.tb, s.hv
+      FROM pairs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+    ),
+    ur AS (
+      SELECT ta, tb, hv,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY ta, tb) AS n_u
+      FROM u
+    ),
+    theta AS (
+      SELECT ta, tb, MAX(n_u) AS n_u,
+             MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS th
+      FROM ur WHERE rn <= {KMV_K} GROUP BY ta, tb
+    ),
+    common AS (
+      SELECT a.t AS ta, b.t AS tb, a.hv
+      FROM sk a JOIN sk b ON a.hv = b.hv AND a.t < b.t
+    ),
+    cb AS (
+      SELECT t.ta, t.tb, t.n_u, t.th,
+             COUNT(c.hv) FILTER (c.hv <= COALESCE(t.th, {_HASH_SPACE}))
+               AS n_common
+      FROM theta t LEFT JOIN common c ON c.ta = t.ta AND c.tb = t.tb
+      GROUP BY 1, 2, 3, 4
+    ),
+    ex AS (
+      SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_inter
+      FROM h a JOIN h b ON a.hv = b.hv AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT cb.ta, cb.tb,
+             na.n + nb.n - COALESCE(ex.n_inter, 0) AS exact_union,
+             COALESCE(ex.n_inter, 0) AS exact_intersection,
+             CASE WHEN cb.n_u >= {KMV_K}
+                  THEN CAST({KMV_K - 1} AS DOUBLE)
+                       * CAST({_HASH_SPACE} AS DOUBLE) / cb.th
+                  ELSE CAST(cb.n_u AS DOUBLE) END AS union_est,
+             CAST(cb.n_common AS DOUBLE)
+               / LEAST({KMV_K}, cb.n_u) AS jaccard_est
+      FROM cb
+      JOIN nd na ON na.t = cb.ta
+      JOIN nd nb ON nb.t = cb.tb
+      LEFT JOIN ex ON ex.ta = cb.ta AND ex.tb = cb.tb
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection,
+           ROUND(union_est, 2) AS union_est,
+           ROUND(jaccard_est * union_est, 2) AS intersection_est,
+           ROUND(jaccard_est, 6) AS jaccard_est
+    FROM est
+    """,
+)
+def kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: for every
+    pair of event types, estimate the union size, intersection size,
+    and Jaccard similarity of their user sets from the two k-minimum-
+    value sketches alone — the mergeable-sketch algebra (Dasgupta et
+    al., "Theta sketch framework", and the KMV estimator of Bar-Yossef
+    et al. 2002) that answers audience-overlap questions without ever
+    shuffling the full key sets against each other. Exact counterparts
+    sit in the same row, so the sketch error is visible and the result
+    stays hash-comparable (the sketch side is fully deterministic
+    given the portable md5 hash).
+
+    Union sketch = k smallest of the two sketches' union (threshold
+    θ = its k-th value); intersection estimate = (common sketch hashes
+    ≤ θ) / k × union estimate; when the union has < k distinct hashes
+    every term degrades to exact. Pairs with no overlap report 0.
+
+    Scale: ONE distinct shuffle over (type, 48-bit hash) builds every
+    sketch; all pair algebra runs on ≤ k×types rows (a broadcast-sized
+    relation) — type-pair enumeration is a nested-loop over the
+    aggregated per-type counts, never over data. Exact columns cost
+    one equi-self-join of the distinct sets (dropped in a pure-sketch
+    deployment)."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("event_type").alias("t"),
+        portable_hash48(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    nd = h.groupBy("t").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("t").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("t", "hv")
+    )
+    pairs = (
+        nd.select(F.col("t").alias("ta"))
+        .join(nd.select(F.col("t").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    u = (
+        pairs.join(sk, (sk["t"] == pairs["ta"]) | (sk["t"] == pairs["tb"]))
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("hv")
+    wc = Window.partitionBy("ta", "tb")
+    ur = u.select(
+        "ta",
+        "tb",
+        "hv",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wc).alias("n_u"),
+    ).filter(F.col("rn") <= KMV_K)
+    theta = ur.groupBy("ta", "tb").agg(
+        F.max("n_u").alias("n_u"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("th"),
+    )
+    ska, skb = sk.alias("ska"), sk.alias("skb")
+    common = ska.join(
+        skb,
+        (F.col("ska.hv") == F.col("skb.hv"))
+        & (F.col("ska.t") < F.col("skb.t")),
+    ).select(
+        F.col("ska.t").alias("ta"), F.col("skb.t").alias("tb"), F.col("ska.hv")
+    )
+    cb = (
+        theta.join(common, ["ta", "tb"], "left")
+        .groupBy("ta", "tb", "n_u", "th")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("hv") <= F.coalesce(F.col("th"), F.lit(_HASH_SPACE)),
+                    F.col("hv"),
+                )
+            ).alias("n_common")
+        )
+    )
+    ha, hb = h.alias("ha"), h.alias("hb")
+    ex = (
+        ha.join(
+            hb,
+            (F.col("ha.hv") == F.col("hb.hv"))
+            & (F.col("ha.t") < F.col("hb.t")),
+        )
+        .groupBy(F.col("ha.t").alias("ta"), F.col("hb.t").alias("tb"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = nd.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = nd.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    union_est = F.when(
+        F.col("n_u") >= KMV_K,
+        F.lit(float(KMV_K - 1)) * F.lit(float(_HASH_SPACE)) / F.col("th"),
+    ).otherwise(F.col("n_u").cast("double"))
+    jac = F.col("n_common").cast("double") / F.least(
+        F.lit(KMV_K), F.col("n_u")
+    )
+    est = (
+        cb.join(na, "ta")
+        .join(nb, "tb")
+        .join(ex, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            (
+                F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce("n_inter", F.lit(0)).alias("exact_intersection"),
+            union_est.alias("union_est"),
+            jac.alias("jaccard_est"),
+        )
+    )
+    return est.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+        F.round("union_est", 2).alias("union_est"),
+        F.round(F.col("jaccard_est") * F.col("union_est"), 2).alias(
+            "intersection_est"
+        ),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )

@@ -916,3 +916,66 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ann_rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding QA profile
+# --------------------------------------------------------------------------
+DIM_ZERO_EPS = 1e-6   # |v| below this counts as a dead cell
+DIM_LOW_STD = 0.01    # std below this flags a collapsed dimension
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(i - 1 AS INTEGER) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(SUM(v) / COUNT(*), 6) AS mean,
+           ROUND(sqrt((SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*)),
+                 6) AS std,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v,
+           CAST(SUM(CASE WHEN abs(v) < {DIM_ZERO_EPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dead,
+           CAST(CASE WHEN sqrt((SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                               / COUNT(*)) < {DIM_LOW_STD}
+                     THEN 1 ELSE 0 END AS INTEGER) AS collapsed
+    FROM cell GROUP BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-quality profile: mean / std / range /
+    dead-cell count / collapsed-dimension flag for each of the vector's
+    dimensions — the QA sweep run before trusting an embedding corpus
+    for retrieval or dedup (a collapsed dimension means the encoder
+    wasted capacity; a dimension with huge mean offset skews cosine
+    toward it).
+
+    Scale: posexplode → ONE hash-aggregate keyed by dimension index —
+    the shuffle carries dim-count × partials, not the corpus; every
+    moment (n, Σv, Σv², min, max, dead-count) map-side combines. The
+    variance is the one-pass E[v²]−E[v]² form; results round to 6 dp
+    which absorbs double summation-order noise on both engines."""
+    e = _emb(spark, sf_dir)
+    cell = e.select(
+        F.posexplode("emb").alias("dim", "v")
+    ).select(F.col("dim").cast("int").alias("dim"), "v")
+    n = F.count("*")
+    var = (F.sum(F.col("v") * F.col("v")) - F.sum("v") * F.sum("v") / n) / n
+    std = F.sqrt(var)
+    return cell.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(F.sum("v") / n, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.sum((F.abs(F.col("v")) < DIM_ZERO_EPS).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dead"),
+        (std < DIM_LOW_STD).cast("int").alias("collapsed"),
+    )

@@ -117,6 +117,8 @@ class TestDriverContract:
             "knn_bfs_hops",                # frontier joins + modulo seed
             "vocab_oov_rate",              # top-k vocab broadcast probe
             "bloom_pruned_urgent_revenue",  # runtime bloom child session
+            "embedding_dimension_stats",   # posexplode moment aggregate
+            "kmv_set_similarity",          # sketch algebra under ANSI
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

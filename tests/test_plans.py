@@ -557,3 +557,20 @@ class TestRound5bPlanShapes:
         assert "CartesianProduct" not in p
         assert "LeftAnti" in p
         assert "BatchEvalPython" not in p
+
+    def test_dimension_stats_single_aggregate(self, plan):
+        """posexplode → ONE dim-keyed hash aggregate; no join, no
+        window, no Python."""
+        p = plan("embedding_dimension_stats")
+        assert "Join" not in p
+        assert "Window" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_kmv_setops_run_on_sketch_relation(self, plan):
+        """All pair algebra must run on broadcast-sized sketch
+        relations: no CartesianProduct, and the per-pair windows rank
+        only sketch rows (the one big shuffle is the initial
+        distinct)."""
+        p = plan("kmv_set_similarity")
+        assert "CartesianProduct" not in p
+        assert "HashAggregate" in p

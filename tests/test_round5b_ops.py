@@ -170,3 +170,43 @@ class TestBloomPrunedJoin:
         before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         run(spark, sf_dir, "bloom_pruned_urgent_revenue")
         assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+class TestEmbeddingDimensionStats:
+    def test_per_dim_profile(self, spark, sf_dir):
+        import duckdb
+
+        df = run(spark, sf_dir, "embedding_dimension_stats")
+        n_vec, dim = duckdb.sql(
+            f"""SELECT COUNT(*), MAX(len(embedding))
+                FROM '{sf_dir}/embeddings.parquet'"""
+        ).fetchone()
+        assert len(df) == dim
+        assert sorted(df.dim) == list(range(dim))
+        assert (df.n == n_vec).all()
+        assert (df["std"] >= 0).all()
+        assert (df.min_v <= df["mean"]).all() and (df["mean"] <= df.max_v).all()
+        assert (df.n_dead <= df.n).all()
+        from olap_project_spark.queries.similarity import DIM_LOW_STD
+
+        assert (df.collapsed == (df["std"] < DIM_LOW_STD).astype(int)).all()
+
+
+class TestKmvSetSimilarity:
+    def test_sketch_algebra_contracts(self, spark, sf_dir):
+        from olap_project_spark.queries.events import KMV_K
+
+        df = run(spark, sf_dir, "kmv_set_similarity")
+        assert len(df) > 0
+        assert df.jaccard_est.between(0, 1).all()
+        assert (df.exact_intersection <= df.exact_union).all()
+        # degenerate exactness: union below sketch capacity → every
+        # estimate equals its exact counterpart
+        small = df[df.exact_union < KMV_K]
+        assert (small.union_est == small.exact_union).all()
+        assert (small.intersection_est == small.exact_intersection).all()
+        # KMV estimator error: k=64 → σ≈12.6%; allow 4σ on full sketches
+        full = df[df.exact_union >= KMV_K]
+        if len(full):
+            rel = (full.union_est - full.exact_union).abs() / full.exact_union
+            assert (rel < 0.5).all(), rel.max()
