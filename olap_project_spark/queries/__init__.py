@@ -168,14 +168,16 @@ GATE_WINDOW: tuple[str, ...] = (
 
 # Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
 # round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 26 round-5 additions (never driver-checked) + the 24
+# procedure): the 28 round-5 additions (never driver-checked) + the 22
 # oldest round-2 driver rows = 50. The 5 round-3 refresh slots and the
 # 2 oldest round-2 tail slots were trimmed as the second round-5 batch
 # (countmin/session-path/bfs/vocab/bloom/dim-stats/kmv-setops) landed,
 # per the standing keep-at-50 rule. If round 6 adds queries before
 # swapping, keep trimming round-2 refresh slots from the tail.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions — 26, no driver CORRECTNESS row yet
+    # round-5 additions — 28, no driver CORRECTNESS row yet
+    "aqe_skew_join_stats",
+    "ewma_daily_value",
     "embedding_dimension_stats",
     "kmv_set_similarity",
     "countmin_heavy_hitters",
@@ -225,8 +227,6 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "session_window_stats",
     "salted_nation_event_stats",
     "timezone_business_hours",
-    "cumulative_unique_users",
-    "hourly_spine_interpolated",
 )
 
 

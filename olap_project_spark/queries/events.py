@@ -3602,3 +3602,162 @@ def kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("jaccard_est", 6).alias("jaccard_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# AQE skew-join split (§2.5 scale lever — the automatic one)
+# --------------------------------------------------------------------------
+SKEW_HOT_MOD = 10     # user_id % 10 < 7 → ~70% of rows share one key
+SKEW_DIM_N = 50
+
+
+@register(
+    "aqe_skew_join_stats",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN user_id % {SKEW_HOT_MOD} < 7
+                  THEN 0 ELSE user_id END AS hkey,
+             value
+      FROM events
+    ),
+    dim AS (SELECT range AS hkey, range + 1 AS w FROM range(0, {SKEW_DIM_N}))
+    SELECT fact.hkey,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value * w), 2) AS weighted_value
+    FROM fact JOIN dim USING (hkey)
+    GROUP BY 1
+    """,
+)
+def aqe_skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's AUTOMATIC skew-join split, driven through the gate: a
+    fact side with an engineered Zipf-hot key (~70% of events collapse
+    onto one key — the driver's testdata is deliberately uniform, so
+    the hot key is derived deterministically from user_id) joins a
+    small weight dimension, and the adaptive optimizer splits the
+    oversized reduce partition at map-block granularity
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead skewed``, pinned
+    in tests/test_plans.py). This is the no-code-change counterpart of
+    the manual salting levers (salted_type_stats): AQE fixes the
+    straggler from runtime shuffle statistics.
+
+    The child session only scales the skew thresholds down to the
+    replay's data volume (factor 1.2 / 1 KB instead of 5× / 256 MB —
+    at warehouse scale the defaults fire on the same shape) and
+    repartitions the one-file replay scan so the shuffle has multiple
+    map blocks to split by. Result values are byte-identical to the
+    unsplit join — splitting is a pure physical rewrite.
+
+    Scale: the hot partition's work is spread over
+    ceil(hot_bytes/advisory) tasks instead of one straggler; the dim
+    side is duplicated only for the split partition. At 100 TB this —
+    or salting — is the difference between a 10-minute and a 10-hour
+    stage tail."""
+    child = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        child.conf.set(k, v)
+    ev = load(child, sf_dir, "events").repartition(16, "event_id")
+    hot = F.when(
+        F.col("user_id") % SKEW_HOT_MOD < 7, F.lit(0)
+    ).otherwise(F.col("user_id"))
+    fact = ev.select(hot.alias("hkey"), "value")
+    dim = child.range(0, SKEW_DIM_N).select(
+        F.col("id").alias("hkey"), (F.col("id") + 1).alias("w")
+    )
+    return (
+        fact.join(dim, "hkey")
+        .groupBy("hkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("w")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Truncated EWMA smoothing over the daily value series
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+EWMA_TERMS = 14
+# Python-computed double literals embedded verbatim on BOTH engines, so
+# the weights are bit-identical (pow() implementations may differ by an
+# ulp across engines; a shared literal cannot).
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** k for k in range(EWMA_TERMS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(daily_value, {k}) OVER w, 0) * {w!r}"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(daily_value, {k}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS daily_value
+      FROM events GROUP BY 1
+    )
+    SELECT day, daily_value,
+           ROUND(({num}) / ({den}), 6) AS ewma14
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    """
+
+
+@register("ewma_daily_value", oracle=_ewma_oracle())
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event value —
+    the smoothing primitive behind trend lines, anomaly baselines, and
+    drift monitors. The recursion EWMA_t = α·x_t + (1−α)·EWMA_{t−1} is
+    not window-expressible, so this is the standard truncated form: a
+    {EWMA_TERMS}-term weighted lag-sum with weights (1−α)^k, normalized
+    by the weights actually present (so the series start is unbiased).
+    Weights are shared double literals, daily inputs are pre-rounded
+    exact decimal sums — the result is bit-stable across engines.
+
+    Scale: the EWMA runs over the DAILY AGGREGATE (one row per day — a
+    few thousand rows for a decade), so the unpartitioned ordered
+    window is trivially small; the real data only flows through the
+    one map-side-combined day rollup. At 100 TB you'd partition the
+    window by series key (per-metric, per-region) — same plan, keyed."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum(_dec("value")).cast("double"), 2).alias("daily_value"))
+    w = Window.orderBy("day")
+    num = sum(
+        (
+            F.coalesce(F.lag("daily_value", k).over(w), F.lit(0.0))
+            * F.lit(wt)
+            for k, wt in enumerate(_EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("daily_value", k).over(w).isNotNull(), F.lit(wt))
+            .otherwise(F.lit(0.0))
+            for k, wt in enumerate(_EWMA_W)
+        ),
+        F.lit(0.0),
+    )
+    return daily.select(
+        "day", "daily_value", F.round(num / den, 6).alias("ewma14")
+    )

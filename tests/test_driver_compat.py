@@ -119,6 +119,8 @@ class TestDriverContract:
             "bloom_pruned_urgent_revenue",  # runtime bloom child session
             "embedding_dimension_stats",   # posexplode moment aggregate
             "kmv_set_similarity",          # sketch algebra under ANSI
+            "aqe_skew_join_stats",         # AQE skew-split child session
+            "ewma_daily_value",            # weighted lag window, ANSI
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -574,3 +574,10 @@ class TestRound5bPlanShapes:
         p = plan("kmv_set_similarity")
         assert "CartesianProduct" not in p
         assert "HashAggregate" in p
+
+    def test_ewma_single_window_over_daily_rollup(self, plan):
+        """All 14 weighted lags share ONE window over the daily
+        aggregate; the fact table only flows through the day rollup."""
+        p = plan("ewma_daily_value")
+        assert p.count("Window") == 1
+        assert "Join" not in p

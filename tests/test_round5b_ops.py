@@ -210,3 +210,53 @@ class TestKmvSetSimilarity:
         if len(full):
             rel = (full.union_est - full.exact_union).abs() / full.exact_union
             assert (rel < 0.5).all(), rel.max()
+
+
+class TestAqeSkewJoin:
+    def test_split_fires_and_result_is_exact(self, spark, sf_dir):
+        """After execution the adaptive plan must show the skew split
+        (SortMergeJoin(skew=true) + AQEShuffleRead skewed), and the
+        values must equal the plain unsplit join."""
+        import duckdb
+
+        from olap_project_spark.queries.events import SKEW_DIM_N, SKEW_HOT_MOD
+
+        df_l = QUERY_REGISTRY["aqe_skew_join_stats"].fn(spark, sf_dir)
+        rows = df_l.collect()
+        plan = df_l._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead" in plan
+        got = sorted((r.hkey, r.n_events) for r in rows)
+        want = duckdb.sql(
+            f"""WITH fact AS (
+                  SELECT CASE WHEN user_id % {SKEW_HOT_MOD} < 7
+                              THEN 0 ELSE user_id END AS hkey
+                  FROM '{sf_dir}/events.parquet'),
+                dim AS (SELECT range AS hkey FROM range(0, {SKEW_DIM_N}))
+                SELECT fact.hkey, COUNT(*) FROM fact JOIN dim USING (hkey)
+                GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        assert got == [(k, n) for k, n in want]
+
+
+class TestEwma:
+    def test_matches_python_reference(self, spark, sf_dir):
+        """Truncated-EWMA reference computed row-by-row in Python from
+        the same rounded daily inputs."""
+        from olap_project_spark.queries.events import _EWMA_W
+
+        df = (
+            run(spark, sf_dir, "ewma_daily_value")
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        vals = list(df.daily_value)
+        for t in range(len(vals)):
+            num = den = 0.0
+            for k, w in enumerate(_EWMA_W):
+                if t - k >= 0:
+                    num += vals[t - k] * w
+                    den += w
+            assert df.ewma14[t] == round(num / den, 6), t
+        # smoothing property: EWMA varies less than the raw series
+        assert df.ewma14.std() <= df.daily_value.std()

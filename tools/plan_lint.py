@@ -118,6 +118,10 @@ GLOBAL_WINDOW_OK = {
     # per-user sessionization windows + a final ONE-ROW global funnel
     # aggregate — the SinglePartition is the 1-row result, not a window
     "session_funnel_stats",
+    # truncated-EWMA lag window over the DAILY rollup (one row per day;
+    # a decade is a few thousand rows) — at scale the window gains a
+    # series-key partition, same plan keyed
+    "ewma_daily_value",
 }
 
 # Families where Arrow-batched Python is the documented extension point
