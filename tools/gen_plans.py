@@ -194,6 +194,36 @@ SHOWCASE = [
         "so the merge shuffles rollup rows, never the fact table. The "
         "fact scans carry the month-range filters down to parquet.",
     ),
+    (
+        "bloom_pruned_urgent_revenue",
+        "Runtime bloom-filter semi-reduction: the selective order-priority "
+        "predicate builds a bloom_filter_agg over surviving order keys and "
+        "the lineitem probe side scans through might_contain BEFORE its "
+        "join shuffle - rows that cannot match never leave the map side. "
+        "The lever for selective-dim x huge-fact joins too big to "
+        "broadcast.",
+    ),
+    (
+        "aqe_skew_join_stats",
+        "AQE automatic skew split (plan captured AFTER execution - the "
+        "split is a runtime decision): SortMergeJoin(skew=true) with "
+        "AQEShuffleRead skewed spreading the engineered Zipf-hot partition "
+        "over multiple tasks; the no-code-change counterpart of salting.",
+    ),
+    (
+        "session_path_topk",
+        "Clickstream path mining: BOTH windows (session-id running sum and "
+        "the trigram leads) ride ONE hash exchange on user_id, then a "
+        "trigram hash-aggregate and TakeOrderedAndProject top-k - no "
+        "per-session row explosion, no collect_list.",
+    ),
+    (
+        "countmin_heavy_hitters",
+        "Distributed Count-Min sketch: after the one exact key aggregate, "
+        "all sketch arithmetic runs on the key-cardinality relation (explode "
+        "keys x depth, two cell-space hash aggregates, broadcast bucket "
+        "join, distributed top-k).",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
@@ -217,6 +247,9 @@ def main() -> int:
     # Queries whose showcase plan needs auto-broadcast off (to exhibit
     # the large-scale join strategy AQE would override at doc scale).
     NO_AUTOBROADCAST = {"bucketed_order_revenue"}
+    # Adaptive decisions (skew split) only appear in the FINAL plan, so
+    # these run to completion before the plan string is captured.
+    EXECUTE_FIRST = {"aqe_skew_join_stats"}
 
     out = [HEADER]
     for name, why in SHOWCASE:
@@ -230,6 +263,8 @@ def main() -> int:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         else:
             df = QUERY_REGISTRY[name].fn(spark, SF)
+            if name in EXECUTE_FIRST:
+                df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         out.append(f"## {name}\n\n{why}\n\n```\n{plan.rstrip()}\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
