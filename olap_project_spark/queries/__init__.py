@@ -168,14 +168,16 @@ GATE_WINDOW: tuple[str, ...] = (
 
 # Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
 # round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 28 round-5 additions (never driver-checked) + the 22
+# procedure): the 30 round-5 additions (never driver-checked) + the 20
 # oldest round-2 driver rows = 50. The 5 round-3 refresh slots and the
 # 2 oldest round-2 tail slots were trimmed as the second round-5 batch
 # (countmin/session-path/bfs/vocab/bloom/dim-stats/kmv-setops) landed,
 # per the standing keep-at-50 rule. If round 6 adds queries before
 # swapping, keep trimming round-2 refresh slots from the tail.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions — 28, no driver CORRECTNESS row yet
+    # round-5 additions — 30, no driver CORRECTNESS row yet
+    "value_drawdown_curve",
+    "cluster_top_terms",
     "aqe_skew_join_stats",
     "ewma_daily_value",
     "embedding_dimension_stats",
@@ -204,7 +206,7 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "revenue_growth_mom_yoy",
     "part_cooccurrence_topk",
     "incremental_join_view",
-    # oldest driver rows (round 2) — 26 refresh slots
+    # oldest driver rows (round 2) — 20 refresh slots
     "latest_event_per_user",
     "signup_purchase_funnel",
     "weekly_retention",
@@ -225,8 +227,6 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "value_moment_shape",
     "kmv_distinct_users",
     "session_window_stats",
-    "salted_nation_event_stats",
-    "timezone_business_hours",
 )
 
 

@@ -3761,3 +3761,61 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "daily_value", F.round(num / den, 6).alias("ewma14")
     )
+
+
+# --------------------------------------------------------------------------
+# Running-peak drawdown over the daily value series
+# --------------------------------------------------------------------------
+@register(
+    "value_drawdown_curve",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS daily_value
+      FROM events GROUP BY 1
+    )
+    SELECT day, daily_value,
+           MAX(daily_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_peak,
+           ROUND(MAX(daily_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - daily_value, 2) AS drawdown,
+           ROUND((MAX(daily_value) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - daily_value)
+             / MAX(daily_value) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS drawdown_frac
+    FROM daily
+    """,
+)
+def value_drawdown_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of the daily value series — the
+    peak-to-trough health metric (how far below its historical maximum
+    is today?) behind revenue-regression alerts and KPI monitoring.
+    One cumulative-max window; inputs are the exact pre-rounded daily
+    decimal sums, so every engine computes identical peaks.
+
+    Scale: like the EWMA, the window runs over the DAILY ROLLUP (one
+    row per day), not the event stream; the fact table only flows
+    through a map-side-combined day aggregate. Keyed per series at
+    warehouse scale — same plan with a partition column."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum(_dec("value")).cast("double"), 2).alias("daily_value"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peak = F.max("daily_value").over(w)
+    return daily.select(
+        "day",
+        "daily_value",
+        peak.alias("running_peak"),
+        F.round(peak - F.col("daily_value"), 2).alias("drawdown"),
+        F.round((peak - F.col("daily_value")) / peak, 6).alias(
+            "drawdown_frac"
+        ),
+    )

@@ -200,3 +200,87 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.join(resized, "doc_id").select(
         "doc_id", "feature_norm", "width", "height", "resized_bytes"
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-modal cluster labeling: top terms per IVF cell
+# --------------------------------------------------------------------------
+CLUSTER_TOP_TERMS = 3
+_STOP_MIN_LEN = 4  # crude stopword gate: terms shorter than this skipped
+
+
+def _cluster_terms_oracle() -> str:
+    from olap_project_spark.queries.similarity import N_CENTROIDS
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    tok AS (
+      SELECT a.cid, t AS term
+      FROM documents d
+      JOIN assign a ON a.vec_id = d.doc_id,
+      UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(t)
+      WHERE len(t) >= {_STOP_MIN_LEN}
+    ),
+    counts AS (
+      SELECT cid, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    )
+    SELECT cid, term, tf, CAST(rn AS INTEGER) AS term_rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY tf DESC, term) AS rn
+          FROM counts)
+    WHERE rn <= {CLUSTER_TOP_TERMS}
+    """
+
+
+@register("cluster_top_terms", oracle=_cluster_terms_oracle())
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster LABELING: each IVF cell of the embedding
+    index named by the top-{CLUSTER_TOP_TERMS} terms of the documents
+    assigned to it (doc_id = vec_id) — how a pipeline turns an opaque
+    vector clustering into something a human can audit ("cell 7 is
+    the legal boilerplate cluster"). Terms shorter than
+    {_STOP_MIN_LEN} chars are skipped as a crude function-word gate.
+
+    Scale: the assignment is the memoized broadcast-centroid pass
+    shared with every IVF consumer; the text side is one explode →
+    (cell × term) hash-aggregate; the per-cell top-k prunes with
+    WindowGroupLimit before anything global. Cross-modal traffic is
+    one equi-join on the id — bucket both tables by it at 100 TB and
+    the join is shuffle-free."""
+    from olap_project_spark.functions.text import tokens
+    from olap_project_spark.queries.similarity import _ivf_ranked
+    from pyspark.sql.window import Window
+
+    assign = (
+        _ivf_ranked(spark, sf_dir)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.join(assign, docs.doc_id == assign.vec_id)
+        .select("cid", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= _STOP_MIN_LEN)
+    )
+    counts = tok.groupBy("cid", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("cid").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLUSTER_TOP_TERMS)
+        .select("cid", "term", "tf", F.col("rn").cast("int").alias("term_rank"))
+    )

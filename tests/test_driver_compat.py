@@ -121,6 +121,8 @@ class TestDriverContract:
             "kmv_set_similarity",          # sketch algebra under ANSI
             "aqe_skew_join_stats",         # AQE skew-split child session
             "ewma_daily_value",            # weighted lag window, ANSI
+            "value_drawdown_curve",        # cumulative-max window
+            "cluster_top_terms",           # cross-modal explode + topk
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

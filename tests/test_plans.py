@@ -581,3 +581,15 @@ class TestRound5bPlanShapes:
         p = plan("ewma_daily_value")
         assert p.count("Window") == 1
         assert "Join" not in p
+
+    def test_drawdown_single_window_over_daily_rollup(self, plan):
+        p = plan("value_drawdown_curve")
+        assert p.count("Window") == 1
+        assert "Join" not in p
+
+    def test_cluster_terms_prune_with_group_limit(self, plan):
+        """Per-cell top-k must push into the window sort, and the
+        cross-modal link is a keyed join, never cartesian."""
+        p = plan("cluster_top_terms")
+        assert "WindowGroupLimit" in p
+        assert "CartesianProduct" not in p

@@ -260,3 +260,30 @@ class TestEwma:
             assert df.ewma14[t] == round(num / den, 6), t
         # smoothing property: EWMA varies less than the raw series
         assert df.ewma14.std() <= df.daily_value.std()
+
+
+class TestDrawdownAndClusterTerms:
+    def test_drawdown_properties(self, spark, sf_dir):
+        df = (
+            run(spark, sf_dir, "value_drawdown_curve")
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert (df.running_peak.diff().dropna() >= 0).all()  # monotone peak
+        assert (df.drawdown >= 0).all()
+        assert df.drawdown_frac.between(0, 1).all()
+        assert (df.running_peak >= df.daily_value).all()
+
+    def test_cluster_terms_shape(self, spark, sf_dir):
+        from olap_project_spark.queries.multimodal import (
+            _STOP_MIN_LEN,
+            CLUSTER_TOP_TERMS,
+        )
+
+        df = run(spark, sf_dir, "cluster_top_terms")
+        assert len(df) > 0
+        assert (df.groupby("cid").size() <= CLUSTER_TOP_TERMS).all()
+        assert (df.term.str.len() >= _STOP_MIN_LEN).all()
+        # within each cell, tf non-increasing with rank
+        for _, g in df.sort_values(["cid", "term_rank"]).groupby("cid"):
+            assert (g.tf.diff().dropna() <= 0).all()

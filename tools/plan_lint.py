@@ -122,6 +122,7 @@ GLOBAL_WINDOW_OK = {
     # a decade is a few thousand rows) — at scale the window gains a
     # series-key partition, same plan keyed
     "ewma_daily_value",
+    "value_drawdown_curve",
 }
 
 # Families where Arrow-batched Python is the documented extension point
@@ -167,6 +168,8 @@ BROADCAST_BOUNDED_OK = {
     "ann_multiprobe_recall",
     # composes ann_topk_bruteforce (1-row `vec_id = 0` query vector)
     "hybrid_rrf_retrieval",
+    # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
+    "cluster_top_terms",
 }
 
 
