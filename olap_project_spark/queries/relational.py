@@ -2376,3 +2376,53 @@ def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy audit: k-anonymity over quasi-identifiers
+# --------------------------------------------------------------------------
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment AS mktsegment,
+           CAST(c_nationkey AS INTEGER) AS nationkey,
+           class_size,
+           CAST(CASE WHEN class_size >= {K_ANON} THEN 1 ELSE 0 END
+                AS INTEGER) AS meets_k
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (market segment, nation) quasi-
+    identifier pair: every equivalence class with its size and a
+    meets-k flag (k = {K_ANON}) — the privacy check run before
+    releasing or training on "anonymized" data, since any class
+    smaller than k re-identifies its members by the quasi-identifiers
+    alone (Sweeney, "k-anonymity: a model for protecting privacy",
+    2002). Classes below k are the rows a release pipeline must
+    generalize or suppress; the erasure cascade
+    (cascading_delete_audit) and PII redaction (pii_redaction_stats)
+    are this family's other members.
+
+    Scale: one hash aggregate on the quasi-identifier tuple — the
+    class inventory is |segments|×|nations| rows regardless of SF, and
+    the flag is integer arithmetic. At 100 TB identical plan."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .withColumn(
+            "meets_k",
+            (F.col("class_size") >= K_ANON).cast("int"),
+        )
+    )

@@ -123,6 +123,7 @@ class TestDriverContract:
             "ewma_daily_value",            # weighted lag window, ANSI
             "value_drawdown_curve",        # cumulative-max window
             "cluster_top_terms",           # cross-modal explode + topk
+            "k_anonymity_audit",           # QI class aggregate
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -287,3 +287,18 @@ class TestDrawdownAndClusterTerms:
         # within each cell, tf non-increasing with rank
         for _, g in df.sort_values(["cid", "term_rank"]).groupby("cid"):
             assert (g.tf.diff().dropna() <= 0).all()
+
+
+class TestKAnonymity:
+    def test_classes_cover_population(self, spark, sf_dir):
+        import duckdb
+
+        from olap_project_spark.queries.relational import K_ANON
+
+        df = run(spark, sf_dir, "k_anonymity_audit")
+        total = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+        ).fetchone()[0]
+        assert df.class_size.sum() == total  # partition of the population
+        assert (df.meets_k == (df.class_size >= K_ANON).astype(int)).all()
+        assert not df.duplicated(["mktsegment", "nationkey"]).any()
