@@ -3819,3 +3819,134 @@ def value_drawdown_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (fraud analytics)
+# --------------------------------------------------------------------------
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM events WHERE value >= 1
+    ),
+    counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT d AS leading_digit,
+           CAST(n AS BIGINT) AS n_values,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+           ROUND(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 6)
+             AS deviation
+    FROM counts, tot
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the transaction values — the
+    classic forensic-accounting check the reference's fraud domain
+    calls for: organically generated amounts follow
+    P(d) = log10(1 + 1/d); fabricated ones usually don't. Reports each
+    leading digit's observed frequency against the Benford expectation
+    and the deviation (large positive deviation on a digit = that
+    digit is over-represented — a manual review trigger). Values < 1
+    are excluded (no stable leading digit).
+
+    Scale: leading digit extracted arithmetically (floor → string head
+    — constant-time, no regex), ONE 9-group hash aggregate, 1-row
+    total broadcast back. Identical plan at any SF."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 1)
+    digits = ev.select(
+        F.substring(
+            F.floor(F.col("value")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("d")), 6)
+    obs = F.col("n").cast("double") / F.col("total")
+    return counts.join(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").cast("bigint").alias("n_values"),
+        F.round(obs, 6).alias("observed_freq"),
+        benford.alias("benford_freq"),
+        F.round(obs - F.log10(1.0 + 1.0 / F.col("d")), 6).alias("deviation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily value series
+# --------------------------------------------------------------------------
+CUSUM_THRESHOLD_DEN = 4   # alarm when |cusum| > mean/4 (integer form)
+
+
+@register(
+    "cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS daily_c
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT SUM(daily_c) // COUNT(*) AS mu_c, COUNT(*) AS n_days
+          FROM daily),
+    c AS (
+      SELECT day, daily_c, mu_c,
+             CAST(SUM(daily_c - mu_c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum_c
+      FROM daily, m
+    )
+    SELECT day,
+           ROUND(daily_c / 100.0, 2) AS daily_value,
+           ROUND(cusum_c / 100.0, 2) AS cusum,
+           CAST(CASE WHEN {CUSUM_THRESHOLD_DEN} * abs(cusum_c) > mu_c
+                     THEN 1 ELSE 0 END AS INTEGER) AS alarm
+    FROM c
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM (cumulative-sum) changepoint detection on the daily value
+    series: the running sum of deviations from the series mean — flat
+    while the level is stable, ramping when the underlying mean shifts
+    (Page, "Continuous inspection schemes", Biometrika 1954). Days
+    where |CUSUM| exceeds mean/{CUSUM_THRESHOLD_DEN} are flagged —
+    the level-shift alarm that complements the EWMA's smoothing and
+    the drawdown's peak-relative view. All arithmetic runs in integer
+    CENTS (exact decimal sums → bigint; floor-divided mean; integer
+    cumulative sum) because windowed double summation is NOT
+    order-stable across engines (DuckDB's windowed SUM is a segment
+    tree) — the integer form is bit-exact by construction.
+
+    Scale: day rollup (map-side combined) → 1-row mean broadcast → one
+    cumulative window over the daily spine. Keyed per series at
+    warehouse scale."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg((F.sum(_dec("value")) * 100).cast("bigint").alias("daily_c"))
+    m = daily.agg(
+        F.floor(F.sum("daily_c") / F.count("*")).cast("bigint").alias("mu_c"),
+        F.count("*").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.join(F.broadcast(m)).withColumn(
+        "cusum_c",
+        F.sum(F.col("daily_c") - F.col("mu_c")).over(w).cast("bigint"),
+    )
+    return c.select(
+        "day",
+        F.round(F.col("daily_c") / 100.0, 2).alias("daily_value"),
+        F.round(F.col("cusum_c") / 100.0, 2).alias("cusum"),
+        (CUSUM_THRESHOLD_DEN * F.abs(F.col("cusum_c")) > F.col("mu_c"))
+        .cast("int")
+        .alias("alarm"),
+    )

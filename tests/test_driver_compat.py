@@ -124,6 +124,8 @@ class TestDriverContract:
             "value_drawdown_curve",        # cumulative-max window
             "cluster_top_terms",           # cross-modal explode + topk
             "k_anonymity_audit",           # QI class aggregate
+            "benford_digit_audit",         # digit-extract + 1-row total
+            "cusum_changepoints",          # integer-cent cumsum window
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -302,3 +302,32 @@ class TestKAnonymity:
         assert df.class_size.sum() == total  # partition of the population
         assert (df.meets_k == (df.class_size >= K_ANON).astype(int)).all()
         assert not df.duplicated(["mktsegment", "nationkey"]).any()
+
+
+class TestForensicSeries:
+    def test_benford_frequencies(self, spark, sf_dir):
+        df = run(spark, sf_dir, "benford_digit_audit")
+        assert sorted(df.leading_digit) == list(range(1, 10))
+        assert abs(df.observed_freq.sum() - 1.0) < 1e-4
+        assert abs(df.benford_freq.sum() - 1.0) < 1e-4
+        # deviation is rounded from the UNROUNDED frequencies in-query,
+        # so compare within a rounding ulp of the rounded columns
+        gap = (df.deviation - (df.observed_freq - df.benford_freq)).abs()
+        assert gap.max() <= 2e-6
+
+    def test_cusum_reference(self, spark, sf_dir):
+        """Row-by-row integer-cent CUSUM reference."""
+        df = (
+            run(spark, sf_dir, "cusum_changepoints")
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        cents = [round(v * 100) for v in df.daily_value]
+        mu = sum(cents) // len(cents)
+        acc, want = 0, []
+        for c in cents:
+            acc += c - mu
+            want.append(round(acc / 100.0, 2))
+        assert list(df.cusum) == want
+        # final CUSUM ≈ 0 only up to the floor-division remainder
+        assert abs(df.cusum.iloc[-1]) <= len(cents) / 100.0 + 0.01

@@ -123,6 +123,7 @@ GLOBAL_WINDOW_OK = {
     # series-key partition, same plan keyed
     "ewma_daily_value",
     "value_drawdown_curve",
+    "cusum_changepoints",
 }
 
 # Families where Arrow-batched Python is the documented extension point
