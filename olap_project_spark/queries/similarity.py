@@ -979,3 +979,115 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dead"),
         (std < DIM_LOW_STD).cast("int").alias("collapsed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: precision@k / MRR / nDCG of the ANN ranking
+# --------------------------------------------------------------------------
+def _retrieval_eval_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ann_sql = QUERY_REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH el AS (
+      SELECT vec_id, label FROM embeddings
+    ),
+    ql AS (SELECT label FROM el WHERE vec_id = {QUERY_VEC_ID}),
+    topk AS ({ann_sql}),
+    ranked AS (
+      SELECT t.vec_id,
+             row_number() OVER (ORDER BY t.cos_sim DESC, t.vec_id) AS rnk,
+             CASE WHEN el.label = (SELECT label FROM ql)
+                  THEN 1 ELSE 0 END AS rel
+      FROM topk t JOIN el ON el.vec_id = t.vec_id
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_rel FROM el
+      WHERE vec_id <> {QUERY_VEC_ID}
+        AND label = (SELECT label FROM ql)
+    ),
+    acc AS (
+      SELECT SUM(rel / log2(rnk + 1)) AS dcg,
+             CAST(SUM(rel) AS DOUBLE) AS n_rel_topk,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM ranked
+    ),
+    ideal AS (
+      SELECT SUM(1.0 / log2(i + 1)) AS idcg
+      FROM corpus,
+           UNNEST(range(1, CAST(LEAST(n_rel, {TOP_K}) AS BIGINT) + 1)) AS t(i)
+    )
+    SELECT CAST(corpus.n_rel AS BIGINT) AS n_relevant_corpus,
+           ROUND(acc.n_rel_topk / {TOP_K}, 6) AS precision_at_k,
+           ROUND(COALESCE(1.0 / acc.first_rel, 0), 6) AS mrr,
+           ROUND(CASE WHEN ideal.idcg > 0 THEN acc.dcg / ideal.idcg
+                      ELSE 0 END, 6) AS ndcg_at_k
+    FROM corpus, acc, ideal
+    """
+
+
+@register("retrieval_eval_metrics", oracle=_retrieval_eval_oracle())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact cosine top-{TOP_K}
+    ranking for the benchmark query vector, scored against label
+    relevance (a neighbor is relevant iff it shares the query's
+    label): precision@k, MRR (reciprocal rank of the first relevant
+    hit), and nDCG@k with binary gains and the corpus-capped ideal —
+    the IR metric row every retrieval pipeline (RAG, dedup review,
+    search) reports before shipping an index change. One
+    self-contained contract row; ranks are taken over the ROUNDED
+    cosine (ties broken by vec_id), so both engines rank identically.
+
+    Scale: the ranking is the memoized {TOP_K}-row exact top-k (one
+    corpus scan, shared with the recall ladder); every metric after
+    that is arithmetic over ≤ {TOP_K} rows plus one corpus-count
+    aggregate. Evaluation cost is dominated by the ranking it
+    evaluates — as it should be."""
+    e = _emb(spark, sf_dir)
+    ql = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("label").alias("q_label")
+    )
+    topk = ann_topk_bruteforce(spark, sf_dir)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = (
+        topk.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(ql))
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        )
+    )
+    corpus = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(ql))
+        .filter(F.col("label") == F.col("q_label"))
+        .agg(F.count("*").alias("n_rel"))
+    )
+    acc = ranked.agg(
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg"),
+        F.sum("rel").cast("double").alias("n_rel_topk"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    spine = spark.range(1, TOP_K + 1).select(F.col("id").alias("i"))
+    ideal = (
+        spine.join(F.broadcast(corpus))
+        .filter(F.col("i") <= F.least(F.col("n_rel"), F.lit(TOP_K)))
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    return (
+        corpus.join(F.broadcast(acc))
+        .join(F.broadcast(ideal))
+        .select(
+            F.col("n_rel").cast("bigint").alias("n_relevant_corpus"),
+            F.round(F.col("n_rel_topk") / TOP_K, 6).alias("precision_at_k"),
+            F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias(
+                "mrr"
+            ),
+            F.round(
+                F.when(
+                    F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -126,6 +126,7 @@ class TestDriverContract:
             "k_anonymity_audit",           # QI class aggregate
             "benford_digit_audit",         # digit-extract + 1-row total
             "cusum_changepoints",          # integer-cent cumsum window
+            "retrieval_eval_metrics",      # log2 metric row under ANSI
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -331,3 +331,37 @@ class TestForensicSeries:
         assert list(df.cusum) == want
         # final CUSUM ≈ 0 only up to the floor-division remainder
         assert abs(df.cusum.iloc[-1]) <= len(cents) / 100.0 + 0.01
+
+
+class TestRetrievalEval:
+    def test_metric_row_reference(self, spark, sf_dir):
+        """Python reference over the engine's own ranked list."""
+        import math
+
+        import duckdb
+
+        from olap_project_spark.queries.similarity import QUERY_VEC_ID, TOP_K
+
+        row = run(spark, sf_dir, "retrieval_eval_metrics").iloc[0]
+        topk = run(spark, sf_dir, "ann_topk_bruteforce").sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )
+        labels = dict(
+            duckdb.sql(
+                f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+            ).fetchall()
+        )
+        q_label = labels[QUERY_VEC_ID]
+        rels = [int(labels[v] == q_label) for v in topk.vec_id]
+        n_rel = sum(
+            1 for v, l in labels.items() if v != QUERY_VEC_ID and l == q_label
+        )
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+        idcg = sum(
+            1 / math.log2(i + 2) for i in range(min(n_rel, TOP_K))
+        )
+        first = next((i + 1 for i, r in enumerate(rels) if r), None)
+        assert row.n_relevant_corpus == n_rel
+        assert row.precision_at_k == round(sum(rels) / TOP_K, 6)
+        assert row.mrr == round(1 / first if first else 0.0, 6)
+        assert abs(row.ndcg_at_k - (dcg / idcg if idcg else 0.0)) < 2e-6

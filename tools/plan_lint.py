@@ -124,6 +124,8 @@ GLOBAL_WINDOW_OK = {
     "ewma_daily_value",
     "value_drawdown_curve",
     "cusum_changepoints",
+    # rank window over the memoized 10-row top-k result
+    "retrieval_eval_metrics",
 }
 
 # Families where Arrow-batched Python is the documented extension point
@@ -171,6 +173,8 @@ BROADCAST_BOUNDED_OK = {
     "hybrid_rrf_retrieval",
     # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
     "cluster_top_terms",
+    # 1-row `vec_id = 0` query-label broadcast (same bound as the ANN family)
+    "retrieval_eval_metrics",
 }
 
 
