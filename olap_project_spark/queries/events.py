@@ -3950,3 +3950,136 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean value
+# --------------------------------------------------------------------------
+BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 Σ 1/k!), embedded
+# as shared literals so both engines draw identical resample counts.
+_POIS_CDF = [0.367879441, 0.735758882, 0.919698603, 0.981011843,
+             0.996340153, 0.999405815]
+_U_SCALE = float(2**48)
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_POIS_CDF)} END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b, value,
+             {_boot_w_sql(f"CAST('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || '#' || CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT) / {_U_SCALE!r}")}
+               AS w
+      FROM events, UNNEST(range(0, {BOOT_B})) AS t(b)
+    ),
+    means AS (
+      SELECT b,
+             ROUND(CAST(SUM(w * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / SUM(w), 6) AS mean_b
+      FROM draws GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn
+      FROM means
+    ),
+    pt AS (
+      SELECT COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS point_mean
+      FROM events
+    )
+    SELECT pt.n_events, pt.point_mean,
+           MAX(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+           ROUND((MAX(CASE WHEN rn = {BOOT_B // 2} THEN mean_b END)
+                  + MAX(CASE WHEN rn = {BOOT_B // 2 + 1} THEN mean_b END))
+                 / 2, 6) AS boot_median,
+           MAX(CASE WHEN rn = {BOOT_B - 1} THEN mean_b END) AS boot_hi
+    FROM ranked, pt
+    GROUP BY pt.n_events, pt.point_mean
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the mean transaction value:
+    {BOOT_B} deterministic resamples (each row's multiplicity drawn
+    Poisson(1) from its portable hash — the streaming-friendly
+    bootstrap of Chamandy et al., "Estimating uncertainty for massive
+    data streams", Google 2012), reporting the point estimate with
+    rank-based lo/median/hi of the resample means. Every statistic is
+    a rank SELECTION from exactly-computed resample means, never a
+    float aggregate over them, so the row is bit-stable across
+    engines.
+
+    Scale: one pass over events × {BOOT_B} map-side weight draws →
+    a {BOOT_B}-group aggregate (each partial is (Σw, Σw·x) — exact
+    decimal); the rank step touches {BOOT_B} rows. The {BOOT_B}×
+    explode is the textbook cost of the Poisson bootstrap and is
+    embarrassingly map-parallel; at 100 TB you fuse the {BOOT_B}
+    accumulators into one pass (same aggregate, wider row)."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    draws = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+    ).withColumn(
+        "u",
+        portable_hash48(
+            F.concat(
+                F.lit("boot"),
+                F.col("b").cast("string"),
+                F.lit("#"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        / F.lit(_U_SCALE),
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        draws.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * _dec("value")).cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("mean_b")
+        )
+    )
+    wr = Window.orderBy("mean_b", "b")
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    pt = ev.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double") / F.count("*"), 6).alias(
+            "point_mean"
+        ),
+    )
+    half = BOOT_B // 2
+    return (
+        ranked.join(F.broadcast(pt))
+        .groupBy("n_events", "point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("boot_lo"),
+            F.round(
+                (
+                    F.max(F.when(F.col("rn") == half, F.col("mean_b")))
+                    + F.max(F.when(F.col("rn") == half + 1, F.col("mean_b")))
+                )
+                / 2,
+                6,
+            ).alias("boot_median"),
+            F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("mean_b"))).alias(
+                "boot_hi"
+            ),
+        )
+        .select("n_events", "point_mean", "boot_lo", "boot_median", "boot_hi")
+    )

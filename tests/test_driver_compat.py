@@ -127,6 +127,7 @@ class TestDriverContract:
             "benford_digit_audit",         # digit-extract + 1-row total
             "cusum_changepoints",          # integer-cent cumsum window
             "retrieval_eval_metrics",      # log2 metric row under ANSI
+            "bootstrap_mean_ci",           # Poisson-draw explode + ranks
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -126,6 +126,8 @@ GLOBAL_WINDOW_OK = {
     "cusum_changepoints",
     # rank window over the memoized 10-row top-k result
     "retrieval_eval_metrics",
+    # rank window over the 32 resample means
+    "bootstrap_mean_ci",
 }
 
 # Families where Arrow-batched Python is the documented extension point
