@@ -166,6 +166,53 @@ class TestIngestPipeline:
         ].count()
         assert valid.count() == want
 
+    def test_incremental_arrival_processes_only_new_files(
+        self, spark, raw_json_dir, tmp_path
+    ):
+        """ST3 incremental ingest: a file landing BETWEEN availableNow
+        runs is processed exactly once on the next run — the checkpoint
+        tracks consumed source files, so re-runs neither re-read old
+        batches nor miss new ones (the cron-driven micro-batch pattern
+        the daily export rides at scale)."""
+        import json as _json
+
+        from tests.fixtures import raw_transactions_df
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = start_pipeline(
+            read_file_stream(spark, raw_json_dir, fmt="json"),
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            processed_at=FIXED_TS,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        base = spark.read.parquet(f"{out}/valid").count()
+
+        # a second batch lands: duplicate the fixture with shifted users
+        with open(os.path.join(raw_json_dir, "batch1.json"), "w") as f:
+            for row in sample_rows():
+                rec = dict(zip(RAW_FIELDS, row))
+                if rec["User"] is not None:
+                    rec["User"] = str(int(rec["User"]) + 1000)
+                f.write(_json.dumps(rec) + "\n")
+        q = start_pipeline(
+            read_file_stream(spark, raw_json_dir, fmt="json"),
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            processed_at=FIXED_TS,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        valid = spark.read.parquet(f"{out}/valid")
+        per_batch = route(
+            clean(raw_transactions_df(spark), processed_at=FIXED_TS)
+        )["valid"].count()
+        # exactly-once: old batch not re-processed, new batch fully in
+        assert base == per_batch
+        assert valid.count() == 2 * per_batch
+
 
 class TestWindowedOperators:
     @pytest.fixture(scope="class")
