@@ -4083,3 +4083,90 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_events", "point_mean", "boot_lo", "boot_median", "boot_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# Lift / gains curve for a score-targeted outcome
+# --------------------------------------------------------------------------
+LIFT_BIN_WIDTH = 50   # value-score bins [0,50), [50,100), ... capped at 9
+LIFT_N_BINS = 10
+
+
+@register(
+    "score_lift_gains",
+    oracle=f"""
+    WITH scored AS (
+      SELECT LEAST({LIFT_N_BINS - 1},
+                   CAST(floor(value / {LIFT_BIN_WIDTH}) AS BIGINT)) AS bin,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n_events,
+             CAST(SUM(hit) AS BIGINT) AS n_hits
+      FROM scored GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(n_events) AS total_n, SUM(n_hits) AS total_hits FROM bins
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           n_events, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_events, 6) AS hit_rate,
+           ROUND((CAST(n_hits AS DOUBLE) / n_events)
+                 / (CAST(total_hits AS DOUBLE) / total_n), 6) AS lift,
+           ROUND(CAST(SUM(n_hits) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / total_hits, 6) AS cum_capture,
+           ROUND(CAST(SUM(n_events) OVER (ORDER BY bin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / total_n, 6) AS cum_population
+    FROM bins, tot
+    """,
+)
+def score_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains analysis of a risk score against an outcome — the
+    model-evaluation table behind "target the top decile" decisions:
+    events bucketed by score band (value / {LIFT_BIN_WIDTH}, capped at
+    {LIFT_N_BINS} bins), each band's outcome (error) rate, its lift
+    over the base rate, and the cumulative capture/population shares
+    scanning from the highest band down (the gains curve — capture
+    ≫ population in the top bands means the score ranks well). All
+    ratios divide exact integer counts; the cumulative sums are
+    integer window sums over the {LIFT_N_BINS}-row bin table.
+
+    Scale: one map-side-combined aggregate to the bin table, a 1-row
+    total broadcast, and a {LIFT_N_BINS}-row cumulative window —
+    nothing after the first aggregate scales with SF."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(
+            F.lit(LIFT_N_BINS - 1),
+            F.floor(F.col("value") / LIFT_BIN_WIDTH).cast("bigint"),
+        ).alias("bin"),
+        (F.col("event_type") == "error").cast("int").alias("hit"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n_events"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+    )
+    tot = bins.agg(
+        F.sum("n_events").alias("total_n"), F.sum("n_hits").alias("total_hits")
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_hits").cast("double") / F.col("n_events")
+    base = F.col("total_hits").cast("double") / F.col("total_n")
+    return bins.join(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_events",
+        "n_hits",
+        F.round(rate, 6).alias("hit_rate"),
+        F.round(rate / base, 6).alias("lift"),
+        F.round(
+            F.sum("n_hits").over(w).cast("double") / F.col("total_hits"), 6
+        ).alias("cum_capture"),
+        F.round(
+            F.sum("n_events").over(w).cast("double") / F.col("total_n"), 6
+        ).alias("cum_population"),
+    )

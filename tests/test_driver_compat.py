@@ -128,6 +128,7 @@ class TestDriverContract:
             "cusum_changepoints",          # integer-cent cumsum window
             "retrieval_eval_metrics",      # log2 metric row under ANSI
             "bootstrap_mean_ci",           # Poisson-draw explode + ranks
+            "score_lift_gains",            # bin table + cumulative window
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -407,3 +407,23 @@ class TestBootstrap:
         # the registered query only exposes ranks; check bracket instead
         row = df.toPandas().iloc[0]
         assert row.boot_lo <= want <= row.boot_hi
+
+
+class TestLiftGains:
+    def test_gains_curve_invariants(self, spark, sf_dir):
+        df = (
+            run(spark, sf_dir, "score_lift_gains")
+            .sort_values("bin", ascending=False)
+            .reset_index(drop=True)
+        )
+        assert len(df) > 1
+        # cumulative shares are monotone and end at 1
+        assert (df.cum_capture.diff().dropna() >= 0).all()
+        assert (df.cum_population.diff().dropna() >= 0).all()
+        assert df.cum_capture.iloc[-1] == 1.0
+        assert df.cum_population.iloc[-1] == 1.0
+        # population-weighted mean lift is 1 by construction
+        w = (df.lift * df.n_events).sum() / df.n_events.sum()
+        base = df.n_hits.sum() / df.n_events.sum()
+        assert abs((df.hit_rate * df.n_events).sum() / df.n_events.sum()
+                   - base) < 1e-6

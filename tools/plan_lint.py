@@ -128,6 +128,8 @@ GLOBAL_WINDOW_OK = {
     "retrieval_eval_metrics",
     # rank window over the 32 resample means
     "bootstrap_mean_ci",
+    # cumulative window over the 10-row bin table
+    "score_lift_gains",
 }
 
 # Families where Arrow-batched Python is the documented extension point
