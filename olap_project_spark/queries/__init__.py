@@ -168,14 +168,15 @@ GATE_WINDOW: tuple[str, ...] = (
 
 # Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
 # round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 36 round-5 additions (never driver-checked) + the 14
+# procedure): the 37 round-5 additions (never driver-checked) + the 13
 # oldest round-2 driver rows = 50. The 5 round-3 refresh slots and the
 # 2 oldest round-2 tail slots were trimmed as the second round-5 batch
 # (countmin/session-path/bfs/vocab/bloom/dim-stats/kmv-setops) landed,
 # per the standing keep-at-50 rule. If round 6 adds queries before
 # swapping, keep trimming round-2 refresh slots from the tail.
 GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
-    # round-5 additions — 36, no driver CORRECTNESS row yet
+    # round-5 additions — 37, no driver CORRECTNESS row yet
+    "conversion_latency_quantiles",
     "score_lift_gains",
     "bootstrap_mean_ci",
     "retrieval_eval_metrics",
@@ -212,7 +213,7 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "revenue_growth_mom_yoy",
     "part_cooccurrence_topk",
     "incremental_join_view",
-    # oldest driver rows (round 2) — 14 refresh slots
+    # oldest driver rows (round 2) — 13 refresh slots
     "latest_event_per_user",
     "signup_purchase_funnel",
     "weekly_retention",
@@ -226,7 +227,6 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "event_transition_matrix",
     "event_type_associations",
     "value_outliers",
-    "value_robust_stats",
 )
 
 

@@ -4170,3 +4170,85 @@ def score_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").over(w).cast("double") / F.col("total_n"), 6
         ).alias("cum_population"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion-latency distribution (first signup → first purchase)
+# --------------------------------------------------------------------------
+LATENCY_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(first_purchase - first_signup)) AS BIGINT)
+               AS lat_s
+      FROM firsts
+      WHERE first_signup IS NOT NULL
+        AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(lat_s) AS BIGINT) AS min_s,
+           {", ".join(f'''ROUND(quantile_cont(lat_s, {q}), 4)
+             AS p{int(q * 100)}_s''' for q in LATENCY_QS)},
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact latency quantiles (p25/p50/
+    p75/p90, linear interpolation) from each user's FIRST signup to
+    their FIRST subsequent purchase — the funnel-velocity readout that
+    turns signup_purchase_funnel's "how many converted" into "how
+    fast". Latencies are integer seconds, and Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition, so the row hash-matches.
+
+    Scale: one conditional-min aggregate per user (map-side combined),
+    then an exact percentile over ONE latency value per converted user
+    — at 100 TB swap in percentile_approx and the contract becomes a
+    tolerance row (see approx_quantile_contract); the exact form here
+    is the oracle-grade anchor."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.floor(
+            F.col("first_purchase").cast("double")
+            - F.col("first_signup").cast("double")
+        )
+        .cast("bigint")
+        .alias("lat_s")
+    )
+    agg = [
+        F.count("*").alias("n_converted"),
+        F.min("lat_s").cast("bigint").alias("min_s"),
+    ]
+    for q in LATENCY_QS:
+        agg.append(
+            F.round(F.percentile("lat_s", F.lit(q)), 4).alias(
+                f"p{int(q * 100)}_s"
+            )
+        )
+    agg.append(F.max("lat_s").cast("bigint").alias("max_s"))
+    return lat.agg(*agg)

@@ -129,6 +129,7 @@ class TestDriverContract:
             "retrieval_eval_metrics",      # log2 metric row under ANSI
             "bootstrap_mean_ci",           # Poisson-draw explode + ranks
             "score_lift_gains",            # bin table + cumulative window
+            "conversion_latency_quantiles",  # exact percentile row
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

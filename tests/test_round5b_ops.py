@@ -427,3 +427,26 @@ class TestLiftGains:
         base = df.n_hits.sum() / df.n_events.sum()
         assert abs((df.hit_rate * df.n_events).sum() / df.n_events.sum()
                    - base) < 1e-6
+
+
+class TestConversionLatency:
+    def test_quantiles_ordered_and_referenced(self, spark, sf_dir):
+        import duckdb
+
+        row = run(spark, sf_dir, "conversion_latency_quantiles").iloc[0]
+        assert (
+            row.min_s <= row.p25_s <= row.p50_s <= row.p75_s
+            <= row.p90_s <= row.max_s
+        )
+        n = duckdb.sql(
+            f"""WITH firsts AS (
+                  SELECT user_id,
+                         min(CASE WHEN event_type = 'signup'
+                                  THEN CAST(ts AS TIMESTAMP) END) AS s,
+                         min(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(ts AS TIMESTAMP) END) AS p
+                  FROM '{sf_dir}/events.parquet' GROUP BY user_id)
+                SELECT COUNT(*) FROM firsts
+                WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s"""
+        ).fetchone()[0]
+        assert row.n_converted == n
