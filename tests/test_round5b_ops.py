@@ -1,9 +1,12 @@
-"""Semantic checks for the second round-5 batch of operators (CMS heavy
-hitters, session path mining, kNN-graph BFS, vocabulary OOV coverage,
-runtime-bloom-filtered join) — complementing their DuckDB oracles
-(tools/oracle_check.py) with property-level assertions the hash compare
-can't express (one-sided sketch error, BFS level soundness, bloom
-result-invariance)."""
+"""Semantic checks for the operators added in the second half of
+round 5 (CMS heavy hitters, session path mining, kNN-graph BFS,
+vocabulary OOV, runtime-bloom / AQE-skew joins, embedding dimension
+QA, KMV set ops, EWMA / drawdown / CUSUM series ops, Benford audit,
+k-anonymity, retrieval eval, bootstrap CI, lift/gains, conversion
+latency) — complementing their DuckDB oracles (tools/oracle_check.py)
+with property-level assertions the hash compare can't express
+(one-sided sketch error, BFS level soundness, bloom result-invariance,
+gains-curve monotonicity, independent Python references)."""
 
 from __future__ import annotations
 
