@@ -218,6 +218,21 @@ SHOWCASE = [
         "per-session row explosion, no collect_list.",
     ),
     (
+        "vocab_oov_rate",
+        "Vocabulary coverage probe: the 500-token frequency cut compiles to "
+        "TakeOrderedAndProject (per-partition heaps, no global sort) and is "
+        "broadcast back to the exploded token positions - the big side "
+        "never shuffles for the membership test.",
+    ),
+    (
+        "kmv_set_similarity",
+        "Theta-sketch set algebra: ONE distinct shuffle over (type, 48-bit "
+        "hash) builds every KMV sketch; all pair union/intersection/Jaccard "
+        "arithmetic then runs on k-by-types-row relations (windows + "
+        "broadcast joins over sketch-sized inputs), never on the key "
+        "universe.",
+    ),
+    (
         "countmin_heavy_hitters",
         "Distributed Count-Min sketch: after the one exact key aggregate, "
         "all sketch arithmetic runs on the key-cardinality relation (explode "
