@@ -101,80 +101,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-5 window (swapped in from the pre-staged r5
+# modules import. Round-6 window (swapped in from the pre-staged r6
 # draft after the ts-encoding canaries passed on the regenerated
-# testdata): the 31 round-4 additions that have never had a driver
-# CORRECTNESS row + the 19 queries whose driver rows are oldest
-# (round 1) = 50. Rotate the list each round to cycle coverage.
-# Round-6 plan: rotate in everything added during round 5 (see
-# GATE_WINDOW_R6_DRAFT below, maintained as queries are added) plus the
-# next-oldest rows (round-1 events family remainder, round-3
-# tpch/streaming rows).
+# testdata): the 37 round-5 additions that have never had a driver
+# CORRECTNESS row + the 13 queries whose driver rows are oldest
+# (round 2) = 50. Rotate the list each round to cycle coverage.
+# Round-7 plan: rotate in everything added during round 6 (see
+# GATE_WINDOW_R7_DRAFT below, maintained as queries are added) plus the
+# next-oldest rows (round-2 remainder, round-3 tpch/streaming rows).
 GATE_WINDOW: tuple[str, ...] = (
-    # round-4 additions — 31, no driver CORRECTNESS row yet
-    "repetition_quality_stats",
-    "boilerplate_coverage_stats",
-    "training_shard_stats",
-    "source_mixture_plan",
-    "token_frequency_quality",
-    "cluster_label_purity",
-    "debounced_event_counts",
-    "late_event_accounting",
-    "watermark_tuning_curve",
-    "streaming_segment_enrichment",
-    "zorder_layout_stats",
-    "incremental_dedup_matches",
-    "leakage_safe_split_stats",
-    "hash_sampled_value_stats",
-    "seasonal_hour_anomalies",
-    "trending_types_daily",
-    "pareto_customer_classes",
-    "part_entity_clusters",
-    "media_feature_stats",
-    "ann_multiprobe_topk",
-    "ann_ivf_filtered_topk",
-    "ann_multiprobe_recall",
-    "format_roundtrip_stats",
-    "manifest_snapshot_stats",
-    "ab_bucket_metrics",
-    "cohort_value_curve",
-    "session_funnel_stats",
-    "pii_redaction_stats",
-    "sql_urgent_open_customers",
-    "context_packing_stats",
-    "quantized_cosine_quality",
-    # oldest driver rows (round 1) — 19 refresh slots
-    "ann_topk_bruteforce",
-    "ivf_near_dup_pairs",
-    "exact_dedup_summary",
-    "ngram_dup_pairs",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
-    "near_dup_clusters",
-    "fuzzy_part_name_pairs",
-    "dup_triangles",
-    "doc_knn_graph",
-    "pagerank_canonical_docs",
-    "events_by_hour",
-    "anomalous_hours",
-    "event_type_summary",
-    "user_error_rates",
-    "large_events_profile",
-    "daily_error_trend",
-    "weekend_vs_weekday",
-    "above_avg_error_users",
-)
-
-
-# Round-6 window, pre-staged and validated (swap into GATE_WINDOW at
-# round-6 start AFTER the ts-encoding canaries, per the standing
-# procedure): the 37 round-5 additions (never driver-checked) + the 13
-# oldest round-2 driver rows = 50. The 5 round-3 refresh slots and the
-# 2 oldest round-2 tail slots were trimmed as the second round-5 batch
-# (countmin/session-path/bfs/vocab/bloom/dim-stats/kmv-setops) landed,
-# per the standing keep-at-50 rule. If round 6 adds queries before
-# swapping, keep trimming round-2 refresh slots from the tail.
-GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     # round-5 additions — 37, no driver CORRECTNESS row yet
     "conversion_latency_quantiles",
     "score_lift_gains",
@@ -227,6 +162,72 @@ GATE_WINDOW_R6_DRAFT: tuple[str, ...] = (
     "event_transition_matrix",
     "event_type_associations",
     "value_outliers",
+)
+
+
+# Round-7 window, pre-staged and validated (swap into GATE_WINDOW at
+# round-7 start AFTER the ts-encoding canaries, per the standing
+# procedure). Maintained live during round 6: new round-6 queries are
+# inserted at the HEAD and the round-3 refresh tail is trimmed to keep
+# the list at exactly 50. Current composition: round-6 additions, then
+# the 13 remaining round-2 rows (oldest driver checks), then round-3
+# refresh slots.
+GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
+    # round-6 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # oldest driver rows (round 2 remainder) — 13 refresh slots
+    "cumulative_unique_users",
+    "hourly_spine_filled",
+    "hourly_spine_interpolated",
+    "kmv_distinct_users",
+    "props_variant_buckets",
+    "rolling_daily_active_users",
+    "salted_nation_event_stats",
+    "session_window_stats",
+    "timezone_business_hours",
+    "user_key_skew_profile",
+    "value_moment_shape",
+    "value_robust_stats",
+    "weekly_value_growth",
+    # round-3 refresh slots — 37 (trim from the tail as round-6
+    # queries land at the head)
+    "asof_last_order",
+    "bpe_token_stats",
+    "corpus_curation_report",
+    "customer_spend_deciles",
+    "discounted_revenue_or",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_rolling_hash",
+    "doc_split_assignment",
+    "dominant_part_suppliers",
+    "frame_sample_stats",
+    "idle_rich_customers",
+    "important_part_values",
+    "lang_id_accuracy",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "multimodal_decode_stats",
+    "national_market_share",
+    "part_supplier_diversity",
+    "price_band_distribution",
+    "priority_order_counts",
+    "promo_revenue_share",
+    "q3_shipping_priority",
+    "repeated_chunks",
+    "returned_item_customers",
+    "revenue_increase_q6",
+    "rfm_segments",
+    "rolling_week_spend",
+    "scd2_customer_price_ranges",
+    "small_qty_revenue_loss",
+    "sole_late_suppliers",
+    "streaming_click_attribution",
+    "streaming_complete_mode_totals",
+    "streaming_continuous_rollup",
+    "streaming_distinct_user_types",
 )
 
 

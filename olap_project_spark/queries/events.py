@@ -3623,7 +3623,8 @@ SKEW_DIM_N = 50
     dim AS (SELECT range AS hkey, range + 1 AS w FROM range(0, {SKEW_DIM_N}))
     SELECT fact.hkey,
            COUNT(*) AS n_events,
-           ROUND(SUM(value * w), 2) AS weighted_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE), 2)
+             AS weighted_value
     FROM fact JOIN dim USING (hkey)
     GROUP BY 1
     """,
@@ -3679,9 +3680,13 @@ def aqe_skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hkey")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value") * F.col("w")), 2).alias(
-                "weighted_value"
-            ),
+            # exact decimal sum — ~70% of rows land on the hot key, so a
+            # double sum would be partition-order-dependent and the 2dp
+            # hash compare vs DuckDB could flake (repo convention:
+            # cents-exact sums, round only the final double cast)
+            F.round(
+                F.sum(_dec("value") * F.col("w")).cast("double"), 2
+            ).alias("weighted_value"),
         )
     )
 
@@ -3894,7 +3899,10 @@ CUSUM_THRESHOLD_DEN = 4   # alarm when |cusum| > mean/4 (integer form)
                AS daily_c
       FROM events GROUP BY 1
     ),
-    m AS (SELECT SUM(daily_c) // COUNT(*) AS mu_c, COUNT(*) AS n_days
+    m AS (SELECT (SUM(daily_c)
+                  - ((SUM(daily_c) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                 // COUNT(*) AS mu_c,
+                 COUNT(*) AS n_days
           FROM daily),
     c AS (
       SELECT day, daily_c, mu_c,
@@ -3931,9 +3939,17 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg((F.sum(_dec("value")) * 100).cast("bigint").alias("daily_c"))
+    # Exact integer FLOOR division, shared rule with the oracle: DuckDB
+    # '//' truncates toward zero (-7//2 = -3) while Python floors (-4),
+    # and bigint/bigint '/' on either engine is double division (loses
+    # exactness past 2^53 cents). Subtracting pmod first makes the
+    # numerator divisible, so truncating `div` IS floor division and
+    # stays in bigint end-to-end.
     m = daily.agg(
-        F.floor(F.sum("daily_c") / F.count("*")).cast("bigint").alias("mu_c"),
-        F.count("*").alias("n_days"),
+        F.sum("daily_c").alias("sum_c"), F.count("*").alias("n_days")
+    ).select(
+        F.expr("(sum_c - pmod(sum_c, n_days)) div n_days").alias("mu_c"),
+        "n_days",
     )
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -934,18 +934,27 @@ DIM_LOW_STD = 0.01    # std below this flags a collapsed dimension
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     )
     SELECT dim,
-           COUNT(*) AS n,
-           ROUND(SUM(v) / COUNT(*), 6) AS mean,
-           ROUND(sqrt((SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*)),
-                 6) AS std,
-           ROUND(MIN(v), 6) AS min_v,
-           ROUND(MAX(v), 6) AS max_v,
-           CAST(SUM(CASE WHEN abs(v) < {DIM_ZERO_EPS} THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_dead,
-           CAST(CASE WHEN sqrt((SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
-                               / COUNT(*)) < {DIM_LOW_STD}
-                     THEN 1 ELSE 0 END AS INTEGER) AS collapsed
-    FROM cell GROUP BY dim
+           n,
+           mean,
+           std,
+           min_v,
+           max_v,
+           n_dead,
+           CAST(CASE WHEN std < {DIM_LOW_STD} THEN 1 ELSE 0 END
+                AS INTEGER) AS collapsed
+    FROM (
+      SELECT dim,
+             COUNT(*) AS n,
+             ROUND(SUM(v) / COUNT(*), 6) AS mean,
+             ROUND(sqrt(GREATEST(
+                 (SUM(v * v) - SUM(v) * SUM(v) / COUNT(*)) / COUNT(*),
+                 0.0)), 6) AS std,
+             ROUND(MIN(v), 6) AS min_v,
+             ROUND(MAX(v), 6) AS max_v,
+             CAST(SUM(CASE WHEN abs(v) < {DIM_ZERO_EPS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dead
+      FROM cell GROUP BY dim
+    )
     """,
 )
 def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,25 +968,36 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: posexplode → ONE hash-aggregate keyed by dimension index —
     the shuffle carries dim-count × partials, not the corpus; every
     moment (n, Σv, Σv², min, max, dead-count) map-side combines. The
-    variance is the one-pass E[v²]−E[v]² form; results round to 6 dp
-    which absorbs double summation-order noise on both engines."""
+    variance is the one-pass E[v²]−E[v]² form CLAMPED at zero before
+    sqrt — float cancellation on a (near-)constant dimension can push
+    the operand slightly negative, where DuckDB's sqrt raises while
+    Spark returns NaN. The collapsed flag derives from the 6-dp ROUNDED
+    std so both engines flag identically at the boundary; rounding also
+    absorbs double summation-order noise."""
     e = _emb(spark, sf_dir)
     cell = e.select(
         F.posexplode("emb").alias("dim", "v")
     ).select(F.col("dim").cast("int").alias("dim"), "v")
     n = F.count("*")
     var = (F.sum(F.col("v") * F.col("v")) - F.sum("v") * F.sum("v") / n) / n
-    std = F.sqrt(var)
-    return cell.groupBy("dim").agg(
-        n.alias("n"),
-        F.round(F.sum("v") / n, 6).alias("mean"),
-        F.round(std, 6).alias("std"),
-        F.round(F.min("v"), 6).alias("min_v"),
-        F.round(F.max("v"), 6).alias("max_v"),
-        F.sum((F.abs(F.col("v")) < DIM_ZERO_EPS).cast("bigint"))
-        .cast("bigint")
-        .alias("n_dead"),
-        (std < DIM_LOW_STD).cast("int").alias("collapsed"),
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    return (
+        cell.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(F.sum("v") / n, 6).alias("mean"),
+            std.alias("std"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+            F.sum((F.abs(F.col("v")) < DIM_ZERO_EPS).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dead"),
+        )
+        .withColumn("collapsed", (F.col("std") < DIM_LOW_STD).cast("int"))
+        .select(
+            "dim", "n", "mean", "std", "min_v", "max_v", "n_dead",
+            "collapsed",
+        )
     )
 
 

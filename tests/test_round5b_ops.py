@@ -425,11 +425,10 @@ class TestLiftGains:
         assert (df.cum_population.diff().dropna() >= 0).all()
         assert df.cum_capture.iloc[-1] == 1.0
         assert df.cum_population.iloc[-1] == 1.0
-        # population-weighted mean lift is 1 by construction
+        # population-weighted mean lift is 1 by construction (lift is
+        # rounded to 6 dp per bin, so allow per-bin rounding slack)
         w = (df.lift * df.n_events).sum() / df.n_events.sum()
-        base = df.n_hits.sum() / df.n_events.sum()
-        assert abs((df.hit_rate * df.n_events).sum() / df.n_events.sum()
-                   - base) < 1e-6
+        assert abs(w - 1.0) < 1e-5 * len(df)
 
 
 class TestConversionLatency:
