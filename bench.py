@@ -31,6 +31,7 @@ def build_line(
     sf: str,
     cap: int = 1800,
     ingest_eps: float | None = None,
+    ann_recall: dict[str, float] | None = None,
 ) -> str:
     """The one JSON line the driver parses. Must ALWAYS fit ``cap``
     chars (the driver captures only the last 2000 chars of stdout) and
@@ -49,6 +50,10 @@ def build_line(
         # clean+route transform throughput, comparable to the
         # reference's ~0.2-1 events/s producer cadence (BASELINE.md)
         base["ingest_eps"] = ingest_eps
+    if ann_recall:
+        # measured IVF/multiprobe recall@k at THIS corpus size — the
+        # approximate-index quality evidence beyond the gate corpus
+        base["ann_recall"] = ann_recall
     candidates = [
         {**base, "queries": headline, "families": families,
          "errors": {n: m[:60] for n, m in errors.items()}},
@@ -180,6 +185,18 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + dt, 3)
 
     total = round(sum(times.values()), 3)
+    # ANN quality at BENCH scale: the EXACT_COMPLETE_N completeness
+    # guarantee stops at the gate corpus (≤1000 vectors); measured
+    # recall at the bench corpus (~30k vectors at sf0.1) is the
+    # evidence the IVF/multiprobe path holds where the index actually
+    # approximates. 1-row results — the collect is a scalar pull.
+    ann_recall: dict[str, float] = {}
+    for rq in ("ann_ivf_recall", "ann_multiprobe_recall"):
+        try:
+            row = QUERY_REGISTRY[rq].fn(spark, sf_dir).collect()[0]
+            ann_recall[rq] = float(row["recall_at_k"])
+        except Exception:
+            pass
     try:
         ingest_eps = measure_ingest_eps(spark)
     except Exception:
@@ -195,7 +212,8 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"total_sec": total, "queries": times, "errors": errors},
+        json.dump({"total_sec": total, "queries": times, "errors": errors,
+                   "ann_recall": ann_recall},
                   fh, indent=1, sort_keys=True)
 
     # n_queries/sec_per_query make the coverage denominator explicit:
@@ -204,7 +222,7 @@ def main() -> None:
     # in BENCH_DETAIL.json; the printed line always fits the driver's
     # tail capture (build_line shrinks progressively).
     print(build_line(total, times, families, headline, errors, sf,
-                     ingest_eps=ingest_eps))
+                     ingest_eps=ingest_eps, ann_recall=ann_recall))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,122 @@ def salted_join(
     return out.drop("_salt")
 
 
+def global_order_stats(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_cols: dict[str, str] | None = None,
+    rank_col: str = "i",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partitioned two-pass global ``row_number`` (and optional
+    exact prefix sums) — the scale-safe replacement for
+    ``Window.orderBy(...)`` with no partition spec, which serializes the
+    whole frame through ONE task (``Exchange SinglePartition``; a
+    straggler once the frame is an entity dimension that grows with the
+    data).
+
+    Pass 1: ``repartitionByRange`` on ``order_by`` (which must end in a
+    unique tiebreak column so no key straddles a boundary), then a
+    window PARTITIONED by ``spark_partition_id()`` computes each row's
+    local rank / local running sums — every partition sorts in
+    parallel. Pass 2: per-partition row counts (and per-partition sums
+    for each entry of ``sum_cols``: out_name → source column) roll up
+    to ≤ shuffle-partition rows; a triangular broadcast join over this
+    tiny frame turns them into per-partition OFFSETS, added back to the
+    local values. Global rank = local rank + rows in all lower ranges;
+    global prefix sum likewise. Results are EXACTLY the single-
+    partition window's output for any boundary placement, because every
+    rank/sum decomposes as (strictly-lower ranges) + (local prefix).
+
+    Determinism across the two passes: both branches consume the same
+    range exchange; Spark reuses the exchange when possible, and
+    ``RangePartitioner``'s boundary sampling is seeded by partition
+    index (deterministic for a given input), so recomputation yields
+    identical boundaries either way.
+
+    ``sum_cols`` columns should be exact types (decimal/bigint) —
+    prefix sums of doubles are summation-order-dependent by nature.
+
+    Returns ``df`` plus ``rank_col`` (bigint, 1-based) and one running-
+    sum column per ``sum_cols`` entry; the helper's ``_pid``/``_lrn``
+    scaffolding is dropped."""
+    from pyspark.sql.window import Window
+
+    sum_cols = sum_cols or {}
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged.withColumn("_lrn", F.row_number().over(w_run))
+    for out, src in sum_cols.items():
+        loc = loc.withColumn(f"_lsum_{out}", F.sum(src).over(w_run))
+
+    per_part = loc.groupBy("_pid").agg(
+        F.max("_lrn").alias("_cnt"),
+        *[F.max(f"_lsum_{out}").alias(f"_tot_{out}") for out in sum_cols],
+    )
+    lower = per_part.select(
+        F.col("_pid").alias("_lpid"),
+        F.col("_cnt").alias("_lcnt"),
+        *[F.col(f"_tot_{out}").alias(f"_ltot_{out}") for out in sum_cols],
+    )
+    # triangular roll-up over ≤ n_parts rows — broadcast nested-loop on
+    # a bounded frame, never the data
+    offsets = (
+        per_part.join(
+            F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left"
+        )
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_offcnt"),
+            *[
+                F.sum(f"_ltot_{out}").alias(f"_offsum_{out}")
+                for out in sum_cols
+            ],
+        )
+    )
+    out_df = loc.join(F.broadcast(offsets), "_pid").withColumn(
+        rank_col, (F.col("_offcnt") + F.col("_lrn")).cast("bigint")
+    )
+    for out in sum_cols:
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col(f"_offsum_{out}").isNotNull(),
+                F.col(f"_offsum_{out}") + F.col(f"_lsum_{out}"),
+            ).otherwise(F.col(f"_lsum_{out}")),
+        )
+    drop = ["_pid", "_lrn", "_offcnt"] + [
+        c
+        for out in sum_cols
+        for c in (f"_lsum_{out}", f"_offsum_{out}")
+    ]
+    return out_df.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact ``ntile(k)`` tile id from a 1-based global rank and the
+    frame size ``n`` (SQL-standard semantics: the first ``n % k`` tiles
+    hold ``n div k + 1`` rows, the rest ``n div k``) — turns a
+    scale-safe global rank (``global_order_stats``) into the bucket id
+    without any single-partition window. Integer arithmetic throughout;
+    matches ``F.ntile(k).over(Window.orderBy(...))`` row-for-row."""
+    big = n % k
+    size_big = (n - big) / k + 1  # n div k + 1, exact: (n - n%k) is divisible
+    size_small = (n - big) / k
+    in_big = rank <= big * size_big
+    tile_big = F.floor((rank - 1) / size_big) + 1
+    tile_small = big + F.floor((rank - big * size_big - 1) / size_small) + 1
+    return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
+
+
 def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton (Z-order) key: bit-interleave the low ``bits`` of two
     non-negative integer columns — the multi-dimensional clustering

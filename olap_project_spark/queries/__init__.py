@@ -161,7 +161,11 @@ GATE_WINDOW: tuple[str, ...] = (
     "salted_type_stats",
     "event_transition_matrix",
     "event_type_associations",
-    "value_outliers",
+    # round-6 addition — the judge asked for a second stateful-API
+    # driver row (protobuf-blocked TWS parity test can't run here);
+    # takes the 50th slot from value_outliers, which moves to the R7
+    # draft's refresh tail
+    "stateful_record_highs",
 )
 
 
@@ -175,7 +179,9 @@ GATE_WINDOW: tuple[str, ...] = (
 GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     # round-6 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
-    # oldest driver rows (round 2 remainder) — 13 refresh slots
+    "daily_operations_summary",
+    # oldest driver rows (round 2 remainder) — 14 refresh slots
+    "value_outliers",
     "cumulative_unique_users",
     "hourly_spine_filled",
     "hourly_spine_interpolated",
@@ -226,8 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "sole_late_suppliers",
     "streaming_click_attribution",
     "streaming_complete_mode_totals",
-    "streaming_continuous_rollup",
-    "streaming_distinct_user_types",
 )
 
 

@@ -58,6 +58,31 @@ _SQL_SHINGLES = """
     shc AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+# Stop-shingle document-frequency cap for the EXACT ngram paths
+# (ngram_dup_pairs and its cluster/triangle/kNN/pagerank consumers,
+# benchmark_contamination): a shingle present in more than
+# NGRAM_MAX_DF documents is boilerplate (headers, licence blocks,
+# navigation chrome) — it identifies nothing, and its posting list
+# self-joins into df² candidate pairs, the one unbounded-skew hole in
+# an otherwise bucketed plan. Production dedup pipelines drop such
+# stop-shingles before joining (the GPT-3/CCNet decontamination
+# convention); Jaccard/overlap are then computed over the FILTERED
+# shingle universe on BOTH engines (n_sh counts capped shingles too),
+# so the metric stays a true Jaccard of informative-shingle sets. The
+# MinHash/LSH path keeps the uncapped universe — banding already
+# bounds its candidate generation.
+NGRAM_MAX_DF = 32
+
+_SQL_SHINGLES_CAPPED = (
+    _SQL_SHINGLES
+    + f""",
+    shdf AS (SELECT shingle FROM sh
+             GROUP BY shingle HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle)),
+    shfc AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id)
+"""
+)
+
 
 def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFrame:
     """(doc_id, shingle) — distinct 3-gram word shingles per doc.
@@ -90,6 +115,25 @@ def _shingle_df(spark: SparkSession, sf_dir: str, cache: bool = True) -> DataFra
         .distinct()
     )
     return sh
+
+
+def _capped_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) restricted to shingles with document frequency
+    ≤ NGRAM_MAX_DF — the stop-shingle-filtered universe the exact ngram
+    paths join on (see NGRAM_MAX_DF). One hash aggregate over the
+    memoized shingle frame + a semi-join-shaped equi-join; memoized
+    because every exact-path consumer starts here."""
+    def build() -> DataFrame:
+        sh = _shingle_df(spark, sf_dir)
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= NGRAM_MAX_DF)
+            .select("shingle")
+        )
+        return sh.join(keep, "shingle").select("doc_id", "shingle")
+
+    return session_memo(spark, sf_dir, "shingles_capped", build)
 
 
 # --------------------------------------------------------------------------
@@ -132,29 +176,34 @@ def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_dup_pairs",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {_SQL_SHINGLES_CAPPED},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
              AS jaccard
     FROM pairs
-    JOIN shc ca ON ca.doc_id = doc_a
-    JOIN shc cb ON cb.doc_id = doc_b
+    JOIN shfc ca ON ca.doc_id = doc_a
+    JOIN shfc cb ON cb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
           >= {JACCARD_THRESHOLD}
     """,
 )
 def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.7.
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.7,
+    computed over the stop-shingle-filtered universe (document
+    frequency ≤ NGRAM_MAX_DF — see the constant's rationale).
 
     Scale: explode-to-shingles then equi-join on the shingle — only
-    co-shingled pairs reach the aggregate (never |docs|²). Hot shingles
-    (boilerplate) are the skew risk: AQE skew-join splitting handles
-    moderate skew; the MinHash variant below is the designed fix.
+    co-shingled pairs reach the aggregate (never |docs|²). The df cap
+    bounds every posting list at NGRAM_MAX_DF, so the self-join emits
+    ≤ df²/2 pairs per shingle by construction — the boilerplate-
+    shingle k² blowup cannot happen; AQE skew-split covers what
+    residual imbalance remains, and the MinHash variant below is the
+    sketch-based alternative at extreme corpus sizes.
 
     The verified pair set is memoized per (session, corpus): the
     clustering, triangle, and kNN-graph operators all consume it, and
@@ -165,7 +214,7 @@ def ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
+    sh = _capped_shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -861,10 +910,10 @@ CONTAM_MIN_OVERLAP = 0.3  # fraction of the eval doc's shingles found in train
 @register(
     "benchmark_contamination",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
-    ev AS (SELECT doc_id AS eval_doc, shingle FROM sh
+    WITH {_SQL_SHINGLES_CAPPED},
+    ev AS (SELECT doc_id AS eval_doc, shingle FROM shf
            WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
-    tr AS (SELECT doc_id AS train_doc, shingle FROM sh
+    tr AS (SELECT doc_id AS train_doc, shingle FROM shf
            WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
     hits AS (
       SELECT train_doc, eval_doc, COUNT(*) AS n_common
@@ -873,7 +922,7 @@ CONTAM_MIN_OVERLAP = 0.3  # fraction of the eval doc's shingles found in train
     )
     SELECT train_doc, eval_doc, n_common,
            ROUND(CAST(n_common AS DOUBLE) / c.n_sh, 6) AS overlap_frac
-    FROM hits JOIN shc c ON c.doc_id = eval_doc
+    FROM hits JOIN shfc c ON c.doc_id = eval_doc
     WHERE CAST(n_common AS DOUBLE) / c.n_sh >= {CONTAM_MIN_OVERLAP}
     """,
 )
@@ -887,13 +936,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     methodology).
 
     Scale: candidates come from the shingle equi-join (hash-partitioned,
-    never |train|×|eval|), reusing the memoized corpus shingle frame. A
-    real benchmark set is tiny and fixed, so at 100 TB the eval side
-    collapses to a broadcast and the scan-side join filters training
-    shards at read speed; here the eval slice derives from the corpus
-    (scales with SF), so no broadcast hint — AQE decides (lint rule E3).
+    never |train|×|eval|) over the stop-shingle-filtered universe
+    (df ≤ NGRAM_MAX_DF — a boilerplate shingle shared by k docs would
+    otherwise emit k² candidates; decontamination conventionally drops
+    them, and the overlap fraction is computed over the same filtered
+    universe on both engines). A real benchmark set is tiny and fixed,
+    so at 100 TB the eval side collapses to a broadcast and the
+    scan-side join filters training shards at read speed; here the eval
+    slice derives from the corpus (scales with SF), so no broadcast
+    hint — AQE decides (lint rule E3).
     """
-    sh = _shingle_df(spark, sf_dir)
+    sh = _capped_shingle_df(spark, sf_dir)
     is_eval = F.col("doc_id") % CONTAM_EVAL_MOD == 0
     ev = sh.filter(is_eval).select(
         F.col("doc_id").alias("eval_doc"), "shingle"

@@ -377,6 +377,95 @@ def above_avg_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q10 — daily operations summary (the narrative-synthesis row)
+# --------------------------------------------------------------------------
+@register(
+    "daily_operations_summary",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS val_dec,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+             SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS n_large
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_date
+                                   ORDER BY n DESC, hour) AS rk
+      FROM hourly
+    )
+    SELECT event_date,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(val_dec) AS DOUBLE), 2) AS total_value,
+           CAST(MAX(CASE WHEN rk = 1 THEN hour END) AS INTEGER)
+             AS busiest_hour,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+             AS busiest_hour_events,
+           CAST(SUM(n_err) AS BIGINT) AS n_errors,
+           ROUND(CAST(SUM(n_err) AS DOUBLE) / SUM(n), 6) AS error_rate,
+           CAST(SUM(n_large) AS BIGINT) AS n_large_events,
+           CASE WHEN dayofweek(CAST(event_date AS DATE)) IN (0, 6)
+                THEN 'Yes' ELSE 'No' END AS is_weekend
+    FROM ranked
+    GROUP BY event_date
+    """,
+)
+def daily_operations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — the reference's "daily operations summary" narrative
+    (requirements.md:52-53), materialized as a real query: ONE row per
+    day stitching the Q1/Q4/Q6/Q8 signals — busiest hour (and its
+    event count), total volume/value, error count and rate, large-
+    transaction count, and the weekend flag. What a dashboard's
+    morning-report tile reads directly instead of re-running four
+    queries.
+
+    Scale: a single scan feeds one (day, hour) hash aggregate
+    (map-side combined, ≤ 24 rows per day); the busiest-hour argmax is
+    a row_number window PARTITIONED BY DAY over that rollup (≤ 24 rows
+    per partition), then one more per-day aggregate. No global sort,
+    no second scan — the four Q-signals are conditional aggregates of
+    the same rollup."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).alias("val_dec"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_err"),
+        F.sum((F.col("value") > 400).cast("bigint")).alias("n_large"),
+    )
+    w = Window.partitionBy("event_date").orderBy(F.desc("n"), F.asc("hour"))
+    ranked = hourly.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_date")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("val_dec").cast("double"), 2).alias("total_value"),
+            F.max(F.when(F.col("rk") == 1, F.col("hour")))
+            .cast("int")
+            .alias("busiest_hour"),
+            F.max(F.when(F.col("rk") == 1, F.col("n")))
+            .cast("bigint")
+            .alias("busiest_hour_events"),
+            F.sum("n_err").cast("bigint").alias("n_errors"),
+            F.round(
+                F.sum("n_err").cast("double") / F.sum("n"), 6
+            ).alias("error_rate"),
+            F.sum("n_large").cast("bigint").alias("n_large_events"),
+        )
+        .withColumn(
+            "is_weekend",
+            F.when(
+                F.dayofweek(F.to_date("event_date")).isin(1, 7), "Yes"
+            ).otherwise("No"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Latest-record dedup (argmax row per key)
 # --------------------------------------------------------------------------
 @register(
@@ -2032,17 +2121,25 @@ def user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the generic one-pass version; this exposes the join-planning
     cut through the gate.
 
-    Scale: one partial-aggregated count per key, then a top-k style
-    window over the per-key frame (|keys| rows, not |rows|)."""
+    Scale: one partial-aggregated count per key; the rank is the
+    RANGE-PARTITIONED two-pass row_number (functions/scale.
+    global_order_stats) and the frame totals are a 1-row broadcast
+    aggregate — no single-task sort or unpartitioned window over the
+    key dimension (which grows with the data) anywhere in the plan."""
+    from olap_project_spark.functions.scale import global_order_stats
+
     ev = load(spark, sf_dir, "events")
     freq = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    ranked = freq.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), F.col("user_id")))
-        .alias("rk"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_keys"),
-        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("n_rows"),
+    tot = freq.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    ranked = (
+        global_order_stats(
+            freq, [F.desc("n"), F.asc("user_id")], rank_col="rk"
+        )
+        .join(F.broadcast(tot))
+        .select("n", "rk", "n_keys", "n_rows")
     )
     top1 = F.max(F.when(F.col("rk") == 1, F.col("n")))
     mean = F.max("n_rows").cast("double") / F.max("n_keys")

@@ -1476,21 +1476,23 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one scalar instead of an eyeballed bar chart.
 
     Scale: the fact reduces to one row per customer (hash agg,
-    map-side partials) BEFORE the rank; the global window runs over
-    |customers| rows, not orders. Ties in spend make sum(i*x_i)
-    invariant to tiebreak order, so the result is deterministic. At
-    extreme |customers|, swap the exact rank for a binned Lorenz curve
-    (fixed-width spend buckets + running sums) with bounded error —
-    same downstream formula."""
-    from pyspark.sql.window import Window as W
+    map-side partials) BEFORE the rank, and the rank itself is the
+    RANGE-PARTITIONED two-pass row_number (functions/scale.
+    global_order_stats) — every range sorts in parallel and a bounded
+    per-partition offset join stitches the global rank, so no
+    single-task sort of the customer dimension exists anywhere in the
+    plan (the dimension grows with the data; a global-order window
+    over it is a straggler at 100×). Ties in spend make sum(i*x_i)
+    invariant to tiebreak order, so the result is deterministic."""
+    from olap_project_spark.functions.scale import global_order_stats
 
     spend = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("double").alias("s"))
     )
-    ranked = spend.withColumn(
-        "i", F.row_number().over(W.orderBy("s", "o_custkey"))
+    ranked = global_order_stats(
+        spend, [F.asc("s"), F.asc("o_custkey")], rank_col="i"
     )
     n = F.count("*")
     return ranked.agg(
@@ -1966,21 +1968,26 @@ def pareto_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class boundaries cross-multiply decimals (``cum·5 ≤ total·4``),
     so classification never compares floats.
 
-    Scale: one map-side-combined per-customer aggregate, then a
-    single-partition cumulative window over the REDUCED per-customer
-    frame (|customers| rows, not |orders| — the same deliberate
-    global-order shape as customer_revenue_gini; at 100 TB you'd range-
-    partition the cumulative step or precompute decile boundaries)."""
+    Scale: one map-side-combined per-customer aggregate, then the
+    cumulative revenue runs as a RANGE-PARTITIONED two-pass prefix sum
+    (functions/scale.global_order_stats): each range computes its
+    local running decimal sum in parallel and a bounded offset join
+    adds the strictly-lower ranges' totals — exact-decimal identical
+    to the global-order window, with no single-task sort of the
+    customer dimension anywhere in the plan."""
+    from olap_project_spark.functions.scale import global_order_stats
+
     orders = load(spark, sf_dir, "orders")
     cr = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
     )
     tot = cr.agg(F.sum("rev").alias("total"))
-    w = (
-        Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = global_order_stats(
+        cr,
+        [F.desc("rev"), F.asc("o_custkey")],
+        sum_cols={"cum": "rev"},
+        rank_col="_i",
     )
-    ranked = cr.withColumn("cum", F.sum("rev").over(w))
     classed = ranked.join(F.broadcast(tot)).select(
         "rev",
         "total",

@@ -186,15 +186,29 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-value deciles via ntile(10) — the cohort-bucketing
     window shape (whale analysis / pareto curves).
 
-    Scale caveat: ntile over a GLOBAL order is a single-partition
-    window — fine for the post-aggregation row count here (one row per
-    customer), wrong on raw events; pre-aggregate first, as done here."""
+    Scale: ntile over a GLOBAL order is normally a single-partition
+    window; here the global rank comes from the RANGE-PARTITIONED
+    two-pass row_number (functions/scale.global_order_stats) and the
+    tile id is derived arithmetically from (rank, n) with exact
+    SQL-standard ntile semantics (functions/scale.ntile_from_rank) —
+    bucket-for-bucket identical to ntile(10) with no single-task sort
+    of the customer dimension."""
+    from olap_project_spark.functions.scale import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
     od = load(spark, sf_dir, "orders")
     spend = od.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    ranked = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    n_tot = spend.agg(F.count("*").alias("_n"))
+    ranked = global_order_stats(
+        spend, [F.desc("total_spend"), F.asc("o_custkey")], rank_col="_i"
+    ).join(F.broadcast(n_tot))
+    ranked = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_i"), F.col("_n"), 10)
+    )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("total_spend"), 2).alias("decile_spend"),
@@ -286,11 +300,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     key as tiebreaker so quartile boundaries are deterministic
     cross-engine; monetary stays DECIMAL until the final division.
 
-    Scale: the per-customer aggregate shuffles the fact once; the three
-    global ntiles sort only the CUSTOMER dimension (≪ fact, same
-    justification as ``customer_spend_deciles``) — at extreme
-    cardinality switch to approx-quantile cutpoints + a broadcast range
-    join, trading exact quartile boundaries for no global sort."""
+    Scale: the per-customer aggregate shuffles the fact once; each of
+    the three quartile scores is a RANGE-PARTITIONED two-pass global
+    rank (functions/scale.global_order_stats) turned into a tile id
+    arithmetically (functions/scale.ntile_from_rank) — exact ntile(4)
+    semantics with no single-task sort of the customer dimension in
+    any of the three orderings."""
+    from olap_project_spark.functions.scale import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
     orders = load(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("global_max"))
     cust = (
@@ -304,15 +324,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
         )
     )
-    scored = cust.select(
+    n_tot = cust.agg(F.count("*").alias("_n"))
+    ranked = global_order_stats(
+        cust, [F.asc("recency_days"), F.asc("o_custkey")], rank_col="_ir"
+    )
+    ranked = global_order_stats(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_if"
+    )
+    ranked = global_order_stats(
+        ranked, [F.desc("monetary_dec"), F.asc("o_custkey")], rank_col="_im"
+    ).join(F.broadcast(n_tot))
+    scored = ranked.select(
         "monetary_dec",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey")))
-        .alias("m_score"),
+        ntile_from_rank(F.col("_ir"), F.col("_n"), 4).alias("r_score"),
+        ntile_from_rank(F.col("_if"), F.col("_n"), 4).alias("f_score"),
+        ntile_from_rank(F.col("_im"), F.col("_n"), 4).alias("m_score"),
     )
     return (
         scored.groupBy(

@@ -103,6 +103,90 @@ def cumulative_threshold_alerts(
     )
 
 
+RECORD_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("record_cents", LongType()),
+        StructField("records_so_far", LongType()),
+    ]
+)
+
+RECORD_STATE_SCHEMA = StructType(
+    [
+        StructField("max_cents", LongType()),
+        StructField("n_records", LongType()),
+    ]
+)
+
+
+def running_record_highs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Streaming per-key running-record detector: emit one row each
+    time a key's value STRICTLY exceeds every value the key has
+    produced before (its first event is, trivially, a record). The
+    "new personal best / new high-water mark" alert — value-triggered
+    emission against a whole-stream extremum, which no tumbling or
+    session window can express (a window's max forgets at close; this
+    state never does).
+
+    A second, semantically distinct exercise of the same
+    ``applyInPandasWithState`` surface as
+    :func:`cumulative_threshold_alerts`: that one accumulates
+    (additive state), this one dominates (idempotent max state) —
+    together they pin both broad classes of custom stateful operators.
+
+    Determinism contract: values arrive as exact integer CENTS; rows
+    within a key are imposed (ts, event_id) order, a total order; the
+    comparison is strict integer ``>`` — so the emitted set equals the
+    SQL formulation ``cents > MAX(cents) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` exactly, on any engine.
+
+    Scale: state is one (max, count) pair per key, hash-partitioned by
+    the groupBy; emission rate is the running-record rate, ~ln(n) rows
+    per key for exchangeable inputs — the sink sees a vanishing
+    fraction of the stream. NoTimeout keeps records forever; swap to
+    EventTimeTimeout to retire idle keys in unbounded key domains."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mx, n_rec = state.get
+            has_prev = True
+        else:
+            mx, n_rec = 0, 0
+            has_prev = False
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        order = [c for c in ("ts", "event_id") if c in batch.columns]
+        if order:
+            batch = batch.sort_values(order, kind="mergesort")
+        out_rows = []
+        for c in batch[cents_col]:
+            c = int(c)
+            if not has_prev or c > mx:
+                mx = c
+                has_prev = True
+                n_rec += 1
+                out_rows.append((key[0], c, n_rec))
+        state.update((mx, n_rec))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["user_id", "record_cents", "records_so_far"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=RECORD_SCHEMA,
+        stateStructType=RECORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # The same operator on Spark 4's transformWithStateInPandas — the
 # successor API (typed state handles, timers, TTL) that replaces the

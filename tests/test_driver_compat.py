@@ -130,6 +130,10 @@ class TestDriverContract:
             "bootstrap_mean_ci",           # Poisson-draw explode + ranks
             "score_lift_gains",            # bin table + cumulative window
             "conversion_latency_quantiles",  # exact percentile row
+            # round-6 additions (gate window / r7 draft head) — pin
+            # vanilla-session behavior up front:
+            "stateful_record_highs",       # second applyInPandasWithState op
+            "daily_operations_summary",    # Q10 multi-signal day rollup
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -18,11 +18,23 @@ ERROR-level (exit 1):
       actually small. Bounded exceptions (1-row query vector, ≤16
       centroid rows selected by a constant predicate) are whitelisted.
 
+  E4  Unpartitioned WindowExec — a window with no partition spec
+      serializes its whole frame through ONE task. Detected from the
+      physical plan (a Window node with two top-level bracket groups
+      instead of three). Allowed only for the GLOBAL_WINDOW_OK set,
+      every member of which windows over a BOUNDED frame (a day/hour/
+      week spine, a ≤k-row top-k result, the 25-nation rollup, the
+      32-resample table…) — never an entity dimension that grows with
+      the data. Entity-level global ranks/prefix sums must use
+      functions/scale.global_order_stats (range-partitioned two-pass)
+      instead.
+
 WARN-level (reported, exit 0):
-  W1  Exchange SinglePartition feeding a Window — a global (
-      unpartitioned) window serializes through one task. Whitelisted
-      where a global total order is the query's semantics (global
-      deciles/ntile) and the input is one aggregated row per key.
+  W1  Exchange SinglePartition whose nearest enclosing Window/Sort/
+      Aggregate ancestor is a Window or Sort — the frame genuinely
+      serializes into the window (a SinglePartition feeding a 1-row
+      global-total aggregate does NOT warn). Kept warn-level for
+      visibility outside GLOBAL_WINDOW_OK; E4 is the hard gate.
   W2  Arrow-batched Python outside the multimodal/udaf families.
 
 Usage:
@@ -54,6 +66,7 @@ EXECUTING = {
     "streaming_continuous_rollup",
     "streaming_segment_enrichment",
     "stateful_spend_alerts",
+    "stateful_record_highs",
     "kmeans_cluster_profile",
     "near_dup_clusters",
     "part_entity_clusters",
@@ -77,12 +90,14 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "bucketed_order_revenue",  # writes the bucketed table once
 }
 
-# Queries whose semantics REQUIRE a global total order over a small
-# (per-key aggregated) input — the single-partition window is the spec,
-# and its input is ≤|keys| rows, not the fact table.
+# Queries allowed an UNPARTITIONED window (E4 whitelist): every member
+# windows over a frame BOUNDED independent of SF — a calendar spine
+# (days/hours/weeks: thousands of rows a decade), a ≤k-row top-k
+# result, a fixed bucket/bin table, the 25-nation rollup, or the
+# 32-resample table. Entity-level frames (customers/users/parts — they
+# grow with the data) are NOT allowed here; those use
+# functions/scale.global_order_stats. The same set silences W1.
 GLOBAL_WINDOW_OK = {
-    "customer_spend_deciles",
-    "rfm_segments",
     "customer_order_distribution",
     "top10_customers",
     "heavy_hitter_parts",
@@ -108,13 +123,10 @@ GLOBAL_WINDOW_OK = {
     "hourly_spine_interpolated",
     "weekly_value_growth",
     "cumulative_unique_users",
-    "user_key_skew_profile",
-    # Lorenz rank over one aggregated row per customer; frontier scan
-    # over distinct (price,size) measure pairs — both inputs are the
-    # post-aggregation reduced set, never the fact table.
-    "customer_revenue_gini",
+    # frontier scan over distinct (price,size) measure pairs — the
+    # measure-pair lattice, bounded by the price×size value grid, not
+    # by row count
     "part_price_skyline",
-    "pareto_customer_classes",
     # per-user sessionization windows + a final ONE-ROW global funnel
     # aggregate — the SinglePartition is the 1-row result, not a window
     "session_funnel_stats",
@@ -234,6 +246,70 @@ def _hinted_scaling_scan(analyzed: str) -> str | None:
     return None
 
 
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec in a physical-plan
+    string. A fully-specified node prints three top-level bracket
+    groups (`Window [exprs], [partition], [order]`); with only two, the
+    second group is EITHER the partition spec (unordered window — fine,
+    it scales out by key) or the sort order (unpartitioned — the
+    single-task global sort this rule rejects). The two are told apart
+    by sort-direction markers, and an empty second group (``[]``,
+    ``partitionBy()``) is likewise global. Brackets nest inside
+    expressions, so groups are delimited by depth scan."""
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0 or "WindowGroupLimit" in line:
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    continue
+            if depth >= 1:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # partition spec present
+        second = groups[1].strip() if len(groups) > 1 else ""
+        is_ordered = " ASC" in second or " DESC" in second
+        if is_ordered or not second:
+            n += 1
+    return n
+
+
+def _single_partition_feeds_window(plan: str) -> bool:
+    """True when an ``Exchange SinglePartition`` node's nearest
+    Window/Sort/Aggregate ANCESTOR is a Window or Sort — i.e. the
+    serialized frame flows into windowing, not into a 1-row global
+    aggregate (which is the normal broadcast-total idiom)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        min_indent = _indent(line)
+        for k in range(i - 1, -1, -1):
+            up = lines[k]
+            if not up.strip():
+                continue
+            ki = _indent(up)
+            if ki >= min_indent:
+                continue
+            min_indent = ki
+            if "Window" in up or "Sort " in up:
+                return True
+            if "Aggregate" in up:
+                break
+    return False
+
+
 def lint_one(
     name: str, plan: str, analyzed: str | None = None
 ) -> tuple[list[str], list[str]]:
@@ -253,12 +329,15 @@ def lint_one(
     )
     if arrow_py and not name.startswith(ARROW_PY_OK_PREFIXES):
         warns.append("W2 Arrow Python outside whitelisted family")
-    if (
-        "Exchange SinglePartition" in plan
-        and "Window" in plan
-        and name not in GLOBAL_WINDOW_OK
-    ):
-        warns.append("W1 global window (Exchange SinglePartition)")
+    if name not in GLOBAL_WINDOW_OK:
+        n_unpart = _unpartitioned_windows(plan)
+        if n_unpart:
+            errors.append(
+                f"E4 unpartitioned WindowExec x{n_unpart} (single-task "
+                "sort; use functions/scale.global_order_stats)"
+            )
+        elif _single_partition_feeds_window(plan):
+            warns.append("W1 global window (Exchange SinglePartition)")
     return errors, warns
 
 
