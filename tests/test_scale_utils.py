@@ -242,3 +242,108 @@ class TestZorderRealFooterPruning:
         assert y_lin >= n_lin - 1
         # the z-layout localizes dates too: the reader skips most groups
         assert y_z <= n_z // 2, (y_z, n_z)
+
+
+class TestGlobalOrderStats:
+    """global_order_stats must equal the single-partition window's
+    row_number / running sums EXACTLY, while keeping every Window in
+    its plan partitioned (that's its whole point)."""
+
+    def test_rank_matches_global_row_number(self, spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from olap_project_spark.functions.scale import global_order_stats
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        got = {
+            r["event_id"]: r["i"]
+            for r in global_order_stats(
+                ev, [F.desc("value"), F.asc("event_id")], rank_col="i"
+            ).collect()
+        }
+        want = {
+            r["event_id"]: r["i"]
+            for r in ev.withColumn(
+                "i",
+                F.row_number().over(
+                    Window.orderBy(F.desc("value"), F.asc("event_id"))
+                ),
+            ).collect()
+        }
+        assert got == want
+
+    def test_prefix_sum_matches_window_cumsum(self, spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from olap_project_spark.functions.scale import global_order_stats
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        got = {
+            r["event_id"]: r["cum"]
+            for r in global_order_stats(
+                ev,
+                [F.asc("cents"), F.asc("event_id")],
+                sum_cols={"cum": "cents"},
+                rank_col="_i",
+            ).collect()
+        }
+        w = (
+            Window.orderBy(F.asc("cents"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r["event_id"]: r["cum"]
+            for r in ev.withColumn("cum", F.sum("cents").over(w)).collect()
+        }
+        assert got == want
+
+    def test_no_unpartitioned_window_in_plan(self, spark, sf_dir):
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "tools"),
+        )
+        from plan_lint import _unpartitioned_windows
+
+        from olap_project_spark.functions.scale import global_order_stats
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        df = global_order_stats(
+            ev, [F.asc("value"), F.asc("event_id")], sum_cols={"s": "value"}
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan  # it IS window-based…
+        assert _unpartitioned_windows(plan) == 0  # …but never global
+
+    def test_ntile_from_rank_matches_ntile(self, spark):
+        from pyspark.sql.window import Window
+
+        from olap_project_spark.functions.scale import ntile_from_rank
+
+        # frame sizes that exercise the uneven-tile arithmetic,
+        # including n < k (every tile size 0 or 1)
+        for n, k in ((10, 4), (7, 3), (100, 7), (3, 5), (64, 8)):
+            base = spark.range(1, n + 1).select(
+                F.col("id").alias("i"), F.lit(n).alias("n")
+            )
+            got = {
+                r["i"]: r["t"]
+                for r in base.select(
+                    "i", ntile_from_rank(F.col("i"), F.col("n"), k).alias("t")
+                ).collect()
+            }
+            want = {
+                r["i"]: r["t"]
+                for r in base.select(
+                    "i", F.ntile(k).over(Window.orderBy("i")).alias("t")
+                ).collect()
+            }
+            assert got == want, (n, k)
