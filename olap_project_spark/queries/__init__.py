@@ -180,6 +180,8 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     # round-6 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "daily_operations_summary",
+    "prefix_filtered_dup_pairs",
+    "stratified_sample_stats",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -230,8 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "scd2_customer_price_ranges",
     "small_qty_revenue_loss",
     "sole_late_suppliers",
-    "streaming_click_attribution",
-    "streaming_complete_mode_totals",
 )
 
 

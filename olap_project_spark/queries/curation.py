@@ -419,3 +419,86 @@ def token_frequency_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above_corpus_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-quota stratified sampling (deterministic per-stratum reservoir)
+# --------------------------------------------------------------------------
+SAMPLE_QUOTA_DEN = 10  # keep ceil(n/10) docs per source
+
+
+@register(
+    "stratified_sample_stats",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('strat#' ||
+                              CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT),
+                        doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rn * {SAMPLE_QUOTA_DEN}
+                                <= n_docs + {SAMPLE_QUOTA_DEN} - 1
+                           THEN 1 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN rn * {SAMPLE_QUOTA_DEN}
+                              <= n_docs + {SAMPLE_QUOTA_DEN} - 1
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: every source stratum
+    contributes EXACTLY ceil(n/{SAMPLE_QUOTA_DEN}) documents, chosen by
+    ranking the stratum on a salted md5 of the doc id — a deterministic
+    per-group reservoir. This is the eval-set/holdout carve a training
+    pipeline wants when Bernoulli sampling's quota variance is
+    unacceptable (a 25-doc stratum must yield exactly 3 docs, not
+    0-7): hash_sampled_value_stats is the Bernoulli form, this is the
+    exact-quota form.
+
+    Determinism contract: the rank key is the portable 48-bit md5 both
+    engines compute identically (doc_id as tiebreak), and membership is
+    the integer comparison ``rn·{SAMPLE_QUOTA_DEN} ≤ n + {SAMPLE_QUOTA_DEN} − 1``
+    (⇔ rn ≤ ceil(n/{SAMPLE_QUOTA_DEN}) without float division).
+
+    Scale: one window PARTITIONED BY the stratum (each source sorts
+    independently — no global order), one hash aggregate. At extreme
+    per-stratum cardinality the full sort is avoidable with a two-pass
+    threshold select (approx kth-hash cutpoint + exact trim), same
+    contract."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from olap_project_spark.functions.text import portable_hash48
+
+    key = portable_hash48(
+        F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_docs"),
+    )
+    in_sample = (
+        F.col("rn") * SAMPLE_QUOTA_DEN
+        <= F.col("n_docs") + SAMPLE_QUOTA_DEN - 1
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.when(in_sample, F.lit(1))).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(in_sample, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sampled_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -237,6 +237,108 @@ def _ngram_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style, lossless)
+# --------------------------------------------------------------------------
+@register(
+    "prefix_filtered_dup_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_CAPPED},
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM shf GROUP BY shingle),
+    ordd AS (
+      SELECT shf.doc_id, shf.shingle,
+             row_number() OVER (PARTITION BY shf.doc_id
+                                ORDER BY dfreq, shf.shingle) AS rn
+      FROM shf JOIN dfq USING (shingle)
+    ),
+    pre AS (
+      SELECT o.doc_id, o.shingle
+      FROM ordd o JOIN shfc c USING (doc_id)
+      WHERE o.rn <= c.n_sh - ((7 * c.n_sh + 9) // 10) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pre a JOIN pre b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shf a ON a.doc_id = c.doc_a
+      JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+             AS jaccard
+    FROM verified v
+    JOIN shfc ca ON ca.doc_id = v.doc_a
+    JOIN shfc cb ON cb.doc_id = v.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def prefix_filtered_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup pair set as ngram_dup_pairs, produced with the
+    prefix-filtering candidate generator (Chaudhuri/Ganti/Kaushik "A
+    primitive operator for similarity joins", ICDE 2006; the PPJoin
+    family): order every document's shingles by ascending global
+    document frequency, keep only the first |s| − ⌈t·|s|⌉ + 1 of them
+    (integer arithmetic: ``(7·n + 9) div 10`` for t = 0.7), and join
+    prefixes only — two sets with Jaccard ≥ t MUST share an element
+    inside both prefixes under a shared total order, so the filter is
+    LOSSLESS; survivors are verified against the full shingle sets.
+
+    Why it matters at 100 TB: the full posting-list self-join touches
+    every co-shingled pair; the prefix join touches only pairs that
+    collide within ~30% of each doc's rarest shingles — orders of
+    magnitude fewer candidates on natural corpora (rare shingles have
+    df ≈ 1), with EXACTLY the ngram_dup_pairs result (pinned by test
+    and by this oracle, which mirrors the prefix construction).
+
+    Scale: df ranking is one hash aggregate + a per-doc window
+    (partitioned by doc_id); the candidate join inherits the
+    NGRAM_MAX_DF cap on top of the prefix filter; verification is two
+    bounded equi-joins over candidate pairs only."""
+    sh = _capped_shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    pre = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(cnt, "doc_id")
+        .filter(F.col("rn") <= F.expr("n_sh - ((7 * n_sh + 9) div 10) + 1"))
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pre.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pre.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        verified.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # --------------------------------------------------------------------------
 def _minhash_cand_cte() -> str:

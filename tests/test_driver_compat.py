@@ -134,6 +134,8 @@ class TestDriverContract:
             # vanilla-session behavior up front:
             "stateful_record_highs",       # second applyInPandasWithState op
             "daily_operations_summary",    # Q10 multi-signal day rollup
+            "prefix_filtered_dup_pairs",   # PPJoin prefix filter + verify
+            "stratified_sample_stats",     # per-stratum exact-quota sample
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -73,9 +73,13 @@ class TestTextFunctions:
 class TestDedup:
     @pytest.fixture(scope="class")
     def truth_pairs(self, spark, sf_dir):
-        """Ground-truth near-dup pairs: exact shingle Jaccard ≥ 0.7,
-        computed by an independent pure-Python implementation."""
+        """Ground-truth near-dup pairs: exact shingle Jaccard ≥ 0.7 over
+        the stop-shingle-filtered universe (df ≤ NGRAM_MAX_DF, mirroring
+        the engine's cap), computed by an independent pure-Python
+        implementation."""
         import duckdb  # only to read parquet conveniently
+
+        from olap_project_spark.queries.dedup import NGRAM_MAX_DF
 
         rows = duckdb.sql(
             f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -86,6 +90,14 @@ class TestDedup:
             shingles[doc_id] = {
                 " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
             }
+        df_count: dict[str, int] = {}
+        for s in shingles.values():
+            for sh in s:
+                df_count[sh] = df_count.get(sh, 0) + 1
+        shingles = {
+            d: {sh for sh in s if df_count[sh] <= NGRAM_MAX_DF}
+            for d, s in shingles.items()
+        }
         pairs = {}
         ids = sorted(shingles)
         for i, a in enumerate(ids):
@@ -102,6 +114,16 @@ class TestDedup:
         got = {
             (r["doc_a"], r["doc_b"]): r["jaccard"]
             for r in q("ngram_dup_pairs")(spark, sf_dir).collect()
+        }
+        assert got == truth_pairs
+
+    def test_prefix_filter_is_lossless(self, spark, sf_dir, truth_pairs):
+        """PPJoin prefix filtering must yield EXACTLY the full posting-
+        join's pair set — it is a candidate-pruning rewrite, not an
+        approximation."""
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q("prefix_filtered_dup_pairs")(spark, sf_dir).collect()
         }
         assert got == truth_pairs
 
