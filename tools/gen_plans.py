@@ -239,6 +239,24 @@ SHOWCASE = [
         "keys x depth, two cell-space hash aggregates, broadcast bucket "
         "join, distributed top-k).",
     ),
+    (
+        "customer_revenue_gini",
+        "Range-partitioned two-pass global rank "
+        "(functions/scale.global_order_stats): every Window node carries a "
+        "_pid partition spec — ranges sort in parallel and a "
+        "BroadcastNestedLoopJoin over the bounded per-partition offsets "
+        "stitches the global rank; NO Exchange SinglePartition feeds a "
+        "Window anywhere (plan_lint rule E4).",
+    ),
+    (
+        "prefix_filtered_dup_pairs",
+        "PPJoin prefix-filtered similarity join: the candidate equi-join "
+        "reads only each doc's rarest-shingle prefix (df-ordered "
+        "row_number window PARTITIONED BY doc_id), then two bounded "
+        "equi-joins verify exact Jaccard — lossless vs the full posting "
+        "join, with candidates bounded by prefix x df-cap instead of "
+        "posting-list squares.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
