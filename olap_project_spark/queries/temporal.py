@@ -325,15 +325,34 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_tot = cust.agg(F.count("*").alias("_n"))
-    ranked = global_order_stats(
-        cust, [F.asc("recency_days"), F.asc("o_custkey")], rank_col="_ir"
+    # Three INDEPENDENT rank passes joined on the customer key — not a
+    # chain: chaining would put pass k-1's whole plan inside pass k's
+    # range-exchange subtree, recomputing it per pass. Independent
+    # passes each rank the bare per-customer aggregate (a canonically
+    # identical subtree the scheduler reuses), and the final equi-joins
+    # run on the reduced customer dimension.
+    r_rank = global_order_stats(
+        cust.select("o_custkey", "recency_days"),
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        rank_col="_ir",
+    ).select("o_custkey", "_ir")
+    f_rank = global_order_stats(
+        cust.select("o_custkey", "frequency"),
+        [F.desc("frequency"), F.asc("o_custkey")],
+        rank_col="_if",
+    ).select("o_custkey", "_if")
+    m_rank = global_order_stats(
+        cust.select("o_custkey", "monetary_dec"),
+        [F.desc("monetary_dec"), F.asc("o_custkey")],
+        rank_col="_im",
+    ).select("o_custkey", "_im")
+    ranked = (
+        cust.select("o_custkey", "monetary_dec")
+        .join(r_rank, "o_custkey")
+        .join(f_rank, "o_custkey")
+        .join(m_rank, "o_custkey")
+        .join(F.broadcast(n_tot))
     )
-    ranked = global_order_stats(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_if"
-    )
-    ranked = global_order_stats(
-        ranked, [F.desc("monetary_dec"), F.asc("o_custkey")], rank_col="_im"
-    ).join(F.broadcast(n_tot))
     scored = ranked.select(
         "monetary_dec",
         ntile_from_rank(F.col("_ir"), F.col("_n"), 4).alias("r_score"),
