@@ -98,44 +98,24 @@ CONSTRUCT_EXECUTES = EXECUTING | {
 # grow with the data) are NOT allowed here; those use
 # functions/scale.global_order_stats. The same set silences W1.
 GLOBAL_WINDOW_OK = {
-    "customer_order_distribution",
-    "top10_customers",
-    "heavy_hitter_parts",
-    "price_band_distribution",
-    "value_histogram",
-    "segment_balance_ranks",
-    "weekly_retention",
-    "event_transition_matrix",
-    "ann_ivf_recall",
-    "ann_multiprobe_recall",
     # rank windows over the two 10-row component top-k results
     "hybrid_rrf_retrieval",
     # share-of-total / lag windows over nation (25-row) / month (~80-row)
     # rollups — aggregated inputs, never the fact table
     "revenue_share_drilldown",
     "revenue_growth_mom_yoy",
-    # SinglePartition here is a deliberate 1-row GLOBAL-TOTAL aggregate
-    # (corpus size / overall total) broadcast back — the window itself
-    # is per-key; or the window input is an already-aggregated spine
-    # (hours / weeks), ≤ thousands of rows at any SF.
-    "tfidf_top_terms",
-    "hourly_spine_filled",
-    "hourly_spine_interpolated",
+    # cumulative / lag windows over calendar spines (one row per day or
+    # week; a decade is a few thousand rows) — at scale the window
+    # gains a series-key partition, same plan keyed
     "weekly_value_growth",
     "cumulative_unique_users",
+    "ewma_daily_value",
+    "value_drawdown_curve",
+    "cusum_changepoints",
     # frontier scan over distinct (price,size) measure pairs — the
     # measure-pair lattice, bounded by the price×size value grid, not
     # by row count
     "part_price_skyline",
-    # per-user sessionization windows + a final ONE-ROW global funnel
-    # aggregate — the SinglePartition is the 1-row result, not a window
-    "session_funnel_stats",
-    # truncated-EWMA lag window over the DAILY rollup (one row per day;
-    # a decade is a few thousand rows) — at scale the window gains a
-    # series-key partition, same plan keyed
-    "ewma_daily_value",
-    "value_drawdown_curve",
-    "cusum_changepoints",
     # rank window over the memoized 10-row top-k result
     "retrieval_eval_metrics",
     # rank window over the 32 resample means
