@@ -655,6 +655,234 @@ def quantized_cosine_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product quantization (IVF-PQ's memory half): ADC ranking contract
+# --------------------------------------------------------------------------
+PQ_M = 8      # subspaces
+PQ_SUB = 8    # dims per subspace (8 × 8 = the 64-dim vector)
+PQ_K = 64     # codebook entries per subspace (the first PQ_K vectors)
+ADC_SCALE = 1_000_000  # micro-units: ADC sums run in exact integers
+# ADC-ranked candidates re-ranked exactly: max(100, corpus/10). The
+# shortlist is deliberately generous because the synthetic corpus is
+# ISOTROPIC (near-random vectors) — PQ's worst case: quantization
+# noise is comparable to the weak similarity signal, so raw ADC
+# ranking carries limited information and the contract MEASURES that
+# honestly rather than hiding it (recall_reranked ~0.9 at the gate
+# corpus, 1.0 at sf0.1). On clustered production embeddings a
+# k-means-trained codebook (queries/iterative.py has the trainer
+# shape) makes a constant shortlist sufficient. Both engines derive
+# the same value (Spark from the parquet footer, the oracle from
+# COUNT(*)).
+ADC_SHORTLIST_MIN = 100
+ADC_SHORTLIST_FRAC = 10  # shortlist ≥ corpus // 10
+
+
+@register(
+    "pq_adc_quality",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    ms AS (SELECT CAST(range AS INTEGER) AS m FROM range(0, {PQ_M})),
+    subs AS (
+      SELECT vec_id, m, emb[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM e, ms
+    ),
+    cb AS (SELECT vec_id AS cid, m, sub AS csub FROM subs
+           WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT s.vec_id, s.m, cb.cid,
+             list_dot_product(cb.csub, cb.csub)
+             - 2 * list_dot_product(s.sub, cb.csub) AS dk
+      FROM subs s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dk, cid) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    q AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+    qd AS (
+      SELECT cb.m, cb.cid,
+             CAST(ROUND(list_dot_product(q.qsub, cb.csub) * {ADC_SCALE})
+                  AS BIGINT) AS qd_u
+      FROM cb JOIN q ON q.m = cb.m
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(qd.qd_u) AS BIGINT) AS adc_u
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      GROUP BY c.vec_id
+    ),
+    exact AS (
+      SELECT e.vec_id, list_dot_product(e.emb, qf.emb) AS dotp
+      FROM e, (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}) qf
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    topa AS (SELECT vec_id FROM adc ORDER BY adc_u DESC, vec_id
+             LIMIT {TOP_K}),
+    tope AS (SELECT vec_id FROM exact ORDER BY dotp DESC, vec_id
+             LIMIT {TOP_K}),
+    adcr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adc_u DESC, vec_id) AS rn
+      FROM adc
+    ),
+    short AS (
+      SELECT vec_id FROM adcr
+      WHERE rn <= GREATEST({ADC_SHORTLIST_MIN},
+                           (SELECT COUNT(*) FROM e)
+                           // {ADC_SHORTLIST_FRAC})
+    ),
+    rerank AS (
+      SELECT exact.vec_id FROM exact JOIN short USING (vec_id)
+      ORDER BY exact.dotp DESC, exact.vec_id LIMIT {TOP_K}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM topa JOIN tope USING (vec_id)) AS n_hits_adc,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM topa JOIN tope USING (vec_id)) / {TOP_K}, 6)
+             AS overlap_adc,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM rerank JOIN tope USING (vec_id)) AS n_hits_reranked,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM rerank JOIN tope USING (vec_id)) / {TOP_K}, 6)
+             AS recall_reranked,
+           (SELECT CAST(COUNT(DISTINCT (m, cid)) AS BIGINT) FROM codes)
+             AS n_codes_used
+    """,
+)
+def pq_adc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ranking contract — IVF-PQ's memory
+    half (Jégou/Douze/Schmid, "Product quantization for nearest
+    neighbor search", TPAMI 2011): split the 64-dim vector into
+    {PQ_M} subspaces of {PQ_SUB} dims, assign each subvector to its
+    nearest of {PQ_K} codebook entries (deterministic codebook: the
+    first {PQ_K} vectors' subvectors, mirroring the IVF coarse
+    quantizer convention), and rank by Asymmetric Distance
+    Computation — the query's precomputed per-(subspace, code) dot
+    products summed over each vector's code word. Reported: overlap@k
+    of the RAW ADC top-k vs the exact dot-product top-k, recall@k of
+    the production pipeline (adaptive ADC shortlist →
+    exact re-rank → top-k), and codebook occupancy — the
+    compression-vs-fidelity curve an IVF-PQ deployment reads: raw ADC
+    ranking is lossy, the shortlist+re-rank recovers the exact answer
+    while touching only the shortlist's full vectors.
+
+    Why it matters at 100 TB: PQ stores {PQ_M} bytes per vector
+    instead of 256 (float32×64) — a 32× index-memory cut, and ADC
+    scoring reads a {PQ_M}×{PQ_K}-entry lookup table instead of the
+    vector stream; the exact re-rank then reads only the shortlist.
+    This contract measures exactly what the compression costs at each
+    stage.
+
+    Determinism contract: subvector dot products fold left-to-right
+    identically on both engines (bit-identical doubles); the argmin
+    key −2·⟨v,c⟩+⟨c,c⟩ is a single fold per row (no multi-row FP
+    summation) with the code id as tiebreak; ADC sums run in exact
+    integer micro-units (the per-(m,code) lookup values quantize to
+    bigint BEFORE the order-free integer SUM), so the ranking is
+    identical on any engine and partitioning."""
+    e = _emb(spark, sf_dir)
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sub"),
+    ).select(F.col("vec_id"), F.col("m").cast("int").alias("m"), "sub")
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sub").alias("csub")
+    )
+    dk = dot(F.col("csub"), F.col("csub")) - 2 * dot(
+        F.col("sub"), F.col("csub")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dk", "cid")
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", dk.alias("dk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qsub = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", F.col("sub").alias("qsub")
+    )
+    qd = (
+        cb.join(F.broadcast(qsub), "m")
+        .select(
+            "m",
+            "cid",
+            F.round(dot(F.col("qsub"), F.col("csub")) * ADC_SCALE)
+            .cast("bigint")
+            .alias("qd_u"),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qd), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd_u").cast("bigint").alias("adc_u"))
+    )
+    qfull = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    exact = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qfull))
+        .select("vec_id", dot(F.col("emb"), F.col("q_emb")).alias("dotp"))
+    )
+    topa = adc.orderBy(F.desc("adc_u"), F.asc("vec_id")).limit(TOP_K).select(
+        "vec_id"
+    )
+    tope = exact.orderBy(F.desc("dotp"), F.asc("vec_id")).limit(TOP_K).select(
+        "vec_id"
+    )
+    from olap_project_spark.sources.registry import table_row_count
+
+    short_n = max(
+        ADC_SHORTLIST_MIN,
+        table_row_count(sf_dir, "embeddings") // ADC_SHORTLIST_FRAC,
+    )  # footer metadata — no eager job at plan-build time
+    short = (
+        adc.orderBy(F.desc("adc_u"), F.asc("vec_id"))
+        .limit(short_n)
+        .select("vec_id")
+    )
+    rerank = (
+        exact.join(short, "vec_id")
+        .orderBy(F.desc("dotp"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    occupancy = codes.agg(
+        F.countDistinct("m", "cid").cast("bigint").alias("n_codes_used")
+    )
+    adc_hits = topa.join(tope, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_hits_adc"),
+        F.round(F.count("*").cast("double") / TOP_K, 6).alias("overlap_adc"),
+    )
+    rr_hits = rerank.join(tope, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_hits_reranked"),
+        F.round(F.count("*").cast("double") / TOP_K, 6).alias(
+            "recall_reranked"
+        ),
+    )
+    return (
+        adc_hits.join(F.broadcast(rr_hits))
+        .join(F.broadcast(occupancy))
+        .select(
+            "n_hits_adc",
+            "overlap_adc",
+            "n_hits_reranked",
+            "recall_reranked",
+            "n_codes_used",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Multi-probe ANN top-k (the recall/cost knob)
 # --------------------------------------------------------------------------
 TOPK_NPROBE = 3

@@ -136,6 +136,7 @@ class TestDriverContract:
             "daily_operations_summary",    # Q10 multi-signal day rollup
             "prefix_filtered_dup_pairs",   # PPJoin prefix filter + verify
             "stratified_sample_stats",     # per-stratum exact-quota sample
+            "pq_adc_quality",              # PQ codes + integer ADC ranking
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

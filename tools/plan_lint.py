@@ -171,6 +171,9 @@ BROADCAST_BOUNDED_OK = {
     "cluster_top_terms",
     # 1-row `vec_id = 0` query-label broadcast (same bound as the ANN family)
     "retrieval_eval_metrics",
+    # codebook = `vec_id < 64` subvectors (literal-bounded), 1-row query
+    # vector, and the 8×64 ADC lookup table — all constant-size sides
+    "pq_adc_quality",
 }
 
 
