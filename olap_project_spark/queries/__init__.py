@@ -183,6 +183,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "prefix_filtered_dup_pairs",
     "stratified_sample_stats",
     "pq_adc_quality",
+    "sql_lateral_top_orders",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "rfm_segments",
     "rolling_week_spend",
     "scd2_customer_price_ranges",
-    "small_qty_revenue_loss",
 )
 
 

@@ -1705,6 +1705,46 @@ def sql_urgent_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_URGENT_OPEN)
 
 
+# The second raw-SQL query: a correlated LATERAL subquery with ORDER BY
+# + LIMIT — top-3 orders per nation. One string, both engines.
+_SQL_LATERAL_TOP = """
+SELECT n_name, o.order_key, o.total_price, o.rk
+FROM nation,
+LATERAL (
+  SELECT o_orderkey AS order_key,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+           AS total_price,
+         CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+              AS INTEGER) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey = n_nationkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+"""
+
+
+@register("sql_lateral_top_orders", oracle=_SQL_LATERAL_TOP)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end parity #2: a correlated LATERAL subquery (top-3
+    orders per nation, with ORDER BY + LIMIT + a window INSIDE the
+    lateral) submitted as raw SQL — the oracle is the LITERAL same
+    string. Where sql_urgent_open_customers pins EXISTS/NOT-EXISTS
+    decorrelation, this pins the harder rewrite: Catalyst must
+    decorrelate a per-row dependent subquery carrying its own sort,
+    limit, and window into a joinable form (the per-group top-k that
+    users naturally write as LATERAL).
+
+    Scale: the decorrelated plan is the same shape as the DataFrame
+    per-group top-k family (window rank over the orders⋈customer join,
+    partitioned by nation) — per-key state, no cartesian, no
+    re-execution per outer row; that equivalence is the point."""
+    from olap_project_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOP)
+
+
 # --------------------------------------------------------------------------
 # Z-order clustering quality — the multi-dimensional layout lever
 # --------------------------------------------------------------------------

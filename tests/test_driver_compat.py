@@ -137,6 +137,7 @@ class TestDriverContract:
             "prefix_filtered_dup_pairs",   # PPJoin prefix filter + verify
             "stratified_sample_stats",     # per-stratum exact-quota sample
             "pq_adc_quality",              # PQ codes + integer ADC ranking
+            "sql_lateral_top_orders",      # LATERAL decorrelation, raw SQL
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
