@@ -184,6 +184,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "stratified_sample_stats",
     "pq_adc_quality",
     "sql_lateral_top_orders",
+    "knn_label_accuracy",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "revenue_increase_q6",
     "rfm_segments",
     "rolling_week_spend",
-    "scd2_customer_price_ranges",
 )
 
 

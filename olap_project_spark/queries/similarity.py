@@ -304,6 +304,155 @@ def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# kNN label-vote classifier (embedding-quality evaluation)
+# --------------------------------------------------------------------------
+KNN_VOTE_K = 5
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb)))
+                        DESC, cent.cid) AS rn
+      FROM e, cent
+    ),
+    probes AS (SELECT vec_id, cid FROM scored WHERE rn <= {NEAR_DUP_NPROBE}),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    n AS (SELECT vec_id, emb, label,
+                 sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    cand AS (
+      SELECT p.vec_id AS v, a.vec_id AS u
+      FROM probes p JOIN assign a
+        ON a.cid = p.cid AND a.vec_id <> p.vec_id
+    ),
+    knn AS (
+      SELECT v, u,
+             row_number() OVER (PARTITION BY v
+               ORDER BY list_dot_product(nv.emb, nu.emb)
+                        / (nv.nrm * nu.nrm) DESC, u) AS rk
+      FROM cand JOIN n nv ON nv.vec_id = v JOIN n nu ON nu.vec_id = u
+    ),
+    votes AS (
+      SELECT k.v, nu.label AS plabel, COUNT(*) AS n_votes
+      FROM knn k JOIN n nu ON nu.vec_id = k.u
+      WHERE k.rk <= {KNN_VOTE_K}
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT v, plabel FROM (
+        SELECT v, plabel,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY n_votes DESC, plabel) AS pr
+        FROM votes) WHERE pr = 1
+    )
+    SELECT nt.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN pred.plabel = nt.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred.plabel = nt.label
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS accuracy
+    FROM pred JOIN n nt ON nt.vec_id = pred.v
+    GROUP BY 1
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-vote classifier over the embedding corpus — the
+    standard EMBEDDING-QUALITY evaluation (kNN probe): predict each
+    vector's label from the majority label of its {KNN_VOTE_K} nearest
+    multi-probe neighbors and report per-label accuracy. High accuracy
+    means the embedding space clusters the label structure; a label
+    whose accuracy collapses is one the encoder fails to separate —
+    the go/no-go check before trusting an embedding column for
+    semantic dedup or retrieval filtering.
+
+    Candidate generation is the IVF multi-probe index (each vector
+    probes its {NEAR_DUP_NPROBE} nearest of {N_CENTROIDS} cells;
+    neighbors come from their single assigned cell) — the same
+    sub-quadratic shape as the ANN family, reusing the memoized
+    centroid ranking. Majority vote ties break on the
+    lexicographically smallest label; neighbor ranks tie-break on
+    vec_id — fully deterministic cross-engine.
+
+    Scale: candidate cost Σ_cells |cell|·probes, never |corpus|²; the
+    kNN rank and the vote are windows PARTITIONED by the query vector;
+    the accuracy rollup is one hash aggregate over |labels| groups.
+    With √n centroids the candidate fraction shrinks as the corpus
+    grows."""
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    probes = ranked.filter(F.col("rn") <= NEAR_DUP_NPROBE).select(
+        F.col("vec_id").alias("v"), "cid"
+    )
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("u"), "cid"
+    )
+    n = e.select(
+        "vec_id",
+        "emb",
+        "label",
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    )
+    cand = probes.join(assign, "cid").filter(F.col("v") != F.col("u")).select(
+        "v", "u"
+    )
+    nv = n.select(
+        F.col("vec_id").alias("v"),
+        F.col("emb").alias("emb_v"),
+        F.col("nrm").alias("nrm_v"),
+    )
+    nu = n.select(
+        F.col("vec_id").alias("u"),
+        F.col("emb").alias("emb_u"),
+        F.col("nrm").alias("nrm_u"),
+        F.col("label").alias("plabel"),
+    )
+    cos = dot(F.col("emb_v"), F.col("emb_u")) / (
+        F.col("nrm_v") * F.col("nrm_u")
+    )
+    wk = Window.partitionBy("v").orderBy(F.desc("cos_raw"), F.asc("u"))
+    knn = (
+        cand.join(nv, "v")
+        .join(nu, "u")
+        .select("v", "u", "plabel", cos.alias("cos_raw"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_VOTE_K)
+    )
+    votes = knn.groupBy("v", "plabel").agg(F.count("*").alias("n_votes"))
+    wp = Window.partitionBy("v").orderBy(F.desc("n_votes"), F.asc("plabel"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("v", "plabel")
+    )
+    truth = n.select(F.col("vec_id").alias("v"), "label")
+    hit = (F.col("plabel") == F.col("label")).cast("bigint")
+    return (
+        pred.join(truth, "v")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit).cast("double") / F.count("*"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path)
 # --------------------------------------------------------------------------
 @register(

@@ -138,6 +138,7 @@ class TestDriverContract:
             "stratified_sample_stats",     # per-stratum exact-quota sample
             "pq_adc_quality",              # PQ codes + integer ADC ranking
             "sql_lateral_top_orders",      # LATERAL decorrelation, raw SQL
+            "knn_label_accuracy",          # kNN label-vote embedding eval
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -174,6 +174,8 @@ BROADCAST_BOUNDED_OK = {
     # codebook = `vec_id < 64` subvectors (literal-bounded), 1-row query
     # vector, and the 8×64 ADC lookup table — all constant-size sides
     "pq_adc_quality",
+    # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
+    "knn_label_accuracy",
 }
 
 
