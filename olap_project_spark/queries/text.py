@@ -1170,3 +1170,134 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_oov.cast("bigint")).cast("double") / F.count("*"), 6
         ).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model perplexity filter (CCNet-style quality scoring)
+# --------------------------------------------------------------------------
+LM_NLL_BUCKET_MICRO = 50_000  # 0.05-nat histogram buckets
+LM_NLL_PER_NAT = 1_000_000 // LM_NLL_BUCKET_MICRO  # buckets per nat (20)
+
+
+@register(
+    "lm_perplexity_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT unnest(ts) AS tok FROM d),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM tok),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS big
+      FROM d, UNNEST(range(1, len(ts))) AS t(i)
+    ),
+    c12 AS (SELECT w1, big, COUNT(*) AS n12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+    lp AS (
+      SELECT c12.big,
+             CAST(ROUND(ln(CAST(n12 + 1 AS DOUBLE) / (n1 + vocab)) * 1000000)
+                  AS BIGINT) AS lp_micro
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    doc AS (
+      SELECT bg.doc_id, SUM(lp_micro) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg JOIN lp USING (big) GROUP BY 1
+    ),
+    bucketed AS (
+      SELECT CAST((-s * {LM_NLL_PER_NAT}) // (n * 1000000) AS BIGINT)
+               AS nll_bucket
+      FROM doc
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bucketed)
+    SELECT nll_bucket,
+           ROUND(CAST(nll_bucket AS DOUBLE) * 0.05, 2) AS nll_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity histogram over the corpus — the CCNet-style
+    quality filter: train a Laplace-smoothed bigram model on the corpus
+    itself (p(w2|w1) = (c12+1)/(c1+V)), score each document by its
+    average per-bigram negative log-likelihood, and histogram the
+    corpus in 0.05-nat buckets. High-NLL tails are the
+    boilerplate/garbled docs a pretraining pipeline drops; the bucket
+    table is the threshold-picking artifact.
+
+    Determinism: per-bigram log-probs round once to integer micro-nats
+    (sub-ulp libm drift absorbed, the bm25/tfidf precedent); per-doc
+    totals are then EXACT bigint sums (order-independent — the repo's
+    integer-cents convention), and the bucket index is exact integer
+    division on both engines (positive operands, so DuckDB `//`
+    truncation == Spark `div`).
+
+    Scale: two hash aggregates build the model (bigram and context
+    counts, the shuffles); scoring is one equi-join of bigram
+    instances against the distinct-bigram table; vocab and the doc
+    total are 1-row broadcasts. No windows, no driver loops — the
+    model IS a DataFrame, so at 100 TB it materializes once and
+    scores any number of corpora incrementally.
+
+    Beyond-reference surface (task brief "text analysis" / quality
+    scoring); complements doc_quality_scores' heuristic features with
+    a statistical LM score."""
+    from olap_project_spark.functions.text import word_shingles
+
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ts = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    tok = ts.select(F.explode("ts").alias("tok"))
+    vocab = tok.agg(F.count_distinct("tok").cast("bigint").alias("vocab"))
+    bg = ts.select(
+        "doc_id", F.explode(word_shingles(F.col("ts"), 2)).alias("big")
+    ).withColumn("w1", F.substring_index("big", " ", 1))
+    c12 = bg.groupBy("w1", "big").agg(F.count("*").alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    lp = (
+        c12.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "big",
+            F.round(
+                F.log(
+                    (F.col("n12") + 1).cast("double")
+                    / (F.col("n1") + F.col("vocab"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    doc = (
+        bg.join(lp, "big")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_micro").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    bucketed = doc.select(
+        F.expr(f"(-s * {LM_NLL_PER_NAT}) div (n * 1000000)")
+        .cast("bigint")
+        .alias("nll_bucket")
+    )
+    tot = bucketed.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        bucketed.groupBy("nll_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot))
+        .select(
+            "nll_bucket",
+            F.round(F.col("nll_bucket").cast("double") * 0.05, 2).alias(
+                "nll_lo"
+            ),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("nll_bucket")
+    )

@@ -139,6 +139,7 @@ class TestDriverContract:
             "pq_adc_quality",              # PQ codes + integer ADC ranking
             "sql_lateral_top_orders",      # LATERAL decorrelation, raw SQL
             "knn_label_accuracy",          # kNN label-vote embedding eval
+            "lm_perplexity_buckets",       # bigram-LM perplexity filter
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
