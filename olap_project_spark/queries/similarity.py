@@ -1488,3 +1488,177 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full IVF-PQ pipeline (coarse cells + ADC shortlist + exact re-rank)
+# --------------------------------------------------------------------------
+IVFPQ_SHORTLIST = 100  # ADC-ranked candidates kept for exact re-rank
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb)))
+                        DESC, cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    probes AS (SELECT cid FROM scored
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {NEAR_DUP_NPROBE}),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probes p ON a.cid = p.cid
+      WHERE a.vec_id <> {QUERY_VEC_ID}
+    ),
+    ms AS (SELECT CAST(range AS INTEGER) AS m FROM range(0, {PQ_M})),
+    subs AS (
+      SELECT vec_id, m, emb[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+      FROM e, ms
+    ),
+    cb AS (SELECT vec_id AS cid, m, sub AS csub FROM subs
+           WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT s.vec_id, s.m, cb.cid,
+             list_dot_product(cb.csub, cb.csub)
+             - 2 * list_dot_product(s.sub, cb.csub) AS dk
+      FROM subs s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dk, cid) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    q AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+    qd AS (
+      SELECT cb.m, cb.cid,
+             CAST(ROUND(list_dot_product(q.qsub, cb.csub) * {ADC_SCALE})
+                  AS BIGINT) AS qd_u
+      FROM cb JOIN q ON q.m = cb.m
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(qd.qd_u) AS BIGINT) AS adc_u
+      FROM codes c
+      JOIN cand ON cand.vec_id = c.vec_id
+      JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+      GROUP BY c.vec_id
+    ),
+    short AS (SELECT vec_id FROM adc
+              ORDER BY adc_u DESC, vec_id LIMIT {IVFPQ_SHORTLIST}),
+    qf AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.emb, qf.emb)
+                 / (sqrt(list_dot_product(e.emb, e.emb))
+                    * sqrt(list_dot_product(qf.emb, qf.emb))), 6) AS cos_sim
+    FROM e JOIN short USING (vec_id), qf
+    ORDER BY list_dot_product(e.emb, qf.emb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(qf.emb, qf.emb))) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF-PQ search pipeline (Jégou et al., TPAMI 2011)
+    — the production large-scale ANN shape, assembled from the two
+    halves this family already contracts separately (IVF cells:
+    ann_multiprobe_topk; PQ/ADC fidelity: pq_adc_quality):
+
+      1. coarse quantizer prunes the corpus to the query's
+         {NEAR_DUP_NPROBE} nearest of {N_CENTROIDS} cells,
+      2. ADC ranks ONLY those candidates from {PQ_M}-byte PQ codes
+         via the query's {PQ_M}x{PQ_K} integer lookup table,
+      3. the top-{IVFPQ_SHORTLIST} shortlist is re-ranked with exact
+         full-precision cosine; top-{TOP_K} returned.
+
+    Why it matters at 100 TB: stage 1 reads ~nprobe/n_cells of the
+    index, stage 2 reads {PQ_M} bytes per candidate instead of 256,
+    and stage 3 touches full vectors only for the shortlist — memory
+    and IO both shrink by orders of magnitude while the answer stays
+    exact over the shortlist. In Spark terms: cells are partition
+    pruning on a cid-bucketed table, ADC is a broadcast-join of a
+    512-row lookup table against the codes column, re-rank is a
+    TakeOrderedAndProject over {IVFPQ_SHORTLIST} rows.
+
+    Determinism: cell ranks and code assignment tie-break on id;
+    ADC sums are exact integer micro-units (order-free); the re-rank
+    key is a single left-to-right dot-product fold — bit-identical
+    cross-engine."""
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    probes = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID)
+        & (F.col("rn") <= NEAR_DUP_NPROBE)
+    ).select("cid")
+    cand = (
+        ranked.filter(F.col("rn") == 1)
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "sub"),
+    ).select(F.col("vec_id"), F.col("m").cast("int").alias("m"), "sub")
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sub").alias("csub")
+    )
+    dk = dot(F.col("csub"), F.col("csub")) - 2 * dot(
+        F.col("sub"), F.col("csub")
+    )
+    wc = Window.partitionBy("vec_id", "m").orderBy("dk", "cid")
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", dk.alias("dk"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qsub = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", F.col("sub").alias("qsub")
+    )
+    qd = cb.join(F.broadcast(qsub), "m").select(
+        "m",
+        "cid",
+        F.round(dot(F.col("qsub"), F.col("csub")) * ADC_SCALE)
+        .cast("bigint")
+        .alias("qd_u"),
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(qd), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd_u").cast("bigint").alias("adc_u"))
+    )
+    short = (
+        adc.orderBy(F.desc("adc_u"), F.asc("vec_id"))
+        .limit(IVFPQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qf = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    cos_q = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        e.join(short, "vec_id")
+        .join(F.broadcast(qf))
+        .select("vec_id", cos_q.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )

@@ -140,6 +140,7 @@ class TestDriverContract:
             "sql_lateral_top_orders",      # LATERAL decorrelation, raw SQL
             "knn_label_accuracy",          # kNN label-vote embedding eval
             "lm_perplexity_buckets",       # bigram-LM perplexity filter
+            "ann_ivf_pq_topk",             # composed IVF-PQ pipeline
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -176,6 +176,9 @@ BROADCAST_BOUNDED_OK = {
     "pq_adc_quality",
     # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
     "knn_label_accuracy",
+    # _ivf_ranked centroids + PQ codebook (vec_id < 64) + probe-cell
+    # list + 1-row query vector — all literal-bounded sides
+    "ann_ivf_pq_topk",
 }
 
 
