@@ -187,6 +187,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "knn_label_accuracy",
     "lm_perplexity_buckets",
     "ann_ivf_pq_topk",
+    "source_vocab_divergence",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "q3_shipping_priority",
     "repeated_chunks",
     "returned_item_customers",
-    "revenue_increase_q6",
 )
 
 

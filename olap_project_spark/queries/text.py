@@ -1301,3 +1301,138 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nll_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary divergence (corpus drift monitoring)
+# --------------------------------------------------------------------------
+JS_NANO = 1_000_000_000  # per-term JS contributions round to nano-nats
+
+
+@register(
+    "source_vocab_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ct AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM ct GROUP BY 1),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb, a.tok, a.c AS ca, b.c AS cb
+      FROM ct a JOIN ct b ON a.tok = b.tok AND a.source < b.source
+    ),
+    terms AS (
+      SELECT sa, sb, ca, cb,
+             CAST(ROUND((CAST(ca AS DOUBLE) / na.n)
+                  * ln((2 * CAST(ca AS DOUBLE) / na.n)
+                       / (CAST(ca AS DOUBLE) / na.n
+                          + CAST(cb AS DOUBLE) / nb.n))
+                  * {JS_NANO}) AS BIGINT) AS t1,
+             CAST(ROUND((CAST(cb AS DOUBLE) / nb.n)
+                  * ln((2 * CAST(cb AS DOUBLE) / nb.n)
+                       / (CAST(ca AS DOUBLE) / na.n
+                          + CAST(cb AS DOUBLE) / nb.n))
+                  * {JS_NANO}) AS BIGINT) AS t2
+      FROM shared JOIN tot na ON na.source = shared.sa
+                  JOIN tot nb ON nb.source = shared.sb
+    ),
+    agg AS (
+      SELECT sa, sb, SUM(t1) AS s1, SUM(t2) AS s2,
+             CAST(SUM(ca) AS BIGINT) AS csa, CAST(SUM(cb) AS BIGINT) AS csb,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b, n_shared AS n_shared_tokens,
+           ROUND(0.5 * CAST(s1 + s2 AS DOUBLE) / {JS_NANO}
+                 + 0.5 * ln(2) * (2 - CAST(csa AS DOUBLE) / na.n
+                                    - CAST(csb AS DOUBLE) / nb.n), 6)
+             AS js_divergence
+    FROM agg JOIN tot na ON na.source = agg.sa
+             JOIN tot nb ON nb.source = agg.sb
+    ORDER BY 1, 2
+    """,
+)
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every source pair — the corpus drift/mixture
+    monitor: a source whose vocabulary diverges from the rest is a
+    domain shift (new crawl snapshot, changed boilerplate, different
+    language mix) that the mixture plan should reweight for, and JS
+    (symmetric, bounded by ln 2) is the standard comparison metric.
+
+    Decomposition for scale: JS needs the token UNION per pair, but
+    tokens private to one source contribute exactly p·ln2 — so the
+    query joins only SHARED tokens (an equi-join on token, never a
+    per-pair outer join) and applies the closed-form
+    ln2·(1 − Σ_shared p) correction from exact integer count sums.
+
+    Determinism: per-token JS terms round once to nano-nats then sum
+    as exact bigints (order-free, the repo's fixed-point convention);
+    the correction term's probability masses are quotients of exact
+    integer sums; one final 6-dp round.
+
+    Scale: token counts are two hash aggregates; the pair join fans
+    out each token row to at most n_sources² pairs (vocab-bounded,
+    corpus-size-independent frames); result is |pairs| rows."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    ct = tok.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = ct.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = ct.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
+    )
+    b = ct.select(
+        F.col("source").alias("sb"), F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    shared = a.join(
+        b, (F.col("tok") == F.col("tok_b")) & (F.col("sa") < F.col("sb"))
+    )
+    na = tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    nb = tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    p = F.col("ca").cast("double") / F.col("n_a")
+    q = F.col("cb").cast("double") / F.col("n_b")
+    t1 = F.round(p * F.log(2 * p / (p + q)) * JS_NANO).cast("bigint")
+    t2 = F.round(q * F.log(2 * q / (p + q)) * JS_NANO).cast("bigint")
+    terms = (
+        shared.join(na, "sa")
+        .join(nb, "sb")
+        .select("sa", "sb", "ca", "cb", t1.alias("t1"), t2.alias("t2"))
+    )
+    agg = terms.groupBy("sa", "sb").agg(
+        F.sum("t1").alias("s1"),
+        F.sum("t2").alias("s2"),
+        F.sum("ca").cast("bigint").alias("csa"),
+        F.sum("cb").cast("bigint").alias("csb"),
+        F.count("*").cast("bigint").alias("n_shared"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    js = F.round(
+        0.5 * (F.col("s1") + F.col("s2")).cast("double") / JS_NANO
+        + 0.5
+        * ln2
+        * (
+            2
+            - F.col("csa").cast("double") / F.col("n_a")
+            - F.col("csb").cast("double") / F.col("n_b")
+        ),
+        6,
+    )
+    return (
+        agg.join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("n_shared").alias("n_shared_tokens"),
+            js.alias("js_divergence"),
+        )
+        .orderBy("source_a", "source_b")
+    )

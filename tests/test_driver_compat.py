@@ -141,6 +141,7 @@ class TestDriverContract:
             "knn_label_accuracy",          # kNN label-vote embedding eval
             "lm_perplexity_buckets",       # bigram-LM perplexity filter
             "ann_ivf_pq_topk",             # composed IVF-PQ pipeline
+            "source_vocab_divergence",     # pairwise JS vocab drift
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
