@@ -1,0 +1,269 @@
+"""Independent pure-Python/numpy references for the round-6c
+operators (kNN label-vote eval, bigram-LM perplexity filter, composed
+IVF-PQ search, cross-source JS vocabulary divergence) — complementing
+their DuckDB oracles (tools/oracle_check.py) with full semantic
+re-derivations the hash compare can't localize failures in."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+_import_all()
+
+
+def q(name):
+    return QUERY_REGISTRY[name].fn
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+@pytest.fixture(scope="module")
+def emb(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    return {
+        vid: (np.array(e, dtype=np.float64), lab) for vid, e, lab in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+
+def _cells(emb):
+    """IVF coarse ranking: per vector, centroid ids (= first 16
+    vectors) ordered by cosine desc, cid asc — mirrors _ivf_ranked."""
+    from olap_project_spark.queries.similarity import N_CENTROIDS
+
+    cents = {c: emb[c][0] for c in range(N_CENTROIDS)}
+    ranked = {}
+    for vid, (v, _lab) in emb.items():
+        nv = np.linalg.norm(v)
+        sims = {
+            c: float(v @ cv) / (nv * np.linalg.norm(cv))
+            for c, cv in cents.items()
+        }
+        ranked[vid] = sorted(sims, key=lambda c: (-sims[c], c))
+    return ranked
+
+
+class TestKnnLabelAccuracy:
+    def test_matches_numpy_reference(self, spark, sf_dir, emb):
+        from olap_project_spark.queries.similarity import (
+            KNN_VOTE_K,
+            NEAR_DUP_NPROBE,
+        )
+
+        ranked = _cells(emb)
+        assign = {vid: r[0] for vid, r in ranked.items()}
+        by_cell: dict[int, list[int]] = {}
+        for vid, cid in assign.items():
+            by_cell.setdefault(cid, []).append(vid)
+        correct: dict[str, int] = {}
+        total: dict[str, int] = {}
+        for vid, (v, lab) in emb.items():
+            cand = [
+                u
+                for cid in ranked[vid][:NEAR_DUP_NPROBE]
+                for u in by_cell.get(cid, [])
+                if u != vid
+            ]
+            if not cand:
+                continue
+            nv = np.linalg.norm(v)
+            sims = {
+                u: float(v @ emb[u][0]) / (nv * np.linalg.norm(emb[u][0]))
+                for u in cand
+            }
+            top = sorted(cand, key=lambda u: (-sims[u], u))[:KNN_VOTE_K]
+            votes: dict[str, int] = {}
+            for u in top:
+                votes[emb[u][1]] = votes.get(emb[u][1], 0) + 1
+            pred = sorted(votes, key=lambda p: (-votes[p], p))[0]
+            total[lab] = total.get(lab, 0) + 1
+            if pred == lab:
+                correct[lab] = correct.get(lab, 0) + 1
+        got = {
+            r["label"]: r
+            for r in q("knn_label_accuracy")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(total)
+        for lab in total:
+            assert got[lab]["n_vectors"] == total[lab]
+            assert got[lab]["n_correct"] == correct.get(lab, 0)
+            assert got[lab]["accuracy"] == pytest.approx(
+                correct.get(lab, 0) / total[lab], abs=1e-6
+            )
+
+
+class TestLmPerplexity:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        from olap_project_spark.queries.text import LM_NLL_PER_NAT
+
+        doc_bg = {}
+        c12: Counter = Counter()
+        c1: Counter = Counter()
+        vocab = set()
+        for doc_id, text, _src in docs:
+            if text is None or text.strip() == "":
+                continue
+            toks = text.lower().strip().split()
+            vocab.update(toks)
+            bgs = list(zip(toks, toks[1:]))
+            if bgs:
+                doc_bg[doc_id] = bgs
+                c12.update(bgs)
+                c1.update(t[0] for t in bgs)
+        V = len(vocab)
+        lp = {
+            bg: _round_half_away(
+                math.log((n + 1) / (c1[bg[0]] + V)) * 1_000_000
+            )
+            for bg, n in c12.items()
+        }
+        hist: Counter = Counter()
+        for bgs in doc_bg.values():
+            s = sum(lp[b] for b in bgs)
+            hist[(-s * LM_NLL_PER_NAT) // (len(bgs) * 1_000_000)] += 1
+        got = {
+            r["nll_bucket"]: r
+            for r in q("lm_perplexity_buckets")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(hist)
+        n_total = sum(hist.values())
+        for b, n in hist.items():
+            assert got[b]["n_docs"] == n
+            assert got[b]["nll_lo"] == pytest.approx(b * 0.05, abs=1e-9)
+            assert got[b]["share"] == pytest.approx(n / n_total, abs=1e-6)
+
+
+class TestIvfPqTopk:
+    def test_matches_numpy_reference(self, spark, sf_dir, emb):
+        from olap_project_spark.queries.similarity import (
+            ADC_SCALE,
+            IVFPQ_SHORTLIST,
+            NEAR_DUP_NPROBE,
+            PQ_K,
+            PQ_M,
+            PQ_SUB,
+            QUERY_VEC_ID,
+            TOP_K,
+        )
+
+        ranked = _cells(emb)
+        assign = {vid: r[0] for vid, r in ranked.items()}
+        probes = set(ranked[QUERY_VEC_ID][:NEAR_DUP_NPROBE])
+        cand = [
+            vid
+            for vid, cid in assign.items()
+            if cid in probes and vid != QUERY_VEC_ID
+        ]
+        assert cand, "probed cells must contain candidates"
+        subs = {
+            vid: [
+                v[m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)
+            ]
+            for vid, (v, _l) in emb.items()
+        }
+        cb = {
+            m: {c: subs[c][m] for c in range(PQ_K)} for m in range(PQ_M)
+        }
+        codes = {}
+        for vid in emb:
+            codes[vid] = [
+                min(
+                    range(PQ_K),
+                    key=lambda c: (
+                        float(cb[m][c] @ cb[m][c])
+                        - 2 * float(subs[vid][m] @ cb[m][c]),
+                        c,
+                    ),
+                )
+                for m in range(PQ_M)
+            ]
+        qd = {
+            (m, c): _round_half_away(
+                float(subs[QUERY_VEC_ID][m] @ cb[m][c]) * ADC_SCALE
+            )
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        }
+        adc = {
+            vid: sum(qd[(m, codes[vid][m])] for m in range(PQ_M))
+            for vid in cand
+        }
+        short = sorted(adc, key=lambda v: (-adc[v], v))[:IVFPQ_SHORTLIST]
+        qv = emb[QUERY_VEC_ID][0]
+        nq = np.linalg.norm(qv)
+        cos = {
+            v: float(emb[v][0] @ qv) / (np.linalg.norm(emb[v][0]) * nq)
+            for v in short
+        }
+        want = sorted(cos, key=lambda v: (-cos[v], v))[:TOP_K]
+        rows = q("ann_ivf_pq_topk")(spark, sf_dir).collect()
+        assert [r["vec_id"] for r in rows] == want
+        for r in rows:
+            assert r["cos_sim"] == pytest.approx(cos[r["vec_id"]], abs=1e-6)
+
+
+class TestSourceVocabDivergence:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        from olap_project_spark.queries.text import JS_NANO
+
+        ct: dict[str, Counter] = {}
+        for _doc_id, text, src in docs:
+            if text is None or text.strip() == "":
+                continue
+            ct.setdefault(src, Counter()).update(text.lower().strip().split())
+        tot = {s: sum(c.values()) for s, c in ct.items()}
+        want = {}
+        srcs = sorted(ct)
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1 :]:
+                sh = set(ct[sa]) & set(ct[sb])
+                if not sh:
+                    continue
+                s1 = s2 = csa = csb = 0
+                for t in sh:
+                    p = ct[sa][t] / tot[sa]
+                    qq = ct[sb][t] / tot[sb]
+                    s1 += _round_half_away(
+                        p * math.log(2 * p / (p + qq)) * JS_NANO
+                    )
+                    s2 += _round_half_away(
+                        qq * math.log(2 * qq / (p + qq)) * JS_NANO
+                    )
+                    csa += ct[sa][t]
+                    csb += ct[sb][t]
+                js = 0.5 * (s1 + s2) / JS_NANO + 0.5 * math.log(2) * (
+                    2 - csa / tot[sa] - csb / tot[sb]
+                )
+                want[(sa, sb)] = (len(sh), js)
+        rows = q("source_vocab_divergence")(spark, sf_dir).collect()
+        got = {(r["source_a"], r["source_b"]): r for r in rows}
+        assert set(got) == set(want)
+        ln2 = math.log(2)
+        for key, (n_sh, js) in want.items():
+            assert got[key]["n_shared_tokens"] == n_sh
+            assert got[key]["js_divergence"] == pytest.approx(js, abs=1e-6)
+            assert -1e-9 <= got[key]["js_divergence"] <= ln2 + 1e-9
