@@ -188,6 +188,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "lm_perplexity_buckets",
     "ann_ivf_pq_topk",
     "source_vocab_divergence",
+    "concurrent_session_peaks",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "promo_revenue_share",
     "q3_shipping_priority",
     "repeated_chunks",
-    "returned_item_customers",
 )
 
 

@@ -4365,3 +4365,129 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     agg.append(F.max("lat_s").cast("bigint").alias("max_s"))
     return lat.agg(*agg)
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency (peak simultaneous sessions per day)
+# --------------------------------------------------------------------------
+@register(
+    "concurrent_session_peaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN prev IS NULL OR epoch(t - prev) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sid AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(t) AS s_start, MAX(t) AS s_end
+      FROM sid GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT strftime(s_start, '%Y-%m-%d') AS day, s_start AS t,
+             1 AS ds, 0 AS de FROM sess
+      UNION ALL
+      SELECT strftime(s_start, '%Y-%m-%d'), s_end, 0, 1 FROM sess
+    ),
+    per_t AS (SELECT day, t, SUM(ds) AS s, SUM(de) AS e
+              FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT day, e,
+             SUM(s - e) OVER (PARTITION BY day ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM per_t
+    ),
+    n AS (SELECT strftime(s_start, '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_sessions FROM sess GROUP BY 1)
+    SELECT cum.day, MAX(n.n_sessions) AS n_sessions,
+           CAST(MAX(c + e) AS BIGINT) AS peak_concurrent
+    FROM cum JOIN n ON n.day = cum.day
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def concurrent_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — the interval-algebra
+    operator (sweep-line concurrency) behind capacity planning and
+    concurrency SLAs: sessionize (the ``user_sessions`` 30-minute-gap
+    rule), turn each session [start, end] into +1/−1 boundary events,
+    and take the daily running-sum maximum. Touching endpoints count
+    as concurrent: boundaries aggregate per instant and the peak at t
+    is cum(t) + ends(t), i.e. starts at t are counted before ends at
+    t — the closed-interval sweep convention, with no reliance on
+    tie-ordering inside a window frame (each (day, t) key is unique
+    before the cumulative pass, the determinism requirement for a
+    ROWS frame).
+
+    Sessions are keyed to their START day (a session crossing
+    midnight counts toward the day it began — documented, identical
+    on both engines).
+
+    Scale: sessionization and the session rollup are per-user
+    windows/aggregates; the sweep is an integer prefix sum
+    PARTITIONED by day over per-instant aggregated boundaries
+    (|distinct timestamps| rows per day, exact bigint arithmetic).
+    For a day too large for one task, the two-pass range-partitioned
+    prefix-sum machinery (functions/scale.py) applies within the day;
+    the per-day partitioning already bounds the frame here."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(wu)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1
+    ).otherwise(0)
+    sid = ev.withColumn("new_session", new_session).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    day = F.date_format("s_start", "yyyy-MM-dd").alias("day")
+    b = sess.select(
+        day, F.col("s_start").alias("t"), F.lit(1).alias("ds"),
+        F.lit(0).alias("de"),
+    ).unionByName(
+        sess.select(
+            day, F.col("s_end").alias("t"), F.lit(0).alias("ds"),
+            F.lit(1).alias("de"),
+        )
+    )
+    per_t = b.groupBy("day", "t").agg(
+        F.sum("ds").alias("s"), F.sum("de").alias("e")
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_t.withColumn("c", F.sum(F.col("s") - F.col("e")).over(wd))
+    n = sess.groupBy(day).agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    return (
+        cum.groupBy("day")
+        .agg(
+            F.max(F.col("c") + F.col("e")).cast("bigint").alias(
+                "peak_concurrent"
+            )
+        )
+        .join(n, "day")
+        .select("day", "n_sessions", "peak_concurrent")
+        .orderBy("day")
+    )

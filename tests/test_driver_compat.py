@@ -142,6 +142,7 @@ class TestDriverContract:
             "lm_perplexity_buckets",       # bigram-LM perplexity filter
             "ann_ivf_pq_topk",             # composed IVF-PQ pipeline
             "source_vocab_divergence",     # pairwise JS vocab drift
+            "concurrent_session_peaks",    # sweep-line interval peaks
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

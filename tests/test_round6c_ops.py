@@ -267,3 +267,43 @@ class TestSourceVocabDivergence:
             assert got[key]["n_shared_tokens"] == n_sh
             assert got[key]["js_divergence"] == pytest.approx(js, abs=1e-6)
             assert -1e-9 <= got[key]["js_divergence"] <= ln2 + 1e-9
+
+
+class TestConcurrentSessionPeaks:
+    def test_matches_python_sweep(self, spark, sf_dir):
+        import duckdb
+        from collections import defaultdict
+
+        rows = duckdb.sql(
+            f"SELECT user_id, CAST(ts AS TIMESTAMP), event_id FROM "
+            f"'{sf_dir}/events.parquet' ORDER BY user_id, 2, event_id"
+        ).fetchall()
+        sessions = []
+        cur_user, cur_start, cur_end = None, None, None
+        for user, ts, _eid in rows:
+            if user != cur_user or (ts - cur_end).total_seconds() >= 1800:
+                if cur_user is not None:
+                    sessions.append((cur_start, cur_end))
+                cur_user, cur_start = user, ts
+            cur_end = ts
+        sessions.append((cur_start, cur_end))
+        by_day = defaultdict(list)
+        for s, e in sessions:
+            by_day[s.strftime("%Y-%m-%d")].append((s, e))
+        want = {}
+        for day, ivals in by_day.items():
+            bounds = defaultdict(lambda: [0, 0])
+            for s, e in ivals:
+                bounds[s][0] += 1
+                bounds[e][1] += 1
+            cum, peak = 0, 0
+            for t in sorted(bounds):
+                st, en = bounds[t]
+                peak = max(peak, cum + st)  # starts before ends at t
+                cum += st - en
+            want[day] = (len(ivals), peak)
+        got = {
+            r["day"]: (r["n_sessions"], r["peak_concurrent"])
+            for r in q("concurrent_session_peaks")(spark, sf_dir).collect()
+        }
+        assert got == want
