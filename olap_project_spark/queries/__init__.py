@@ -189,6 +189,8 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "source_vocab_divergence",
     "concurrent_session_peaks",
+    "char_entropy_buckets",
+    "bpe_merge_candidates",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -230,8 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "price_band_distribution",
     "priority_order_counts",
     "promo_revenue_share",
-    "q3_shipping_priority",
-    "repeated_chunks",
 )
 
 

@@ -1436,3 +1436,164 @@ def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy gibberish filter
+# --------------------------------------------------------------------------
+ENTROPY_BUCKET_NANO = 100_000_000  # 0.1-nat histogram buckets
+
+
+@register(
+    "char_entropy_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    ch AS (
+      SELECT doc_id, unnest(string_split(t, '')) AS c FROM d
+    ),
+    cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ch WHERE c <> '' GROUP BY 1, 2),
+    dn AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total FROM cc GROUP BY 1),
+    terms AS (
+      SELECT cc.doc_id,
+             CAST(ROUND((CAST(n AS DOUBLE) / total)
+                  * ln(CAST(n AS DOUBLE) / total) * 1000000000) AS BIGINT)
+               AS t
+      FROM cc JOIN dn USING (doc_id)
+    ),
+    ent AS (
+      SELECT doc_id, CAST((-SUM(t)) // {ENTROPY_BUCKET_NANO} AS BIGINT)
+               AS bucket
+      FROM terms GROUP BY doc_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ent)
+    SELECT bucket AS entropy_bucket,
+           ROUND(CAST(bucket AS DOUBLE) * 0.1, 1) AS entropy_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+    FROM ent CROSS JOIN tot
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def char_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy, histogrammed in
+    0.1-nat buckets — the gibberish/junk detector that complements
+    the LM perplexity filter: binary blobs and encoding garbage land
+    in the HIGH-entropy tail, templated/repeated filler in the LOW
+    tail, while natural language clusters in a narrow band. Standard
+    corpus-curation signal alongside doc_quality_scores'
+    length/punct/stopword heuristics.
+
+    Determinism: per-character terms p·ln p round once to nano-nats;
+    the per-doc entropy is then an EXACT bigint sum over ≤ |alphabet|
+    terms (order-free), and the bucket index is exact integer
+    division of positive operands (DuckDB `//` == Spark `div`).
+
+    Scale: the char explode is linear in corpus bytes and fuses with
+    the scan; both aggregates are hash aggregates keyed by
+    (doc_id[, char]) — no windows, no skew (per-doc alphabet is
+    bounded). At 100 TB the explode trades bytes for rows 1:1; a
+    mapInPandas char-histogram (one Arrow batch per task, no
+    explode) is the constant-factor alternative the multimodal
+    family already demonstrates."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
+    ch = d.select("doc_id", F.explode(F.split("t", "")).alias("c")).filter(
+        F.col("c") != ""
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").cast("bigint").alias("n"))
+    dn = cc.groupBy("doc_id").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    terms = cc.join(dn, "doc_id").select(
+        "doc_id",
+        F.round(p * F.log(p) * 1_000_000_000).cast("bigint").alias("t"),
+    )
+    ent = terms.groupBy("doc_id").agg(
+        F.expr(f"(-sum(t)) div {ENTROPY_BUCKET_NANO}")
+        .cast("bigint")
+        .alias("bucket")
+    )
+    tot = ent.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        ent.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("bucket").alias("entropy_bucket"),
+            F.round(F.col("bucket").cast("double") * 0.1, 1).alias(
+                "entropy_lo"
+            ),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("entropy_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate mining (tokenizer-training iteration 0)
+# --------------------------------------------------------------------------
+BPE_MERGE_TOP_K = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    pairs AS (
+      SELECT w, n, substr(w, i, 1) || '+' || substr(w, i + 1, 1) AS pair
+      FROM wc, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences, n_distinct_words
+    FROM agg ORDER BY n_occurrences DESC, pair LIMIT {BPE_MERGE_TOP_K}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer TRAINING (Sennrich et al.
+    2016): count adjacent character-pair frequencies across the
+    corpus, weighted by word frequency, and report the top
+    {BPE_MERGE_TOP_K} merge candidates — the pair the algorithm would
+    merge first, plus the runners-up. Complements bpe_token_stats
+    (which APPLIES a fixed pre-tokenizer) with the training side; the
+    word-frequency pre-aggregation is the standard trick that makes
+    BPE training corpus-size-independent after one pass.
+
+    Scale: the heavy reduction is the word-count hash aggregate
+    (corpus tokens → |vocab| rows); pair explosion then runs over
+    the VOCABULARY (bounded), not the corpus; top-k is a
+    TakeOrderedAndProject. Exact integer counts — no FP anywhere."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wc = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    # guard: sequence(1, 0) would DESCEND for 1-char words
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> concat(substr(w, i, 1), '+', substr(w, i + 1, 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select("w", "n", F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("w").cast("bigint").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP_K)
+    )

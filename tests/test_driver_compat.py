@@ -143,6 +143,8 @@ class TestDriverContract:
             "ann_ivf_pq_topk",             # composed IVF-PQ pipeline
             "source_vocab_divergence",     # pairwise JS vocab drift
             "concurrent_session_peaks",    # sweep-line interval peaks
+            "char_entropy_buckets",        # char-entropy gibberish filter
+            "bpe_merge_candidates",        # BPE training iteration 0
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
