@@ -307,3 +307,59 @@ class TestConcurrentSessionPeaks:
             for r in q("concurrent_session_peaks")(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestCharEntropy:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        from olap_project_spark.queries.text import ENTROPY_BUCKET_NANO
+
+        hist: Counter = Counter()
+        for _doc_id, text, _src in docs:
+            if text is None or text.strip() == "":
+                continue
+            cc = Counter(text.lower().strip())
+            total = sum(cc.values())
+            s = sum(
+                _round_half_away(
+                    (n / total) * math.log(n / total) * 1_000_000_000
+                )
+                for n in cc.values()
+            )
+            hist[(-s) // ENTROPY_BUCKET_NANO] += 1
+        got = {
+            r["entropy_bucket"]: r
+            for r in q("char_entropy_buckets")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(hist)
+        n_total = sum(hist.values())
+        for b, n in hist.items():
+            assert got[b]["n_docs"] == n
+            assert got[b]["share"] == pytest.approx(n / n_total, abs=1e-6)
+
+
+class TestBpeMergeCandidates:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        from olap_project_spark.queries.text import BPE_MERGE_TOP_K
+
+        wc: Counter = Counter()
+        for _doc_id, text, _src in docs:
+            if text is None or text.strip() == "":
+                continue
+            wc.update(text.lower().strip().split())
+        occ: Counter = Counter()
+        words: dict[str, set] = {}
+        for w, n in wc.items():
+            for a, b in zip(w, w[1:]):
+                pair = f"{a}+{b}"
+                occ[pair] += n
+                words.setdefault(pair, set()).add(w)
+        want = sorted(occ, key=lambda p: (-occ[p], p))[:BPE_MERGE_TOP_K]
+        rows = q("bpe_merge_candidates")(spark, sf_dir).collect()
+        assert [r["pair"] for r in rows] == want
+        for r in rows:
+            assert r["n_occurrences"] == occ[r["pair"]]
+            assert r["n_distinct_words"] == len(words[r["pair"]])
