@@ -4491,3 +4491,140 @@ def concurrent_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_sessions", "peak_concurrent")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier churn survival curve (right-censored)
+# --------------------------------------------------------------------------
+@register(
+    "km_churn_survival",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS first_d,
+             CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_d) AS max_d FROM ud),
+    life AS (
+      SELECT user_id, date_diff('day', first_d, last_d) AS t,
+             CASE WHEN last_d < max_d THEN 1 ELSE 0 END AS churned
+      FROM ud CROSS JOIN mx
+    ),
+    tl AS (
+      SELECT t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(SUM(1 - churned) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS ended
+      FROM life GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM life),
+    cum AS (
+      SELECT t, d, c,
+             CAST(n_users - COALESCE(SUM(ended) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM tl CROSS JOIN tot
+    ),
+    lt AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d = n_risk THEN NULL
+                  ELSE CAST(ROUND(ln(1 - CAST(d AS DOUBLE) / n_risk)
+                                  * 1000000000) AS BIGINT) END AS lnf,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero_f
+      FROM cum
+    ),
+    km AS (
+      SELECT t, d, c, n_risk,
+             SUM(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+             SUM(zero_f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zsum
+      FROM lt
+    )
+    SELECT t AS t_days, n_risk AS n_at_risk, d AS n_churned,
+           c AS n_censored,
+           CASE WHEN zsum > 0 THEN 0.0
+                ELSE ROUND(exp(CAST(lsum AS DOUBLE) / 1000000000), 6)
+           END AS survival
+    FROM km ORDER BY t_days
+    """,
+)
+def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetime (days between a
+    user's first and last event), with RIGHT-CENSORING: users still
+    active on the corpus's final day haven't churned — they exit the
+    risk set without counting as an event, exactly what naive "days
+    until last event" retention gets wrong. S(t) = Π_{i≤t}
+    (1 − dᵢ/nᵢ) over event times — the standard churn/retention
+    estimator (Kaplan & Meier 1958).
+
+    Determinism: the product runs as a cumulative sum of per-time
+    ln(1 − d/n) factors rounded once to integer nano-nats (exact
+    bigint window sum, the repo's fixed-point convention), exp'd and
+    rounded once at the end; a d = n time (everyone at risk churns)
+    zeroes the curve via an integer flag, not via ln(0).
+
+    Scale: per-user lifetimes are one hash aggregate; the curve
+    itself lives on the LIFETIME-DAYS spine (bounded by the calendar
+    range — a decade is a few thousand rows), so the unpartitioned
+    cumulative windows run over an aggregated frame, never an entity
+    dimension (GLOBAL_WINDOW_OK class; at scale the window gains a
+    cohort/series key partition, same plan keyed)."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_d"),
+        F.to_date(F.max("ts")).alias("last_d"),
+    )
+    mx = ud.agg(F.max("last_d").alias("max_d"))
+    life = ud.join(F.broadcast(mx)).select(
+        F.datediff("last_d", "first_d").alias("t"),
+        F.when(F.col("last_d") < F.col("max_d"), 1).otherwise(0).alias(
+            "churned"
+        ),
+    )
+    tl = life.groupBy("t").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(1 - F.col("churned")).cast("bigint").alias("c"),
+        F.count("*").cast("bigint").alias("ended"),
+    )
+    tot = life.agg(F.count("*").cast("bigint").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        tl.join(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("ended").over(w_prev), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    at_cap = F.col("d") == F.col("n_risk")
+    lnf = F.when(at_cap, F.lit(None).cast("bigint")).otherwise(
+        F.round(
+            F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+            * 1_000_000_000
+        ).cast("bigint")
+    )
+    zero_f = F.when(at_cap, 1).otherwise(0)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = cum.select(
+        "t", "d", "c", "n_risk", lnf.alias("lnf"), zero_f.alias("zero_f")
+    ).select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lnf").over(w_cum).alias("lsum"),
+        F.sum("zero_f").over(w_cum).alias("zsum"),
+    )
+    survival = F.when(F.col("zsum") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("lsum").cast("double") / 1_000_000_000), 6)
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        survival.alias("survival"),
+    ).orderBy("t_days")

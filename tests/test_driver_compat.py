@@ -145,6 +145,7 @@ class TestDriverContract:
             "concurrent_session_peaks",    # sweep-line interval peaks
             "char_entropy_buckets",        # char-entropy gibberish filter
             "bpe_merge_candidates",        # BPE training iteration 0
+            "km_churn_survival",           # right-censored KM estimator
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

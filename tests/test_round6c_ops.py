@@ -363,3 +363,44 @@ class TestBpeMergeCandidates:
         for r in rows:
             assert r["n_occurrences"] == occ[r["pair"]]
             assert r["n_distinct_words"] == len(words[r["pair"]])
+
+
+class TestKmChurnSurvival:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import duckdb
+        from collections import defaultdict
+
+        rows = duckdb.sql(
+            f"SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE), "
+            f"CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM "
+            f"'{sf_dir}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+        max_d = max(r[2] for r in rows)
+        by_t = defaultdict(lambda: [0, 0])  # t -> [churned, censored]
+        for _u, first_d, last_d in rows:
+            t = (last_d - first_d).days
+            by_t[t][int(last_d >= max_d)] += 1
+        n_risk = len(rows)
+        surv = 1.0
+        want = {}
+        for t in sorted(by_t):
+            d, c = by_t[t]
+            surv *= 1 - d / n_risk
+            want[t] = (n_risk, d, c, surv)
+            n_risk -= d + c
+        got = {
+            r["t_days"]: r
+            for r in q("km_churn_survival")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for t, (nr, d, c, s) in want.items():
+            r = got[t]
+            assert (r["n_at_risk"], r["n_churned"], r["n_censored"]) == (
+                nr, d, c,
+            )
+            assert r["survival"] == pytest.approx(s, abs=1e-6)
+        # survival is monotone nonincreasing and within [0, 1]
+        ts = sorted(got)
+        vals = [got[t]["survival"] for t in ts]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert all(a >= b for a, b in zip(vals, vals[1:]))

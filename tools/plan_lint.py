@@ -122,6 +122,9 @@ GLOBAL_WINDOW_OK = {
     "bootstrap_mean_ci",
     # cumulative window over the 10-row bin table
     "score_lift_gains",
+    # cumulative windows over the lifetime-days spine (calendar-
+    # bounded; a decade is a few thousand rows)
+    "km_churn_survival",
 }
 
 # Families where Arrow-batched Python is the documented extension point
