@@ -192,6 +192,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "char_entropy_buckets",
     "bpe_merge_candidates",
     "km_churn_survival",
+    "cuped_adjusted_metrics",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "national_market_share",
     "part_supplier_diversity",
     "price_band_distribution",
-    "priority_order_counts",
 )
 
 

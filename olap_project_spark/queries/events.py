@@ -4628,3 +4628,155 @@ def km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         survival.alias("survival"),
     ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B metrics
+# --------------------------------------------------------------------------
+@register(
+    "cuped_adjusted_metrics",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS min_d,
+             CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS max_d
+      FROM events
+    ),
+    mid AS (SELECT min_d + CAST((date_diff('day', min_d, max_d) + 1) // 2
+                                AS INTEGER) AS mid_d FROM bounds),
+    pu AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 12) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             user_id,
+             SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) < mid_d
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= mid_d
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events CROSS JOIN mid
+      GROUP BY 1, 2
+    ),
+    pool AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pu
+    ),
+    th AS (
+      SELECT nd, sx,
+             ((nd * sxy) - (sx * sy)) / ((nd * sxx) - (sx * sx)) AS theta,
+             ((nd * sxy) - (sx * sy)) * ((nd * sxy) - (sx * sy))
+               / (((nd * sxx) - (sx * sx)) * ((nd * syy) - (sy * sy)))
+               AS r2
+      FROM pool
+    ),
+    arm AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS DOUBLE) AS sxa, CAST(SUM(y) AS DOUBLE) AS sya
+      FROM pu GROUP BY 1
+    )
+    SELECT bucket, n_users,
+           ROUND(sya / n_users, 6) AS mean_post,
+           ROUND(sya / n_users - theta * (sxa / n_users - sx / nd), 6)
+             AS mean_adjusted,
+           ROUND(theta, 6) AS theta,
+           ROUND(r2, 6) AS cuped_r2
+    FROM arm CROSS JOIN th
+    ORDER BY bucket
+    """,
+)
+def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B experiment (Deng et al.,
+    WSDM 2013 — the industry-standard estimator): split the calendar
+    range at its midpoint, use each user's PRE-period spend as the
+    covariate x for their post-period metric y, and report per-arm
+    adjusted means ŷ_arm − θ·(x̄_arm − x̄) with the pooled
+    θ = cov(x,y)/var(x). ``cuped_r2`` is the squared correlation —
+    the fraction of metric variance the adjustment removes (the
+    sensitivity gain a real experiment would bank; ~0 on this
+    synthetic corpus because pre/post spends are independent, which
+    the contract reports honestly).
+
+    Determinism: all moments are EXACT decimal sums per the OLS
+    convention (price_quantity_regression); doubles appear only
+    after the aggregate, in expression trees written identically on
+    both engines; arm assignment is the portable 48-bit md5 bucket
+    of ab_bucket_metrics.
+
+    Scale: one per-user aggregate (hash shuffle), one 1-row pooled
+    moment frame and one |arms|-row frame joined by broadcast — the
+    covariate adjustment costs one extra scan-side conditional sum
+    over the same shuffle."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("min_d"),
+        F.to_date(F.max("ts")).alias("max_d"),
+    )
+    mid = bounds.select(
+        F.date_add(
+            "min_d",
+            F.expr("CAST((datediff(max_d, min_d) + 1) div 2 AS INT)"),
+        ).alias("mid_d")
+    )
+    bucket = F.when(
+        portable_hash48(F.col("user_id").cast("string")) % 2 == 0, "A"
+    ).otherwise("B")
+    zero = F.lit(0).cast("decimal(18,2)")
+    pu = (
+        ev.join(F.broadcast(mid))
+        .select(
+            bucket.alias("bucket"),
+            "user_id",
+            F.when(F.to_date("ts") < F.col("mid_d"), _dec("value"))
+            .otherwise(zero)
+            .alias("xv"),
+            F.when(F.to_date("ts") >= F.col("mid_d"), _dec("value"))
+            .otherwise(zero)
+            .alias("yv"),
+        )
+        .groupBy("bucket", "user_id")
+        .agg(F.sum("xv").alias("x"), F.sum("yv").alias("y"))
+    )
+    pool = pu.agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = (F.col("nd") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den_x = (F.col("nd") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    den_y = (F.col("nd") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    th = pool.select(
+        "nd",
+        "sx",
+        (num / den_x).alias("theta"),
+        (num * num / (den_x * den_y)).alias("r2"),
+    )
+    arm = pu.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum("y").cast("double").alias("sya"),
+    )
+    mean_post = F.col("sya") / F.col("n_users")
+    mean_adj = mean_post - F.col("theta") * (
+        F.col("sxa") / F.col("n_users") - F.col("sx") / F.col("nd")
+    )
+    return (
+        arm.join(F.broadcast(th))
+        .select(
+            "bucket",
+            "n_users",
+            F.round(mean_post, 6).alias("mean_post"),
+            F.round(mean_adj, 6).alias("mean_adjusted"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(F.col("r2"), 6).alias("cuped_r2"),
+        )
+        .orderBy("bucket")
+    )

@@ -146,6 +146,7 @@ class TestDriverContract:
             "char_entropy_buckets",        # char-entropy gibberish filter
             "bpe_merge_candidates",        # BPE training iteration 0
             "km_churn_survival",           # right-censored KM estimator
+            "cuped_adjusted_metrics",      # CUPED variance reduction
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
