@@ -193,6 +193,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "bpe_merge_candidates",
     "km_churn_survival",
     "cuped_adjusted_metrics",
+    "mann_whitney_ab_test",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "multimodal_decode_stats",
     "national_market_share",
     "part_supplier_diversity",
-    "price_band_distribution",
 )
 
 

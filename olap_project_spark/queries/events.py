@@ -4780,3 +4780,144 @@ def cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank test (scale-safe global ordering)
+# --------------------------------------------------------------------------
+@register(
+    "mann_whitney_ab_test",
+    oracle="""
+    WITH pu AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 12) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             user_id, SUM(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT y,
+             CAST(SUM(CASE WHEN bucket = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_v,
+             CAST(SUM(CASE WHEN bucket = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_v,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM pu GROUP BY y
+    ),
+    cum AS (
+      SELECT a_v, b_v, t,
+             SUM(b_v) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM vc
+    ),
+    s AS (
+      SELECT CAST(SUM(a_v * (2 * (cum_b - b_v) + b_v)) AS BIGINT) AS u2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3,
+             CAST(SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tied
+      FROM cum
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN bucket = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN bucket = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pu
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_a,
+           ROUND((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+                 / (2 * sqrt(CAST(na AS DOUBLE) * nb / 12
+                    * ((CAST(n AS DOUBLE) + 1)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))),
+                 6) AS z_score,
+           ROUND(1 - CAST(u2 AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+             AS rank_biserial,
+           n_tied AS n_tied_values
+    FROM s CROSS JOIN tot
+    """,
+)
+def mann_whitney_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test between the A/B arms' per-user spend — the
+    NONPARAMETRIC significance test (rank-based, outlier-robust) that
+    pairs with cuped_adjusted_metrics' mean-based estimate; reports
+    the U statistic, normal-approximation z with the standard tie
+    correction, and the rank-biserial effect size.
+
+    U is computed WITHOUT materializing pairwise comparisons or a
+    global per-row rank: per distinct metric value v, U_A gains
+    a_v·(B_below(v) + b_v/2) — so the heavy frame is the distinct-
+    value spine, and B_below is an exact-integer prefix sum computed
+    by functions/scale.global_order_stats (range-partitioned two-pass
+    — no single-task sort; the 2× scaling keeps the half-tie term in
+    exact bigints). This is the scale-safe rank-test plan: two hash
+    aggregates, one range exchange, one 1-row join.
+
+    Determinism: U, tie mass Σ(t³−t), and all counts are exact
+    bigints; z and the effect size are double expression trees
+    written identically on both engines, rounded once."""
+    from olap_project_spark.functions.scale import global_order_stats
+    from olap_project_spark.functions.text import portable_hash48
+
+    ev = load(spark, sf_dir, "events")
+    bucket = F.when(
+        portable_hash48(F.col("user_id").cast("string")) % 2 == 0, "A"
+    ).otherwise("B")
+    pu = (
+        ev.select(bucket.alias("bucket"), "user_id", _dec("value").alias("v"))
+        .groupBy("bucket", "user_id")
+        .agg(F.sum("v").alias("y"))
+    )
+    is_a = (F.col("bucket") == "A").cast("bigint")
+    vc = pu.groupBy("y").agg(
+        F.sum(is_a).cast("bigint").alias("a_v"),
+        F.sum(1 - is_a).cast("bigint").alias("b_v"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    cum = global_order_stats(
+        vc, order_by=[F.col("y")], sum_cols={"cum_b": "b_v"}
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("a_v")
+            * (2 * (F.col("cum_b") - F.col("b_v")) + F.col("b_v"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+        F.sum((F.col("t") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tied"),
+    )
+    tot = pu.agg(
+        F.sum(is_a).cast("bigint").alias("na"),
+        F.sum(1 - is_a).cast("bigint").alias("nb"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    u2d = F.col("u2").cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    nd = F.col("n").cast("double")
+    z = (u2d - nad * nbd) / (
+        2
+        * F.sqrt(
+            nad
+            * nbd
+            / 12
+            * (
+                (nd + 1)
+                - F.col("tie3").cast("double") / (nd * (nd - 1))
+            )
+        )
+    )
+    return s.join(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (u2d / 2).alias("u_a"),
+        F.round(z, 6).alias("z_score"),
+        F.round(1 - u2d / (nad * nbd), 6).alias("rank_biserial"),
+        F.col("n_tied").alias("n_tied_values"),
+    )

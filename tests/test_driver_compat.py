@@ -147,6 +147,7 @@ class TestDriverContract:
             "bpe_merge_candidates",        # BPE training iteration 0
             "km_churn_survival",           # right-censored KM estimator
             "cuped_adjusted_metrics",      # CUPED variance reduction
+            "mann_whitney_ab_test",        # scale-safe rank test
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

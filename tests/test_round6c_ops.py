@@ -404,3 +404,100 @@ class TestKmChurnSurvival:
         vals = [got[t]["survival"] for t in ts]
         assert all(0.0 <= v <= 1.0 for v in vals)
         assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def _arm(user_id) -> str:
+    import hashlib
+
+    h = int(hashlib.md5(str(user_id).encode()).hexdigest()[:12], 16)
+    return "A" if h % 2 == 0 else "B"
+
+
+class TestCupedAdjustedMetrics:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import duckdb
+        from collections import defaultdict
+
+        min_d, max_d = duckdb.sql(
+            f"SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE), "
+            f"CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM "
+            f"'{sf_dir}/events.parquet'"
+        ).fetchone()
+        from datetime import timedelta
+
+        mid = min_d + timedelta(days=((max_d - min_d).days + 1) // 2)
+        rows = duckdb.sql(
+            f"SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE), "
+            f"CAST(value AS DECIMAL(18,2)) FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+        xy = defaultdict(lambda: [0, 0])  # user -> [x_cents, y_cents]
+        for uid, day, v in rows:
+            xy[uid][int(day >= mid)] += int(v * 100)
+        n = len(xy)
+        sx = sum(x for x, _ in xy.values()) / 100
+        sy = sum(y for _, y in xy.values()) / 100
+        sxy = sum(x * y for x, y in xy.values()) / 10_000
+        sxx = sum(x * x for x, _ in xy.values()) / 10_000
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        got = {
+            r["bucket"]: r
+            for r in q("cuped_adjusted_metrics")(spark, sf_dir).collect()
+        }
+        arms = defaultdict(lambda: [0, 0, 0])  # arm -> [n, sx, sy]
+        for uid, (x, y) in xy.items():
+            a = arms[_arm(uid)]
+            a[0] += 1
+            a[1] += x
+            a[2] += y
+        assert set(got) == set(arms)
+        for arm, (na, sxa, sya) in arms.items():
+            r = got[arm]
+            assert r["n_users"] == na
+            assert r["theta"] == pytest.approx(theta, abs=1e-6)
+            mean_post = sya / 100 / na
+            assert r["mean_post"] == pytest.approx(mean_post, abs=1e-6)
+            adj = mean_post - theta * (sxa / 100 / na - sx / n)
+            assert r["mean_adjusted"] == pytest.approx(adj, abs=1e-6)
+        # CUPED preserves the pooled mean: weighted adjusted means
+        # recombine to the raw pooled post-period mean
+        pooled = sum(
+            got[a]["mean_adjusted"] * arms[a][0] for a in arms
+        ) / n
+        assert pooled == pytest.approx(sy / n, abs=1e-4)
+
+
+class TestMannWhitney:
+    def test_matches_pairwise_definition(self, spark, sf_dir):
+        import duckdb
+        from collections import defaultdict
+
+        rows = duckdb.sql(
+            f"SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) FROM "
+            f"'{sf_dir}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+        vals = defaultdict(list)
+        for uid, y in rows:
+            vals[_arm(uid)].append(int(y * 100))
+        A, B = vals["A"], vals["B"]
+        u_a = sum(
+            (a > b) + 0.5 * (a == b) for a in A for b in B
+        )  # O(n²) pairwise definition — the ground truth
+        r = q("mann_whitney_ab_test")(spark, sf_dir).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (len(A), len(B))
+        assert r["u_a"] == pytest.approx(u_a, abs=1e-9)
+        assert r["rank_biserial"] == pytest.approx(
+            1 - 2 * u_a / (len(A) * len(B)), abs=1e-6
+        )
+        # z-score with tie correction, from first principles
+        import math
+        from collections import Counter
+
+        n = len(A) + len(B)
+        tie3 = sum(
+            t**3 - t for t in Counter(A + B).values()
+        )
+        sigma = math.sqrt(
+            len(A) * len(B) / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+        )
+        z = (u_a - len(A) * len(B) / 2) / sigma
+        assert r["z_score"] == pytest.approx(z, abs=1e-6)
