@@ -27,6 +27,9 @@ REPS = [
     ("scd2_user_type_history", "window-chain SCD2"),
     ("trailing_user_features", "time-RANGE features"),
     ("streaming_hourly_stats", "real stream"),
+    ("lm_perplexity_buckets", "bigram-LM score+histogram"),
+    ("mann_whitney_ab_test", "range-partitioned rank test"),
+    ("ann_ivf_pq_topk", "IVF cells + integer ADC"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
