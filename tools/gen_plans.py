@@ -257,6 +257,25 @@ SHOWCASE = [
         "join, with candidates bounded by prefix x df-cap instead of "
         "posting-list squares.",
     ),
+    (
+        "mann_whitney_ab_test",
+        "Nonparametric rank test at scale: U is derived from the "
+        "distinct-value spine (one hash aggregate collapses users to "
+        "values), B-below comes from the range-partitioned two-pass "
+        "prefix sum (every Window carries a _pid partition spec), and "
+        "the z/effect-size row is a 1-row broadcast join — no pairwise "
+        "comparison, no single-task sort, exact bigint U.",
+    ),
+    (
+        "ann_ivf_pq_topk",
+        "The composed IVF-PQ pipeline in one plan: cell pruning is an "
+        "equi-join against the probed-cell list, ADC scoring is a "
+        "broadcast join of the 512-entry integer lookup table against "
+        "the PQ codes (exact bigint sums), and only the "
+        "ADC-shortlisted rows reach the full-precision re-rank "
+        "TakeOrderedAndProject — index memory 8 bytes/vector, "
+        "full vectors touched only for the shortlist.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
