@@ -170,3 +170,53 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual (average) hash for media near-dup — exact-integer contract
+# --------------------------------------------------------------------------
+AHASH_CELLS = 64
+AHASH_BANDS = 4
+AHASH_BAND_BITS = AHASH_CELLS // AHASH_BANDS  # 16 bits per band key
+
+
+def ahash_band_keys(data: bytes) -> tuple[int, ...]:
+    """Average-hash (aHash) of a media byte stream, returned as
+    {AHASH_BANDS} integer band keys of {AHASH_BAND_BITS} bits each —
+    the LSH-bandable form of the 64-bit perceptual fingerprint.
+
+    EXACT-INTEGER contract (so a SQL engine reproduces it bit-for-bit
+    on ASCII payloads, where byte value == code point):
+      cell of 0-based byte p (n bytes total):
+          c = (64·(p+1) + n − 1) // n − 1        (the inverse of the
+          lo_c = c·n // 64 partition — verified exhaustively in tests)
+      bit_c = 1  iff  cell_sum_c · n > total_sum · cell_len_c
+          (cell mean > global mean, cross-multiplied — no division)
+      band b (0..3) packs bits 16b..16b+15 big-endian.
+
+    A real image pipeline would decode → grayscale → 8×8 downsample →
+    mean threshold; this operates on the raw byte stream (the decode
+    is stubbed, functions/multimodal.py:41-52) with identical
+    plumbing, batch shape, and banding."""
+    import numpy as np
+
+    v = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    n = int(v.size)
+    if n == 0:
+        return tuple(0 for _ in range(AHASH_BANDS))
+    p = np.arange(n, dtype=np.int64)
+    c = (AHASH_CELLS * (p + 1) + n - 1) // n - 1
+    cell_sum = np.bincount(c, weights=None, minlength=AHASH_CELLS)
+    # bincount with weights returns float; sum exactly via add.at
+    cell_sum = np.zeros(AHASH_CELLS, dtype=np.int64)
+    np.add.at(cell_sum, c, v)
+    cell_len = np.bincount(c, minlength=AHASH_CELLS).astype(np.int64)
+    total = int(v.sum())
+    bits = (cell_sum * n > total * cell_len).astype(np.int64)
+    keys = []
+    for b in range(AHASH_BANDS):
+        k = 0
+        for j in range(AHASH_BAND_BITS):
+            k = (k << 1) | int(bits[b * AHASH_BAND_BITS + j])
+        keys.append(k)
+    return tuple(keys)

@@ -284,3 +284,163 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CLUSTER_TOP_TERMS)
         .select("cid", "term", "tf", F.col("rn").cast("int").alias("term_rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (aHash) media near-dup — multimodal dedup leg
+# --------------------------------------------------------------------------
+AHASH_HAM_T = 6  # bits of 64; candidates at or under are duplicates
+
+
+@register(
+    "media_phash_dup_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text AS t FROM documents
+               WHERE length(text) > 0),
+    codes AS (
+      SELECT doc_id, i - 1 AS p, unicode(substr(t, i, 1)) AS v,
+             length(t) AS n
+      FROM d, UNNEST(range(1, length(t) + 1)) AS r(i)
+    ),
+    cells AS (
+      SELECT doc_id, (64 * p + 64 + n - 1) // n - 1 AS c,
+             CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS l,
+             MAX(n) AS n
+      FROM codes GROUP BY 1, 2
+    ),
+    tots AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total
+             FROM cells GROUP BY 1),
+    bits AS (
+      SELECT cells.doc_id, c,
+             CASE WHEN s * n > total * l THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN tots USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(c // 16 AS INTEGER) AS band,
+             CAST(SUM(bit * (1 << CAST(15 - c % 16 AS INTEGER)))
+                  AS BIGINT) AS key
+      FROM bits GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN key ELSE 0 END) AS k0,
+             MAX(CASE WHEN band = 1 THEN key ELSE 0 END) AS k1,
+             MAX(CASE WHEN band = 2 THEN key ELSE 0 END) AS k2,
+             MAX(CASE WHEN band = 3 THEN key ELSE 0 END) AS k3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ka.k0, kb.k0)) + bit_count(xor(ka.k1, kb.k1))
+                + bit_count(xor(ka.k2, kb.k2))
+                + bit_count(xor(ka.k3, kb.k3)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN bit_count(xor(ka.k0, kb.k0))
+                          + bit_count(xor(ka.k1, kb.k1))
+                          + bit_count(xor(ka.k2, kb.k2))
+                          + bit_count(xor(ka.k3, kb.k3)) <= {AHASH_HAM_T}
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM cand
+    JOIN keys ka ON ka.doc_id = doc_a
+    JOIN keys kb ON kb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL near-dup detection: a perceptual average-hash
+    (aHash) of each media payload computed in the Arrow-batched
+    mapInPandas path, banded 4×16 bits for LSH candidate generation,
+    candidates verified by Hamming distance — the image-dedup leg of
+    the dedup family (text: minhash_dup_pairs; embeddings:
+    embedding_near_dup_pairs). Reports every banded candidate pair
+    with its Hamming distance and the ≤{AHASH_HAM_T}-bit duplicate
+    verdict, i.e. the tuning curve AND the match set in one artifact.
+
+    The hash is an exact-integer contract (cell mean vs global mean
+    by cross-multiplication, no FP — functions/multimodal.py
+    ahash_band_keys), so the DuckDB oracle reproduces the Python
+    fingerprint bit-for-bit from character codes (ASCII payloads:
+    byte == code point). A real deployment swaps the byte stream for
+    decoded 8×8 grayscale intensities; banding, verify join, and
+    batch shape are unchanged.
+
+    Scale: hashing is a narrow Arrow map (no shuffle); candidates
+    come from 4 band-key equi-joins (each band key bounds its
+    posting list like an LSH band — never all-pairs); the verify is
+    a 4-int broadcast-sized projection per doc joined twice. At
+    100 TB this is the standard pHash dedup plan over an image lake."""
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from olap_project_spark.functions.multimodal import (
+        AHASH_BANDS,
+        ahash_band_keys,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"k{b}", LongType()) for b in range(AHASH_BANDS)]
+    )
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = [ahash_band_keys(b) for b in pdf["media_bytes"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for b in range(AHASH_BANDS):
+                out[f"k{b}"] = [k[b] for k in keys]
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = with_media_column(docs)
+    keys = media.mapInPandas(hash_batches, schema=schema)
+    bands = keys.unpivot(
+        "doc_id",
+        [f"k{b}" for b in range(AHASH_BANDS)],
+        "band",
+        "key",
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"ka{b}") for b in range(AHASH_BANDS)],
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"kb{b}") for b in range(AHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"ka{b}").bitwiseXOR(F.col(f"kb{b}")))
+        for b in range(AHASH_BANDS)
+    )
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("bigint").alias("hamming"),
+            (hamming <= AHASH_HAM_T).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

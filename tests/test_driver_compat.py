@@ -148,6 +148,7 @@ class TestDriverContract:
             "km_churn_survival",           # right-censored KM estimator
             "cuped_adjusted_metrics",      # CUPED variance reduction
             "mann_whitney_ab_test",        # scale-safe rank test
+            "media_phash_dup_pairs",       # perceptual-hash media dedup
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -501,3 +501,36 @@ class TestMannWhitney:
         )
         z = (u_a - len(A) * len(B) / 2) / sigma
         assert r["z_score"] == pytest.approx(z, abs=1e-6)
+
+
+class TestMediaPhash:
+    def test_matches_python_banding(self, spark, sf_dir, docs):
+        from collections import defaultdict
+
+        from olap_project_spark.functions.multimodal import ahash_band_keys
+        from olap_project_spark.queries.multimodal import AHASH_HAM_T
+
+        keys = {
+            doc_id: ahash_band_keys(text.encode())
+            for doc_id, text, _src in docs
+            if text
+        }
+        buckets = defaultdict(list)
+        for d, ks in keys.items():
+            for b, k in enumerate(ks):
+                buckets[(b, k)].append(d)
+        want = {}
+        for ds in buckets.values():
+            ds.sort()
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    h = sum(
+                        bin(x ^ y).count("1")
+                        for x, y in zip(keys[a], keys[b])
+                    )
+                    want[(a, b)] = (h, int(h <= AHASH_HAM_T))
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["hamming"], r["is_dup"])
+            for r in q("media_phash_dup_pairs")(spark, sf_dir).collect()
+        }
+        assert got == want

@@ -133,6 +133,7 @@ ARROW_PY_OK_PREFIXES = (
     "multimodal_",
     "frame_sample_",
     "media_feature_",
+    "media_phash_",
     "doc_chunks",
     "repeated_chunks",
 )
