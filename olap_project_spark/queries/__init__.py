@@ -195,6 +195,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "cuped_adjusted_metrics",
     "mann_whitney_ab_test",
     "media_phash_dup_pairs",
+    "temperature_mixture_plan",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "local_supplier_volume",
     "min_cost_supplier",
     "multimodal_decode_stats",
-    "national_market_share",
 )
 
 

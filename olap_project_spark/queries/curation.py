@@ -502,3 +502,88 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sampled_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture (share^(1/T), T = 2)
+# --------------------------------------------------------------------------
+@register(
+    "temperature_mixture_plan",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM per_src
+    ),
+    w AS (
+      SELECT source, total_tokens, corpus_tokens,
+             CAST(ROUND(sqrt(CAST(total_tokens AS DOUBLE) / corpus_tokens)
+                        * 1000000000) AS BIGINT) AS w_nano
+      FROM per_src, corpus
+    ),
+    tw AS (SELECT CAST(SUM(w_nano) AS BIGINT) AS w_tot FROM w)
+    SELECT source, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6)
+             AS actual_share,
+           ROUND(CAST(w_nano AS DOUBLE) / w_tot, 6) AS temp_share,
+           ROUND((CAST(w_nano AS DOUBLE) / w_tot)
+                 / (CAST(total_tokens AS DOUBLE) / corpus_tokens), 6)
+             AS temp_weight
+    FROM w CROSS JOIN tw ORDER BY source
+    """,
+)
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture — the practical midpoint
+    between proportional and uniform sampling (GPT-3/PaLM convention):
+    each source's sampling share ∝ (token share)^(1/T) with T = 2, so
+    small high-quality sources are upweighted without the full
+    flattening of source_mixture_plan's uniform target.
+    ``temp_weight`` (> 1 ⇒ oversample) is the epoch multiplier the
+    shard writer applies.
+
+    Determinism: sqrt IS exactly rounded under IEEE-754 (unlike
+    ln/exp), but the normalizer Σ√share would still be an
+    order-dependent double sum — so per-source weights round once to
+    nano units and the normalizer is an EXACT bigint sum; both final
+    ratios divide exact integers.
+
+    Scale: identical plan to source_mixture_plan — one per-source
+    aggregate plus two 1-row broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias(
+            "total_tokens"
+        )
+    )
+    corpus = per_src.agg(
+        F.sum("total_tokens").cast("bigint").alias("corpus_tokens")
+    )
+    w = per_src.join(F.broadcast(corpus)).withColumn(
+        "w_nano",
+        F.round(
+            F.sqrt(
+                F.col("total_tokens").cast("double")
+                / F.col("corpus_tokens")
+            )
+            * 1_000_000_000
+        ).cast("bigint"),
+    )
+    tw = w.agg(F.sum("w_nano").cast("bigint").alias("w_tot"))
+    actual = F.col("total_tokens").cast("double") / F.col("corpus_tokens")
+    temp = F.col("w_nano").cast("double") / F.col("w_tot")
+    return (
+        w.join(F.broadcast(tw))
+        .select(
+            "source",
+            "total_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(temp, 6).alias("temp_share"),
+            F.round(temp / actual, 6).alias("temp_weight"),
+        )
+        .orderBy("source")
+    )

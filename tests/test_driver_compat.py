@@ -149,6 +149,7 @@ class TestDriverContract:
             "cuped_adjusted_metrics",      # CUPED variance reduction
             "mann_whitney_ab_test",        # scale-safe rank test
             "media_phash_dup_pairs",       # perceptual-hash media dedup
+            "temperature_mixture_plan",    # share^(1/T) reweighting
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
