@@ -1541,3 +1541,98 @@ def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.union(nxt.withColumn("hops", F.lit(hop)))
         frontier = nxt
     return visited.select("doc_id", F.col("hops").cast("int").alias("hops"))
+
+
+# --------------------------------------------------------------------------
+# Dedup token accounting: per-source corpus-size delta
+# --------------------------------------------------------------------------
+def _token_savings_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    cluster_sql = QUERY_REGISTRY["near_dup_clusters"].oracle
+    return f"""
+    WITH comp AS ({cluster_sql}),
+    scored AS (
+      SELECT c.cluster_id, d.doc_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    dropped AS (SELECT doc_id FROM scored WHERE rn > 1),
+    tok AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN dropped.doc_id IS NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           ROUND(CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL
+                               THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / SUM(n_tok), 6) AS savings
+    FROM tok LEFT JOIN dropped USING (doc_id)
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("dedup_token_savings", oracle=_token_savings_oracle())
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup BUDGET ledger: per source, the whitespace-token count
+    before and after near-dup keep-best dedup (drop every cluster
+    member except the quality keeper) — the number a pretraining run
+    actually budgets by. Composes the memoized cluster labels
+    (near_dup_clusters) with the keeper rule of dedup_keep_best, so
+    the expensive pair/cluster work runs once per session across all
+    three consumers.
+
+    Scale: the keeper window is per-cluster (bounded state); the
+    ledger is one left anti-ish join of the corpus against the
+    dropped set (a tiny fraction) plus a per-source hash aggregate —
+    exact integer token sums throughout."""
+    from olap_project_spark.functions.text import token_count
+
+    clusters = near_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    dropped = (
+        clusters.join(
+            docs.select("doc_id", F.length("text").alias("quality")),
+            "doc_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit(1).alias("is_dropped"))
+    )
+    tok = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    j = tok.join(dropped, "doc_id", "left")
+    is_drop = F.col("is_dropped").isNotNull()
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_drop.cast("bigint")).cast("bigint").alias("n_dropped"),
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+            F.sum(F.when(~is_drop, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_after"),
+            F.round(
+                F.sum(F.when(is_drop, F.col("n_tok")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_tok"),
+                6,
+            ).alias("savings"),
+        )
+        .orderBy("source")
+    )

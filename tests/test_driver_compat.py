@@ -150,6 +150,7 @@ class TestDriverContract:
             "mann_whitney_ab_test",        # scale-safe rank test
             "media_phash_dup_pairs",       # perceptual-hash media dedup
             "temperature_mixture_plan",    # share^(1/T) reweighting
+            "dedup_token_savings",         # per-source dedup ledger
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
