@@ -534,3 +534,38 @@ class TestMediaPhash:
             for r in q("media_phash_dup_pairs")(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestTemperatureMixture:
+    def test_invariants(self, spark, sf_dir):
+        rows = q("temperature_mixture_plan")(spark, sf_dir).collect()
+        assert len(rows) > 1
+        assert sum(r["actual_share"] for r in rows) == pytest.approx(
+            1.0, abs=1e-4
+        )
+        assert sum(r["temp_share"] for r in rows) == pytest.approx(
+            1.0, abs=1e-4
+        )
+        # T=2 flattens: below-average sources upweight, above downweight
+        mean_share = 1 / len(rows)
+        for r in rows:
+            if r["actual_share"] < mean_share - 1e-6:
+                assert r["temp_weight"] > 1
+            if r["actual_share"] > mean_share + 1e-6:
+                assert r["temp_weight"] < 1
+
+
+class TestDedupTokenSavings:
+    def test_ledger_consistency(self, spark, sf_dir):
+        rows = q("dedup_token_savings")(spark, sf_dir).collect()
+        assert rows
+        kept = q("dedup_keep_best")(spark, sf_dir).collect()
+        n_dropped_expected = sum(r["n_dropped"] for r in kept)
+        assert sum(r["n_dropped"] for r in rows) == n_dropped_expected
+        for r in rows:
+            assert 0 <= r["tokens_after"] <= r["tokens_before"]
+            dropped_tok = r["tokens_before"] - r["tokens_after"]
+            if r["tokens_before"]:
+                assert r["savings"] == pytest.approx(
+                    dropped_tok / r["tokens_before"], abs=1e-6
+                )
