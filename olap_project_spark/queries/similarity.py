@@ -309,6 +309,62 @@ def ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_VOTE_K = 5
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, u, plabel): each vector's top-{KNN_VOTE_K} multi-probe
+    neighbors (candidates = vectors assigned to v's
+    {NEAR_DUP_NPROBE} nearest cells; rank by cosine desc, u asc)
+    with the neighbor's label. Memoized per (session, corpus):
+    knn_label_accuracy votes over these edges and ann_hubness_audit
+    histograms their in-degrees — the candidate join and rank window
+    run once for both."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        ranked = _ivf_ranked(spark, sf_dir)
+        probes = ranked.filter(F.col("rn") <= NEAR_DUP_NPROBE).select(
+            F.col("vec_id").alias("v"), "cid"
+        )
+        assign = ranked.filter(F.col("rn") == 1).select(
+            F.col("vec_id").alias("u"), "cid"
+        )
+        n = e.select(
+            "vec_id",
+            "emb",
+            "label",
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+        cand = (
+            probes.join(assign, "cid")
+            .filter(F.col("v") != F.col("u"))
+            .select("v", "u")
+        )
+        nv = n.select(
+            F.col("vec_id").alias("v"),
+            F.col("emb").alias("emb_v"),
+            F.col("nrm").alias("nrm_v"),
+        )
+        nu = n.select(
+            F.col("vec_id").alias("u"),
+            F.col("emb").alias("emb_u"),
+            F.col("nrm").alias("nrm_u"),
+            F.col("label").alias("plabel"),
+        )
+        cos = dot(F.col("emb_v"), F.col("emb_u")) / (
+            F.col("nrm_v") * F.col("nrm_u")
+        )
+        wk = Window.partitionBy("v").orderBy(F.desc("cos_raw"), F.asc("u"))
+        return (
+            cand.join(nv, "v")
+            .join(nu, "u")
+            .select("v", "u", "plabel", cos.alias("cos_raw"))
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= KNN_VOTE_K)
+            .select("v", "u", "plabel")
+        )
+
+    return session_memo(spark, sf_dir, "knn_vote_edges", build)
+
+
 @register(
     "knn_label_accuracy",
     oracle=f"""
@@ -392,44 +448,8 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     With √n centroids the candidate fraction shrinks as the corpus
     grows."""
     e = _emb(spark, sf_dir)
-    ranked = _ivf_ranked(spark, sf_dir)
-    probes = ranked.filter(F.col("rn") <= NEAR_DUP_NPROBE).select(
-        F.col("vec_id").alias("v"), "cid"
-    )
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("u"), "cid"
-    )
-    n = e.select(
-        "vec_id",
-        "emb",
-        "label",
-        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-    )
-    cand = probes.join(assign, "cid").filter(F.col("v") != F.col("u")).select(
-        "v", "u"
-    )
-    nv = n.select(
-        F.col("vec_id").alias("v"),
-        F.col("emb").alias("emb_v"),
-        F.col("nrm").alias("nrm_v"),
-    )
-    nu = n.select(
-        F.col("vec_id").alias("u"),
-        F.col("emb").alias("emb_u"),
-        F.col("nrm").alias("nrm_u"),
-        F.col("label").alias("plabel"),
-    )
-    cos = dot(F.col("emb_v"), F.col("emb_u")) / (
-        F.col("nrm_v") * F.col("nrm_u")
-    )
-    wk = Window.partitionBy("v").orderBy(F.desc("cos_raw"), F.asc("u"))
-    knn = (
-        cand.join(nv, "v")
-        .join(nu, "u")
-        .select("v", "u", "plabel", cos.alias("cos_raw"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= KNN_VOTE_K)
-    )
+    n = e.select("vec_id", "label")
+    knn = _knn_edges(spark, sf_dir)
     votes = knn.groupBy("v", "plabel").agg(F.count("*").alias("n_votes"))
     wp = Window.partitionBy("v").orderBy(F.desc("n_votes"), F.asc("plabel"))
     pred = (
@@ -1661,4 +1681,96 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id", F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN hubness audit (in-degree distribution of the neighbor graph)
+# --------------------------------------------------------------------------
+@register(
+    "ann_hubness_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+             WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb)))
+                        DESC, cent.cid) AS rn
+      FROM e, cent
+    ),
+    probes AS (SELECT vec_id, cid FROM scored
+               WHERE rn <= {NEAR_DUP_NPROBE}),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    n AS (SELECT vec_id, emb,
+                 sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    cand AS (
+      SELECT p.vec_id AS v, a.vec_id AS u
+      FROM probes p JOIN assign a
+        ON a.cid = p.cid AND a.vec_id <> p.vec_id
+    ),
+    knn AS (
+      SELECT v, u,
+             row_number() OVER (PARTITION BY v
+               ORDER BY list_dot_product(nv.emb, nu.emb)
+                        / (nv.nrm * nu.nrm) DESC, u) AS rk
+      FROM cand JOIN n nv ON nv.vec_id = v JOIN n nu ON nu.vec_id = u
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM knn
+            WHERE rk <= {KNN_VOTE_K} GROUP BY u),
+    alldeg AS (
+      SELECT e.vec_id, COALESCE(deg.d, 0) AS d
+      FROM e LEFT JOIN deg ON deg.u = e.vec_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM alldeg)
+    SELECT d AS in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n), 6) AS share
+    FROM alldeg CROSS JOIN tot
+    GROUP BY d ORDER BY d
+    """,
+)
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN neighbor graph — the
+    high-dimensional-degeneracy check (Radovanović et al., JMLR
+    2010): histogram how often each vector appears in other vectors'
+    top-{KNN_VOTE_K} lists. A healthy embedding space has in-degrees
+    concentrated near k; a heavy right tail (hub vectors appearing in
+    a large fraction of lists) means distance concentration is
+    degrading retrieval and the ANN index needs re-ranking or
+    normalization changes. Pairs with knn_label_accuracy over the
+    SAME memoized edge set, so the candidate join and rank window run
+    once for both audits.
+
+    Scale: edge derivation is the bucketed multi-probe join (never
+    all-pairs); the in-degree count and histogram are two hash
+    aggregates; zero-degree vectors enter via a left join of the
+    corpus against the degree frame."""
+    e = _emb(spark, sf_dir)
+    knn = _knn_edges(spark, sf_dir)
+    deg = knn.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    alldeg = (
+        e.select("vec_id")
+        .join(deg, e["vec_id"] == deg["u"], "left")
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+    )
+    tot = alldeg.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        alldeg.groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("d").alias("in_degree"),
+            "n_vectors",
+            F.round(F.col("n_vectors").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("in_degree")
     )

@@ -151,6 +151,7 @@ class TestDriverContract:
             "media_phash_dup_pairs",       # perceptual-hash media dedup
             "temperature_mixture_plan",    # share^(1/T) reweighting
             "dedup_token_savings",         # per-source dedup ledger
+            "ann_hubness_audit",           # kNN in-degree distribution
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -569,3 +569,45 @@ class TestDedupTokenSavings:
                 assert r["savings"] == pytest.approx(
                     dropped_tok / r["tokens_before"], abs=1e-6
                 )
+
+
+class TestAnnHubness:
+    def test_matches_numpy_reference(self, spark, sf_dir, emb):
+        from collections import Counter
+
+        from olap_project_spark.queries.similarity import (
+            KNN_VOTE_K,
+            NEAR_DUP_NPROBE,
+        )
+
+        ranked = _cells(emb)
+        assign = {vid: r[0] for vid, r in ranked.items()}
+        by_cell: dict[int, list[int]] = {}
+        for vid, cid in assign.items():
+            by_cell.setdefault(cid, []).append(vid)
+        deg: Counter = Counter()
+        for vid, (v, _lab) in emb.items():
+            cand = [
+                u
+                for cid in ranked[vid][:NEAR_DUP_NPROBE]
+                for u in by_cell.get(cid, [])
+                if u != vid
+            ]
+            if not cand:
+                continue
+            nv = np.linalg.norm(v)
+            sims = {
+                u: float(v @ emb[u][0]) / (nv * np.linalg.norm(emb[u][0]))
+                for u in cand
+            }
+            for u in sorted(cand, key=lambda u: (-sims[u], u))[:KNN_VOTE_K]:
+                deg[u] += 1
+        hist = Counter(deg.get(vid, 0) for vid in emb)
+        got = {
+            r["in_degree"]: r
+            for r in q("ann_hubness_audit")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(hist)
+        for d, n in hist.items():
+            assert got[d]["n_vectors"] == n
+            assert got[d]["share"] == pytest.approx(n / len(emb), abs=1e-6)

@@ -183,6 +183,8 @@ BROADCAST_BOUNDED_OK = {
     # _ivf_ranked centroids + PQ codebook (vec_id < 64) + probe-cell
     # list + 1-row query vector — all literal-bounded sides
     "ann_ivf_pq_topk",
+    # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
+    "ann_hubness_audit",
 }
 
 
