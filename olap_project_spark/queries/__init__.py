@@ -198,6 +198,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "temperature_mixture_plan",
     "dedup_token_savings",
     "ann_hubness_audit",
+    "chi2_type_dow_independence",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "important_part_values",
     "lang_id_accuracy",
     "large_volume_customers",
-    "local_supplier_volume",
 )
 
 

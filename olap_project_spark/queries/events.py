@@ -4921,3 +4921,114 @@ def mann_whitney_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - u2d / (nad * nbd), 6).alias("rank_biserial"),
         F.col("n_tied").alias("n_tied_values"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence test (event_type x day-of-week)
+# --------------------------------------------------------------------------
+@register(
+    "chi2_type_dow_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM obs GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, o, r, c, n.n,
+             CAST(r AS DOUBLE) * c / n.n AS expected
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    ),
+    terms AS (
+      SELECT event_type, dow, n,
+             CAST(ROUND((o - expected) * (o - expected) / expected
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM cells
+    ),
+    chi AS (
+      SELECT MAX(n) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_cols,
+             CAST(SUM(t_nano) AS BIGINT) AS chi2_nano
+      FROM terms
+    )
+    SELECT n AS n_events, n_rows AS n_types, n_cols AS n_dows,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           ROUND(CAST(chi2_nano AS DOUBLE) / 1000000000, 6) AS chi2,
+           ROUND(sqrt((CAST(chi2_nano AS DOUBLE) / 1000000000)
+                      / (n * LEAST(n_rows - 1, n_cols - 1))), 6)
+             AS cramers_v
+    FROM chi
+    """,
+)
+def chi2_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event type and
+    day-of-week, with Cramér's V effect size — the categorical
+    association audit (is behavior mix calendar-dependent?) that
+    complements the rank/mean tests (mann_whitney_ab_test,
+    cuped_adjusted_metrics) on the categorical axis.
+
+    Determinism: observed and marginal counts are exact bigints;
+    expected = r·c/n is one double expression per cell; per-cell χ²
+    terms round once to nano units and sum as exact bigints (the
+    contingency table is |types|x7 — bounded), so the statistic is
+    partitioning-independent. sqrt is IEEE-exact.
+
+    Scale: one contingency hash aggregate over the fact (map-side
+    combined), two marginal rollups of the |cells| frame, a 1-row
+    total — no windows, no skew."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    expected = F.col("r").cast("double") * F.col("c") / F.col("n")
+    cells = (
+        obs.join(rt, "event_type").join(ct, "dow").join(F.broadcast(n))
+    )
+    terms = cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(
+            (F.col("o") - expected) * (F.col("o") - expected) / expected
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("t_nano"),
+    )
+    chi = terms.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("n_rows"),
+        F.count_distinct("dow").cast("bigint").alias("n_cols"),
+        F.sum("t_nano").cast("bigint").alias("chi2_nano"),
+    )
+    chi2 = F.col("chi2_nano").cast("double") / 1_000_000_000
+    return chi.select(
+        F.col("n").alias("n_events"),
+        F.col("n_rows").alias("n_types"),
+        F.col("n_cols").alias("n_dows"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n")
+                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -152,6 +152,7 @@ class TestDriverContract:
             "temperature_mixture_plan",    # share^(1/T) reweighting
             "dedup_token_savings",         # per-source dedup ledger
             "ann_hubness_audit",           # kNN in-degree distribution
+            "chi2_type_dow_independence",  # categorical association
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
