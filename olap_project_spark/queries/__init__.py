@@ -199,6 +199,8 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "dedup_token_savings",
     "ann_hubness_audit",
     "chi2_type_dow_independence",
+    "readability_scores",
+    "cross_source_dup_matrix",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +233,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "idle_rich_customers",
     "important_part_values",
     "lang_id_accuracy",
-    "large_volume_customers",
 )
 
 

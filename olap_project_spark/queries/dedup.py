@@ -1636,3 +1636,78 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix (who copies from whom)
+# --------------------------------------------------------------------------
+def _cross_source_oracle() -> str:
+    from olap_project_spark.queries import QUERY_REGISTRY
+
+    ngram_sql = QUERY_REGISTRY["ngram_dup_pairs"].oracle
+    return f"""
+    WITH jp AS ({ngram_sql}),
+    lab AS (
+      SELECT jp.doc_a, jp.doc_b,
+             LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM jp
+      JOIN documents da ON da.doc_id = jp.doc_a
+      JOIN documents db ON db.doc_id = jp.doc_b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lab)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           (source_a = source_b) AS within_source,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+    FROM lab CROSS JOIN tot
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("cross_source_dup_matrix", oracle=_cross_source_oracle())
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup PROVENANCE matrix: verified near-dup pairs
+    (ngram_dup_pairs, memoized) bucketed by the unordered pair of
+    their documents' sources — the curation question behind it is
+    "which sources syndicate/copy from each other, and how much of
+    my duplication is within-source boilerplate vs cross-source
+    mirroring". Cross-source mass is what makes per-source dedup
+    insufficient and global dedup necessary; this query measures
+    exactly that mass.
+
+    Scale: the pair frame is the memoized verified-pair set (tiny
+    relative to the corpus); two hash equi-joins attach sources; the
+    matrix is ≤ |sources|² rows."""
+    pairs = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    da = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    lab = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    tot = lab.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+        .join(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            (F.col("source_a") == F.col("source_b")).alias("within_source"),
+            F.round(
+                F.col("n_dup_pairs").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("source_a", "source_b")
+    )

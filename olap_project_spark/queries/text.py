@@ -1597,3 +1597,92 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(BPE_MERGE_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, per source)
+# --------------------------------------------------------------------------
+@register(
+    "readability_scores",
+    oracle="""
+    WITH d AS (
+      SELECT source, lower(trim(text)) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (
+      SELECT source,
+             CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1)
+                  AS BIGINT) AS n_syll
+      FROM d
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS words,
+             CAST(SUM(n_sents) AS BIGINT) AS sents,
+             CAST(SUM(n_syll) AS BIGINT) AS sylls
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_docs, words, sents, sylls,
+           ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                         - 84.6 * (CAST(sylls AS DOUBLE) / words), 6)
+             AS flesch_ease
+    FROM agg ORDER BY source
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability
+    quality signal (Flesch 1948; the DeepMind Gopher/MassiveText
+    filters use the same word/sentence/syllable statistics): 206.835
+    − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated by vowel-group runs and sentences by
+    terminal-punctuation runs (both clamped to ≥ 1 per doc so
+    unpunctuated docs score as one long sentence instead of dividing
+    by zero).
+
+    The per-source score derives from EXACT integer corpus totals
+    (Σwords, Σsentences, Σsyllables) — never an average of per-doc
+    doubles — so the two divisions and the final formula are one
+    deterministic expression tree per source row.
+
+    Scale: three regexp counts fused into the scan projection, one
+    per-source hash aggregate — no joins, no windows."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = F.lower(F.trim("text"))
+    counts = docs.select(
+        "source",
+        F.size(F.split(t, r"\s+")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+        F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_syll"),
+    )
+    agg = counts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_sents").cast("bigint").alias("sents"),
+        F.sum("n_syll").cast("bigint").alias("sylls"),
+    )
+    flesch = (
+        206.835
+        - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+        - 84.6 * (F.col("sylls").cast("double") / F.col("words"))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sents",
+        "sylls",
+        F.round(flesch, 6).alias("flesch_ease"),
+    ).orderBy("source")

@@ -153,6 +153,8 @@ class TestDriverContract:
             "dedup_token_savings",         # per-source dedup ledger
             "ann_hubness_audit",           # kNN in-degree distribution
             "chi2_type_dow_independence",  # categorical association
+            "readability_scores",          # Flesch per source
+            "cross_source_dup_matrix",     # dup provenance matrix
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
