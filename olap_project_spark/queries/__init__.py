@@ -232,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "frame_sample_stats",
     "idle_rich_customers",
     "important_part_values",
-    "lang_id_accuracy",
 )
 
 
