@@ -611,3 +611,88 @@ class TestAnnHubness:
         for d, n in hist.items():
             assert got[d]["n_vectors"] == n
             assert got[d]["share"] == pytest.approx(n / len(emb), abs=1e-6)
+
+
+class TestChi2Independence:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import duckdb
+        from collections import Counter
+
+        rows = duckdb.sql(
+            f"SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) FROM "
+            f"'{sf_dir}/events.parquet'"
+        ).fetchall()
+        obs = Counter(rows)
+        rt, ct = Counter(), Counter()
+        for (et, dw), o in obs.items():
+            rt[et] += o
+            ct[dw] += o
+        n = sum(obs.values())
+        chi2_nano = sum(
+            _round_half_away(
+                (o - rt[et] * ct[dw] / n) ** 2 / (rt[et] * ct[dw] / n) * 1e9
+            )
+            for (et, dw), o in obs.items()
+        )
+        r = q("chi2_type_dow_independence")(spark, sf_dir).collect()[0]
+        assert r["n_events"] == n
+        assert (r["n_types"], r["n_dows"]) == (len(rt), len(ct))
+        assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
+        assert r["chi2"] == pytest.approx(chi2_nano / 1e9, abs=1e-5)
+        import math
+
+        v = math.sqrt(
+            (chi2_nano / 1e9) / (n * min(len(rt) - 1, len(ct) - 1))
+        )
+        assert r["cramers_v"] == pytest.approx(v, abs=1e-6)
+
+
+class TestReadability:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        import re
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0, 0, 0])
+        for _doc_id, text, src in docs:
+            if text is None or text.strip() == "":
+                continue
+            t = text.lower().strip()
+            a = agg[src]
+            a[0] += 1
+            a[1] += len(re.split(r"\s+", t))
+            a[2] += max(len(re.findall(r"[.!?]+", t)), 1)
+            a[3] += max(len(re.findall(r"[aeiouy]+", t)), 1)
+        got = {
+            r["source"]: r
+            for r in q("readability_scores")(spark, sf_dir).collect()
+        }
+        assert set(got) == set(agg)
+        for src, (nd, w, s, y) in agg.items():
+            r = got[src]
+            assert (r["n_docs"], r["words"], r["sents"], r["sylls"]) == (
+                nd, w, s, y,
+            )
+            assert r["flesch_ease"] == pytest.approx(
+                206.835 - 1.015 * (w / s) - 84.6 * (y / w), abs=1e-5
+            )
+
+
+class TestCrossSourceDupMatrix:
+    def test_consistent_with_pair_set(self, spark, sf_dir, docs):
+        src = {doc_id: s for doc_id, _t, s in docs}
+        pairs = q("ngram_dup_pairs")(spark, sf_dir).collect()
+        from collections import Counter
+
+        want = Counter(
+            tuple(sorted((src[r["doc_a"]], src[r["doc_b"]])))
+            for r in pairs
+        )
+        rows = q("cross_source_dup_matrix")(spark, sf_dir).collect()
+        got = {(r["source_a"], r["source_b"]): r for r in rows}
+        assert {k: v["n_dup_pairs"] for k, v in got.items()} == dict(want)
+        total = sum(want.values())
+        for k, r in got.items():
+            assert r["within_source"] == (k[0] == k[1])
+            assert r["share"] == pytest.approx(
+                want[k] / total, abs=1e-6
+            )
