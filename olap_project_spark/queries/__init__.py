@@ -201,6 +201,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "chi2_type_dow_independence",
     "readability_scores",
     "cross_source_dup_matrix",
+    "zipf_law_fit",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "dominant_part_suppliers",
     "frame_sample_stats",
     "idle_rich_customers",
-    "important_part_values",
 )
 
 

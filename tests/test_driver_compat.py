@@ -155,6 +155,7 @@ class TestDriverContract:
             "chi2_type_dow_independence",  # categorical association
             "readability_scores",          # Flesch per source
             "cross_source_dup_matrix",     # dup provenance matrix
+            "zipf_law_fit",                # scale-safe rank regression
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
