@@ -202,6 +202,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "readability_scores",
     "cross_source_dup_matrix",
     "zipf_law_fit",
+    "mixture_diversity_stats",
     # oldest driver rows (round 2 remainder) — 14 refresh slots
     "value_outliers",
     "cumulative_unique_users",
@@ -231,7 +232,6 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "doc_split_assignment",
     "dominant_part_suppliers",
     "frame_sample_stats",
-    "idle_rich_customers",
 )
 
 

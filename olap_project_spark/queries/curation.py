@@ -587,3 +587,82 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture diversity (Shannon entropy / effective source count)
+# --------------------------------------------------------------------------
+@register(
+    "mixture_diversity_stats",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END) AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    corpus AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM per_src),
+    terms AS (
+      SELECT t, n,
+             CAST(ROUND((CAST(t AS DOUBLE) / n)
+                        * ln(CAST(t AS DOUBLE) / n)
+                        * 1000000000) AS BIGINT) AS h_nano,
+             CAST(ROUND((CAST(t AS DOUBLE) / n)
+                        * (CAST(t AS DOUBLE) / n)
+                        * 1000000000) AS BIGINT) AS p2_nano
+      FROM per_src, corpus
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(h_nano) AS BIGINT) AS hsum,
+             CAST(SUM(p2_nano) AS BIGINT) AS p2sum
+      FROM terms
+    )
+    SELECT n_sources,
+           ROUND(-CAST(hsum AS DOUBLE) / 1000000000, 6) AS shannon_entropy,
+           ROUND(exp(-CAST(hsum AS DOUBLE) / 1000000000), 6)
+             AS effective_sources,
+           ROUND(1 - CAST(p2sum AS DOUBLE) / 1000000000, 6)
+             AS gini_simpson
+    FROM agg
+    """,
+)
+def mixture_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity of the token mixture across sources — the one-row
+    health card of a pretraining blend: Shannon entropy H of the
+    source token shares, the effective source count exp(H) (how many
+    equally-sized sources the mixture behaves like — the number that
+    drops when one crawl dominates), and the Gini-Simpson index
+    1 − Σp². Read alongside temperature_mixture_plan: reweighting
+    should push effective_sources toward n_sources.
+
+    Determinism: per-source p·ln p and p² terms round once to
+    nano units and sum as exact bigints (order-free); exp of the
+    exact-ratio cast is one final transcendental, rounded once.
+
+    Scale: one per-source aggregate plus a 1-row reduction."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("t")
+    )
+    corpus = per_src.agg(F.sum("t").cast("bigint").alias("n"))
+    p = F.col("t").cast("double") / F.col("n")
+    terms = per_src.join(F.broadcast(corpus)).select(
+        F.round(p * F.log(p) * 1_000_000_000).cast("bigint").alias("h_nano"),
+        F.round(p * p * 1_000_000_000).cast("bigint").alias("p2_nano"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum("h_nano").cast("bigint").alias("hsum"),
+        F.sum("p2_nano").cast("bigint").alias("p2sum"),
+    )
+    h = -F.col("hsum").cast("double") / 1_000_000_000
+    return agg.select(
+        "n_sources",
+        F.round(h, 6).alias("shannon_entropy"),
+        F.round(F.exp(h), 6).alias("effective_sources"),
+        F.round(
+            1 - F.col("p2sum").cast("double") / 1_000_000_000, 6
+        ).alias("gini_simpson"),
+    )

@@ -156,6 +156,7 @@ class TestDriverContract:
             "readability_scores",          # Flesch per source
             "cross_source_dup_matrix",     # dup provenance matrix
             "zipf_law_fit",                # scale-safe rank regression
+            "mixture_diversity_stats",     # effective source count
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
