@@ -696,3 +696,68 @@ class TestCrossSourceDupMatrix:
             assert r["share"] == pytest.approx(
                 want[k] / total, abs=1e-6
             )
+
+
+class TestZipfLawFit:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        tf: Counter = Counter()
+        for _doc_id, text, _src in docs:
+            if text is None or text.strip() == "":
+                continue
+            tf.update(text.lower().strip().split())
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (
+                _round_half_away(math.log(r) * 10_000),
+                _round_half_away(math.log(f) * 10_000),
+            )
+            for r, (_t, f) in enumerate(ranked, start=1)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        num = n * sxy - sx * sy
+        r = q("zipf_law_fit")(spark, sf_dir).collect()[0]
+        assert r["vocab_size"] == n
+        assert r["zipf_exponent"] == pytest.approx(
+            -num / (n * sxx - sx * sx), abs=1e-6
+        )
+        assert r["r2"] == pytest.approx(
+            num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            abs=1e-6,
+        )
+
+
+class TestMixtureDiversity:
+    def test_matches_python_reference(self, spark, sf_dir, docs):
+        from collections import Counter
+
+        tok: Counter = Counter()
+        for _doc_id, text, src in docs:
+            n = 0 if text is None or text.strip() == "" else len(
+                text.lower().strip().split()
+            )
+            tok[src] += n
+        total = sum(tok.values())
+        hsum = sum(
+            _round_half_away((t / total) * math.log(t / total) * 1e9)
+            for t in tok.values()
+        )
+        p2sum = sum(
+            _round_half_away((t / total) ** 2 * 1e9) for t in tok.values()
+        )
+        r = q("mixture_diversity_stats")(spark, sf_dir).collect()[0]
+        assert r["n_sources"] == len(tok)
+        h = -hsum / 1e9
+        assert r["shannon_entropy"] == pytest.approx(h, abs=1e-6)
+        assert r["effective_sources"] == pytest.approx(
+            math.exp(h), abs=1e-5
+        )
+        assert r["gini_simpson"] == pytest.approx(1 - p2sum / 1e9, abs=1e-6)
+        # effective sources bounded by the actual source count
+        assert 1.0 <= r["effective_sources"] <= len(tok) + 1e-6
