@@ -32,6 +32,7 @@ def build_line(
     cap: int = 1800,
     ingest_eps: float | None = None,
     ann_recall: dict[str, float] | None = None,
+    ann_fraction: dict[str, float] | None = None,
 ) -> str:
     """The one JSON line the driver parses. Must ALWAYS fit ``cap``
     chars (the driver captures only the last 2000 chars of stdout) and
@@ -54,6 +55,10 @@ def build_line(
         # measured IVF/multiprobe recall@k at THIS corpus size — the
         # approximate-index quality evidence beyond the gate corpus
         base["ann_recall"] = ann_recall
+    if ann_fraction:
+        # fraction of the corpus scored under nprobe=1 / nprobe=3 —
+        # the sub-quadratic evidence that pairs with the recall above
+        base["ann_candidate_fraction"] = ann_fraction
     candidates = [
         {**base, "queries": headline, "families": families,
          "errors": {n: m[:60] for n, m in errors.items()}},
@@ -169,10 +174,18 @@ def main() -> None:
 
         clear_memo(spark, sf_dir=warm_dir)
 
+    from olap_project_spark.queries import _SESSION_MEMO
+
     times: dict[str, float] = {}
     families: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # memo-build attribution: whichever query FIRST touches a shared
+    # memoized intermediate pays its build — record (kind → building
+    # query) so bench_compare can normalize memo-order noise instead of
+    # reading it as a per-query regression (r6 verdict "What's wrong" #2)
+    memo_builds: dict[str, str] = {}
     for name, q in QUERY_REGISTRY.items():
+        pre_memo = set(_SESSION_MEMO)
         t0 = time.perf_counter()
         try:
             q.fn(spark, sf_dir).count()
@@ -181,6 +194,8 @@ def main() -> None:
             continue
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
+        for key in set(_SESSION_MEMO) - pre_memo:
+            memo_builds[key[2]] = name
         fam = q.fn.__module__.rsplit(".", 1)[-1]
         families[fam] = round(families.get(fam, 0.0) + dt, 3)
 
@@ -197,6 +212,17 @@ def main() -> None:
             ann_recall[rq] = float(row["recall_at_k"])
         except Exception:
             pass
+    # Scored-fraction telemetry: recall alone can't prove the index
+    # prunes (recall 1.0 + fraction 1.0 is a disguised linear scan).
+    ann_fraction: dict[str, float] = {}
+    try:
+        row = QUERY_REGISTRY["ann_candidate_fraction"].fn(spark, sf_dir).collect()[0]
+        ann_fraction = {
+            "frac_ivf": float(row["frac_ivf"]),
+            "frac_multiprobe": float(row["frac_multiprobe"]),
+        }
+    except Exception:
+        pass
     try:
         ingest_eps = measure_ingest_eps(spark)
     except Exception:
@@ -213,7 +239,8 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump({"total_sec": total, "queries": times, "errors": errors,
-                   "ann_recall": ann_recall},
+                   "ann_recall": ann_recall, "ann_fraction": ann_fraction,
+                   "memo_builds": memo_builds},
                   fh, indent=1, sort_keys=True)
 
     # n_queries/sec_per_query make the coverage denominator explicit:
@@ -222,7 +249,8 @@ def main() -> None:
     # in BENCH_DETAIL.json; the printed line always fits the driver's
     # tail capture (build_line shrinks progressively).
     print(build_line(total, times, families, headline, errors, sf,
-                     ingest_eps=ingest_eps, ann_recall=ann_recall))
+                     ingest_eps=ingest_eps, ann_recall=ann_recall,
+                     ann_fraction=ann_fraction))
 
 
 if __name__ == "__main__":

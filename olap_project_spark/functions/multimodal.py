@@ -206,7 +206,6 @@ def ahash_band_keys(data: bytes) -> tuple[int, ...]:
         return tuple(0 for _ in range(AHASH_BANDS))
     p = np.arange(n, dtype=np.int64)
     c = (AHASH_CELLS * (p + 1) + n - 1) // n - 1
-    cell_sum = np.bincount(c, weights=None, minlength=AHASH_CELLS)
     # bincount with weights returns float; sum exactly via add.at
     cell_sum = np.zeros(AHASH_CELLS, dtype=np.int64)
     np.add.at(cell_sum, c, v)

@@ -138,11 +138,19 @@ def global_order_stats(
     partition window's output for any boundary placement, because every
     rank/sum decomposes as (strictly-lower ranges) + (local prefix).
 
-    Determinism across the two passes: both branches consume the same
-    range exchange; Spark reuses the exchange when possible, and
-    ``RangePartitioner``'s boundary sampling is seeded by partition
-    index (deterministic for a given input), so recomputation yields
-    identical boundaries either way.
+    Determinism across the two passes: correctness requires BOTH
+    branches to observe identical post-shuffle partition ids. Exchange
+    reuse alone cannot be relied on — column pruning can make the two
+    exchange subtrees non-identical (the totals branch drops the
+    payload columns), and AQE coalesces each un-reused shuffle
+    independently by byte size, which would misalign ``_pid`` between
+    branches. The partition count is therefore ALWAYS explicit
+    (defaulting to ``spark.sql.shuffle.partitions``): an exchange with
+    a user-specified count (``REPARTITION_BY_NUM``) is never
+    AQE-coalesced, and ``RangePartitioner``'s boundary sampling is
+    seeded by partition index (deterministic for a given input), so
+    even two physically separate exchanges assign every row the same
+    partition id.
 
     ``sum_cols`` columns should be exact types (decimal/bigint) —
     prefix sums of doubles are summation-order-dependent by nature.
@@ -153,15 +161,16 @@ def global_order_stats(
     from pyspark.sql.window import Window
 
     sum_cols = sum_cols or {}
-    # No explicit partition count unless asked: with the count omitted
-    # AQE is free to coalesce the range exchange when the frame is
-    # small (fewer window tasks at gate scale), while a big frame still
-    # fans out to spark.sql.shuffle.partitions. Correctness never
-    # depends on the partition count or boundary placement.
-    if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, *order_by)
-    else:
-        ranged = df.repartitionByRange(*order_by)
+    # Explicit partition count ALWAYS (see docstring): REPARTITION_BY_NUM
+    # exchanges are exempt from AQE coalescing, which pins identical
+    # _pid assignment across both branches even when column pruning
+    # prevents exchange reuse. Correctness never depends on boundary
+    # placement, only on branch agreement.
+    if not num_partitions:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_by)
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
     w_run = (
         Window.partitionBy("_pid")
@@ -226,14 +235,25 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     frame size ``n`` (SQL-standard semantics: the first ``n % k`` tiles
     hold ``n div k + 1`` rows, the rest ``n div k``) — turns a
     scale-safe global rank (``global_order_stats``) into the bucket id
-    without any single-partition window. Integer arithmetic throughout;
-    matches ``F.ntile(k).over(Window.orderBy(...))`` row-for-row."""
+    without any single-partition window. True integer arithmetic (SQL
+    ``div``, exact at any bigint magnitude — never double true-division
+    with its 2^53 ceiling); matches
+    ``F.ntile(k).over(Window.orderBy(...))`` row-for-row. When
+    ``n < k`` every row lands in a size-1 "big" tile and the
+    small-tile branch (whose divisor would be zero) is guarded out
+    rather than relied on to be lazily skipped."""
+
+    def idiv(a: Column, b: Column | int) -> Column:
+        return F.call_function("div", a, F.lit(b) if isinstance(b, int) else b)
+
     big = n % k
-    size_big = (n - big) / k + 1  # n div k + 1, exact: (n - n%k) is divisible
-    size_small = (n - big) / k
+    size_big = idiv(n - big, k) + 1  # n div k + 1
+    size_small = idiv(n - big, k)  # n div k; 0 when n < k
     in_big = rank <= big * size_big
-    tile_big = F.floor((rank - 1) / size_big) + 1
-    tile_small = big + F.floor((rank - big * size_big - 1) / size_small) + 1
+    tile_big = idiv(rank - 1, size_big) + 1
+    tile_small = F.when(
+        size_small > 0, big + idiv(rank - big * size_big - 1, size_small) + 1
+    )
     return F.when(in_big, tile_big).otherwise(tile_small).cast("int")
 
 

@@ -50,14 +50,19 @@ def register(name: str, oracle: str | None = None):
 # gate/bench run executes the whole registry against one corpus; without
 # this each consumer re-derives the intermediate from the raw scan. At
 # 100 TB the equivalent is materializing these once as bucketed tables.
-_SESSION_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_SESSION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def session_memo(
     spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Build-once, persist, and reuse ``kind`` for (session, corpus)."""
-    key = (id(spark.sparkContext._jsc), sf_dir, kind)
+    """Build-once, persist, and reuse ``kind`` for (session, corpus).
+
+    Keyed on ``applicationId`` — unique and stable for the life of the
+    context — not ``id()`` of a py4j proxy, which CPython can reuse
+    after the old proxy is collected (a stop/start cycle could then
+    hand a consumer a DataFrame bound to the dead context)."""
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _SESSION_MEMO.get(key)
     if df is None:
         df = build().persist()
@@ -74,8 +79,8 @@ def clear_memo(spark: SparkSession | None = None, sf_dir: str | None = None) -> 
     persisted DataFrames for the life of the process."""
     removed = 0
     for key in list(_SESSION_MEMO):
-        ctx_id, key_sf, _kind = key
-        if spark is not None and ctx_id != id(spark.sparkContext._jsc):
+        app_id, key_sf, _kind = key
+        if spark is not None and app_id != spark.sparkContext.applicationId:
             continue
         if sf_dir is not None and key_sf != sf_dir:
             continue
@@ -101,84 +106,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-6 window (swapped in from the pre-staged r6
-# draft after the ts-encoding canaries passed on the regenerated
-# testdata): the 37 round-5 additions that have never had a driver
-# CORRECTNESS row + the 13 queries whose driver rows are oldest
-# (round 2) = 50. Rotate the list each round to cycle coverage.
-# Round-7 plan: rotate in everything added during round 6 (see
-# GATE_WINDOW_R7_DRAFT below, maintained as queries are added) plus the
-# next-oldest rows (round-2 remainder, round-3 tpch/streaming rows).
+# modules import. Round-7 window (swapped in from the pre-staged r7
+# draft after the ts-encoding canaries passed): the 24 round-6
+# additions that have never had a driver CORRECTNESS row + the 14
+# remaining round-2 rows (oldest driver checks) + 12 round-3 refresh
+# slots = 50. Rotate the list each round to cycle coverage.
+# Round-8 plan: rotate in everything added during round 7 (see
+# GATE_WINDOW_R8_DRAFT below, maintained as queries are added) plus the
+# next-oldest rows (round-3 remainder, round-4 head).
 GATE_WINDOW: tuple[str, ...] = (
-    # round-5 additions — 37, no driver CORRECTNESS row yet
-    "conversion_latency_quantiles",
-    "score_lift_gains",
-    "bootstrap_mean_ci",
-    "retrieval_eval_metrics",
-    "benford_digit_audit",
-    "cusum_changepoints",
-    "k_anonymity_audit",
-    "value_drawdown_curve",
-    "cluster_top_terms",
-    "aqe_skew_join_stats",
-    "ewma_daily_value",
-    "embedding_dimension_stats",
-    "kmv_set_similarity",
-    "countmin_heavy_hitters",
-    "session_path_topk",
-    "knn_bfs_hops",
-    "vocab_oov_rate",
-    "bloom_pruned_urgent_revenue",
-    "stateful_spend_alerts",
-    "zorder_pruning_benefit",
-    "scd2_user_type_history",
-    "merge_upsert_stats",
-    "table_profile_summary",
-    "cohort_retention_matrix",
-    "multi_touch_attribution",
-    "approx_quantile_contract",
-    "point_in_time_dimension_join",
-    "bm25_retrieval_topk",
-    "cascading_delete_audit",
-    "minhash_lsh_quality",
-    "value_drift_psi",
-    "hybrid_rrf_retrieval",
-    "trailing_user_features",
-    "revenue_share_drilldown",
-    "revenue_growth_mom_yoy",
-    "part_cooccurrence_topk",
-    "incremental_join_view",
-    # oldest driver rows (round 2) — 13 refresh slots
-    "latest_event_per_user",
-    "signup_purchase_funnel",
-    "weekly_retention",
-    "geometric_mean_value",
-    "hourly_type_pivot",
-    "value_histogram",
-    "value_percentiles",
-    "props_json_stats",
-    "segment_event_value",
-    "salted_type_stats",
-    "event_transition_matrix",
-    "event_type_associations",
-    # round-6 addition — the judge asked for a second stateful-API
-    # driver row (protobuf-blocked TWS parity test can't run here);
-    # takes the 50th slot from value_outliers, which moves to the R7
-    # draft's refresh tail
-    "stateful_record_highs",
-)
-
-
-# Round-7 window, pre-staged and validated (swap into GATE_WINDOW at
-# round-7 start AFTER the ts-encoding canaries, per the standing
-# procedure). Maintained live during round 6: new round-6 queries are
-# inserted at the HEAD and the round-3 refresh tail is trimmed to keep
-# the list at exactly 50. Current composition: round-6 additions, then
-# the 13 remaining round-2 rows (oldest driver checks), then round-3
-# refresh slots.
-GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     # round-6 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
     "daily_operations_summary",
     "prefix_filtered_dup_pairs",
     "stratified_sample_stats",
@@ -218,8 +155,7 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "value_moment_shape",
     "value_robust_stats",
     "weekly_value_growth",
-    # round-3 refresh slots — 37 (trim from the tail as round-6
-    # queries land at the head)
+    # round-3 refresh slots — 12 (oldest remaining driver rows)
     "asof_last_order",
     "bpe_token_stats",
     "corpus_curation_report",
@@ -232,6 +168,71 @@ GATE_WINDOW_R7_DRAFT: tuple[str, ...] = (
     "doc_split_assignment",
     "dominant_part_suppliers",
     "frame_sample_stats",
+)
+
+
+# Round-8 window, pre-staged (swap into GATE_WINDOW at round-8 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 7: new round-7 queries are inserted at
+# the HEAD and the refresh tail is trimmed to keep the list at exactly
+# 50. Current composition: the 38 remaining round-3 rows (oldest driver
+# checks after this rotation), then 12 round-4 refresh slots.
+GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
+    # round-7 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    "ann_candidate_fraction",
+    # round-3 refresh slots — 38
+    "revenue_increase_q6",
+    "priority_order_counts",
+    "local_supplier_volume",
+    "volume_shipping",
+    "national_market_share",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "top_supplier_quarter",
+    "small_qty_revenue_loss",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "q3_shipping_priority",
+    "supplier_nation_profit",
+    "min_cost_supplier",
+    "important_part_values",
+    "part_supplier_diversity",
+    "sole_late_suppliers",
+    "token_stats_by_source",
+    "lang_id_accuracy",
+    "top_tokens_by_doc_freq",
+    "repeated_chunks",
+    "tfidf_top_terms",
+    "weighted_doc_sample",
+    "price_band_distribution",
+    "rolling_week_spend",
+    "rfm_segments",
+    "scd2_customer_price_ranges",
+    "streaming_hourly_stats",
+    "streaming_sliding_stats",
+    "streaming_session_counts",
+    "streaming_click_attribution",
+    "streaming_distinct_user_types",
+    "streaming_continuous_rollup",
+    "streaming_left_outer_attribution",
+    "streaming_full_outer_attribution",
+    "streaming_update_mode_counts",
+    "streaming_complete_mode_totals",
+    "multimodal_decode_stats",
+    # round-4 refresh slots — 12 (trim from the tail as round-7
+    # queries land at the head)
+    "doc_embedding_join_stats",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "kmeans_cluster_profile",
+    "pricing_summary",
+    "nation_revenue",
+    "top10_customers",
+    "order_volume_rollup",
+    "lineitem_grouping_sets",
 )
 
 

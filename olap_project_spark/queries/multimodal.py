@@ -296,7 +296,8 @@ AHASH_HAM_T = 6  # bits of 64; candidates at or under are duplicates
     "media_phash_dup_pairs",
     oracle=f"""
     WITH d AS (SELECT doc_id, text AS t FROM documents
-               WHERE length(text) > 0),
+               WHERE length(text) > 0
+                 AND regexp_matches(text, '^[\\x00-\\x7f]*$')),
     codes AS (
       SELECT doc_id, i - 1 AS p, unicode(substr(t, i, 1)) AS v,
              length(t) AS n
@@ -362,10 +363,13 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash is an exact-integer contract (cell mean vs global mean
     by cross-multiplication, no FP — functions/multimodal.py
     ahash_band_keys), so the DuckDB oracle reproduces the Python
-    fingerprint bit-for-bit from character codes (ASCII payloads:
-    byte == code point). A real deployment swaps the byte stream for
-    decoded 8×8 grayscale intensities; banding, verify join, and
-    batch shape are unchanged.
+    fingerprint bit-for-bit from character codes. The byte == code
+    point identity only holds for ASCII, so the hash path ENFORCES
+    the contract — both engines filter to ASCII payloads with the
+    same anchored character-class regex — rather than assuming the
+    corpus stays ASCII. A real deployment swaps the byte stream for
+    decoded 8×8 grayscale intensities (where the contract is moot);
+    banding, verify join, and batch shape are unchanged.
 
     Scale: hashing is a narrow Arrow map (no shuffle); candidates
     come from 4 band-key equi-joins (each band key bounds its
@@ -398,7 +402,12 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"k{b}"] = [k[b] for k in keys]
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        # byte == code point parity contract: ASCII only (see docstring)
+        .filter(F.col("text").rlike("^[\\x00-\\x7f]*$"))
+    )
     media = with_media_column(docs)
     keys = media.mapInPandas(hash_batches, schema=schema)
     bands = keys.unpivot(

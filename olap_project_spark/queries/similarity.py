@@ -1230,6 +1230,99 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ANN cost telemetry: candidate fraction of the probed index
+# --------------------------------------------------------------------------
+@register(
+    "ann_candidate_fraction",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    q1 AS (SELECT cid FROM scored WHERE vec_id = {QUERY_VEC_ID} AND rn <= 1),
+    qp AS (SELECT cid FROM scored
+           WHERE vec_id = {QUERY_VEC_ID} AND rn <= {TOPK_NPROBE}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assign),
+    c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_ivf
+           FROM assign JOIN q1 USING (cid)
+           WHERE vec_id <> {QUERY_VEC_ID}),
+    cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_multiprobe
+           FROM assign JOIN qp USING (cid)
+           WHERE vec_id <> {QUERY_VEC_ID})
+    SELECT n_vectors, n_cand_ivf, n_cand_multiprobe,
+           ROUND(CAST(n_cand_ivf AS DOUBLE) / (n_vectors - 1), 6)
+             AS frac_ivf,
+           ROUND(CAST(n_cand_multiprobe AS DOUBLE) / (n_vectors - 1), 6)
+             AS frac_multiprobe
+    FROM n, c1, cp
+    """,
+)
+def ann_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST telemetry for the IVF index: the fraction of the corpus
+    that actually pays a distance computation under nprobe=1
+    (ann_ivf_topk's plan) and nprobe={TOPK_NPROBE}
+    (ann_multiprobe_topk's plan). Recall alone cannot prove an index
+    is doing work — recall 1.0 with candidate fraction 1.0 is a linear
+    scan wearing an index costume. Together with the two recall gate
+    rows this pins BOTH axes of the quality/cost trade: recall@k and
+    scored fraction (expected ≈ nprobe/n_cells on balanced cells,
+    < 0.2 at bench scale).
+
+    Scale: everything derives from the memoized (vec_id, cid, rn)
+    assignment frame — three count aggregates and a broadcast of the
+    ≤nprobe probed-cell ids; no distance math, no pair joins. The
+    fraction is a quotient of exact bigint counts (cross-engine
+    stable)."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    q1 = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= 1)
+    ).select(F.col("cid").alias("qcid"))
+    qp = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= TOPK_NPROBE)
+    ).select(F.col("cid").alias("qcid"))
+    n = assign.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    c1 = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q1), F.col("cid") == F.col("qcid"))
+        .agg(F.count("*").cast("bigint").alias("n_cand_ivf"))
+    )
+    cp = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qp), F.col("cid") == F.col("qcid"))
+        .agg(F.count("*").cast("bigint").alias("n_cand_multiprobe"))
+    )
+    return (
+        n.join(F.broadcast(c1))
+        .join(F.broadcast(cp))
+        .select(
+            "n_vectors",
+            "n_cand_ivf",
+            "n_cand_multiprobe",
+            F.round(
+                F.col("n_cand_ivf").cast("double") / (F.col("n_vectors") - 1), 6
+            ).alias("frac_ivf"),
+            F.round(
+                F.col("n_cand_multiprobe").cast("double")
+                / (F.col("n_vectors") - 1),
+                6,
+            ).alias("frac_multiprobe"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of lexical + dense top-k
 # --------------------------------------------------------------------------
 RRF_K = 60

@@ -157,6 +157,9 @@ class TestDriverContract:
             "cross_source_dup_matrix",     # dup provenance matrix
             "zipf_law_fit",                # scale-safe rank regression
             "mixture_diversity_stats",     # effective source count
+            # round-7 additions (r8 draft head) — pin vanilla-session
+            # behavior up front:
+            "ann_candidate_fraction",      # IVF scored-fraction telemetry
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

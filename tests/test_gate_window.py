@@ -1,7 +1,7 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-6 rotation: the 37 round-5 additions
-that had never been driver-checked occupy the window alongside the 13
-oldest (round-2) rows, every windowed query is oracle-backed, and
+queries. These tests pin the round-7 rotation: the 24 round-6 additions
+that had never been driver-checked occupy the window alongside the
+oldest (round-2/3) rows, every windowed query is oracle-backed, and
 reordering loses nothing."""
 
 from __future__ import annotations
@@ -53,19 +53,19 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-5 additions that had no driver row before this rotation
+    # the round-6 additions that had no driver row before this rotation
     for name in (
-        "cusum_changepoints",
-        "aqe_skew_join_stats",
-        "embedding_dimension_stats",
-        "kmv_set_similarity",
-        "countmin_heavy_hitters",
-        "stateful_spend_alerts",
-        "scd2_user_type_history",
-        "cohort_retention_matrix",
-        "bm25_retrieval_topk",
-        "hybrid_rrf_retrieval",
-        "incremental_join_view",
+        "daily_operations_summary",
+        "prefix_filtered_dup_pairs",
+        "ann_ivf_pq_topk",
+        "lm_perplexity_buckets",
+        "media_phash_dup_pairs",
+        "km_churn_survival",
+        "mann_whitney_ab_test",
+        "cross_source_dup_matrix",
+        "zipf_law_fit",
+        "mixture_diversity_stats",
+        "sql_lateral_top_orders",
     ):
         assert name in w, name
 
@@ -81,20 +81,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r7_draft_window_is_valid():
-    """The pre-staged round-7 window must stay swappable: exactly 50
+def test_r8_draft_window_is_valid():
+    """The pre-staged round-8 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-6 window (every slot either adds a first-time row or
+    active round-7 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R7_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R8_DRAFT
 
-    assert len(GATE_WINDOW_R7_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R7_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R7_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R8_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R8_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R8_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R7_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R8_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R7_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R8_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap

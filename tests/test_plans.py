@@ -550,10 +550,26 @@ class TestRound5bPlanShapes:
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
 
-    def test_bfs_is_keyed_joins_only(self, plan):
+    def test_bfs_is_keyed_joins_only(self, spark, sf_dir):
         """Every BFS level is an equi-join + anti-join — no cartesian,
-        no Python, and the frontier chain stays join-keyed."""
-        p = plan("knn_bfs_hops")
+        no Python. Asserted on the per-level builder: the checkpoint
+        barrier in knn_bfs_hops truncates level plans out of the final
+        lineage, so the superstep shape must be checked directly."""
+        from pyspark.sql import functions as F
+
+        from olap_project_spark.queries.dedup import _bfs_level
+
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        edges = spark.range(300).select(
+            (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+        )
+        seeds = docs.filter(F.col("doc_id") % 10 == 0)
+        p = (
+            _bfs_level(seeds, edges, seeds)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
         assert "CartesianProduct" not in p
         assert "LeftAnti" in p
         assert "BatchEvalPython" not in p

@@ -9,6 +9,16 @@ Usage:
 Prints the intersection size, median/p25/p75 of new/old per-query time
 ratios, and the biggest movers in each direction. A median near 1.0
 with a grown total just means the library gained queries.
+
+Memo-order normalization: whichever query FIRST touches a shared
+memoized intermediate pays its build, so a registry reorder (or an
+added query) shifts multi-second builds between consumers and fakes
+>2× movers in both directions (r6: near_dup_clusters 6.27× vs
+leakage_safe_split_stats 0.09×, same code). When either detail file
+carries ``memo_builds`` (kind → building query), queries that built a
+memo in EITHER run are excluded from the ratio distribution and listed
+separately — their wall-time attribution is an ordering artifact, not
+a plan change.
 """
 
 from __future__ import annotations
@@ -22,17 +32,30 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))["queries"]
-    new = json.load(open(sys.argv[2]))["queries"]
+    old_doc = json.load(open(sys.argv[1]))
+    new_doc = json.load(open(sys.argv[2]))
+    old, new = old_doc["queries"], new_doc["queries"]
     common = sorted(set(old) & set(new))
     if not common:
         print("no common queries")
         return 1
-    ratios = {n: new[n] / old[n] for n in common if old[n] > 0}
+    builders = set(old_doc.get("memo_builds", {}).values()) | set(
+        new_doc.get("memo_builds", {}).values()
+    )
+    clean = [n for n in common if n not in builders]
+    excluded = [n for n in common if n in builders]
+    ratios = {n: new[n] / old[n] for n in clean if old[n] > 0}
+    if not ratios:  # legacy files without memo_builds exclude nothing
+        ratios = {n: new[n] / old[n] for n in common if old[n] > 0}
+        excluded = []
     vals = sorted(ratios.values())
     q = statistics.quantiles(vals, n=4) if len(vals) >= 4 else [vals[0], vals[len(vals) // 2], vals[-1]]
     print(f"common queries: {len(common)}  (old total {sum(old[n] for n in common):.1f}s, "
           f"new total {sum(new[n] for n in common):.1f}s on the intersection)")
+    if excluded:
+        print(f"memo-builder queries excluded from ratios: {len(excluded)} "
+              f"(attribution is ordering noise): {excluded[:8]}"
+              + (" ..." if len(excluded) > 8 else ""))
     print(f"ratio new/old: median {statistics.median(vals):.3f}  p25 {q[0]:.3f}  p75 {q[2]:.3f}")
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest movers:", [(n, round(r, 2)) for n, r in movers[:3]])

@@ -83,11 +83,21 @@ EXECUTING = {
 # parquet footer, cardinality knobs from footer metadata) — enforced by
 # tests/test_plans.py::test_constructors_launch_no_jobs.
 CONSTRUCT_EXECUTES = EXECUTING | {
-    "leakage_safe_split_stats",  # dup-cluster CC (iterative)
+    # the CC label-propagation loop (iterative, localCheckpoint per
+    # round) runs when the near_dup_cc_labels memo is first built —
+    # which of its consumers pays is registry-order-dependent (gate
+    # rotations reorder it), so EVERY consumer is allowlisted
     "near_dup_clusters",  # CC label propagation (iterative)
+    "dedup_keep_best",  # built on the CC memo
     "dup_triangles",  # built on the CC memo
+    "leakage_safe_split_stats",  # built on the CC memo
+    "dedup_token_savings",  # built on the CC memo
     "pagerank_canonical_docs",  # fixed-point iteration
     "bucketed_order_revenue",  # writes the bucketed table once
+    # iterative BFS: each superstep localCheckpoints its frontier (the
+    # Pregel barrier), which executes under AQE; per-level plan shape
+    # is asserted in tests/test_plans.py instead
+    "knn_bfs_hops",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
@@ -185,6 +195,8 @@ BROADCAST_BOUNDED_OK = {
     "ann_ivf_pq_topk",
     # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
     "ann_hubness_audit",
+    # _ivf_ranked centroids + ≤nprobe probed-cell ids + 1-row counts
+    "ann_candidate_fraction",
 }
 
 
