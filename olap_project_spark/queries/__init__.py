@@ -181,6 +181,9 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     # round-7 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "ann_candidate_fraction",
+    "pos_merchant_rollup",
+    "pos_fraud_rate_by_city",
+    "pos_rapid_transactions",
     # round-3 refresh slots — 38
     "revenue_increase_q6",
     "priority_order_counts",
@@ -230,9 +233,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "kmeans_cluster_profile",
     "pricing_summary",
     "nation_revenue",
-    "top10_customers",
-    "order_volume_rollup",
-    "lineitem_grouping_sets",
 )
 
 
@@ -252,6 +252,7 @@ def _import_all() -> None:
         curation,
         events,
         warehouse,
+        posfact,
     )
 
     ordered = [n for n in GATE_WINDOW if n in QUERY_REGISTRY]

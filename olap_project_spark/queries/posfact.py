@@ -1,0 +1,185 @@
+"""The reference's own OLAP surface, DRIVER-VERIFIED: Q0/Q4/Q5 from
+``queries/transactions.py`` executed over a transaction fact produced
+by the native POS simulator data source and the real ``clean()``
+transform — the reference's end-to-end path (simulator → clean →
+OLAP question, scripts/spark_streaming_consumer.py:200-252 +
+pos/pos_simulator.py:62-205) as gate queries, not just pytest goldens.
+
+Oracle strategy: ``PosSimulatorDataSource`` rows are pure functions of
+(seed, index), so the IDENTICAL raw rows are generated at import time
+in plain Python and embedded in each DuckDB oracle as a VALUES CTE;
+the oracle then re-derives the clean-transform semantics (amount
+parse, USD→VND, event-time calendar) in independent SQL. Spark's
+whole pipeline — Python data source scan → Catalyst clean projection
+→ query — is thereby checked against a from-scratch reimplementation,
+with ZERO dependence on the parquet corpus (``sf_dir`` is unused).
+
+Scale: the simulator is an arbitrary-size generator (splits generate
+independently, no driver materialization); clean() is one
+WholeStageCodegen projection; the three queries are map-side
+combinable aggregates / per-card windows — the same plans the
+transactions.py docstrings pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_project_spark.queries import register, session_memo
+from olap_project_spark.queries.transactions import (
+    q0_merchant_rollup,
+    q4_fraud_rate_by,
+    q5_rapid_transactions,
+)
+from olap_project_spark.schemas import DEFAULT_VND_PER_USD
+from olap_project_spark.sources.pos_datasource import _row
+
+POS_ROWS = 800
+POS_SEED = 42
+_RATE = int(DEFAULT_VND_PER_USD)
+
+# The exact rows the Spark data source will generate — reproduced here
+# in plain Python at import time (pure(seed, i), pos_datasource._row)
+# so each oracle can embed them as literals.
+_RAW_ROWS = [_row(POS_SEED, i) for i in range(POS_ROWS)]
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _raw_cte() -> str:
+    """VALUES CTE of the (user, card, amount, merchant, city, fraud,
+    ts) projection of the generated rows — the only fields Q0/Q4/Q5
+    touch."""
+    rows = ",\n      ".join(
+        "('%s', '%s', '%s', '%s', '%s', '%s', '%s')"
+        % (u, c, a, _esc(m), _esc(city), fr, ts)
+        for (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, _e, fr, ts)
+        in _RAW_ROWS
+    )
+    return f"""raw(u, card, amount, merchant, city, fraud, tss) AS (
+      SELECT * FROM (VALUES {rows}))"""
+
+
+def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned transaction fact: simulator scan → ``clean()``.
+    Memoized per session (``sf_dir`` keys the memo but does not affect
+    the data — the generator is corpus-independent)."""
+    from olap_project_spark.sources.pos_datasource import (
+        PosSimulatorDataSource,
+    )
+    from olap_project_spark.transforms.clean import clean
+
+    def build() -> DataFrame:
+        try:
+            spark.dataSource.register(PosSimulatorDataSource)
+        except Exception:  # noqa: BLE001 — already registered
+            pass
+        raw = (
+            spark.read.format("pos_simulator")
+            .option("rows", POS_ROWS)
+            .option("seed", POS_SEED)
+            .option("partitions", 8)
+            .load()
+        )
+        return clean(raw, processed_at="2024-01-15 08:30:20")
+
+    return session_memo(spark, sf_dir, "pos_fact", build)
+
+
+@register(
+    "pos_merchant_rollup",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT merchant,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
+             CAST(tss AS TIMESTAMP) AS ts
+      FROM raw
+    ),
+    fact AS (
+      SELECT merchant,
+             CAST(year(ts) AS INTEGER) AS y,
+             CAST(month(ts) AS INTEGER) AS mo,
+             CAST(day(ts) AS INTEGER) AS d,
+             CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                  AS DECIMAL(18,2)) AS vnd
+      FROM parsed
+    )
+    SELECT merchant AS "Merchant_Name", y AS "Year", mo AS "Month",
+           d AS "Day",
+           CAST(SUM(vnd) AS DOUBLE) AS total_vnd,
+           CAST(COUNT(*) AS BIGINT) AS n_txns
+    FROM fact
+    GROUP BY ROLLUP(merchant, y, mo, d)
+    """,
+)
+def pos_merchant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q0 (requirements.md:10-13) through the driver gate: per-merchant
+    VND value + count at day→month→year→total rollup levels, over the
+    simulator-generated, clean()-derived fact — the reference's
+    end-of-period report produced by its own pipeline, verified against
+    an independent SQL re-derivation of the same 800 deterministic
+    rows.
+
+    Scale: one rollup aggregate (map-side combinable at every level);
+    decimal-exact money sums cast to double only at the edge."""
+    return q0_merchant_rollup(_pos_fact(spark, sf_dir))
+
+
+@register(
+    "pos_fraud_rate_by_city",
+    oracle=f"""
+    WITH {_raw_cte()}
+    SELECT city AS "Merchant_City",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CASE WHEN fraud = 'Yes' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fraud,
+           ROUND(CAST(SUM(CASE WHEN fraud = 'Yes' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS fraud_rate
+    FROM raw
+    GROUP BY city
+    """,
+)
+def pos_fraud_rate_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (requirements.md:46) through the driver gate: fraud count and
+    rate per merchant city over the simulator fact — the reference's
+    DIVIDE(COUNTROWS(FILTER(...)), COUNTROWS(...)) DAX pattern as one
+    conditional aggregate, rate = quotient of exact bigint counts.
+
+    Scale: single hash aggregate keyed on the city dimension."""
+    return q4_fraud_rate_by(_pos_fact(spark, sf_dir), dim="Merchant_City")
+
+
+@register(
+    "pos_rapid_transactions",
+    oracle=f"""
+    WITH {_raw_cte()},
+    fact AS (SELECT u, card, CAST(tss AS TIMESTAMP) AS ts FROM raw),
+    g AS (
+      SELECT u,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY u, card ORDER BY ts) AS gap_s
+      FROM fact
+    )
+    SELECT u AS "User",
+           CAST(SUM(CASE WHEN gap_s < 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rapid,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY u
+    HAVING SUM(CASE WHEN gap_s < 300 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def pos_rapid_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (requirements.md:47) through the driver gate: users with
+    consecutive transactions under 300 s apart on the same card, over
+    the simulator fact — per-card lag on event time. Gap multisets are
+    tie-order-invariant (successive differences of a sorted multiset),
+    so the window is deterministic even with duplicate timestamps.
+
+    Scale: the window partitions on (User, Card) — entity-keyed, never
+    global; counts aggregate map-side."""
+    return q5_rapid_transactions(_pos_fact(spark, sf_dir))

@@ -59,7 +59,11 @@ def _row(seed: int, i: int) -> tuple:
     """Transaction #i — a pure function of (seed, i)."""
     rng = random.Random((seed << 32) ^ i)
     user = str(rng.randint(0, 9))
-    card = "".join(str(rng.randint(0, 9)) for _ in range(16))
+    # Each user holds TWO fixed 16-digit cards (the sample corpus shape:
+    # one card string recurring across a user's transactions,
+    # raw_transactions.csv:2-3) — recurrence is what makes the per-card
+    # sequence analyses (Q5 rapid-transaction gaps) non-degenerate.
+    card = str(4532015112830000 + int(user) * 10 + rng.randint(0, 1))
     year, month = 2024, 1
     day = 15 + rng.randint(0, 5)                     # the sample's 6-day span
     hh, mm, ss = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)

@@ -160,6 +160,9 @@ class TestDriverContract:
             # round-7 additions (r8 draft head) — pin vanilla-session
             # behavior up front:
             "ann_candidate_fraction",      # IVF scored-fraction telemetry
+            "pos_merchant_rollup",         # simulator fact + clean rollup
+            "pos_fraud_rate_by_city",      # simulator fact fraud rates
+            "pos_rapid_transactions",      # per-card gap window
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
