@@ -184,6 +184,8 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "pos_merchant_rollup",
     "pos_fraud_rate_by_city",
     "pos_rapid_transactions",
+    "pos_top_merchants",
+    "pos_weekend_comparison",
     # round-3 refresh slots — 38
     "revenue_increase_q6",
     "priority_order_counts",
@@ -223,16 +225,14 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "streaming_update_mode_counts",
     "streaming_complete_mode_totals",
     "multimodal_decode_stats",
-    # round-4 refresh slots — 12 (trim from the tail as round-7
-    # queries land at the head)
+    # round-4 refresh slots — trim from the tail as round-7 queries
+    # land at the head (tests pin the total at exactly 50)
     "doc_embedding_join_stats",
     "embedding_near_dup_pairs",
     "ann_ivf_topk",
     "ann_filtered_topk",
     "ann_ivf_recall",
     "kmeans_cluster_profile",
-    "pricing_summary",
-    "nation_revenue",
 )
 
 

@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 from olap_project_spark.queries import register, session_memo
 from olap_project_spark.queries.transactions import (
     q0_merchant_rollup,
+    q3_top_merchants,
     q4_fraud_rate_by,
     q5_rapid_transactions,
+    q8_weekend_comparison,
 )
 from olap_project_spark.schemas import DEFAULT_VND_PER_USD
 from olap_project_spark.sources.pos_datasource import _row
@@ -183,3 +185,71 @@ def pos_rapid_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window partitions on (User, Card) — entity-keyed, never
     global; counts aggregate map-side."""
     return q5_rapid_transactions(_pos_fact(spark, sf_dir))
+
+
+@register(
+    "pos_top_merchants",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT merchant,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd
+      FROM raw
+    ),
+    agg AS (
+      SELECT merchant AS "Merchant_Name",
+             CAST(COUNT(*) AS BIGINT) AS n_txns,
+             CAST(SUM(CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS total_vnd
+      FROM parsed GROUP BY merchant
+    )
+    SELECT * FROM agg
+    ORDER BY total_vnd DESC, "Merchant_Name" ASC
+    LIMIT 10
+    """,
+)
+def pos_top_merchants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (requirements.md:45) through the driver gate: top-10
+    merchants by total VND value over the simulator fact — the DAX
+    TOPN analog as orderBy+limit (TakeOrderedAndProject; LIMIT only
+    after the unique (value, name) total order, per the oracle
+    conventions).
+
+    Scale: one merchant-keyed hash aggregate, then per-partition top-k
+    — no global sort."""
+    return q3_top_merchants(_pos_fact(spark, sf_dir), k=10, by="value")
+
+
+@register(
+    "pos_weekend_comparison",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
+             CAST(tss AS TIMESTAMP) AS ts
+      FROM raw
+    ),
+    fact AS (
+      SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'Yes' ELSE 'No' END
+               AS wk,
+             CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                  AS DECIMAL(18,2)) AS vnd
+      FROM parsed
+    )
+    SELECT wk AS "Is_Weekend",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(vnd) AS DOUBLE) AS total_vnd,
+           ROUND(CAST(SUM(vnd) AS DOUBLE) / COUNT(*), 6) AS avg_vnd
+    FROM fact GROUP BY wk
+    """,
+)
+def pos_weekend_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (requirements.md:50) through the driver gate: weekday vs
+    weekend transaction value over the simulator fact. The weekend
+    flag is clean()'s P12 expression (``dayofweek IN (1,7)`` Spark =
+    Sunday/Saturday; DuckDB's 0-based ``IN (0,6)``); the average is a
+    quotient of the exact decimal sum and the bigint count.
+
+    Scale: two-group hash aggregate — map-side combinable, trivially
+    bounded."""
+    return q8_weekend_comparison(_pos_fact(spark, sf_dir))

@@ -163,6 +163,8 @@ class TestDriverContract:
             "pos_merchant_rollup",         # simulator fact + clean rollup
             "pos_fraud_rate_by_city",      # simulator fact fraud rates
             "pos_rapid_transactions",      # per-card gap window
+            "pos_top_merchants",           # TOPN analog over the fact
+            "pos_weekend_comparison",      # P12 weekend flag aggregate
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -30,6 +30,8 @@ REPS = [
     ("lm_perplexity_buckets", "bigram-LM score+histogram"),
     ("mann_whitney_ab_test", "range-partitioned rank test"),
     ("ann_ivf_pq_topk", "IVF cells + integer ADC"),
+    ("knn_bfs_hops", "frontier BFS (checkpointed supersteps)"),
+    ("prefix_filtered_dup_pairs", "PPJoin prefix filter"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
