@@ -303,6 +303,53 @@ class TestGlobalOrderStats:
         }
         assert got == want
 
+    def test_branch_alignment_across_many_partitions(self, spark):
+        """The r6-advice hazard: the windowed branch and the totals
+        branch hang off the same range exchange, but column pruning
+        makes the two exchange subtrees differ (the totals branch drops
+        the payload), so without a pinned partition count AQE could
+        coalesce each independently and misalign `_pid`. Build a frame
+        big enough to span MANY range partitions, with a payload column
+        present only in the windowed branch, and require exact equality
+        with the single-partition window — under AQE, with the default
+        (conf-derived) partition count."""
+        from pyspark.sql.window import Window
+
+        from olap_project_spark.functions.scale import global_order_stats
+
+        n = 20_000
+        df = spark.range(n).select(
+            F.col("id"),
+            # orders the frame differently from id so ranges really mix
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("k"),
+            (F.col("id") % 97).alias("payload"),
+        )
+        got = global_order_stats(
+            df,
+            [F.asc("k"), F.asc("id")],
+            sum_cols={"cum": "payload"},
+            rank_col="i",
+        )
+        # the frame must actually span multiple post-shuffle partitions
+        # for this test to exercise branch alignment
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spanned = (
+            df.repartitionByRange(n_parts, F.asc("k"), F.asc("id"))
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert spanned >= 2, "frame too small to span partitions"
+        w = Window.orderBy(F.asc("k"), F.asc("id")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = df.withColumn(
+            "i", F.row_number().over(Window.orderBy(F.asc("k"), F.asc("id")))
+        ).withColumn("cum", F.sum("payload").over(w))
+        got_m = {r["id"]: (r["i"], r["cum"]) for r in got.collect()}
+        want_m = {r["id"]: (r["i"], r["cum"]) for r in want.collect()}
+        assert got_m == want_m
+
     def test_no_unpartitioned_window_in_plan(self, spark, sf_dir):
         import os
         import sys
