@@ -181,6 +181,7 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     # round-7 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "ann_candidate_fraction",
+    "repeated_substring_spans",
     "pos_merchant_rollup",
     "pos_fraud_rate_by_city",
     "pos_rapid_transactions",
@@ -232,7 +233,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_filtered_topk",
     "ann_ivf_recall",
-    "kmeans_cluster_profile",
 )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from olap_project_spark.functions.text import (
     LANG_STOPWORDS,
@@ -495,6 +496,96 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal repeated-substring spans (exact substring-dedup artifact)
+# --------------------------------------------------------------------------
+SPAN_K = 8  # k-gram width: the minimum repeated run worth removing
+
+
+@register(
+    "repeated_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(ts, i + 1, i + {SPAN_K}), ' '))
+               AS gram
+      FROM toks, UNNEST(range(0, len(ts) - {SPAN_K} + 1)) AS t(i)
+      WHERE len(ts) >= {SPAN_K}
+    ),
+    rep AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - row_number() OVER (
+               PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+      FROM grams g JOIN rep USING (gram)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + {SPAN_K} - MIN(pos) AS INTEGER) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM hits
+    GROUP BY doc_id, grp
+    """,
+)
+def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document repeated substring spans — the artifact
+    substring-level exact dedup actually removes (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": the
+    suffix-array pipeline's output, here via distributed k-gram rolling
+    windows). Every token position opens a {SPAN_K}-gram; grams seen in
+    ≥2 distinct documents mark their positions "repeated"; RUNS of
+    consecutive repeated positions merge into maximal spans
+    (gaps-and-islands: pos − row_number is constant within a run). A
+    span row is (doc_id, span_start, span_tokens, n_grams) — the exact
+    byte ranges a substring-dedup pass would cut, where
+    ``repeated_chunks`` only reports which strided windows recur.
+
+    Scale: grams shuffle as (16-byte md5, doc_id, pos) — never text;
+    the repeated-gram filter is one map-side-combinable aggregate; the
+    island window partitions per doc_id (entity-keyed, bounded by doc
+    length). The stride-1 gram count is ~tokens — the same volume a
+    suffix array indexes, in plain hash aggregates."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= SPAN_K
+    )
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - SPAN_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("ts"), i + 1, SPAN_K))
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = grams.join(rep, "gram").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return hits.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + SPAN_K - F.min("pos")).cast("int").alias("span_tokens"),
+        F.count("*").alias("n_grams"),
+    ).drop("grp")
 
 
 # --------------------------------------------------------------------------

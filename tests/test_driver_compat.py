@@ -165,6 +165,7 @@ class TestDriverContract:
             "pos_rapid_transactions",      # per-card gap window
             "pos_top_merchants",           # TOPN analog over the fact
             "pos_weekend_comparison",      # P12 weekend flag aggregate
+            "repeated_substring_spans",    # k-gram islands span merge
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
