@@ -182,6 +182,8 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     # (inserted here as they land)
     "ann_candidate_fraction",
     "repeated_substring_spans",
+    "substring_dedup_savings",
+    "hard_negative_mining",
     "pos_merchant_rollup",
     "pos_fraud_rate_by_city",
     "pos_rapid_transactions",
@@ -231,8 +233,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "doc_embedding_join_stats",
     "embedding_near_dup_pairs",
     "ann_ivf_topk",
-    "ann_filtered_topk",
-    "ann_ivf_recall",
 )
 
 

@@ -1323,6 +1323,104 @@ def ann_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data over the embeddings)
+# --------------------------------------------------------------------------
+HN_ANCHORS = 8  # anchors: vec_id < 8 (deterministic)
+HN_K = 5        # hard negatives per anchor
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    a AS (SELECT vec_id AS anchor_id, label AS a_label, emb AS a_emb
+          FROM e WHERE vec_id < {HN_ANCHORS}),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+             list_dot_product(e.emb, a.a_emb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(a.a_emb, a.a_emb))) AS c
+      FROM e, a
+      WHERE e.label <> a.a_label AND e.vec_id <> a.anchor_id
+    ),
+    r AS (
+      SELECT anchor_id, neg_id, neg_label, c,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY c DESC, neg_id) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, neg_id, neg_label,
+           CAST(rn AS INTEGER) AS neg_rank, ROUND(c, 6) AS cos_sim
+    FROM r WHERE rn <= {HN_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD NEGATIVES for contrastive training: for each anchor vector
+    (vec_id < {HN_ANCHORS}), the {HN_K} most-similar vectors with a
+    DIFFERENT label — the "close but wrong" examples a retrieval /
+    embedding trainer mines to sharpen decision boundaries (the
+    in-batch-negatives upgrade every dense-retrieval recipe ships).
+    Candidates come from the IVF index (each anchor probes its nearest
+    cells, adaptive width as in the near-dup family); the oracle is the
+    EXACT brute-force ranking, so the gate pins index completeness for
+    this workload too.
+
+    Scale: anchors and their probed-cell ids broadcast (≤ anchors ×
+    nprobe rows); the corpus prunes to the probed cells BEFORE any
+    cosine is computed; ranking windows per anchor_id over candidates
+    only. At 100 TB this is the standard mine-from-ANN-index plan, with
+    a sampled-anchor sweep replacing the fixed anchor set."""
+    from olap_project_spark.sources.registry import table_row_count
+
+    nprobe = (
+        N_CENTROIDS
+        if table_row_count(sf_dir, "embeddings") <= EXACT_COMPLETE_N
+        else NEAR_DUP_NPROBE
+    )
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+    )
+    acell = ranked.filter(
+        (F.col("vec_id") < HN_ANCHORS) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("anchor_id"), "cid")
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    cand = assign.join(F.broadcast(acell), "cid").select("anchor_id", "vec_id")
+    cos_a = cosine(F.col("emb"), F.col("a_emb"))
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(anchors), "anchor_id")
+        .filter(
+            (F.col("label") != F.col("a_label"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cos_a.alias("c"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_label",
+            F.col("rn").cast("int").alias("neg_rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of lexical + dense top-k
 # --------------------------------------------------------------------------
 RRF_K = 60

@@ -23,7 +23,7 @@ from olap_project_spark.functions.text import (
     token_count,
     tokens,
 )
-from olap_project_spark.queries import load, register
+from olap_project_spark.queries import load, register, session_memo
 
 
 # --------------------------------------------------------------------------
@@ -503,11 +503,10 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SPAN_K = 8  # k-gram width: the minimum repeated run worth removing
 
-
-@register(
-    "repeated_substring_spans",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain documents → maximal repeated spans (used by the
+# span oracle and the savings oracle: same text, provably the same
+# span derivation).
+_SQL_SPANS = f"""toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
       FROM documents WHERE length(trim(text)) > 0
     ),
@@ -527,13 +526,69 @@ SPAN_K = 8  # k-gram width: the minimum repeated run worth removing
              g.pos - row_number() OVER (
                PARTITION BY g.doc_id ORDER BY g.pos) AS grp
       FROM grams g JOIN rep USING (gram)
-    )
-    SELECT doc_id,
-           CAST(MIN(pos) AS INTEGER) AS span_start,
-           CAST(MAX(pos) + {SPAN_K} - MIN(pos) AS INTEGER) AS span_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_grams
-    FROM hits
-    GROUP BY doc_id, grp
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS INTEGER) AS span_start,
+             CAST(MAX(pos) + {SPAN_K} - MIN(pos) AS INTEGER) AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM hits
+      GROUP BY doc_id, grp
+    )"""
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_tokens, n_grams) — memoized: the
+    savings accounting consumes the same span set."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            F.length(F.trim("text")) > 0
+        )
+        tok = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+            F.size("ts") >= SPAN_K
+        )
+        grams = tok.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - SPAN_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("ts"), i + 1, SPAN_K))
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        rep = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        hits = grams.join(rep, "gram").withColumn(
+            "grp", F.col("pos") - F.row_number().over(w)
+        )
+        return (
+            hits.groupBy("doc_id", "grp")
+            .agg(
+                F.min("pos").cast("int").alias("span_start"),
+                (F.max("pos") + SPAN_K - F.min("pos"))
+                .cast("int")
+                .alias("span_tokens"),
+                F.count("*").alias("n_grams"),
+            )
+            .drop("grp")
+        )
+
+    return session_memo(spark, sf_dir, "substring_spans", build)
+
+
+@register(
+    "repeated_substring_spans",
+    oracle=f"""
+    WITH {_SQL_SPANS}
+    SELECT doc_id, span_start, span_tokens, n_grams FROM spans
     """,
 )
 def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,38 +609,130 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     island window partitions per doc_id (entity-keyed, bounded by doc
     length). The stride-1 gram count is ~tokens — the same volume a
     suffix array indexes, in plain hash aggregates."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
+    return _substring_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_tokens", "n_grams"
     )
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
-        F.size("ts") >= SPAN_K
+
+
+@register(
+    "substring_dedup_savings",
+    oracle=f"""
+    WITH {_SQL_SPANS},
+    iv AS (
+      SELECT doc_id, span_start AS s,
+             span_start + span_tokens - 1 AS e
+      FROM spans
+    ),
+    ordd AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS isl_id
+      FROM ordd
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY doc_id, isl_id
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS covered
+      FROM merged GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents
     )
-    grams = tok.select(
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS tokens_covered,
+           ROUND(CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
+                 / SUM(n_tok), 6) AS substring_savings
+    FROM tok LEFT JOIN cov USING (doc_id)
+    GROUP BY source
+    """,
+)
+def substring_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting for SUBSTRING-level dedup: how many
+    tokens sit inside cross-document repeated spans. Span intervals
+    from distinct islands can overlap in token coverage when the
+    position gap is under SPAN_K, so intervals are merged first (the
+    running-max sweep: a row opens a new merged interval iff its start
+    exceeds the max end of every earlier row) and only then counted.
+    The complement to ``dedup_token_savings``' doc-level ledger:
+    together they bound what doc-dedup vs substring-dedup each buys
+    per source.
+
+    Scale: spans come from the memoized span frame (built once); the
+    interval-merge windows partition per doc_id over span rows
+    (bounded by doc length); the ledger is one source-keyed hash
+    aggregate; savings is a quotient of exact bigint sums."""
+    from olap_project_spark.functions.text import token_count
+
+    spans = _substring_spans(spark, sf_dir)
+    iv = spans.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ts") - SPAN_K),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("ts"), i + 1, SPAN_K))
-                ),
-            )
-        ).alias("pos", "gram"),
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_tokens") - 1).alias("e"),
     )
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    hits = grams.join(rep, "gram").withColumn(
-        "grp", F.col("pos") - F.row_number().over(w)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return hits.groupBy("doc_id", "grp").agg(
-        F.min("pos").cast("int").alias("span_start"),
-        (F.max("pos") + SPAN_K - F.min("pos")).cast("int").alias("span_tokens"),
-        F.count("*").alias("n_grams"),
-    ).drop("grp")
+    isl = iv.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "isl_id",
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    cov = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("bigint")
+            .alias("covered")
+        )
+    )
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        tok.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.coalesce(F.col("covered"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_covered"),
+            F.round(
+                F.sum(F.coalesce(F.col("covered"), F.lit(0))).cast("double")
+                / F.sum("n_tok"),
+                6,
+            ).alias("substring_savings"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

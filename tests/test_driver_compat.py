@@ -166,6 +166,8 @@ class TestDriverContract:
             "pos_top_merchants",           # TOPN analog over the fact
             "pos_weekend_comparison",      # P12 weekend flag aggregate
             "repeated_substring_spans",    # k-gram islands span merge
+            "substring_dedup_savings",     # interval-union token ledger
+            "hard_negative_mining",        # IVF-blocked contrastive negs
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -197,6 +197,8 @@ BROADCAST_BOUNDED_OK = {
     "ann_hubness_audit",
     # _ivf_ranked centroids + ≤nprobe probed-cell ids + 1-row counts
     "ann_candidate_fraction",
+    # 8 anchor rows + anchors×nprobe probed-cell ids — constant-size sides
+    "hard_negative_mining",
 }
 
 
