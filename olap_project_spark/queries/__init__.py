@@ -184,6 +184,7 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "repeated_substring_spans",
     "substring_dedup_savings",
     "hard_negative_mining",
+    "pos_stream_user_totals",
     "pos_merchant_rollup",
     "pos_fraud_rate_by_city",
     "pos_rapid_transactions",
@@ -232,7 +233,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     # land at the head (tests pin the total at exactly 50)
     "doc_embedding_join_stats",
     "embedding_near_dup_pairs",
-    "ann_ivf_topk",
 )
 
 

@@ -253,3 +253,71 @@ def pos_weekend_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two-group hash aggregate — map-side combinable, trivially
     bounded."""
     return q8_weekend_comparison(_pos_fact(spark, sf_dir))
+
+
+@register(
+    "pos_stream_user_totals",
+    oracle=f"""
+    WITH {_raw_cte()}
+    SELECT u AS "User",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CAST(replace(replace(amount, '$', ''), '.', '')
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM raw
+    GROUP BY u
+    """,
+)
+def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ST9 replay source driven END-TO-END by the STREAMING engine
+    through the gate: the native Python-DataSource POS stream
+    (deterministic offsets, {POS_ROWS} rows in 200-row micro-batches)
+    feeds an incremental per-user aggregate in complete output mode;
+    the memory-sink table is the result. Because rows are
+    pure(seed, i), the DuckDB oracle knows the exact totals — the
+    streaming path is hash-checked, not rows-only. Money is summed as
+    exact integer cents parsed from the '$x.xx' string.
+
+    Scale: in production the same code reads the Kafka feed; state is
+    one running (count, sum) pair per user key — the minimal stateful
+    aggregate, partitioned on the grouping key."""
+    import uuid
+
+    from olap_project_spark.sources.pos_datasource import (
+        PosSimulatorDataSource,
+    )
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        child.dataSource.register(PosSimulatorDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+    stream = (
+        child.readStream.format("pos_simulator")
+        .option("rows", POS_ROWS)
+        .option("seed", POS_SEED)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    agg = stream.groupBy(F.col("User")).agg(
+        F.count("*").alias("n_txns"),
+        F.sum(
+            F.regexp_replace(F.col("Amount"), r"[$.]", "").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    name = f"pos_stream_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # Python stream sources fall back to single-batch under
+    # availableNow; a bounded feed + processAllAvailable drains the
+    # same rows in real micro-batches instead.
+    q.processAllAvailable()
+    q.stop()
+    return child.table(name)

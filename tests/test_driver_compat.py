@@ -168,6 +168,7 @@ class TestDriverContract:
             "repeated_substring_spans",    # k-gram islands span merge
             "substring_dedup_savings",     # interval-union token ledger
             "hard_negative_mining",        # IVF-blocked contrastive negs
+            "pos_stream_user_totals",      # Python-source stream E2E
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -72,6 +72,7 @@ EXECUTING = {
     "part_entity_clusters",
     "format_roundtrip_stats",
     "manifest_snapshot_stats",
+    "pos_stream_user_totals",
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
