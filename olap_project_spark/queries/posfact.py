@@ -65,20 +65,33 @@ def _raw_cte() -> str:
       SELECT * FROM (VALUES {rows}))"""
 
 
+# Python-DataSource registration is per-SESSION for lookup but the
+# name-uniqueness check is cross-session (a second session can neither
+# re-register nor read the name) — so every posfact query registers
+# and reads on the ONE caller session, tracked here to keep register
+# idempotent without swallowing real failures.
+_POS_REGISTERED: set[int] = set()
+
+
+def _ensure_pos_source(spark: SparkSession) -> None:
+    if id(spark._jsparkSession) in _POS_REGISTERED:
+        return
+    from olap_project_spark.sources.pos_datasource import (
+        PosSimulatorDataSource,
+    )
+
+    spark.dataSource.register(PosSimulatorDataSource)
+    _POS_REGISTERED.add(id(spark._jsparkSession))
+
+
 def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaned transaction fact: simulator scan → ``clean()``.
     Memoized per session (``sf_dir`` keys the memo but does not affect
     the data — the generator is corpus-independent)."""
-    from olap_project_spark.sources.pos_datasource import (
-        PosSimulatorDataSource,
-    )
     from olap_project_spark.transforms.clean import clean
 
     def build() -> DataFrame:
-        try:
-            spark.dataSource.register(PosSimulatorDataSource)
-        except Exception:  # noqa: BLE001 — already registered
-            pass
+        _ensure_pos_source(spark)
         raw = (
             spark.read.format("pos_simulator")
             .option("rows", POS_ROWS)
@@ -279,21 +292,17 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: in production the same code reads the Kafka feed; state is
     one running (count, sum) pair per user key — the minimal stateful
-    aggregate, partitioned on the grouping key."""
+    aggregate, partitioned on the grouping key.
+
+    Runs on the CALLER's session (a child session cannot see — or
+    re-register — the parent's Python data source, see
+    ``_ensure_pos_source``); the state-partition sizing is a scoped
+    conf set/restore instead of a child session."""
     import uuid
 
-    from olap_project_spark.sources.pos_datasource import (
-        PosSimulatorDataSource,
-    )
-
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        child.dataSource.register(PosSimulatorDataSource)
-    except Exception:  # noqa: BLE001 — already registered
-        pass
+    _ensure_pos_source(spark)
     stream = (
-        child.readStream.format("pos_simulator")
+        spark.readStream.format("pos_simulator")
         .option("rows", POS_ROWS)
         .option("seed", POS_SEED)
         .option("rows_per_batch", 200)
@@ -308,16 +317,23 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_cents"),
     )
     name = f"pos_stream_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    # Python stream sources fall back to single-batch under
-    # availableNow; a bounded feed + processAllAvailable drains the
-    # same rows in real micro-batches instead.
-    q.processAllAvailable()
-    q.stop()
-    return child.table(name)
+    # streaming state is one store per shuffle partition: size to the
+    # 10-user keyspace for the run, restore the caller's conf after
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # Python stream sources fall back to single-batch under
+        # availableNow; a bounded feed + processAllAvailable drains the
+        # same rows in real micro-batches instead.
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)

@@ -16,7 +16,11 @@ from olap_project_spark.transforms import clean, route
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(PosSimulatorDataSource)
+    # idempotent across modules: the posfact gate queries may already
+    # have registered the source on this session
+    from olap_project_spark.queries.posfact import _ensure_pos_source
+
+    _ensure_pos_source(spark)
     return spark
 
 
