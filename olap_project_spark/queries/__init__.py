@@ -184,6 +184,7 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "repeated_substring_spans",
     "substring_dedup_savings",
     "hard_negative_mining",
+    "source_embedding_drift",
     "pos_stream_user_totals",
     "pos_merchant_rollup",
     "pos_fraud_rate_by_city",
@@ -232,7 +233,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     # round-4 refresh slots — trim from the tail as round-7 queries
     # land at the head (tests pin the total at exactly 50)
     "doc_embedding_join_stats",
-    "embedding_near_dup_pairs",
 )
 
 

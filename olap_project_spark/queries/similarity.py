@@ -1323,6 +1323,112 @@ def ann_candidate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Source embedding drift (pairwise mean-embedding similarity matrix)
+# --------------------------------------------------------------------------
+DRIFT_SCALE = 1_000_000  # micro fixed-point for per-dim means
+
+
+@register(
+    "source_embedding_drift",
+    oracle=f"""
+    WITH cell AS (
+      SELECT d.source, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(e.embedding[i] AS DOUBLE) AS v
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id,
+      UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+    ),
+    means AS (
+      SELECT source, dim,
+             CAST(ROUND(ROUND(SUM(v) / COUNT(*), 6) * {DRIFT_SCALE})
+                  AS BIGINT) AS m
+      FROM cell GROUP BY source, dim
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.m * b.m) AS BIGINT) AS dot,
+             CAST(SUM(a.m * a.m) AS BIGINT) AS na,
+             CAST(SUM(b.m * b.m) AS BIGINT) AS nb,
+             CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS l2sq
+      FROM means a
+      JOIN means b ON a.dim = b.dim AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 6) AS mean_cosine,
+           ROUND(sqrt(CAST(l2sq AS DOUBLE)) / {DRIFT_SCALE}, 6) AS mean_l2
+    FROM pairs
+    """,
+)
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise EMBEDDING DRIFT between corpus sources: each source's
+    mean embedding (its centroid in representation space), compared
+    across every source pair by cosine and L2 — the distribution-shift
+    monitor a pretraining pipeline runs when a crawl refresh or new
+    source lands (a source whose centroid drifts from its siblings
+    changed character; PSI (value_drift_psi) watches scalars, this
+    watches the representation space).
+
+    Cross-engine discipline: per-dim means round once to 6 dp, then
+    scale to micro fixed-point BIGINTs; dot products, norms, and L2
+    run in EXACT integer arithmetic and only the final sqrt/divide is
+    double — summation-order noise cannot flip the gate hash.
+
+    Scale: one posexplode → (source, dim)-keyed hash aggregate (the
+    shuffle carries sources × dims partials, never vectors); the pair
+    matrix is sources² × dims rows of bigints — broadcast-sized for
+    any real source count."""
+    e = _emb(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cell = (
+        e.join(docs, e["vec_id"] == docs["doc_id"])
+        .select("source", F.posexplode("emb").alias("dim", "v"))
+        .select("source", F.col("dim").cast("int").alias("dim"), "v")
+    )
+    means = cell.groupBy("source", "dim").agg(
+        F.round(F.round(F.sum("v") / F.count("*"), 6) * DRIFT_SCALE)
+        .cast("bigint")
+        .alias("m")
+    )
+    a = means.select(
+        F.col("source").alias("source_a"), "dim", F.col("m").alias("ma")
+    )
+    b = means.select(
+        F.col("source").alias("source_b"), "dim", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("bigint").alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).cast("bigint").alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).cast("bigint").alias("nb"),
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("bigint")
+            .alias("l2sq"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("mean_cosine"),
+        F.round(
+            F.sqrt(F.col("l2sq").cast("double")) / DRIFT_SCALE, 6
+        ).alias("mean_l2"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Hard-negative mining (contrastive-training data over the embeddings)
 # --------------------------------------------------------------------------
 HN_ANCHORS = 8  # anchors: vec_id < 8 (deterministic)

@@ -169,6 +169,7 @@ class TestDriverContract:
             "substring_dedup_savings",     # interval-union token ledger
             "hard_negative_mining",        # IVF-blocked contrastive negs
             "pos_stream_user_totals",      # Python-source stream E2E
+            "source_embedding_drift",      # fixed-point centroid matrix
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
