@@ -191,6 +191,11 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "pos_rapid_transactions",
     "pos_top_merchants",
     "pos_weekend_comparison",
+    "pos_busiest_hours",
+    "pos_top_cities",
+    "pos_large_txn_profile",
+    "pos_fraud_trend",
+    "pos_above_avg_fraud_users",
     # round-3 refresh slots — 38
     "revenue_increase_q6",
     "priority_order_counts",
@@ -226,13 +231,8 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
     "streaming_left_outer_attribution",
-    "streaming_full_outer_attribution",
-    "streaming_update_mode_counts",
-    "streaming_complete_mode_totals",
-    "multimodal_decode_stats",
-    # round-4 refresh slots — trim from the tail as round-7 queries
-    # land at the head (tests pin the total at exactly 50)
-    "doc_embedding_join_stats",
+    # (round-3 remainder and round-4 head continue as the r9 refresh
+    # pool once the round-7 additions cycle through)
 )
 
 

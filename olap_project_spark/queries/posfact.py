@@ -29,10 +29,15 @@ from pyspark.sql import functions as F
 from olap_project_spark.queries import register, session_memo
 from olap_project_spark.queries.transactions import (
     q0_merchant_rollup,
+    q1_busiest_hours,
+    q2_top_cities_by_value,
     q3_top_merchants,
     q4_fraud_rate_by,
     q5_rapid_transactions,
+    q6_large_txn_profile,
+    q7_fraud_trend,
     q8_weekend_comparison,
+    q9_above_avg_flag_users,
 )
 from olap_project_spark.schemas import DEFAULT_VND_PER_USD
 from olap_project_spark.sources.pos_datasource import _row
@@ -266,6 +271,141 @@ def pos_weekend_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two-group hash aggregate — map-side combinable, trivially
     bounded."""
     return q8_weekend_comparison(_pos_fact(spark, sf_dir))
+
+
+@register(
+    "pos_busiest_hours",
+    oracle=f"""
+    WITH {_raw_cte()}
+    SELECT CAST(hour(CAST(tss AS TIMESTAMP)) AS INTEGER) AS "Hour",
+           CAST(COUNT(*) AS BIGINT) AS n_txns
+    FROM raw GROUP BY 1
+    """,
+)
+def pos_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 busiest-hours half (requirements.md:42) through the driver
+    gate: transaction counts per event-time hour over the simulator
+    fact.
+
+    Scale: one 24-group hash aggregate; the ordering is presentation
+    only (hash compare is order-insensitive)."""
+    return q1_busiest_hours(_pos_fact(spark, sf_dir))
+
+
+@register(
+    "pos_top_cities",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT city,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd
+      FROM raw
+    ),
+    agg AS (
+      SELECT city AS "Merchant_City",
+             CAST(SUM(CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS total_vnd
+      FROM parsed GROUP BY city
+    )
+    SELECT * FROM agg
+    ORDER BY total_vnd DESC, "Merchant_City" ASC
+    LIMIT 10
+    """,
+)
+def pos_top_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (requirements.md:44) through the driver gate: cities ranked
+    by total VND value — LIMIT only after the unique (value, city)
+    total order.
+
+    Scale: city-keyed hash aggregate + TakeOrderedAndProject."""
+    return q2_top_cities_by_value(_pos_fact(spark, sf_dir), k=10)
+
+
+@register(
+    "pos_large_txn_profile",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT city,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
+             CAST(tss AS TIMESTAMP) AS ts
+      FROM raw
+    )
+    SELECT CAST(hour(ts) AS INTEGER) AS "Hour",
+           city AS "Merchant_City",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_vnd
+    FROM parsed
+    WHERE usd > 500.0
+    GROUP BY 1, 2
+    """,
+)
+def pos_large_txn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (requirements.md:48, filter F5) through the driver gate:
+    when/where large transactions (> $500) occur, by hour × city.
+
+    Scale: the threshold predicate applies before the aggregate (at a
+    parquet-backed fact it reaches the scan); the groupBy is
+    map-side combinable."""
+    return q6_large_txn_profile(_pos_fact(spark, sf_dir), threshold_usd=500.0)
+
+
+@register(
+    "pos_fraud_trend",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT fraud,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
+             CAST(tss AS TIMESTAMP) AS ts
+      FROM raw
+    )
+    SELECT CAST(hour(ts) AS INTEGER) AS "Hour",
+           CAST(COUNT(*) AS BIGINT) AS n_fraud,
+           CAST(SUM(CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS fraud_vnd
+    FROM parsed
+    WHERE fraud = 'Yes'
+    GROUP BY 1
+    """,
+)
+def pos_fraud_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (requirements.md:49) through the driver gate: fraud count
+    and VND volume per hour — the fraud trend dimensioned on event
+    time.
+
+    Scale: predicate then 24-group aggregate; swap the dim argument
+    for merchant/city trends, same plan."""
+    return q7_fraud_trend(_pos_fact(spark, sf_dir), dim="Hour")
+
+
+@register(
+    "pos_above_avg_fraud_users",
+    oracle=f"""
+    WITH {_raw_cte()},
+    per_user AS (
+      SELECT u AS "User",
+             CAST(SUM(CASE WHEN fraud = 'Yes' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged
+      FROM raw GROUP BY u
+    ),
+    mu AS (SELECT AVG(CAST(n_flagged AS DOUBLE)) AS mu FROM per_user)
+    SELECT "User", n_flagged
+    FROM per_user, mu
+    WHERE CAST(n_flagged AS DOUBLE) > mu
+    """,
+)
+def pos_above_avg_fraud_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (requirements.md:51) through the driver gate: users whose
+    fraud count exceeds the population average — per-user conditional
+    count vs a broadcast scalar (no self-join). The average is an
+    exact-integer sum divided once in double, identical on both
+    engines.
+
+    Scale: user-keyed aggregate + 1-row broadcast — the standard
+    above-average idiom at any size."""
+    return q9_above_avg_flag_users(_pos_fact(spark, sf_dir), flag="fraud")
 
 
 @register(

@@ -170,6 +170,11 @@ class TestDriverContract:
             "hard_negative_mining",        # IVF-blocked contrastive negs
             "pos_stream_user_totals",      # Python-source stream E2E
             "source_embedding_drift",      # fixed-point centroid matrix
+            "pos_busiest_hours",           # hourly fact counts
+            "pos_top_cities",              # ordered city value top-k
+            "pos_large_txn_profile",       # threshold filter + 2-dim agg
+            "pos_fraud_trend",             # fraud-only hourly trend
+            "pos_above_avg_fraud_users",   # broadcast-scalar comparison
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
