@@ -276,6 +276,31 @@ SHOWCASE = [
         "TakeOrderedAndProject — index memory 8 bytes/vector, "
         "full vectors touched only for the shortlist.",
     ),
+    (
+        "repeated_substring_spans",
+        "Substring-level exact dedup: stride-1 k-gram hashes explode "
+        "from one scan (higher-order transform, no Python), the "
+        "repeated-gram filter is a map-side-combinable hash aggregate "
+        "on the 16-byte md5 — text never shuffles — and the island "
+        "merge windows per doc_id (entity-keyed, bounded by doc "
+        "length).",
+    ),
+    (
+        "hard_negative_mining",
+        "Contrastive-negative mining from the IVF index: the anchor "
+        "rows and their probed-cell ids arrive by BroadcastExchange "
+        "(literal-bounded), the corpus prunes to probed cells through "
+        "an equi-join BEFORE any cosine fold runs, and the per-anchor "
+        "ranking windows over candidates only.",
+    ),
+    (
+        "pos_merchant_rollup",
+        "The reference's own pipeline as one plan: a Python "
+        "DataSource scan (the deterministic POS simulator) feeds the "
+        "clean() projection — one WholeStageCodegen span, no "
+        "row-Python — and the day/month/year rollup is a single "
+        "Expand+HashAggregate with map-side partials.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
