@@ -297,7 +297,7 @@ AHASH_HAM_T = 6  # bits of 64; candidates at or under are duplicates
     oracle=f"""
     WITH d AS (SELECT doc_id, text AS t FROM documents
                WHERE length(text) > 0
-                 AND regexp_matches(text, '^[\\x00-\\x7f]*$')),
+                 AND strlen(text) = length(text)),
     codes AS (
       SELECT doc_id, i - 1 AS p, unicode(substr(t, i, 1)) AS v,
              length(t) AS n
@@ -365,9 +365,9 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ahash_band_keys), so the DuckDB oracle reproduces the Python
     fingerprint bit-for-bit from character codes. The byte == code
     point identity only holds for ASCII, so the hash path ENFORCES
-    the contract — both engines filter to ASCII payloads with the
-    same anchored character-class regex — rather than assuming the
-    corpus stays ASCII. A real deployment swaps the byte stream for
+    the contract — both engines filter to payloads whose UTF-8 byte
+    length equals their character length (true iff pure ASCII) —
+    rather than assuming the corpus stays ASCII. A real deployment swaps the byte stream for
     decoded 8×8 grayscale intensities (where the contract is moot);
     banding, verify join, and batch shape are unchanged.
 
@@ -405,8 +405,10 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
-        # byte == code point parity contract: ASCII only (see docstring)
-        .filter(F.col("text").rlike("^[\\x00-\\x7f]*$"))
+        # byte == code point parity contract: ASCII only (see docstring).
+        # UTF-8 byte count equals char count iff the string is pure
+        # ASCII — two native length calls, no per-char regex.
+        .filter(F.octet_length("text") == F.length("text"))
     )
     media = with_media_column(docs)
     keys = media.mapInPandas(hash_batches, schema=schema)
