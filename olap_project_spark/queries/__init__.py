@@ -196,6 +196,7 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "pos_large_txn_profile",
     "pos_fraud_trend",
     "pos_above_avg_fraud_users",
+    "pos_daily_operations",
     # round-3 refresh slots — 38
     "revenue_increase_q6",
     "priority_order_counts",
@@ -230,7 +231,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "streaming_click_attribution",
     "streaming_distinct_user_types",
     "streaming_continuous_rollup",
-    "streaming_left_outer_attribution",
     # (round-3 remainder and round-4 head continue as the r9 refresh
     # pool once the round-7 additions cycle through)
 )

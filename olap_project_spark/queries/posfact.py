@@ -409,6 +409,65 @@ def pos_above_avg_fraud_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pos_daily_operations",
+    oracle=f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT u, fraud,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
+             CAST(tss AS TIMESTAMP) AS ts
+      FROM raw
+    )
+    SELECT CAST(year(ts) AS INTEGER) AS "Year",
+           CAST(month(ts) AS INTEGER) AS "Month",
+           CAST(day(ts) AS INTEGER) AS "Day",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(CASE WHEN usd > 0 THEN usd * {_RATE} END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_vnd,
+           CAST(SUM(CASE WHEN fraud = 'Yes' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fraud,
+           ROUND(CAST(SUM(CASE WHEN fraud = 'Yes' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS fraud_rate,
+           CAST(SUM(CASE WHEN usd > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_large
+    FROM parsed
+    GROUP BY 1, 2, 3
+    """,
+)
+def pos_daily_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 synthesis (requirements.md:52-53) through the driver gate:
+    the daily operations report over the simulator fact — volume,
+    active users, VND value, fraud count/rate, and large-transaction
+    count per calendar day, in ONE multi-signal rollup. With
+    Q0–Q9 as their own ``pos_*`` gate rows, this completes
+    driver-verified coverage of the reference's entire OLAP question
+    list on its own pipeline's fact.
+
+    Scale: one day-keyed aggregate; the distinct-user count is the
+    only non-combinable term (exact here; swap for
+    approx_count_distinct at 100 TB if a bounded error is
+    acceptable)."""
+    fact = _pos_fact(spark, sf_dir)
+    fraud = F.when(F.col("Is_Fraud") == "Yes", 1).otherwise(0)
+    large = F.when(F.col("Amount_USD") > 500.0, 1).otherwise(0)
+    return fact.groupBy("Year", "Month", "Day").agg(
+        F.count("*").alias("n_txns"),
+        F.countDistinct("User").cast("bigint").alias("n_users"),
+        F.sum(_vnd_dec()).cast("double").alias("total_vnd"),
+        F.sum(fraud).cast("bigint").alias("n_fraud"),
+        F.round(F.sum(fraud).cast("double") / F.count("*"), 6).alias(
+            "fraud_rate"
+        ),
+        F.sum(large).cast("bigint").alias("n_large"),
+    )
+
+
+def _vnd_dec():
+    return F.col("Amount_VND").cast("decimal(18,2)")
+
+
+@register(
     "pos_stream_user_totals",
     oracle=f"""
     WITH {_raw_cte()}

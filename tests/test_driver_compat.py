@@ -175,6 +175,7 @@ class TestDriverContract:
             "pos_large_txn_profile",       # threshold filter + 2-dim agg
             "pos_fraud_trend",             # fraud-only hourly trend
             "pos_above_avg_fraud_users",   # broadcast-scalar comparison
+            "pos_daily_operations",        # Q10 multi-signal day rollup
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

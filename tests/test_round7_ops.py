@@ -184,3 +184,17 @@ class TestPosFactGate:
         df = run(spark, sf_dir, "pos_fraud_rate_by_city")
         assert int(df.n_txns.sum()) == POS_ROWS
         assert (df.n_fraud <= df.n_txns).all()
+
+    def test_daily_operations_cover_the_fact(self, spark, sf_dir):
+        """Q10 day rows partition the fact: txn counts sum to the
+        corpus, every day's users ≤ the 10-user population, and the
+        fraud rate stays the n_fraud/n_txns quotient."""
+        from olap_project_spark.queries.posfact import POS_ROWS
+
+        df = run(spark, sf_dir, "pos_daily_operations")
+        assert int(df.n_txns.sum()) == POS_ROWS
+        assert (df.n_users <= 10).all()
+        assert (df.n_fraud <= df.n_txns).all()
+        assert (
+            (df.fraud_rate - df.n_fraud / df.n_txns).abs() < 1e-6
+        ).all()
