@@ -197,7 +197,8 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "pos_fraud_trend",
     "pos_above_avg_fraud_users",
     "pos_daily_operations",
-    # round-3 refresh slots — 38
+    "lang_fertility_stats",
+    # round-3 refresh slots — 32
     "revenue_increase_q6",
     "priority_order_counts",
     "local_supplier_volume",
@@ -230,7 +231,6 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "streaming_session_counts",
     "streaming_click_attribution",
     "streaming_distinct_user_types",
-    "streaming_continuous_rollup",
     # (round-3 remainder and round-4 head continue as the r9 refresh
     # pool once the round-7 additions cycle through)
 )

@@ -246,6 +246,71 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer fertility by language (the per-language cost audit)
+# --------------------------------------------------------------------------
+@register(
+    "lang_fertility_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+             AS chars_per_token
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: BPE-style tokens per
+    whitespace word and characters per token, by the corpus's declared
+    language — the per-language cost audit every multilingual training
+    run does (a language whose fertility is 2× pays 2× the context
+    budget per word; chars/token tells you whether the tokenizer's
+    merges fit that script at all). The language axis complements
+    ``bpe_token_stats``' per-source ledger.
+
+    Scale: two regex counts + a length fused into the scan, one
+    lang-keyed map-side-combinable aggregate; ratios are quotients of
+    exact bigint sums."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    )
+    return (
+        docs.select(
+            "lang",
+            F.length("text").alias("n_chars"),
+            n_bpe.alias("n_bpe"),
+            token_count(F.col("text")).alias("n_ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Vocabulary: top tokens by document frequency
 # --------------------------------------------------------------------------
 @register(

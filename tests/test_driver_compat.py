@@ -176,6 +176,7 @@ class TestDriverContract:
             "pos_fraud_trend",             # fraud-only hourly trend
             "pos_above_avg_fraud_users",   # broadcast-scalar comparison
             "pos_daily_operations",        # Q10 multi-signal day rollup
+            "lang_fertility_stats",        # per-lang tokenizer fertility
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
