@@ -28,15 +28,30 @@ from pyspark.sql import DataFrame, SparkSession
 class QueryDef:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; None → rows-only check. May be registered as
+    # a zero-arg callable for oracles that are expensive to BUILD (the
+    # pos_* family embeds ~800 generated rows as a VALUES block) — the
+    # string is then materialized on first `.oracle` access and cached,
+    # so processes that never read oracles (bench, plan lint, most
+    # pytest workers) never pay the construction cost.
+    oracle_src: str | Callable[[], str] | None
     doc: str
+
+    @property
+    def oracle(self) -> str | None:
+        src = self.oracle_src
+        if callable(src):
+            src = src()
+            object.__setattr__(self, "oracle_src", src)
+        return src
 
 
 QUERY_REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator registering a query implementation (+ optional oracle)."""
+def register(name: str, oracle: str | Callable[[], str] | None = None):
+    """Decorator registering a query implementation (+ optional oracle,
+    given as the SQL string or a zero-arg thunk returning it)."""
 
     def deco(fn):
         QUERY_REGISTRY[name] = QueryDef(name, fn, oracle, fn.__doc__ or "")
@@ -106,80 +121,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-7 window (swapped in from the pre-staged r7
-# draft after the ts-encoding canaries passed): the 24 round-6
-# additions that have never had a driver CORRECTNESS row + the 14
-# remaining round-2 rows (oldest driver checks) + 12 round-3 refresh
-# slots = 50. Rotate the list each round to cycle coverage.
-# Round-8 plan: rotate in everything added during round 7 (see
-# GATE_WINDOW_R8_DRAFT below, maintained as queries are added) plus the
-# next-oldest rows (round-3 remainder, round-4 head).
+# modules import. Round-8 window (swapped in from the pre-staged r8
+# draft after the ts-encoding canaries passed): the 18 round-7
+# additions that have never had a driver CORRECTNESS row — the whole
+# reference OLAP surface over the simulator-generated fact (pos_*), the
+# substring-dedup pair, the drift/hard-negative operators — plus the 32
+# oldest remaining round-3 rows. Rotate the list each round to cycle
+# coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-6 additions — no driver CORRECTNESS row yet
-    "daily_operations_summary",
-    "prefix_filtered_dup_pairs",
-    "stratified_sample_stats",
-    "pq_adc_quality",
-    "sql_lateral_top_orders",
-    "knn_label_accuracy",
-    "lm_perplexity_buckets",
-    "ann_ivf_pq_topk",
-    "source_vocab_divergence",
-    "concurrent_session_peaks",
-    "char_entropy_buckets",
-    "bpe_merge_candidates",
-    "km_churn_survival",
-    "cuped_adjusted_metrics",
-    "mann_whitney_ab_test",
-    "media_phash_dup_pairs",
-    "temperature_mixture_plan",
-    "dedup_token_savings",
-    "ann_hubness_audit",
-    "chi2_type_dow_independence",
-    "readability_scores",
-    "cross_source_dup_matrix",
-    "zipf_law_fit",
-    "mixture_diversity_stats",
-    # oldest driver rows (round 2 remainder) — 14 refresh slots
-    "value_outliers",
-    "cumulative_unique_users",
-    "hourly_spine_filled",
-    "hourly_spine_interpolated",
-    "kmv_distinct_users",
-    "props_variant_buckets",
-    "rolling_daily_active_users",
-    "salted_nation_event_stats",
-    "session_window_stats",
-    "timezone_business_hours",
-    "user_key_skew_profile",
-    "value_moment_shape",
-    "value_robust_stats",
-    "weekly_value_growth",
-    # round-3 refresh slots — 12 (oldest remaining driver rows)
-    "asof_last_order",
-    "bpe_token_stats",
-    "corpus_curation_report",
-    "customer_spend_deciles",
-    "discounted_revenue_or",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "doc_rolling_hash",
-    "doc_split_assignment",
-    "dominant_part_suppliers",
-    "frame_sample_stats",
-)
-
-
-# Round-8 window, pre-staged (swap into GATE_WINDOW at round-8 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 7: new round-7 queries are inserted at
-# the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: the 38 remaining round-3 rows (oldest driver
-# checks after this rotation), then 12 round-4 refresh slots.
-GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
-    # round-7 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
+    # round-7 additions — first driver CORRECTNESS row this round
     "ann_candidate_fraction",
     "repeated_substring_spans",
     "substring_dedup_savings",
@@ -198,7 +148,7 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "pos_above_avg_fraud_users",
     "pos_daily_operations",
     "lang_fertility_stats",
-    # round-3 refresh slots — 32
+    # round-3 refresh slots — 32 (oldest remaining driver rows)
     "revenue_increase_q6",
     "priority_order_counts",
     "local_supplier_volume",
@@ -231,8 +181,70 @@ GATE_WINDOW_R8_DRAFT: tuple[str, ...] = (
     "streaming_session_counts",
     "streaming_click_attribution",
     "streaming_distinct_user_types",
-    # (round-3 remainder and round-4 head continue as the r9 refresh
-    # pool once the round-7 additions cycle through)
+)
+
+
+# Round-9 window, pre-staged (swap into GATE_WINDOW at round-9 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 8: new round-8 queries are inserted at
+# the HEAD and the refresh tail is trimmed to keep the list at exactly
+# 50. Current composition: the 6 remaining round-3 rows (oldest driver
+# checks after the r8 rotation) + 44 round-4 refresh slots.
+GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
+    # round-8 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-3 refresh slots — 6
+    "multimodal_decode_stats",
+    "streaming_complete_mode_totals",
+    "streaming_continuous_rollup",
+    "streaming_full_outer_attribution",
+    "streaming_left_outer_attribution",
+    "streaming_update_mode_counts",
+    # round-4 refresh slots — 44
+    "above_avg_spenders",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "approx_distinct_summary",
+    "benchmark_contamination",
+    "brand_measure_unpivot",
+    "bucketed_order_revenue",
+    "customer_only_nations",
+    "customer_order_distribution",
+    "customer_order_gaps",
+    "customer_revenue_gini",
+    "customers_with_open_orders",
+    "customers_without_open_orders",
+    "dedup_keep_best",
+    "doc_embedding_join_stats",
+    "embedding_near_dup_pairs",
+    "heavy_hitter_parts",
+    "integrity_audit",
+    "kmeans_cluster_profile",
+    "last_touch_attribution",
+    "lineitem_grouping_sets",
+    "nation_key_multiset_common",
+    "nation_key_multiset_diff",
+    "nation_population_correlation",
+    "nation_revenue",
+    "order_recency_buckets",
+    "order_volume_rollup",
+    "orders_profile",
+    "part_price_skyline",
+    "price_neighborhood_density",
+    "price_quantity_regression",
+    "price_quantity_stats",
+    "pricing_summary",
+    "priority_flag_profile",
+    "priority_shipping_buckets",
+    "region_nation_list",
+    "returnflag_status_cube",
+    "running_customer_spend",
+    "segment_balance_ranks",
+    "segment_large_order_share",
+    "segment_priority_mode",
+    "shared_nations",
+    "stratified_customer_sample",
 )
 
 

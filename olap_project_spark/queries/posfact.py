@@ -6,8 +6,9 @@ OLAP question, scripts/spark_streaming_consumer.py:200-252 +
 pos/pos_simulator.py:62-205) as gate queries, not just pytest goldens.
 
 Oracle strategy: ``PosSimulatorDataSource`` rows are pure functions of
-(seed, index), so the IDENTICAL raw rows are generated at import time
-in plain Python and embedded in each DuckDB oracle as a VALUES CTE;
+(seed, index), so the IDENTICAL raw rows are generated in plain Python
+(lazily, on first oracle access — the oracles register as thunks) and
+embedded in each DuckDB oracle as a VALUES CTE;
 the oracle then re-derives the clean-transform semantics (amount
 parse, USD→VND, event-time calendar) in independent SQL. Spark's
 whole pipeline — Python data source scan → Catalyst clean projection
@@ -22,6 +23,8 @@ transactions.py docstrings pin.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,47 +49,70 @@ POS_ROWS = 800
 POS_SEED = 42
 _RATE = int(DEFAULT_VND_PER_USD)
 
-# The exact rows the Spark data source will generate — reproduced here
-# in plain Python at import time (pure(seed, i), pos_datasource._row)
-# so each oracle can embed them as literals.
-_RAW_ROWS = [_row(POS_SEED, i) for i in range(POS_ROWS)]
+def _raw_rows() -> list[tuple]:
+    """The exact rows the Spark data source will generate — reproduced
+    in plain Python (pure(seed, i), pos_datasource._row) so each oracle
+    can embed them as literals. Built LAZILY and memoized: the oracles
+    below register as thunks, so a process that never reads an oracle
+    string (bench, plan lint) never generates the rows, and raising
+    POS_ROWS costs one build, not one per importing worker."""
+    global _RAW_ROWS_CACHE
+    if _RAW_ROWS_CACHE is None:
+        _RAW_ROWS_CACHE = [_row(POS_SEED, i) for i in range(POS_ROWS)]
+    return _RAW_ROWS_CACHE
+
+
+_RAW_ROWS_CACHE: list[tuple] | None = None
 
 
 def _esc(s: str) -> str:
     return s.replace("'", "''")
 
 
+@lru_cache(maxsize=1)
 def _raw_cte() -> str:
     """VALUES CTE of the (user, card, amount, merchant, city, fraud,
     ts) projection of the generated rows — the only fields Q0/Q4/Q5
-    touch."""
+    touch. Memoized: all twelve pos_* oracles share one string."""
     rows = ",\n      ".join(
         "('%s', '%s', '%s', '%s', '%s', '%s', '%s')"
         % (u, c, a, _esc(m), _esc(city), fr, ts)
         for (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, _e, fr, ts)
-        in _RAW_ROWS
+        in _raw_rows()
     )
     return f"""raw(u, card, amount, merchant, city, fraud, tss) AS (
       SELECT * FROM (VALUES {rows}))"""
 
 
-# Python-DataSource registration is per-SESSION for lookup but the
-# name-uniqueness check is cross-session (a second session can neither
-# re-register nor read the name) — so every posfact query registers
-# and reads on the ONE caller session, tracked here to keep register
-# idempotent without swallowing real failures.
-_POS_REGISTERED: set[int] = set()
+# Spark's Python-DataSource registry has ASYMMETRIC scoping: lookup is
+# per-session, but name uniqueness is JVM-wide — a sibling session can
+# neither read a name another session registered nor re-register it.
+# So each session gets its own registration under a session-scoped
+# name, tracked by sessionUUID (unique, never reused — unlike id() of
+# a py4j proxy, which CPython can recycle after a GC, and unlike
+# applicationId, which sibling sessions of one context share).
+_POS_REGISTERED: dict[str, str] = {}
 
 
-def _ensure_pos_source(spark: SparkSession) -> None:
-    if id(spark._jsparkSession) in _POS_REGISTERED:
-        return
-    from olap_project_spark.sources.pos_datasource import (
-        PosSimulatorDataSource,
-    )
+def _ensure_pos_source(spark: SparkSession) -> str:
+    """Register the simulator on ``spark`` (idempotent) and return the
+    format name to read it by on that session."""
+    uuid = spark._jsparkSession.sessionUUID()
+    fmt = _POS_REGISTERED.get(uuid)
+    if fmt is None:
+        from olap_project_spark.sources.pos_datasource import (
+            PosSimulatorDataSource,
+        )
 
-    spark.dataSource.register(PosSimulatorDataSource)
-    _POS_REGISTERED.add(id(spark._jsparkSession))
+        fmt = "pos_simulator_" + uuid.replace("-", "")
+        scoped = type(
+            "PosSimulatorScoped",
+            (PosSimulatorDataSource,),
+            {"name": classmethod(lambda cls, _n=fmt: _n)},
+        )
+        spark.dataSource.register(scoped)
+        _POS_REGISTERED[uuid] = fmt
+    return fmt
 
 
 def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,9 +122,8 @@ def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_project_spark.transforms.clean import clean
 
     def build() -> DataFrame:
-        _ensure_pos_source(spark)
         raw = (
-            spark.read.format("pos_simulator")
+            spark.read.format(_ensure_pos_source(spark))
             .option("rows", POS_ROWS)
             .option("seed", POS_SEED)
             .option("partitions", 8)
@@ -111,7 +136,7 @@ def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_merchant_rollup",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT merchant,
@@ -151,7 +176,7 @@ def pos_merchant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_fraud_rate_by_city",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()}
     SELECT city AS "Merchant_City",
            CAST(COUNT(*) AS BIGINT) AS n_txns,
@@ -175,7 +200,7 @@ def pos_fraud_rate_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_rapid_transactions",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     fact AS (SELECT u, card, CAST(tss AS TIMESTAMP) AS ts FROM raw),
     g AS (
@@ -207,7 +232,7 @@ def pos_rapid_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_top_merchants",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT merchant,
@@ -240,7 +265,7 @@ def pos_top_merchants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_weekend_comparison",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE) AS usd,
@@ -275,7 +300,7 @@ def pos_weekend_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_busiest_hours",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()}
     SELECT CAST(hour(CAST(tss AS TIMESTAMP)) AS INTEGER) AS "Hour",
            CAST(COUNT(*) AS BIGINT) AS n_txns
@@ -294,7 +319,7 @@ def pos_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_top_cities",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT city,
@@ -323,7 +348,7 @@ def pos_top_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_large_txn_profile",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT city,
@@ -353,7 +378,7 @@ def pos_large_txn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_fraud_trend",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT fraud,
@@ -382,7 +407,7 @@ def pos_fraud_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_above_avg_fraud_users",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     per_user AS (
       SELECT u AS "User",
@@ -410,7 +435,7 @@ def pos_above_avg_fraud_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pos_daily_operations",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()},
     parsed AS (
       SELECT u, fraud,
@@ -469,7 +494,7 @@ def _vnd_dec():
 
 @register(
     "pos_stream_user_totals",
-    oracle=f"""
+    oracle=lambda: f"""
     WITH {_raw_cte()}
     SELECT u AS "User",
            CAST(COUNT(*) AS BIGINT) AS n_txns,
@@ -493,15 +518,13 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one running (count, sum) pair per user key — the minimal stateful
     aggregate, partitioned on the grouping key.
 
-    Runs on the CALLER's session (a child session cannot see — or
-    re-register — the parent's Python data source, see
-    ``_ensure_pos_source``); the state-partition sizing is a scoped
-    conf set/restore instead of a child session."""
+    Runs on the CALLER's session under its session-scoped source
+    registration (see ``_ensure_pos_source``); the state-partition
+    sizing is a scoped conf set/restore instead of a child session."""
     import uuid
 
-    _ensure_pos_source(spark)
     stream = (
-        spark.readStream.format("pos_simulator")
+        spark.readStream.format(_ensure_pos_source(spark))
         .option("rows", POS_ROWS)
         .option("seed", POS_SEED)
         .option("rows_per_batch", 200)

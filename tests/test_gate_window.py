@@ -1,7 +1,7 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-7 rotation: the 24 round-6 additions
+queries. These tests pin the round-8 rotation: the 18 round-7 additions
 that had never been driver-checked occupy the window alongside the
-oldest (round-2/3) rows, every windowed query is oracle-backed, and
+oldest (round-3) rows, every windowed query is oracle-backed, and
 reordering loses nothing."""
 
 from __future__ import annotations
@@ -53,19 +53,18 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-6 additions that had no driver row before this rotation
+    # the round-7 additions that had no driver row before this rotation
     for name in (
-        "daily_operations_summary",
-        "prefix_filtered_dup_pairs",
-        "ann_ivf_pq_topk",
-        "lm_perplexity_buckets",
-        "media_phash_dup_pairs",
-        "km_churn_survival",
-        "mann_whitney_ab_test",
-        "cross_source_dup_matrix",
-        "zipf_law_fit",
-        "mixture_diversity_stats",
-        "sql_lateral_top_orders",
+        "pos_merchant_rollup",
+        "pos_fraud_rate_by_city",
+        "pos_stream_user_totals",
+        "pos_daily_operations",
+        "repeated_substring_spans",
+        "substring_dedup_savings",
+        "hard_negative_mining",
+        "source_embedding_drift",
+        "ann_candidate_fraction",
+        "lang_fertility_stats",
     ):
         assert name in w, name
 
@@ -81,20 +80,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r8_draft_window_is_valid():
-    """The pre-staged round-8 window must stay swappable: exactly 50
+def test_r9_draft_window_is_valid():
+    """The pre-staged round-9 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-7 window (every slot either adds a first-time row or
+    active round-8 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R8_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R9_DRAFT
 
-    assert len(GATE_WINDOW_R8_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R8_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R8_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R9_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R9_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R9_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R8_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R9_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R8_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R9_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap

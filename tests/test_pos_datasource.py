@@ -24,27 +24,36 @@ def registered(spark):
     return spark
 
 
+@pytest.fixture(scope="module")
+def fmt(spark):
+    """The session-scoped format name the source is registered under
+    (registration is per-session, see posfact._ensure_pos_source)."""
+    from olap_project_spark.queries.posfact import _ensure_pos_source
+
+    return _ensure_pos_source(spark)
+
+
 class TestBatchSource:
-    def test_schema_and_count(self, registered):
-        df = registered.read.format("pos_simulator").option("rows", 500).load()
+    def test_schema_and_count(self, registered, fmt):
+        df = registered.read.format(fmt).option("rows", 500).load()
         assert df.schema == RAW_TRANSACTION_SCHEMA
         assert df.count() == 500
 
-    def test_deterministic_given_seed(self, registered):
-        a = registered.read.format("pos_simulator").option("rows", 200).load()
-        b = registered.read.format("pos_simulator").option("rows", 200).load()
+    def test_deterministic_given_seed(self, registered, fmt):
+        a = registered.read.format(fmt).option("rows", 200).load()
+        b = registered.read.format(fmt).option("rows", 200).load()
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
         c = (
-            registered.read.format("pos_simulator")
+            registered.read.format(fmt)
             .option("rows", 200)
             .option("seed", 7)
             .load()
         )
         assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
 
-    def test_partitioned_generation(self, registered):
+    def test_partitioned_generation(self, registered, fmt):
         df = (
-            registered.read.format("pos_simulator")
+            registered.read.format(fmt)
             .option("rows", 100)
             .option("partitions", 4)
             .load()
@@ -52,8 +61,8 @@ class TestBatchSource:
         assert df.rdd.getNumPartitions() == 4
         assert df.count() == 100
 
-    def test_feeds_clean_route_pipeline(self, registered):
-        raw = registered.read.format("pos_simulator").option("rows", 400).load()
+    def test_feeds_clean_route_pipeline(self, registered, fmt):
+        raw = registered.read.format(fmt).option("rows", 400).load()
         streams = route(clean(raw))
         counts = {k: v.count() for k, v in streams.items()}
         assert sum(counts.values()) >= 400  # reference-mode valid∩fraud overlap
@@ -64,13 +73,13 @@ class TestBatchSource:
 
 
 class TestStreamSource:
-    def test_micro_batches_drain_bounded_replay(self, registered, tmp_path):
+    def test_micro_batches_drain_bounded_replay(self, registered, fmt, tmp_path):
         # Python stream sources don't support availableNow (the engine
         # logs a single-batch fallback) — drain with processAllAvailable
         # over a bounded feed instead.
         name = f"pos_stream_{uuid.uuid4().hex[:8]}"
         q = (
-            registered.readStream.format("pos_simulator")
+            registered.readStream.format(fmt)
             .option("rows", 250)
             .option("rows_per_batch", 100)
             .load()
@@ -85,7 +94,7 @@ class TestStreamSource:
         got = registered.table(name)
         assert got.count() == 250
         # identical to the batch generation of the same range
-        batch = registered.read.format("pos_simulator").option("rows", 250).load()
+        batch = registered.read.format(fmt).option("rows", 250).load()
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, batch.collect())
         )

@@ -142,9 +142,8 @@ class TestPosFactGate:
             _ensure_pos_source,
         )
 
-        _ensure_pos_source(spark)
         batch = (
-            spark.read.format("pos_simulator")
+            spark.read.format(_ensure_pos_source(spark))
             .option("rows", POS_ROWS)
             .option("seed", POS_SEED)
             .load()
