@@ -71,16 +71,17 @@ def _esc(s: str) -> str:
 
 @lru_cache(maxsize=1)
 def _raw_cte() -> str:
-    """VALUES CTE of the (user, card, amount, merchant, city, fraud,
-    ts) projection of the generated rows — the only fields Q0/Q4/Q5
-    touch. Memoized: all twelve pos_* oracles share one string."""
+    """VALUES CTE of the (user, card, amount, merchant, city, errors,
+    fraud, ts) projection of the generated rows — the only fields the
+    pos_* oracles touch. Memoized: all the pos_* oracles share one
+    string."""
     rows = ",\n      ".join(
-        "('%s', '%s', '%s', '%s', '%s', '%s', '%s')"
-        % (u, c, a, _esc(m), _esc(city), fr, ts)
-        for (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, _e, fr, ts)
+        "('%s', '%s', '%s', '%s', '%s', '%s', '%s', '%s')"
+        % (u, c, a, _esc(m), _esc(city), _esc(e), fr, ts)
+        for (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, e, fr, ts)
         in _raw_rows()
     )
-    return f"""raw(u, card, amount, merchant, city, fraud, tss) AS (
+    return f"""raw(u, card, amount, merchant, city, err, fraud, tss) AS (
       SELECT * FROM (VALUES {rows}))"""
 
 
@@ -559,3 +560,207 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
+
+
+# The daily-rates dimension for pos_daily_rates_vnd: five of the six
+# event dates carry a quoted rate; 2024-01-18 is a deliberate FEED GAP
+# so the left join's coalesce-to-default (DEFAULT_VND_PER_USD) is
+# exercised through the gate, not just in pytest.
+_DAILY_RATES: tuple[tuple[str, float], ...] = (
+    ("2024-01-15", 24510.0),
+    ("2024-01-16", 24655.0),
+    ("2024-01-17", 24820.0),
+    ("2024-01-19", 25130.0),
+    ("2024-01-20", 25240.0),
+)
+
+
+def _rates_values_sql() -> str:
+    rows = ", ".join(f"('{d}', {r})" for d, r in _DAILY_RATES)
+    return (
+        "rates(rate_date, rate_vnd_per_usd) AS (SELECT * FROM (VALUES "
+        + rows
+        + "))"
+    )
+
+
+@register(
+    "pos_daily_rates_vnd",
+    oracle=lambda: f"""
+    WITH {_raw_cte()},
+    {_rates_values_sql()},
+    parsed AS (
+      SELECT CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE)
+               AS usd,
+             strftime(CAST(tss AS TIMESTAMP), '%Y-%m-%d') AS d
+      FROM raw
+    ),
+    joined AS (
+      SELECT p.d, COALESCE(r.rate_vnd_per_usd, {_RATE}.0) AS rate, p.usd
+      FROM parsed p LEFT JOIN rates r ON p.d = r.rate_date
+    )
+    SELECT d AS rate_date,
+           CAST(rate AS INTEGER) AS ex_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(COUNT(CASE WHEN usd > 0 THEN 1 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN usd > 0
+                         THEN CAST(usd * rate AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_vnd
+    FROM joined
+    GROUP BY d, rate
+    """,
+)
+def pos_daily_rates_vnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M4/P14-spec daily-rate enrichment (transforms/enrich.py)
+    through the driver gate: the simulator fact joined to ITS DAY'S
+    rate via a broadcast left join, with the 2024-01-18 feed gap
+    falling back to the default rate ({_RATE}) instead of dropping
+    rows — the spec-correct alternative to the reference's single
+    startup-rate closure (scripts/spark_streaming_consumer.py:72-86).
+    Result: per (event date, applied rate) txn counts, converted-row
+    counts, and the VND total summed as exact DECIMAL(18,2).
+
+    Scale: the rates dimension is rows-per-day tiny → always a
+    broadcast hash join; the fact side keeps its partitioning (no
+    shuffle before the final keyed aggregate). The per-row double
+    usd*rate has ≤2 true decimals (cents × integer rate / 100), so the
+    DECIMAL(18,2) cast lands exactly on the same value in both engines.
+    """
+    from olap_project_spark.transforms.enrich import enrich_with_daily_rates
+
+    raw = (
+        spark.read.format(_ensure_pos_source(spark))
+        .option("rows", POS_ROWS)
+        .option("seed", POS_SEED)
+        .option("partitions", 8)
+        .load()
+    )
+    rates = spark.createDataFrame(
+        list(_DAILY_RATES), schema="rate_date string, rate_vnd_per_usd double"
+    )
+    fact = enrich_with_daily_rates(raw, rates, processed_at="2024-01-15 08:30:20")
+    return (
+        fact.withColumn(
+            "rate_date", F.date_format("Transaction_Date", "yyyy-MM-dd")
+        )
+        .groupBy("rate_date", F.col("Exchange_Rate").alias("ex_rate"))
+        .agg(
+            F.count("*").alias("n_txns"),
+            F.count("Amount_VND").cast("bigint").alias("n_converted"),
+            F.sum(_vnd_dec()).cast("double").alias("total_vnd"),
+        )
+    )
+
+
+@register(
+    "pos_route_counts",
+    oracle=lambda: f"""
+    WITH {_raw_cte()},
+    parsed AS (
+      SELECT u, card, err, fraud,
+             CAST(replace(replace(amount, '$', ''), ',', '') AS DOUBLE)
+               AS usd,
+             CAST(tss AS TIMESTAMP) IS NOT NULL AS valid_date
+      FROM raw
+    ),
+    vnd AS (
+      SELECT *, CASE WHEN usd > 0
+                     THEN CAST(usd * {_RATE} AS DECIMAL(18,2)) END AS v
+      FROM parsed
+    )
+    SELECT 'error' AS stream, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS DOUBLE) AS total_vnd
+    FROM vnd WHERE err IS NOT NULL AND err <> ''
+    UNION ALL
+    SELECT 'fraud', CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+    FROM vnd WHERE fraud = 'Yes'
+    UNION ALL
+    SELECT 'invalid', CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM vnd
+    WHERE (err IS NULL OR err = '') AND fraud = 'No'
+      AND (usd IS NULL OR usd <= 0 OR length(card) < 16 OR NOT valid_date)
+    UNION ALL
+    SELECT 'valid', CAST(COUNT(*) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+    FROM vnd
+    WHERE u IS NOT NULL AND card IS NOT NULL AND length(card) >= 16
+      AND usd > 0 AND valid_date
+    """,
+)
+def pos_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch ingest pipeline (ST4 + F1-F4) driven END-TO-END
+    through the gate: the POS stream replays in 200-row micro-batches
+    through ``start_pipeline`` — ONE streaming query, clean() once per
+    batch, four routed sinks (valid/fraud parquet partitioned
+    Year/Month/Day, error parquet, invalid CSV audit) — and the result
+    is what the SINKS contain, read back per stream: row count + VND
+    total (exact DECIMAL(18,2) sums). The DuckDB oracle re-derives the
+    four reference-mode routing predicates
+    (scripts/spark_streaming_consumer.py:254-281) over the embedded
+    rows, so the classifier is driver-verified end-to-end, not just
+    pytest-golden. Expected mix at seed {POS_SEED}: all {POS_ROWS} rows
+    well-formed (valid), a fraud subset, an Errors subset, zero
+    invalid — the empty-sink leg checks the audit CSV stays readable.
+
+    Scale: the same code is the production ingest; the batch is
+    persisted once and the four filters are codegen'd scans over it
+    (the reference re-read Kafka once per sink); sinks use
+    maxRecordsPerFile, never coalesce(1)."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.schemas import INVALID_LOG_COLUMNS
+    from olap_project_spark.streaming.pipeline import start_pipeline
+
+    stream = (
+        spark.readStream.format(_ensure_pos_source(spark))
+        .option("rows", POS_ROWS)
+        .option("seed", POS_SEED)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    root = tempfile.mkdtemp(prefix="pos_route_")
+    try:
+        q = start_pipeline(
+            stream,
+            out_dir=f"{root}/out",
+            checkpoint_dir=f"{root}/ckpt",
+            processed_at="2024-01-15 08:30:20",
+            trigger={"processingTime": "0 seconds"},
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        def sink_stats(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(_vnd_dec()).cast("double").alias("total_vnd"),
+            ).select(F.lit(name).alias("stream"), "n_rows", "total_vnd")
+
+        valid = spark.read.parquet(f"{root}/out/valid")
+        fraud = spark.read.parquet(f"{root}/out/fraud")
+        error = spark.read.parquet(f"{root}/out/error")
+        # the invalid audit sink may be legitimately empty (only a
+        # _SUCCESS marker) — an explicit schema keeps it readable
+        inv_schema = ", ".join(f"`{c}` string" for c in INVALID_LOG_COLUMNS)
+        invalid = (
+            spark.read.schema(inv_schema)
+            .option("header", True)
+            .csv(f"{root}/out/invalid")
+        )
+        inv_stats = invalid.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.lit(None).cast("double").alias("total_vnd"),
+        ).select(F.lit("invalid").alias("stream"), "n_rows", "total_vnd")
+
+        out = (
+            sink_stats("error", error)
+            .unionByName(sink_stats("fraud", fraud))
+            .unionByName(inv_stats)
+            .unionByName(sink_stats("valid", valid))
+        )
+        # materialize before the sink root is deleted
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

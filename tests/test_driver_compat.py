@@ -177,6 +177,10 @@ class TestDriverContract:
             "pos_above_avg_fraud_users",   # broadcast-scalar comparison
             "pos_daily_operations",        # Q10 multi-signal day rollup
             "lang_fertility_stats",        # per-lang tokenizer fertility
+            # round-8 additions (r9 draft head) — pin vanilla-session
+            # behavior up front:
+            "pos_daily_rates_vnd",         # M4 daily-rate broadcast join
+            "pos_route_counts",            # foreachBatch pipeline E2E
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -72,6 +72,19 @@ class TestJoinStrategy:
         assert "LeftSemi" in plan("customers_with_open_orders")
         assert "LeftAnti" in plan("customers_without_open_orders")
 
+    def test_daily_rates_join_broadcasts_dim(self, plan):
+        """The M4 daily-rate enrichment: the rows-per-day rates
+        dimension must broadcast; the fact side must reach the join
+        unshuffled (the only Exchange in the plan is the final keyed
+        aggregate's)."""
+        p = plan("pos_daily_rates_vnd")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        # exactly the aggregate's shuffle — nothing repartitions the
+        # fact to meet the dimension
+        pre_join = p.split("BroadcastHashJoin")[-1]  # tree prints deepest last
+        assert "Exchange hashpartitioning" not in pre_join
+
 
 class TestOperatorCompilation:
     def test_topk_compiles_to_take_ordered(self, plan):

@@ -1,0 +1,112 @@
+"""Round-8 additions: the daily-rates broadcast enrichment and the
+foreachBatch routing pipeline as driver-gate queries (the last two §2
+semantics that were pytest-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestPosDailyRates:
+    def test_gap_day_falls_back_to_default(self, spark, sf_dir):
+        """2024-01-18 has no quoted rate → the left join's coalesce
+        applies DEFAULT_VND_PER_USD instead of dropping rows."""
+        from olap_project_spark.queries.posfact import (
+            _DAILY_RATES,
+            pos_daily_rates_vnd,
+        )
+        from olap_project_spark.schemas import DEFAULT_VND_PER_USD
+
+        rows = {r["rate_date"]: r for r in pos_daily_rates_vnd(spark, sf_dir).collect()}
+        assert len(rows) == 6  # one row per event date
+        gap = rows["2024-01-18"]
+        assert gap["ex_rate"] == int(DEFAULT_VND_PER_USD)
+        assert gap["n_txns"] > 0 and gap["total_vnd"] > 0
+        for d, rate in _DAILY_RATES:
+            assert rows[d]["ex_rate"] == int(rate)
+
+    def test_vnd_total_is_rate_exact(self, spark, sf_dir):
+        """Each day's VND total equals that day's rate times the day's
+        exact USD cents (the decimal-cast contract)."""
+        from olap_project_spark.queries.posfact import (
+            _raw_rows,
+            pos_daily_rates_vnd,
+        )
+
+        got = {
+            r["rate_date"]: r for r in pos_daily_rates_vnd(spark, sf_dir).collect()
+        }
+        by_day: dict[str, int] = {}
+        for r in _raw_rows():
+            cents = int(r[6].replace("$", "").replace(".", "").replace(",", ""))
+            day = r[-1][:10]
+            by_day[day] = by_day.get(day, 0) + cents
+        for day, row in got.items():
+            expected = by_day[day] * row["ex_rate"] / 100
+            assert abs(row["total_vnd"] - expected) < 0.01, day
+
+
+class TestPosRouteCounts:
+    def test_expected_stream_mix(self, spark, sf_dir):
+        """The seed-42 simulator mix through the real pipeline sinks:
+        every row is well-formed (valid = all 800 in reference mode,
+        which does NOT exclude fraud/error), fraud and error subsets
+        are non-trivial, invalid is empty (the empty-CSV-sink leg)."""
+        from olap_project_spark.queries.posfact import (
+            POS_ROWS,
+            pos_route_counts,
+        )
+
+        rows = {r["stream"]: r for r in pos_route_counts(spark, sf_dir).collect()}
+        assert set(rows) == {"valid", "fraud", "error", "invalid"}
+        assert rows["valid"]["n_rows"] == POS_ROWS
+        assert rows["fraud"]["n_rows"] == 53
+        assert rows["error"]["n_rows"] == 19
+        assert rows["invalid"]["n_rows"] == 0
+        assert rows["invalid"]["total_vnd"] is None
+        # fraud/error are subsets of valid in reference mode
+        assert rows["fraud"]["total_vnd"] < rows["valid"]["total_vnd"]
+
+    def test_sinks_partitioned_by_calendar(self, spark, sf_dir):
+        """The valid sink is written partitionBy(Year, Month, Day) —
+        partition pruning works on read-back (ST6 through the gate
+        path, not a dedicated streaming test)."""
+        import shutil
+        import tempfile
+
+        from olap_project_spark.queries.posfact import (
+            POS_ROWS,
+            POS_SEED,
+            _ensure_pos_source,
+        )
+        from olap_project_spark.streaming.pipeline import start_pipeline
+
+        stream = (
+            spark.readStream.format(_ensure_pos_source(spark))
+            .option("rows", POS_ROWS)
+            .option("seed", POS_SEED)
+            .option("rows_per_batch", 400)
+            .load()
+        )
+        root = tempfile.mkdtemp(prefix="pos_route_part_")
+        try:
+            q = start_pipeline(
+                stream,
+                out_dir=f"{root}/out",
+                checkpoint_dir=f"{root}/ckpt",
+                processed_at="2024-01-15 08:30:20",
+                trigger={"processingTime": "0 seconds"},
+            )
+            q.processAllAvailable()
+            q.stop()
+            valid = spark.read.parquet(f"{root}/out/valid")
+            one_day = valid.filter(
+                (F.col("Year") == 2024) & (F.col("Month") == 1) & (F.col("Day") == 15)
+            )
+            plan = one_day._jdf.queryExecution().executedPlan().toString()
+            # calendar predicate is satisfied by partition pruning, not
+            # row-level filters on the scan
+            assert "PartitionFilters" in plan
+            assert one_day.count() > 0
+        finally:
+            shutil.rmtree(root, ignore_errors=True)

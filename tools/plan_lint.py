@@ -73,6 +73,7 @@ EXECUTING = {
     "format_roundtrip_stats",
     "manifest_snapshot_stats",
     "pos_stream_user_totals",
+    "pos_route_counts",  # runs the foreachBatch pipeline into tmp sinks
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
