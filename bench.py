@@ -118,6 +118,18 @@ def measure_ingest_eps(spark, n_rows: int = 200_000) -> float:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--family",
+        default=None,
+        help="comma-separated query-module families to run (e.g. "
+        "'dedup,similarity') — iterate on one family without paying "
+        "the full 259-query run; the driver runs bare (all families)",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -125,6 +137,10 @@ def main() -> None:
     from olap_project_spark.session import build_session
 
     _import_all()
+    wanted = set(args.family.split(",")) if args.family else None
+
+    def _family(name: str) -> str:
+        return QUERY_REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
     # AQE's advisory post-shuffle partition size must scale with the
     # data: the production default (64 MB) is right at 100 TB but at
     # sf0.1 (~10 MB facts) it coalesces EVERY shuffle to one task and
@@ -185,6 +201,8 @@ def main() -> None:
     # reading it as a per-query regression (r6 verdict "What's wrong" #2)
     memo_builds: dict[str, str] = {}
     for name, q in QUERY_REGISTRY.items():
+        if wanted is not None and _family(name) not in wanted:
+            continue
         pre_memo = set(_SESSION_MEMO)
         t0 = time.perf_counter()
         try:
@@ -206,7 +224,7 @@ def main() -> None:
     # evidence the IVF/multiprobe path holds where the index actually
     # approximates. 1-row results — the collect is a scalar pull.
     ann_recall: dict[str, float] = {}
-    for rq in ("ann_ivf_recall", "ann_multiprobe_recall"):
+    for rq in ("ann_ivf_recall", "ann_multiprobe_recall") if wanted is None else ():
         try:
             row = QUERY_REGISTRY[rq].fn(spark, sf_dir).collect()[0]
             ann_recall[rq] = float(row["recall_at_k"])
@@ -216,6 +234,8 @@ def main() -> None:
     # prunes (recall 1.0 + fraction 1.0 is a disguised linear scan).
     ann_fraction: dict[str, float] = {}
     try:
+        if wanted is not None:
+            raise KeyError("family-filtered run skips telemetry")
         row = QUERY_REGISTRY["ann_candidate_fraction"].fn(spark, sf_dir).collect()[0]
         ann_fraction = {
             "frac_ivf": float(row["frac_ivf"]),
@@ -224,7 +244,7 @@ def main() -> None:
     except Exception:
         pass
     try:
-        ingest_eps = measure_ingest_eps(spark)
+        ingest_eps = measure_ingest_eps(spark) if wanted is None else None
     except Exception:
         ingest_eps = None
     # The driver captures only the last 2000 chars of stdout, so the
@@ -240,7 +260,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"total_sec": total, "queries": times, "errors": errors,
                    "ann_recall": ann_recall, "ann_fraction": ann_fraction,
-                   "memo_builds": memo_builds},
+                   "memo_builds": memo_builds,
+                   "family": {n: _family(n) for n in times}},
                   fh, indent=1, sort_keys=True)
 
     # n_queries/sec_per_query make the coverage denominator explicit:

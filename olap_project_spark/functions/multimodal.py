@@ -2,15 +2,15 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 (never row-at-a-time Python).
 
-The decode itself is STUBBED — this container has no image/audio codecs
-— but everything Spark-side is real and tested: the binary column,
-the output schema contract, the Arrow batch shape, and the partitioning
-(decode is a narrow map — no shuffle; at 100 TB you repartition by
-size beforehand so each Arrow batch holds ~a few hundred MB of media).
-
-Swap ``_decode_stub`` for a real decoder (PIL/ffmpeg) by implementing
-``decode_bytes``; the deterministic fake keeps the pipeline testable
-and oracle-checkable (its outputs are pure arithmetic on byte length).
+The decode is REAL for uncompressed BMP and WAV payloads (pure-stdlib
+struct parsing, functions/media_codecs.py) and a deterministic fake
+for compressed formats — this container has no JPEG/MP3/H.264 codecs.
+Everything Spark-side is real and tested either way: the binary
+column, the output schema contract, the Arrow batch shape, and the
+partitioning (decode is a narrow map — no shuffle; at 100 TB you
+repartition by size beforehand so each Arrow batch holds ~a few
+hundred MB of media). Swap the fallback for PIL/ffmpeg to extend the
+real path to compressed formats.
 """
 
 from __future__ import annotations
@@ -41,13 +41,28 @@ DECODED_SCHEMA = StructType(
 def decode_bytes(data: bytes) -> tuple[int, int, int]:
     """Decode media bytes → (width, height, n_frames).
 
-    STUB: no codec libraries in this environment. The deterministic
-    fake below derives plausible metadata from the byte length so the
-    full pipeline (binary column → Arrow batch → decoded metadata) runs
-    and is verifiable end-to-end. A real implementation would be:
+    REAL for the two uncompressed containers this environment can
+    parse without codec libraries (functions/media_codecs.py):
+    - BMP (24-bpp BI_RGB) → (width, height, 1);
+    - WAV (16-bit mono PCM) → (sample_rate, n_samples, 1) — the
+      audio analog of spatial dims, documented as such.
+    Compressed formats (no JPEG/MP3/H.264 codecs here) fall back to
+    the deterministic fake: metadata derived from the byte length so
+    the pipeline (binary column → Arrow batch → decoded metadata)
+    still runs and is verifiable end-to-end."""
+    from olap_project_spark.functions.media_codecs import (
+        parse_bmp,
+        parse_wav,
+        sniff_media,
+    )
 
-        raise NotImplementedError("install PIL/av and decode here")
-    """
+    kind = sniff_media(data)
+    if kind == "bmp":
+        width, height, _bpp, _pix_sum = parse_bmp(data)
+        return width, height, 1
+    if kind == "wav":
+        rate, n_samples, _ssum, _sumsq = parse_wav(data)
+        return rate, n_samples, 1
     n = len(data)
     return 64 + n % 577, 64 + (n * 31) % 353, 1 + n % 7
 

@@ -456,7 +456,7 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
-@register("minhash_dup_pairs", oracle=_minhash_oracle())
+@register("minhash_dup_pairs", oracle=_minhash_oracle)
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates,
     verified by exact Jaccard ≥ 0.7 — the sub-quadratic scale path for
@@ -556,7 +556,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("simhash_dup_pairs", oracle=_simhash_oracle())
+@register("simhash_dup_pairs", oracle=_simhash_oracle)
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit, distinct 3-gram-shingle features) near-dup pairs
     with Hamming distance ≤ 3. (Unigram features are useless on a
@@ -650,7 +650,7 @@ def _cluster_oracle() -> str:
     """
 
 
-@register("near_dup_clusters", oracle=_cluster_oracle())
+@register("near_dup_clusters", oracle=_cluster_oracle)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicate PAIRS into CLUSTERS (connected components)
     — the step a real corpus-dedup pipeline runs after pair detection,
@@ -716,7 +716,7 @@ def _keep_best_oracle() -> str:
     """
 
 
-@register("dedup_keep_best", oracle=_keep_best_oracle())
+@register("dedup_keep_best", oracle=_keep_best_oracle)
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION, materialized: for every near-dup cluster,
     keep the highest-quality member (longest text; deterministic doc_id
@@ -820,7 +820,7 @@ def _triangle_oracle() -> str:
     """
 
 
-@register("dup_triangles", oracle=_triangle_oracle())
+@register("dup_triangles", oracle=_triangle_oracle)
 def dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration on the near-duplicate graph — the graph
     analytics primitive behind clustering-coefficient / community
@@ -873,7 +873,7 @@ def _knn_oracle() -> str:
     """
 
 
-@register("doc_knn_graph", oracle=_knn_oracle())
+@register("doc_knn_graph", oracle=_knn_oracle)
 def doc_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN similarity graph: each document's top-3 most similar
     neighbors (by shingle Jaccard), ranked — the graph-construction
@@ -967,7 +967,7 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register("pagerank_canonical_docs", oracle=_pagerank_oracle())
+@register("pagerank_canonical_docs", oracle=_pagerank_oracle)
 def pagerank_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-duplicate graph (damping 0.85,
     3 iterations, uniform init) — ranking candidate CANONICAL documents:
@@ -1156,7 +1156,7 @@ def _incremental_oracle() -> str:
     """
 
 
-@register("incremental_dedup_matches", oracle=_incremental_oracle())
+@register("incremental_dedup_matches", oracle=_incremental_oracle)
 def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: every INCOMING document (batch role:
     doc_id % 10 == 9) that near-duplicates some EXISTING corpus
@@ -1254,7 +1254,7 @@ def _leakage_safe_oracle() -> str:
     """
 
 
-@register("leakage_safe_split_stats", oracle=_leakage_safe_oracle())
+@register("leakage_safe_split_stats", oracle=_leakage_safe_oracle)
 def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment hashed on the NEAR-DUP GROUP, not the
     document: all members of a near-dup cluster land in the same split
@@ -1323,7 +1323,7 @@ def _entity_cluster_oracle() -> str:
     """
 
 
-@register("part_entity_clusters", oracle=_entity_cluster_oracle())
+@register("part_entity_clusters", oracle=_entity_cluster_oracle)
 def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution END-TO-END on the part dimension: the blocked
     Levenshtein pairs (fuzzy_part_name_pairs) become an undirected
@@ -1397,7 +1397,7 @@ def _lsh_quality_oracle() -> str:
     """
 
 
-@register("minhash_lsh_quality", oracle=_lsh_quality_oracle())
+@register("minhash_lsh_quality", oracle=_lsh_quality_oracle)
 def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding QUALITY report: precision and recall of the
     MinHash(32)/8×4-band candidate pairs against the exact-Jaccard
@@ -1507,7 +1507,7 @@ def _bfs_oracle() -> str:
     """
 
 
-@register("knn_bfs_hops", oracle=_bfs_oracle())
+@register("knn_bfs_hops", oracle=_bfs_oracle)
 def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first hop distance from a deterministic seed set
     (doc_id ≡ 0 mod {BFS_SEED_MOD}) over the symmetrized kNN
@@ -1617,7 +1617,7 @@ def _token_savings_oracle() -> str:
     """
 
 
-@register("dedup_token_savings", oracle=_token_savings_oracle())
+@register("dedup_token_savings", oracle=_token_savings_oracle)
 def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup BUDGET ledger: per source, the whitespace-token count
     before and after near-dup keep-best dedup (drop every cluster
@@ -1700,7 +1700,7 @@ def _cross_source_oracle() -> str:
     """
 
 
-@register("cross_source_dup_matrix", oracle=_cross_source_oracle())
+@register("cross_source_dup_matrix", oracle=_cross_source_oracle)
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup PROVENANCE matrix: verified near-dup pairs
     (ngram_dup_pairs, memoized) bucketed by the unordered pair of

@@ -3823,7 +3823,7 @@ def _ewma_oracle() -> str:
     """
 
 
-@register("ewma_daily_value", oracle=_ewma_oracle())
+@register("ewma_daily_value", oracle=_ewma_oracle)
 def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of the daily event value —
     the smoothing primitive behind trend lines, anomaly baselines, and

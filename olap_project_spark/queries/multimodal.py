@@ -247,7 +247,7 @@ def _cluster_terms_oracle() -> str:
     """
 
 
-@register("cluster_top_terms", oracle=_cluster_terms_oracle())
+@register("cluster_top_terms", oracle=_cluster_terms_oracle)
 def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal cluster LABELING: each IVF cell of the embedding
     index named by the top-{CLUSTER_TOP_TERMS} terms of the documents
@@ -454,4 +454,104 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= AHASH_HAM_T).cast("int").alias("is_dup"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# media_codec_decode_stats: each payload is a pure function of
+# (kind, i) — laws in functions/media_codecs.py — so the DuckDB oracle
+# re-derives every pixel/sample from the law while Spark goes the long
+# way around: generate → ENCODE to real container bytes → DECODE by
+# struct-parsing → aggregate. Any framing bug (row padding, bottom-up
+# order, chunk alignment, endianness) breaks the match.
+N_MEDIA = 24
+
+
+@register(
+    "media_codec_decode_stats",
+    oracle=f"""
+    WITH bmp_dims AS (
+      SELECT i, 8 + i % 5 AS w, 6 + i % 4 AS h
+      FROM (SELECT UNNEST(range(0, {N_MEDIA})) AS i)
+    ),
+    bmp_stats AS (
+      SELECT d.i, d.w, d.h,
+             SUM((7*d.i + 3*xs.x + 5*ys.y) % 256) AS pix_sum
+      FROM bmp_dims d,
+           UNNEST(range(0, d.w)) xs(x),
+           UNNEST(range(0, d.h)) ys(y)
+      GROUP BY d.i, d.w, d.h
+    ),
+    wav_dims AS (
+      SELECT i, 8000 + 100 * (i % 3) AS rate, 400 + 40 * (i % 5) AS n
+      FROM (SELECT UNNEST(range(0, {N_MEDIA})) AS i)
+    ),
+    wav_stats AS (
+      SELECT d.i, d.rate, d.n,
+             SUM(((31*d.i + 17*ts.t) % 201 - 100)
+                 * ((31*d.i + 17*ts.t) % 201 - 100)) AS sumsq
+      FROM wav_dims d, UNNEST(range(0, d.n)) ts(t)
+      GROUP BY d.i, d.rate, d.n
+    )
+    SELECT 'bmp' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(w * h) AS BIGINT) AS total_units,
+           CAST(SUM(pix_sum) AS BIGINT) AS total_checksum,
+           CAST(SUM(1000 * w + h) AS BIGINT) AS total_meta
+    FROM bmp_stats
+    UNION ALL
+    SELECT 'wav',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n) AS BIGINT),
+           CAST(SUM(sumsq) AS BIGINT),
+           CAST(SUM(n * 1000 // rate) AS BIGINT)
+    FROM wav_stats
+    """,
+)
+def media_codec_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media decode leg through the gate: deterministic
+    grayscale BMPs (24-bpp BI_RGB — every 4-byte row-padding case) and
+    16-bit mono PCM WAVs are ENCODED to genuine container bytes and
+    DECODED back by pure-stdlib struct parsing
+    (functions/media_codecs.py), both inside Arrow-batched mapInPandas
+    legs; the aggregate reports per kind: item count, total units
+    (pixels | samples), an exact content checksum (gray pixel sum |
+    sample sum-of-squares), and a metadata sum (packed dims |
+    duration_ms). The DuckDB oracle re-derives every pixel and sample
+    from the generation law — so a framing bug anywhere in the
+    encoder or parser (padding, bottom-up rows, chunk alignment,
+    endianness) breaks the hash, making this content-checked, not
+    shape-checked.
+
+    Scale: both legs are narrow maps over binary columns (no shuffle
+    until the final 2-group aggregate); parsing is one
+    numpy-frombuffer + slice per payload — the vectorized form a real
+    100-TB decode stage needs. Replaces nothing: the compressed-format
+    fake (functions/multimodal.py decode_bytes fallback) still covers
+    codec-less containers."""
+    from olap_project_spark.functions.media_codecs import (
+        codec_demo_decode,
+        codec_demo_encode,
+    )
+
+    ids = (
+        spark.range(N_MEDIA)
+        .select(F.col("id").alias("item_id"), F.lit("bmp").alias("kind"))
+        .unionByName(
+            spark.range(N_MEDIA).select(
+                F.col("id").alias("item_id"), F.lit("wav").alias("kind")
+            )
+        )
+    )
+    media = ids.mapInPandas(
+        codec_demo_encode, schema="item_id long, media_bytes binary"
+    )
+    decoded = media.mapInPandas(
+        codec_demo_decode,
+        schema="item_id long, kind string, units bigint, checksum bigint, meta bigint",
+    )
+    return decoded.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("units").cast("bigint").alias("total_units"),
+        F.sum("checksum").cast("bigint").alias("total_checksum"),
+        F.sum("meta").cast("bigint").alias("total_meta"),
     )

@@ -1773,7 +1773,7 @@ def _zorder_oracle() -> str:
     """
 
 
-@register("zorder_layout_stats", oracle=_zorder_oracle())
+@register("zorder_layout_stats", oracle=_zorder_oracle)
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering quality over orders on (customer, order day):
     both dimensions are quantized to 256 cells, bit-interleaved into a
@@ -1885,7 +1885,7 @@ def _zorder_pruning_oracle() -> str:
     """
 
 
-@register("zorder_pruning_benefit", oracle=_zorder_pruning_oracle())
+@register("zorder_pruning_benefit", oracle=_zorder_pruning_oracle)
 def zorder_pruning_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout's SCAN-PRUNING payoff, quantified: carve
     orders into 64 files two ways — linear range-carve on o_custkey

@@ -616,7 +616,7 @@ def _recall_oracle() -> str:
     """
 
 
-@register("ann_ivf_recall", oracle=_recall_oracle())
+@register("ann_ivf_recall", oracle=_recall_oracle)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF index against the exact scan for the gate's
     query vector — the quality metric that justifies (or vetoes) an
@@ -1211,7 +1211,7 @@ def _multiprobe_recall_oracle() -> str:
     """
 
 
-@register("ann_multiprobe_recall", oracle=_multiprobe_recall_oracle())
+@register("ann_multiprobe_recall", oracle=_multiprobe_recall_oracle)
 def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the 3-probe search against the exact scan — the
     second rung of the recall ladder (ann_ivf_recall measures
@@ -1562,7 +1562,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@register("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+@register("hybrid_rrf_retrieval", oracle=_rrf_oracle)
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID SEARCH: reciprocal-rank fusion (k=60) of the lexical
     BM25 top-10 (text.bm25_retrieval_topk) and the dense cosine top-10
@@ -1740,7 +1740,7 @@ def _retrieval_eval_oracle() -> str:
     """
 
 
-@register("retrieval_eval_metrics", oracle=_retrieval_eval_oracle())
+@register("retrieval_eval_metrics", oracle=_retrieval_eval_oracle)
 def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation of the exact cosine top-{TOP_K}
     ranking for the benchmark query vector, scored against label

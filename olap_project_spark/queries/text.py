@@ -164,7 +164,7 @@ def _lang_id_oracle() -> str:
     """
 
 
-@register("lang_id_accuracy", oracle=_lang_id_oracle())
+@register("lang_id_accuracy", oracle=_lang_id_oracle)
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic scored against the table's
     ground-truth ``lang`` label: per-language doc count and accuracy.
@@ -1167,7 +1167,7 @@ def _pii_oracle() -> str:
     """
 
 
-@register("pii_redaction_stats", oracle=_pii_oracle())
+@register("pii_redaction_stats", oracle=_pii_oracle)
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: emails / phone numbers /
     card numbers replaced by typed tags (functions.text.redact_pii —
@@ -1342,7 +1342,7 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("bm25_retrieval_topk", oracle=_bm25_oracle())
+@register("bm25_retrieval_topk", oracle=_bm25_oracle)
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the corpus for a fixed query
     ({terms}): the Okapi scoring function — IDF·tf·(k1+1)/(tf +

@@ -245,7 +245,7 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("table_profile_summary", oracle=_profile_oracle())
+@register("table_profile_summary", oracle=_profile_oracle)
 def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profile over the warehouse's hot tables: row
     count, null count, and EXACT distinct count per column — the

@@ -110,3 +110,86 @@ class TestPosRouteCounts:
             assert one_day.count() > 0
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestMediaCodecs:
+    """The pure-stdlib BMP/WAV codecs behind the real decode leg."""
+
+    def test_bmp_roundtrip_every_padding_case(self):
+        from olap_project_spark.functions.media_codecs import (
+            bmp_row_stride,
+            make_bmp,
+            parse_bmp,
+        )
+
+        for w in range(8, 13):  # 3w % 4 sweeps pad 0..3
+            h = 5
+            data = make_bmp(w, h, lambda x, y: (3 * x + 5 * y) % 256)
+            expected = sum((3 * x + 5 * y) % 256 for x in range(w) for y in range(h))
+            assert parse_bmp(data) == (w, h, 24, expected)
+            assert len(data) == 54 + bmp_row_stride(w) * h
+
+    def test_bmp_row_order_is_bottom_up(self):
+        """pixel(x, y=0) is the TOP image row; a parser that forgets
+        the bottom-up storage would still get the right SUM, so check
+        the actual first stored row bytes."""
+        from olap_project_spark.functions.media_codecs import make_bmp
+
+        data = make_bmp(4, 3, lambda x, y: y * 10)  # rows: 0, 10, 20
+        first_stored = data[54 : 54 + 3]
+        assert first_stored == bytes((20, 20, 20))  # bottom row stored first
+
+    def test_wav_roundtrip_and_chunk_order(self):
+        import struct
+
+        from olap_project_spark.functions.media_codecs import make_wav, parse_wav
+
+        samples = [((31 + 17 * t) % 201) - 100 for t in range(401)]  # odd count
+        data = make_wav(8100, samples)
+        rate, n, ssum, sumsq = parse_wav(data)
+        assert (rate, n) == (8100, 401)
+        assert ssum == sum(samples) and sumsq == sum(s * s for s in samples)
+        # chunk-walking, not fixed offsets: inject a junk chunk of odd
+        # size before fmt (word-aligned advance must skip its pad byte)
+        junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+        reordered = data[:12] + junk + data[12:]
+        reordered = b"RIFF" + struct.pack("<I", len(reordered) - 8) + reordered[8:]
+        assert parse_wav(reordered) == (rate, n, ssum, sumsq)
+
+    def test_decode_bytes_dispatches_real_formats(self):
+        from olap_project_spark.functions.media_codecs import make_bmp, make_wav
+        from olap_project_spark.functions.multimodal import decode_bytes
+
+        assert decode_bytes(make_bmp(9, 7, lambda x, y: x + y)) == (9, 7, 1)
+        assert decode_bytes(make_wav(8000, [1, -2, 3])) == (8000, 3, 1)
+        # unknown payloads keep the deterministic fake (pipeline still runs)
+        w, h, f = decode_bytes(b"not-a-container")
+        assert w >= 64 and h >= 64 and 1 <= f <= 7
+
+    def test_gate_query_matches_law(self, spark, sf_dir):
+        from olap_project_spark.queries.multimodal import (
+            N_MEDIA,
+            media_codec_decode_stats,
+        )
+        from olap_project_spark.functions.media_codecs import (
+            bmp_dims,
+            bmp_pixel_law,
+            wav_dims,
+            wav_sample_law,
+        )
+
+        rows = {r["kind"]: r for r in media_codec_decode_stats(spark, sf_dir).collect()}
+        exp_pix = sum(
+            bmp_pixel_law(i, x, y)
+            for i in range(N_MEDIA)
+            for x in range(bmp_dims(i)[0])
+            for y in range(bmp_dims(i)[1])
+        )
+        assert rows["bmp"]["n_items"] == N_MEDIA
+        assert rows["bmp"]["total_checksum"] == exp_pix
+        exp_sq = sum(
+            wav_sample_law(i, t) ** 2
+            for i in range(N_MEDIA)
+            for t in range(wav_dims(i)[1])
+        )
+        assert rows["wav"]["total_checksum"] == exp_sq

@@ -60,6 +60,22 @@ def main() -> int:
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest movers:", [(n, round(r, 2)) for n, r in movers[:3]])
     print("slowest movers:", [(n, round(r, 2)) for n, r in movers[-3:]])
+    # family-level medians (needs the "family" map, BENCH_DETAIL ≥ r8):
+    # totals hide which operator family moved; per-family medians are
+    # drift-robust the same way the global median is
+    fam_of = new_doc.get("family") or old_doc.get("family") or {}
+    by_fam: dict[str, list[float]] = {}
+    for n, r in ratios.items():
+        fam = fam_of.get(n)
+        if fam:
+            by_fam.setdefault(fam, []).append(r)
+    if by_fam:
+        rows = sorted(
+            (statistics.median(v), f, len(v)) for f, v in by_fam.items()
+        )
+        print("family medians (new/old):")
+        for med, fam, n in rows:
+            print(f"  {fam:<22} {med:.3f}  (n={n})")
     return 0
 
 

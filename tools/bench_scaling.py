@@ -32,6 +32,12 @@ REPS = [
     ("ann_ivf_pq_topk", "IVF cells + integer ADC"),
     ("knn_bfs_hops", "frontier BFS (checkpointed supersteps)"),
     ("prefix_filtered_dup_pairs", "PPJoin prefix filter"),
+    # round-7 flagships (r7 verdict #5): gram volume ~ token volume
+    # for the substring pair; candidate volume ~ cell sizes for the
+    # IVF-blocked negative miner
+    ("repeated_substring_spans", "k-gram islands span merge"),
+    ("substring_dedup_savings", "interval-union savings ledger"),
+    ("hard_negative_mining", "IVF-blocked contrastive negatives"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -77,6 +83,42 @@ def main() -> None:
             f"| {name} ({shape}) | {t['sf0.001']:.2f} s | {t['sf0.01']:.2f} s "
             f"| {t['sf0.1']:.2f} s | {ratio:.2f}× |"
         )
+
+    # The POS pipeline is corpus-independent (the simulator generates
+    # its input), so its scaling knob is ROWS, not sf: time the full
+    # source → clean → Q0 rollup path at 10×-stepped row counts.
+    from pyspark.sql import functions as F
+
+    from olap_project_spark.queries.posfact import POS_SEED, _ensure_pos_source
+    from olap_project_spark.queries.transactions import q0_merchant_rollup
+    from olap_project_spark.transforms.clean import clean
+
+    fmt = _ensure_pos_source(spark)
+
+    def pos_path(rows: int) -> float:
+        raw = (
+            spark.read.format(fmt)
+            .option("rows", rows)
+            .option("seed", POS_SEED)
+            .option("partitions", 32)
+            .load()
+        )
+        t0 = time.perf_counter()
+        q0_merchant_rollup(
+            clean(raw, processed_at="2024-01-15 08:30:20")
+        ).count()
+        return time.perf_counter() - t0
+
+    pos_path(2_000)  # warm the source + clean codegen
+    pos_times = {rows: pos_path(rows) for rows in (2_000, 20_000, 200_000)}
+    print()
+    print("| pos pipeline (simulator → clean → Q0 rollup) | 2k rows | 20k rows | 200k rows | 200k ÷ 20k (rows ×10) |")
+    print("|---|---|---|---|---|")
+    r = pos_times[200_000] / pos_times[20_000]
+    print(
+        f"| source+clean+rollup | {pos_times[2_000]:.2f} s | "
+        f"{pos_times[20_000]:.2f} s | {pos_times[200_000]:.2f} s | {r:.2f}× |"
+    )
 
 
 if __name__ == "__main__":

@@ -146,6 +146,7 @@ ARROW_PY_OK_PREFIXES = (
     "frame_sample_",
     "media_feature_",
     "media_phash_",
+    "media_codec_",  # real BMP/WAV struct decode (Arrow-batched by design)
     "doc_chunks",
     "repeated_chunks",
 )
