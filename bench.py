@@ -255,8 +255,15 @@ def main() -> None:
         n: t for n, t in times.items()
         if QUERY_REGISTRY[n].fn.__module__.endswith("tpch_suite")
     }
+    # family-filtered runs write a side file: BENCH_DETAIL.json is the
+    # canonical full-registry artifact bench_compare diffs across rounds
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if wanted is None
+        else f"BENCH_DETAIL_{'_'.join(sorted(wanted))}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"total_sec": total, "queries": times, "errors": errors,
                    "ann_recall": ann_recall, "ann_fraction": ann_fraction,

@@ -189,13 +189,14 @@ GATE_WINDOW: tuple[str, ...] = (
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
 # 50. Current composition: the 6 remaining round-3 rows (oldest driver
-# checks after the r8 rotation) + 41 round-4 refresh slots.
+# checks after the r8 rotation) + 40 round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
+    "bloom_prefilter_stats",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -203,7 +204,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 41
+    # round-4 refresh slots — 40
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -244,7 +245,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "returnflag_status_cube",
     "running_customer_spend",
     "segment_balance_ranks",
-    "segment_large_order_share",
 )
 
 

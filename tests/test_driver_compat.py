@@ -182,6 +182,7 @@ class TestDriverContract:
             "pos_daily_rates_vnd",         # M4 daily-rate broadcast join
             "pos_route_counts",            # foreachBatch pipeline E2E
             "media_codec_decode_stats",    # real BMP/WAV struct decode
+            "bloom_prefilter_stats",       # broadcast bloom membership
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

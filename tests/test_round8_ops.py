@@ -193,3 +193,25 @@ class TestMediaCodecs:
             for t in range(wav_dims(i)[1])
         )
         assert rows["wav"]["total_checksum"] == exp_sq
+
+
+class TestBloomPrefilter:
+    def test_invariants_and_theory(self, spark, sf_dir):
+        """Bloom never false-negatives (pass ⊇ members); the measured
+        fp rate stays within an order of magnitude of the analytic
+        (1 − e^{−kn/m})^k for this m/K/corpus."""
+        import math
+
+        from olap_project_spark.queries.dedup import (
+            BLOOM_BITS,
+            BLOOM_K,
+            bloom_prefilter_stats,
+        )
+
+        row = bloom_prefilter_stats(spark, sf_dir).collect()[0]
+        assert row["n_bloom_pass"] >= row["n_members"]
+        assert row["n_false_pos"] == row["n_bloom_pass"] - row["n_members"]
+        n = row["n_members"]
+        expected = (1 - math.exp(-BLOOM_K * n / BLOOM_BITS)) ** BLOOM_K
+        measured = row["fp_rate"] or 0.0
+        assert measured <= max(10 * expected, 0.02)
