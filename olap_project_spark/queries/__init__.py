@@ -189,7 +189,7 @@ GATE_WINDOW: tuple[str, ...] = (
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
 # 50. Current composition: the 6 remaining round-3 rows (oldest driver
-# checks after the r8 rotation) + 40 round-4 refresh slots.
+# checks after the r8 rotation) + 38 round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
@@ -197,6 +197,8 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "pos_route_counts",
     "media_codec_decode_stats",
     "bloom_prefilter_stats",
+    "semantic_dedup_stats",
+    "preference_pair_mining",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -204,7 +206,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 40
+    # round-4 refresh slots — 38
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -243,8 +245,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "priority_shipping_buckets",
     "region_nation_list",
     "returnflag_status_cube",
-    "running_customer_spend",
-    "segment_balance_ranks",
 )
 
 

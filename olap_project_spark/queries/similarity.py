@@ -2071,3 +2071,251 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("in_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): per-cell near-dup pruning that keeps the
+# most centroid-distal representative
+# --------------------------------------------------------------------------
+@register(
+    "semantic_dedup_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             list_dot_product(e.emb, cent.cemb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(cent.cemb, cent.cemb))) AS ccos,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid, ccos FROM scored WHERE rn = 1),
+    n AS (SELECT e.vec_id, a.cid, a.ccos, e.emb,
+                 sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+          FROM e JOIN assign a ON a.vec_id = e.vec_id),
+    pairs AS (
+      SELECT a.cid,
+             CASE WHEN (a.ccos > b.ccos)
+                       OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
+                  THEN a.vec_id ELSE b.vec_id END AS dropped_id
+      FROM n a JOIN n b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+            >= {NEAR_DUP_COS}
+    ),
+    cell_drops AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT dropped_id) AS BIGINT) AS n_dropped
+      FROM pairs GROUP BY cid
+    )
+    SELECT a.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(d.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COALESCE(MAX(d.n_dropped), 0) AS BIGINT) AS n_kept
+    FROM assign a LEFT JOIN cell_drops d ON d.cid = a.cid
+    GROUP BY a.cid
+    """,
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) in distributed
+    form: within each IVF cell, vectors whose pairwise cosine clears
+    the near-dup threshold are pruned down to the most centroid-DISTAL
+    representative — the published heuristic that keeps the atypical
+    member and drops the redundant cluster core. The greedy sequential
+    scan of the paper is replaced by an order-free, exactly-defined
+    rule (drop v iff a ≥τ neighbor u exists with (ccos_u, u) <
+    (ccos_v, v) lexicographically), which a pair join computes in one
+    pass and the oracle re-derives verbatim. Result: per-cell vector /
+    dup-pair / dropped / kept counts.
+
+    Scale: assignment is the memoized broadcast-centroid pass; the
+    pair join is an equi-join on the cell id (Σ|cell|², never
+    |corpus|²); the drop rule needs no iteration, no union-find, no
+    driver loop — cells prune independently, which is what lets 100 TB
+    of embeddings dedup in one shuffle round. Centroid-cos comparisons
+    are bit-identical across engines (same sequential fold)."""
+    e = _emb(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    cents = _centroids(e)
+    assign = (
+        ranked.filter(F.col("rn") == 1)
+        .join(F.broadcast(cents), "cid")
+        .join(e, "vec_id")
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("emb"), F.col("cemb")).alias("ccos"),
+            "emb",
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cos_ab = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    a_loses = (F.col("a.ccos") > F.col("b.ccos")) | (
+        (F.col("a.ccos") == F.col("b.ccos"))
+        & (F.col("a.vec_id") > F.col("b.vec_id"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos_ab >= NEAR_DUP_COS)
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.when(a_loses, F.col("a.vec_id"))
+            .otherwise(F.col("b.vec_id"))
+            .alias("dropped_id"),
+        )
+    )
+    cell_drops = pairs.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_dup_pairs"),
+        F.countDistinct("dropped_id").cast("bigint").alias("n_dropped"),
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .join(cell_drops, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Preference-pair mining: per-semantic-cluster (chosen, rejected) pairs
+# --------------------------------------------------------------------------
+@register(
+    "preference_pair_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.emb, cent.cemb)
+                        / (sqrt(list_dot_product(e.emb, e.emb))
+                           * sqrt(list_dot_product(cent.cemb, cent.cemb))) DESC,
+                        cent.cid) AS rn
+      FROM e, cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    q AS (
+      SELECT d.doc_id, a.cid,
+             CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+               AS n_tokens,
+             (length(text) - length(regexp_replace(text,
+                 '[.,;:!?''\"()\\-]', '', 'g'))) * 1000 // length(text)
+               AS punct_permille
+      FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+      WHERE length(d.text) > 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY n_tokens DESC, punct_permille ASC, doc_id ASC)
+               AS rn_best,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY n_tokens ASC, punct_permille DESC, doc_id DESC)
+               AS rn_worst
+      FROM q
+    )
+    SELECT b.cid,
+           b.doc_id AS chosen_id,
+           w.doc_id AS rejected_id,
+           CAST(b.n_tokens AS BIGINT) AS chosen_tokens,
+           CAST(w.n_tokens AS BIGINT) AS rejected_tokens,
+           CAST(b.n_tokens - w.n_tokens AS BIGINT) AS token_gap
+    FROM (SELECT * FROM ranked WHERE rn_best = 1) b
+    JOIN (SELECT * FROM ranked WHERE rn_worst = 1) w ON b.cid = w.cid
+    WHERE b.doc_id <> w.doc_id
+    """,
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair construction over a semantically
+    clustered corpus: each IVF cell contributes one (chosen, rejected)
+    document pair — the cell's best and worst by an exact-integer
+    quality order (token count DESC, punctuation per-mille ASC, doc_id
+    as the total-order tiebreaker). Same-cluster pairing is the point:
+    the rejected doc is topically comparable to the chosen one (like
+    ``hard_negative_mining``'s blocking), so the pair teaches quality,
+    not topic. Cells with fewer than two scored docs yield no pair.
+
+    Scale: cluster assignment is the memoized broadcast-centroid pass;
+    quality features are per-row expressions fused into the scan; both
+    extremes come from ONE window shuffle partitioned by cell (two
+    rank orders over the same partition), then a self-join on the
+    16-cell key. No pairwise scoring anywhere."""
+    from olap_project_spark.functions.text import punct_count, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    assign = (
+        _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).select("vec_id", "cid")
+    )
+    q = (
+        docs.join(assign, docs.doc_id == assign.vec_id)
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "cid",
+            token_count(F.col("text")).alias("n_tokens"),
+            # exact floor division: subtract the remainder first so the
+            # double quotient is an exact integer (no truncation risk)
+            (
+                (
+                    punct_count(F.col("text")) * 1000
+                    - F.pmod(punct_count(F.col("text")) * 1000, F.length("text"))
+                )
+                / F.length("text")
+            )
+            .cast("bigint")
+            .alias("punct_permille"),
+        )
+    )
+    best_w = Window.partitionBy("cid").orderBy(
+        F.desc("n_tokens"), F.asc("punct_permille"), F.asc("doc_id")
+    )
+    worst_w = Window.partitionBy("cid").orderBy(
+        F.asc("n_tokens"), F.desc("punct_permille"), F.desc("doc_id")
+    )
+    ranked = q.select(
+        "*",
+        F.row_number().over(best_w).alias("rn_best"),
+        F.row_number().over(worst_w).alias("rn_worst"),
+    )
+    b = ranked.filter(F.col("rn_best") == 1).alias("b")
+    w = ranked.filter(F.col("rn_worst") == 1).alias("w")
+    return (
+        b.join(w, F.col("b.cid") == F.col("w.cid"))
+        .filter(F.col("b.doc_id") != F.col("w.doc_id"))
+        .select(
+            F.col("b.cid").alias("cid"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            F.col("b.n_tokens").cast("bigint").alias("chosen_tokens"),
+            F.col("w.n_tokens").cast("bigint").alias("rejected_tokens"),
+            (F.col("b.n_tokens") - F.col("w.n_tokens"))
+            .cast("bigint")
+            .alias("token_gap"),
+        )
+    )

@@ -183,6 +183,8 @@ class TestDriverContract:
             "pos_route_counts",            # foreachBatch pipeline E2E
             "media_codec_decode_stats",    # real BMP/WAV struct decode
             "bloom_prefilter_stats",       # broadcast bloom membership
+            "semantic_dedup_stats",        # per-cell SemDeDup pruning
+            "preference_pair_mining",      # per-cell chosen/rejected pair
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -196,6 +196,10 @@ BROADCAST_BOUNDED_OK = {
     # _ivf_ranked centroids + PQ codebook (vec_id < 64) + probe-cell
     # list + 1-row query vector — all literal-bounded sides
     "ann_ivf_pq_topk",
+    # broadcasts _centroids (vec_id < 16, literal-bounded)
+    "semantic_dedup_stats",
+    # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
+    "preference_pair_mining",
     # consumes the memoized _ivf_ranked assignment (≤16 centroid rows)
     "ann_hubness_audit",
     # _ivf_ranked centroids + ≤nprobe probed-cell ids + 1-row counts
