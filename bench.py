@@ -174,6 +174,12 @@ def main() -> None:
         "local_supplier_volume",    # multi-way broadcast star join
         "segment_balance_ranks",    # fused ranking-window inventory
         "lineitem_grouping_sets",   # grouping-sets/cube aggregate paths
+        # the pos family is corpus-independent: warm the Python-source
+        # worker pool + the constant-keyed pos_fact memo + the
+        # stream-engine state-store path so measured numbers show the
+        # plan, not source cold-start (12 s cold vs ~4 s warm)
+        "pos_merchant_rollup",
+        "pos_stream_user_totals",
     ):
         # Warmup is best-effort: a failure here must never zero the run
         # (round 2's bench died in warmup and recorded no timings at all).

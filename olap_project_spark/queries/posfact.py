@@ -118,8 +118,9 @@ def _ensure_pos_source(spark: SparkSession) -> str:
 
 def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaned transaction fact: simulator scan → ``clean()``.
-    Memoized per session (``sf_dir`` keys the memo but does not affect
-    the data — the generator is corpus-independent)."""
+    Memoized per session under a CONSTANT corpus key — the generator
+    is corpus-independent, so one build serves every ``sf_dir`` a
+    session touches (and a bench warmup pass pre-pays it)."""
     from olap_project_spark.transforms.clean import clean
 
     def build() -> DataFrame:
@@ -132,7 +133,7 @@ def _pos_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return clean(raw, processed_at="2024-01-15 08:30:20")
 
-    return session_memo(spark, sf_dir, "pos_fact", build)
+    return session_memo(spark, "pos-simulator", "pos_fact", build)
 
 
 @register(
