@@ -666,3 +666,123 @@ def mixture_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("p2sum").cast("double") / 1_000_000_000, 6
         ).alias("gini_simpson"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum schedule: quality-ordered staged token budgets
+# --------------------------------------------------------------------------
+N_STAGES = 3
+
+
+@register(
+    "curriculum_schedule_plan",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tok,
+             length(text) AS n_chars,
+             (length(text) - length(regexp_replace(text,
+                 '[.,;:!?''\"()\\-]', '', 'g'))) AS n_punct
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN n_tok >= 20 AND n_punct * 10 < n_chars
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM feat GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_docs, n_tokens,
+             n_keep * 1000 // n_docs AS keep_permille,
+             SUM(n_tokens) OVER (
+               ORDER BY n_keep * 1000 // n_docs DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens,
+             SUM(n_tokens) OVER () AS total_tokens
+      FROM per_source
+    )
+    SELECT CAST(1 + (cum_tokens - n_tokens)
+                    // ((total_tokens + {N_STAGES} - 1) // {N_STAGES})
+                AS INTEGER) AS stage,
+           source,
+           n_docs,
+           n_tokens,
+           CAST(keep_permille AS BIGINT) AS keep_permille,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    """,
+)
+def curriculum_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction for staged pre-training: sources are
+    ordered cleanest-first by an exact-integer quality proxy (the
+    per-mille of docs passing the length+punctuation keep rule of
+    ``doc_quality_scores``), the token ledger accumulates over that
+    order, and each source lands in the training stage whose equal
+    token budget (total//{N_STAGES}, ceil) its PRECEDING cumulative
+    tokens fall into — clean data early, noisier data later, the
+    standard data-curriculum recipe, with every boundary an integer
+    computation both engines replicate.
+
+    Scale: one map-side-combinable per-source aggregate over the scan;
+    the schedule itself is a window over the AGGREGATED source rows (a
+    bounded dimension — dozens of sources at 100 TB, never the fact),
+    so the unpartitioned window is safe by construction."""
+    from olap_project_spark.functions.text import punct_count
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        punct_count(F.col("text")).alias("n_punct"),
+    )
+    per_source = feat.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when((F.col("n_tok") >= 20) & (F.col("n_punct") * 10 < F.col("n_chars")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    keep_pm = (
+        (F.col("n_keep") * 1000 - F.pmod(F.col("n_keep") * 1000, F.col("n_docs")))
+        / F.col("n_docs")
+    ).cast("bigint")
+    ranked = per_source.select(
+        "source", "n_docs", "n_tokens", keep_pm.alias("keep_permille")
+    )
+    order_w = (
+        Window.orderBy(F.desc("keep_permille"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_cum = ranked.select(
+        "*",
+        F.sum("n_tokens").over(order_w).alias("cum_tokens"),
+        F.sum("n_tokens").over(total_w).alias("total_tokens"),
+    )
+    budget = (
+        (F.col("total_tokens") + F.lit(N_STAGES - 1))
+        - F.pmod(F.col("total_tokens") + F.lit(N_STAGES - 1), F.lit(N_STAGES))
+    ) / F.lit(N_STAGES)
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    stage = (
+        F.lit(1) + ((before - F.pmod(before, budget)) / budget)
+    ).cast("int")
+    return with_cum.select(
+        stage.alias("stage"),
+        "source",
+        "n_docs",
+        "n_tokens",
+        "keep_permille",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

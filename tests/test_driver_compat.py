@@ -185,6 +185,7 @@ class TestDriverContract:
             "bloom_prefilter_stats",       # broadcast bloom membership
             "semantic_dedup_stats",        # per-cell SemDeDup pruning
             "preference_pair_mining",      # per-cell chosen/rejected pair
+            "curriculum_schedule_plan",    # staged token-budget ledger
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

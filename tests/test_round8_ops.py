@@ -263,3 +263,31 @@ class TestSemanticOps:
             assert r["chosen_id"] != r["rejected_id"]
             assert r["token_gap"] == r["chosen_tokens"] - r["rejected_tokens"]
             assert r["token_gap"] >= 0
+
+
+class TestCurriculum:
+    def test_schedule_covers_corpus_in_quality_order(self, spark, sf_dir):
+        from olap_project_spark.queries import load
+        from olap_project_spark.queries.curation import (
+            N_STAGES,
+            curriculum_schedule_plan,
+        )
+
+        rows = curriculum_schedule_plan(spark, sf_dir).collect()
+        n_sources = (
+            load(spark, sf_dir, "documents").select("source").distinct().count()
+        )
+        assert len(rows) == n_sources
+        ordered = sorted(rows, key=lambda r: r["cum_tokens"])
+        # quality order: keep_permille non-increasing along the schedule
+        pms = [r["keep_permille"] for r in ordered]
+        assert pms == sorted(pms, reverse=True) or len(set(pms)) < len(pms)
+        # stages are 1..N and non-decreasing along the token ledger
+        stages = [r["stage"] for r in ordered]
+        assert stages == sorted(stages)
+        assert 1 <= min(stages) and max(stages) <= N_STAGES
+        # ledger telescopes: each cum equals previous cum + own tokens
+        cum = 0
+        for r in ordered:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum

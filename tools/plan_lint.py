@@ -112,6 +112,9 @@ CONSTRUCT_EXECUTES = EXECUTING | {
 GLOBAL_WINDOW_OK = {
     # rank windows over the two 10-row component top-k results
     "hybrid_rrf_retrieval",
+    # cumulative token ledger over the per-SOURCE aggregate (a bounded
+    # dimension — dozens of sources at 100 TB, never the fact table)
+    "curriculum_schedule_plan",
     # share-of-total / lag windows over nation (25-row) / month (~80-row)
     # rollups — aggregated inputs, never the fact table
     "revenue_share_drilldown",
