@@ -2319,3 +2319,135 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval: relevance − redundancy re-ranking
+# --------------------------------------------------------------------------
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7  # exact decimal literal → identical double in both engines
+
+
+def _mmr_oracle() -> str:
+    """Unrolled {MMR_K}-step greedy as chained CTEs (no recursion):
+    selN picks the argmax of λ·simq − (1−λ)·max-sim-to-selected over
+    the remaining pool, with vec_id as the total-order tiebreak."""
+    sim = (
+        "list_dot_product({a}.emb, {b}.emb)"
+        " / (sqrt(list_dot_product({a}.emb, {a}.emb))"
+        " * sqrt(list_dot_product({b}.emb, {b}.emb)))"
+    )
+    parts = [
+        f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    pool AS (
+      SELECT e.vec_id, e.emb, {sim.format(a='e', b='q')} AS simq
+      FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY {sim.format(a='e', b='q')} DESC, e.vec_id
+      LIMIT {MMR_POOL}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {sim.format(a='a', b='b')} AS s
+      FROM pool a, pool b
+    ),
+    sel1 AS (
+      SELECT vec_id, simq, 1 AS rank, CAST(simq AS DOUBLE) AS mmr
+      FROM pool ORDER BY simq DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for k in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, k)
+        )
+        parts.append(
+            f"""cand{k} AS (
+      SELECT p.vec_id, p.simq,
+             {MMR_LAMBDA} * p.simq - {round(1 - MMR_LAMBDA, 6)} * (
+               SELECT MAX(pr.s) FROM pairs pr
+               WHERE pr.va = p.vec_id
+                 AND pr.vb IN ({prev_union})) AS mmr
+      FROM pool p
+      WHERE p.vec_id NOT IN ({prev_union})
+    ),
+    sel{k} AS (
+      SELECT vec_id, simq, {k} AS rank, mmr
+      FROM cand{k} ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, ROUND(simq, 6) AS sim_to_query,"
+        f" ROUND(mmr, 6) AS mmr_score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from the exact cosine top-{MMR_POOL} pool for the query
+    vector, greedily select {MMR_K} results maximizing
+    λ·sim(d, q) − (1−λ)·max_{{s∈S}} sim(d, s) — relevance minus
+    redundancy, the diversified-retrieval step RAG pipelines run after
+    ANN. Rank 1 is the plain argmax (empty S ⇒ mmr = simq).
+
+    Scale: pool selection is the distributed exact top-k (at 100 TB,
+    the IVF path feeds it); the greedy is inherently sequential over a
+    LITERAL-bounded pool ({MMR_POOL} rows collected to the driver,
+    {MMR_K} steps of pure arithmetic — same bounded-scalar pattern as
+    the k-means centroid loop). All similarity math is the identical
+    left-to-right double fold in Spark, driver Python, and DuckDB, so
+    selection order is bit-reproducible; the oracle unrolls the same
+    greedy as chained SQL CTEs."""
+    e = _emb(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    pool_rows = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "emb", cosine(F.col("emb"), F.col("qemb")).alias("simq"))
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .collect()
+    )
+
+    def pysim(a: list[float], b: list[float]) -> float:
+        dot_ab = 0.0
+        for x, y in zip(a, b):
+            dot_ab = dot_ab + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        import math
+
+        return dot_ab / (math.sqrt(na) * math.sqrt(nb))
+
+    pool = [(r["vec_id"], list(r["emb"]), float(r["simq"])) for r in pool_rows]
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, simq, mmr
+    sel_embs: list[tuple[int, list[float]]] = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid, emb, simq in pool:
+            if any(vid == s[0] for s in sel_embs):
+                continue
+            if not sel_embs:
+                mmr = simq
+            else:
+                red = max(pysim(emb, semb) for _sid, semb in sel_embs)
+                mmr = MMR_LAMBDA * simq - round(1 - MMR_LAMBDA, 6) * red
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, emb, simq, mmr)
+        _k, vid, emb, simq, mmr = best
+        selected.append((rank, vid, round(simq, 6), round(mmr, 6)))
+        sel_embs.append((vid, emb))
+    return spark.createDataFrame(
+        selected, "rank int, vec_id bigint, sim_to_query double, mmr_score double"
+    )

@@ -186,6 +186,7 @@ class TestDriverContract:
             "semantic_dedup_stats",        # per-cell SemDeDup pruning
             "preference_pair_mining",      # per-cell chosen/rejected pair
             "curriculum_schedule_plan",    # staged token-budget ledger
+            "mmr_diversified_topk",        # bounded-pool MMR greedy
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

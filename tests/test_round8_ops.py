@@ -291,3 +291,26 @@ class TestCurriculum:
         for r in ordered:
             cum += r["n_tokens"]
             assert r["cum_tokens"] == cum
+
+
+class TestMMR:
+    def test_mmr_diversifies_and_ranks(self, spark, sf_dir):
+        """Rank 1 is the plain cosine argmax; later picks trade
+        relevance for diversity (their mmr score is bounded by their
+        sim-to-query); no duplicates; exactly K rows."""
+        from olap_project_spark.queries.similarity import (
+            MMR_K,
+            mmr_diversified_topk,
+        )
+
+        rows = sorted(
+            mmr_diversified_topk(spark, sf_dir).collect(), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids))
+        assert rows[0]["mmr_score"] == rows[0]["sim_to_query"]
+        for r in rows[1:]:
+            assert r["mmr_score"] <= r["sim_to_query"] + 1e-9
+        # rank 1 carries the max sim_to_query of the selected set
+        assert rows[0]["sim_to_query"] == max(r["sim_to_query"] for r in rows)

@@ -74,6 +74,7 @@ EXECUTING = {
     "manifest_snapshot_stats",
     "pos_stream_user_totals",
     "pos_route_counts",  # runs the foreachBatch pipeline into tmp sinks
+    "mmr_diversified_topk",  # bounded-pool greedy collects 20 rows at build
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
