@@ -184,3 +184,28 @@ def compact_snapshots(spark: SparkSession, path: str, schema) -> int:
         .save()
     )
     return max(table_versions(path))
+
+
+# Spark's Python-DataSource registry scopes LOOKUP per-session but the
+# name-uniqueness check JVM-wide (a sibling session can neither read
+# nor re-register a name) — so, like the POS simulator source, each
+# session registers the sink under a session-scoped name, keyed by the
+# never-reused sessionUUID.
+_SINK_REGISTERED: dict[str, str] = {}
+
+
+def ensure_manifest_sink(spark: SparkSession) -> str:
+    """Register the manifest sink on ``spark`` (idempotent) and return
+    the format name to write through on that session."""
+    uid = spark._jsparkSession.sessionUUID()
+    fmt = _SINK_REGISTERED.get(uid)
+    if fmt is None:
+        fmt = "manifest_sink_" + uid.replace("-", "")
+        scoped = type(
+            "ManifestSinkScoped",
+            (ManifestSinkDataSource,),
+            {"name": classmethod(lambda cls, _n=fmt: _n)},
+        )
+        spark.dataSource.register(scoped)
+        _SINK_REGISTERED[uid] = fmt
+    return fmt

@@ -189,7 +189,7 @@ GATE_WINDOW: tuple[str, ...] = (
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
 # 50. Current composition: the 6 remaining round-3 rows (oldest driver
-# checks after the r8 rotation) + 36 round-4 refresh slots.
+# checks after the r8 rotation) + 35 round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
@@ -201,6 +201,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "preference_pair_mining",
     "curriculum_schedule_plan",
     "mmr_diversified_topk",
+    "pos_stream_manifest_ingest",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -208,7 +209,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 36
+    # round-4 refresh slots — 35
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -244,7 +245,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "price_quantity_stats",
     "pricing_summary",
     "priority_flag_profile",
-    "priority_shipping_buckets",
 )
 
 

@@ -765,3 +765,94 @@ def pos_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "pos_stream_manifest_ingest",
+    oracle=lambda: f"""
+    WITH {_raw_cte()}
+    SELECT u AS "User",
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CAST(replace(replace(amount, '$', ''), '.', '')
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM raw
+    GROUP BY u
+    """,
+)
+def pos_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 + K4 driver-verified TOGETHER: the POS stream replays in
+    200-row micro-batches through a foreachBatch that appends each
+    batch through the manifest-commit exactly-once sink
+    (export/manifest_sink.py — one snapshot version per micro-batch);
+    the stream is then RESTARTED from the same checkpoint, which must
+    replay nothing (committed offsets) and add no versions; the result
+    is per-user (count, exact-cents total) read back from the
+    COMMITTED manifests only. If the restart double-loaded (the
+    reference DAG's unfenced WRITE_APPEND hole) or a staging file
+    leaked into the read, the totals double and the oracle hash
+    catches it.
+
+    Scale: the same two fences production needs at 100 TB — source
+    offsets in the checkpoint (replay protection) and the O(tasks)
+    manifest commit (partial-write protection) — with data flowing
+    through ordinary parallel file writes."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+    )
+
+    sink_fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="pos_manifest_")
+    table = f"{root}/user_events"
+    ckpt = f"{root}/ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.select(
+            F.col("User"),
+            F.regexp_replace(F.col("Amount"), r"[$.]", "")
+            .cast("bigint")
+            .alias("cents"),
+        )
+        out.write.format(sink_fmt).option("path", table).mode("append").save()
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format(_ensure_pos_source(spark))
+            .option("rows", POS_ROWS)
+            .option("seed", POS_SEED)
+            .option("rows_per_batch", 200)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    try:
+        run_once()
+        versions_after_first = table_versions(table)
+        run_once()  # checkpoint restart: committed offsets → no-op
+        if table_versions(table) != versions_after_first:
+            raise AssertionError(
+                "checkpoint restart added snapshot versions — "
+                "exactly-once fence broken"
+            )
+        committed = read_committed(
+            spark, table, schema="`User` string, cents bigint"
+        )
+        out = committed.groupBy("User").agg(
+            F.count("*").cast("bigint").alias("n_txns"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

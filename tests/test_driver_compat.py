@@ -187,6 +187,7 @@ class TestDriverContract:
             "preference_pair_mining",      # per-cell chosen/rejected pair
             "curriculum_schedule_plan",    # staged token-budget ledger
             "mmr_diversified_topk",        # bounded-pool MMR greedy
+            "pos_stream_manifest_ingest",  # stream + exactly-once sink
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

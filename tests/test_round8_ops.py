@@ -314,3 +314,18 @@ class TestMMR:
             assert r["mmr_score"] <= r["sim_to_query"] + 1e-9
         # rank 1 carries the max sim_to_query of the selected set
         assert rows[0]["sim_to_query"] == max(r["sim_to_query"] for r in rows)
+
+
+class TestStreamManifestIngest:
+    def test_totals_and_replay_fence(self, spark, sf_dir):
+        """800 rows land exactly once across users; the in-query
+        checkpoint-restart assertion already ran (a broken fence raises
+        before any result exists)."""
+        from olap_project_spark.queries.posfact import (
+            POS_ROWS,
+            pos_stream_manifest_ingest,
+        )
+
+        rows = pos_stream_manifest_ingest(spark, sf_dir).collect()
+        assert sum(r["n_txns"] for r in rows) == POS_ROWS
+        assert all(r["total_cents"] > 0 for r in rows)
