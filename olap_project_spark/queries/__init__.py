@@ -189,7 +189,7 @@ GATE_WINDOW: tuple[str, ...] = (
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
 # 50. Current composition: the 6 remaining round-3 rows (oldest driver
-# checks after the r8 rotation) + 35 round-4 refresh slots.
+# checks after the r8 rotation) + 33 round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
@@ -202,6 +202,8 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "curriculum_schedule_plan",
     "mmr_diversified_topk",
     "pos_stream_manifest_ingest",
+    "sql_recursive_bfs_hops",
+    "sql_pipe_summary",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -209,7 +211,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 35
+    # round-4 refresh slots — 33
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -237,9 +239,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "nation_population_correlation",
     "nation_revenue",
     "order_recency_buckets",
-    "order_volume_rollup",
     "orders_profile",
-    "part_price_skyline",
     "price_neighborhood_density",
     "price_quantity_regression",
     "price_quantity_stats",

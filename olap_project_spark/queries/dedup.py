@@ -1470,6 +1470,31 @@ BFS_MAX_HOPS = 3
 BFS_SEED_MOD = 97
 
 
+def _bfs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized kNN edge list, memoized+persisted: every BFS
+    level (and the recursive-CTE twin) joins the SAME edge table, so
+    cache it once instead of re-inlining the whole kNN lineage into
+    each consumer's plan (at scale: the materialized edge list any
+    graph engine keeps between supersteps)."""
+
+    def build() -> DataFrame:
+        knn = doc_knn_graph(spark, sf_dir).select("doc_id", "neighbor_id")
+        return (
+            knn.select(
+                F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")
+            )
+            .union(
+                knn.select(
+                    F.col("neighbor_id").alias("src"),
+                    F.col("doc_id").alias("dst"),
+                )
+            )
+            .distinct()
+        )
+
+    return session_memo(spark, sf_dir, "knn_bfs_edges", build)
+
+
 def _bfs_oracle() -> str:
     """Unrolled breadth-first search: the recursive frontier loop as
     chained CTEs (v0 → f1 → f2 → f3), each stage exactly the
@@ -1528,26 +1553,7 @@ def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     per level; with it each level is one shuffle-on-key of
     frontier-sized data, never corpus-sized, and the lineage stays
     one level deep regardless of hop count."""
-    def _edges() -> DataFrame:
-        knn = doc_knn_graph(spark, sf_dir).select("doc_id", "neighbor_id")
-        return (
-            knn.select(
-                F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")
-            )
-            .union(
-                knn.select(
-                    F.col("neighbor_id").alias("src"),
-                    F.col("doc_id").alias("dst"),
-                )
-            )
-            .distinct()
-        )
-
-    # Memoized+persisted: every BFS level joins the SAME edge table, so
-    # cache it once instead of re-inlining the whole kNN lineage into
-    # each level's plan (at scale: the materialized edge list any graph
-    # engine keeps between supersteps).
-    edges = session_memo(spark, sf_dir, "knn_bfs_edges", _edges)
+    edges = _bfs_edges(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select("doc_id")
     visited = seeds.withColumn("hops", F.lit(0))
@@ -1879,4 +1885,55 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp_cnt.cast("double") / F.nullif(non_members.cast("double"), F.lit(0.0)),
             6,
         ).alias("fp_rate"),
+    )
+
+
+@register(
+    "sql_recursive_bfs_hops",
+    # identical result contract to the iterative Pregel-style BFS — the
+    # oracle is shared verbatim, so the driver hash-pins both execution
+    # paths to the same answer
+    oracle=lambda: __import__(
+        "olap_project_spark.queries", fromlist=["QUERY_REGISTRY"]
+    ).QUERY_REGISTRY["knn_bfs_hops"].oracle,
+)
+def sql_recursive_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BFS hop query expressed through Spark 4's native
+    ``WITH RECURSIVE`` SQL front end — the declarative twin of
+    ``knn_bfs_hops``'s hand-rolled superstep loop, over the same
+    memoized symmetrized kNN edge table and seed rule, returning the
+    same (doc_id, min hops) contract; the two paths share one oracle,
+    so the driver hash-pins them to each other.
+
+    Scale: the recursive plan unions path extensions level by level
+    (each iteration one equi-join of the previous level against the
+    edge list — the same join the loop runs), with the depth guard
+    bounding work at {BFS_MAX_HOPS} expansions; the closing MIN/GROUP
+    BY collapses multiple walks to the shortest. The loop variant
+    stays the production choice where per-level dedup matters (the
+    recursive form re-extends duplicate paths within the bound); this
+    query pins that BOTH express the same semantics."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    edges_view = f"bfs_edges_{tag}"
+    seeds_view = f"bfs_seeds_{tag}"
+    _bfs_edges(spark, sf_dir).createOrReplaceTempView(edges_view)
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        "doc_id"
+    ).createOrReplaceTempView(seeds_view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(doc_id, hops) AS (
+          SELECT doc_id, 0 FROM {seeds_view}
+          UNION ALL
+          SELECT e.dst, w.hops + 1
+          FROM walk w JOIN {edges_view} e ON w.doc_id = e.src
+          WHERE w.hops < {BFS_MAX_HOPS}
+        )
+        SELECT doc_id, CAST(MIN(hops) AS INT) AS hops
+        FROM walk
+        GROUP BY doc_id
+        """
     )

@@ -2473,3 +2473,49 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_size") >= K_ANON).cast("int"),
         )
     )
+
+
+# SQL-front-end parity #3: the same report in TWO dialect surfaces —
+# Spark 4 pipe syntax (|>) on the engine side, classic ANSI on the
+# oracle side. Pipe syntax is sugar over the same logical plan, so the
+# hash equality proves the front end, the plan is the familiar
+# scan → filter → aggregate → sort.
+_SQL_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_summary", oracle=_SQL_PIPE_ORACLE)
+def sql_pipe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end parity #3: Spark 4's PIPE syntax (`FROM t |>
+    WHERE … |> AGGREGATE … GROUP BY …`) evaluating the Q1-shape
+    pricing summary; the oracle is the classic ANSI formulation. Pipe
+    operators desugar to the identical logical plan (filter pushed to
+    the scan, partial aggregation before the exchange) — the gate
+    proves the engine accepts the new composable dialect and that it
+    is pure sugar, not a second semantics.
+
+    Scale: same plan as pricing_summary — one pushed-predicate scan
+    into a map-side-combinable aggregate on a low-cardinality key."""
+    from olap_project_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, n_rows, sum_price
+        """
+    )

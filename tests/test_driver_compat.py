@@ -188,6 +188,8 @@ class TestDriverContract:
             "curriculum_schedule_plan",    # staged token-budget ledger
             "mmr_diversified_topk",        # bounded-pool MMR greedy
             "pos_stream_manifest_ingest",  # stream + exactly-once sink
+            "sql_recursive_bfs_hops",      # WITH RECURSIVE front end
+            "sql_pipe_summary",            # |> pipe-syntax front end
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -329,3 +329,31 @@ class TestStreamManifestIngest:
         rows = pos_stream_manifest_ingest(spark, sf_dir).collect()
         assert sum(r["n_txns"] for r in rows) == POS_ROWS
         assert all(r["total_cents"] > 0 for r in rows)
+
+
+class TestSqlFrontEnds:
+    def test_recursive_cte_equals_iterative_bfs(self, spark, sf_dir):
+        """The WITH RECURSIVE twin returns exactly the iterative
+        Pregel-loop BFS result (same seeds, edges, min-hop contract)."""
+        from olap_project_spark.queries.dedup import (
+            knn_bfs_hops,
+            sql_recursive_bfs_hops,
+        )
+
+        loop = {(r["doc_id"], r["hops"]) for r in knn_bfs_hops(spark, sf_dir).collect()}
+        rec = {
+            (r["doc_id"], r["hops"])
+            for r in sql_recursive_bfs_hops(spark, sf_dir).collect()
+        }
+        assert loop == rec and len(loop) > 0
+
+    def test_pipe_syntax_matches_classic_plan(self, spark, sf_dir):
+        """Pipe syntax is sugar: the plan has the pushed scan predicate
+        and a partial aggregate — the same physical shape as the ANSI
+        form."""
+        from olap_project_spark.queries.relational import sql_pipe_summary
+
+        df = sql_pipe_summary(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert df.count() > 0
