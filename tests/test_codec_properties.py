@@ -1,0 +1,63 @@
+"""Property tests for the pure-stdlib media codecs (BMP / WAV): the
+encode→parse round-trip must be exact for EVERY dimension, padding
+case, pixel law, sample count, and sample range — no Spark involved,
+so hypothesis can run many examples."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from olap_project_spark.functions.media_codecs import (
+    bmp_row_stride,
+    make_bmp,
+    make_wav,
+    parse_bmp,
+    parse_wav,
+    sniff_media,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    a=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=0, max_value=17),
+    c=st.integers(min_value=0, max_value=23),
+)
+def test_bmp_roundtrip_exact(w, h, a, b, c):
+    pixel = lambda x, y: (a + b * x + c * y) % 256  # noqa: E731
+    data = make_bmp(w, h, pixel)
+    expected = sum(pixel(x, y) for x in range(w) for y in range(h))
+    assert sniff_media(data) == "bmp"
+    assert parse_bmp(data) == (w, h, 24, expected)
+    assert len(data) == 54 + bmp_row_stride(w) * h
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=96_000),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=600
+    ),
+)
+def test_wav_roundtrip_exact(rate, samples):
+    data = make_wav(rate, samples)
+    assert sniff_media(data) == "wav"
+    got_rate, n, ssum, sumsq = parse_wav(data)
+    assert (got_rate, n) == (rate, len(samples))
+    assert ssum == sum(samples)
+    assert sumsq == sum(s * s for s in samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64))
+def test_sniff_rejects_non_containers(junk):
+    # a random blob only sniffs as a container if it actually carries
+    # the magic bytes
+    kind = sniff_media(junk)
+    if kind == "bmp":
+        assert junk[:2] == b"BM"
+    elif kind == "wav":
+        assert junk[:4] == b"RIFF" and junk[8:12] == b"WAVE"
