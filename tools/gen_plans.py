@@ -301,6 +301,43 @@ SHOWCASE = [
         "row-Python — and the day/month/year rollup is a single "
         "Expand+HashAggregate with map-side partials.",
     ),
+    (
+        "pos_daily_rates_vnd",
+        "The M4 per-day rate enrichment: the rows-per-day rates "
+        "dimension is a BroadcastExchange into a BroadcastHashJoin — "
+        "the simulator fact reaches the join unshuffled; the only "
+        "hash Exchange is the final (date, rate) aggregate's.",
+    ),
+    (
+        "bloom_prefilter_stats",
+        "Bloom membership prefilter: the corpus's distinct filter "
+        "positions (≤65 536 rows — the bitmap in row form) broadcast "
+        "into the probe join, so the batch is tested without "
+        "shuffling against the corpus; only the bounded AUDIT leg "
+        "(measured fp rate) joins on fingerprints.",
+    ),
+    (
+        "semantic_dedup_stats",
+        "SemDeDup pruning: centroid assignment is a broadcast pass, "
+        "the near-dup pair join is an equi-join on the cell id "
+        "(Σ|cell|², never |corpus|²), and the order-free drop rule "
+        "needs no iteration — one shuffle round prunes every cell "
+        "independently.",
+    ),
+    (
+        "media_codec_decode_stats",
+        "The REAL BMP/WAV decode leg: two narrow Arrow-batched "
+        "mapInPandas stages (encode to container bytes, struct-parse "
+        "back) with no shuffle until the 2-group aggregate — the "
+        "shape a 100-TB media decode stage pipelines with the scan.",
+    ),
+    (
+        "curriculum_schedule_plan",
+        "Curriculum scheduling: the corpus collapses to a per-source "
+        "aggregate first (map-side combinable), and the token-ledger "
+        "window runs over that bounded dimension — the unpartitioned "
+        "window is safe by construction, never over the fact.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
