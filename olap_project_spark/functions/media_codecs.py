@@ -186,3 +186,49 @@ def codec_demo_decode(batches):
         yield pd.DataFrame(
             rows, columns=["item_id", "kind", "units", "checksum", "meta"]
         )
+
+
+ENERGY_WINDOW = 50  # samples per energy window (fixed analysis frame)
+
+
+def wav_window_energy(batches):
+    """(item_id, media_bytes) → one row per fixed 50-sample analysis
+    window: (item_id, win_idx, n_samples, sumsq). The vectorized VAD
+    front-end: decode the PCM once (numpy frombuffer), reshape into
+    frames, and emit exact int64 per-frame energies. The trailing
+    partial frame is kept (with its true n_samples) — energy is a sum,
+    not a mean, so no padding bias is introduced.
+
+    A narrow map: each payload expands to ceil(n/50) bounded rows, so
+    a 100-TB audio corpus streams through without shuffling bytes —
+    only the tiny (item, window, energy) rows reach the segmentation
+    window function downstream."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for i, data in zip(pdf["item_id"], pdf["media_bytes"]):
+            data = bytes(data)
+            if sniff_media(data) != "wav":
+                continue
+            pos = 12
+            samples = None
+            while pos + 8 <= len(data):
+                chunk_id = data[pos : pos + 4]
+                size = struct.unpack_from("<I", data, pos + 4)[0]
+                if chunk_id == b"data":
+                    samples = np.frombuffer(
+                        data, dtype="<i2", offset=pos + 8, count=size // 2
+                    ).astype(np.int64)
+                pos = pos + 8 + size + (size & 1)
+            if samples is None:
+                continue
+            sq = samples * samples
+            for w in range(0, len(samples), ENERGY_WINDOW):
+                chunk = sq[w : w + ENERGY_WINDOW]
+                rows.append(
+                    (int(i), w // ENERGY_WINDOW, int(chunk.size), int(chunk.sum()))
+                )
+        yield pd.DataFrame(
+            rows, columns=["item_id", "win_idx", "n_samples", "sumsq"]
+        )

@@ -188,8 +188,9 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: the 6 remaining round-3 rows (oldest driver
-# checks after the r8 rotation) + 33 round-4 refresh slots.
+# 50. Current composition: 14 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 30
+# round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
@@ -204,6 +205,9 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "pos_stream_manifest_ingest",
     "sql_recursive_bfs_hops",
     "sql_pipe_summary",
+    "media_energy_segments",
+    "session_overlap_pairs",
+    "quality_classifier_scores",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -211,7 +215,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 33
+    # round-4 refresh slots — 30
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -242,9 +246,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "orders_profile",
     "price_neighborhood_density",
     "price_quantity_regression",
-    "price_quantity_stats",
-    "pricing_summary",
-    "priority_flag_profile",
 )
 
 

@@ -786,3 +786,86 @@ def curriculum_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_permille",
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick linear quality classifier — fastText-shaped inference
+# --------------------------------------------------------------------------
+# The weight table is IMPLICIT: weight(token) = hash48(token) % 2001 −
+# 1000, i.e. a deterministic stand-in for a trained vector indexed by
+# feature hash. That keeps the op oracle-checkable while exercising the
+# exact plan a real classifier uses (explode → hash-indexed weight
+# lookup → per-doc sum-pool → threshold).
+_W_MOD = 2001    # weights take values −1000..1000
+_W_OFF = 1000
+_CONF_MILLI = 200  # "confident" when |mean weight| > 0.2 (integer form)
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_tok,
+             SUM(CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT)
+                 % {_W_MOD} - {_W_OFF}) AS sum_w
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN abs(sum_w) > n_tok * {_CONF_MILLI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_confident,
+           ROUND(CAST(SUM(sum_w) AS DOUBLE) / SUM(n_tok), 6)
+             AS pooled_mean_weight
+    FROM scored GROUP BY source
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference at corpus scale — the
+    fastText shape every web-scale curation pipeline runs (CCNet /
+    FineWeb quality filters): tokenize, look each token's weight up by
+    FEATURE HASH (hashing trick — no vocabulary table to build or
+    broadcast), mean-pool per document, and threshold. Reported per
+    source: docs, positive-score docs, confidently-scored docs
+    (|mean| > 0.2, integer arithmetic), and the pooled mean weight
+    (quotient of exact integer sums).
+
+    Scale: explode → per-doc hash aggregate → per-source aggregate,
+    all map-side combinable; the "model" travels as an expression, so
+    there is no join at all — the degenerate-but-dominant case of
+    hash-bucketed weight lookup. With a REAL trained weight table the
+    same plan adds one broadcast join from hash-id to weight shard;
+    nothing else changes. Shuffles carry (doc_id, bigint) pairs, never
+    text."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    weight = portable_hash48(F.col("tk")) % _W_MOD - _W_OFF
+    scored = tok.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(weight).alias("sum_w"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("sum_w") > 0).cast("bigint")).cast("bigint").alias(
+            "n_positive"
+        ),
+        F.sum(
+            (F.abs(F.col("sum_w")) > F.col("n_tok") * _CONF_MILLI).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("n_confident"),
+        F.round(
+            F.sum("sum_w").cast("double") / F.sum("n_tok"), 6
+        ).alias("pooled_mean_weight"),
+    )

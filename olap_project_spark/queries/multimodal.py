@@ -555,3 +555,115 @@ def media_codec_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("checksum").cast("bigint").alias("total_checksum"),
         F.sum("meta").cast("bigint").alias("total_meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# media_energy_segments: the VAD-shaped audio operator — decode → fixed
+# 50-sample frame energies → threshold → gaps-and-islands segmentation.
+# Content-checked end-to-end: the oracle re-derives every sample from
+# the wav_sample_law, so a framing bug in the codec OR an off-by-one in
+# the island arithmetic breaks the hash.
+# --------------------------------------------------------------------------
+ACTIVE_SUMSQ = 165_000  # frame is "speech" when Σs² over 50 samples exceeds this
+
+
+@register(
+    "media_energy_segments",
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 400 + 40 * (i % 5) AS n
+      FROM (SELECT UNNEST(range(0, {N_MEDIA})) AS i)
+    ),
+    samp AS (
+      SELECT d.i, ts.t // 50 AS win_idx,
+             ((31*d.i + 17*ts.t) % 201 - 100)
+               * ((31*d.i + 17*ts.t) % 201 - 100) AS sq
+      FROM dims d, UNNEST(range(0, d.n)) ts(t)
+    ),
+    win AS (
+      SELECT i, win_idx, SUM(sq) AS sumsq
+      FROM samp GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT i, win_idx,
+             win_idx - row_number() OVER (PARTITION BY i ORDER BY win_idx)
+               AS grp
+      FROM win WHERE sumsq > {ACTIVE_SUMSQ}
+    ),
+    seg AS (SELECT i, grp, COUNT(*) AS seg_len FROM act GROUP BY 1, 2),
+    per_seg AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(MAX(seg_len) AS BIGINT) AS longest_run
+      FROM seg GROUP BY 1
+    )
+    SELECT w.i AS item_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN w.sumsq > {ACTIVE_SUMSQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+           COALESCE(MAX(p.n_segments), 0) AS n_segments,
+           COALESCE(MAX(p.longest_run), 0) AS longest_run,
+           CAST(SUM(w.sumsq) AS BIGINT) AS total_energy
+    FROM win w LEFT JOIN per_seg p ON p.i = w.i
+    GROUP BY w.i
+    """,
+)
+def media_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation over the REAL WAV codec — the
+    voice-activity-detection shape of a speech-corpus pipeline: encode
+    the deterministic 16-bit PCM fixtures to genuine RIFF bytes,
+    decode to exact per-frame energies (Σs² over fixed 50-sample
+    frames, trailing partial frame kept) in one Arrow-batched
+    mapInPandas leg (functions/media_codecs.py wav_window_energy),
+    threshold into active frames, and count contiguous active runs per
+    item with the gaps-and-islands idiom (win_idx − row_number is
+    constant within a run). Reports per item: frame count, active
+    frames, segment count, longest run, exact total energy.
+
+    Scale: the decode leg is a narrow map — PCM bytes never shuffle;
+    only bounded (item, frame, energy) rows do. The island window is
+    PARTITIONED by item (entity-keyed, frames-per-item bounded by
+    clip length), and the final rollup is one hash aggregate. The
+    same plan segments a 100-TB audio corpus: per-clip state only,
+    no global order anywhere."""
+    from olap_project_spark.functions.media_codecs import (
+        codec_demo_encode,
+        wav_window_energy,
+    )
+    from pyspark.sql.window import Window
+
+    ids = spark.range(N_MEDIA).select(
+        F.col("id").alias("item_id"), F.lit("wav").alias("kind")
+    )
+    media = ids.mapInPandas(
+        codec_demo_encode, schema="item_id long, media_bytes binary"
+    )
+    win = media.mapInPandas(
+        wav_window_energy,
+        schema="item_id long, win_idx long, n_samples long, sumsq long",
+    )
+    wfun = Window.partitionBy("item_id").orderBy("win_idx")
+    seg = (
+        win.filter(F.col("sumsq") > ACTIVE_SUMSQ)
+        .withColumn("grp", F.col("win_idx") - F.row_number().over(wfun))
+        .groupBy("item_id", "grp")
+        .agg(F.count("*").alias("seg_len"))
+    )
+    per_seg = seg.groupBy("item_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("seg_len").cast("bigint").alias("longest_run"),
+    )
+    base = win.groupBy("item_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum((F.col("sumsq") > ACTIVE_SUMSQ).cast("bigint"))
+        .cast("bigint")
+        .alias("n_active"),
+        F.sum("sumsq").cast("bigint").alias("total_energy"),
+    )
+    return base.join(per_seg, "item_id", "left").select(
+        "item_id",
+        "n_windows",
+        "n_active",
+        F.coalesce("n_segments", F.lit(0).cast("bigint")).alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0).cast("bigint")).alias("longest_run"),
+        "total_energy",
+    )

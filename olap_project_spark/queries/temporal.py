@@ -418,3 +418,129 @@ def scd2_customer_price_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("o_totalprice", 2).alias("snapshot_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval × interval overlap join — the second temporal-join shape
+# Spark lacks natively (asof_last_order covers point-in-interval; this
+# covers interval-overlap). Decomposed into an equi-join on time
+# buckets with the "responsibility bucket" trick so no dedup pass is
+# needed: a pair is emitted only in the single bucket where the later
+# interval starts.
+# --------------------------------------------------------------------------
+OVERLAP_BUCKET_US = 900_000_000  # 15-minute buckets (≈ p99 session length)
+
+
+@register(
+    "session_overlap_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, t,
+             CASE WHEN prev IS NULL OR epoch(t - prev) >= 1800
+                  THEN 1 ELSE 0 END AS ns,
+             event_id
+      FROM seq
+    ),
+    sid AS (
+      SELECT user_id, t,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             epoch_us(MIN(t)) AS s_us, epoch_us(MAX(t)) AS e_us
+      FROM sid GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS ov_us
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id
+       AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_session_pairs,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY total_overlap_us DESC, user_a, user_b
+    LIMIT 25
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user pairs are online at the same time — an interval ×
+    interval overlap self-join over 30-minute-gap sessions (the
+    ``user_sessions`` boundary rule), reported as the 25 most
+    co-present cross-user pairs with exact microsecond overlap.
+    Touching endpoints count as overlapping (closed intervals, the
+    ``concurrent_session_peaks`` sweep convention; a touch contributes
+    0 µs but 1 pair).
+
+    Scale — the range-join decomposition Spark has no native operator
+    for: each session explodes into the 15-minute buckets it spans
+    (bounded: sessions are gap-bounded, so buckets/session is small),
+    the pair search becomes an EQUI-join on the bucket id, and the
+    classic duplicate problem (a pair co-bucketed k times appears k
+    times) is solved without any distinct shuffle by the
+    responsibility-bucket rule: emit the pair only in the bucket where
+    the LATER interval starts (``bucket = greatest(start_a, start_b)``)
+    — that bucket is unique, and for truly overlapping pairs both
+    intervals provably span it. Candidate pairs are Σ|bucket|², never
+    |sessions|²; the oracle is the direct quadratic theta-join DuckDB
+    can afford at sf0.01."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("ns", new_session)
+        .withColumn(
+            "sid",
+            F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .withColumn("sb", F.expr(f"s_us DIV {OVERLAP_BUCKET_US}"))
+        .withColumn("eb", F.expr(f"e_us DIV {OVERLAP_BUCKET_US}"))
+    )
+    spans = sess.withColumn("bucket", F.explode(F.sequence("sb", "eb")))
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col("a.user_id") < F.col("b.user_id"),
+            F.col("a.s_us") <= F.col("b.e_us"),
+            F.col("b.s_us") <= F.col("a.e_us"),
+            F.col("a.bucket") == F.greatest(F.col("a.sb"), F.col("b.sb")),
+        ],
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.least(F.col("a.e_us"), F.col("b.e_us"))
+            - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+        ).alias("ov_us"),
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_session_pairs"),
+            F.sum("ov_us").cast("bigint").alias("total_overlap_us"),
+        )
+        .orderBy(F.col("total_overlap_us").desc(), "user_a", "user_b")
+        .limit(25)
+    )

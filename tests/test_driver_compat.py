@@ -190,6 +190,9 @@ class TestDriverContract:
             "pos_stream_manifest_ingest",  # stream + exactly-once sink
             "sql_recursive_bfs_hops",      # WITH RECURSIVE front end
             "sql_pipe_summary",            # |> pipe-syntax front end
+            "media_energy_segments",       # WAV frame-energy islands
+            "session_overlap_pairs",       # bucketed interval equi-join
+            "quality_classifier_scores",   # hashing-trick linear scorer
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -152,6 +152,7 @@ ARROW_PY_OK_PREFIXES = (
     "media_feature_",
     "media_phash_",
     "media_codec_",  # real BMP/WAV struct decode (Arrow-batched by design)
+    "media_energy_",  # real WAV frame-energy decode (Arrow-batched by design)
     "doc_chunks",
     "repeated_chunks",
 )
