@@ -188,8 +188,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 14 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 30
+# 50. Current composition: 16 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 28
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -208,6 +208,8 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "media_energy_segments",
     "session_overlap_pairs",
     "quality_classifier_scores",
+    "time_weighted_user_value",
+    "segment_overlap_matrix",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -215,7 +217,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 30
+    # round-4 refresh slots — 28
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -244,8 +246,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "nation_revenue",
     "order_recency_buckets",
     "orders_profile",
-    "price_neighborhood_density",
-    "price_quantity_regression",
 )
 
 

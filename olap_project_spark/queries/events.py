@@ -5032,3 +5032,184 @@ def chi2_type_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value (TWAP) — the step-function integral
+# --------------------------------------------------------------------------
+@register(
+    "time_weighted_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, cents, (next_us - us) // 1000 AS dur_ms
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dur_ms) AS BIGINT) AS active_ms,
+           ROUND(CAST(SUM(cents * dur_ms) AS DOUBLE) / SUM(dur_ms) / 100, 6)
+             AS twap_value
+    FROM g
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2 AND SUM(dur_ms) > 0
+    """,
+)
+def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — the step-function
+    integral under irregular sampling that a plain AVG gets wrong: each
+    event's value holds until the user's next event, so the mean is
+    Σ value·Δt / ΣΔt, not Σ value / n. The financial/IoT shape (TWAP,
+    sensor duty cycle, time-in-state) the engine must express exactly.
+
+    Exactness across engines: value in integer cents, durations in
+    truncated integer milliseconds (identical positive-integer DIV on
+    both engines), so both sums are exact int64 and the one quotient is
+    computed once on identical operands. The last event carries no
+    duration (open interval); single-event and zero-span users are
+    excluded by integer HAVING predicates.
+
+    Scale: one per-user window pass (lead) + one hash aggregate — the
+    same two shuffles sessionization pays; int64 products stay well
+    under overflow (cents ≤ 5·10⁴ × user-span ms)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        (_dec("value") * 100).cast("bigint").alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).withColumn("dur_ms", F.expr("(next_us - us) DIV 1000"))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("dur_ms").cast("bigint").alias("active_ms"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms")
+                / 100,
+                6,
+            ).alias("twap_value"),
+        )
+        .filter((F.col("n_events") >= 2) & (F.col("active_ms") > 0))
+    )
+
+
+# --------------------------------------------------------------------------
+# Segment-overlap (audience intersection) matrix
+# --------------------------------------------------------------------------
+@register(
+    "segment_overlap_matrix",
+    oracle="""
+    WITH per_ut AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, SUM(cnt) AS type_total FROM per_ut GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    heavy AS (
+      SELECT p.user_id, p.event_type
+      FROM per_ut p JOIN totals t USING (event_type), n
+      WHERE p.cnt * n.n_users > t.type_total
+    ),
+    seg_n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_heavy
+      FROM heavy GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM heavy a JOIN heavy b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           sa.n_heavy AS n_heavy_a, sb.n_heavy AS n_heavy_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE)
+                 / (sa.n_heavy + sb.n_heavy - n_both), 6) AS jaccard
+    FROM inter
+    JOIN seg_n sa ON sa.event_type = type_a
+    JOIN seg_n sb ON sb.event_type = type_b
+    """,
+)
+def segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between behavioral segments — the
+    bitmap-index intersection every ad/analytics stack runs: a user is
+    in segment T when their T-event count is strictly above the
+    per-user average for T (integer cross-multiplication, no
+    division), and each segment pair reports both sizes, the exact
+    intersection, and Jaccard similarity.
+
+    Scale: segment membership is one (user, type) hash aggregate; the
+    intersection is a self-equi-join ON USER, so a user contributes at
+    most |types|² tiny rows — never a cross join; per-type sizes are a
+    |types|-row aggregate joined back (broadcast). At 100 TB this is
+    the groupBy-user formulation of roaring-bitmap ANDs: the shuffle
+    carries (user, type-set) pairs, and heavy-key salting is never
+    needed because the per-user row group is bounded by |types|."""
+    ev = load(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = per_ut.groupBy("event_type").agg(
+        F.sum("cnt").alias("type_total")
+    )
+    n_users = ev.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    heavy = (
+        per_ut.join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(n_users))
+        .filter(F.col("cnt") * F.col("n_users") > F.col("type_total"))
+        .select("user_id", "event_type")
+    )
+    seg_n = heavy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_heavy")
+    )
+    a, b = heavy.alias("a"), heavy.alias("b")
+    both = (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            ],
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = F.broadcast(seg_n.withColumnRenamed("n_heavy", "n_heavy_a"))
+    sb = F.broadcast(seg_n.withColumnRenamed("n_heavy", "n_heavy_b"))
+    return (
+        both.join(sa, F.col("type_a") == sa["event_type"])
+        .drop(sa["event_type"])
+        .join(sb, F.col("type_b") == sb["event_type"])
+        .drop(sb["event_type"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_heavy_a",
+            "n_heavy_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_heavy_a") + F.col("n_heavy_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -193,6 +193,8 @@ class TestDriverContract:
             "media_energy_segments",       # WAV frame-energy islands
             "session_overlap_pairs",       # bucketed interval equi-join
             "quality_classifier_scores",   # hashing-trick linear scorer
+            "time_weighted_user_value",    # step-function TWAP integral
+            "segment_overlap_matrix",      # audience bitmap intersection
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
