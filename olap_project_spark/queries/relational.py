@@ -2519,3 +2519,51 @@ def sql_pipe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, sum_qty, n_rows, sum_price
         """
     )
+
+
+# SQL-front-end parity #4: GROUP BY ALL — the analyst-dialect grouping
+# shorthand both Spark (3.4+) and DuckDB support natively. The engine
+# side uses the shorthand, the oracle the explicit ANSI list, so the
+# hash equality proves the desugaring (every non-aggregate select item
+# becomes a grouping key) rather than assuming it.
+_SQL_GBA_ORACLE = """
+SELECT l_returnflag,
+       CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INTEGER) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_shipdate > DATE '1995-01-01'
+GROUP BY l_returnflag, ship_year
+"""
+
+
+@register("sql_group_by_all_modes", oracle=_SQL_GBA_ORACLE)
+def sql_group_by_all_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end parity #4: ``GROUP BY ALL`` (Spark 3.4+) — every
+    non-aggregate select item is inferred as a grouping key. The
+    engine runs the shorthand, the oracle the explicit ANSI key list;
+    the value hash proves the inference resolved to exactly
+    (l_returnflag, ship_year) — including the EXPRESSION key — and
+    nothing else.
+
+    Scale: identical plan to the explicit form — pushed scan
+    predicate, map-side partial aggregate on a low-cardinality key;
+    the shorthand is front-end sugar with zero physical cost."""
+    from olap_project_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        WHERE l_shipdate > DATE '1995-01-01'
+        GROUP BY ALL
+        """
+    )

@@ -195,6 +195,7 @@ class TestDriverContract:
             "quality_classifier_scores",   # hashing-trick linear scorer
             "time_weighted_user_value",    # step-function TWAP integral
             "segment_overlap_matrix",      # audience bitmap intersection
+            "sql_group_by_all_modes",      # GROUP BY ALL front end
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
