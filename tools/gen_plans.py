@@ -332,6 +332,30 @@ SHOWCASE = [
         "shape a 100-TB media decode stage pipelines with the scan.",
     ),
     (
+        "session_overlap_pairs",
+        "Interval×interval overlap as an EQUI-join: sessions explode "
+        "into bounded 15-minute buckets, the join keys on the bucket "
+        "id (SortMergeJoin/Exchange on bucket — never a cartesian), "
+        "and the responsibility-bucket predicate replaces any "
+        "distinct pass — the only other exchanges are the pair "
+        "aggregate and the bounded top-25 TakeOrdered.",
+    ),
+    (
+        "time_weighted_user_value",
+        "The TWAP step-function integral costs exactly what "
+        "sessionization costs: one Exchange on user_id feeding a "
+        "WindowExec (lead) and a partial-aggregated hash aggregate — "
+        "exact int64 cents×ms products, no Python anywhere.",
+    ),
+    (
+        "media_energy_segments",
+        "Audio VAD shape: RIFF/PCM bytes decode in a narrow "
+        "Arrow-batched map (no shuffle of bytes), per-clip frame "
+        "energies flow into an entity-keyed WindowExec for the "
+        "gaps-and-islands run ids, then two hash aggregates — the "
+        "pipeline a 100-TB speech corpus segments with.",
+    ),
+    (
         "curriculum_schedule_plan",
         "Curriculum scheduling: the corpus collapses to a per-source "
         "aggregate first (map-side combinable), and the token-ledger "
