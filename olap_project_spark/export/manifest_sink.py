@@ -177,7 +177,7 @@ def compact_snapshots(spark: SparkSession, path: str, schema) -> int:
     needs pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
     current = read_committed(spark, path, schema)
     (
-        current.write.format("manifest_sink")
+        current.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "rewrite")
         .mode("append")
@@ -196,7 +196,15 @@ _SINK_REGISTERED: dict[str, str] = {}
 
 def ensure_manifest_sink(spark: SparkSession) -> str:
     """Register the manifest sink on ``spark`` (idempotent) and return
-    the format name to write through on that session."""
+    the format name to write through on that session.
+
+    Also pins ``spark`` as the JVM thread's ACTIVE session: the batch
+    ``DataFrameWriter`` resolves Python data sources against the
+    active session's manager, not the DataFrame's own session — on a
+    sibling ``newSession()`` the scoped name is otherwise invisible to
+    the write path even though reads resolve fine (probed empirically
+    on Spark 4.1; streaming foreachBatch writes are unaffected because
+    the micro-batch thread activates its own clone)."""
     uid = spark._jsparkSession.sessionUUID()
     fmt = _SINK_REGISTERED.get(uid)
     if fmt is None:
@@ -208,4 +216,83 @@ def ensure_manifest_sink(spark: SparkSession) -> str:
         )
         spark.dataSource.register(scoped)
         _SINK_REGISTERED[uid] = fmt
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # noqa: BLE001 — non-classic shells lack the hook
+        pass
     return fmt
+
+
+def vacuum_snapshots(
+    path: str, keep_from: int | None = None, delete_orphans: bool = True
+) -> dict:
+    """Expire old snapshots and collect unreferenced staging files —
+    the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` /
+    Delta VACUUM contract for the manifest table. Two independent
+    actions:
+
+    1. **Orphan GC** (``delete_orphans``): staging files referenced by
+       NO committed manifest — the residue of failed attempts whose
+       ``abort`` never ran — are deleted. Run it in a maintenance
+       window (no in-flight writers), the same precondition Delta's
+       retention check encodes.
+    2. **Snapshot expiry**: every manifest with version < ``keep_from``
+       is removed, along with any staging file only those expired
+       manifests reference. ``keep_from`` MUST be a rewrite
+       (compaction) snapshot — the consolidated base from which every
+       retained version is still reconstructible; expiring past a
+       plain append would break the retained versions' lineage, so
+       that is rejected. Default: the latest rewrite version (no-op if
+       the table was never compacted). After expiry,
+       ``read_committed(as_of=v)`` for v < keep_from reads EMPTY —
+       time travel is shortened, exactly as in Iceberg/Delta.
+
+    Returns counts: orphans_deleted, expired_manifests, expired_files,
+    kept_versions. Driver-side O(#manifests + #staging-files) metadata
+    work; no data is read or rewritten."""
+    entries: list[tuple[int, str, dict]] = []
+    for version, entry in _list_manifests(path):
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # commit in flight — never treat as expirable
+        entries.append((version, entry, m))
+    rewrites = [v for v, _, m in entries if m.get("kind") == "rewrite"]
+    if keep_from is None:
+        keep_from = max(rewrites) if rewrites else None
+    elif keep_from not in rewrites:
+        raise ValueError(
+            f"keep_from={keep_from} is not a rewrite snapshot "
+            f"(rewrites: {rewrites}); expiring past an append base "
+            "would break the retained versions"
+        )
+    stats = {"orphans_deleted": 0, "expired_manifests": 0, "expired_files": 0}
+    staging = os.path.join(path, "_staging")
+    referenced_any = {f for _, _, m in entries for f in m.get("files", [])}
+    if delete_orphans and os.path.isdir(staging):
+        for name in sorted(os.listdir(staging)):
+            if name not in referenced_any:
+                os.remove(os.path.join(staging, name))
+                stats["orphans_deleted"] += 1
+    if keep_from is not None:
+        retained = {
+            f
+            for v, _, m in entries
+            if v >= keep_from
+            for f in m.get("files", [])
+        }
+        for v, entry, m in entries:
+            if v >= keep_from:
+                continue
+            for name in m.get("files", []):
+                target = os.path.join(staging, name)
+                if name not in retained and os.path.exists(target):
+                    os.remove(target)
+                    stats["expired_files"] += 1
+            os.remove(os.path.join(path, entry))
+            stats["expired_manifests"] += 1
+    stats["kept_versions"] = table_versions(path)
+    return stats

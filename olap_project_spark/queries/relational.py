@@ -2567,3 +2567,98 @@ def sql_group_by_all_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Lakehouse maintenance through the gate: snapshot expiry + orphan GC
+# --------------------------------------------------------------------------
+@register(
+    "manifest_vacuum_stats",
+    oracle="""
+    SELECT CAST(3 AS INTEGER) AS versions_before,
+           CAST(1 AS INTEGER) AS orphans_deleted,
+           CAST(2 AS INTEGER) AS expired_manifests,
+           CAST(2 AS INTEGER) AS expired_files,
+           CAST(1 AS INTEGER) AS versions_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_rows_after
+    """,
+)
+def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MAINTENANCE through the gate — the Iceberg
+    expire_snapshots + remove_orphan_files / Delta VACUUM contract on
+    the manifest table: two exactly-once appends, a planted orphan
+    staging file (a failed attempt whose abort never ran), a rewrite
+    compaction, then ``vacuum_snapshots`` — which must delete exactly
+    the orphan, the two superseded append manifests, and their two
+    staging files, while the post-vacuum read still returns the full
+    dimension. Every count is pinned by the oracle, so the GC's
+    reference-set arithmetic (referenced-by-retained vs expired) is
+    driver-verified, not just unit-tested.
+
+    Scale: vacuum is driver-side metadata work, O(#manifests +
+    #staging files) — no data read or rewritten; the deletions a real
+    deployment fans out through a distributed file-listing job, same
+    reference-set rule."""
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    import hashlib
+    import json as _json
+
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_vacuum_{os.getpid()}_{tag}"
+    path = os.path.join(root, "region_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    if not os.path.exists(stats_file):
+        for batch in (
+            region.filter(F.col("r_regionkey") < 3),
+            region.filter(F.col("r_regionkey") >= 3),
+        ):
+            (
+                batch.coalesce(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        with open(os.path.join(path, "_staging", "part-orphan.jsonl"), "w") as f:
+            f.write('{"r_regionkey": 99, "r_name": "ZOMBIE"}\n')
+        compact_snapshots(spark, path, region.schema)
+        versions_before = len(table_versions(path))
+        v = vacuum_snapshots(path)
+        stats = {
+            "versions_before": versions_before,
+            "orphans_deleted": v["orphans_deleted"],
+            "expired_manifests": v["expired_manifests"],
+            "expired_files": v["expired_files"],
+            "versions_after": len(v["kept_versions"]),
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    n_rows_after = read_committed(spark, path, region.schema).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["versions_before"],
+                stats["orphans_deleted"],
+                stats["expired_manifests"],
+                stats["expired_files"],
+                stats["versions_after"],
+                n_rows_after,
+            )
+        ],
+        "versions_before int, orphans_deleted int, expired_manifests int, "
+        "expired_files int, versions_after int, n_rows_after bigint",
+    )

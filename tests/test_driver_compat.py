@@ -196,6 +196,7 @@ class TestDriverContract:
             "time_weighted_user_value",    # step-function TWAP integral
             "segment_overlap_matrix",      # audience bitmap intersection
             "sql_group_by_all_modes",      # GROUP BY ALL front end
+            "manifest_vacuum_stats",       # snapshot expiry + orphan GC
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

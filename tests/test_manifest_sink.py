@@ -139,3 +139,93 @@ class TestCompaction:
         after = read_committed(spark, path, sch)
         assert sorted(r["k"] for r in after.collect()) == [1, 2, 3, 4]
         assert table_versions(path) == [1, 2, 3, 4, 5]
+
+
+class TestVacuum:
+    """Snapshot expiry + orphan GC (the Iceberg expire_snapshots /
+    Delta VACUUM contract on the manifest table)."""
+
+    def test_vacuum_collects_orphans_and_expires_to_rewrite_base(
+        self, registered, spark, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            table_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "whv")
+        _write(registered, path, [(i, f"a{i}") for i in range(3)])
+        _write(registered, path, [(i, f"b{i}") for i in (10, 11)])
+        # a failed attempt whose abort never ran
+        orphan = os.path.join(path, "_staging", "part-zombie.jsonl")
+        with open(orphan, "w") as f:
+            f.write('{"k": 99, "v": "zombie"}\n')
+        base = compact_snapshots(spark, path, SCHEMA)
+        assert base == 3
+        before = sorted(
+            (r["k"], r["v"])
+            for r in read_committed(spark, path, SCHEMA).collect()
+        )
+        stats = vacuum_snapshots(path)
+        assert stats["orphans_deleted"] == 1 and not os.path.exists(orphan)
+        # both append manifests expired with their 4 staging files each
+        assert stats["expired_manifests"] == 2
+        assert stats["expired_files"] == 8
+        assert stats["kept_versions"] == [3] == table_versions(path)
+        after = sorted(
+            (r["k"], r["v"])
+            for r in read_committed(spark, path, SCHEMA).collect()
+        )
+        assert after == before  # current state untouched
+        # time travel is SHORTENED, not corrupted: expired reads are empty
+        assert read_committed(spark, path, SCHEMA, as_of=1).count() == 0
+        assert read_committed(spark, path, SCHEMA, as_of=3).count() == 5
+
+    def test_vacuum_without_rewrite_removes_only_orphans(
+        self, registered, spark, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            table_versions,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "whn")
+        _write(registered, path, [(1, "x")])
+        with open(os.path.join(path, "_staging", "part-orphan.jsonl"), "w") as f:
+            f.write('{"k": 2, "v": "y"}\n')
+        stats = vacuum_snapshots(path)
+        assert stats["orphans_deleted"] == 1
+        assert stats["expired_manifests"] == 0 and stats["expired_files"] == 0
+        assert table_versions(path) == [1]
+        assert read_committed(spark, path, SCHEMA).count() == 1
+
+    def test_vacuum_rejects_non_rewrite_base(self, registered, spark, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "whr")
+        _write(registered, path, [(1, "x")])
+        _write(registered, path, [(2, "y")])
+        compact_snapshots(spark, path, SCHEMA)
+        with pytest.raises(ValueError, match="not a rewrite"):
+            vacuum_snapshots(path, keep_from=2)
+
+    def test_vacuum_is_idempotent(self, registered, spark, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "whi")
+        _write(registered, path, [(1, "x")])
+        compact_snapshots(spark, path, SCHEMA)
+        first = vacuum_snapshots(path)
+        assert first["expired_manifests"] == 1
+        second = vacuum_snapshots(path)
+        assert second["orphans_deleted"] == 0
+        assert second["expired_manifests"] == 0
+        assert second["expired_files"] == 0
+        assert read_committed(spark, path, SCHEMA).count() == 1

@@ -76,6 +76,7 @@ EXECUTING = {
     "pos_route_counts",  # runs the foreachBatch pipeline into tmp sinks
     "mmr_diversified_topk",  # bounded-pool greedy collects 20 rows at build
     "pos_stream_manifest_ingest",  # streams through the manifest sink twice
+    "manifest_vacuum_stats",  # builds, compacts, and vacuums the table once
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
