@@ -495,13 +495,17 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — that bucket is unique, and for truly overlapping pairs both
     intervals provably span it. Candidate pairs are Σ|bucket|², never
     |sessions|²; the oracle is the direct quadratic theta-join DuckDB
-    can afford at sf0.01."""
+    can afford at sf0.01. The decomposition is factored as
+    functions/temporal.interval_overlap_pairs and property-tested
+    against the brute-force join (tests/test_interval_join.py)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts").cast("double")).over(w)
     new_session = F.when(
         prev.isNull() | ((F.col("ts").cast("double") - prev) >= 1800), 1
     ).otherwise(0)
+    from olap_project_spark.functions.temporal import interval_overlap_pairs
+
     sess = (
         ev.withColumn("ns", new_session)
         .withColumn(
@@ -513,27 +517,17 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("s_us"),
             F.max(F.unix_micros("ts")).alias("e_us"),
         )
-        .withColumn("sb", F.expr(f"s_us DIV {OVERLAP_BUCKET_US}"))
-        .withColumn("eb", F.expr(f"e_us DIV {OVERLAP_BUCKET_US}"))
     )
-    spans = sess.withColumn("bucket", F.explode(F.sequence("sb", "eb")))
-    a, b = spans.alias("a"), spans.alias("b")
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.bucket") == F.col("b.bucket"),
-            F.col("a.user_id") < F.col("b.user_id"),
-            F.col("a.s_us") <= F.col("b.e_us"),
-            F.col("b.s_us") <= F.col("a.e_us"),
-            F.col("a.bucket") == F.greatest(F.col("a.sb"), F.col("b.sb")),
-        ],
+    pairs = interval_overlap_pairs(
+        sess,
+        OVERLAP_BUCKET_US,
+        s_col="s_us",
+        e_col="e_us",
+        distinct_on=F.col("a.user_id") < F.col("b.user_id"),
     ).select(
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
-        (
-            F.least(F.col("a.e_us"), F.col("b.e_us"))
-            - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
-        ).alias("ov_us"),
+        F.col("ov").alias("ov_us"),
     )
     return (
         pairs.groupBy("user_a", "user_b")

@@ -38,6 +38,12 @@ REPS = [
     ("repeated_substring_spans", "k-gram islands span merge"),
     ("substring_dedup_savings", "interval-union savings ledger"),
     ("hard_negative_mining", "IVF-blocked contrastive negatives"),
+    # late-round-8 flagships: candidate volume ~ Σ|bucket|² for the
+    # interval join; token volume for the classifier; event volume for
+    # the TWAP window pass
+    ("session_overlap_pairs", "bucketed interval-overlap join"),
+    ("quality_classifier_scores", "hashed-feature linear scorer"),
+    ("time_weighted_user_value", "step-function TWAP window"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
