@@ -116,6 +116,8 @@ def _list_manifests(path: str) -> list[tuple[int, str]]:
     """(version, filename) for every committed manifest. Legacy
     uuid-named manifests (pre-versioning) sort first as version 0."""
     out: list[tuple[int, str]] = []
+    if not os.path.isdir(path):
+        return out  # never-written table: no commits
     for entry in sorted(os.listdir(path)):
         if entry.startswith("_manifest-") and entry.endswith(".json"):
             stem = entry[len("_manifest-") : -len(".json")]

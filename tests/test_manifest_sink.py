@@ -229,3 +229,69 @@ class TestVacuum:
         assert second["expired_manifests"] == 0
         assert second["expired_files"] == 0
         assert read_committed(spark, path, SCHEMA).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Property: under ANY sequence of appends / planted orphans / compactions
+# / vacuums, the committed state never changes except by appends, and
+# vacuum only ever removes what is provably dead (orphans + manifests
+# before the latest rewrite base).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+op_strategy = st.sampled_from(["append", "orphan", "compact", "vacuum"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(op_strategy, min_size=1, max_size=6))
+def test_vacuum_preserves_committed_state(registered, spark, tmp_path, ops):
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / ("whp_" + "".join(o[0] for o in ops)))
+    model: list[tuple[int, str]] = []  # expected committed rows
+    next_k = 0
+    latest_rewrite = None
+    for op in ops:
+        if op == "append":
+            rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
+            next_k += 2
+            _write(registered, path, rows)
+            model.extend(rows)
+        elif op == "orphan":
+            staging = os.path.join(path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            with open(os.path.join(staging, f"part-orphan{next_k}.jsonl"), "w") as f:
+                f.write('{"k": -1, "v": "zombie"}\n')
+        elif op == "compact":
+            if not table_versions(path):
+                continue  # nothing committed yet
+            latest_rewrite = compact_snapshots(spark, path, SCHEMA)
+        elif op == "vacuum":
+            if not os.path.isdir(path):
+                continue
+            stats = vacuum_snapshots(path)
+            if latest_rewrite is not None:
+                assert min(stats["kept_versions"]) >= latest_rewrite
+        if os.path.isdir(path):
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_committed(spark, path, SCHEMA).collect()
+            )
+            assert got == sorted(model)
+    # terminal orphan sweep is always safe and total
+    if os.path.isdir(path):
+        vacuum_snapshots(path)
+        got = sorted(
+            (r["k"], r["v"])
+            for r in read_committed(spark, path, SCHEMA).collect()
+        )
+        assert got == sorted(model)
