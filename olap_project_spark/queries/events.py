@@ -5213,3 +5213,123 @@ def segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Periodicity detection: lagged autocorrelation of the hourly series
+# --------------------------------------------------------------------------
+@register(
+    "hourly_autocorr_lags",
+    oracle="""
+    WITH ih AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      FROM events
+    ),
+    b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ih),
+    types AS (SELECT DISTINCT event_type FROM ih),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM types t, b, UNNEST(range(b.h0, b.h1 + 1)) s(h)
+    ),
+    cnts AS (SELECT event_type, h, COUNT(*) AS n FROM ih GROUP BY 1, 2),
+    dense AS (
+      SELECT s.event_type, s.h, COALESCE(c.n, 0) AS x
+      FROM spine s LEFT JOIN cnts c
+        ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    lags AS (SELECT UNNEST([1, 24]) AS lag),
+    paired AS (
+      SELECT a.event_type, l.lag, a.x AS x, y.x AS y
+      FROM dense a
+      JOIN lags l ON TRUE
+      JOIN dense y ON y.event_type = a.event_type AND y.h = a.h + l.lag
+    ),
+    s AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM paired GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS autocorr
+    FROM s
+    WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+)
+def hourly_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity detection per event type: Pearson autocorrelation of
+    the DENSE hourly count series at lag 1 (persistence) and lag 24
+    (daily seasonality) — the signal a forecaster or anomaly baseline
+    checks before assuming day-shape (``seasonal_hour_anomalies``
+    assumes it; this measures it). The series is densified on the
+    generated hour spine first — silent hours are real zeros, and
+    skipping them would bias r upward.
+
+    Exactness: all five moment sums are exact int64 over integer
+    counts; the one Pearson expression is evaluated once from
+    identical operands on both engines (degenerate constant series are
+    excluded by integer predicates).
+
+    Scale: counts are one hash aggregate; the spine is generated, not
+    scanned; the lag pairing is an equi-join on (type, hour+lag) —
+    |hours|·|lags| rows per type, never a window over the fact. The
+    1-row bounds and 2-row lag dimension broadcast."""
+    ev = load(spark, sf_dir, "events")
+    ih = ev.select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    )
+    bounds = ih.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ih.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    cnts = ih.groupBy("event_type", "h").agg(F.count("*").alias("n"))
+    dense = (
+        spine.join(cnts, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    lags = spark.createDataFrame([(1,), (24,)], "lag int")
+    a = dense.alias("a")
+    y = dense.select(
+        F.col("event_type").alias("y_type"),
+        F.col("h").alias("y_h"),
+        F.col("x").alias("y"),
+    ).alias("y")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            y,
+            (F.col("y.y_type") == F.col("a.event_type"))
+            & (F.col("y.y_h") == F.col("a.h") + F.col("lag")),
+        )
+        .select("a.event_type", "lag", F.col("a.x").alias("x"), "y")
+    )
+    s = paired.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ).alias("autocorr"),
+        )
+    )

@@ -197,6 +197,7 @@ class TestDriverContract:
             "segment_overlap_matrix",      # audience bitmap intersection
             "sql_group_by_all_modes",      # GROUP BY ALL front end
             "manifest_vacuum_stats",       # snapshot expiry + orphan GC
+            "hourly_autocorr_lags",        # dense-spine lag correlation
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
