@@ -188,8 +188,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 19 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 25
+# 50. Current composition: 20 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 24
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -213,6 +213,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "sql_group_by_all_modes",
     "manifest_vacuum_stats",
     "hourly_autocorr_lags",
+    "pos_stream_merge_upsert",
     # round-3 refresh slots — 6
     "multimodal_decode_stats",
     "streaming_complete_mode_totals",
@@ -220,7 +221,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 25
+    # round-4 refresh slots — 24
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
@@ -245,7 +246,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "lineitem_grouping_sets",
     "nation_key_multiset_common",
     "nation_key_multiset_diff",
-    "nation_population_correlation",
 )
 
 

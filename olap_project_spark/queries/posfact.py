@@ -76,12 +76,12 @@ def _raw_cte() -> str:
     pos_* oracles touch. Memoized: all the pos_* oracles share one
     string."""
     rows = ",\n      ".join(
-        "('%s', '%s', '%s', '%s', '%s', '%s', '%s', '%s')"
-        % (u, c, a, _esc(m), _esc(city), _esc(e), fr, ts)
-        for (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, e, fr, ts)
-        in _raw_rows()
+        "(%d, '%s', '%s', '%s', '%s', '%s', '%s', '%s', '%s')"
+        % (i, u, c, a, _esc(m), _esc(city), _esc(e), fr, ts)
+        for i, (u, c, _y, _mo, _d, _t, a, _uc, m, city, _st, _z, _mcc, e, fr, ts)
+        in enumerate(_raw_rows())
     )
-    return f"""raw(u, card, amount, merchant, city, err, fraud, tss) AS (
+    return f"""raw(i, u, card, amount, merchant, city, err, fraud, tss) AS (
       SELECT * FROM (VALUES {rows}))"""
 
 
@@ -859,5 +859,136 @@ def pos_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "pos_stream_merge_upsert",
+    oracle=lambda: f"""
+    WITH {_raw_cte()},
+    b1 AS (SELECT DISTINCT u FROM raw WHERE i < 400),
+    b2 AS (SELECT DISTINCT u FROM raw WHERE i >= 400)
+    SELECT (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM raw) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS total_txns,
+           (SELECT CAST(SUM(CAST(replace(replace(amount, '$', ''), '.', '')
+                                 AS BIGINT)) AS BIGINT) FROM raw)
+             AS total_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b1)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM b2
+                WHERE u NOT IN (SELECT u FROM b1)) AS n_inserts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b2
+            WHERE u IN (SELECT u FROM b1)) AS n_updates,
+           CAST(2 AS BIGINT) AS n_versions
+    """,
+)
+def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into the lakehouse table — the Delta-style
+    "foreachBatch upsert" pattern: each micro-batch aggregates its
+    per-user delta, classifies keys against the CURRENT committed
+    state (insert = first sighting, update = existing key), merges
+    additively, and commits the merged state as one REWRITE snapshot
+    through the exactly-once manifest sink — so the keyed table always
+    holds exactly one row per user and every batch is one atomic
+    version. The oracle pins per-batch insert/update arithmetic from
+    the embedded generator rows (batch boundary at row 400), the final
+    exact-cents state, and the version count.
+
+    Scale: the CDC-to-lakehouse shape at 100 TB — the delta is keyed
+    and tiny relative to the table; the additive merge is a
+    unionByName + hash re-aggregate on the key (at real scale: a
+    bucketed MERGE keyed the same way, functions/merge.py); the
+    commit stays O(tasks). The insert/update counts are bounded
+    per-batch key-set aggregates."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+    )
+
+    src_fmt = _ensure_pos_source(spark)
+    sink_fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="pos_merge_")
+    table = f"{root}/user_state"
+    ckpt = f"{root}/ckpt"
+    state_schema = "`User` string, n_txns bigint, total_cents bigint"
+    counters = {"inserts": 0, "updates": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        delta = (
+            batch_df.select(
+                F.col("User"),
+                F.regexp_replace(F.col("Amount"), r"[$.]", "")
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("User")
+            .agg(
+                F.count("*").cast("bigint").alias("n_txns"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+        )
+        current = read_committed(bs, table, state_schema)
+        # bounded key-set classification (|delta keys| rows)
+        n_upd = delta.join(current, "User", "left_semi").count()
+        counters["updates"] += n_upd
+        counters["inserts"] += delta.count() - n_upd
+        merged = (
+            current.unionByName(delta)
+            .groupBy("User")
+            .agg(
+                F.sum("n_txns").cast("bigint").alias("n_txns"),
+                F.sum("total_cents").cast("bigint").alias("total_cents"),
+            )
+        )
+        (
+            merged.write.format(sink_fmt)
+            .option("path", table)
+            .option("kind", "rewrite")
+            .mode("append")
+            .save()
+        )
+
+    try:
+        stream = (
+            spark.readStream.format(src_fmt)
+            .option("rows", POS_ROWS)
+            .option("seed", POS_SEED)
+            .option("rows_per_batch", 400)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        state = read_committed(spark, table, state_schema)
+        summary = state.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_txns").cast("bigint").alias("total_txns"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        ).collect()[0]
+        n_versions = len(table_versions(table))
+        return spark.createDataFrame(
+            [
+                (
+                    summary["n_users"],
+                    summary["total_txns"],
+                    summary["total_cents"],
+                    counters["inserts"],
+                    counters["updates"],
+                    n_versions,
+                )
+            ],
+            "n_users bigint, total_txns bigint, total_cents bigint, "
+            "n_inserts bigint, n_updates bigint, n_versions bigint",
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -198,6 +198,7 @@ class TestDriverContract:
             "sql_group_by_all_modes",      # GROUP BY ALL front end
             "manifest_vacuum_stats",       # snapshot expiry + orphan GC
             "hourly_autocorr_lags",        # dense-spine lag correlation
+            "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -77,6 +77,7 @@ EXECUTING = {
     "mmr_diversified_topk",  # bounded-pool greedy collects 20 rows at build
     "pos_stream_manifest_ingest",  # streams through the manifest sink twice
     "manifest_vacuum_stats",  # builds, compacts, and vacuums the table once
+    "pos_stream_merge_upsert",  # streaming foreachBatch MERGE into the sink
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
