@@ -356,6 +356,15 @@ SHOWCASE = [
         "pipeline a 100-TB speech corpus segments with.",
     ),
     (
+        "hourly_autocorr_lags",
+        "Periodicity measurement without a fact-table window: the "
+        "hour spine is GENERATED (sequence explode over a broadcast "
+        "1-row bounds aggregate), counts map-side combine, and the "
+        "lag pairing is a hash equi-join on (type, hour+lag) with "
+        "the 2-row lag dimension broadcast — five exact int64 moment "
+        "sums, one Pearson expression at the edge.",
+    ),
+    (
         "curriculum_schedule_plan",
         "Curriculum scheduling: the corpus collapses to a per-source "
         "aggregate first (map-side combinable), and the token-ledger "

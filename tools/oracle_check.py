@@ -48,6 +48,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="also write per-query results as a JSON artifact")
+    ap.add_argument("--note", default=None, help="note field for the JSON artifact")
     args = ap.parse_args()
 
     from olap_project_spark.queries import QUERY_REGISTRY, _import_all
@@ -64,16 +67,21 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures, skipped = [], []
+    results: dict[str, dict] = {}
+    sf_label = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     for name in names:
         q = QUERY_REGISTRY[name]
         sdf = q.fn(spark, args.sf).toPandas()
         if q.oracle is None:
             skipped.append(name)
+            results[name] = {"ok": None, "spark_rows": len(sdf), "sf": sf_label}
             print(f"  ~ {name}: rows={len(sdf)} (no oracle — rows-only)")
             continue
         ddf = con.execute(q.oracle).fetchdf()
         sn, so = normalize(sdf), normalize(ddf)
         ok = sn == so
+        results[name] = {"ok": ok, "spark_rows": sn[0], "oracle_rows": so[0],
+                         "sf": sf_label}
         status = "ok" if ok else "MISMATCH"
         print(f"  {'✓' if ok else '✗'} {name}: spark={sn[0]} duck={so[0]} {status}")
         if not ok:
@@ -88,6 +96,15 @@ def main() -> int:
                 print("      duck :", ddf.sort_values(sorted(ddf.columns)[0]).head(3).to_dict("records"))
     print(f"\n{len(names) - len(failures) - len(skipped)} ok, "
           f"{len(failures)} mismatched, {len(skipped)} rows-only")
+    if args.json:
+        import json as _json
+
+        artifact = {"queries": results}
+        if args.note:
+            artifact["note"] = args.note
+        with open(args.json, "w") as f:
+            _json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     return 1 if failures else 0
 
 
