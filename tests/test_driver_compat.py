@@ -198,6 +198,7 @@ class TestDriverContract:
             "sql_group_by_all_modes",      # GROUP BY ALL front end
             "manifest_vacuum_stats",       # snapshot expiry + orphan GC
             "hourly_autocorr_lags",        # dense-spine lag correlation
+            "hourly_cusum_changepoints",   # prefix-sum CUSUM walk
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
