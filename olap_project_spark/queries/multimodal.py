@@ -667,3 +667,162 @@ def media_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("longest_run", F.lit(0).cast("bigint")).alias("longest_run"),
         "total_energy",
     )
+
+
+# --------------------------------------------------------------------------
+# media_aspect_bucket_batches: aspect-ratio bucketing for multimodal
+# training batches — decode REAL BMP headers, assign each image to the
+# nearest ratio bucket by EXACT rational comparison, account crop loss,
+# and count fixed-size batches per bucket.
+# --------------------------------------------------------------------------
+ASPECT_BUCKETS = [  # (idx, bw, bh, label) — the SDXL-style ratio ladder
+    (0, 1, 1, "1:1"),
+    (1, 4, 3, "4:3"),
+    (2, 3, 4, "3:4"),
+    (3, 16, 9, "16:9"),
+    (4, 2, 1, "2:1"),
+]
+_BUCKET_K = 1
+for _, _bw, _bh, _ in ASPECT_BUCKETS:
+    _BUCKET_K *= _bw * _bh
+ASPECT_BATCH = 4  # images per training batch within a bucket
+
+
+def _aspect_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, {bw}::BIGINT, {bh}::BIGINT, "
+        f"{_BUCKET_K // (bw * bh)}::BIGINT, '{lab}')"
+        for i, bw, bh, lab in ASPECT_BUCKETS
+    )
+    return f"""
+    WITH dims AS (
+      SELECT i, CAST(8 + i % 5 AS BIGINT) AS w, CAST(6 + i % 4 AS BIGINT) AS h
+      FROM (SELECT UNNEST(range(0, {N_MEDIA})) AS i)
+    ),
+    buckets(b_idx, bw, bh, kf, ratio) AS (VALUES {vals}),
+    scored AS (
+      SELECT d.i, d.w, d.h, b.b_idx, b.bw, b.bh, b.ratio,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.i
+               ORDER BY ABS(d.w * b.bh - d.h * b.bw) * b.kf ASC,
+                        b.b_idx ASC) AS rn
+      FROM dims d CROSS JOIN buckets b
+    ),
+    loss AS (
+      SELECT *,
+             ABS(w * bh - h * bw)
+               * (CASE WHEN w * bh - h * bw > 0
+                       THEN h * bw ELSE w * bh END) AS loss_num
+      FROM scored WHERE rn = 1
+    )
+    SELECT ratio AS bucket_ratio,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) // {ASPECT_BATCH} AS BIGINT) AS n_full_batches,
+           CAST(COUNT(*) % {ASPECT_BATCH} AS BIGINT) AS n_leftover,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           ROUND(CAST(SUM(loss_num) AS DOUBLE) / (MAX(bw) * MAX(bh)), 6)
+             AS crop_loss_px
+    FROM loss GROUP BY ratio
+    """
+
+
+@register("media_aspect_bucket_batches", oracle=_aspect_oracle)
+def media_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing — the batching strategy multimodal
+    trainers (SDXL-style) use so every batch shares one shape: decode
+    REAL BMP container bytes (the genuine struct-parse leg,
+    functions/media_codecs.py), assign each image to the nearest
+    ratio bucket on a fixed ladder, account the pixels a
+    resize-and-center-crop to that ratio would discard, and report
+    per bucket how many full fixed-size batches the corpus yields.
+
+    Exactness: "nearest ratio" never touches floats — the distance
+    |w/h − bw/bh| is compared across buckets by scaling each
+    |w·bh − h·bw| with K/(bw·bh) (K = Π bw·bh), an integer
+    cross-multiplication; ties break on bucket index. Crop loss per
+    image is the exact rational |d|·(h·bw | w·bh)/(bw·bh) — the
+    bucket-constant denominator divides ONCE at the edge. The oracle
+    re-derives dimensions from the generation law, so a header-parse
+    bug (row padding, bottom-up rows) shifts a bucket and breaks the
+    hash.
+
+    Scale: decode is a narrow Arrow map (bytes never shuffle); the
+    5-row bucket ladder broadcasts; assignment is a struct-min hash
+    aggregate keyed by item — no window, no sort; the result is one
+    more hash aggregate over ≤|buckets| groups. Batch counts are
+    n DIV B / n MOD B — the deterministic equivalent of a packing
+    pass, with leftovers surfaced rather than silently dropped."""
+    from olap_project_spark.functions.media_codecs import (
+        codec_demo_decode,
+        codec_demo_encode,
+    )
+
+    ids = spark.range(N_MEDIA).select(
+        F.col("id").alias("item_id"), F.lit("bmp").alias("kind")
+    )
+    media = ids.mapInPandas(
+        codec_demo_encode, schema="item_id long, media_bytes binary"
+    )
+    decoded = media.mapInPandas(
+        codec_demo_decode,
+        schema="item_id long, kind string, units bigint, checksum bigint, meta bigint",
+    )
+    img = decoded.filter(F.col("kind") == "bmp").select(
+        "item_id",
+        (F.col("meta") / 1000).cast("bigint").alias("w"),
+        (F.col("meta") % 1000).alias("h"),
+    )
+    bdf = spark.createDataFrame(
+        [
+            (i, bw, bh, _BUCKET_K // (bw * bh), lab)
+            for i, bw, bh, lab in ASPECT_BUCKETS
+        ],
+        "b_idx int, bw long, bh long, kf long, ratio string",
+    )
+    d = F.col("w") * F.col("bh") - F.col("h") * F.col("bw")
+    scored = img.crossJoin(F.broadcast(bdf)).select(
+        "item_id",
+        "w",
+        "h",
+        F.struct(
+            (F.abs(d) * F.col("kf")).alias("ds"),
+            F.col("b_idx"),
+            F.col("bw"),
+            F.col("bh"),
+            F.col("ratio"),
+        ).alias("cand"),
+    )
+    chosen = scored.groupBy("item_id", "w", "h").agg(
+        F.min("cand").alias("c")
+    )
+    dd = F.col("w") * F.col("c.bh") - F.col("h") * F.col("c.bw")
+    loss_num = F.abs(dd) * F.when(
+        dd > 0, F.col("h") * F.col("c.bw")
+    ).otherwise(F.col("w") * F.col("c.bh"))
+    return (
+        chosen.select(
+            F.col("c.ratio").alias("bucket_ratio"),
+            F.col("c.bw").alias("bw"),
+            F.col("c.bh").alias("bh"),
+            (F.col("w") * F.col("h")).alias("px"),
+            loss_num.alias("loss_num"),
+        )
+        .groupBy("bucket_ratio", "bw", "bh")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum("px").cast("bigint").alias("total_pixels"),
+            F.sum("loss_num").alias("sum_loss"),
+        )
+        .select(
+            "bucket_ratio",
+            "n_images",
+            F.expr(f"n_images DIV {ASPECT_BATCH}").alias("n_full_batches"),
+            (F.col("n_images") % ASPECT_BATCH).alias("n_leftover"),
+            "total_pixels",
+            F.round(
+                F.col("sum_loss").cast("double")
+                / (F.col("bw") * F.col("bh")),
+                6,
+            ).alias("crop_loss_px"),
+        )
+    )

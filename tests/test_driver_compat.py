@@ -199,6 +199,7 @@ class TestDriverContract:
             "manifest_vacuum_stats",       # snapshot expiry + orphan GC
             "hourly_autocorr_lags",        # dense-spine lag correlation
             "hourly_cusum_changepoints",   # prefix-sum CUSUM walk
+            "media_aspect_bucket_batches", # ratio bucketing over real BMPs
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

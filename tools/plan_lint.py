@@ -155,6 +155,7 @@ ARROW_PY_OK_PREFIXES = (
     "media_phash_",
     "media_codec_",  # real BMP/WAV struct decode (Arrow-batched by design)
     "media_energy_",  # real WAV frame-energy decode (Arrow-batched by design)
+    "media_aspect_",  # real BMP header decode feeding ratio bucketing
     "doc_chunks",
     "repeated_chunks",
 )
