@@ -869,3 +869,127 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_w").cast("double") / F.sum("n_tok"), 6
         ).alias("pooled_mean_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_classifier_calibration: the reliability table for the hashed
+# linear classifier — binned score vs an INDEPENDENT lexical-diversity
+# label. The audit a curation pipeline runs before trusting a filter
+# threshold on 100 TB.
+# --------------------------------------------------------------------------
+_CAL_HALF_MILLI = 200  # calibration axis clamps to ±200 milli (mean weight)
+_CAL_BINS = 10
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tk) AS n_uniq,
+             SUM(CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT)
+                 % {_W_MOD} - {_W_OFF}) AS sum_w
+      FROM tok GROUP BY 1
+    ),
+    binned AS (
+      SELECT *,
+             LEAST(GREATEST(sum_w + {_CAL_HALF_MILLI} * n_tok, 0),
+                   {2 * _CAL_HALF_MILLI} * n_tok) AS num
+      FROM scored
+    ),
+    b2 AS (
+      SELECT *,
+             LEAST(num * {_CAL_BINS} // ({2 * _CAL_HALF_MILLI} * n_tok),
+                   {_CAL_BINS - 1}) AS score_bin
+      FROM binned
+    )
+    SELECT CAST(score_bin AS INTEGER) AS score_bin,
+           CAST(-{_CAL_HALF_MILLI}
+                + {2 * _CAL_HALF_MILLI // _CAL_BINS} * score_bin
+                AS INTEGER) AS bin_lo_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN 2 * n_uniq >= n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_ttr,
+           ROUND(CAST(SUM(CASE WHEN 2 * n_uniq >= n_tok THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS high_ttr_rate,
+           ROUND(CAST(SUM(sum_w) AS DOUBLE) / SUM(n_tok), 6)
+             AS pooled_score_milli
+    FROM b2 GROUP BY score_bin
+    """,
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for ``quality_classifier_scores``: per-doc
+    mean hashed weight (the classifier score, an exact rational
+    sum_w/n_tok) is clamped to ±0.2 and binned into 10 equal cells —
+    WITHOUT evaluating the rational: the bin index is
+    ``min(num·B div (range·n_tok), B−1)`` on the shifted nonnegative
+    numerator, so truncating and flooring division agree across
+    engines. Each bin reports its doc count, how many docs an
+    INDEPENDENT label marks high-quality (type-token ratio ≥ 0.5 —
+    exact: 2·distinct ≥ total), the empirical label rate, and the
+    pooled mean score. A trustworthy filter shows the label rate
+    rising monotonically with the score bin; a hashed random-init
+    model (this one) shows a flat band — exactly what the audit is
+    for before a threshold sweeps a 100-TB corpus.
+
+    Scale: one explode + two hash aggregates; the distinct-count
+    rides the same per-doc shuffle key as the token count; bins are
+    ≤10 groups. No joins, no windows; shuffles carry (doc_id, ints),
+    never text."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    weight = portable_hash48(F.col("tk")) % _W_MOD - _W_OFF
+    scored = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tk").alias("n_uniq"),
+        F.sum(weight).alias("sum_w"),
+    )
+    rng = 2 * _CAL_HALF_MILLI
+    num = F.least(
+        F.greatest(
+            F.col("sum_w") + _CAL_HALF_MILLI * F.col("n_tok"), F.lit(0)
+        ),
+        rng * F.col("n_tok"),
+    )
+    binned = scored.withColumn("num", num).withColumn(
+        "score_bin",
+        F.least(
+            F.expr(f"num * {_CAL_BINS} DIV ({rng} * n_tok)"),
+            F.lit(_CAL_BINS - 1),
+        ),
+    )
+    pos = (2 * F.col("n_uniq") >= F.col("n_tok")).cast("bigint")
+    return (
+        binned.groupBy("score_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(pos).cast("bigint").alias("n_high_ttr"),
+            F.sum("sum_w").alias("t_w"),
+            F.sum("n_tok").alias("t_tok"),
+        )
+        .select(
+            F.col("score_bin").cast("int").alias("score_bin"),
+            (
+                -_CAL_HALF_MILLI
+                + (rng // _CAL_BINS) * F.col("score_bin")
+            )
+            .cast("int")
+            .alias("bin_lo_milli"),
+            "n_docs",
+            "n_high_ttr",
+            F.round(
+                F.col("n_high_ttr").cast("double") / F.col("n_docs"), 6
+            ).alias("high_ttr_rate"),
+            F.round(
+                F.col("t_w").cast("double") / F.col("t_tok"), 6
+            ).alias("pooled_score_milli"),
+        )
+    )

@@ -200,6 +200,7 @@ class TestDriverContract:
             "hourly_autocorr_lags",        # dense-spine lag correlation
             "hourly_cusum_changepoints",   # prefix-sum CUSUM walk
             "media_aspect_bucket_batches", # ratio bucketing over real BMPs
+            "quality_classifier_calibration",  # reliability-table binning
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
