@@ -2662,3 +2662,108 @@ def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "versions_before int, orphans_deleted int, expired_manifests int, "
         "expired_files int, versions_after int, n_rows_after bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: equivalence-class sizing over generalized
+# quasi-identifiers — the privacy gate a dataset passes before release.
+# --------------------------------------------------------------------------
+_K_LADDER = (2, 5, 10)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    gen AS (
+      SELECT c_nationkey, c_mktsegment,
+             (bal_cents + 100000) // 100000 - 1 AS bal_band,
+             bal_cents
+      FROM cents
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT bal_cents) AS BIGINT) AS l_div
+      FROM gen GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT UNNEST([{", ".join(map(str, _K_LADDER))}]) AS k)
+    SELECT CAST(k.k AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN c.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN c.n < k.k THEN c.n ELSE 0 END) AS BIGINT)
+             AS n_violating_records,
+           ROUND(CAST(SUM(CASE WHEN c.n < k.k THEN c.n ELSE 0 END)
+                      AS DOUBLE) / SUM(c.n), 6) AS suppression_rate,
+           CAST(SUM(c.n) AS BIGINT) AS total_records,
+           CAST(MIN(c.l_div) AS BIGINT) AS min_l_diversity
+    FROM classes c CROSS JOIN ks k
+    GROUP BY k.k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before data release: customers generalize to
+    the quasi-identifier tuple (nation, market segment, account-balance
+    band of 1000 currency units); every equivalence class is sized, and
+    for each k on the policy ladder (2/5/10) the audit reports how many
+    classes and records would need suppression, the suppression rate,
+    and the worst-case l-diversity of the sensitive attribute (exact
+    balance) across classes — the joint k-anonymity/l-diversity check.
+
+    Exactness: the balance band never touches float division —
+    balances become integer cents (one unambiguous round from the
+    2-decimal source), are shifted nonnegative, and banded with
+    integer DIV, so Spark's truncating and DuckDB's flooring division
+    cannot disagree; all counts are exact.
+
+    Scale: ONE hash aggregate over the quasi-identifier tuple builds
+    every equivalence class (the distinct-sensitive count rides the
+    same shuffle key); the k ladder is a 3-row broadcast against the
+    tiny class table. This is the exact plan a 100-TB release audit
+    runs — class cardinality is bounded by the generalized domain,
+    not the record count."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    gen = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        cents.alias("bal_cents"),
+    ).withColumn(
+        "bal_band", F.expr("(bal_cents + 100000) DIV 100000 - 1")
+    )
+    classes = gen.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("bal_cents").alias("l_div"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _K_LADDER], "k int")
+    viol = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(F.lit(0))
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum((F.col("n") < F.col("k")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(viol).cast("bigint").alias("n_violating_records"),
+            F.round(
+                F.sum(viol).cast("double") / F.sum("n"), 6
+            ).alias("suppression_rate"),
+            F.sum("n").cast("bigint").alias("total_records"),
+            F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_classes",
+            "n_violating_classes",
+            "n_violating_records",
+            "suppression_rate",
+            "total_records",
+            "min_l_diversity",
+        )
+    )

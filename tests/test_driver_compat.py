@@ -201,6 +201,7 @@ class TestDriverContract:
             "hourly_cusum_changepoints",   # prefix-sum CUSUM walk
             "media_aspect_bucket_batches", # ratio bucketing over real BMPs
             "quality_classifier_calibration",  # reliability-table binning
+            "k_anonymity_audit",           # privacy release gate
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
