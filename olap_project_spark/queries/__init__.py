@@ -188,8 +188,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 24 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 20
+# 50. Current composition: 25 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 19
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -198,6 +198,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "media_aspect_bucket_batches",
     "quality_classifier_calibration",
     "k_anonymity_audit",
+    "partition_layout_advisor",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -245,7 +246,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     "heavy_hitter_parts",
     "integrity_audit",
-    "kmeans_cluster_profile",
 )
 
 

@@ -5516,3 +5516,130 @@ def hourly_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "dn_exceed_hours",
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-layout advisor: candidate partition keys scored for
+# cardinality, skew, and small-partition risk before a table layout is
+# committed — the design pass a 100-TB ingest runs first.
+# --------------------------------------------------------------------------
+@register(
+    "partition_layout_advisor",
+    oracle="""
+    WITH base AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             event_type, user_id
+      FROM events
+    ),
+    per AS (
+      SELECT 'day' AS candidate, day AS pkey, COUNT(*) AS n
+      FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'event_type', event_type, COUNT(*) FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'day_x_type', day || '|' || event_type, COUNT(*)
+      FROM base GROUP BY 1, 2
+      UNION ALL
+      SELECT 'user_mod_1024', CAST(user_id % 1024 AS VARCHAR), COUNT(*)
+      FROM base GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT candidate, n,
+             ROW_NUMBER() OVER (PARTITION BY candidate ORDER BY n ASC,
+                                pkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY candidate) AS n_parts,
+             SUM(n) OVER (PARTITION BY candidate) AS total_n,
+             MAX(n) OVER (PARTITION BY candidate) AS max_n
+      FROM per
+    )
+    SELECT candidate,
+           CAST(n_parts AS BIGINT) AS n_partitions,
+           CAST(total_n AS BIGINT) AS total_rows,
+           CAST(max_n AS BIGINT) AS max_partition_rows,
+           CAST(n AS BIGINT) AS median_partition_rows,
+           ROUND(CAST(max_n AS DOUBLE) / n, 6) AS skew_ratio,
+           ROUND(CAST(max_n * n_parts AS DOUBLE) / total_n, 6)
+             AS max_over_mean
+    FROM ranked
+    WHERE rn = (n_parts + 1) // 2
+    """,
+)
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: before a 100-TB table commits to a
+    partitioning scheme, score each candidate key — calendar day,
+    event type, their cross, and a 1024-way user hash-bucket — on the
+    three axes that decide scan health: partition-count (too many →
+    small files + listing cost), worst-partition size, and skew
+    (max/median and max/mean ratios: a key whose hottest partition is
+    50× its median serializes every downstream stage on one task).
+    The fact table is scanned once per candidate grain — exactly the
+    probe cost a real advisor pays — and everything downstream runs
+    on the tiny (candidate, key, count) table.
+
+    Exactness: counts are exact; the median partition size is the
+    exact lower median (position (n+1)//2 in value order, row_number
+    with a key tie-break so both engines pick the identical row); the
+    two ratios divide once at the edge from identical integers.
+
+    Scale: each candidate grain is one map-side-combinable hash
+    aggregate; the union'd stats table has |keys| rows, not |events|;
+    the ranking window partitions by candidate — four partitions,
+    each bounded by key cardinality, never by data volume."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+    )
+
+    def per(cand: str, key: Column) -> DataFrame:
+        return (
+            base.groupBy(key.alias("pkey"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(cand).alias("candidate"), "pkey", "n")
+        )
+
+    stats = (
+        per("day", F.col("day"))
+        .unionByName(per("event_type", F.col("event_type")))
+        .unionByName(
+            per(
+                "day_x_type",
+                F.concat_ws("|", F.col("day"), F.col("event_type")),
+            )
+        )
+        .unionByName(
+            per(
+                "user_mod_1024",
+                (F.col("user_id") % 1024).cast("string"),
+            )
+        )
+    )
+    wp = Window.partitionBy("candidate")
+    ranked = stats.select(
+        "candidate",
+        "n",
+        F.row_number()
+        .over(wp.orderBy(F.col("n").asc(), F.col("pkey").asc()))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n_parts"),
+        F.sum("n").over(wp).alias("total_n"),
+        F.max("n").over(wp).alias("max_n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_parts + 1) DIV 2")
+    ).select(
+        "candidate",
+        F.col("n_parts").cast("bigint").alias("n_partitions"),
+        F.col("total_n").cast("bigint").alias("total_rows"),
+        F.col("max_n").cast("bigint").alias("max_partition_rows"),
+        F.col("n").cast("bigint").alias("median_partition_rows"),
+        F.round(F.col("max_n").cast("double") / F.col("n"), 6).alias(
+            "skew_ratio"
+        ),
+        F.round(
+            (F.col("max_n") * F.col("n_parts")).cast("double")
+            / F.col("total_n"),
+            6,
+        ).alias("max_over_mean"),
+    )

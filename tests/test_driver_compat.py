@@ -202,6 +202,7 @@ class TestDriverContract:
             "media_aspect_bucket_batches", # ratio bucketing over real BMPs
             "quality_classifier_calibration",  # reliability-table binning
             "k_anonymity_audit",           # privacy release gate
+            "partition_layout_advisor",    # layout skew/cardinality scoring
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
