@@ -993,3 +993,111 @@ def quality_classifier_calibration(
             ).alias("pooled_score_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle_quality: the dataloader-order audit — are two epochs'
+# deterministic shuffles actually decorrelated?
+# --------------------------------------------------------------------------
+@register(
+    "epoch_shuffle_quality",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 12) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5('epoch2:' || CAST(doc_id AS VARCHAR)),
+                                 1, 12) AS BIGINT) AS h2
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY h1, doc_id) AS r1,
+             ROW_NUMBER() OVER (ORDER BY h2, doc_id) AS r2
+      FROM h
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST((r1 - r2) * (r1 - r2) AS HUGEINT)) AS sdd,
+             SUM(ABS(r1 - r2)) AS sad,
+             MAX(ABS(r1 - r2)) AS mad
+      FROM r
+    )
+    SELECT n AS n_docs,
+           ROUND(1 - 6 * CAST(sdd AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)), 6)
+             AS spearman_rho,
+           CAST(mad AS BIGINT) AS max_abs_disp,
+           ROUND(CAST(sad AS DOUBLE) / n, 6) AS mean_abs_disp,
+           ROUND(3 * CAST(sad AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1), 6)
+             AS disp_vs_ideal
+    FROM s
+    """,
+)
+def epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-order audit: multi-epoch training shuffles each
+    epoch with a different seed — if the orderings correlate, the
+    model sees near-identical batch neighborhoods every epoch. Both
+    epoch orders are deterministic hash sorts (seeded by the epoch
+    tag); each doc's GLOBAL position per epoch comes from the
+    range-partitioned two-pass ranking primitive
+    (functions/scale.global_order_stats) — never a single-task
+    ``Window.orderBy``. Reported: Spearman rank correlation between
+    the two epochs (≈0 for a sound shuffle), the worst and mean
+    absolute rank displacement, and the mean displacement as a
+    fraction of a uniform permutation's expectation ((n²−1)/3n, →1
+    when the shuffle is genuinely uniform).
+
+    Exactness: ranks are exact integers; Σd² accumulates in
+    decimal(38,0) (d² alone would overflow int64 past ~3e9 docs);
+    the rho/displacement expressions divide once at the edge from
+    identical operands.
+
+    Scale: two range exchanges + per-range parallel sorts (the
+    documented global_order_stats contract) and one final scalar
+    aggregate; nothing ever funnels through one task and no text is
+    shuffled — only (doc_id, hash, rank) triples."""
+    from olap_project_spark.functions.scale import global_order_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.select(
+        "doc_id",
+        portable_hash48(
+            F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+        ).alias("h1"),
+        portable_hash48(
+            F.concat(F.lit("epoch2:"), F.col("doc_id").cast("string"))
+        ).alias("h2"),
+    )
+    r1 = global_order_stats(
+        tagged, [F.col("h1").asc(), F.col("doc_id").asc()], rank_col="r1"
+    )
+    r2 = global_order_stats(
+        r1, [F.col("h2").asc(), F.col("doc_id").asc()], rank_col="r2"
+    )
+    d = F.col("r1") - F.col("r2")
+    dd = d.cast("decimal(19,0)") * d.cast("decimal(19,0)")
+    s = r2.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dd).alias("sdd"),
+        F.sum(F.abs(d)).alias("sad"),
+        F.max(F.abs(d)).alias("mad"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            1
+            - 6 * F.col("sdd").cast("double") / (nd * (nd * nd - 1)),
+            6,
+        ).alias("spearman_rho"),
+        F.col("mad").cast("bigint").alias("max_abs_disp"),
+        F.round(F.col("sad").cast("double") / F.col("n"), 6).alias(
+            "mean_abs_disp"
+        ),
+        F.round(
+            3 * F.col("sad").cast("double") / (nd * nd - 1), 6
+        ).alias("disp_vs_ideal"),
+    )

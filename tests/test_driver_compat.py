@@ -203,6 +203,7 @@ class TestDriverContract:
             "quality_classifier_calibration",  # reliability-table binning
             "k_anonymity_audit",           # privacy release gate
             "partition_layout_advisor",    # layout skew/cardinality scoring
+            "epoch_shuffle_quality",       # two-pass global-rank Spearman
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
