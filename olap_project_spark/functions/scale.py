@@ -111,6 +111,54 @@ def salted_join(
     return out.drop("_salt")
 
 
+def hybrid_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: DataFrame | None = None,
+    hot_min_rows: int = 1_000_000,
+) -> DataFrame:
+    """Hybrid hot/cold INNER equi-join — the fourth skew lever, for the
+    regime where the hot KEYS are few but their fact rows dwarf any
+    executor: the hot slice joins against a BROADCAST of the matching
+    dim rows (those fact rows never shuffle at all), while the cold
+    remainder takes the ordinary shuffle join. Output rows are exactly
+    the plain join's (each fact row lands in exactly one slice).
+
+    ``hot_keys``: one-column DataFrame named ``fact_key`` listing the
+    hot keys (callers with an exact hotness rule pass it directly);
+    when None, keys with more than ``hot_min_rows`` fact rows qualify —
+    derived by one map-side-combinable count over the fact, and small
+    by construction (≤ |fact| / hot_min_rows keys, so both the key
+    list and the dim slice are broadcast-safe).
+
+    vs ``salted_join``: salting spreads a hot key over n_salts tasks
+    but still shuffles every fact row and replicates the WHOLE small
+    side; the hybrid shuffles only cold rows and replicates only the
+    hot dim slice. Salting wins when the dim is tiny and skew is
+    pathological-single-key; the hybrid wins when the dim is too big
+    to replicate n_salts× but the hot slice of it is tiny."""
+    if hot_keys is None:
+        hot_keys = (
+            fact.groupBy(fact_key)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > hot_min_rows)
+            .select(fact_key)
+        )
+    fact_hot = fact.join(F.broadcast(hot_keys), fact_key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), fact_key, "left_anti")
+    dim_hot = dim.join(
+        F.broadcast(hot_keys.withColumnRenamed(fact_key, dim_key)),
+        dim_key,
+        "left_semi",
+    )
+    cond = F.col(fact_key) == F.col(dim_key)
+    joined_hot = fact_hot.join(F.broadcast(dim_hot), cond, "inner")
+    joined_cold = fact_cold.join(dim, cond, "inner")
+    return joined_hot.unionByName(joined_cold)
+
+
 def global_order_stats(
     df: DataFrame,
     order_by: list[Column],

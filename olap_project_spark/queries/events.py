@@ -5643,3 +5643,81 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_over_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid hot/cold skew join: the broadcast-the-hot-slice strategy,
+# gate-verified against the plain-join oracle.
+# --------------------------------------------------------------------------
+@register(
+    "hybrid_skew_join_stats",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    hot AS (SELECT user_id FROM c ORDER BY n DESC, user_id ASC LIMIT 32),
+    j AS (
+      SELECT e.user_id, e.value, cu.c_mktsegment,
+             CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_hot
+      FROM events e
+      JOIN customer cu ON e.user_id = cu.c_custkey
+      LEFT JOIN hot h ON h.user_id = e.user_id
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_hot) AS BIGINT) AS n_hot_events,
+           CAST(COUNT(DISTINCT CASE WHEN is_hot = 1 THEN user_id END)
+                AS BIGINT) AS n_hot_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS value_cents
+    FROM j GROUP BY 1
+    """,
+)
+def hybrid_skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid hot/cold skew join (functions/scale.hybrid_skew_join)
+    through the gate: the top-32 heaviest users (deterministic — count
+    desc, key asc — and CONSTANT-bounded, so the key list and its dim
+    slice stay broadcast-safe at any SF) form the hot set; their
+    events join a BROADCAST of the matching customer rows and never
+    shuffle, while cold events take the ordinary shuffle join. The
+    per-segment aggregate the gate hashes is provably identical to the
+    plain join — that identity IS the correctness contract of the
+    strategy.
+
+    Scale: this is the skew regime AQE's split can't fix (splitting a
+    hot partition still shuffles its rows; here hot rows skip the
+    exchange entirely) and salting handles badly (salting replicates
+    the WHOLE dim n_salts×; the hybrid replicates only the hot dim
+    slice, bounded by the hot-key count). The hot key list is derived
+    by one map-side-combinable count + TakeOrdered; a production
+    caller persists that tiny list rather than recomputing it per
+    branch as this self-contained query does.
+
+    Exactness: hotness, counts, and cents sums are all integer/decimal
+    exact; distinct hot users rides the same segment-keyed shuffle."""
+    from olap_project_spark.functions.scale import hybrid_skew_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    hot = (
+        cnt.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(32)
+        .select("user_id")
+    )
+    joined = hybrid_skew_join(ev, cu, "user_id", "c_custkey", hot_keys=hot)
+    tagged = joined.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(1))), "user_id", "left"
+    )
+    return tagged.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.coalesce(F.col("_hot"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hot_events"),
+        F.countDistinct(
+            F.when(F.col("_hot") == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_hot_users"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )

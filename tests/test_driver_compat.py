@@ -204,6 +204,7 @@ class TestDriverContract:
             "k_anonymity_audit",           # privacy release gate
             "partition_layout_advisor",    # layout skew/cardinality scoring
             "epoch_shuffle_quality",       # two-pass global-rank Spearman
+            "hybrid_skew_join_stats",      # hot/cold broadcast-shuffle split
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

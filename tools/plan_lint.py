@@ -215,6 +215,10 @@ BROADCAST_BOUNDED_OK = {
     "ann_candidate_fraction",
     # 8 anchor rows + anchors×nprobe probed-cell ids — constant-size sides
     "hard_negative_mining",
+    # broadcasts the customer rows matching the top-32 heavy-hitter
+    # user list (LIMIT 32 after a unique total order) — ≤32 dim rows
+    # regardless of SF; the E3 provenance scan can't see the bound
+    "hybrid_skew_join_stats",
 }
 
 
