@@ -188,8 +188,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 27 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 17
+# 50. Current composition: 28 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 16
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -201,6 +201,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "partition_layout_advisor",
     "epoch_shuffle_quality",
     "hybrid_skew_join_stats",
+    "data_quality_audit",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -245,7 +246,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "customers_without_open_orders",
     "dedup_keep_best",
     "doc_embedding_join_stats",
-    "embedding_near_dup_pairs",
 )
 
 

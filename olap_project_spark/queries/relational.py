@@ -2767,3 +2767,166 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_l_diversity",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit: the Deequ-shaped validation suite a
+# pipeline runs before promoting a table — each rule is one exact
+# aggregate, referential integrity is an anti-join.
+# --------------------------------------------------------------------------
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH comp AS (
+      SELECT 'completeness' AS rule, 'orders.o_orderdate' AS target,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_violations
+      FROM orders
+    ),
+    uniq AS (
+      SELECT 'uniqueness', 'customer.c_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+    ),
+    ri AS (
+      SELECT 'referential_integrity', 'orders.o_custkey->customer',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+    ),
+    dom AS (
+      SELECT 'domain', 'orders.o_orderstatus in (O,F,P)',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+    ),
+    rng AS (
+      SELECT 'range', 'customer.c_acctbal in [-1000,10000]',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c_acctbal >= -1000 AND c_acctbal <= 10000
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM customer
+    ),
+    allr AS (
+      SELECT * FROM comp UNION ALL SELECT * FROM uniq
+      UNION ALL SELECT * FROM ri UNION ALL SELECT * FROM dom
+      UNION ALL SELECT * FROM rng
+    )
+    SELECT rule, target, n_checked, n_violations,
+           ROUND(1 - CAST(n_violations AS DOUBLE) / n_checked, 6)
+             AS pass_ratio,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS passed
+    FROM allr
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constraint-validation suite (the Deequ/Great-Expectations
+    shape) a pipeline runs before promoting a table to consumers:
+    completeness (null count), key uniqueness (count vs distinct),
+    referential integrity (orphan foreign keys via LEFT ANTI join —
+    never a collect-and-check), a domain constraint (status within its
+    enum), and a range constraint (balance within business bounds).
+    One row per rule: checked/violation counts, pass ratio, verdict.
+
+    Scale: every rule is one exact map-side-combinable aggregate over
+    its table; the RI check is the honest anti-join plan (both sides
+    scale, so neither is broadcast — at 100 TB this is exactly the
+    shuffled anti-join you want, with AQE free to pick the strategy).
+    The five 1-row results union into a bounded report frame."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def row(rule: str, target: str, checked, viol) -> DataFrame:
+        return (
+            checked.crossJoin(viol)
+            if isinstance(viol, DataFrame)
+            else checked
+        ).select(
+            F.lit(rule).alias("rule"),
+            F.lit(target).alias("target"),
+            F.col("n_checked"),
+            F.col("n_violations"),
+        )
+
+    comp = orders.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.count("o_orderdate"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    uniq = cust.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    orphans = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+    )
+    ri = orders.agg(
+        F.count("*").cast("bigint").alias("n_checked")
+    ).crossJoin(orphans)
+    dom = orders.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isin("O", "F", "P"), 0
+            ).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    rng = cust.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("c_acctbal") >= -1000)
+                & (F.col("c_acctbal") <= 10000),
+                0,
+            ).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    allr = (
+        row("completeness", "orders.o_orderdate", comp, None)
+        .unionByName(row("uniqueness", "customer.c_custkey", uniq, None))
+        .unionByName(
+            ri.select(
+                F.lit("referential_integrity").alias("rule"),
+                F.lit("orders.o_custkey->customer").alias("target"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+        .unionByName(
+            row("domain", "orders.o_orderstatus in (O,F,P)", dom, None)
+        )
+        .unionByName(
+            row("range", "customer.c_acctbal in [-1000,10000]", rng, None)
+        )
+    )
+    return allr.select(
+        "rule",
+        "target",
+        "n_checked",
+        "n_violations",
+        F.round(
+            1 - F.col("n_violations").cast("double") / F.col("n_checked"),
+            6,
+        ).alias("pass_ratio"),
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passed"),
+    )

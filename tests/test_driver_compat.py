@@ -205,6 +205,7 @@ class TestDriverContract:
             "partition_layout_advisor",    # layout skew/cardinality scoring
             "epoch_shuffle_quality",       # two-pass global-rank Spearman
             "hybrid_skew_join_stats",      # hot/cold broadcast-shuffle split
+            "data_quality_audit",          # Deequ-shaped constraint suite
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

@@ -44,6 +44,12 @@ REPS = [
     ("session_overlap_pairs", "bucketed interval-overlap join"),
     ("quality_classifier_scores", "hashed-feature linear scorer"),
     ("time_weighted_user_value", "step-function TWAP window"),
+    # round-8b flagships: spine volume is calendar-bounded for the
+    # CUSUM walk; rank volume ~ doc count for the shuffle audit; the
+    # hybrid join splits hot (broadcast) from cold (shuffle) rows
+    ("hourly_cusum_changepoints", "dense-spine CUSUM walk"),
+    ("epoch_shuffle_quality", "two-pass global-rank Spearman"),
+    ("hybrid_skew_join_stats", "hybrid hot/cold skew join"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -371,6 +371,60 @@ SHOWCASE = [
         "window runs over that bounded dimension — the unpartitioned "
         "window is safe by construction, never over the fact.",
     ),
+    (
+        "hourly_cusum_changepoints",
+        "CUSUM changepoints without a recursive fold: the fact "
+        "collapses to one hash aggregate, the walk runs on the "
+        "GENERATED hour spine with one type-partitioned sort serving "
+        "the prefix sum and both running extrema, and the peak pick "
+        "is a struct-max hash aggregate — no second window pass.",
+    ),
+    (
+        "media_aspect_bucket_batches",
+        "Aspect bucketing: real BMP bytes decode in a narrow Arrow "
+        "map (bytes never shuffle), the 5-row ratio ladder "
+        "broadcasts, and nearest-bucket assignment is a struct-min "
+        "hash aggregate — exact integer cross-multiplication, no "
+        "window, no sort.",
+    ),
+    (
+        "k_anonymity_audit",
+        "Privacy release gate: ONE hash aggregate over the "
+        "quasi-identifier tuple builds every equivalence class "
+        "(distinct-sensitive rides the same shuffle key); the "
+        "k-policy ladder is a 3-row broadcast over the bounded "
+        "class table.",
+    ),
+    (
+        "partition_layout_advisor",
+        "Layout advisor: each candidate grain is one "
+        "map-side-combinable aggregate over the fact; ranking and "
+        "skew ratios run on the tiny per-key stats table, "
+        "partitioned by candidate — the probe cost a real advisor "
+        "pays, nothing more.",
+    ),
+    (
+        "epoch_shuffle_quality",
+        "Dataloader-order audit: two global ranks via the "
+        "range-partitioned two-pass primitive (parallel per-range "
+        "sorts + a triangular offset broadcast) — no single-task "
+        "Window.orderBy anywhere; the Spearman moments are one "
+        "scalar aggregate with Σd² in decimal(38,0).",
+    ),
+    (
+        "hybrid_skew_join_stats",
+        "Hybrid skew join: the top-32 hot keys and their dim slice "
+        "broadcast (hot fact rows never shuffle); the cold remainder "
+        "keeps the ordinary shuffle join; the union feeds one "
+        "segment-keyed aggregate hash-identical to the plain join.",
+    ),
+    (
+        "quality_classifier_calibration",
+        "Reliability table: one explode + two hash aggregates; the "
+        "bin index is integer algebra on the shifted numerator (no "
+        "rational score ever materializes); shuffles carry "
+        "(doc_id, ints), never text.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
