@@ -232,3 +232,60 @@ def wav_window_energy(batches):
         yield pd.DataFrame(
             rows, columns=["item_id", "win_idx", "n_samples", "sumsq"]
         )
+
+
+def parse_wav_samples(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode 16-bit mono PCM WAV → (sample_rate, int16-as-int64
+    sample array). Same RIFF chunk walk as parse_wav, but returns the
+    raw samples for transforms (resampling, segmentation) that need
+    more than the summary moments."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_at = pos + 8
+        if chunk_id == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", data, body_at)
+            if fmt_tag != 1 or channels != 1:
+                raise ValueError("16-bit mono PCM only")
+        elif chunk_id == b"data":
+            samples = np.frombuffer(
+                data, dtype="<i2", offset=body_at, count=size // 2
+            ).astype(np.int64)
+        pos = body_at + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
+def wav_decimate_roundtrip(batches):
+    """(item_id, media_bytes) → decimate-by-2 resample with a FULL
+    codec round trip: parse the real RIFF bytes, keep every second
+    sample, RE-ENCODE at half the rate to genuine WAV bytes, re-parse
+    those, and emit the re-decoded summary (rate_out, n_out, sum_out,
+    sumsq_out). Any framing bug in either direction of the codec — or
+    an off-by-one in the decimation — lands in the emitted moments.
+
+    A narrow Arrow map: bytes in, four ints out per item; nothing
+    shuffles until the consumer aggregates."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for i, data in zip(pdf["item_id"], pdf["media_bytes"]):
+            data = bytes(data)
+            if sniff_media(data) != "wav":
+                continue
+            rate, samples = parse_wav_samples(data)
+            dec = samples[::2]
+            rebytes = make_wav(rate // 2, [int(s) for s in dec])
+            rate2, n2, ssum2, sumsq2 = parse_wav(rebytes)
+            rows.append((int(i), rate2, n2, ssum2, sumsq2))
+        yield pd.DataFrame(
+            rows,
+            columns=["item_id", "rate_out", "n_out", "sum_out", "sumsq_out"],
+        )

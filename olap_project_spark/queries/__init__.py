@@ -51,9 +51,24 @@ QUERY_REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | Callable[[], str] | None = None):
     """Decorator registering a query implementation (+ optional oracle,
-    given as the SQL string or a zero-arg thunk returning it)."""
+    given as the SQL string or a zero-arg thunk returning it).
+
+    Duplicate names are an ERROR: a second registration would silently
+    shadow the first (and orphan its tests and driver-gate history).
+    Module re-imports are no-ops because the existing entry holds the
+    same function — only a genuinely different function collides."""
 
     def deco(fn):
+        prev = QUERY_REGISTRY.get(name)
+        if prev is not None and (
+            prev.fn.__code__.co_filename != fn.__code__.co_filename
+            or prev.fn.__code__.co_firstlineno != fn.__code__.co_firstlineno
+        ):
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__}; "
+                "pick a distinct name"
+            )
         QUERY_REGISTRY[name] = QueryDef(name, fn, oracle, fn.__doc__ or "")
         return fn
 
@@ -188,8 +203,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 28 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 16
+# 50. Current composition: 29 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 15
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -197,11 +212,12 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "hourly_cusum_changepoints",
     "media_aspect_bucket_batches",
     "quality_classifier_calibration",
-    "k_anonymity_audit",
+    "k_anonymity_policy_audit",
     "partition_layout_advisor",
     "epoch_shuffle_quality",
     "hybrid_skew_join_stats",
     "data_quality_audit",
+    "media_resample_stats",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -245,7 +261,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "customers_with_open_orders",
     "customers_without_open_orders",
     "dedup_keep_best",
-    "doc_embedding_join_stats",
 )
 
 

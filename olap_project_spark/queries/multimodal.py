@@ -826,3 +826,79 @@ def media_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("crop_loss_px"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# media_resample_stats: decimate-by-2 audio resampling with a full
+# encode→decimate→re-encode→re-decode codec round trip, content-checked
+# against the generation law sampled at even indices.
+# --------------------------------------------------------------------------
+@register(
+    "media_resample_stats",
+    oracle=f"""
+    WITH wav_dims AS (
+      SELECT i, 8000 + 100 * (i % 3) AS rate, 400 + 40 * (i % 5) AS n
+      FROM (SELECT UNNEST(range(0, {N_MEDIA})) AS i)
+    ),
+    dec AS (
+      SELECT d.i, d.rate // 2 AS rate_out,
+             (d.n + 1) // 2 AS n_out,
+             SUM((31 * d.i + 17 * ts.t) % 201 - 100) AS sum_out,
+             SUM(((31 * d.i + 17 * ts.t) % 201 - 100)
+                 * ((31 * d.i + 17 * ts.t) % 201 - 100)) AS sumsq_out
+      FROM wav_dims d, UNNEST(range(0, d.n, 2)) ts(t)
+      GROUP BY d.i, d.rate, d.n
+    )
+    SELECT i AS item_id,
+           CAST(rate_out AS INTEGER) AS rate_out,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(sum_out AS BIGINT) AS sum_out,
+           CAST(sumsq_out AS BIGINT) AS sumsq_out,
+           CAST(n_out * 1000 // rate_out AS BIGINT) AS duration_ms_out
+    FROM dec
+    """,
+)
+def media_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the REAL codec, both directions:
+    deterministic 16-bit PCM WAVs are encoded to genuine RIFF bytes,
+    parsed back, decimated by 2 (every second sample), RE-ENCODED at
+    half the rate to genuine WAV bytes, and re-decoded — the emitted
+    moments come from the second decode, so a framing bug in either
+    codec direction OR an off-by-one in the decimation breaks the
+    hash. The oracle re-derives every surviving sample from the
+    generation law at even indices (``range(0, n, 2)``).
+
+    This is the downsample leg a speech-corpus pipeline runs (48 kHz
+    field audio → 16 kHz training audio); the plumbing — binary
+    columns, Arrow batching, narrow map, re-encoded binary output —
+    is exactly what a real polyphase resampler would ride.
+
+    Scale: two narrow Arrow maps (encode, decimate-roundtrip); bytes
+    never shuffle; per-item output is four ints + the final project
+    adds the integer duration."""
+    from olap_project_spark.functions.media_codecs import (
+        codec_demo_encode,
+        wav_decimate_roundtrip,
+    )
+
+    ids = spark.range(N_MEDIA).select(
+        F.col("id").alias("item_id"), F.lit("wav").alias("kind")
+    )
+    media = ids.mapInPandas(
+        codec_demo_encode, schema="item_id long, media_bytes binary"
+    )
+    dec = media.mapInPandas(
+        wav_decimate_roundtrip,
+        schema=(
+            "item_id long, rate_out int, n_out bigint, "
+            "sum_out bigint, sumsq_out bigint"
+        ),
+    )
+    return dec.select(
+        "item_id",
+        "rate_out",
+        "n_out",
+        "sum_out",
+        "sumsq_out",
+        F.expr("n_out * 1000 DIV rate_out").alias("duration_ms_out"),
+    )

@@ -2665,14 +2665,17 @@ def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# k-anonymity audit: equivalence-class sizing over generalized
-# quasi-identifiers — the privacy gate a dataset passes before release.
+# k-anonymity POLICY audit: the k-ladder summary complementing the
+# per-class `k_anonymity_audit` (round 5b, above) — that one lists each
+# (segment, nation) equivalence class against a single fixed k; this
+# one generalizes with a third quasi-identifier (balance band), sweeps
+# a LADDER of k policies, and adds the l-diversity floor.
 # --------------------------------------------------------------------------
 _K_LADDER = (2, 5, 10)
 
 
 @register(
-    "k_anonymity_audit",
+    "k_anonymity_policy_audit",
     oracle=f"""
     WITH cents AS (
       SELECT c_nationkey, c_mktsegment,
@@ -2706,14 +2709,16 @@ _K_LADDER = (2, 5, 10)
     GROUP BY k.k
     """,
 )
-def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit before data release: customers generalize to
-    the quasi-identifier tuple (nation, market segment, account-balance
-    band of 1000 currency units); every equivalence class is sized, and
-    for each k on the policy ladder (2/5/10) the audit reports how many
-    classes and records would need suppression, the suppression rate,
-    and the worst-case l-diversity of the sensitive attribute (exact
-    balance) across classes — the joint k-anonymity/l-diversity check.
+def k_anonymity_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity POLICY sweep before data release: customers
+    generalize to the quasi-identifier tuple (nation, market segment,
+    account-balance band of 1000 currency units); every equivalence
+    class is sized, and for each k on the policy ladder (2/5/10) the
+    audit reports how many classes and records would need suppression,
+    the suppression rate, and the worst-case l-diversity of the
+    sensitive attribute (exact balance) across classes — the joint
+    k-anonymity/l-diversity check. Complements the per-class
+    ``k_anonymity_audit`` (single fixed k, class-level rows).
 
     Exactness: the balance band never touches float division —
     balances become integer cents (one unambiguous round from the

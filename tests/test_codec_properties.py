@@ -61,3 +61,32 @@ def test_sniff_rejects_non_containers(junk):
         assert junk[:2] == b"BM"
     elif kind == "wav":
         assert junk[:4] == b"RIFF" and junk[8:12] == b"WAVE"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.integers(min_value=2, max_value=96_000),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    ),
+)
+def test_wav_decimate_roundtrip_exact(rate, samples):
+    """Decimation-by-2 through the full codec round trip: parse →
+    samples[::2] → re-encode at rate//2 → re-parse must equal the
+    directly-computed moments of the surviving samples, for every
+    sample count parity and value range."""
+    from olap_project_spark.functions.media_codecs import parse_wav_samples
+
+    data = make_wav(rate, samples)
+    r, parsed = parse_wav_samples(data)
+    assert r == rate and parsed.tolist() == samples
+    kept = samples[::2]
+    redata = make_wav(rate // 2, [int(s) for s in parsed[::2]])
+    assert parse_wav(redata) == (
+        rate // 2,
+        len(kept),
+        sum(kept),
+        sum(s * s for s in kept),
+    )

@@ -201,11 +201,12 @@ class TestDriverContract:
             "hourly_cusum_changepoints",   # prefix-sum CUSUM walk
             "media_aspect_bucket_batches", # ratio bucketing over real BMPs
             "quality_classifier_calibration",  # reliability-table binning
-            "k_anonymity_audit",           # privacy release gate
+            "k_anonymity_policy_audit",    # k-ladder privacy release gate
             "partition_layout_advisor",    # layout skew/cardinality scoring
             "epoch_shuffle_quality",       # two-pass global-rank Spearman
             "hybrid_skew_join_stats",      # hot/cold broadcast-shuffle split
             "data_quality_audit",          # Deequ-shaped constraint suite
+            "media_resample_stats",        # decimate + codec round trip
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

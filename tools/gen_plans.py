@@ -388,7 +388,7 @@ SHOWCASE = [
         "window, no sort.",
     ),
     (
-        "k_anonymity_audit",
+        "k_anonymity_policy_audit",
         "Privacy release gate: ONE hash aggregate over the "
         "quasi-identifier tuple builds every equivalence class "
         "(distinct-sensitive rides the same shuffle key); the "

@@ -156,6 +156,7 @@ ARROW_PY_OK_PREFIXES = (
     "media_codec_",  # real BMP/WAV struct decode (Arrow-batched by design)
     "media_energy_",  # real WAV frame-energy decode (Arrow-batched by design)
     "media_aspect_",  # real BMP header decode feeding ratio bucketing
+    "media_resample_",  # real WAV decimate + re-encode round trip
     "doc_chunks",
     "repeated_chunks",
 )
