@@ -5721,3 +5721,131 @@ def hybrid_skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction eval: temporal train/eval split, argmax
+# model from the train window, exact accuracy on the held-out tail.
+# --------------------------------------------------------------------------
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+      FROM events
+    ),
+    t AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events),
+    train AS (
+      SELECT cur, nxt FROM seq, t
+      WHERE nxt IS NOT NULL AND nxt_ts < cutoff
+    ),
+    eval AS (
+      SELECT cur, nxt FROM seq, t
+      WHERE nxt IS NOT NULL AND nxt_ts >= cutoff
+    ),
+    counts AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM train GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT cur, nxt AS predicted_next, n
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY cur ORDER BY n DESC, nxt ASC) AS rn
+            FROM counts)
+      WHERE rn = 1
+    ),
+    trainsz AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS n_train FROM counts GROUP BY 1
+    )
+    SELECT e.cur,
+           COALESCE(ts.n_train, 0) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           m.predicted_next,
+           CAST(SUM(CASE WHEN e.nxt = m.predicted_next THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN e.nxt = m.predicted_next
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM eval e
+    LEFT JOIN model m ON m.cur = e.cur
+    LEFT JOIN trainsz ts ON ts.cur = e.cur
+    GROUP BY e.cur, ts.n_train, m.predicted_next
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction EVALUATED, not just fit: the first-order
+    Markov model (``event_transition_matrix``) is trained on
+    transitions that land before a temporal cutoff (max ts − 7 days —
+    a time-based split, the only split that doesn't leak future
+    behavior into the model), its per-state argmax becomes the
+    predictor (ties break lexicographically, so the model is
+    deterministic), and accuracy is measured exactly on the held-out
+    final week. Per current-state row: train/eval sizes, the predicted
+    next type, and hit rate — the backtest harness every
+    sequence-model claim needs before shipping.
+
+    Scale: one user-keyed window pass derives all transitions (the
+    identical shuffle the matrix already pays); train counts collapse
+    to ≤|types|² rows, the model to ≤|types| rows, both broadcast into
+    the eval-side aggregate. The cutoff is a 1-row broadcast
+    aggregate. Nothing beyond the one window pass touches
+    event-volume data."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("ts").over(w).alias("nxt_ts"),
+    ).filter(F.col("nxt").isNotNull())
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    tagged = seq.crossJoin(F.broadcast(cutoff))
+    train = tagged.filter(F.col("nxt_ts") < F.col("cutoff"))
+    ev_set = tagged.filter(F.col("nxt_ts") >= F.col("cutoff"))
+    counts = train.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    model = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cur").orderBy(
+                    F.col("n").desc(), F.col("nxt").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    trainsz = counts.groupBy("cur").agg(
+        F.sum("n").cast("bigint").alias("n_train")
+    )
+    hit = (F.col("nxt") == F.col("predicted_next")).cast("bigint")
+    return (
+        ev_set.join(F.broadcast(model), "cur", "left")
+        .join(F.broadcast(trainsz), "cur", "left")
+        .groupBy("cur", "n_train", "predicted_next")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(F.coalesce(hit, F.lit(0)))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(F.coalesce(hit, F.lit(0))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+        )
+        .select(
+            "cur",
+            F.coalesce(F.col("n_train"), F.lit(0))
+            .cast("bigint")
+            .alias("n_train"),
+            "n_eval",
+            "predicted_next",
+            "n_correct",
+            "accuracy",
+        )
+    )

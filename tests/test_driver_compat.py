@@ -207,6 +207,7 @@ class TestDriverContract:
             "hybrid_skew_join_stats",      # hot/cold broadcast-shuffle split
             "data_quality_audit",          # Deequ-shaped constraint suite
             "media_resample_stats",        # decimate + codec round trip
+            "markov_next_event_accuracy",  # temporal-split backtest
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
