@@ -203,8 +203,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 30 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 14
+# 50. Current composition: 31 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 13
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -219,6 +219,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "data_quality_audit",
     "media_resample_stats",
     "markov_next_event_accuracy",
+    "sql_session_variable_params",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -260,7 +261,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "customer_order_gaps",
     "customer_revenue_gini",
     "customers_with_open_orders",
-    "customers_without_open_orders",
 )
 
 

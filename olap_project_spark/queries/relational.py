@@ -2935,3 +2935,60 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("passed"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-front-end parity #5: session variables (Spark 4 DECLARE/SET
+# VARIABLE) — parameterized SQL without string interpolation, folding
+# to pushdown-able literals at plan time.
+# --------------------------------------------------------------------------
+@register(
+    "sql_session_variable_params",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rich,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS bal_cents,
+           CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN 1 ELSE 0 END) AS INTEGER) AS is_hot_seg
+    FROM customer
+    WHERE c_acctbal > 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_session_variable_params(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-front-end parity #5: session variables (``DECLARE/SET
+    VARIABLE``, Spark 4) — the injection-safe way to parameterize SQL
+    (a dashboard threshold, a tenant id) without f-string splicing.
+    The engine runs the query referencing the variables; the oracle
+    runs the same SQL with the values inlined as literals — the hash
+    proves the variable references resolved to exactly those values.
+
+    Scale: variables CONSTANT-FOLD at plan time, so the
+    ``c_acctbal > min_bal`` predicate reaches the parquet scan as a
+    pushed filter, identical to the literal form — parameterization
+    costs nothing physically (assertable in the plan: PushedFilters
+    carries the folded 5000.0)."""
+    from olap_project_spark.sources.registry import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE min_bal DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE min_bal = 5000.0")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE hot_seg STRING DEFAULT 'BUILDING'"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rich,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS bal_cents,
+               CAST(MAX(CASE WHEN c_mktsegment = hot_seg
+                             THEN 1 ELSE 0 END) AS INTEGER) AS is_hot_seg
+        FROM customer
+        WHERE c_acctbal > min_bal
+        GROUP BY c_mktsegment
+        """
+    )

@@ -208,6 +208,7 @@ class TestDriverContract:
             "data_quality_audit",          # Deequ-shaped constraint suite
             "media_resample_stats",        # decimate + codec round trip
             "markov_next_event_accuracy",  # temporal-split backtest
+            "sql_session_variable_params", # DECLARE/SET VARIABLE folding
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
