@@ -5849,3 +5849,70 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Observability: df.observe() / CollectMetrics — free pipeline metrics
+# collected DURING an action, self-checked against a declarative
+# recomputation and hash-verified by the gate.
+# --------------------------------------------------------------------------
+@register(
+    "observed_ingest_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS min_ts_us,
+           CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS max_ts_us,
+           CAST(1 AS INTEGER) AS observed_matches
+    FROM events
+    """,
+)
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe()`` (the CollectMetrics
+    operator): row count, exact cents volume, and the timestamp span
+    are captured as a SIDE EFFECT of one pass over the data — the
+    mechanism a production ingest uses to emit row-count/volume
+    reconciliation metrics without a second scan. The pass here is a
+    zero-copy ``noop``-sink write; the harvested metrics are then
+    compared field-by-field against an independent declarative
+    aggregation, and the gate hashes both the values AND the
+    comparison verdict — if observe() ever under- or over-counts
+    (dropped Arrow batch, retry double-count), ``observed_matches``
+    flips to 0 and the hash breaks.
+
+    Scale: CollectMetrics is map-side accumulation merged on the
+    driver (no extra shuffle, no extra scan); the verification second
+    pass exists only because this query's POINT is to audit the
+    mechanism."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.col("value").cast("decimal(18,2)") * 100
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    ]
+    obs = Observation("ingest-audit")
+    ev.observe(obs, *metrics).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    got = obs.get  # harvested AFTER the noop action completes
+    recomputed = ev.agg(*metrics)
+    same = (
+        (F.col("n_rows") == F.lit(int(got["n_rows"])))
+        & (F.col("sum_cents") == F.lit(int(got["sum_cents"])))
+        & (F.col("min_ts_us") == F.lit(int(got["min_ts_us"])))
+        & (F.col("max_ts_us") == F.lit(int(got["max_ts_us"])))
+    )
+    return recomputed.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "sum_cents",
+        "min_ts_us",
+        "max_ts_us",
+        F.when(same, 1).otherwise(0).cast("int").alias("observed_matches"),
+    )

@@ -209,6 +209,7 @@ class TestDriverContract:
             "media_resample_stats",        # decimate + codec round trip
             "markov_next_event_accuracy",  # temporal-split backtest
             "sql_session_variable_params", # DECLARE/SET VARIABLE folding
+            "observed_ingest_metrics",     # CollectMetrics self-audit
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

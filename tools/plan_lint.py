@@ -104,6 +104,9 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     # Pregel barrier), which executes under AQE; per-level plan shape
     # is asserted in tests/test_plans.py instead
     "knn_bfs_hops",
+    # observe()/CollectMetrics showcase: harvesting the metrics
+    # requires the noop-sink action at construction time by design
+    "observed_ingest_metrics",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
