@@ -935,3 +935,75 @@ def stateful_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return running_record_highs(ev, cents_col="cents")
 
     return _run_streaming(spark, sf_dir, build, "stateful_records")
+
+
+@register(
+    "stateful_cusum_alarms",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ROUND(value * 100) AS BIGINT) - 5500 AS e
+      FROM events
+    ),
+    walk AS (
+      SELECT event_type, ts, event_id,
+             SUM(e) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM ev
+    ),
+    s AS (
+      SELECT event_type, ts, event_id,
+             p - MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM walk
+    ),
+    x AS (
+      SELECT event_type, ts, event_id, s,
+             COALESCE(LAG(s) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id), 0) AS prev_s
+      FROM s
+    ),
+    hits AS (
+      SELECT event_type, ts, event_id, CAST(s AS BIGINT) AS excess_cents
+      FROM x WHERE s > 50000 AND prev_s <= 50000
+    )
+    SELECT event_type, excess_cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS alarms_so_far
+    FROM hits
+    """,
+)
+def stateful_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM drift alarms through the gate — the live twin
+    of the batch ``hourly_cusum_changepoints``: per event type, the
+    reflected walk S = P − min(P) over integer-cent deviations from a
+    5500-cent reference runs inside ``applyInPandasWithState``
+    (streaming/stateful.cusum_drift_alarms) under availableNow
+    replay, and one alarm row is emitted at each UPWARD crossing of
+    the 50 000-cent threshold. The oracle re-derives every alarm from
+    the SQL window form of the same identity, so the hash pins the
+    stateful operator's carried (P, minP, prev S) across batches —
+    not just final counts.
+
+    Determinism contract: integer cents before accumulation, rows
+    ordered by the (ts, event_id) total order within each key.
+
+    Scale: O(keys)·4 int64s of state; alarms are append-mode; the
+    identical operator pointed at Kafka is the production drift
+    monitor (data-quality regression, fraud-rate shift) a 100-TB/day
+    ingest runs beside its windowed aggregates."""
+    from olap_project_spark.streaming.stateful import cusum_drift_alarms
+
+    def build(stream):
+        ev = stream.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        return cusum_drift_alarms(
+            ev, reference_cents=5500, threshold_cents=50_000
+        )
+
+    return _run_streaming(spark, sf_dir, build, "stateful_cusum")

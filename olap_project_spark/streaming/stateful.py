@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -249,4 +250,81 @@ def cumulative_threshold_alerts_tws(
         outputStructType=ALERT_SCHEMA,
         outputMode="append",
         timeMode="none",
+    )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("excess_cents", LongType()),
+        StructField("alarms_so_far", LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("p", LongType()),
+        StructField("minp", LongType()),
+        StructField("prev_s", LongType()),
+        StructField("alarms", LongType()),
+    ]
+)
+
+
+def cusum_drift_alarms(
+    events: DataFrame,
+    reference_cents: int = 5500,
+    threshold_cents: int = 50_000,
+    key_col: str = "event_type",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Streaming CUSUM drift detector: per key, the reflected walk
+    ``S_t = P_t − min(P_0..P_t)`` over deviations ``cents −
+    reference`` (the same prefix-sum identity the batch
+    ``hourly_cusum_changepoints`` uses), emitting one alarm row each
+    time S crosses the threshold UPWARD (S > h while the previous S
+    was ≤ h). State per key is four int64s — (P, min P, previous S,
+    alarm count) — so the whole monitor costs O(keys) bytes
+    regardless of stream volume, and every quantity is integer-exact:
+    a replayed stream hash-matches the SQL window oracle.
+
+    The classic CUSUM recursion max(0, S+e) needs no extra state
+    here: reflecting at the running minimum is the closed form, and
+    it carries across micro-batches exactly (P and minP are
+    prefix-decomposable)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            p, minp, prev_s, alarms = state.get
+        else:
+            p, minp, prev_s, alarms = 0, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        order = [c for c in ("ts", "event_id") if c in batch.columns]
+        if order:
+            batch = batch.sort_values(order, kind="mergesort")
+        out_rows = []
+        for c in batch[cents_col]:
+            p += int(c) - reference_cents
+            if p < minp:
+                minp = p
+            s = p - minp
+            if s > threshold_cents and prev_s <= threshold_cents:
+                alarms += 1
+                out_rows.append((key[0], s, alarms))
+            prev_s = s
+        state.update((p, minp, prev_s, alarms))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["event_type", "excess_cents", "alarms_so_far"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -210,6 +210,7 @@ class TestDriverContract:
             "markov_next_event_accuracy",  # temporal-split backtest
             "sql_session_variable_params", # DECLARE/SET VARIABLE folding
             "observed_ingest_metrics",     # CollectMetrics self-audit
+            "stateful_cusum_alarms",       # streaming CUSUM drift monitor
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

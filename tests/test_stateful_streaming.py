@@ -248,3 +248,72 @@ class TestRocksDBStateStore:
             .collect()
         }
         assert got == want
+
+
+class TestCusumDriftAlarms:
+    def test_cross_batch_state_carry_matches_python_replay(
+        self, spark, sf_dir, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        """Two files → two micro-batches under maxFilesPerTrigger=1;
+        the carried (P, minP, prev_s) must continue across the batch
+        boundary so alarms match a single global (ts, event_id)-ordered
+        Python replay. The split is BY TIME (first half / second half),
+        so batch order and event-time order agree — isolating the
+        state-carry question from replay-order questions."""
+        from olap_project_spark.streaming.stateful import cusum_drift_alarms
+
+        ev = load_table(spark, sf_dir, "events").limit(600)
+        cut_ts = (
+            ev.orderBy("ts", "event_id")
+            .limit(300)
+            .agg(F.max("ts").alias("c"))
+            .collect()[0]["c"]
+        )
+        first = ev.filter(F.col("ts") <= F.lit(cut_ts))
+        second = ev.filter(F.col("ts") > F.lit(cut_ts))
+        d = str(tmp_path / "cusum_two_batches")
+        first.coalesce(1).write.mode("overwrite").parquet(d)
+        second.coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        src = stream.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        q = (
+            cusum_drift_alarms(src, reference_cents=5000, threshold_cents=8000)
+            .writeStream.format("memory")
+            .queryName("cusum_batches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("cusum_batches").toPandas()
+
+        rows = (
+            ev.select("event_type", "ts", "event_id", "value")
+            .toPandas()
+            .sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        )
+        want = []
+        for et, grp in rows.groupby("event_type"):
+            p = minp = prev_s = alarms = 0
+            for _, r in grp.iterrows():
+                p += int(round(r["value"] * 100)) - 5000
+                minp = min(minp, p)
+                s = p - minp
+                if s > 8000 and prev_s <= 8000:
+                    alarms += 1
+                    want.append((et, s, alarms))
+                prev_s = s
+        got_t = sorted(map(tuple, got.values))
+        assert got_t == sorted(want)

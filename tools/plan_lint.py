@@ -67,6 +67,7 @@ EXECUTING = {
     "streaming_segment_enrichment",
     "stateful_spend_alerts",
     "stateful_record_highs",
+    "stateful_cusum_alarms",
     "kmeans_cluster_profile",
     "near_dup_clusters",
     "part_entity_clusters",
