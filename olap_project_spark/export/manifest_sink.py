@@ -45,13 +45,16 @@ class _PartCommit(WriterCommitMessage):
 
 
 class ManifestWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, schema: StructType | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_sink requires a 'path' option")
         self.kind = options.get("kind", "append")
         if self.kind not in ("append", "rewrite"):
             raise ValueError(f"unknown manifest kind: {self.kind}")
+        # recorded in the manifest so readers can DISCOVER the table
+        # schema (and its evolution history) instead of knowing it
+        self.schema = schema
 
     def write(self, iterator: Iterator[Row]) -> _PartCommit:
         staging = os.path.join(self.path, "_staging")
@@ -76,6 +79,8 @@ class ManifestWriter(DataSourceWriter):
             "files": sorted(m.file_name for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
         }
+        if self.schema is not None:
+            manifest["schema"] = self.schema.jsonValue()
         tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -109,7 +114,7 @@ class ManifestSinkDataSource(DataSource):
         return "manifest_sink"
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestWriter:
-        return ManifestWriter(self.options, overwrite)
+        return ManifestWriter(self.options, overwrite, schema)
 
 
 def _list_manifests(path: str) -> list[tuple[int, str]]:
@@ -161,6 +166,55 @@ def read_committed(
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]
     return spark.read.schema(schema).json(paths)
+
+
+def table_schema(path: str, as_of: int | None = None) -> StructType | None:
+    """Discover the table schema from the manifest log — the schema AS
+    OF the given version (latest recorded at or below it), so time
+    travel reads old snapshots with their OWN schema. Returns None if
+    no manifest in range recorded one (pre-evolution tables).
+
+    Enforces the ADD-ONLY evolution contract while walking the log:
+    every recorded schema must contain all field names of the previous
+    one (Iceberg v1-style additive evolution — drops/renames break old
+    readers and are rejected here at discovery time)."""
+    latest: StructType | None = None
+    for version, entry in _list_manifests(path):
+        if as_of is not None and version > as_of:
+            continue
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        sch = m.get("schema")
+        if sch is None:
+            continue
+        st = StructType.fromJson(sch)
+        if latest is not None:
+            prev = {f.name for f in latest.fields}
+            cur = {f.name for f in st.fields}
+            if not prev <= cur:
+                raise ValueError(
+                    f"schema evolution at version {version} is not "
+                    f"add-only: dropped {sorted(prev - cur)}"
+                )
+        latest = st
+    return latest
+
+
+def read_evolved(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """Read the committed table under schema evolution: the schema is
+    DISCOVERED from the manifest log (as of the requested version), and
+    files written before a column existed yield NULL for it — the JSON
+    reader backfills missing fields against the explicit schema, which
+    is exactly the Iceberg/Delta add-column read contract."""
+    sch = table_schema(path, as_of)
+    if sch is None:
+        raise ValueError(f"no recorded schema in manifest log at {path}")
+    return read_committed(spark, path, sch, as_of=as_of)
 
 
 def compact_snapshots(spark: SparkSession, path: str, schema) -> int:

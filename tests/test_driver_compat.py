@@ -211,6 +211,7 @@ class TestDriverContract:
             "sql_session_variable_params", # DECLARE/SET VARIABLE folding
             "observed_ingest_metrics",     # CollectMetrics self-audit
             "stateful_cusum_alarms",       # streaming CUSUM drift monitor
+            "manifest_schema_evolution_stats",  # add-only column evolution
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

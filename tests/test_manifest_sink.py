@@ -295,3 +295,74 @@ def test_vacuum_preserves_committed_state(registered, spark, tmp_path, ops):
             for r in read_committed(spark, path, SCHEMA).collect()
         )
         assert got == sorted(model)
+
+
+class TestSchemaEvolution:
+    def test_add_column_null_backfill_and_versioned_schema(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            read_evolved,
+            table_schema,
+        )
+
+        path = str(tmp_path / "evo")
+        _write(registered, path, [(1, "a"), (2, "b")])
+        (
+            registered.createDataFrame(
+                [(3, "c", 30)], "k bigint, v string, extra int"
+            )
+            .coalesce(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        # schema discovery: v1 is the old 2-column schema, latest has 3
+        assert [f.name for f in table_schema(path, as_of=1).fields] == ["k", "v"]
+        assert "extra" in [f.name for f in table_schema(path).fields]
+        # time travel reads the OLD schema
+        v1 = read_evolved(registered, path, as_of=1)
+        assert v1.columns == ["k", "v"] and v1.count() == 2
+        # latest read null-backfills the added column for old files
+        latest = read_evolved(registered, path).collect()
+        got = {r["k"]: r["extra"] for r in latest}
+        assert got == {1: None, 2: None, 3: 30}
+
+    def test_non_additive_evolution_rejected(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import table_schema
+
+        path = str(tmp_path / "evo_bad")
+        _write(registered, path, [(1, "a")])
+        # a write that DROPS column v (rename/delete) must be caught
+        (
+            registered.createDataFrame([(2,)], "k bigint")
+            .coalesce(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        with pytest.raises(ValueError, match="not\\s+add-only"):
+            table_schema(path)
+
+    def test_schemaless_legacy_manifests_tolerated(
+        self, registered, spark, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import table_schema
+
+        path = str(tmp_path / "legacy")
+        _write(registered, path, [(1, "a")])
+        # simulate a pre-evolution manifest: strip the schema field
+        m_file = next(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("_manifest-")
+        )
+        m = json.load(open(m_file))
+        m.pop("schema", None)
+        json.dump(m, open(m_file, "w"))
+        assert table_schema(path) is None
+        # read_committed with an explicit schema still works unchanged
+        back = read_committed(registered, path, SCHEMA)
+        assert back.count() == 1

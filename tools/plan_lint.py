@@ -73,6 +73,7 @@ EXECUTING = {
     "part_entity_clusters",
     "format_roundtrip_stats",
     "manifest_snapshot_stats",
+    "manifest_schema_evolution_stats",
     "pos_stream_user_totals",
     "pos_route_counts",  # runs the foreachBatch pipeline into tmp sinks
     "mmr_diversified_topk",  # bounded-pool greedy collects 20 rows at build
