@@ -425,6 +425,33 @@ SHOWCASE = [
         "rational score ever materializes); shuffles carry "
         "(doc_id, ints), never text.",
     ),
+    (
+        "data_quality_audit",
+        "Constraint suite: five exact one-aggregate rules unioned "
+        "into a bounded report; referential integrity is the honest "
+        "LEFT ANTI join (both sides scale — neither broadcast, AQE "
+        "free to choose), never a collect-and-check.",
+    ),
+    (
+        "media_resample_stats",
+        "Audio decimation: two narrow Arrow maps (encode, "
+        "decimate-roundtrip) — bytes never shuffle, per-item output "
+        "is four ints; the second decode is the correctness witness.",
+    ),
+    (
+        "markov_next_event_accuracy",
+        "Sequence-model backtest: ONE user-keyed window pass derives "
+        "all transitions; train counts collapse to |types|² rows and "
+        "the argmax model to |types| rows, both broadcast into the "
+        "eval-side aggregate; the cutoff is a 1-row broadcast.",
+    ),
+    (
+        "sql_session_variable_params",
+        "Parameterized SQL with zero physical cost: the session "
+        "variable constant-folds at plan time, so PushedFilters "
+        "carries GreaterThan(c_acctbal,5000.0) — the scan prunes "
+        "exactly as if the literal had been spliced in.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims

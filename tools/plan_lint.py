@@ -109,6 +109,10 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     # observe()/CollectMetrics showcase: harvesting the metrics
     # requires the noop-sink action at construction time by design
     "observed_ingest_metrics",
+    # DECLARE/SET VARIABLE are executed commands (each runs as a tiny
+    # driver-side job) — executing them IS the session-variable
+    # semantics being showcased; the SELECT itself stays lazy
+    "sql_session_variable_params",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
