@@ -5375,9 +5375,12 @@ def hourly_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dense d JOIN tot t USING (event_type)
     ),
     s AS (
+      -- virtual initial state S_0 = 0: the reflecting floor/ceiling
+      -- is min(0, P_1..P_t) / max(0, P_1..P_t), matching the classic
+      -- fold max(0, S+e) exactly (S_1 = max(0, e_1), not 0)
       SELECT event_type, hour_ts, t_hours, c_total,
-             p - MIN(p) OVER w AS s_up,
-             MAX(p) OVER w - p AS s_dn
+             p - LEAST(MIN(p) OVER w, 0) AS s_up,
+             GREATEST(MAX(p) OVER w, 0) - p AS s_dn
       FROM walk
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -5419,8 +5422,10 @@ def hourly_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive fold ``S_t = max(0, S_{t-1} + (x_t - mean))`` — which
     looks un-distributable — rewritten EXACTLY as window algebra:
     with ``P_t = prefix_sum(x - mean)``, the upward statistic is
-    ``S+_t = P_t - running_min(P)`` and the downward one is
-    ``S-_t = running_max(P) - P_t``. Reports, per type, the peak
+    ``S+_t = P_t - min(0, running_min(P))`` and the downward one is
+    ``S-_t = max(0, running_max(P)) - P_t`` (the 0 is the virtual
+    initial state S_0, so S_1 = max(0, e_1) exactly as the fold
+    gives it). Reports, per type, the peak
     CUSUM excursion in each direction (value in events, hour of the
     earliest peak) and how many hours the excursion exceeded a
     5×-mean alarm threshold — the level-shift detector that
@@ -5473,13 +5478,16 @@ def hourly_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.sum(F.col("t_hours") * F.col("x") - F.col("c_total")).over(w_cum),
     )
+    zero = F.lit(0).cast("long")
     s = walk.select(
         "event_type",
         "hour_ts",
         "t_hours",
         "c_total",
-        (F.col("p") - F.min("p").over(w_cum)).alias("s_up"),
-        (F.max("p").over(w_cum) - F.col("p")).alias("s_dn"),
+        (F.col("p") - F.least(F.min("p").over(w_cum), zero)).alias("s_up"),
+        (F.greatest(F.max("p").over(w_cum), zero) - F.col("p")).alias(
+            "s_dn"
+        ),
     )
     neg_us = (-F.unix_micros("hour_ts")).alias("nh")
     res = s.groupBy("event_type").agg(

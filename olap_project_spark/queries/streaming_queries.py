@@ -952,9 +952,14 @@ def stateful_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev
     ),
     s AS (
+      -- the virtual initial state S_0 = 0 means the reflecting floor
+      -- is min(0, P_1..P_t), not min over observed rows alone — the
+      -- stateful operator starts minp at 0, and the classical fold
+      -- max(0, S+e) gives S_1 = max(0, e_1), not 0
       SELECT event_type, ts, event_id,
-             p - MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS s
+             p - LEAST(MIN(p) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 0) AS s
       FROM walk
     ),
     x AS (
