@@ -42,6 +42,7 @@ from pyspark.sql.types import Row, StructType
 class _PartCommit(WriterCommitMessage):
     file_name: str
     n_rows: int
+    col_stats: dict | None = None  # col -> [min, max] for orderable types
 
 
 class ManifestWriter(DataSourceWriter):
@@ -61,11 +62,29 @@ class ManifestWriter(DataSourceWriter):
         os.makedirs(staging, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
+        stats: dict[str, list] = {}  # zone map: col -> [min, max]
+        disabled: set[str] = set()  # null/complex seen → no zone map
         with open(os.path.join(staging, name), "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
+                d = row.asDict()
+                f.write(json.dumps(d) + "\n")
                 n += 1
-        return _PartCommit(file_name=name, n_rows=n)
+                for col, v in d.items():
+                    if col in disabled:
+                        continue
+                    if type(v) in (int, float, str):
+                        s = stats.get(col)
+                        if s is None:
+                            stats[col] = [v, v]
+                        else:
+                            if v < s[0]:
+                                s[0] = v
+                            if v > s[1]:
+                                s[1] = v
+                    else:
+                        disabled.add(col)
+                        stats.pop(col, None)
+        return _PartCommit(file_name=name, n_rows=n, col_stats=stats)
 
     def commit(self, messages: list[_PartCommit]) -> None:
         # Sequential snapshot versions: each commit claims the next
@@ -78,6 +97,11 @@ class ManifestWriter(DataSourceWriter):
             "kind": self.kind,
             "files": sorted(m.file_name for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
+            # per-file zone maps: the data-skipping index readers use
+            # to plan scans without opening files
+            "file_stats": {
+                m.file_name: m.col_stats for m in messages if m.col_stats
+            },
         }
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
@@ -145,7 +169,20 @@ def read_committed(
     after today's append. Driver-side listing is O(#manifests); the
     data read is a parallel JSON-lines scan of exactly the committed
     files."""
-    committed: list[str] = []
+    committed = [f for f, _ in _committed_files(path, as_of)]
+    if not committed:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]
+    return spark.read.schema(schema).json(paths)
+
+
+def _committed_files(
+    path: str, as_of: int | None = None
+) -> list[tuple[str, dict]]:
+    """(file_name, zone-map stats) for every committed file at/<= the
+    requested version, honoring rewrite snapshots (a rewrite replaces
+    everything before it — it holds the consolidated table state)."""
+    committed: list[tuple[str, dict]] = []
     for version, entry in _list_manifests(path):
         if as_of is not None and version > as_of:
             continue
@@ -156,15 +193,51 @@ def read_committed(
             # a version file claimed (O_EXCL) but not yet atomically
             # replaced with its content — a commit in flight; skip
             continue
+        fs = m.get("file_stats", {})
+        entries = [(name, fs.get(name, {})) for name in m["files"]]
         if m.get("kind", "append") == "rewrite":
-            # a rewrite snapshot REPLACES everything before it: it holds
-            # the consolidated table state, so it becomes the new base
-            committed = list(m["files"])
+            committed = entries
         else:
-            committed += m["files"]
-    if not committed:
+            committed += entries
+    return committed
+
+
+def plan_pruned_files(
+    path: str, col: str, lo, hi, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """Data skipping against the manifest zone maps: return (files that
+    may contain rows with ``col`` in [lo, hi], total committed files).
+    A file is skipped ONLY when its recorded [min, max] provably
+    excludes the range; files without a zone map for ``col`` (nulls
+    seen, complex type, pre-stats manifests) are conservatively kept —
+    skipping is an optimization, never a correctness gamble."""
+    entries = _committed_files(path, as_of)
+    keep = []
+    for name, st in entries:
+        rng = (st or {}).get(col)
+        if rng is None or not (hi < rng[0] or lo > rng[1]):
+            keep.append(name)
+    return sorted(keep), len(entries)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Read only the files the zone maps can't exclude for ``col`` in
+    [lo, hi] — the Iceberg/Delta file-skipping contract. The caller
+    still applies the actual row filter; this prunes the FILE LIST the
+    scan opens (at 100 TB, the difference between touching 2 files and
+    2000)."""
+    files, _ = plan_pruned_files(path, col, lo, hi, as_of)
+    if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]
+    paths = [os.path.join(path, "_staging", name) for name in files]
     return spark.read.schema(schema).json(paths)
 
 

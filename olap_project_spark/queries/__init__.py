@@ -203,8 +203,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 34 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 10
+# 50. Current composition: 35 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 9
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -223,6 +223,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "observed_ingest_metrics",
     "stateful_cusum_alarms",
     "manifest_schema_evolution_stats",
+    "manifest_file_skipping_stats",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -260,7 +261,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "brand_measure_unpivot",
     "bucketed_order_revenue",
     "customer_only_nations",
-    "customer_order_distribution",
 )
 
 

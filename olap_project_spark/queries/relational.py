@@ -3076,3 +3076,112 @@ def manifest_schema_evolution_stats(
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, n_cols int, new_col_nulls bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Manifest zone-map file skipping: per-file [min,max] column stats
+# recorded at write time prune the FILE LIST a read opens — the
+# Iceberg/Delta data-skipping contract, proved against the full scan.
+# --------------------------------------------------------------------------
+@register(
+    "manifest_file_skipping_stats",
+    oracle="""
+    WITH hi AS (SELECT MAX(o_orderkey) // 10 AS h FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS value_cents,
+           CAST(8 AS INTEGER) AS total_files,
+           CAST(1 AS INTEGER) AS pruned,
+           CAST(1 AS INTEGER) AS matches_full_scan
+    FROM orders, hi
+    WHERE o_orderkey <= hi.h
+    """,
+)
+def manifest_file_skipping_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATA SKIPPING through the gate: orders are committed to the
+    manifest table range-partitioned 8 ways on the order key, so each
+    file's zone map ([min, max] per column, recorded by the writer at
+    write time) covers a disjoint key range; a read restricted to the
+    bottom tenth of the key space then opens only the file(s) whose
+    range can overlap — ``pruned`` asserts strictly fewer files were
+    opened than committed, and ``matches_full_scan`` asserts the
+    pruned read + row filter returns exactly the full scan's rows
+    (skipping may drop FILES, never ROWS: files without a zone map
+    are conservatively kept). The gate hashes the row count, the exact
+    cents sum, and both verdicts.
+
+    Scale: the zone map costs one [min,max] pair per column per file
+    at write time and a driver-side manifest walk at plan time —
+    at 100 TB this is the difference between opening 2 files and
+    2000, before any row is read."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        plan_pruned_files,
+        read_committed,
+        read_pruned,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_skipping_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_zm")
+    done = os.path.join(root, "_built")
+    if not os.path.exists(done):
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    hi = orders.agg(
+        F.expr("MAX(o_orderkey) DIV 10").alias("h")
+    ).collect()[0]["h"]
+    files, total = plan_pruned_files(path, "o_orderkey", 1, int(hi))
+    pred = F.col("o_orderkey") <= int(hi)
+    cents = F.col("o_totalprice").cast("decimal(18,2)") * 100
+    pruned_agg = (
+        read_pruned(spark, path, orders.schema, "o_orderkey", 1, int(hi))
+        .filter(pred)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("value_cents"),
+        )
+        .collect()[0]
+    )
+    full_agg = (
+        read_committed(spark, path, orders.schema)
+        .filter(pred)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("value_cents"),
+        )
+        .collect()[0]
+    )
+    matches = int(
+        pruned_agg["n_rows"] == full_agg["n_rows"]
+        and pruned_agg["value_cents"] == full_agg["value_cents"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                pruned_agg["n_rows"],
+                pruned_agg["value_cents"],
+                total,
+                int(len(files) < total),
+                matches,
+            )
+        ],
+        "n_rows bigint, value_cents bigint, total_files int, "
+        "pruned int, matches_full_scan int",
+    )

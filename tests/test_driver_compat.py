@@ -212,6 +212,7 @@ class TestDriverContract:
             "observed_ingest_metrics",     # CollectMetrics self-audit
             "stateful_cusum_alarms",       # streaming CUSUM drift monitor
             "manifest_schema_evolution_stats",  # add-only column evolution
+            "manifest_file_skipping_stats",     # zone-map data skipping
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

@@ -366,3 +366,77 @@ class TestSchemaEvolution:
         # read_committed with an explicit schema still works unchanged
         back = read_committed(registered, path, SCHEMA)
         assert back.count() == 1
+
+
+class TestFileSkipping:
+    def test_zone_maps_prune_files_not_rows(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            plan_pruned_files,
+            read_pruned,
+        )
+
+        path = str(tmp_path / "zm")
+        # three disjoint key ranges → three single-file appends
+        for lo in (0, 100, 200):
+            (
+                registered.createDataFrame(
+                    [(lo + i, f"v{lo + i}") for i in range(50)], SCHEMA
+                )
+                .coalesce(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        files, total = plan_pruned_files(path, "k", 120, 130)
+        assert total == 3 and len(files) == 1
+        got = (
+            read_pruned(registered, path, SCHEMA, "k", 120, 130)
+            .filter("k BETWEEN 120 AND 130")
+            .count()
+        )
+        assert got == 11
+        # skipping may drop FILES, never ROWS: equal to the full scan
+        full = (
+            read_committed(registered, path, SCHEMA)
+            .filter("k BETWEEN 120 AND 130")
+            .count()
+        )
+        assert got == full
+
+    def test_files_without_stats_conservatively_kept(
+        self, registered, tmp_path
+    ):
+        import json as _json
+
+        from olap_project_spark.export.manifest_sink import plan_pruned_files
+
+        path = str(tmp_path / "zm_legacy")
+        _write(registered, path, [(1, "a"), (2, "b")])
+        m_file = next(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.startswith("_manifest-")
+        )
+        m = _json.load(open(m_file))
+        m.pop("file_stats", None)  # pre-stats manifest
+        _json.dump(m, open(m_file, "w"))
+        files, total = plan_pruned_files(path, "k", 10**9, 10**9 + 1)
+        assert len(files) == total  # nothing provably excludable
+
+    def test_null_bearing_column_never_prunes(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import plan_pruned_files
+
+        path = str(tmp_path / "zm_nulls")
+        (
+            registered.createDataFrame(
+                [(1, "a"), (None, "b")], SCHEMA
+            )
+            .coalesce(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        files, total = plan_pruned_files(path, "k", 10**9, 10**9 + 1)
+        assert len(files) == total == 1  # null seen → zone map disabled
