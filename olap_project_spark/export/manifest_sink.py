@@ -220,6 +220,36 @@ def plan_pruned_files(
     return sorted(keep), len(entries)
 
 
+def read_version_delta(
+    spark: SparkSession, path: str, schema, from_v: int, to_v: int
+) -> DataFrame:
+    """Change data feed for the append-only manifest table: the rows
+    ADDED strictly after ``from_v`` up to and including ``to_v`` — read
+    from exactly the files those manifests committed, no diffing scan.
+    A rewrite snapshot inside the range is rejected: it replaces the
+    base rather than appending, so a file-level delta is no longer the
+    row-level delta (run the CDF before compacting, as Delta does)."""
+    files: list[str] = []
+    for version, entry in _list_manifests(path):
+        if version <= from_v or version > to_v:
+            continue
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if m.get("kind", "append") == "rewrite":
+            raise ValueError(
+                f"version delta ({from_v}, {to_v}] crosses the rewrite "
+                f"snapshot {version}; file-level CDF is append-only"
+            )
+        files += m["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, "_staging", name) for name in sorted(files)]
+    return spark.read.schema(schema).json(paths)
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

@@ -213,6 +213,7 @@ class TestDriverContract:
             "stateful_cusum_alarms",       # streaming CUSUM drift monitor
             "manifest_schema_evolution_stats",  # add-only column evolution
             "manifest_file_skipping_stats",     # zone-map data skipping
+            "manifest_snapshot_diff_stats",     # append-only CDF
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

@@ -440,3 +440,31 @@ class TestFileSkipping:
         )
         files, total = plan_pruned_files(path, "k", 10**9, 10**9 + 1)
         assert len(files) == total == 1  # null seen → zone map disabled
+
+
+class TestVersionDelta:
+    def test_delta_reads_only_new_rows(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import read_version_delta
+
+        path = str(tmp_path / "cdf")
+        _write(registered, path, [(i, f"v{i}") for i in range(10)])
+        _write(registered, path, [(i, f"v{i}") for i in range(10, 25)])
+        d01 = read_version_delta(registered, path, SCHEMA, 0, 1)
+        d12 = read_version_delta(registered, path, SCHEMA, 1, 2)
+        assert d01.count() == 10 and d12.count() == 15
+        assert read_version_delta(registered, path, SCHEMA, 2, 2).count() == 0
+
+    def test_delta_across_rewrite_rejected(self, registered, spark, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            read_version_delta,
+        )
+
+        path = str(tmp_path / "cdf_rw")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")])
+        compact_snapshots(registered, path, SCHEMA)  # version 3 = rewrite
+        with pytest.raises(ValueError, match="rewrite"):
+            read_version_delta(registered, path, SCHEMA, 1, 3)
+        # a delta range before the rewrite still works
+        assert read_version_delta(registered, path, SCHEMA, 0, 2).count() == 2
