@@ -220,6 +220,29 @@ def plan_pruned_files(
     return sorted(keep), len(entries)
 
 
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY for the manifest table: one dict per committed
+    snapshot — version, kind (append/rewrite), file count, row count,
+    and whether it recorded a schema. Driver-side, O(#manifests)."""
+    out = []
+    for version, entry in _list_manifests(path):
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        out.append(
+            {
+                "version": version,
+                "kind": m.get("kind", "append"),
+                "n_files": len(m["files"]),
+                "n_rows": m.get("n_rows"),
+                "has_schema": "schema" in m,
+            }
+        )
+    return out
+
+
 def read_version_delta(
     spark: SparkSession, path: str, schema, from_v: int, to_v: int
 ) -> DataFrame:

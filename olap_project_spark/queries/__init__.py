@@ -203,8 +203,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 36 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 8
+# 50. Current composition: 37 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 7
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -225,6 +225,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "manifest_schema_evolution_stats",
     "manifest_file_skipping_stats",
     "manifest_snapshot_diff_stats",
+    "manifest_table_history",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -260,7 +261,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "approx_distinct_summary",
     "benchmark_contamination",
     "brand_measure_unpivot",
-    "bucketed_order_revenue",
 )
 
 

@@ -214,6 +214,7 @@ class TestDriverContract:
             "manifest_schema_evolution_stats",  # add-only column evolution
             "manifest_file_skipping_stats",     # zone-map data skipping
             "manifest_snapshot_diff_stats",     # append-only CDF
+            "manifest_table_history",           # DESCRIBE HISTORY view
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )

@@ -76,6 +76,7 @@ EXECUTING = {
     "manifest_schema_evolution_stats",
     "manifest_file_skipping_stats",
     "manifest_snapshot_diff_stats",
+    "manifest_table_history",
     "pos_stream_user_totals",
     "pos_route_counts",  # runs the foreachBatch pipeline into tmp sinks
     "mmr_diversified_topk",  # bounded-pool greedy collects 20 rows at build
