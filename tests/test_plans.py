@@ -622,3 +622,38 @@ class TestRound5bPlanShapes:
         p = plan("cluster_top_terms")
         assert "WindowGroupLimit" in p
         assert "CartesianProduct" not in p
+
+
+class TestRound8bPlanShapes:
+    def test_cusum_two_windows_share_one_sort(self, plan):
+        """The CUSUM walk is two chained Window operators (the prefix
+        sum, then min/max over it) fed by ONE sort on (type, hour) —
+        no exchange or re-sort between them — and the peak pick is a
+        struct-max aggregate, not a third window pass."""
+        p = plan("hourly_cusum_changepoints")
+        assert p.count("Window [") == 2
+        import re
+
+        sorts = re.findall(r"Sort \[event_type\S* ASC NULLS FIRST, hour_ts", p)
+        assert len(sorts) == 1
+        assert "BatchEvalPython" not in p
+
+    def test_layout_advisor_partial_aggregates_per_grain(self, plan):
+        """Every candidate grain partial-aggregates map-side before its
+        exchange; the ranking window runs on the tiny stats union."""
+        p = plan("partition_layout_advisor")
+        assert p.count("partial_count") >= 4
+        assert "CartesianProduct" not in p
+
+    def test_epoch_shuffle_no_single_task_window(self, plan):
+        """Global ranks come from the two-pass range-partitioned
+        primitive: windows partition by _pid, and the only
+        SinglePartition exchange is the final 1-row moment rollup."""
+        p = plan("epoch_shuffle_quality")
+        assert "windowspecdefinition(_pid" in p
+        assert "REPARTITION_BY_NUM" in p
+
+    def test_calibration_no_joins_two_aggregates(self, plan):
+        p = plan("quality_classifier_calibration")
+        assert "Join" not in p
+        assert "BatchEvalPython" not in p
