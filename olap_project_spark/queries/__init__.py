@@ -203,8 +203,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 8: new round-8 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 37 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 7
+# 50. Current composition: 38 round-8 additions + the 6 remaining
+# round-3 rows (oldest driver checks after the r8 rotation) + 6
 # round-4 refresh slots.
 GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     # round-8 additions — no driver CORRECTNESS row yet
@@ -226,6 +226,7 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "manifest_file_skipping_stats",
     "manifest_snapshot_diff_stats",
     "manifest_table_history",
+    "packing_efficiency_curve",
     "pos_daily_rates_vnd",
     "pos_route_counts",
     "media_codec_decode_stats",
@@ -260,7 +261,6 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "ann_ivf_topk",
     "approx_distinct_summary",
     "benchmark_contamination",
-    "brand_measure_unpivot",
 )
 
 

@@ -2078,3 +2078,126 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-(num / den_x), 6).alias("zipf_exponent"),
         F.round(num * num / (den_x * den_y), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Packing-efficiency curve: the context-length ablation — one offsets
+# pass, a 4-row L ladder, exact padding/straddle accounting per L.
+# --------------------------------------------------------------------------
+PACK_LADDER = (256, 512, 1024, 2048)
+
+
+def _packing_curve_oracle() -> str:
+    ls = ", ".join(str(x) for x in PACK_LADDER)
+    return f"""
+    WITH toks AS (
+      SELECT source, doc_id, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    offs AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+      FROM toks
+    ),
+    ls AS (SELECT UNNEST([{ls}]) AS l),
+    tagged AS (
+      SELECT l.l, o.source, o.n_tokens,
+             CASE WHEN o.n_tokens >= 1
+                       AND o.off // l.l <> (o.off + o.n_tokens - 1) // l.l
+                  THEN 1 ELSE 0 END AS straddles
+      FROM offs o CROSS JOIN ls l
+    ),
+    per_source AS (
+      SELECT l, source,
+             SUM(n_tokens) AS tot,
+             SUM(straddles) AS n_split,
+             COUNT(*) AS n_docs
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT CAST(l AS INTEGER) AS context_len,
+           CAST(SUM(tot) AS BIGINT) AS total_tokens,
+           CAST(SUM((tot + l - 1) // l) AS BIGINT) AS n_windows,
+           CAST(SUM((tot + l - 1) // l * l - tot) AS BIGINT) AS pad_tokens,
+           ROUND(CAST(SUM((tot + l - 1) // l * l - tot) AS DOUBLE)
+                 / SUM((tot + l - 1) // l * l), 6) AS pad_frac,
+           CAST(SUM(n_split) AS BIGINT) AS n_split_docs,
+           ROUND(CAST(SUM(n_split) AS DOUBLE) / SUM(n_docs), 6)
+             AS split_frac
+    FROM per_source GROUP BY l
+    """
+
+
+@register("packing_efficiency_curve", oracle=_packing_curve_oracle)
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-length ablation behind every LM data decision: for
+    each window size on the ladder (256/512/1024/2048), exact
+    concatenate-and-chunk accounting — window count, tail-padding
+    tokens and fraction (each source's last window pads), and how many
+    documents STRADDLE a window boundary (the docs that need
+    cross-window attention masking, or get their context split). Long
+    contexts waste fewer pad tokens but split more documents; this
+    query measures the trade-off instead of guessing it.
+
+    Exactness: offsets come from one per-source integer cumsum; the
+    straddle test and the ceil arithmetic are integer DIV on
+    nonnegative operands (both engines agree); the two fractions
+    divide once at the edge.
+
+    Scale: ONE window pass over the corpus (per-source cumsum — the
+    same shuffle ``context_packing_stats`` pays), a 4-row broadcast
+    ladder, and two bounded aggregates. The ablation costs no more
+    than a single packing run."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = toks.withColumn("off", cum - F.col("n_tokens"))
+    ls = spark.createDataFrame([(x,) for x in PACK_LADDER], "l long")
+    straddle = (
+        (F.col("n_tokens") >= 1)
+        & (
+            F.expr("off DIV l")
+            != F.expr("(off + n_tokens - 1) DIV l")
+        )
+    ).cast("long")
+    per_source = (
+        offs.crossJoin(F.broadcast(ls))
+        .groupBy("l", "source")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.sum(straddle).alias("n_split"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    n_win = F.expr("(tot + l - 1) DIV l")
+    return per_source.groupBy("l").agg(
+        F.sum("tot").cast("bigint").alias("total_tokens"),
+        F.sum(n_win).cast("bigint").alias("n_windows"),
+        F.sum(n_win * F.col("l") - F.col("tot"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.round(
+            F.sum(n_win * F.col("l") - F.col("tot")).cast("double")
+            / F.sum(n_win * F.col("l")),
+            6,
+        ).alias("pad_frac"),
+        F.sum("n_split").cast("bigint").alias("n_split_docs"),
+        F.round(
+            F.sum("n_split").cast("double") / F.sum("n_docs"), 6
+        ).alias("split_frac"),
+    ).select(
+        F.col("l").cast("int").alias("context_len"),
+        "total_tokens",
+        "n_windows",
+        "pad_tokens",
+        "pad_frac",
+        "n_split_docs",
+        "split_frac",
+    )

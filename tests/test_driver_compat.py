@@ -215,6 +215,7 @@ class TestDriverContract:
             "manifest_file_skipping_stats",     # zone-map data skipping
             "manifest_snapshot_diff_stats",     # append-only CDF
             "manifest_table_history",           # DESCRIBE HISTORY view
+            "packing_efficiency_curve",         # context-length ablation
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
         ],
     )
