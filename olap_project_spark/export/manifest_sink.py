@@ -4,9 +4,10 @@ commit protocol the reference's DAG lacks (bigquery_update_scheduler.py
 fence: a retried task double-loads). Implemented on the PySpark 4
 Python DataSource writer API:
 
-1. every task writes its rows to a uniquely-named ``part-*.jsonl``
-   under ``<path>/_staging/`` and returns the file name + row count as
-   its commit message;
+1. every task writes its rows to a uniquely-named ``part-*.parquet``
+   under ``<path>/_staging/`` (Arrow-batched columnar writes — bounded
+   memory per task, column pruning and predicate pushdown for every
+   reader) and returns the file name + row count as its commit message;
 2. the DRIVER, only after every task succeeded, atomically renames a
    ``_manifest-<uuid>.json`` into place listing exactly the committed
    files;
@@ -19,6 +20,19 @@ Python DataSource writer API:
 This is the same fence Iceberg/Delta build on (manifest = the commit),
 reduced to its teachable core. At scale the manifest holds file paths +
 stats, not data — commit cost is O(tasks), independent of row volume.
+Pre-columnar tables (staging files named ``part-*.jsonl``) stay
+readable: the read path dispatches on extension and unions, so a table
+migrates to parquet by simply compacting (the rewrite snapshot is
+written through the current writer).
+
+Durability boundary: the commit point is ``os.replace`` after an
+``O_CREAT|O_EXCL`` version claim — atomic on POSIX filesystems and
+HDFS, NOT on S3-style object stores (rename is copy+delete and
+create-exclusive is unavailable). On object stores the same protocol
+needs a conditional PUT (If-None-Match) or an external log service for
+the version claim, which is exactly why Delta ships per-store
+LogStore implementations and Iceberg uses a catalog swap; the rest of
+the protocol (staging files + manifest listing) carries over unchanged.
 """
 
 from __future__ import annotations
@@ -57,33 +71,74 @@ class ManifestWriter(DataSourceWriter):
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
 
+    # Rows buffered per Arrow record batch before flushing to the
+    # parquet writer — bounds task memory to O(batch), not O(partition).
+    BATCH_ROWS = 65536
+
     def write(self, iterator: Iterator[Row]) -> _PartCommit:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.jsonl"
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = [f.name for f in self.schema.fields]
         n = 0
         stats: dict[str, list] = {}  # zone map: col -> [min, max]
         disabled: set[str] = set()  # null/complex seen → no zone map
-        with open(os.path.join(staging, name), "w") as f:
+
+        def flush(writer: pq.ParquetWriter, buf: dict[str, list]) -> None:
+            batch = pa.record_batch(
+                [pa.array(buf[c], type=arrow_schema.field(c).type) for c in cols],
+                schema=arrow_schema,
+            )
+            writer.write_batch(batch)
+            # vectorized zone-map update (Arrow min_max kernel); a
+            # column drops out of the zone map on the first null or
+            # non-orderable-scalar value, matching the read contract
+            # (files without a map for a column are never skipped)
+            for c in cols:
+                if c in disabled:
+                    continue
+                arr = batch.column(batch.schema.get_field_index(c))
+                if arr.null_count or not (
+                    pa.types.is_integer(arr.type)
+                    or pa.types.is_floating(arr.type)
+                    or pa.types.is_string(arr.type)
+                    or pa.types.is_large_string(arr.type)
+                ):
+                    disabled.add(c)
+                    stats.pop(c, None)
+                    continue
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                s = stats.get(c)
+                if s is None:
+                    stats[c] = [lo, hi]
+                else:
+                    if lo < s[0]:
+                        s[0] = lo
+                    if hi > s[1]:
+                        s[1] = hi
+
+        buf: dict[str, list] = {c: [] for c in cols}
+        with pq.ParquetWriter(
+            os.path.join(staging, name), arrow_schema
+        ) as writer:
             for row in iterator:
                 d = row.asDict()
-                f.write(json.dumps(d) + "\n")
+                for c in cols:
+                    buf[c].append(d.get(c))
                 n += 1
-                for col, v in d.items():
-                    if col in disabled:
-                        continue
-                    if type(v) in (int, float, str):
-                        s = stats.get(col)
-                        if s is None:
-                            stats[col] = [v, v]
-                        else:
-                            if v < s[0]:
-                                s[0] = v
-                            if v > s[1]:
-                                s[1] = v
-                    else:
-                        disabled.add(col)
-                        stats.pop(col, None)
+                if n % self.BATCH_ROWS == 0:
+                    flush(writer, buf)
+                    buf = {c: [] for c in cols}
+            if cols and buf[cols[0]]:
+                flush(writer, buf)
         return _PartCommit(file_name=name, n_rows=n, col_stats=stats)
 
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -159,6 +214,31 @@ def table_versions(path: str) -> list[int]:
     return sorted(v for v, _ in _list_manifests(path))
 
 
+def _read_files(spark: SparkSession, path: str, schema, names) -> DataFrame:
+    """Scan exactly the named committed staging files. Parquet is the
+    data plane (columnar: the scan prunes columns and pushes predicates
+    into row-group filters); legacy ``.jsonl`` files from pre-columnar
+    commits are still read (extension dispatch + unionByName), so a
+    table migrates formats by simply compacting. Missing-in-file
+    columns read as NULL against the explicit schema in BOTH formats —
+    the add-only evolution contract."""
+    names = sorted(names)
+    if not names:
+        return spark.createDataFrame([], schema)
+    staging = os.path.join(path, "_staging")
+    pq = [os.path.join(staging, n) for n in names if n.endswith(".parquet")]
+    js = [os.path.join(staging, n) for n in names if not n.endswith(".parquet")]
+    parts = []
+    if pq:
+        parts.append(spark.read.schema(schema).parquet(*pq))
+    if js:
+        parts.append(spark.read.schema(schema).json(js))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def read_committed(
     spark: SparkSession, path: str, schema, as_of: int | None = None
 ) -> DataFrame:
@@ -167,13 +247,10 @@ def read_committed(
     the union of all commits with version <= as_of (append-only
     semantics), so a reader can reproduce yesterday's training set
     after today's append. Driver-side listing is O(#manifests); the
-    data read is a parallel JSON-lines scan of exactly the committed
+    data read is a parallel columnar scan of exactly the committed
     files."""
     committed = [f for f, _ in _committed_files(path, as_of)]
-    if not committed:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, "_staging", name) for name in sorted(committed)]
-    return spark.read.schema(schema).json(paths)
+    return _read_files(spark, path, schema, committed)
 
 
 def _committed_files(
@@ -267,10 +344,7 @@ def read_version_delta(
                 f"snapshot {version}; file-level CDF is append-only"
             )
         files += m["files"]
-    if not files:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, "_staging", name) for name in sorted(files)]
-    return spark.read.schema(schema).json(paths)
+    return _read_files(spark, path, schema, files)
 
 
 def read_pruned(
@@ -288,10 +362,7 @@ def read_pruned(
     scan opens (at 100 TB, the difference between touching 2 files and
     2000)."""
     files, _ = plan_pruned_files(path, col, lo, hi, as_of)
-    if not files:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, "_staging", name) for name in files]
-    return spark.read.schema(schema).json(paths)
+    return _read_files(spark, path, schema, files)
 
 
 def table_schema(path: str, as_of: int | None = None) -> StructType | None:
@@ -433,13 +504,25 @@ def vacuum_snapshots(
 
     Returns counts: orphans_deleted, expired_manifests, expired_files,
     kept_versions. Driver-side O(#manifests + #staging-files) metadata
-    work; no data is read or rewritten."""
+    work; no data is read or rewritten.
+
+    In-flight-commit guard: a version file claimed (O_EXCL) but not yet
+    atomically replaced with its content is the read path's explicit
+    commit-in-flight signal — its freshly-written staging files are not
+    yet referenced by any parseable manifest and would look like
+    orphans. When one is present, orphan GC is SKIPPED for this run
+    (``in_flight_commits`` > 0 in the returned stats) rather than
+    merely documented as a maintenance-window precondition; snapshot
+    expiry still proceeds, since it deletes only files referenced by
+    expired manifests, which an in-flight commit cannot reference."""
     entries: list[tuple[int, str, dict]] = []
+    in_flight = 0
     for version, entry in _list_manifests(path):
         try:
             with open(os.path.join(path, entry)) as f:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
+            in_flight += 1
             continue  # commit in flight — never treat as expirable
         entries.append((version, entry, m))
     rewrites = [v for v, _, m in entries if m.get("kind") == "rewrite"]
@@ -451,9 +534,16 @@ def vacuum_snapshots(
             f"(rewrites: {rewrites}); expiring past an append base "
             "would break the retained versions"
         )
-    stats = {"orphans_deleted": 0, "expired_manifests": 0, "expired_files": 0}
+    stats = {
+        "orphans_deleted": 0,
+        "expired_manifests": 0,
+        "expired_files": 0,
+        "in_flight_commits": in_flight,
+    }
     staging = os.path.join(path, "_staging")
     referenced_any = {f for _, _, m in entries for f in m.get("files", [])}
+    if in_flight:
+        delete_orphans = False  # the guard: never GC under a live commit
     if delete_orphans and os.path.isdir(staging):
         for name in sorted(os.listdir(staging)):
             if name not in referenced_any:

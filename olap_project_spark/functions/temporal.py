@@ -33,11 +33,12 @@ def interval_overlap_pairs(
     ``intervals`` must carry integer (bigint) ``s_col`` <= ``e_col``
     and whatever identity columns the caller needs; the result has
     every column twice under ``a.*`` / ``b.*`` aliases plus ``ov``,
-    the exact overlap width ``min(e)-max(s)``. ``distinct_on`` is the
-    strict-order predicate distinguishing a from b (default: not
-    provided — the caller MUST pass one, e.g. ``col("a.id") <
-    col("b.id")``, or every pair appears twice and self-pairs appear
-    once).
+    the exact overlap width ``min(e)-max(s)``. ``distinct_on`` is
+    REQUIRED: the strict-order predicate distinguishing a from b,
+    e.g. ``col("a.id") < col("b.id")`` — without one every pair would
+    appear twice and self-pairs once, so omitting it raises rather
+    than silently doubling (it stays a keyword with a None default
+    only so the error can name the fix).
 
     Scale: each interval explodes into ``(e-s)/bucket_width + 1``
     bucket rows (choose the bucket near the typical interval length to
@@ -45,6 +46,12 @@ def interval_overlap_pairs(
     (candidates Σ|bucket|², never n²), and the responsibility rule
     ``bucket == greatest(a.sb, b.sb)`` replaces the distinct shuffle a
     naive bucket join needs."""
+    if distinct_on is None:
+        raise ValueError(
+            "interval_overlap_pairs requires distinct_on — a strict-order "
+            "predicate such as F.col('a.id') < F.col('b.id'); without it "
+            "every pair is emitted twice and self-pairs once"
+        )
     # floor-division bucketing in pure integer arithmetic (pmod keeps
     # the bucket function monotone+contiguous for negative times too)
     sb = F.expr(f"({s_col} - pmod({s_col}, {bucket_width})) DIV {bucket_width}")

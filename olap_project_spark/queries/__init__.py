@@ -136,79 +136,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-8 window (swapped in from the pre-staged r8
-# draft after the ts-encoding canaries passed): the 18 round-7
-# additions that have never had a driver CORRECTNESS row — the whole
-# reference OLAP surface over the simulator-generated fact (pos_*), the
-# substring-dedup pair, the drift/hard-negative operators — plus the 32
-# oldest remaining round-3 rows. Rotate the list each round to cycle
+# modules import. Round-9 window (swapped in from the pre-staged r9
+# draft after the ts-encoding canaries passed 3/3): the 38 round-8
+# additions that have never had a driver CORRECTNESS row — the manifest
+# lakehouse suite, the streaming E2E pair, the real-codec legs, CUSUM,
+# and the LLM-curation operators — plus the 6 remaining round-3 rows
+# and 6 round-4 refresh slots. Rotate the list each round to cycle
 # coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-7 additions — first driver CORRECTNESS row this round
-    "ann_candidate_fraction",
-    "repeated_substring_spans",
-    "substring_dedup_savings",
-    "hard_negative_mining",
-    "source_embedding_drift",
-    "pos_stream_user_totals",
-    "pos_merchant_rollup",
-    "pos_fraud_rate_by_city",
-    "pos_rapid_transactions",
-    "pos_top_merchants",
-    "pos_weekend_comparison",
-    "pos_busiest_hours",
-    "pos_top_cities",
-    "pos_large_txn_profile",
-    "pos_fraud_trend",
-    "pos_above_avg_fraud_users",
-    "pos_daily_operations",
-    "lang_fertility_stats",
-    # round-3 refresh slots — 32 (oldest remaining driver rows)
-    "revenue_increase_q6",
-    "priority_order_counts",
-    "local_supplier_volume",
-    "volume_shipping",
-    "national_market_share",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "top_supplier_quarter",
-    "small_qty_revenue_loss",
-    "large_volume_customers",
-    "idle_rich_customers",
-    "q3_shipping_priority",
-    "supplier_nation_profit",
-    "min_cost_supplier",
-    "important_part_values",
-    "part_supplier_diversity",
-    "sole_late_suppliers",
-    "token_stats_by_source",
-    "lang_id_accuracy",
-    "top_tokens_by_doc_freq",
-    "repeated_chunks",
-    "tfidf_top_terms",
-    "weighted_doc_sample",
-    "price_band_distribution",
-    "rolling_week_spend",
-    "rfm_segments",
-    "scd2_customer_price_ranges",
-    "streaming_hourly_stats",
-    "streaming_sliding_stats",
-    "streaming_session_counts",
-    "streaming_click_attribution",
-    "streaming_distinct_user_types",
-)
-
-
-# Round-9 window, pre-staged (swap into GATE_WINDOW at round-9 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 8: new round-8 queries are inserted at
-# the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 38 round-8 additions + the 6 remaining
-# round-3 rows (oldest driver checks after the r8 rotation) + 6
-# round-4 refresh slots.
-GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
-    # round-8 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
+    # round-8 additions — first driver CORRECTNESS row this round
     "hourly_cusum_changepoints",
     "media_aspect_bucket_batches",
     "quality_classifier_calibration",
@@ -254,13 +190,78 @@ GATE_WINDOW_R9_DRAFT: tuple[str, ...] = (
     "streaming_full_outer_attribution",
     "streaming_left_outer_attribution",
     "streaming_update_mode_counts",
-    # round-4 refresh slots — 24
+    # round-4 refresh slots — 6
     "above_avg_spenders",
     "ann_filtered_topk",
     "ann_ivf_recall",
     "ann_ivf_topk",
     "approx_distinct_summary",
     "benchmark_contamination",
+)
+
+
+# Round-10 window, pre-staged (swap into GATE_WINDOW at round-10 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 9: new round-9 queries are inserted at
+# the HEAD and the refresh tail is trimmed to keep the list at exactly
+# 50. Current composition: round-9 additions (inserted as they land)
+# + the oldest remaining round-4 refresh rows + round-5 refresh slots
+# to fill 50.
+GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
+    # round-9 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-4 refresh slots — 44 (oldest remaining driver rows)
+    "pricing_summary",
+    "nation_revenue",
+    "top10_customers",
+    "order_volume_rollup",
+    "lineitem_grouping_sets",
+    "segment_large_order_share",
+    "customer_order_gaps",
+    "running_customer_spend",
+    "top3_parts_per_brand",
+    "customers_with_open_orders",
+    "customers_without_open_orders",
+    "urgent_revenue_window",
+    "priority_shipping_buckets",
+    "customer_order_distribution",
+    "customer_only_nations",
+    "shared_nations",
+    "order_recency_buckets",
+    "price_quantity_stats",
+    "orders_profile",
+    "trading_nations",
+    "segment_balance_ranks",
+    "returnflag_status_cube",
+    "nation_key_multiset_diff",
+    "heavy_hitter_parts",
+    "brand_measure_unpivot",
+    "integrity_audit",
+    "region_nation_list",
+    "nation_population_correlation",
+    "price_quantity_regression",
+    "stratified_customer_sample",
+    "nation_key_multiset_common",
+    "priority_flag_profile",
+    "price_neighborhood_density",
+    "segment_priority_mode",
+    "customer_revenue_gini",
+    "part_price_skyline",
+    "dedup_keep_best",
+    "doc_embedding_join_stats",
+    "kmeans_cluster_profile",
+    "bucketed_order_revenue",
+    "user_bursts",
+    "user_sessions",
+    "last_touch_attribution",
+    "embedding_near_dup_pairs",
+    # round-5 refresh slots — 6
+    "repetition_quality_stats",
+    "boilerplate_coverage_stats",
+    "training_shard_stats",
+    "source_mixture_plan",
+    "token_frequency_quality",
+    "cluster_label_purity",
 )
 
 

@@ -35,6 +35,21 @@ from olap_project_spark.queries import load, register
 DEC = "decimal(18,2)"
 
 
+def _fresh_build_dir(root: str, marker: str) -> None:
+    """Self-heal the fixed per-(pid, sf_dir) build dirs the manifest
+    gate queries stage state under: the done-marker is written only
+    after a FULL build, so a partial build that failed before it — or a
+    stale dir surviving PID reuse across boots — would otherwise
+    re-append into half-built state and silently break the
+    oracle-pinned version/file counts. When the marker is absent,
+    remove whatever is there and build from scratch."""
+    import os
+    import shutil
+
+    if not os.path.exists(marker) and os.path.isdir(root):
+        shutil.rmtree(root)
+
+
 def _dec(col: str):
     return F.col(col).cast(DEC)
 
@@ -2152,6 +2167,7 @@ def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/olap_project_spark_manifest_{os.getpid()}_{tag}"
     path = os.path.join(root, "region_tbl")
     done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
     if not os.path.exists(done):
         for batch in (
             region.filter(F.col("r_regionkey") < 3),
@@ -2618,6 +2634,7 @@ def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/olap_project_spark_vacuum_{os.getpid()}_{tag}"
     path = os.path.join(root, "region_tbl")
     stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
     if not os.path.exists(stats_file):
         for batch in (
             region.filter(F.col("r_regionkey") < 3),
@@ -3044,6 +3061,7 @@ def manifest_schema_evolution_stats(
     root = f"/tmp/olap_project_spark_schevo_{os.getpid()}_{tag}"
     path = os.path.join(root, "region_evo")
     done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
     if not os.path.exists(done):
         (
             region.filter(F.col("r_regionkey") < 3)
@@ -3134,6 +3152,7 @@ def manifest_file_skipping_stats(
     root = f"/tmp/olap_project_spark_skipping_{os.getpid()}_{tag}"
     path = os.path.join(root, "orders_zm")
     done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
     if not os.path.exists(done):
         (
             orders.repartitionByRange(8, "o_orderkey")
@@ -3235,6 +3254,7 @@ def manifest_snapshot_diff_stats(
     root = f"/tmp/olap_project_spark_cdf_{os.getpid()}_{tag}"
     path = os.path.join(root, "region_cdf")
     done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
     if not os.path.exists(done):
         for batch in (
             region.filter(F.col("r_regionkey") < 3),
@@ -3310,6 +3330,7 @@ def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/olap_project_spark_hist_{os.getpid()}_{tag}"
     path = os.path.join(root, "region_hist")
     done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
     if not os.path.exists(done):
         for batch in (
             region.filter(F.col("r_regionkey") < 3),

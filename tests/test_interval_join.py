@@ -77,3 +77,14 @@ def test_bucketed_join_handles_negative_times(spark, rows):
         .collect()
     }
     assert got == brute_force(rows)
+
+
+def test_missing_distinct_on_raises(spark):
+    """Omitting the strict-order predicate would silently emit every
+    pair twice plus self-pairs — it is a required argument and must
+    fail loudly, not a documented hazard."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, 10)], "id bigint, s bigint, e bigint")
+    with pytest.raises(ValueError, match="distinct_on"):
+        interval_overlap_pairs(df, 60)

@@ -468,3 +468,120 @@ class TestVersionDelta:
             read_version_delta(registered, path, SCHEMA, 1, 3)
         # a delta range before the rewrite still works
         assert read_version_delta(registered, path, SCHEMA, 0, 2).count() == 2
+
+
+class TestColumnarDataPlane:
+    """Round 9: the staging files under the manifest table are parquet
+    (columnar data plane). The commit/skip/CDF/evolution contracts are
+    format-agnostic and stay pinned by the classes above; these pin the
+    columnar properties — file format, column pruning in the physical
+    plan, predicate pushdown into the scan, and the JSONL migration
+    path."""
+
+    def test_staging_files_are_parquet(self, registered, tmp_path):
+        path = str(tmp_path / "colwh")
+        _write(registered, path, [(i, f"v{i}") for i in range(20)])
+        staging = os.listdir(os.path.join(path, "_staging"))
+        assert staging and all(n.endswith(".parquet") for n in staging)
+
+    def test_committed_scan_prunes_columns_and_pushes_filters(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "colwh2")
+        _write(registered, path, [(i, f"v{i}") for i in range(50)])
+        scan = read_committed(registered, path, SCHEMA).select("k").filter(
+            "k = 7"
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        # column pruning: the parquet scan reads ONLY k, not v
+        assert "ReadSchema: struct<k:bigint>" in plan, plan
+        # predicate pushdown: the filter reaches the scan
+        assert "EqualTo(k,7)" in plan, plan
+        assert scan.count() == 1
+
+    def test_legacy_jsonl_files_remain_readable(self, registered, tmp_path):
+        """Pre-columnar tables (JSONL staging files) still read, and a
+        compaction migrates them to parquet — the format-migration
+        story."""
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+        )
+
+        path = str(tmp_path / "legacy")
+        # new-format commit first
+        _write(registered, path, [(1, "new")])
+        # hand-write a legacy JSONL commit (what the pre-round-9 writer
+        # produced): a staging .jsonl file + a manifest referencing it
+        staging = os.path.join(path, "_staging")
+        with open(os.path.join(staging, "part-legacy0.jsonl"), "w") as f:
+            f.write(json.dumps({"k": 2, "v": "old"}) + "\n")
+        with open(os.path.join(path, "_manifest-000002.json"), "w") as f:
+            json.dump(
+                {
+                    "kind": "append",
+                    "files": ["part-legacy0.jsonl"],
+                    "n_rows": 1,
+                    "version": 2,
+                },
+                f,
+            )
+        back = read_committed(registered, path, SCHEMA)
+        assert sorted((r.k, r.v) for r in back.collect()) == [
+            (1, "new"),
+            (2, "old"),
+        ]
+        # compaction rewrites the mixed table into pure parquet
+        compact_snapshots(registered, path, SCHEMA)
+        from olap_project_spark.export.manifest_sink import _committed_files
+
+        assert all(
+            n.endswith(".parquet") for n, _ in _committed_files(path)
+        )
+        assert read_committed(registered, path, SCHEMA).count() == 2
+
+
+class TestVacuumInFlightGuard:
+    def test_orphan_gc_skipped_under_in_flight_commit(
+        self, registered, tmp_path
+    ):
+        """A version file claimed via O_EXCL but not yet replaced with
+        content is a commit in flight: its freshly-written staging
+        files are unreferenced by any parseable manifest and must NOT
+        be GC'd as orphans. The guard disables orphan deletion for the
+        run (and reports it), instead of relying on the documented
+        maintenance-window precondition."""
+        from olap_project_spark.export.manifest_sink import (
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "vwh")
+        _write(registered, path, [(1, "a")])
+        staging = os.path.join(path, "_staging")
+        # the in-flight commit: claimed (empty) version file + its
+        # freshly-written staging data
+        open(os.path.join(path, "_manifest-000002.json"), "w").close()
+        live = os.path.join(staging, "part-inflight.parquet")
+        with open(live, "wb") as f:
+            f.write(b"PAR1")
+        # plus a genuine orphan that WOULD be deleted in a clean run
+        with open(os.path.join(staging, "part-orphan.jsonl"), "w") as f:
+            f.write("{}\n")
+        stats = vacuum_snapshots(path)
+        assert stats["in_flight_commits"] == 1
+        assert stats["orphans_deleted"] == 0
+        assert os.path.exists(live)  # the live commit's data survived
+        # once the commit completes (file now parseable), GC resumes
+        with open(os.path.join(path, "_manifest-000002.json"), "w") as f:
+            json.dump(
+                {
+                    "kind": "append",
+                    "files": ["part-inflight.parquet"],
+                    "n_rows": 0,
+                    "version": 2,
+                },
+                f,
+            )
+        stats2 = vacuum_snapshots(path)
+        assert stats2["in_flight_commits"] == 0
+        assert stats2["orphans_deleted"] == 1
+        assert os.path.exists(live)
