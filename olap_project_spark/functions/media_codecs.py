@@ -10,9 +10,10 @@ decode are implementable — and verifiable — from the published file
 layouts alone. Compressed formats (JPEG/MP3/H.264) remain behind the
 deterministic fake in ``functions.multimodal.decode_bytes``.
 
-Parsing is numpy-vectorized over the sample array (an Arrow batch's
-payload decodes as one ``frombuffer`` + slice, no per-pixel Python) —
-the same shape a real cluster decode leg needs at 100 TB.
+Both directions are numpy-vectorized over the sample/pixel array (an
+Arrow batch's payload decodes as one ``frombuffer`` + slice and encodes
+as one broadcast + ``tobytes`` — no per-pixel Python anywhere in the
+module), the same shape a real cluster media leg needs at 100 TB.
 """
 
 from __future__ import annotations
@@ -31,9 +32,12 @@ def bmp_row_stride(width: int) -> int:
 
 
 def make_bmp(width: int, height: int, pixel) -> bytes:
-    """Encode a grayscale image as 24-bpp BI_RGB BMP. ``pixel(x, y)``
-    gives the gray value of image-coordinate (x, y) with y=0 the TOP
-    row; BMP stores rows bottom-up, which the encoder handles."""
+    """Encode a grayscale image as 24-bpp BI_RGB BMP. ``pixel`` is
+    either a ``(height, width)`` array-like of gray values with y=0
+    the TOP row, or a callable ``pixel(x, y)`` evaluated ONCE on
+    broadcast integer coordinate grids — like the decoder, the encoder
+    is numpy-vectorized end to end (no per-pixel Python). BMP stores
+    rows bottom-up, which the encoder handles."""
     stride = bmp_row_stride(width)
     img_size = stride * height
     offset = 14 + 40
@@ -41,15 +45,18 @@ def make_bmp(width: int, height: int, pixel) -> bytes:
     info = struct.pack(
         _BMP_INFO_HEADER, 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for x in range(width):
-            v = pixel(x, y) & 0xFF
-            row += bytes((v, v, v))  # B, G, R
-        row += b"\x00" * (stride - len(row))
-        rows.append(bytes(row))
-    return header + info + b"".join(rows)
+    if callable(pixel):
+        ys, xs = np.mgrid[0:height, 0:width]
+        vals = np.asarray(pixel(xs, ys))
+    else:
+        vals = np.asarray(pixel)
+    vals = (
+        np.broadcast_to(vals, (height, width)).astype(np.int64) & 0xFF
+    ).astype(np.uint8)
+    body = np.zeros((height, stride), dtype=np.uint8)  # zeros = row padding
+    for ch in range(3):  # gray: B == G == R
+        body[:, ch : 3 * width : 3] = vals
+    return header + info + body[::-1].tobytes()  # bottom-up storage order
 
 
 def parse_bmp(data: bytes) -> tuple[int, int, int, int]:
@@ -73,9 +80,14 @@ def parse_bmp(data: bytes) -> tuple[int, int, int, int]:
     return width, height, bpp, int(pixels.astype(np.int64).sum())
 
 
-def make_wav(sample_rate: int, samples: list[int]) -> bytes:
-    """Encode 16-bit mono PCM as a RIFF/WAVE byte stream."""
-    pcm = struct.pack("<%dh" % len(samples), *samples)
+def make_wav(sample_rate: int, samples) -> bytes:
+    """Encode 16-bit mono PCM as a RIFF/WAVE byte stream. ``samples``
+    is any int array-like; values must fit int16 (checked explicitly —
+    numpy would otherwise wrap silently where ``struct`` raised)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -(2**15) or arr.max() >= 2**15):
+        raise ValueError("sample out of int16 range")
+    pcm = arr.astype("<i2").tobytes()
     fmt_body = struct.pack(
         "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
     )  # PCM, mono, rate, byte rate, block align, bits
@@ -160,10 +172,12 @@ def codec_demo_encode(batches):
             i = int(i)
             if kind == "bmp":
                 w, h = bmp_dims(i)
+                # the fixture laws are affine mod-arithmetic, so they
+                # broadcast over the encoder's coordinate grids as-is
                 payloads.append(make_bmp(w, h, lambda x, y, i=i: bmp_pixel_law(i, x, y)))
             else:
                 rate, n = wav_dims(i)
-                payloads.append(make_wav(rate, [wav_sample_law(i, t) for t in range(n)]))
+                payloads.append(make_wav(rate, wav_sample_law(i, np.arange(n))))
         yield pd.DataFrame({"item_id": pdf["item_id"], "media_bytes": payloads})
 
 
@@ -281,8 +295,7 @@ def wav_decimate_roundtrip(batches):
             if sniff_media(data) != "wav":
                 continue
             rate, samples = parse_wav_samples(data)
-            dec = samples[::2]
-            rebytes = make_wav(rate // 2, [int(s) for s in dec])
+            rebytes = make_wav(rate // 2, samples[::2])
             rate2, n2, ssum2, sumsq2 = parse_wav(rebytes)
             rows.append((int(i), rate2, n2, ssum2, sumsq2))
         yield pd.DataFrame(

@@ -520,13 +520,21 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one running (count, sum) pair per user key — the minimal stateful
     aggregate, partitioned on the grouping key.
 
-    Runs on the CALLER's session under its session-scoped source
-    registration (see ``_ensure_pos_source``); the state-partition
-    sizing is a scoped conf set/restore instead of a child session."""
+    Runs on a CHILD session (``newSession()``: shared SparkContext,
+    own SQLConf + catalog) so the state-partition sizing below never
+    mutates the caller's ``spark.sql.shuffle.partitions`` — the same
+    isolation the manifest sink uses for its active-session pitfall.
+    The POS source registers under the child's own session-scoped
+    name (see ``_ensure_pos_source``); the memory-sink table lands in
+    the child's catalog, which is where the result is read from."""
     import uuid
 
+    child = spark.newSession()
+    # streaming state is one store per shuffle partition: size to the
+    # 10-user keyspace for the run — on the child's conf only
+    child.conf.set("spark.sql.shuffle.partitions", "4")
     stream = (
-        spark.readStream.format(_ensure_pos_source(spark))
+        child.readStream.format(_ensure_pos_source(child))
         .option("rows", POS_ROWS)
         .option("seed", POS_SEED)
         .option("rows_per_batch", 200)
@@ -541,26 +549,19 @@ def pos_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_cents"),
     )
     name = f"pos_stream_totals_{uuid.uuid4().hex[:8]}"
-    # streaming state is one store per shuffle partition: size to the
-    # 10-user keyspace for the run, restore the caller's conf after
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        # Python stream sources fall back to single-batch under
-        # availableNow; a bounded feed + processAllAvailable drains the
-        # same rows in real micro-batches instead.
-        q.processAllAvailable()
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.table(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # Python stream sources fall back to single-batch under
+    # availableNow; a bounded feed + processAllAvailable drains the
+    # same rows in real micro-batches instead.
+    q.processAllAvailable()
+    q.stop()
+    return child.table(name)
 
 
 # The daily-rates dimension for pos_daily_rates_vnd: five of the six

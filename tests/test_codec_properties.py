@@ -90,3 +90,51 @@ def test_wav_decimate_roundtrip_exact(rate, samples):
         sum(kept),
         sum(s * s for s in kept),
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=25),
+    h=st.integers(min_value=1, max_value=20),
+    a=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=0, max_value=17),
+    c=st.integers(min_value=0, max_value=23),
+)
+def test_vectorized_bmp_encode_is_byte_identical(w, h, a, b, c):
+    """The numpy-vectorized encoder must produce EXACTLY the bytes of
+    the straightforward per-pixel reference construction (header,
+    bottom-up row order, BGR triplication, zero row padding)."""
+    import struct
+
+    pixel = lambda x, y: (a + b * x + c * y) % 256  # noqa: E731
+    stride = bmp_row_stride(w)
+    offset = 54
+    ref = bytearray(
+        struct.pack("<2sIHHI", b"BM", offset + stride * h, 0, 0, offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+    )
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            v = pixel(x, y) & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        ref += row
+    assert make_bmp(w, h, pixel) == bytes(ref)
+
+
+def test_vectorized_bmp_encode_accepts_array():
+    import numpy as np
+
+    arr = np.arange(12, dtype=np.int64).reshape(3, 4)  # (h=3, w=4)
+    data = make_bmp(4, 3, arr)
+    assert parse_bmp(data) == (4, 3, 24, int(arr.sum()))
+
+
+def test_make_wav_rejects_out_of_range_samples():
+    import pytest
+
+    with pytest.raises(ValueError, match="int16"):
+        make_wav(8000, [0, 40_000])

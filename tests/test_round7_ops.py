@@ -197,3 +197,13 @@ class TestPosFactGate:
         assert (
             (df.fraud_rate - df.n_fraud / df.n_txns).abs() < 1e-6
         ).all()
+
+
+def test_stream_user_totals_leaves_caller_conf_untouched(spark, sf_dir):
+    """The state-partition sizing runs on a child session
+    (newSession); the caller's spark.sql.shuffle.partitions must never
+    change, even transiently-restored — it is simply not written."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = run(spark, sf_dir, "pos_stream_user_totals")
+    assert len(df) == 10
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
