@@ -206,10 +206,11 @@ GATE_WINDOW: tuple[str, ...] = (
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
 # 50. Current composition: round-9 additions (inserted as they land)
 # + the oldest remaining round-4 refresh rows + round-5 refresh slots
-# to fill 50.
+# to fill 50 (tail trimmed as round-9 queries land).
 GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     # round-9 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "manifest_lifecycle_stats",
     # round-4 refresh slots — 44 (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -255,13 +256,12 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 6
+    # round-5 refresh slots — 5
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
     "training_shard_stats",
     "source_mixture_plan",
     "token_frequency_quality",
-    "cluster_label_purity",
 )
 
 

@@ -993,3 +993,151 @@ def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_lifecycle_stats",
+    oracle=lambda: f"""
+    WITH {_raw_cte()}
+    SELECT CAST(4 AS BIGINT) AS versions_ingested,
+           CAST(4 AS BIGINT) AS files_before,
+           CAST(5 AS BIGINT) AS versions_after_compact,
+           CAST(200 AS BIGINT) AS rows_at_v1_precompact,
+           CAST(1 AS INTEGER) AS state_identical_after_compact,
+           CAST(1 AS BIGINT) AS orphans_deleted,
+           CAST(4 AS BIGINT) AS expired_manifests,
+           CAST(4 AS BIGINT) AS expired_files,
+           CAST(1 AS BIGINT) AS versions_after_vacuum,
+           CAST(0 AS BIGINT) AS rows_at_v1_postvacuum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_txns,
+           (SELECT CAST(SUM(CAST(replace(replace(amount, '$', ''), '.', '')
+                                 AS BIGINT)) AS BIGINT) FROM raw)
+             AS total_cents
+    """,
+)
+def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL lakehouse maintenance lifecycle over a STREAMED table,
+    in one run: micro-batched ingest through the manifest-commit sink
+    (4 batches → 4 snapshot versions, one coalesced parquet file each)
+    → small-file compaction (one rewrite snapshot; pre-compaction
+    versions still time-travelable) → VACUUM (orphan GC + snapshot
+    expiry to the rewrite base) → re-reads proving version retention.
+    The reference's daily DAG compacted nothing and could not expire
+    anything (no snapshot log at all); this is the maintenance loop a
+    100-TB streamed table cannot operate without.
+
+    Every transition is verified by a value in the row, not a side
+    assertion: the per-user state before and after compaction is
+    diffed distributedly (``exceptAll`` both ways — byte-identical
+    table state, emitted as ``state_identical_after_compact``);
+    ``rows_at_v1_precompact`` proves time travel still works across
+    the compaction; the vacuum counters prove exactly the 4 pre-rewrite
+    manifests and their 4 data files (plus 1 planted orphan) were
+    collected; ``rows_at_v1_postvacuum`` proves expiry SHORTENED time
+    travel (v1 reads empty); and (n_txns, total_cents) re-aggregate
+    the surviving committed state — if compaction or vacuum lost or
+    doubled a single row, the exact-cents total flips and the oracle
+    hash catches it."""
+    import os
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    sink_fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_lifecycle_")
+    table = f"{root}/user_events"
+    ckpt = f"{root}/ckpt"
+    schema = "`User` string, cents bigint"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.select(
+            F.col("User"),
+            F.regexp_replace(F.col("Amount"), r"[$.]", "")
+            .cast("bigint")
+            .alias("cents"),
+        )
+        # one file per micro-batch commit → deterministic file counts;
+        # at real scale you keep the natural task parallelism and the
+        # counts scale with it (commit cost is O(tasks) either way)
+        out.coalesce(1).write.format(sink_fmt).option("path", table).mode(
+            "append"
+        ).save()
+
+    try:
+        stream = (
+            spark.readStream.format(_ensure_pos_source(spark))
+            .option("rows", POS_ROWS)
+            .option("seed", POS_SEED)
+            .option("rows_per_batch", 200)  # 4 micro-batches
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        versions_ingested = len(table_versions(table))
+        staging = os.path.join(table, "_staging")
+        files_before = len(os.listdir(staging))
+        state_before = read_committed(spark, table, schema)
+        rows_at_v1_pre = read_committed(spark, table, schema, as_of=1).count()
+
+        # plant the residue of a failed attempt whose abort never ran —
+        # vacuum's orphan GC must collect exactly this one file
+        with open(os.path.join(staging, "part-orphan.parquet"), "wb") as f:
+            f.write(b"PAR1")
+
+        compact_snapshots(spark, table, schema)
+        versions_after_compact = len(table_versions(table))
+        state_after = read_committed(spark, table, schema)
+        # byte-identical table state across the compaction, verified
+        # distributedly (no driver-side row materialization)
+        state_identical = int(
+            state_before.exceptAll(state_after).isEmpty()
+            and state_after.exceptAll(state_before).isEmpty()
+        )
+
+        v = vacuum_snapshots(table)  # default keep_from = the rewrite
+        rows_at_v1_post = read_committed(spark, table, schema, as_of=1).count()
+        final = read_committed(spark, table, schema)
+        totals = final.agg(
+            F.count("*").cast("bigint").alias("n_txns"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    versions_ingested,
+                    files_before,
+                    versions_after_compact,
+                    rows_at_v1_pre,
+                    state_identical,
+                    v["orphans_deleted"],
+                    v["expired_manifests"],
+                    v["expired_files"],
+                    len(v["kept_versions"]),
+                    rows_at_v1_post,
+                    totals["n_txns"],
+                    totals["total_cents"],
+                )
+            ],
+            "versions_ingested bigint, files_before bigint, "
+            "versions_after_compact bigint, rows_at_v1_precompact bigint, "
+            "state_identical_after_compact int, orphans_deleted bigint, "
+            "expired_manifests bigint, expired_files bigint, "
+            "versions_after_vacuum bigint, rows_at_v1_postvacuum bigint, "
+            "n_txns bigint, total_cents bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -217,6 +217,8 @@ class TestDriverContract:
             "manifest_table_history",           # DESCRIBE HISTORY view
             "packing_efficiency_curve",         # context-length ablation
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
+            # round-9 additions (r10 draft head):
+            "manifest_lifecycle_stats",    # ingest->compact->vacuum loop
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -83,6 +83,7 @@ EXECUTING = {
     "pos_stream_manifest_ingest",  # streams through the manifest sink twice
     "manifest_vacuum_stats",  # builds, compacts, and vacuums the table once
     "pos_stream_merge_upsert",  # streaming foreachBatch MERGE into the sink
+    "manifest_lifecycle_stats",  # ingest -> compact -> vacuum lifecycle
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
