@@ -132,6 +132,123 @@ def main() -> None:
         f"{pos_times[20_000]:.2f} s | {pos_times[200_000]:.2f} s | {r:.2f}× |"
     )
 
+    lakehouse_ablation(spark, base)
+
+
+def lakehouse_ablation(spark, base: str) -> None:
+    """Scale-ablate the manifest lakehouse along its three cost axes:
+
+    1. ingest wall-clock vs DATA VOLUME (orders at sf0.001/0.01/0.1
+       through the exactly-once writer, fixed 16 tasks) — the data
+       plane;
+    2. commit cost vs #TASKS (fixed data, 4/16/64 writer tasks) — the
+       manifest holds one entry per task, so commit is O(tasks);
+    3. read-PLANNING cost vs #MANIFESTS (4/40/400 commits; driver-side
+       file-list resolution only) and zone-map SKIP RATE vs predicate
+       selectivity (files touched out of total for 1% / 10% / 100%
+       key ranges over a range-partitioned table).
+    """
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        _committed_files,
+        ensure_manifest_sink,
+        plan_pruned_files,
+    )
+    from olap_project_spark.queries import load
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="lakehouse_ablation_")
+
+    def timed_write(df, path: str) -> float:
+        t0 = time.perf_counter()
+        df.write.format(fmt).option("path", path).mode("append").save()
+        return time.perf_counter() - t0
+
+    try:
+        # warm the writer path (JVM + Python-worker startup) so the
+        # smallest SF isn't charged the cold-start cost
+        timed_write(
+            load(spark, f"{base}/sf0.001", "region"), f"{root}/warmup"
+        )
+        # 1 — ingest vs data volume
+        ing = {}
+        for sf in SFS:
+            orders = load(spark, f"{base}/{sf}", "orders").repartition(16)
+            ing[sf] = timed_write(orders, f"{root}/ingest_{sf}")
+        print()
+        print("| lakehouse ingest (orders, 16 tasks) | sf0.001 | sf0.01 | sf0.1 | sf0.1 ÷ sf0.01 (data ×10) |")
+        print("|---|---|---|---|---|")
+        print(
+            f"| exactly-once append | {ing['sf0.001']:.2f} s | "
+            f"{ing['sf0.01']:.2f} s | {ing['sf0.1']:.2f} s | "
+            f"{ing['sf0.1'] / ing['sf0.01']:.2f}× |"
+        )
+
+        # 2 — commit cost vs task count (fixed sf0.01 data)
+        orders = load(spark, f"{base}/sf0.01", "orders")
+        by_tasks = {
+            n: timed_write(orders.repartition(n), f"{root}/tasks_{n}")
+            for n in (4, 16, 64)
+        }
+        print()
+        print("| lakehouse commit vs #tasks (orders sf0.01) | 4 tasks | 16 tasks | 64 tasks | 64 ÷ 4 (tasks ×16) |")
+        print("|---|---|---|---|---|")
+        print(
+            f"| write+commit | {by_tasks[4]:.2f} s | {by_tasks[16]:.2f} s "
+            f"| {by_tasks[64]:.2f} s | {by_tasks[64] / by_tasks[4]:.2f}× |"
+        )
+
+        # 3a — read-planning cost vs #manifests (driver metadata only)
+        region = load(spark, f"{base}/sf0.001", "region").coalesce(1)
+        plan_ms = {}
+        path = f"{root}/many_commits"
+        written = 0
+        for n in (4, 40, 400):
+            for _ in range(n - written):
+                region.write.format(fmt).option("path", path).mode(
+                    "append"
+                ).save()
+            written = n
+            t0 = time.perf_counter()
+            files = _committed_files(path)
+            plan_ms[n] = (time.perf_counter() - t0) * 1000
+            assert len(files) == n
+        print()
+        # planning is LINEAR in #manifests by construction (one open +
+        # parse each); the scalable lever is compaction, which folds
+        # the log back to one rewrite manifest — so report the
+        # per-manifest unit cost rather than a ratio a sub-ms n=40
+        # sample would distort
+        print("| lakehouse read planning | 4 manifests | 40 manifests | 400 manifests | µs/manifest at 400 |")
+        print("|---|---|---|---|---|")
+        print(
+            f"| driver file-list resolution | {plan_ms[4]:.1f} ms | "
+            f"{plan_ms[40]:.1f} ms | {plan_ms[400]:.1f} ms | "
+            f"{plan_ms[400] * 1000 / 400:.0f} µs |"
+        )
+
+        # 3b — zone-map skip rate vs selectivity
+        zpath = f"{root}/zonemap"
+        lo = orders.agg({"o_orderkey": "min"}).collect()[0][0]
+        hi = orders.agg({"o_orderkey": "max"}).collect()[0][0]
+        orders.repartitionByRange(32, "o_orderkey").write.format(fmt).option(
+            "path", zpath
+        ).mode("append").save()
+        print()
+        print("| zone-map skip rate (32 range files) | 1% range | 10% range | 100% range |")
+        print("|---|---|---|---|")
+        cells = []
+        for frac in (0.01, 0.10, 1.00):
+            keep, total = plan_pruned_files(
+                zpath, "o_orderkey", lo, lo + int((hi - lo) * frac)
+            )
+            cells.append(f"{len(keep)}/{total} files")
+        print("| files touched | " + " | ".join(cells) + " |")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
