@@ -211,6 +211,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     # round-9 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "manifest_lifecycle_stats",
+    "binned_quantile_refinement",
+    "bpe_merge_pair_counts",
     # round-4 refresh slots — 44 (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -256,12 +258,10 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 5
+    # round-5 refresh slots — 3
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
     "training_shard_stats",
-    "source_mixture_plan",
-    "token_frequency_quality",
 )
 
 

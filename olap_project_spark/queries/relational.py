@@ -3354,3 +3354,185 @@ def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version int, kind string, n_rows bigint, has_schema int",
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-guided exact order statistics (binned quantile refinement)
+# --------------------------------------------------------------------------
+_QBINS = 512  # histogram resolution of the first pass
+
+
+@register(
+    "binned_quantile_refinement",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    p AS (
+      SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ((MAX(cents) - MIN(cents)) // {_QBINS}) + 1 AS w
+      FROM o
+    ),
+    b AS (
+      SELECT (o.cents - p.mn) // p.w AS bin, COUNT(*) AS cnt
+      FROM o, p GROUP BY 1
+    ),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+    qs(q) AS (VALUES (50), (90), (99)),
+    r AS (
+      SELECT q, (q * p.n + 99) // 100 AS rnk, p.mn, p.w, p.n
+      FROM qs, p
+    ),
+    crossing AS (
+      SELECT r.q, r.rnk, r.mn, r.w, r.n, MIN(c.bin) AS bin
+      FROM r JOIN c ON c.cum >= r.rnk
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM o
+    )
+    SELECT cr.q AS q_pct,
+           cr.n AS n_rows,
+           CAST(cr.mn + (cr.bin + 1) * cr.w - 1 AS BIGINT) AS est_cents,
+           CAST(x.cents AS BIGINT) AS exact_cents,
+           CAST(cr.mn + (cr.bin + 1) * cr.w - 1 - x.cents AS BIGINT)
+             AS err_cents,
+           CAST(cr.w AS BIGINT) AS bin_width_cents,
+           CAST(cr.mn + (cr.bin + 1) * cr.w - 1 - x.cents < cr.w
+                AS INTEGER) AS within_bound
+    FROM crossing cr JOIN ranked x ON x.rn = cr.rnk
+    ORDER BY cr.q
+    """,
+)
+def binned_quantile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-GUIDED exact order statistics — the two-phase pattern a
+    100-TB engine uses when 'approximately p99' isn't enough: a one-pass
+    {_QBINS}-bin histogram (mergeable, map-side combined, {_QBINS} rows
+    shuffled regardless of data size) locates the bin whose cumulative
+    count crosses each requested rank, bounding the answer to the bin's
+    edges; a SECOND, selective pass then sorts ONLY the crossing bin's
+    rows (a predicate-pushed scan touching ~1/{_QBINS} of the data)
+    and picks the in-bin rank — the exact value, never a full global
+    sort. Contrast with approx_quantile_contract (sketch + published
+    error bound, one pass): here the refinement pass converts the bound
+    into exactness for a bounded extra cost.
+
+    The emitted row carries both phases: the bin-edge estimate, the
+    exact refined value, their gap (always < bin width — hash-pinned by
+    ``within_bound``), per requested percentile (p50/p90/p99 of the
+    order-value distribution in integer cents).
+
+    No driver-side scalars: min/max/count travel as a broadcast 1-row
+    plan (the same bounded-broadcast shape as the scaling-knob
+    queries), and the in-bin selection is a window PARTITIONED by
+    percentile — each partition holds one bin's rows, so no single-task
+    global sort exists anywhere in the plan."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    p = o.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        "mn",
+        "mx",
+        "n",
+        (F.expr(f"(mx - mn) DIV {_QBINS}") + F.lit(1))
+        .cast("bigint")
+        .alias("w"),
+    )
+    binned = o.join(F.broadcast(p)).select(
+        "cents",
+        F.expr("(cents - mn) DIV w").cast("bigint").alias("bin"),
+        "mn",
+        "w",
+        "n",
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    )
+    r = qs.join(F.broadcast(p)).select(
+        "q",
+        F.expr("(q * n + 99) DIV 100").cast("bigint").alias("rnk"),
+        "mn",
+        "w",
+        "n",
+    )
+    crossing = (
+        F.broadcast(r)
+        .join(cum, F.col("cum") >= F.col("rnk"))
+        .groupBy("q", "rnk", "mn", "w", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    # cum_before = cumulative count strictly below the crossing bin —
+    # the in-bin offset of the requested rank
+    with_prev = crossing.join(
+        cum.withColumnRenamed("bin", "pbin"),
+        F.col("pbin") == F.col("bin") - 1,
+        "left",
+    ).select(
+        "q",
+        "rnk",
+        "mn",
+        "w",
+        "n",
+        "bin",
+        F.coalesce(F.col("cum"), F.lit(0)).alias("cum_before"),
+    )
+    # refinement pass: only the crossing bins' rows are sorted, each in
+    # its own q-partition (bin sizes ~ n/_QBINS — bounded partitions)
+    in_bin = binned.join(
+        F.broadcast(with_prev.select("q", "rnk", "bin", "cum_before")),
+        on="bin",
+    )
+    exact = (
+        in_bin.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("cents")
+            ),
+        )
+        .filter(F.col("rn") == F.col("rnk") - F.col("cum_before"))
+        .select("q", F.col("cents").alias("exact_cents"))
+    )
+    return (
+        with_prev.join(exact, on="q")
+        .select(
+            F.col("q").cast("int").alias("q_pct"),
+            F.col("n").alias("n_rows"),
+            (F.col("mn") + (F.col("bin") + 1) * F.col("w") - 1)
+            .cast("bigint")
+            .alias("est_cents"),
+            F.col("exact_cents").cast("bigint"),
+            (
+                F.col("mn")
+                + (F.col("bin") + 1) * F.col("w")
+                - 1
+                - F.col("exact_cents")
+            )
+            .cast("bigint")
+            .alias("err_cents"),
+            F.col("w").cast("bigint").alias("bin_width_cents"),
+            (
+                F.col("mn")
+                + (F.col("bin") + 1) * F.col("w")
+                - 1
+                - F.col("exact_cents")
+                < F.col("w")
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("q_pct")
+    )

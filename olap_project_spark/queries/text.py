@@ -2201,3 +2201,173 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_split_docs",
         "split_frac",
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (first merge rounds)
+# --------------------------------------------------------------------------
+_BPE_TOPK = 5
+
+
+def _bpe_oracle() -> str:
+    return f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents) t
+      WHERE w <> '' GROUP BY w
+    ),
+    r1 AS (
+      SELECT substr(w, i, 1) AS lhs,
+             substr(w, i + 1, 1) AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT w, freq,
+                   CAST(unnest(range(1, length(w))) AS INTEGER) AS i
+            FROM words) t
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT lhs, rhs FROM r1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    merged AS (
+      SELECT regexp_replace(
+               regexp_replace(w, '(.)', '·\\1', 'g'),
+               '·' || (SELECT lhs FROM top1)
+                 || '·' || (SELECT rhs FROM top1),
+               '·' || (SELECT lhs FROM top1) || (SELECT rhs FROM top1),
+               'g') AS rep,
+             freq
+      FROM words
+    ),
+    syms AS (
+      SELECT list_filter(string_split(rep, '·'), x -> x <> '') AS ss,
+             freq
+      FROM merged
+    ),
+    r2 AS (
+      SELECT ss[i] AS lhs,
+             ss[i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT ss, freq,
+                   CAST(unnest(range(1, len(ss))) AS INTEGER) AS i
+            FROM syms) t
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT 1 AS round, lhs, rhs, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rnk
+      FROM r1
+      UNION ALL
+      SELECT 2 AS round, lhs, rhs, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rnk
+      FROM r2
+    )
+    SELECT CAST(round AS INTEGER) AS round,
+           CAST(rnk AS INTEGER) AS rnk,
+           lhs, rhs,
+           cnt AS pair_count
+    FROM ranked WHERE rnk <= {_BPE_TOPK}
+    ORDER BY round, rnk
+    """
+
+
+@register("bpe_merge_pair_counts", oracle=_bpe_oracle)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, first two merge rounds, exactly as
+    Sennrich et al.'s algorithm runs them: count adjacent symbol pairs
+    weighted by corpus word frequency, pick the most frequent pair
+    (ties lexicographic), apply the merge with left-to-right
+    non-overlapping replacement, and recount. The result carries the
+    top-{_BPE_TOPK} pair table of each round — the start of the merge
+    ledger a tokenizer-training pipeline materializes.
+
+    The merge is applied with a boundary-marker representation
+    ('·a·b·c': a marker BEFORE each symbol) so one global regex replace
+    is exactly the non-overlapping left-to-right merge — no lookarounds
+    (RE2-safe) and no shared-separator miss on consecutive pairs
+    ('·a·b·a·b' → '·ab·ab' in one pass).
+
+    Scale: pair counting shuffles (symbol, symbol, count) rows —
+    bounded by the symbol-vocabulary square, not the corpus; the merge
+    itself is a map over the DISTINCT-WORD table (vocabulary-sized,
+    Zipf-bounded), never the raw text. Per-round cost is one
+    vocab-sized map + one tiny shuffle; real trainers run thousands of
+    rounds of exactly this shape, keeping the word table cached."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs1 = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS lhs, "
+                    "substring(w, i + 1, 1) AS rhs))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    top1 = pairs1.orderBy(
+        F.desc("cnt"), F.asc("lhs"), F.asc("rhs")
+    ).limit(1)
+    merged = words.join(F.broadcast(top1)).select(
+        F.expr(
+            "regexp_replace("
+            "  regexp_replace(w, '(.)', '·$1'),"
+            "  concat('·', lhs, '·', rhs),"
+            "  concat('·', lhs, rhs))"
+        ).alias("rep"),
+        "freq",
+    )
+    pairs2 = (
+        merged.select(
+            "freq",
+            F.expr(
+                "filter(split(rep, '·'), x -> x != '')"
+            ).alias("ss"),
+        )
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ss) >= 2 THEN transform("
+                    "sequence(0, size(ss) - 2), "
+                    "i -> struct(ss[i] AS lhs, ss[i + 1] AS rhs)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+    def topk(df: DataFrame, rnd: int) -> DataFrame:
+        # TakeOrderedAndProject picks the k rows; the rank window then
+        # runs over ONLY those k rows (bounded), mirroring the
+        # hybrid_rrf_retrieval pattern
+        lim = df.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs")).limit(
+            _BPE_TOPK
+        )
+        return lim.select(
+            F.lit(rnd).cast("int").alias("round"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs")))
+            .cast("int")
+            .alias("rnk"),
+            "lhs",
+            "rhs",
+            F.col("cnt").alias("pair_count"),
+        )
+
+    return (
+        topk(pairs1, 1)
+        .unionByName(topk(pairs2, 2))
+        .orderBy("round", "rnk")
+    )

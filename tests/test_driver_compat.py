@@ -219,6 +219,8 @@ class TestDriverContract:
             "pos_stream_merge_upsert",     # streaming MERGE to lakehouse
             # round-9 additions (r10 draft head):
             "manifest_lifecycle_stats",    # ingest->compact->vacuum loop
+            "binned_quantile_refinement",  # histogram-guided exact quantile
+            "bpe_merge_pair_counts",       # BPE merge-round pair ledger
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -157,6 +157,13 @@ GLOBAL_WINDOW_OK = {
     # cumulative windows over the lifetime-days spine (calendar-
     # bounded; a decade is a few thousand rows)
     "km_churn_survival",
+    # cumulative window over the fixed 512-bin histogram (bounded by
+    # the bin-count constant, never by SF); the refinement pass's
+    # in-bin row_number IS partitioned (by percentile)
+    "binned_quantile_refinement",
+    # rank windows over the two 5-row TakeOrderedAndProject results
+    # (the hybrid_rrf_retrieval pattern: limit first, window after)
+    "bpe_merge_pair_counts",
 }
 
 # Families where Arrow-batched Python is the documented extension point
