@@ -65,8 +65,12 @@ class ManifestWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("manifest_sink requires a 'path' option")
         self.kind = options.get("kind", "append")
-        if self.kind not in ("append", "rewrite"):
+        if self.kind not in ("append", "rewrite", "delete"):
             raise ValueError(f"unknown manifest kind: {self.kind}")
+        # write-audit-publish: a branch-tagged commit claims a version
+        # in the shared sequence but is INVISIBLE to main readers until
+        # published (the tag is dropped atomically by publish_branch)
+        self.branch = options.get("branch")
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -160,6 +164,8 @@ class ManifestWriter(DataSourceWriter):
         }
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
+        if self.branch is not None:
+            manifest["branch"] = self.branch
         tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -240,26 +246,102 @@ def _read_files(spark: SparkSession, path: str, schema, names) -> DataFrame:
 
 
 def read_committed(
-    spark: SparkSession, path: str, schema, as_of: int | None = None
+    spark: SparkSession,
+    path: str,
+    schema,
+    as_of: int | None = None,
+    _keep: set | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read ONLY manifest-committed files (uncommitted staging output is
     invisible). ``as_of`` reads the table AS OF that snapshot version —
-    the union of all commits with version <= as_of (append-only
-    semantics), so a reader can reproduce yesterday's training set
-    after today's append. Driver-side listing is O(#manifests); the
-    data read is a parallel columnar scan of exactly the committed
-    files."""
-    committed = [f for f, _ in _committed_files(path, as_of)]
-    return _read_files(spark, path, schema, committed)
+    the union of all commits with version <= as_of, so a reader can
+    reproduce yesterday's training set after today's append.
+    Driver-side listing is O(#manifests); the data read is a parallel
+    columnar scan of exactly the committed files.
+
+    Row-level DELETES (Iceberg-v2-style equality deletes, written via
+    :func:`delete_where`) apply MERGE-ON-READ: when the log contains
+    delete snapshots, the read folds it in commit order — appends
+    accumulate, a delete anti-joins the state-so-far on the tombstone
+    file's key columns (so a key re-inserted AFTER its delete
+    survives, the sequence-number rule), and a rewrite resets to its
+    consolidated state (compaction MATERIALIZES deletes: it rewrites
+    through this reader, so tombstones never outlive it). Logs without
+    deletes take the single-scan fast path unchanged. ``_keep``
+    restricts the DATA files scanned (zone-map pruning); tombstones
+    are never pruned — correctness over skipping."""
+    log = _log(path, as_of, branch)
+    if not any(m.get("kind", "append") == "delete" for _, m in log):
+        committed = [f for f, _ in _committed_files(path, as_of, branch)]
+        if _keep is not None:
+            committed = [f for f in committed if f in _keep]
+        return _read_files(spark, path, schema, committed)
+
+    def flush(df: DataFrame | None, pending: list) -> DataFrame | None:
+        if _keep is not None:
+            pending = [f for f in pending if f in _keep]
+        if not pending:
+            return df
+        scan = _read_files(spark, path, schema, pending)
+        return scan if df is None else df.unionByName(scan)
+
+    df: DataFrame | None = None
+    pending: list = []
+    for version, m in log:
+        kind = m.get("kind", "append")
+        if kind == "rewrite":
+            df, pending = None, list(m["files"])
+        elif kind == "append":
+            pending += m["files"]
+        else:  # delete
+            df, pending = flush(df, pending), []
+            if df is None:
+                continue
+            if "schema" not in m:
+                raise ValueError(
+                    f"delete snapshot {version} recorded no key schema"
+                )
+            key_schema = StructType.fromJson(m["schema"])
+            tomb = _read_files(spark, path, key_schema, m["files"])
+            df = df.join(
+                tomb, on=[f.name for f in key_schema.fields], how="left_anti"
+            )
+    df = flush(df, pending)
+    return df if df is not None else spark.createDataFrame([], schema)
 
 
-def _committed_files(
-    path: str, as_of: int | None = None
-) -> list[tuple[str, dict]]:
-    """(file_name, zone-map stats) for every committed file at/<= the
-    requested version, honoring rewrite snapshots (a rewrite replaces
-    everything before it — it holds the consolidated table state)."""
-    committed: list[tuple[str, dict]] = []
+def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
+    """Row-level DELETE from the manifest table without rewriting any
+    data file — an equality-delete snapshot (Iceberg v2 merge-on-read):
+    ``keys``' rows are written as tombstone files through the same
+    exactly-once writer, and every committed row matching a tombstone
+    on ALL of ``keys``' columns disappears from subsequent reads (of
+    versions >= this one — earlier versions still time-travel to the
+    undeleted state). The delete costs O(|keys|) writes + one manifest,
+    never a table rewrite; the rewrite happens lazily at the next
+    compaction, which materializes the deletes and drops the
+    tombstones. Returns the new snapshot version."""
+    (
+        keys.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("kind", "delete")
+        .mode("append")
+        .save()
+    )
+    return max(table_versions(path))
+
+
+def _log(
+    path: str, as_of: int | None = None, branch: str | None = None
+) -> list[tuple[int, dict]]:
+    """(version, parsed manifest) in commit order at/<= the requested
+    version; in-flight commits (claimed but unwritten version files)
+    are skipped — the read path's standing contract. Branch-tagged
+    commits (write-audit-publish staging) are invisible to main
+    readers (``branch=None``); a branch reader sees main PLUS its own
+    branch's commits, Iceberg-branch-from-main-head style."""
+    out: list[tuple[int, dict]] = []
     for version, entry in _list_manifests(path):
         if as_of is not None and version > as_of:
             continue
@@ -267,8 +349,26 @@ def _committed_files(
             with open(os.path.join(path, entry)) as f:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
-            # a version file claimed (O_EXCL) but not yet atomically
-            # replaced with its content — a commit in flight; skip
+            continue
+        tag = m.get("branch")
+        if tag is not None and tag != branch:
+            continue
+        out.append((version, m))
+    return out
+
+
+def _committed_files(
+    path: str, as_of: int | None = None, branch: str | None = None
+) -> list[tuple[str, dict]]:
+    """(file_name, zone-map stats) for every committed DATA file at/<=
+    the requested version, honoring rewrite snapshots (a rewrite
+    replaces everything before it — it holds the consolidated table
+    state). Delete manifests list tombstone files, not data — they are
+    excluded here; tombstone application happens in
+    :func:`read_committed`'s fold."""
+    committed: list[tuple[str, dict]] = []
+    for _version, m in _log(path, as_of, branch):
+        if m.get("kind", "append") == "delete":
             continue
         fs = m.get("file_stats", {})
         entries = [(name, fs.get(name, {})) for name in m["files"]]
@@ -328,19 +428,18 @@ def read_version_delta(
     from exactly the files those manifests committed, no diffing scan.
     A rewrite snapshot inside the range is rejected: it replaces the
     base rather than appending, so a file-level delta is no longer the
-    row-level delta (run the CDF before compacting, as Delta does)."""
+    row-level delta (run the CDF before compacting, as Delta does). A
+    delete snapshot is rejected for the same reason — its change rows
+    are REMOVALS, which a file-level feed cannot represent (Delta's CDF
+    emits them as _change_type=delete rows from a row-level log)."""
     files: list[str] = []
-    for version, entry in _list_manifests(path):
+    for version, m in _log(path):
         if version <= from_v or version > to_v:
             continue
-        try:
-            with open(os.path.join(path, entry)) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            continue
-        if m.get("kind", "append") == "rewrite":
+        kind = m.get("kind", "append")
+        if kind != "append":
             raise ValueError(
-                f"version delta ({from_v}, {to_v}] crosses the rewrite "
+                f"version delta ({from_v}, {to_v}] crosses the {kind} "
                 f"snapshot {version}; file-level CDF is append-only"
             )
         files += m["files"]
@@ -360,9 +459,11 @@ def read_pruned(
     [lo, hi] — the Iceberg/Delta file-skipping contract. The caller
     still applies the actual row filter; this prunes the FILE LIST the
     scan opens (at 100 TB, the difference between touching 2 files and
-    2000)."""
+    2000). Tombstones from delete snapshots still apply (the pruned
+    scan routes through :func:`read_committed`'s fold) — skipping
+    never resurrects deleted rows."""
     files, _ = plan_pruned_files(path, col, lo, hi, as_of)
-    return _read_files(spark, path, schema, files)
+    return read_committed(spark, path, schema, as_of=as_of, _keep=set(files))
 
 
 def table_schema(path: str, as_of: int | None = None) -> StructType | None:
@@ -374,15 +475,12 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
     Enforces the ADD-ONLY evolution contract while walking the log:
     every recorded schema must contain all field names of the previous
     one (Iceberg v1-style additive evolution — drops/renames break old
-    readers and are rejected here at discovery time)."""
+    readers and are rejected here at discovery time). Delete snapshots
+    are skipped: they record the TOMBSTONE KEY schema (a subset by
+    design), not a table-schema evolution step."""
     latest: StructType | None = None
-    for version, entry in _list_manifests(path):
-        if as_of is not None and version > as_of:
-            continue
-        try:
-            with open(os.path.join(path, entry)) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
+    for version, m in _log(path, as_of):
+        if m.get("kind", "append") == "delete":
             continue
         sch = m.get("schema")
         if sch is None:
@@ -412,6 +510,76 @@ def read_evolved(
     if sch is None:
         raise ValueError(f"no recorded schema in manifest log at {path}")
     return read_committed(spark, path, sch, as_of=as_of)
+
+
+def publish_branch(path: str, branch: str) -> list[int]:
+    """PUBLISH a write-audit-publish branch: atomically drop the branch
+    tag from each of its committed manifests (os.replace per manifest,
+    oldest first), making them visible to main readers at the versions
+    they already claimed — the Iceberg fast-forward. Requires the
+    fast-forward condition: every branch version must be GREATER than
+    the newest unbranched version, otherwise publishing would splice
+    history into main's past (rejected, as Iceberg rejects
+    non-fast-forward refs). Returns the published versions.
+
+    The WAP loop this implements: write to the branch (the same
+    exactly-once writer with ``.option('branch', name)``), AUDIT the
+    branch read (``read_committed(..., branch=name)`` sees main + the
+    staged commits while main readers see nothing), then publish on a
+    green audit or :func:`abandon_branch` on a red one."""
+    staged = [
+        (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
+    ]
+    if not staged:
+        return []
+    main_head = max(
+        (v for v, m in _log(path) if m.get("branch") is None), default=0
+    )
+    behind = [v for v, _ in staged if v <= main_head]
+    if behind:
+        raise ValueError(
+            f"branch {branch!r} versions {behind} are behind main head "
+            f"{main_head}; publish is fast-forward-only — rebase by "
+            "re-writing the branch"
+        )
+    published = []
+    for version, m in staged:
+        m = dict(m)
+        m.pop("branch")
+        final = os.path.join(path, f"_manifest-{version:06d}.json")
+        tmp = os.path.join(path, f"._publish-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, final)  # atomic visibility flip
+        published.append(version)
+    return published
+
+
+def abandon_branch(path: str, branch: str) -> int:
+    """Drop a red-audit branch: remove its manifests and their staging
+    files (nothing was ever visible to main readers, so this is pure
+    GC). The freed version numbers MAY be reclaimed by later commits —
+    safe precisely because an abandoned commit was never visible to
+    main readers, so no reader holds an ``as_of`` that meant it.
+    Returns the number of abandoned commits."""
+    staged = [
+        (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
+    ]
+    # files still referenced by surviving manifests must not be GC'd
+    keep = {
+        f
+        for v, m in _log(path)
+        for f in m.get("files", [])
+        if m.get("branch") != branch
+    }
+    staging = os.path.join(path, "_staging")
+    for version, m in staged:
+        for name in m.get("files", []):
+            target = os.path.join(staging, name)
+            if name not in keep and os.path.exists(target):
+                os.remove(target)
+        os.remove(os.path.join(path, f"_manifest-{version:06d}.json"))
+    return len(staged)
 
 
 def compact_snapshots(spark: SparkSession, path: str, schema) -> int:

@@ -213,6 +213,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "manifest_lifecycle_stats",
     "binned_quantile_refinement",
     "bpe_merge_pair_counts",
+    "manifest_delete_vector_stats",
+    "write_audit_publish_stats",
     # round-4 refresh slots — 44 (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -258,10 +260,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 3
+    # round-5 refresh slots — 1
     "repetition_quality_stats",
-    "boilerplate_coverage_stats",
-    "training_shard_stats",
 )
 
 

@@ -3536,3 +3536,243 @@ def binned_quantile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Lakehouse row-level DELETE (merge-on-read deletion vectors)
+# --------------------------------------------------------------------------
+@register(
+    "manifest_delete_vector_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS rows_v1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) - 2
+             AS rows_after_delete,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) - 1
+             AS rows_current,
+           CAST(1 AS BIGINT) AS reborn_rows,
+           (SELECT CAST(SUM(r_regionkey) AS BIGINT) FROM region) - 3
+             AS key_sum_current,
+           CAST(1 AS BIGINT) AS n_delete_snapshots,
+           CAST(4 AS BIGINT) AS versions_after_compact,
+           CAST(1 AS INTEGER) AS state_identical_after_compact
+    """,
+)
+def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the manifest lakehouse table — Iceberg-v2
+    equality deletes, merge-on-read: tombstone key files written
+    through the same exactly-once writer (``delete_where``), applied at
+    read time by an anti-join folded in COMMIT ORDER, so a key
+    re-inserted after its delete survives (the sequence-number rule)
+    while time travel to pre-delete versions still sees every row. The
+    delete costs O(|keys|), never a table rewrite; the next compaction
+    MATERIALIZES the deletes and the rewrite carries no tombstones.
+    The reference (BigQuery WRITE_APPEND, bigquery_update_scheduler.py)
+    has no row-level delete at all — GDPR erasure there means manual
+    table surgery.
+
+    Lifecycle proved by the row's values: append region (v1) → delete
+    keys {1, 3} (v2) → re-insert key 1 as 'REBORN' (v3) → compact (v4).
+    ``rows_after_delete`` reads AS OF v2; ``key_sum_current`` is the
+    exact surviving-key checksum; ``state_identical_after_compact``
+    diffs pre/post-compaction state distributedly (exceptAll both
+    ways)."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        delete_where,
+        ensure_manifest_sink,
+        read_committed,
+        table_history,
+        table_versions,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_dv_")
+    path = f"{root}/region_dv"
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    try:
+        (
+            region.coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v1
+        delete_where(
+            spark,
+            path,
+            spark.createDataFrame([(1,), (3,)], "r_regionkey bigint").coalesce(
+                1
+            ),
+        )  # v2
+        (
+            spark.createDataFrame([(1, "REBORN")], region.schema)
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v3
+        rows_v1 = read_committed(spark, path, region.schema, as_of=1).count()
+        rows_after_delete = read_committed(
+            spark, path, region.schema, as_of=2
+        ).count()
+        current = read_committed(spark, path, region.schema)
+        agg = current.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("r_name") == "REBORN", 1).otherwise(0))
+            .cast("bigint")
+            .alias("reborn"),
+            F.sum("r_regionkey").cast("bigint").alias("key_sum"),
+        ).collect()[0]
+        n_deletes = sum(
+            1 for h in table_history(path) if h["kind"] == "delete"
+        )
+        compact_snapshots(spark, path, region.schema)  # v4: materialize
+        after = read_committed(spark, path, region.schema)
+        identical = int(
+            current.exceptAll(after).isEmpty()
+            and after.exceptAll(current).isEmpty()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    rows_v1,
+                    rows_after_delete,
+                    agg["n"],
+                    agg["reborn"],
+                    agg["key_sum"],
+                    n_deletes,
+                    len(table_versions(path)),
+                    identical,
+                )
+            ],
+            "rows_v1 bigint, rows_after_delete bigint, rows_current bigint, "
+            "reborn_rows bigint, key_sum_current bigint, "
+            "n_delete_snapshots bigint, versions_after_compact bigint, "
+            "state_identical_after_compact int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish (WAP) on the manifest lakehouse table
+# --------------------------------------------------------------------------
+@register(
+    "write_audit_publish_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS rows_main_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) + 2
+             AS rows_branch_staged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)
+             AS rows_main_during_audit,
+           CAST(1 AS BIGINT) AS audit_violations_try1,
+           CAST(1 AS BIGINT) AS abandoned_commits,
+           CAST(0 AS BIGINT) AS audit_violations_try2,
+           CAST(1 AS BIGINT) AS published_versions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) + 2
+             AS rows_main_after_publish,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) + 203
+             AS key_sum_after_publish
+    """,
+)
+def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the lakehouse table — the quarantine
+    pattern production ingest needs and the reference's straight-to-
+    BigQuery DAG lacks entirely: a new batch lands on a BRANCH
+    (branch-tagged commit in the shared version sequence, invisible to
+    main readers), a quality AUDIT runs against the branch read (which
+    sees main + staged, Iceberg branch-from-main-head), and only a
+    green audit PUBLISHES (atomic tag drop, fast-forward-only); a red
+    audit abandons the branch without main ever seeing a bad row.
+
+    Proved by the row's values: nation loads (main) → a 2-row batch
+    with one EMPTY name stages on the branch → audit counts 1
+    violation while main still reads exactly its original rows → the
+    branch is abandoned → a corrected batch stages → audit counts 0 →
+    publish lands exactly 1 version and main gains exactly the 2 rows,
+    with the surviving-key checksum (+101 +102 = +203) hash-pinning
+    that the BAD batch never leaked."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        abandon_branch,
+        ensure_manifest_sink,
+        publish_branch,
+        read_committed,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_wap_")
+    path = f"{root}/nation_wap"
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def stage(rows) -> None:
+        (
+            spark.createDataFrame(rows, nation.schema)
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .option("branch", "ingest")
+            .mode("append")
+            .save()
+        )
+
+    def audit_violations() -> int:
+        branch_view = read_committed(
+            spark, path, nation.schema, branch="ingest"
+        )
+        return branch_view.filter(
+            F.col("n_name").isNull() | (F.trim(F.col("n_name")) == "")
+        ).count()
+
+    try:
+        (
+            nation.coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v1 = main
+        rows_main_before = read_committed(spark, path, nation.schema).count()
+        stage([(101, "NEWLAND"), (102, "")])  # the bad batch
+        rows_branch = read_committed(
+            spark, path, nation.schema, branch="ingest"
+        ).count()
+        v1 = audit_violations()
+        rows_main_during = read_committed(spark, path, nation.schema).count()
+        abandoned = abandon_branch(path, "ingest")
+        stage([(101, "NEWLAND"), (102, "CORRECTED")])
+        v2 = audit_violations()
+        published = publish_branch(path, "ingest") if v2 == 0 else []
+        final = read_committed(spark, path, nation.schema)
+        agg = final.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    rows_main_before,
+                    rows_branch,
+                    rows_main_during,
+                    v1,
+                    abandoned,
+                    v2,
+                    len(published),
+                    agg["n"],
+                    agg["key_sum"],
+                )
+            ],
+            "rows_main_before bigint, rows_branch_staged bigint, "
+            "rows_main_during_audit bigint, audit_violations_try1 bigint, "
+            "abandoned_commits bigint, audit_violations_try2 bigint, "
+            "published_versions bigint, rows_main_after_publish bigint, "
+            "key_sum_after_publish bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -221,6 +221,8 @@ class TestDriverContract:
             "manifest_lifecycle_stats",    # ingest->compact->vacuum loop
             "binned_quantile_refinement",  # histogram-guided exact quantile
             "bpe_merge_pair_counts",       # BPE merge-round pair ledger
+            "manifest_delete_vector_stats",  # equality-delete tombstones
+            "write_audit_publish_stats",   # WAP branch quarantine loop
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -585,3 +585,159 @@ class TestVacuumInFlightGuard:
         assert stats2["in_flight_commits"] == 0
         assert stats2["orphans_deleted"] == 1
         assert os.path.exists(live)
+
+
+class TestDeletionVectors:
+    """Round 9: Iceberg-v2-style equality deletes — merge-on-read
+    tombstones, sequence-correct reinsertion, time travel to undeleted
+    states, pruned reads that never resurrect rows, the append-only
+    CDF guard, and compaction as the materialization point."""
+
+    def _table(self, registered, tmp_path):
+        path = str(tmp_path / "dv")
+        _write(registered, path, [(i, f"v{i}") for i in range(5)])  # v1
+        from olap_project_spark.export.manifest_sink import delete_where
+
+        delete_where(
+            registered, path, registered.createDataFrame([(1,), (3,)], "k bigint")
+        )  # v2
+        _write(registered, path, [(1, "reborn")])  # v3
+        return path
+
+    def test_merge_on_read_with_reinsert(self, registered, tmp_path):
+        path = self._table(registered, tmp_path)
+        got = sorted(
+            (r.k, r.v) for r in read_committed(registered, path, SCHEMA).collect()
+        )
+        # keys 1 and 3 deleted at v2; key 1 re-inserted at v3 SURVIVES
+        # (the sequence-number rule) while 3 stays gone
+        assert got == [(0, "v0"), (1, "reborn"), (2, "v2"), (4, "v4")]
+
+    def test_time_travel_spans_the_delete(self, registered, tmp_path):
+        path = self._table(registered, tmp_path)
+        assert read_committed(registered, path, SCHEMA, as_of=1).count() == 5
+        assert read_committed(registered, path, SCHEMA, as_of=2).count() == 3
+
+    def test_pruned_read_applies_tombstones(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import read_pruned
+
+        path = self._table(registered, tmp_path)
+        got = sorted(
+            r.k for r in read_pruned(registered, path, SCHEMA, "k", 0, 9).collect()
+        )
+        assert got == [0, 1, 2, 4]
+
+    def test_cdf_rejects_delete_crossing_range(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import read_version_delta
+
+        path = self._table(registered, tmp_path)
+        with pytest.raises(ValueError, match="delete"):
+            read_version_delta(registered, path, SCHEMA, 1, 3)
+        # ranges not crossing the delete still work
+        assert read_version_delta(registered, path, SCHEMA, 2, 3).count() == 1
+
+    def test_compaction_materializes_deletes(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            _committed_files,
+            compact_snapshots,
+            table_history,
+            vacuum_snapshots,
+        )
+
+        path = self._table(registered, tmp_path)
+        before = sorted(
+            (r.k, r.v) for r in read_committed(registered, path, SCHEMA).collect()
+        )
+        compact_snapshots(registered, path, SCHEMA)
+        hist = table_history(path)
+        assert [h["kind"] for h in hist] == [
+            "append",
+            "delete",
+            "append",
+            "rewrite",
+        ]
+        # post-compaction state identical, now tombstone-free
+        after = sorted(
+            (r.k, r.v) for r in read_committed(registered, path, SCHEMA).collect()
+        )
+        assert after == before
+        vacuum_snapshots(path)
+        assert sorted(
+            (r.k, r.v) for r in read_committed(registered, path, SCHEMA).collect()
+        ) == before
+        # no tombstone manifests survive the expiry
+        from olap_project_spark.export.manifest_sink import _log
+
+        assert [m.get("kind") for _, m in _log(path)] == ["rewrite"]
+
+    def test_delete_schema_excluded_from_evolution(self, registered, tmp_path):
+        """The tombstone key schema is a SUBSET of the table schema by
+        design; it must not trip the add-only evolution check."""
+        from olap_project_spark.export.manifest_sink import table_schema
+
+        path = self._table(registered, tmp_path)
+        sch = table_schema(path)
+        assert sch is not None and {f.name for f in sch.fields} == {"k", "v"}
+
+
+class TestWriteAuditPublish:
+    """Round 9: WAP branches — branch-tagged commits claim versions in
+    the shared sequence but stay invisible to main readers until
+    published (atomic tag drop); publish is fast-forward-only; a red
+    audit abandons the branch with pure GC."""
+
+    def _w(self, registered, path, rows, branch=None):
+        wr = (
+            registered.createDataFrame(rows, SCHEMA)
+            .coalesce(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+        )
+        if branch:
+            wr = wr.option("branch", branch)
+        wr.save()
+
+    def test_branch_isolation_and_publish(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import publish_branch
+
+        path = str(tmp_path / "wap")
+        self._w(registered, path, [(0, "a"), (1, "b")])
+        self._w(registered, path, [(2, "staged")], branch="audit")
+        # main readers blind to the staged commit; the branch reader
+        # sees main + staged (branch-from-main-head)
+        assert read_committed(registered, path, SCHEMA).count() == 2
+        assert (
+            read_committed(registered, path, SCHEMA, branch="audit").count()
+            == 3
+        )
+        assert publish_branch(path, "audit") == [2]
+        assert read_committed(registered, path, SCHEMA).count() == 3
+
+    def test_abandon_is_pure_gc(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            _committed_files,
+            abandon_branch,
+        )
+
+        path = str(tmp_path / "wap2")
+        self._w(registered, path, [(0, "a")])
+        self._w(registered, path, [(1, "BAD")], branch="audit")
+        assert abandon_branch(path, "audit") == 1
+        assert read_committed(registered, path, SCHEMA).count() == 1
+        # no dangling staging files: every staging file is referenced
+        staging = os.listdir(os.path.join(path, "_staging"))
+        referenced = {f for f, _ in _committed_files(path)}
+        assert set(staging) == referenced
+
+    def test_publish_is_fast_forward_only(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import publish_branch
+
+        path = str(tmp_path / "wap3")
+        self._w(registered, path, [(0, "a")])
+        self._w(registered, path, [(1, "staged")], branch="b")
+        self._w(registered, path, [(2, "mainmoved")])  # main advances
+        with pytest.raises(ValueError, match="fast-forward"):
+            publish_branch(path, "b")
+        # main unaffected by the failed publish
+        assert read_committed(registered, path, SCHEMA).count() == 2

@@ -84,6 +84,8 @@ EXECUTING = {
     "manifest_vacuum_stats",  # builds, compacts, and vacuums the table once
     "pos_stream_merge_upsert",  # streaming foreachBatch MERGE into the sink
     "manifest_lifecycle_stats",  # ingest -> compact -> vacuum lifecycle
+    "manifest_delete_vector_stats",  # merge-on-read delete lifecycle
+    "write_audit_publish_stats",  # branch stage/audit/publish loop
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
