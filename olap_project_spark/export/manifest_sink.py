@@ -582,7 +582,13 @@ def abandon_branch(path: str, branch: str) -> int:
     return len(staged)
 
 
-def compact_snapshots(spark: SparkSession, path: str, schema) -> int:
+def compact_snapshots(
+    spark: SparkSession,
+    path: str,
+    schema,
+    cluster_by: list[str] | None = None,
+    n_files: int = 16,
+) -> int:
     """Consolidate the table's current committed state into ONE rewrite
     snapshot — the small-file compaction lever for the manifest table
     (appends accumulate a staging file per task per commit; training
@@ -592,11 +598,25 @@ def compact_snapshots(spark: SparkSession, path: str, schema) -> int:
     from the untouched old staging files — compaction preserves time
     travel. Returns the new snapshot version.
 
+    ``cluster_by`` makes it an OPTIMIZE-style clustered rewrite (Delta
+    ``OPTIMIZE ZORDER BY`` / Iceberg sort-order rewrite): the state is
+    range-partitioned into ``n_files`` files on the given columns and
+    sorted within each, so the rewrite's per-file zone maps become
+    tight ranges on the cluster key — the layout step that turns the
+    manifest's data-skipping stats from "present" into "selective".
+    Pass a space-filling-curve column (functions/scale.zorder_key) to
+    cluster on two dimensions at once.
+
     Scale: the consolidation is a normal distributed read + write
-    through the same exactly-once writer (one shuffle-free pass);
-    expired staging files are garbage to collect only once no reader
-    needs pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
+    through the same exactly-once writer (one pass; clustered rewrites
+    add the one range-exchange any sort-order rewrite costs); expired
+    staging files are garbage to collect only once no reader needs
+    pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
     current = read_committed(spark, path, schema)
+    if cluster_by:
+        current = current.repartitionByRange(
+            n_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     (
         current.write.format(ensure_manifest_sink(spark))
         .option("path", path)

@@ -215,7 +215,9 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "bpe_merge_pair_counts",
     "manifest_delete_vector_stats",
     "write_audit_publish_stats",
-    # round-4 refresh slots — 44 (oldest remaining driver rows)
+    "cdf_incremental_agg_refresh",
+    "clustered_compaction_stats",
+    # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
     "top10_customers",
@@ -259,9 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "user_bursts",
     "user_sessions",
     "last_touch_attribution",
-    "embedding_near_dup_pairs",
-    # round-5 refresh slots — 1
-    "repetition_quality_stats",
 )
 
 

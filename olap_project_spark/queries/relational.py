@@ -3776,3 +3776,240 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance driven by the lakehouse CDF
+# --------------------------------------------------------------------------
+@register(
+    "cdf_incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(1 AS INTEGER) AS incremental_match
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def cdf_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE driven by the lakehouse's REAL
+    change data feed — the production shape of incremental_join_view's
+    algebra: orders land in the manifest table in three appends, a
+    per-priority (count, exact-cents) aggregate is materialized at
+    version 1, and each subsequent refresh reads ONLY that version
+    range's delta (``read_version_delta`` — the files those snapshots
+    committed, never a table diff) and merges it by summing. The
+    refreshed aggregate is then diffed distributedly against a full
+    recompute over the final table (exceptAll both ways) and must be
+    identical — ``incremental_match`` hash-pins it.
+
+    Scale: each refresh is O(delta) — the 100-TB nightly pattern where
+    re-aggregating the full table is the cost you're amortizing away;
+    the CDF's append-only guard (delete/rewrite ranges are rejected)
+    is exactly the precondition that makes summed merges sound."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_committed,
+        read_version_delta,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_cdf_ivm_")
+    path = f"{root}/orders_cdf"
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+
+    try:
+        for pred in (
+            "o_orderkey % 7 != 0",
+            "o_orderkey % 7 = 0 AND o_orderkey % 2 = 0",
+            "o_orderkey % 7 = 0 AND o_orderkey % 2 = 1",
+        ):
+            (
+                base.filter(pred)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        # materialize at v1, then two delta-merge refreshes — the
+        # combine is a unionByName + re-aggregate (sums of sums), the
+        # standard mergeable-aggregate refresh
+        view = agg(read_committed(spark, path, base.schema, as_of=1))
+        for from_v, to_v in ((1, 2), (2, 3)):
+            delta = agg(
+                read_version_delta(spark, path, base.schema, from_v, to_v)
+            )
+            view = (
+                view.unionByName(delta)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_orders").cast("bigint").alias("n_orders"),
+                    F.sum("total_cents").cast("bigint").alias("total_cents"),
+                )
+            )
+        full = agg(read_committed(spark, path, base.schema))
+        match = int(
+            view.exceptAll(full).isEmpty() and full.exceptAll(view).isEmpty()
+        )
+        rows = view.collect()
+        return spark.createDataFrame(
+            [
+                (r["o_orderpriority"], r["n_orders"], r["total_cents"], match)
+                for r in rows
+            ],
+            "o_orderpriority string, n_orders bigint, total_cents bigint, "
+            "incremental_match int",
+        ).orderBy("o_orderpriority")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Clustered compaction (OPTIMIZE ZORDER) measured on the REAL zone maps
+# --------------------------------------------------------------------------
+def _clustered_compaction_oracle() -> str:
+    return """
+    WITH b AS (
+      SELECT MAX(o_custkey) AS ck_max,
+             MIN(CAST(o_orderdate AS DATE)) AS d_min,
+             MAX(CAST(o_orderdate AS DATE)) AS d_max
+      FROM orders
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(o_custkey * 256.0 / (b.ck_max + 1)) AS BIGINT)
+               AS x8,
+             CAST(FLOOR(date_diff('day', b.d_min,
+                                  CAST(o_orderdate AS DATE)) * 256.0
+                        / (date_diff('day', b.d_min, b.d_max) + 1))
+                  AS BIGINT) AS y8
+      FROM orders, b
+    )
+    SELECT CAST(16 AS BIGINT) AS total_files_before,
+           CAST(16 AS BIGINT) AS box_files_before,
+           CAST(16 AS BIGINT) AS total_files_after,
+           CAST(1 AS INTEGER) AS box_files_after_le_quarter,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pts
+            WHERE x8 BETWEEN 64 AND 127 AND y8 BETWEEN 64 AND 127)
+             AS rows_in_box,
+           CAST(1 AS INTEGER) AS state_identical_after_cluster
+    """
+
+
+@register("clustered_compaction_stats", oracle=_clustered_compaction_oracle)
+def clustered_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER measured on the REAL manifest zone maps — the
+    layout maintenance zorder_layout_stats models in the abstract, run
+    through the actual lakehouse: orders (quantized to 256×256
+    customer×day cells with a 16-bit Morton key column) land in 16
+    hash-distributed files, where a 2-dim box predicate
+    (x8, y8 ∈ [64,127]²) prunes NOTHING — every file spans the full
+    cell range in both dimensions, so ``plan_pruned_files`` keeps all
+    16 on either column. A clustered compaction
+    (``compact_snapshots(cluster_by=['zkey'])`` — range-partition +
+    sort on the Morton key) rewrites the same rows into 16 z-clustered
+    files; the box is one contiguous z-range (1/16 of key space), so
+    the intersection of the two per-column zone-map prunes drops to a
+    few files — asserted as ≤ 4 of 16 (``box_files_after_le_quarter``),
+    with the box's ROW count (layout-independent) and a distributed
+    pre/post state diff hash-pinning correctness.
+
+    Scale: this is the Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    rewrite loop; at 100 TB the same two plan_pruned_files calls are
+    the scan planner, and the rewrite is one range exchange."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        ensure_manifest_sink,
+        plan_pruned_files,
+        read_committed,
+    )
+    from olap_project_spark.functions.scale import zorder_key
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_zorder_")
+    path = f"{root}/orders_z"
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max"),
+    )
+    o = orders.join(F.broadcast(bounds))
+    x8 = F.floor(F.col("o_custkey") * 256 / (F.col("ck_max") + 1)).cast(
+        "bigint"
+    )
+    dnum = F.datediff(F.col("o_orderdate").cast("date"), F.col("d_min"))
+    dspan = F.datediff(F.col("d_max"), F.col("d_min")) + 1
+    y8 = F.floor(dnum * 256 / dspan).cast("bigint")
+    pts = o.select(
+        "o_orderkey",
+        x8.alias("x8"),
+        y8.alias("y8"),
+    ).withColumn("zkey", zorder_key(F.col("x8"), F.col("y8")))
+
+    def box_files(as_of=None) -> tuple[int, int]:
+        keep_x, total = plan_pruned_files(path, "x8", 64, 127, as_of)
+        keep_y, _ = plan_pruned_files(path, "y8", 64, 127, as_of)
+        return len(set(keep_x) & set(keep_y)), total
+
+    try:
+        (
+            pts.repartition(16, "o_orderkey")  # insert-order layout
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        before_state = read_committed(spark, path, pts.schema)
+        box_before, total_before = box_files()
+        compact_snapshots(
+            spark, path, pts.schema, cluster_by=["zkey"], n_files=16
+        )
+        after_state = read_committed(spark, path, pts.schema)
+        box_after, total_after = box_files()
+        identical = int(
+            before_state.exceptAll(after_state).isEmpty()
+            and after_state.exceptAll(before_state).isEmpty()
+        )
+        rows_in_box = (
+            after_state.filter(
+                "x8 BETWEEN 64 AND 127 AND y8 BETWEEN 64 AND 127"
+            ).count()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    total_before,
+                    box_before,
+                    total_after,
+                    int(box_after <= total_after // 4),
+                    rows_in_box,
+                    identical,
+                )
+            ],
+            "total_files_before bigint, box_files_before bigint, "
+            "total_files_after bigint, box_files_after_le_quarter int, "
+            "rows_in_box bigint, state_identical_after_cluster int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -223,6 +223,8 @@ class TestDriverContract:
             "bpe_merge_pair_counts",       # BPE merge-round pair ledger
             "manifest_delete_vector_stats",  # equality-delete tombstones
             "write_audit_publish_stats",   # WAP branch quarantine loop
+            "cdf_incremental_agg_refresh", # CDF-driven IVM refresh
+            "clustered_compaction_stats",  # z-clustered rewrite skip rate
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

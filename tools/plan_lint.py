@@ -86,6 +86,8 @@ EXECUTING = {
     "manifest_lifecycle_stats",  # ingest -> compact -> vacuum lifecycle
     "manifest_delete_vector_stats",  # merge-on-read delete lifecycle
     "write_audit_publish_stats",  # branch stage/audit/publish loop
+    "cdf_incremental_agg_refresh",  # CDF-driven IVM refresh loop
+    "clustered_compaction_stats",  # OPTIMIZE ZORDER rewrite loop
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
