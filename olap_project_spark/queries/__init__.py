@@ -217,6 +217,7 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "write_audit_publish_stats",
     "cdf_incremental_agg_refresh",
     "clustered_compaction_stats",
+    "embedding_truncation_recall",
     # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "bucketed_order_revenue",
     "user_bursts",
     "user_sessions",
-    "last_touch_attribution",
 )
 
 

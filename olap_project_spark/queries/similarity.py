@@ -2451,3 +2451,178 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank int, vec_id bigint, sim_to_query double, mmr_score double"
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation-recall audit (prefix-dimension retrieval)
+# --------------------------------------------------------------------------
+TRUNC_SCALE = 1_000_000  # micro fixed-point per component (drift discipline)
+TRUNC_PREFIXES = (8, 16, 32, 64)
+TRUNC_QUERIES = 10  # query vectors: vec_id < 10 (constant-bounded)
+TRUNC_K = 10
+
+
+def _truncation_oracle() -> str:
+    prefix_rows = ", ".join(f"({p})" for p in TRUNC_PREFIXES)
+    dot_cols = ", ".join(
+        f"CAST(SUM(q.m * c.m) FILTER (WHERE q.dim < {p}) AS BIGINT) AS d{p}"
+        for p in TRUNC_PREFIXES
+    )
+    norm_cols = ", ".join(
+        f"CAST(SUM(m * m) FILTER (WHERE dim < {p}) AS BIGINT) AS n{p}"
+        for p in TRUNC_PREFIXES
+    )
+    score_arms = " ".join(
+        f"WHEN p.p = {p} THEN CAST(d.d{p} AS DOUBLE) / "
+        f"(sqrt(CAST(nq.n{p} AS DOUBLE)) * sqrt(CAST(nc.n{p} AS DOUBLE)))"
+        for p in TRUNC_PREFIXES
+    )
+    return f"""
+    WITH cell AS (
+      SELECT e.vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(ROUND(ROUND(CAST(e.embedding[i] AS DOUBLE), 6)
+                        * {TRUNC_SCALE}) AS BIGINT) AS m
+      FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+    ),
+    norms AS (
+      SELECT vec_id, {norm_cols} FROM cell GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {dot_cols}
+      FROM cell q JOIN cell c ON q.dim = c.dim
+      WHERE q.vec_id < {TRUNC_QUERIES} AND c.vec_id != q.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.p, d.qid, d.cid,
+             CASE {score_arms} END AS cos
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid,
+      (VALUES {prefix_rows}) AS p(p)
+    ),
+    ranked AS (
+      SELECT p, qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY p, qid
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    ),
+    topk AS (SELECT p, qid, cid FROM ranked WHERE rn <= {TRUNC_K}),
+    full_topk AS (SELECT qid, cid FROM topk WHERE p = 64),
+    hits AS (
+      SELECT t.p, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM topk t JOIN full_topk f ON t.qid = f.qid AND t.cid = f.cid
+      GROUP BY t.p
+    )
+    SELECT CAST(p AS INTEGER) AS prefix_dim,
+           CAST({TRUNC_K} AS INTEGER) AS k,
+           CAST({TRUNC_QUERIES} AS BIGINT) AS n_queries,
+           hits,
+           ROUND(CAST(hits AS DOUBLE) / {TRUNC_QUERIES * TRUNC_K}, 6)
+             AS recall
+    FROM hits ORDER BY prefix_dim
+    """
+
+
+@register("embedding_truncation_recall", oracle=_truncation_oracle)
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation audit: exact cosine
+    top-{TRUNC_K} retrieval repeated at PREFIX dimensions 8/16/32/64 of
+    the 64-dim embeddings, reporting recall of each prefix against the
+    full-dimension ranking — the measurement behind every
+    MRL/dimension-reduction serving decision (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): how much of
+    the neighborhood survives at 1/8 of the vector, i.e. 1/8 of the
+    index bytes and memory bandwidth.
+
+    Cross-engine discipline (the drift-query convention): components
+    quantize once to micro fixed-point BIGINTs; ALL FOUR prefix dots
+    and norms come out of ONE conditional aggregation each (no
+    per-prefix rescan); only the final sqrt/divide is double, computed
+    from identical integers on both engines, with vec_id tie-breaks.
+
+    Scale: the audit is quadratic by design and runs on a SAMPLE
+    ({TRUNC_QUERIES} constant query vectors, never all pairs); the
+    shuffle carries (query, candidate) integer partials. At serving
+    scale the prefix pass is the cheap filter and full-dim rerank runs
+    only on its survivors — this query measures exactly what that
+    cascade loses."""
+    e = _emb(spark, sf_dir)
+    cell = e.select(
+        "vec_id", F.posexplode("emb").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        (F.round(F.round(F.col("v"), 6) * TRUNC_SCALE))
+        .cast("bigint")
+        .alias("m"),
+    )
+    norm_aggs = [
+        F.sum(F.when(F.col("dim") < p, F.col("m") * F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias(f"n{p}")
+        for p in TRUNC_PREFIXES
+    ]
+    norms = cell.groupBy("vec_id").agg(*norm_aggs)
+    q = cell.filter(F.col("vec_id") < TRUNC_QUERIES).select(
+        F.col("vec_id").alias("qid"), "dim", F.col("m").alias("qm")
+    )
+    dot_aggs = [
+        F.sum(
+            F.when(F.col("dim") < p, F.col("qm") * F.col("m")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"d{p}")
+        for p in TRUNC_PREFIXES
+    ]
+    dots = (
+        F.broadcast(q)
+        .join(cell, "dim")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(*dot_aggs)
+    )
+    nq = norms.filter(F.col("vec_id") < TRUNC_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"n{p}").alias(f"qn{p}") for p in TRUNC_PREFIXES],
+    )
+    nc = norms.select(
+        F.col("vec_id").alias("cid"),
+        *[F.col(f"n{p}").alias(f"cn{p}") for p in TRUNC_PREFIXES],
+    )
+    stack_expr = "stack({}, {}) AS (p, cos)".format(
+        len(TRUNC_PREFIXES),
+        ", ".join(
+            f"{p}, CAST(d{p} AS DOUBLE) / "
+            f"(sqrt(CAST(qn{p} AS DOUBLE)) * sqrt(CAST(cn{p} AS DOUBLE)))"
+            for p in TRUNC_PREFIXES
+        ),
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "qid")
+        .join(nc, "cid")
+        .select("qid", "cid", F.expr(stack_expr))
+    )
+    w = Window.partitionBy("p", "qid").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRUNC_K)
+        .select("p", "qid", "cid")
+    )
+    full = topk.filter(F.col("p") == 64).select("qid", "cid")
+    hits = (
+        topk.join(full, ["qid", "cid"])
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        F.col("p").cast("int").alias("prefix_dim"),
+        F.lit(TRUNC_K).cast("int").alias("k"),
+        F.lit(TRUNC_QUERIES).cast("bigint").alias("n_queries"),
+        "hits",
+        F.round(
+            F.col("hits").cast("double") / (TRUNC_QUERIES * TRUNC_K), 6
+        ).alias("recall"),
+    ).orderBy("prefix_dim")

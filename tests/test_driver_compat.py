@@ -225,6 +225,7 @@ class TestDriverContract:
             "write_audit_publish_stats",   # WAP branch quarantine loop
             "cdf_incremental_agg_refresh", # CDF-driven IVM refresh
             "clustered_compaction_stats",  # z-clustered rewrite skip rate
+            "embedding_truncation_recall", # MRL prefix-dim recall audit
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -205,6 +205,9 @@ SCALING_TABLES = {
 # scaling table (1-row query vector `vec_id = 0`, ≤16 centroid rows
 # `vec_id < 16`) — bounded by a literal, not by SF.
 BROADCAST_BOUNDED_OK = {
+    # query cells + query norms are `vec_id < 10` constant-literal
+    # slices (10 vectors × 64 dims; the corpus side never broadcasts)
+    "embedding_truncation_recall",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "ann_filtered_topk",
