@@ -218,6 +218,7 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "cdf_incremental_agg_refresh",
     "clustered_compaction_stats",
     "embedding_truncation_recall",
+    "pos_stream_wap_ingest",
     # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "kmeans_cluster_profile",
     "bucketed_order_revenue",
     "user_bursts",
-    "user_sessions",
 )
 
 

@@ -1141,3 +1141,125 @@ def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+WAP_LIMIT_CENTS = 497_000  # audit rule: no single txn above $4,970
+
+
+@register(
+    "pos_stream_wap_ingest",
+    oracle=lambda: f"""
+    WITH {_raw_cte()},
+    per AS (
+      SELECT (i // 200) AS batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_staged,
+             CAST(COUNT(CASE WHEN CAST(replace(replace(amount, '$', ''),
+                                              '.', '') AS BIGINT)
+                             > {WAP_LIMIT_CENTS} THEN 1 END) AS BIGINT)
+               AS n_violations
+      FROM raw GROUP BY 1
+    )
+    SELECT CAST(batch_id AS INTEGER) AS batch_id,
+           n_staged,
+           n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS published,
+           (SELECT CAST(COALESCE(SUM(n_staged), 0) AS BIGINT)
+            FROM per WHERE n_violations = 0) AS rows_in_main
+    FROM per ORDER BY batch_id
+    """,
+)
+def pos_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest through the write-audit-publish quarantine —
+    the composition of the engine's two strongest fences: each POS
+    micro-batch lands on its OWN lakehouse branch (invisible to main
+    readers), a per-batch AUDIT runs against the branch read (here: no
+    single transaction above ${WAP_LIMIT_CENTS // 100}), and the batch
+    is PUBLISHED (atomic fast-forward tag drop) only on a green audit —
+    a red batch is abandoned with pure GC and main never sees one of
+    its rows. The reference pipeline (spark_streaming_consumer.py →
+    BigQuery WRITE_APPEND) streams bad rows straight into the serving
+    table and cleans up after the fact.
+
+    The result is the per-batch ingest ledger (staged rows, violations,
+    published flag) plus ``rows_in_main``, the total the published
+    batches contributed — hash-pinned, so one leaked quarantined row
+    flips the gate. With the fixture's 4 batches, batches 0 and 2 carry
+    over-limit transactions and are abandoned; 1 and 3 publish.
+
+    Scale: per-batch audit cost is O(batch) on the branch read; publish
+    is O(#manifests) metadata. This is exactly Iceberg's WAP pattern
+    under a Structured Streaming foreachBatch."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        abandon_branch,
+        ensure_manifest_sink,
+        publish_branch,
+        read_committed,
+    )
+
+    sink_fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="pos_wap_")
+    table = f"{root}/txns"
+    ckpt = f"{root}/ckpt"
+    schema = "`User` string, cents bigint"
+    ledger: dict[int, tuple[int, int, int]] = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        branch = f"b{batch_id}"
+        out = batch_df.select(
+            F.col("User"),
+            F.regexp_replace(F.col("Amount"), r"[$.]", "")
+            .cast("bigint")
+            .alias("cents"),
+        )
+        (
+            out.coalesce(1)
+            .write.format(sink_fmt)
+            .option("path", table)
+            .option("branch", branch)
+            .mode("append")
+            .save()
+        )
+        branch_view = read_committed(spark, table, schema, branch=branch)
+        n_staged = out.count()
+        violations = branch_view.filter(
+            F.col("cents") > WAP_LIMIT_CENTS
+        ).count()
+        if violations == 0:
+            publish_branch(table, branch)
+            published = 1
+        else:
+            abandon_branch(table, branch)
+            published = 0
+        ledger[int(batch_id)] = (n_staged, violations, published)
+
+    stream = (
+        spark.readStream.format(_ensure_pos_source(spark))
+        .option("rows", POS_ROWS)
+        .option("seed", POS_SEED)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows_in_main = read_committed(spark, table, schema).count()
+        return spark.createDataFrame(
+            [
+                (b, n, v, p, rows_in_main)
+                for b, (n, v, p) in sorted(ledger.items())
+            ],
+            "batch_id int, n_staged bigint, n_violations bigint, "
+            "published int, rows_in_main bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

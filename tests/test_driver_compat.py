@@ -226,6 +226,7 @@ class TestDriverContract:
             "cdf_incremental_agg_refresh", # CDF-driven IVM refresh
             "clustered_compaction_stats",  # z-clustered rewrite skip rate
             "embedding_truncation_recall", # MRL prefix-dim recall audit
+            "pos_stream_wap_ingest",       # streaming WAP quarantine
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

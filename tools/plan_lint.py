@@ -88,6 +88,7 @@ EXECUTING = {
     "write_audit_publish_stats",  # branch stage/audit/publish loop
     "cdf_incremental_agg_refresh",  # CDF-driven IVM refresh loop
     "clustered_compaction_stats",  # OPTIMIZE ZORDER rewrite loop
+    "pos_stream_wap_ingest",  # streaming branch/audit/publish loop
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
