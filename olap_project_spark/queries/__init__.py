@@ -219,6 +219,7 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "clustered_compaction_stats",
     "embedding_truncation_recall",
     "pos_stream_wap_ingest",
+    "stateful_idle_timeout_retirement",
     # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "doc_embedding_join_stats",
     "kmeans_cluster_profile",
     "bucketed_order_revenue",
-    "user_bursts",
 )
 
 

@@ -1012,3 +1012,56 @@ def stateful_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_streaming(spark, sf_dir, build, "stateful_cusum")
+
+
+@register(
+    "stateful_idle_timeout_retirement",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM ev),
+    per AS (
+      SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY user_id
+    )
+    SELECT per.user_id,
+           CAST(epoch_ms(per.f) AS BIGINT) AS first_ms,
+           CAST(epoch_ms(per.l) AS BIGINT) AS last_ms,
+           per.n AS n_events
+    FROM per, mx
+    WHERE per.l + INTERVAL 30 MINUTE < mx.m - INTERVAL 10 MINUTE
+    ORDER BY per.user_id
+    """,
+)
+def stateful_idle_timeout_retirement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The THIRD class of custom stateful operator through the gate —
+    after the additive accumulator (stateful_spend_alerts) and the
+    idempotent extremum (stateful_record_highs), this drives the
+    TIMEOUT arm those NoTimeout machines never touch: per-user state
+    retired by an EventTimeTimeout timer when the watermark passes
+    ``last_event + 30 minutes``, emitting the
+    retired key's lifetime summary (first/last event epoch-millis,
+    event count) from the ``state.hasTimedOut`` invocation — the
+    no-data call path — and removing the state. Users still active at
+    stream end stay in state and do NOT emit; the DuckDB oracle
+    re-derives exactly the retired set from the strict eviction rule
+    ``timeout < watermark`` (streaming/stateful.idle_key_retirement).
+
+    Why it matters at 100 TB: an unbounded key domain (every user ever
+    seen) with NoTimeout state grows the state store monotonically;
+    the timer is the mechanism that bounds it to ACTIVE keys, and this
+    query hash-proves its emission semantics."""
+    from olap_project_spark.streaming.stateful import idle_key_retirement
+
+    return _run_streaming(
+        spark,
+        sf_dir,
+        lambda stream: idle_key_retirement(
+            stream.withWatermark("ts", WATERMARK)
+        ),
+        "idle_retire",
+    )

@@ -328,3 +328,69 @@ def cusum_drift_alarms(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+IDLE_GAP_MS = 30 * 60 * 1000  # retire a key idle past this event-time gap
+
+IDLE_SCHEMA = (
+    "user_id bigint, first_ms bigint, last_ms bigint, n_events bigint"
+)
+IDLE_STATE_SCHEMA = "first_ms bigint, last_ms bigint, n bigint"
+
+
+def idle_key_retirement(events: DataFrame) -> DataFrame:
+    """The EventTimeTimeout arm of the stateful surface — the one
+    mechanism NoTimeout operators never exercise: per-user running
+    (first, last, count) state with a timeout timer re-armed to
+    ``last_event + IDLE_GAP_MS`` on every update; when the event-time
+    watermark passes the timer, Spark invokes the function with
+    ``state.hasTimedOut`` and NO data, and the operator EMITS the
+    retired key's lifetime summary and removes its state — the
+    bounded-state discipline an unbounded key domain requires (without
+    it, a 100-TB stream's state store grows with every user ever
+    seen).
+
+    Determinism contract (oracle-checkable): timers fire when
+    ``timeout < watermark`` (strict, Spark's eviction rule); under the
+    single-file availableNow replay the watermark takes exactly one
+    step to ``max(ts) - delay``, so the emitted set is exactly the
+    users with ``last_event + gap < max(ts) - delay`` — idle users —
+    while still-active users stay in state unemitted. Timestamps
+    travel as exact integer epoch-millis."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            first_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], first_ms, last_ms, n)],
+                columns=["user_id", "first_ms", "last_ms", "n_events"],
+            )
+            return
+        mn = mx = None
+        n = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"].values.astype("datetime64[ms]").astype("int64")
+            n += len(pdf)
+            lo, hi = int(ts.min()), int(ts.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        if n:
+            if state.exists:
+                first_ms, last_ms, n0 = state.get
+                state.update((min(first_ms, mn), max(last_ms, mx), n0 + n))
+            else:
+                state.update((mn, mx, n))
+            state.setTimeoutTimestamp(state.get[1] + IDLE_GAP_MS)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=IDLE_SCHEMA,
+        stateStructType=IDLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

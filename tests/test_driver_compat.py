@@ -227,6 +227,7 @@ class TestDriverContract:
             "clustered_compaction_stats",  # z-clustered rewrite skip rate
             "embedding_truncation_recall", # MRL prefix-dim recall audit
             "pos_stream_wap_ingest",       # streaming WAP quarantine
+            "stateful_idle_timeout_retirement",  # timeout-arm stateful op
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

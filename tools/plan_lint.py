@@ -89,6 +89,7 @@ EXECUTING = {
     "cdf_incremental_agg_refresh",  # CDF-driven IVM refresh loop
     "clustered_compaction_stats",  # OPTIMIZE ZORDER rewrite loop
     "pos_stream_wap_ingest",  # streaming branch/audit/publish loop
+    "stateful_idle_timeout_retirement",  # EventTimeTimeout retirement
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
