@@ -220,6 +220,7 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "embedding_truncation_recall",
     "pos_stream_wap_ingest",
     "stateful_idle_timeout_retirement",
+    "span_corruption_stats",
     # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "dedup_keep_best",
     "doc_embedding_join_stats",
     "kmeans_cluster_profile",
-    "bucketed_order_revenue",
 )
 
 

@@ -2371,3 +2371,141 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(topk(pairs2, 2))
         .orderBy("round", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Span-corruption (T5 denoising objective) accounting
+# --------------------------------------------------------------------------
+SPAN_RATE_PCT = 15  # corrupt ~15% of tokens
+SPAN_LEN = 3  # mean span length (fixed here: deterministic spans)
+
+
+@register(
+    "span_corruption_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents
+    ),
+    plan AS (
+      SELECT source, doc_id, n,
+             GREATEST(1, (n * {SPAN_RATE_PCT}) // 100 // {SPAN_LEN})
+               AS n_spans
+      FROM toks WHERE n > 0
+    ),
+    spans AS (
+      SELECT source, doc_id, n, n_spans,
+             (CAST(k AS BIGINT) * n) // n_spans AS s
+      FROM (SELECT source, doc_id, n, n_spans,
+                   unnest(range(0, n_spans)) AS k
+            FROM plan) t
+    ),
+    masked_pos AS (
+      SELECT DISTINCT source, doc_id, n, n_spans,
+             s + CAST(j AS BIGINT) AS pos
+      FROM (SELECT source, doc_id, n, n_spans, s,
+                   unnest(range(0, {SPAN_LEN})) AS j
+            FROM spans) t
+      WHERE s + CAST(j AS BIGINT) < n
+    ),
+    per_doc AS (
+      SELECT source, doc_id, MAX(n) AS n, MAX(n_spans) AS n_spans,
+             CAST(COUNT(*) AS BIGINT) AS masked
+      FROM masked_pos GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+           CAST(SUM(n_spans) AS BIGINT) AS sentinels,
+           CAST(SUM(n - masked + n_spans) AS BIGINT) AS input_tokens,
+           CAST(SUM(masked + n_spans) AS BIGINT) AS target_tokens,
+           ROUND(CAST(SUM(masked) AS DOUBLE) / SUM(n), 6)
+             AS corruption_rate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN CORRUPTION accounting — the denoising-objective data prep
+    behind T5/UL2 pretraining (Raffel et al., JMLR 2020): each document
+    masks ~{SPAN_RATE_PCT}% of its whitespace tokens in
+    length-{SPAN_LEN} spans replaced by sentinels; the query computes,
+    per source, the exact input/target sequence-length ledger that
+    sizing a denoising run requires (masked tokens, sentinel count,
+    encoder input length n − masked + sentinels, decoder target length
+    masked + sentinels).
+
+    Spans are placed DETERMINISTICALLY at evenly-spaced starts
+    s_k = ⌊k·n / n_spans⌋ (no RNG — reproducible across engines and
+    runs); overlap and document-tail clipping are handled EXACTLY by
+    counting distinct masked positions, not by closed-form arithmetic
+    that would over-count short documents.
+
+    Scale: pure sequence/explode algebra over per-doc token counts —
+    the explode emits n_spans·{SPAN_LEN} position rows per document
+    (≈ the corruption budget, a constant fraction of corpus tokens),
+    then one partial-agg shuffle keyed by (source, doc)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    plan = toks.withColumn(
+        "n_spans",
+        F.greatest(
+            F.lit(1),
+            F.expr(f"(n * {SPAN_RATE_PCT}) DIV 100 DIV {SPAN_LEN}"),
+        ).cast("bigint"),
+    )
+    masked_pos = (
+        plan.select(
+            "source",
+            "doc_id",
+            "n",
+            "n_spans",
+            F.explode(F.expr("sequence(0, n_spans - 1)")).alias("k"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n",
+            "n_spans",
+            F.expr("(k * n) DIV n_spans").alias("s"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n",
+            "n_spans",
+            F.explode(F.expr(f"sequence(s, s + {SPAN_LEN - 1})")).alias(
+                "pos"
+            ),
+        )
+        .filter(F.col("pos") < F.col("n"))
+        .dropDuplicates(["source", "doc_id", "pos"])
+    )
+    per_doc = masked_pos.groupBy("source", "doc_id").agg(
+        F.max("n").alias("n"),
+        F.max("n_spans").alias("n_spans"),
+        F.count("*").cast("bigint").alias("masked"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("masked").cast("bigint").alias("masked_tokens"),
+            F.sum("n_spans").cast("bigint").alias("sentinels"),
+            F.sum(F.col("n") - F.col("masked") + F.col("n_spans"))
+            .cast("bigint")
+            .alias("input_tokens"),
+            F.sum(F.col("masked") + F.col("n_spans"))
+            .cast("bigint")
+            .alias("target_tokens"),
+            F.round(
+                F.sum("masked").cast("double") / F.sum("n"), 6
+            ).alias("corruption_rate"),
+        )
+        .orderBy("source")
+    )

@@ -228,6 +228,7 @@ class TestDriverContract:
             "embedding_truncation_recall", # MRL prefix-dim recall audit
             "pos_stream_wap_ingest",       # streaming WAP quarantine
             "stateful_idle_timeout_retirement",  # timeout-arm stateful op
+            "span_corruption_stats",       # T5 denoising length ledger
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
