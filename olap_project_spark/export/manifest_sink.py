@@ -77,6 +77,10 @@ class ManifestWriter(DataSourceWriter):
 
     # Rows buffered per Arrow record batch before flushing to the
     # parquet writer — bounds task memory to O(batch), not O(partition).
+    # Timestamp columns: arrow schema is timestamp[us, tz=UTC] and the
+    # Python rows carry session-local naive datetimes, so the round
+    # trip is wall-clock-exact under a UTC session timezone — which the
+    # engine pins on every load path (see sources/registry.load_table).
     BATCH_ROWS = 65536
 
     def write(self, iterator: Iterator[Row]) -> _PartCommit:

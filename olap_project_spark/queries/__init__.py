@@ -204,9 +204,8 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 9: new round-9 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: round-9 additions (inserted as they land)
-# + the oldest remaining round-4 refresh rows + round-5 refresh slots
-# to fill 50 (tail trimmed as round-9 queries land).
+# 50. Current composition: 11 round-9 additions + the 39 oldest
+# remaining round-4 refresh rows.
 GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     # round-9 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
@@ -221,7 +220,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "pos_stream_wap_ingest",
     "stateful_idle_timeout_retirement",
     "span_corruption_stats",
-    # round-4 refresh slots — 43 (of the 44 oldest) (oldest remaining driver rows)
+    # round-4 refresh slots — 39 (the oldest remaining driver rows;
+    # tail trimmed as round-9 additions landed)
     "pricing_summary",
     "nation_revenue",
     "top10_customers",

