@@ -1104,8 +1104,9 @@ def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # byte-identical table state across the compaction, verified
         # distributedly (no driver-side row materialization)
         state_identical = int(
-            state_before.exceptAll(state_after).isEmpty()
-            and state_after.exceptAll(state_before).isEmpty()
+            state_before.exceptAll(state_after)
+            .unionAll(state_after.exceptAll(state_before))
+            .isEmpty()  # one symmetric-diff job, not two
         )
 
         v = vacuum_snapshots(table)  # default keep_from = the rewrite

@@ -3601,13 +3601,13 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(
             spark,
             path,
-            spark.createDataFrame([(1,), (3,)], "r_regionkey bigint").coalesce(
-                1
-            ),
+            spark.createDataFrame(
+                [(1,), (3,)], "r_regionkey bigint"
+            ).repartition(1),
         )  # v2
         (
             spark.createDataFrame([(1, "REBORN")], region.schema)
-            .coalesce(1)
+            .repartition(1)
             .write.format(fmt)
             .option("path", path)
             .mode("append")
@@ -3631,8 +3631,9 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_snapshots(spark, path, region.schema)  # v4: materialize
         after = read_committed(spark, path, region.schema)
         identical = int(
-            current.exceptAll(after).isEmpty()
-            and after.exceptAll(current).isEmpty()
+            current.exceptAll(after)
+            .unionAll(after.exceptAll(current))
+            .isEmpty()  # one symmetric-diff job, not two
         )
         return spark.createDataFrame(
             [
@@ -3712,7 +3713,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(rows) -> None:
         (
             spark.createDataFrame(rows, nation.schema)
-            .coalesce(1)
+            .repartition(1)
             .write.format(fmt)
             .option("path", path)
             .option("branch", "ingest")
@@ -3865,7 +3866,9 @@ def cdf_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         full = agg(read_committed(spark, path, base.schema))
         match = int(
-            view.exceptAll(full).isEmpty() and full.exceptAll(view).isEmpty()
+            view.exceptAll(full)
+            .unionAll(full.exceptAll(view))
+            .isEmpty()  # one symmetric-diff job, not two
         )
         rows = view.collect()
         return spark.createDataFrame(
@@ -3986,8 +3989,9 @@ def clustered_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         after_state = read_committed(spark, path, pts.schema)
         box_after, total_after = box_files()
         identical = int(
-            before_state.exceptAll(after_state).isEmpty()
-            and after_state.exceptAll(before_state).isEmpty()
+            before_state.exceptAll(after_state)
+            .unionAll(after_state.exceptAll(before_state))
+            .isEmpty()  # one symmetric-diff job, not two
         )
         rows_in_box = (
             after_state.filter(
