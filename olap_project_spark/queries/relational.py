@@ -4015,3 +4015,114 @@ def clustered_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten THROUGH the lakehouse (logical → physical erasure)
+# --------------------------------------------------------------------------
+@register(
+    "lakehouse_erasure_audit",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS total_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 97 = 0) AS erased_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                WHERE c_custkey % 97 = 0) AS rows_after_delete,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+             AS rows_at_v1_before_vacuum,
+           CAST(0 AS BIGINT) AS rows_at_v1_after_vacuum,
+           CAST(0 AS BIGINT) AS erased_keys_in_files,
+           CAST(1 AS BIGINT) AS versions_final
+    """,
+)
+def lakehouse_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT TO BE FORGOTTEN on the lakehouse table, end to end — the
+    compliance composition cascading_delete_audit (relational FK
+    cascade) cannot express: the erasure set (c_custkey ≡ 0 mod 97)
+    is DELETED via merge-on-read deletion vectors (O(|keys|), no
+    rewrite), and the query then pins the fact privacy teams trip
+    over: the logical delete is NOT erasure — time travel to version 1
+    still RESURRECTS every erased row (``rows_at_v1_before_vacuum``).
+    Physical erasure = compaction (the rewrite materializes the
+    deletes) + VACUUM (expires the pre-rewrite snapshots and deletes
+    their data files): afterwards version 1 reads EMPTY and — the
+    audit that matters — a direct parquet scan of every surviving
+    staging file, BYPASSING the manifest log entirely, finds ZERO
+    erased keys on disk (``erased_keys_in_files``, hash-pinned 0).
+
+    Scale: delete cost O(|erasure set|); the physical purge costs one
+    compaction the table owes periodically anyway — exactly how
+    Delta/Iceberg GDPR runbooks schedule it."""
+    import os
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        delete_where,
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="lakehouse_erasure_")
+    path = f"{root}/customers"
+    customers = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    erase_keys = customers.filter("c_custkey % 97 = 0").select("c_custkey")
+    try:
+        (
+            customers.repartition(4)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v1
+        delete_where(spark, path, erase_keys)  # v2: logical delete
+        total = read_committed(
+            spark, path, customers.schema, as_of=1
+        ).count()
+        after_delete = read_committed(spark, path, customers.schema).count()
+        # the resurrection hazard: pre-delete snapshots still carry PII
+        at_v1_before = read_committed(
+            spark, path, customers.schema, as_of=1
+        ).count()
+        compact_snapshots(spark, path, customers.schema)  # materialize
+        vacuum_snapshots(path)  # expire pre-rewrite snapshots + files
+        at_v1_after = read_committed(
+            spark, path, customers.schema, as_of=1
+        ).count()
+        # physical audit: scan every surviving data file DIRECTLY (no
+        # manifest mediation) for erased keys
+        staging = os.path.join(path, "_staging")
+        files = [
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        ]
+        raw = spark.read.schema(customers.schema).parquet(*files)
+        # no broadcast hint: the erasure set scales with the table
+        # (1/97 of customers) — AQE converts to broadcast when small
+        erased_on_disk = raw.join(erase_keys, "c_custkey").count()
+        return spark.createDataFrame(
+            [
+                (
+                    total,
+                    total - after_delete,
+                    after_delete,
+                    at_v1_before,
+                    at_v1_after,
+                    erased_on_disk,
+                    len(table_versions(path)),
+                )
+            ],
+            "total_rows bigint, erased_rows bigint, rows_after_delete bigint, "
+            "rows_at_v1_before_vacuum bigint, rows_at_v1_after_vacuum bigint, "
+            "erased_keys_in_files bigint, versions_final bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

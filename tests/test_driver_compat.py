@@ -229,6 +229,7 @@ class TestDriverContract:
             "pos_stream_wap_ingest",       # streaming WAP quarantine
             "stateful_idle_timeout_retirement",  # timeout-arm stateful op
             "span_corruption_stats",       # T5 denoising length ledger
+            "lakehouse_erasure_audit",     # physical GDPR purge audit
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -90,6 +90,7 @@ EXECUTING = {
     "clustered_compaction_stats",  # OPTIMIZE ZORDER rewrite loop
     "pos_stream_wap_ingest",  # streaming branch/audit/publish loop
     "stateful_idle_timeout_retirement",  # EventTimeTimeout retirement
+    "lakehouse_erasure_audit",  # delete -> compact -> vacuum erasure
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
