@@ -57,6 +57,23 @@ class _PartCommit(WriterCommitMessage):
     file_name: str
     n_rows: int
     col_stats: dict | None = None  # col -> [min, max] for orderable types
+    bloom_bits: list | None = None  # sorted set positions for bloom_col
+
+
+# Per-file bloom parameters (opt-in via the writer's ``bloom_col``
+# option): m bits / k hashes over an INTEGER column. With ~1k distinct
+# values per file the false-positive rate is ≈1% — the point-lookup
+# complement to zone maps (which prune nothing when every file spans
+# the full value range of an unsorted high-cardinality column). The
+# positions are exact integer arithmetic, reproducible anywhere.
+BLOOM_M = 16384
+BLOOM_K = 2
+
+
+def _bloom_positions(v: int) -> tuple[int, ...]:
+    h1 = (v * 2654435761) % (1 << 32)
+    h2 = (v * 40503 + 2699) % (1 << 31)
+    return tuple((h1 + i * h2) % BLOOM_M for i in range(BLOOM_K))
 
 
 class ManifestWriter(DataSourceWriter):
@@ -71,6 +88,9 @@ class ManifestWriter(DataSourceWriter):
         # in the shared sequence but is INVISIBLE to main readers until
         # published (the tag is dropped atomically by publish_branch)
         self.branch = options.get("branch")
+        # opt-in per-file bloom filter over one integer column — the
+        # point-lookup skipping index zone maps cannot provide
+        self.bloom_col = options.get("bloom_col")
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -133,6 +153,13 @@ class ManifestWriter(DataSourceWriter):
                     if hi > s[1]:
                         s[1] = hi
 
+        bloom: set[int] | None = set() if self.bloom_col else None
+
+        def feed_bloom(buf: dict[str, list]) -> None:
+            for v in buf[self.bloom_col]:
+                if v is not None:
+                    bloom.update(_bloom_positions(int(v)))
+
         buf: dict[str, list] = {c: [] for c in cols}
         with pq.ParquetWriter(
             os.path.join(staging, name), arrow_schema
@@ -143,11 +170,20 @@ class ManifestWriter(DataSourceWriter):
                     buf[c].append(d.get(c))
                 n += 1
                 if n % self.BATCH_ROWS == 0:
+                    if bloom is not None:
+                        feed_bloom(buf)
                     flush(writer, buf)
                     buf = {c: [] for c in cols}
             if cols and buf[cols[0]]:
+                if bloom is not None:
+                    feed_bloom(buf)
                 flush(writer, buf)
-        return _PartCommit(file_name=name, n_rows=n, col_stats=stats)
+        return _PartCommit(
+            file_name=name,
+            n_rows=n,
+            col_stats=stats,
+            bloom_bits=sorted(bloom) if bloom is not None else None,
+        )
 
     def commit(self, messages: list[_PartCommit]) -> None:
         # Sequential snapshot versions: each commit claims the next
@@ -166,6 +202,13 @@ class ManifestWriter(DataSourceWriter):
                 m.file_name: m.col_stats for m in messages if m.col_stats
             },
         }
+        if any(m.bloom_bits is not None for m in messages):
+            manifest["bloom_col"] = self.bloom_col
+            manifest["file_blooms"] = {
+                m.file_name: m.bloom_bits
+                for m in messages
+                if m.bloom_bits is not None
+            }
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -399,6 +442,38 @@ def plan_pruned_files(
         if rng is None or not (hi < rng[0] or lo > rng[1]):
             keep.append(name)
     return sorted(keep), len(entries)
+
+
+def plan_bloom_pruned_files(
+    path: str, col: str, value: int, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """Point-lookup data skipping against the per-file BLOOM filters:
+    (files that MIGHT contain ``col == value``, total committed files).
+    A file is skipped only when its bloom provably excludes the value
+    (all k positions unset) — no false negatives by construction; files
+    without a bloom for ``col`` (written before the option, or a
+    different bloom column) are conservatively kept. The complement to
+    :func:`plan_pruned_files`: zone maps prune RANGE predicates on
+    clustered columns; blooms prune EQUALITY probes on columns whose
+    per-file [min,max] spans everything."""
+    want = _bloom_positions(int(value))
+    keep: list[str] = []
+    total = 0
+    for _version, m in _log(path, as_of):
+        if m.get("kind", "append") == "delete":
+            continue
+        blooms = m.get("file_blooms", {}) if m.get("bloom_col") == col else {}
+        entries = []
+        for name in m["files"]:
+            bits = blooms.get(name)
+            if bits is None or all(p in set(bits) for p in want):
+                entries.append(name)
+        if m.get("kind", "append") == "rewrite":
+            keep, total = entries, len(m["files"])
+        else:
+            keep += entries
+            total += len(m["files"])
+    return sorted(keep), total
 
 
 def table_history(path: str) -> list[dict]:

@@ -4126,3 +4126,127 @@ def lakehouse_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Manifest per-file bloom filters (point-lookup data skipping)
+# --------------------------------------------------------------------------
+@register(
+    "manifest_bloom_skipping_stats",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 10
+    ),
+    found AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      WHERE o_custkey IN (SELECT o_custkey FROM present)
+    )
+    SELECT CAST(10 AS BIGINT) AS n_probes_present,
+           CAST(10 AS BIGINT) AS n_probes_absent,
+           (SELECT n FROM found) AS total_rows_found,
+           CAST(1 AS INTEGER) AS no_false_negatives,
+           CAST(1 AS INTEGER) AS bloom_beats_zonemap,
+           CAST(1 AS INTEGER) AS fp_ok
+    """,
+)
+def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM data skipping on the manifest table — the
+    point-lookup complement to the zone maps: orders are laid out by
+    ORDER KEY (16 range files), so every file's [min,max] on the
+    UNSORTED customer column spans nearly the whole key space and a
+    ``cust2 = ?`` probe zone-prunes nothing; the writer's opt-in
+    per-file bloom ({m} bits / {k} hashes, exact integer positions in
+    the manifest) prunes the same probes to at most a handful of
+    files, with Bloom's no-false-negative guarantee verified by VALUE:
+    rows found reading ONLY bloom-kept files equal the full scan's
+    rows for every present probe (``total_rows_found`` is hash-pinned
+    from the orders table). Absent probes (odd values of the even-only
+    bloom column — inside the value range, so zone maps keep
+    everything) measure the
+    skip benefit (``bloom_beats_zonemap``) and the false-positive
+    budget (``fp_ok``: ≤ 1 file kept per absent probe on average).
+
+    Scale: the bloom is built inline during the Arrow-batched write
+    (one pass, integer-only), costs ~2 KB per file per column in the
+    manifest, and turns needle-in-haystack lookups from 'open every
+    file' into 'open the 1-2 files that can match' — Iceberg/Parquet
+    bloom semantics on the teachable manifest.""".format(
+        m=16384, k=2
+    )
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        plan_bloom_pruned_files,
+        plan_pruned_files,
+        read_committed,
+        _read_files,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_bloom_")
+    path = f"{root}/orders_bloom"
+    # the bloom column is the EVEN-valued 2*o_custkey: every present
+    # value is even, so odd probes are guaranteed-absent values INSIDE
+    # the [min,max] range — zone maps keep every file for them, blooms
+    # exclude them (the synthetic corpus gives every customer orders,
+    # so no natural in-range absent key exists)
+    data = load(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") * 2).cast("bigint").alias("cust2")
+    )
+    try:
+        (
+            data.repartitionByRange(16, "o_orderkey")
+            .write.format(fmt)
+            .option("path", path)
+            .option("bloom_col", "cust2")
+            .mode("append")
+            .save()
+        )
+        present = [
+            r[0]
+            for r in data.select("cust2")
+            .distinct()
+            .orderBy("cust2")
+            .limit(10)
+            .collect()
+        ]
+        absent = [k + 1 for k in present]  # odd → never present
+        # present probes: value equality proves no false negatives
+        bloom_read_found = 0
+        for k in present:
+            files, _ = plan_bloom_pruned_files(path, "cust2", k)
+            bloom_read_found += (
+                _read_files(spark, path, data.schema, files)
+                .filter(F.col("cust2") == k)
+                .count()
+            )
+        total_found = read_committed(spark, path, data.schema).filter(
+            F.col("cust2").isin(present)
+        ).count()
+        # absent probes: inside the value range (zone maps keep all
+        # files), the bloom should keep almost none
+        bloom_absent = zone_absent = 0
+        for k in absent:
+            bfiles, _ = plan_bloom_pruned_files(path, "cust2", k)
+            zfiles, _ = plan_pruned_files(path, "cust2", k, k)
+            bloom_absent += len(bfiles)
+            zone_absent += len(zfiles)
+        return spark.createDataFrame(
+            [
+                (
+                    len(present),
+                    len(absent),
+                    total_found,
+                    int(bloom_read_found == total_found),
+                    int(bloom_absent < zone_absent),
+                    int(bloom_absent <= len(absent)),
+                )
+            ],
+            "n_probes_present bigint, n_probes_absent bigint, "
+            "total_rows_found bigint, no_false_negatives int, "
+            "bloom_beats_zonemap int, fp_ok int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

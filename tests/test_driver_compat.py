@@ -230,6 +230,7 @@ class TestDriverContract:
             "stateful_idle_timeout_retirement",  # timeout-arm stateful op
             "span_corruption_stats",       # T5 denoising length ledger
             "lakehouse_erasure_audit",     # physical GDPR purge audit
+            "manifest_bloom_skipping_stats",  # bloom file skipping
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

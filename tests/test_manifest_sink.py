@@ -741,3 +741,65 @@ class TestWriteAuditPublish:
             publish_branch(path, "b")
         # main unaffected by the failed publish
         assert read_committed(registered, path, SCHEMA).count() == 2
+
+
+class TestBloomSkipping:
+    def test_bloom_prunes_absent_keeps_present(self, registered, tmp_path):
+        """Opt-in per-file blooms: a present value's file is never
+        skipped (no false negatives); an absent value inside the range
+        — which zone maps cannot exclude — skips almost everything."""
+        from olap_project_spark.export.manifest_sink import (
+            plan_bloom_pruned_files,
+            plan_pruned_files,
+        )
+
+        path = str(tmp_path / "bloomwh")
+        (
+            registered.createDataFrame(
+                [(i, f"v{i}") for i in range(0, 400, 2)], SCHEMA
+            )
+            .repartition(4)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .option("bloom_col", "k")
+            .mode("append")
+            .save()
+        )
+        # present (even) probes: bloom keeps at least the true file,
+        # and reading only bloom-kept files finds the row
+        from olap_project_spark.export.manifest_sink import _read_files
+
+        for v in (0, 100, 398):
+            files, total = plan_bloom_pruned_files(path, "k", v)
+            assert total == 4
+            got = (
+                _read_files(registered, path, SCHEMA, files)
+                .filter(f"k = {v}")
+                .count()
+            )
+            assert got == 1, v
+        # absent (odd) probes: inside [0, 398], zone maps keep all
+        # hash-distributed files; bloom keeps almost none
+        bloom_kept = zone_kept = 0
+        for v in (1, 101, 399):
+            bfiles, _ = plan_bloom_pruned_files(path, "k", v)
+            zfiles, _ = plan_pruned_files(path, "k", v, v)
+            bloom_kept += len(bfiles)
+            zone_kept += len(zfiles)
+        # zone maps prune little for in-range probes (file [min,max]
+        # on 100 hash-distributed evens mostly spans the probes);
+        # blooms exclude them almost entirely
+        assert bloom_kept < zone_kept
+        assert bloom_kept <= 2
+
+    def test_files_without_bloom_conservatively_kept(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            plan_bloom_pruned_files,
+        )
+
+        path = str(tmp_path / "bloomwh2")
+        _write(registered, path, [(1, "a")])  # no bloom_col option
+        files, total = plan_bloom_pruned_files(path, "k", 999)
+        assert len(files) == total  # never skip un-bloomed files

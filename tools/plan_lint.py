@@ -91,6 +91,7 @@ EXECUTING = {
     "pos_stream_wap_ingest",  # streaming branch/audit/publish loop
     "stateful_idle_timeout_retirement",  # EventTimeTimeout retirement
     "lakehouse_erasure_audit",  # delete -> compact -> vacuum erasure
+    "manifest_bloom_skipping_stats",  # bloom point-lookup planning
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
