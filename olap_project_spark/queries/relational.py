@@ -4250,3 +4250,79 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (runtime fact-partition skipping)
+# --------------------------------------------------------------------------
+@register(
+    "dynamic_partition_pruning_stats",
+    oracle="""
+    SELECT CAST(MONTH(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS pmonth,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders
+    WHERE MONTH(CAST(o_orderdate AS TIMESTAMP)) <= 3
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dynamic_partition_pruning_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING through the gate — the runtime
+    fact-partition skipping that makes star joins survive 100 TB: the
+    orders fact is laid out as a month-partitioned parquet directory
+    (the layout a production warehouse uses), the month dimension
+    carries the quarter attribute, and the query filters the DIM side
+    (``quarter = 1``). Catalyst inserts a dynamic-pruning subquery on
+    the fact's partition column, so at RUNTIME the scan opens only the
+    3 matching month directories out of 12 — the fact-side filter is
+    not in the query text at all (tests/test_plans.py pins the
+    ``dynamicpruning`` subquery in the physical plan). The per-month
+    totals are hash-checked against the plain month filter in DuckDB.
+
+    Scale: without DPP this join scans every fact partition; with it,
+    partition elimination follows the dim filter automatically — the
+    single biggest scan saver on date-partitioned facts."""
+    import hashlib
+    import os
+
+    orders = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_dpp_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_by_month")
+    done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        (
+            orders.withColumn(
+                "pmonth", F.month(F.col("o_orderdate").cast("date"))
+            )
+            .write.partitionBy("pmonth")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    fact = spark.read.parquet(path)
+    months = spark.range(12).select(
+        (F.col("id") + 1).cast("int").alias("pmonth"),
+        (F.col("id") / 3 + 1).cast("int").alias("quarter"),
+    )
+    joined = fact.join(F.broadcast(months), "pmonth").filter(
+        F.col("quarter") == 1
+    )
+    return (
+        joined.groupBy("pmonth")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("pmonth")
+    )

@@ -231,6 +231,7 @@ class TestDriverContract:
             "span_corruption_stats",       # T5 denoising length ledger
             "lakehouse_erasure_audit",     # physical GDPR purge audit
             "manifest_bloom_skipping_stats",  # bloom file skipping
+            "dynamic_partition_pruning_stats",  # runtime partition DPP
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -739,3 +739,17 @@ class TestRound9PlanShapes:
         assert all(name.split("/")[-1] in plan_str or True for name in v2_files)
         # the scan must read exactly ONE file (version 2's commit)
         assert delta.count() == 1
+
+
+def test_dynamic_partition_pruning_subquery_in_plan(spark, sf_dir):
+    """The DPP gate query's fact scan must carry a dynamic-pruning
+    subquery on the partition column — the runtime partition
+    elimination driven by the dim-side filter, not a static
+    predicate in the query text."""
+    from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+    _import_all()
+    df = QUERY_REGISTRY["dynamic_partition_pruning_stats"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower()
+    assert "CartesianProduct" not in p

@@ -118,6 +118,9 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     # Pregel barrier), which executes under AQE; per-level plan shape
     # is asserted in tests/test_plans.py instead
     "knn_bfs_hops",
+    # builds the month-partitioned fact directory once (the DPP
+    # substrate); the query plan itself stays lazy and lintable
+    "dynamic_partition_pruning_stats",
     # observe()/CollectMetrics showcase: harvesting the metrics
     # requires the noop-sink action at construction time by design
     "observed_ingest_metrics",
