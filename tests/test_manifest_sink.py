@@ -803,3 +803,109 @@ class TestBloomSkipping:
         _write(registered, path, [(1, "a")])  # no bloom_col option
         files, total = plan_bloom_pruned_files(path, "k", 999)
         assert len(files) == total  # never skip un-bloomed files
+
+
+# ---------------------------------------------------------------------------
+# Round 9: the same arbitrary-interleaving discipline over the FULL
+# table-format surface — appends, equality deletes, WAP branch cycles
+# (stage+publish / stage+abandon), orphans, compaction, vacuum — with a
+# pure-Python model of the committed state checked after every step.
+# ---------------------------------------------------------------------------
+lifecycle_op = st.sampled_from(
+    ["append", "delete", "stage_publish", "stage_abandon",
+     "orphan", "compact", "vacuum"]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(lifecycle_op, min_size=2, max_size=7))
+def test_full_lifecycle_preserves_committed_state(
+    registered, spark, tmp_path, ops
+):
+    from olap_project_spark.export.manifest_sink import (
+        abandon_branch,
+        compact_snapshots,
+        delete_where,
+        publish_branch,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / ("wfl_" + "".join(o[0] for o in ops)))
+    model: list[tuple[int, str]] = []
+    next_k = 0
+    latest_rewrite = None
+    for op in ops:
+        if op == "append":
+            rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
+            next_k += 2
+            _write(registered, path, rows)
+            model.extend(rows)
+        elif op == "delete":
+            if not model:
+                continue
+            k = model[0][0]
+            delete_where(
+                registered,
+                path,
+                registered.createDataFrame([(k,)], "k bigint").repartition(1),
+            )
+            model = [r for r in model if r[0] != k]
+        elif op == "stage_publish":
+            rows = [(next_k, f"b{next_k}")]
+            next_k += 1
+            (
+                registered.createDataFrame(rows, SCHEMA)
+                .repartition(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .option("branch", "wip")
+                .mode("append")
+                .save()
+            )
+            # main must not see it until the publish
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_committed(registered, path, SCHEMA).collect()
+            )
+            assert got == sorted(model)
+            publish_branch(path, "wip")
+            model.extend(rows)
+        elif op == "stage_abandon":
+            (
+                registered.createDataFrame([(-9, "bad")], SCHEMA)
+                .repartition(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .option("branch", "trash")
+                .mode("append")
+                .save()
+            )
+            abandon_branch(path, "trash")
+        elif op == "orphan":
+            staging = os.path.join(path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            with open(
+                os.path.join(staging, f"part-orphan{next_k}.jsonl"), "w"
+            ) as f:
+                f.write('{"k": -1, "v": "zombie"}\n')
+        elif op == "compact":
+            if not table_versions(path):
+                continue
+            latest_rewrite = compact_snapshots(registered, path, SCHEMA)
+        elif op == "vacuum":
+            if not os.path.isdir(path):
+                continue
+            stats = vacuum_snapshots(path)
+            if latest_rewrite is not None:
+                assert min(stats["kept_versions"]) >= latest_rewrite
+        if os.path.isdir(path):
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_committed(registered, path, SCHEMA).collect()
+            )
+            assert got == sorted(model), op
