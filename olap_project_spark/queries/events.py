@@ -5924,3 +5924,98 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_ts_us",
         F.when(same, 1).otherwise(0).cast("int").alias("observed_matches"),
     )
+
+
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE-lite: regex over per-user event-type sequences
+# --------------------------------------------------------------------------
+# (name, regex over event-type initials c/e/p/s/v, ordered by (ts, id))
+EVENT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("error_burst", "ee+"),  # two-or-more consecutive errors
+    ("signup_then_error", "se"),  # signup immediately followed by error
+    ("view_clicks_purchase", "vc*p"),  # view, any clicks, purchase
+)
+
+
+def _event_regex_oracle() -> str:
+    pat_rows = ", ".join(f"('{n}', '{rx}')" for n, rx in EVENT_PATTERNS)
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    pats(name, rx) AS (VALUES {pat_rows}),
+    m AS (
+      SELECT p.name,
+             CAST(len(regexp_extract_all(seq.s, p.rx)) AS BIGINT) AS n
+      FROM seq, pats p
+    )
+    SELECT name AS pattern,
+           CAST(SUM(n) AS BIGINT) AS n_matches,
+           CAST(COUNT(CASE WHEN n > 0 THEN 1 END) AS BIGINT)
+             AS users_matched,
+           CAST(MAX(n) AS BIGINT) AS max_per_user
+    FROM m GROUP BY name ORDER BY name
+    """
+
+
+@register("event_regex_matches", oracle=_event_regex_oracle)
+def event_regex_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE, which Spark famously lacks, as the
+    SEQUENCE-TO-STRING operator: each user's event history collapses to
+    a string of event-type initials in exact (ts, event_id) order, and
+    row-pattern recognition becomes plain regular-expression counting —
+    non-overlapping, leftmost, greedy, the same semantics RE2 and Java
+    regex share, so the DuckDB oracle (an INDEPENDENT string_agg +
+    regexp_extract_all formulation) hash-pins the match counts. Three
+    patterns cover the three regex features MATCH_RECOGNIZE programs
+    use: repetition (``ee+`` error bursts), adjacency (``se``
+    signup-then-error), and Kleene-star gaps (``vc*p``
+    view-clicks-purchase funnels with no intervening event).
+
+    Scale: one shuffle groups events by user; the per-user string is
+    bounded by that user's activity (at 100 TB you key by SESSION to
+    bound it — same plan); the regex runs JVM-side per group, no
+    Python, no self-joins, no windows. The contiguous-subsequence
+    semantics differ from session_funnel_stats's gap-tolerant staged
+    funnel — this is the strict-adjacency class of pattern."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("s")
+    )
+    per_pattern = [
+        seqs.select(
+            F.lit(name).alias("pattern"),
+            F.regexp_count(F.col("s"), F.lit(rx)).cast("bigint").alias("n"),
+        )
+        for name, rx in EVENT_PATTERNS
+    ]
+    scored = per_pattern[0]
+    for df in per_pattern[1:]:
+        scored = scored.unionByName(df)
+    return (
+        scored.groupBy("pattern")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_matches"),
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("users_matched"),
+            F.max("n").cast("bigint").alias("max_per_user"),
+        )
+        .orderBy("pattern")
+    )

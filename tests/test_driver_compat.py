@@ -232,6 +232,7 @@ class TestDriverContract:
             "lakehouse_erasure_audit",     # physical GDPR purge audit
             "manifest_bloom_skipping_stats",  # bloom file skipping
             "dynamic_partition_pruning_stats",  # runtime partition DPP
+            "event_regex_matches",         # MATCH_RECOGNIZE-lite regex
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
