@@ -6019,3 +6019,117 @@ def event_regex_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-mergeable exact distinct counts (re-aggregatable rollup)
+# --------------------------------------------------------------------------
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(strftime(date_trunc('week', CAST(ts AS TIMESTAMP)),
+                           '%Y-%m-%d') AS VARCHAR) AS week,
+             CAST(strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                           '%Y-%m-%d') AS VARCHAR) AS day,
+             user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT week, day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_distinct
+      FROM ev GROUP BY week, day
+    ),
+    weekly AS (
+      SELECT week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS week_distinct
+      FROM ev GROUP BY week
+    )
+    SELECT w.week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.day_distinct) AS BIGINT) AS sum_day_distinct,
+           w.week_distinct,
+           CAST(1 AS INTEGER) AS bitmap_matches_exact
+    FROM weekly w JOIN daily d ON d.week = w.week
+    GROUP BY w.week, w.week_distinct
+    ORDER BY w.week
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts that RE-AGGREGATE — the bitmap rollup
+    pattern (Druid/ClickHouse `groupBitmap`, Spark 4's bitmap agg
+    family): per (week, day, bucket) the user-id set is materialized
+    as a bitmap (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``), and the WEEKLY distinct comes from
+    OR-merging the daily bitmaps (``bitmap_or_agg`` →
+    ``bitmap_count``) — never from rescanning the events. Plain
+    COUNT(DISTINCT) cannot roll up (distincts don't sum: the result
+    row pins ``sum_day_distinct`` ≠ ``week_distinct``); the bitmap is
+    the exact mergeable representation that makes distinct a
+    first-class rollup measure. ``bitmap_matches_exact`` hash-pins the
+    merged counts against a direct COUNT(DISTINCT) per week.
+
+    Scale: user ids hash into 32k-bit buckets (``bitmap_bucket_number``
+    keys the aggregate, so one bitmap never exceeds 4 KB and the
+    keyspace shards across executors); the daily layer is the
+    materialization a 100-TB pipeline stores, after which every
+    coarser rollup (week/month/quarter) is metadata-sized bitmap OR."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "user_id",
+    )
+    # layer 1: per (week, day, bucket) bitmaps — the stored rollup
+    daily_maps = ev.groupBy(
+        "week", "day", F.bitmap_bucket_number(F.col("user_id")).alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    # daily distinct = Σ over buckets of bitmap_count (buckets are
+    # disjoint id ranges, so counts add exactly)
+    daily = daily_maps.groupBy("week", "day").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias(
+            "day_distinct"
+        )
+    )
+    # layer 2: weekly distinct by OR-merging the daily bitmaps per
+    # bucket — no rescan of events
+    weekly = (
+        daily_maps.groupBy("week", "bkt")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .groupBy("week")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm")))
+            .cast("bigint")
+            .alias("week_distinct_bitmap")
+        )
+    )
+    # the audit: direct exact distinct per week
+    exact = ev.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("week_distinct")
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("day_distinct").cast("bigint").alias("sum_day_distinct"),
+        )
+        .join(weekly, "week")
+        .join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "sum_day_distinct",
+            "week_distinct",
+            (F.col("week_distinct_bitmap") == F.col("week_distinct"))
+            .cast("int")
+            .alias("bitmap_matches_exact"),
+        )
+        .orderBy("week")
+    )

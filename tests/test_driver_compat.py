@@ -233,6 +233,7 @@ class TestDriverContract:
             "manifest_bloom_skipping_stats",  # bloom file skipping
             "dynamic_partition_pruning_stats",  # runtime partition DPP
             "event_regex_matches",         # MATCH_RECOGNIZE-lite regex
+            "bitmap_distinct_rollup",      # mergeable exact distincts
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
