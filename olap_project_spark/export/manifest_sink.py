@@ -201,6 +201,9 @@ class ManifestWriter(DataSourceWriter):
             "file_stats": {
                 m.file_name: m.col_stats for m in messages if m.col_stats
             },
+            # per-file row counts: the `table$files` metadata surface
+            # (planning row estimates without opening footers)
+            "file_rows": {m.file_name: m.n_rows for m in messages},
         }
         if any(m.bloom_bits is not None for m in messages):
             manifest["bloom_col"] = self.bloom_col
@@ -497,6 +500,39 @@ def table_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def table_files(
+    path: str, as_of: int | None = None, branch: str | None = None
+) -> list[dict]:
+    """The ``table$files`` metadata surface (Iceberg's files table /
+    Delta's DESCRIBE DETAIL file list): one dict per LIVE data file at
+    the requested version — committing version, file name, row count
+    (when the manifest recorded it), and the zone-map stats. Rewrites
+    supersede earlier files exactly as the read path sees them; delete
+    manifests' tombstone files are metadata, not data, and are
+    excluded. Driver-side, O(#manifests)."""
+    live: list[dict] = []
+    for version, m in _log(path, as_of, branch):
+        kind = m.get("kind", "append")
+        if kind == "delete":
+            continue
+        rows = m.get("file_rows", {})
+        stats = m.get("file_stats", {})
+        entries = [
+            {
+                "version": version,
+                "file_name": name,
+                "n_rows": rows.get(name),
+                "col_stats": stats.get(name, {}),
+            }
+            for name in m["files"]
+        ]
+        if kind == "rewrite":
+            live = entries
+        else:
+            live += entries
+    return live
 
 
 def read_version_delta(

@@ -204,7 +204,7 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 9: new round-9 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 16 round-9 additions + the 34 oldest
+# 50. Current composition: 17 round-9 additions + the 33 oldest
 # remaining round-4 refresh rows.
 GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     # round-9 additions — no driver CORRECTNESS row yet
@@ -225,7 +225,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "dynamic_partition_pruning_stats",
     "event_regex_matches",
     "bitmap_distinct_rollup",
-    # round-4 refresh slots — 34 (the oldest remaining driver rows;
+    "manifest_files_metadata",
+    # round-4 refresh slots — 33 (the oldest remaining driver rows;
     # tail trimmed as round-9 additions landed)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "nation_key_multiset_common",
     "priority_flag_profile",
     "price_neighborhood_density",
-    "segment_priority_mode",
 )
 
 

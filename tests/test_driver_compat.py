@@ -234,6 +234,7 @@ class TestDriverContract:
             "dynamic_partition_pruning_stats",  # runtime partition DPP
             "event_regex_matches",         # MATCH_RECOGNIZE-lite regex
             "bitmap_distinct_rollup",      # mergeable exact distincts
+            "manifest_files_metadata",     # table$files metadata surface
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

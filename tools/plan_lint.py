@@ -92,6 +92,7 @@ EXECUTING = {
     "stateful_idle_timeout_retirement",  # EventTimeTimeout retirement
     "lakehouse_erasure_audit",  # delete -> compact -> vacuum erasure
     "manifest_bloom_skipping_stats",  # bloom point-lookup planning
+    "manifest_files_metadata",  # builds + compacts the files table
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
