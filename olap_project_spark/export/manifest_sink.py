@@ -43,10 +43,14 @@ import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+from collections.abc import Iterator as _Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -243,13 +247,100 @@ class ManifestWriter(DataSourceWriter):
                 pass
 
 
+class _VersionFiles(InputPartition):
+    """One streaming input partition = one data file of one committed
+    version — executor-parallel tailing, schema shipped as JSON."""
+
+    def __init__(self, version: int, file_path: str, schema_json: str):
+        self.version = version
+        self.file_path = file_path
+        self.schema_json = schema_json
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """STREAM the manifest table — the Delta ``readStream`` contract on
+    the teachable log: the offset IS the snapshot version, each
+    micro-batch reads exactly the files committed by the versions in
+    ``(start, end]``, and a checkpoint restart resumes from the
+    committed version — exactly-once tailing with no extra machinery,
+    because the commit protocol already made versions atomic and
+    immutable. APPEND-ONLY by contract: a delete or rewrite snapshot
+    inside the range raises (Delta's default ``ignoreChanges=false``
+    semantics — a file-level tail cannot represent row removals; run
+    consumers before compacting, or restart them from the rewrite).
+
+    Scale: ``latestOffset`` is O(#manifests) driver-side metadata; the
+    data reads are per-file executor tasks (Arrow record batches)."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest stream source requires 'path'")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        versions = [v for v, _m in _log(self.path)]
+        return {"version": max(versions, default=0)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        out: list[InputPartition] = []
+        sj = json.dumps(self.schema.jsonValue())
+        for version, m in _log(self.path):
+            if version <= start["version"] or version > end["version"]:
+                continue
+            kind = m.get("kind", "append")
+            if kind != "append":
+                raise ValueError(
+                    f"streaming tail hit a {kind} snapshot at version "
+                    f"{version}; the file-level CDF is append-only — "
+                    "restart the consumer from the rewrite"
+                )
+            staging = os.path.join(self.path, "_staging")
+            out += [
+                _VersionFiles(version, os.path.join(staging, f), sj)
+                for f in m["files"]
+            ]
+        return out
+
+    def read(self, partition: _VersionFiles):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(StructType.fromJson(json.loads(partition.schema_json)))
+        pf = pq.ParquetFile(partition.file_path)
+        for batch in pf.iter_batches():
+            # project/cast to the discovered table schema (column order
+            # must match the read schema exactly for Arrow handoff)
+            yield batch.select([f.name for f in want]).cast(want)
+
+    def commit(self, end: dict) -> None:
+        pass  # versions are immutable; nothing to release
+
+
 class ManifestSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "manifest_sink"
 
+    def schema(self) -> StructType:
+        # table schema DISCOVERED from the manifest log (readers never
+        # declare it) — the same discovery read_evolved uses
+        sch = table_schema(self.options.get("path"))
+        if sch is None:
+            raise ValueError(
+                "manifest table has no recorded schema; cannot stream"
+            )
+        return sch
+
     def writer(self, schema: StructType, overwrite: bool) -> ManifestWriter:
         return ManifestWriter(self.options, overwrite, schema)
+
+    def streamReader(self, schema: StructType) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options, schema)
 
 
 def _list_manifests(path: str) -> list[tuple[int, str]]:

@@ -204,7 +204,7 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 9: new round-9 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 17 round-9 additions + the 33 oldest
+# 50. Current composition: 18 round-9 additions + the 32 oldest
 # remaining round-4 refresh rows.
 GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     # round-9 additions — no driver CORRECTNESS row yet
@@ -226,7 +226,8 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "event_regex_matches",
     "bitmap_distinct_rollup",
     "manifest_files_metadata",
-    # round-4 refresh slots — 33 (the oldest remaining driver rows;
+    "manifest_stream_tail_stats",
+    # round-4 refresh slots — 32 (the oldest remaining driver rows;
     # tail trimmed as round-9 additions landed)
     "pricing_summary",
     "nation_revenue",
@@ -260,7 +261,6 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "stratified_customer_sample",
     "nation_key_multiset_common",
     "priority_flag_profile",
-    "price_neighborhood_density",
 )
 
 

@@ -4411,3 +4411,115 @@ def manifest_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("version", "min_key")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming the lakehouse table (version-offset tail)
+# --------------------------------------------------------------------------
+@register(
+    "manifest_stream_tail_stats",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM nation),
+    p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+           WHERE n_nationkey < 8),
+    p2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+           WHERE n_nationkey >= 8 AND n_nationkey < 16)
+    SELECT (SELECT c FROM p1) + (SELECT c FROM p2) AS rows_first_tail,
+           (SELECT total FROM n) AS rows_after_restart,
+           (SELECT total FROM n) AS rows_after_noop,
+           CAST(3 AS BIGINT) AS src_versions,
+           CAST(2 AS BIGINT) AS mirror_versions,
+           CAST(1 AS INTEGER) AS state_identical
+    """,
+)
+def manifest_stream_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING the lakehouse table — Delta's ``readStream`` on the
+    manifest log: the table is a structured-streaming SOURCE whose
+    offset IS the snapshot version (``ManifestStreamReader``), each
+    micro-batch reads exactly the files the pending versions
+    committed (per-file executor partitions, Arrow batches), and the
+    checkpoint makes tailing exactly-once across restarts. The gate
+    drives the full CDC-mirror loop: two appends land → one tail run
+    mirrors them into a SECOND manifest table through foreachBatch →
+    a third append lands → the restarted tail (same checkpoint) moves
+    ONLY the new version → a final no-data run is a no-op. Row counts
+    at each stage and a distributed source/mirror state diff are
+    hash-pinned; the mirror's version count (2 — one commit per
+    non-empty micro-batch) proves no replay. Delete/rewrite snapshots
+    in the tailed range raise by contract (the append-only CDF rule).
+
+    Scale: latestOffset is O(#manifests) metadata; data movement is
+    per-file parallel reads — the pattern that replaces a Kafka hop
+    for table-to-table pipelines."""
+    import shutil
+    import tempfile
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_tail_")
+    src, dst, ckpt = f"{root}/a", f"{root}/b", f"{root}/ckpt"
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def append(pred: str) -> None:
+        (
+            nation.filter(pred)
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", src)
+            .mode("append")
+            .save()
+        )
+
+    def mirror(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.format(fmt).option("path", dst).mode("append").save()
+
+    def tail_once() -> None:
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(mirror)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        append("n_nationkey < 8")  # v1
+        append("n_nationkey >= 8 AND n_nationkey < 16")  # v2
+        tail_once()
+        schema = nation.schema
+        rows_first = read_committed(spark, dst, schema).count()
+        append("n_nationkey >= 16")  # v3 — arrives while the tail is down
+        tail_once()  # checkpoint restart: only v3 moves
+        rows_restart = read_committed(spark, dst, schema).count()
+        tail_once()  # no pending versions: a no-op
+        rows_noop = read_committed(spark, dst, schema).count()
+        a = read_committed(spark, src, schema)
+        b = read_committed(spark, dst, schema)
+        identical = int(
+            a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    rows_first,
+                    rows_restart,
+                    rows_noop,
+                    len(table_versions(src)),
+                    len(table_versions(dst)),
+                    identical,
+                )
+            ],
+            "rows_first_tail bigint, rows_after_restart bigint, "
+            "rows_after_noop bigint, src_versions bigint, "
+            "mirror_versions bigint, state_identical int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

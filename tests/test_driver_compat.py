@@ -235,6 +235,7 @@ class TestDriverContract:
             "event_regex_matches",         # MATCH_RECOGNIZE-lite regex
             "bitmap_distinct_rollup",      # mergeable exact distincts
             "manifest_files_metadata",     # table$files metadata surface
+            "manifest_stream_tail_stats",  # readStream on the lakehouse
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

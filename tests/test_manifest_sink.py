@@ -909,3 +909,48 @@ def test_full_lifecycle_preserves_committed_state(
                 for r in read_committed(registered, path, SCHEMA).collect()
             )
             assert got == sorted(model), op
+
+
+class TestStreamTail:
+    def test_tail_rejects_rewrite_in_range(self, registered, tmp_path):
+        """A compaction inside the un-consumed range must fail the
+        tail loudly (append-only CDF rule), not silently re-deliver."""
+        import uuid as _uuid
+
+        from olap_project_spark.export.manifest_sink import (
+            compact_snapshots,
+            ensure_manifest_sink,
+        )
+
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "tailrw")
+        _write(registered, path, [(1, "a")])
+        compact_snapshots(registered, path, SCHEMA)
+        name = "tailrw_" + _uuid.uuid4().hex[:6]
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="append-only"):
+            q.awaitTermination(120)
+
+    def test_schema_discovered_from_log(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+        )
+
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "tailschema")
+        _write(registered, path, [(7, "x")])
+        stream = registered.readStream.format(fmt).option("path", path).load()
+        assert [f.name for f in stream.schema.fields] == ["k", "v"]

@@ -93,6 +93,7 @@ EXECUTING = {
     "lakehouse_erasure_audit",  # delete -> compact -> vacuum erasure
     "manifest_bloom_skipping_stats",  # bloom point-lookup planning
     "manifest_files_metadata",  # builds + compacts the files table
+    "manifest_stream_tail_stats",  # streaming tail + CDC mirror loop
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
