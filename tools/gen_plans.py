@@ -452,6 +452,50 @@ SHOWCASE = [
         "carries GreaterThan(c_acctbal,5000.0) — the scan prunes "
         "exactly as if the literal had been spliced in.",
     ),
+    (
+        "binned_quantile_refinement",
+        "Sketch-guided exact order statistics: the 512-bin histogram "
+        "partial-aggregates map-side, its cumulative window is bounded "
+        "by the bin constant, the min/max/count stats ride a 1-row "
+        "BroadcastExchange, and the refinement row_number is "
+        "PARTITIONED by percentile — each partition one bin's rows, no "
+        "global sort anywhere.",
+    ),
+    (
+        "embedding_truncation_recall",
+        "Matryoshka truncation audit: all four prefix dots and norms "
+        "come out of ONE conditional HashAggregate each (no per-prefix "
+        "rescan), only the constant 10-query slice broadcasts, and the "
+        "rank window is keyed by (prefix, query).",
+    ),
+    (
+        "event_regex_matches",
+        "MATCH_RECOGNIZE-lite: one shuffle groups events per user, the "
+        "sequence string is built by array_sort/transform inside the "
+        "aggregate, and the regex evaluates JVM-side — no window, no "
+        "self-join, no Python.",
+    ),
+    (
+        "bitmap_distinct_rollup",
+        "Re-aggregatable exact distincts: per-(day, bucket) bitmaps are "
+        "partial-aggregated map-side; the weekly layer re-aggregates "
+        "the BITMAPS (bitmap_or_agg), never rescanning events — the "
+        "mergeable-distinct shape rollup cubes need.",
+    ),
+    (
+        "dynamic_partition_pruning_stats",
+        "Dynamic partition pruning: the fact scan carries a "
+        "dynamicpruning subquery on the partition column fed by the "
+        "broadcast month dim — 9 of 12 partitions are eliminated at "
+        "RUNTIME with no fact-side filter in the query text.",
+    ),
+    (
+        "span_corruption_stats",
+        "Denoising-objective accounting: two generator explodes expand "
+        "per-doc span positions (bounded by the corruption budget), a "
+        "distinct-position aggregate handles overlap exactly, and the "
+        "plan has no join and no Python.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
