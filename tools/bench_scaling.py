@@ -50,6 +50,17 @@ REPS = [
     ("hourly_cusum_changepoints", "dense-spine CUSUM walk"),
     ("epoch_shuffle_quality", "two-pass global-rank Spearman"),
     ("hybrid_skew_join_stats", "hybrid hot/cold skew join"),
+    # round-9 flagships: histogram volume is bin-constant for the
+    # quantile pass (the refinement reads ~1/512 of rows); dot volume
+    # ~ queries x corpus for the truncation audit; sequence volume ~
+    # per-user events for the regex matcher; bitmap volume ~ distinct
+    # keys for the rollup; span volume ~ corruption budget
+    ("binned_quantile_refinement", "histogram + crossing-bin refine"),
+    ("embedding_truncation_recall", "prefix-dim cosine recall"),
+    ("event_regex_matches", "sequence-to-string regex"),
+    ("bitmap_distinct_rollup", "mergeable bitmap distincts"),
+    ("span_corruption_stats", "span-corruption explode algebra"),
+    ("bpe_merge_pair_counts", "BPE merge-pair counting"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
