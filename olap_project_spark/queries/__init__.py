@@ -136,79 +136,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-9 window (swapped in from the pre-staged r9
-# draft after the ts-encoding canaries passed 3/3): the 38 round-8
-# additions that have never had a driver CORRECTNESS row — the manifest
-# lakehouse suite, the streaming E2E pair, the real-codec legs, CUSUM,
-# and the LLM-curation operators — plus the 6 remaining round-3 rows
-# and 6 round-4 refresh slots. Rotate the list each round to cycle
-# coverage.
+# modules import. Round-10 window (swapped in from the pre-staged r10
+# draft after the ts-encoding canaries passed 3/3): the 18 round-9
+# additions that have never had a driver CORRECTNESS row — the
+# table-format arc (parquet data plane, equality deletes, WAP, CDF-IVM,
+# Z-order, blooms, manifest streaming source), the EventTimeTimeout
+# stateful arm, MRL truncation recall, BPE/span-corruption text ops —
+# plus the 32 oldest remaining round-4 refresh rows. Rotate the list
+# each round to cycle coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-8 additions — first driver CORRECTNESS row this round
-    "hourly_cusum_changepoints",
-    "media_aspect_bucket_batches",
-    "quality_classifier_calibration",
-    "k_anonymity_policy_audit",
-    "partition_layout_advisor",
-    "epoch_shuffle_quality",
-    "hybrid_skew_join_stats",
-    "data_quality_audit",
-    "media_resample_stats",
-    "markov_next_event_accuracy",
-    "sql_session_variable_params",
-    "observed_ingest_metrics",
-    "stateful_cusum_alarms",
-    "manifest_schema_evolution_stats",
-    "manifest_file_skipping_stats",
-    "manifest_snapshot_diff_stats",
-    "manifest_table_history",
-    "packing_efficiency_curve",
-    "pos_daily_rates_vnd",
-    "pos_route_counts",
-    "media_codec_decode_stats",
-    "bloom_prefilter_stats",
-    "semantic_dedup_stats",
-    "preference_pair_mining",
-    "curriculum_schedule_plan",
-    "mmr_diversified_topk",
-    "pos_stream_manifest_ingest",
-    "sql_recursive_bfs_hops",
-    "sql_pipe_summary",
-    "media_energy_segments",
-    "session_overlap_pairs",
-    "quality_classifier_scores",
-    "time_weighted_user_value",
-    "segment_overlap_matrix",
-    "sql_group_by_all_modes",
-    "manifest_vacuum_stats",
-    "hourly_autocorr_lags",
-    "pos_stream_merge_upsert",
-    # round-3 refresh slots — 6
-    "multimodal_decode_stats",
-    "streaming_complete_mode_totals",
-    "streaming_continuous_rollup",
-    "streaming_full_outer_attribution",
-    "streaming_left_outer_attribution",
-    "streaming_update_mode_counts",
-    # round-4 refresh slots — 6
-    "above_avg_spenders",
-    "ann_filtered_topk",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "approx_distinct_summary",
-    "benchmark_contamination",
-)
-
-
-# Round-10 window, pre-staged (swap into GATE_WINDOW at round-10 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 9: new round-9 queries are inserted at
-# the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 18 round-9 additions + the 32 oldest
-# remaining round-4 refresh rows.
-GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
-    # round-9 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
+    # round-9 additions — first driver CORRECTNESS row this round
     "manifest_lifecycle_stats",
     "binned_quantile_refinement",
     "bpe_merge_pair_counts",
@@ -261,6 +198,71 @@ GATE_WINDOW_R10_DRAFT: tuple[str, ...] = (
     "stratified_customer_sample",
     "nation_key_multiset_common",
     "priority_flag_profile",
+)
+
+
+# Round-11 window, pre-staged (swap into GATE_WINDOW at round-11 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 10: new round-10 queries are inserted at
+# the HEAD and the refresh tail is trimmed to keep the list at exactly
+# 50. Current composition: 12 remaining round-4 refresh rows + the 38
+# oldest round-5 rows (CORRECTNESS_r05 order).
+GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
+    # round-10 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-4 refresh slots — 12 (the last of the round-4 rows)
+    "price_neighborhood_density",
+    "segment_priority_mode",
+    "customer_revenue_gini",
+    "part_price_skyline",
+    "dedup_keep_best",
+    "doc_embedding_join_stats",
+    "kmeans_cluster_profile",
+    "bucketed_order_revenue",
+    "user_bursts",
+    "user_sessions",
+    "last_touch_attribution",
+    "embedding_near_dup_pairs",
+    # round-5 refresh slots — 38 (CORRECTNESS_r05 order; tail trimmed
+    # as round-10 additions land)
+    "repetition_quality_stats",
+    "boilerplate_coverage_stats",
+    "training_shard_stats",
+    "source_mixture_plan",
+    "token_frequency_quality",
+    "cluster_label_purity",
+    "debounced_event_counts",
+    "late_event_accounting",
+    "watermark_tuning_curve",
+    "streaming_segment_enrichment",
+    "zorder_layout_stats",
+    "incremental_dedup_matches",
+    "leakage_safe_split_stats",
+    "hash_sampled_value_stats",
+    "seasonal_hour_anomalies",
+    "trending_types_daily",
+    "pareto_customer_classes",
+    "part_entity_clusters",
+    "media_feature_stats",
+    "ann_multiprobe_topk",
+    "ann_ivf_filtered_topk",
+    "ann_multiprobe_recall",
+    "format_roundtrip_stats",
+    "manifest_snapshot_stats",
+    "ab_bucket_metrics",
+    "cohort_value_curve",
+    "session_funnel_stats",
+    "pii_redaction_stats",
+    "sql_urgent_open_customers",
+    "context_packing_stats",
+    "quantized_cosine_quality",
+    "ann_topk_bruteforce",
+    "ivf_near_dup_pairs",
+    "exact_dedup_summary",
+    "ngram_dup_pairs",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "near_dup_clusters",
 )
 
 

@@ -1,7 +1,7 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-9 rotation: the 38 round-8 additions
+queries. These tests pin the round-10 rotation: the 18 round-9 additions
 that had never been driver-checked occupy the window alongside the
-oldest (round-3/4) refresh rows, every windowed query is oracle-backed,
+oldest (round-4) refresh rows, every windowed query is oracle-backed,
 and reordering loses nothing."""
 
 from __future__ import annotations
@@ -53,20 +53,20 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-8 additions that had no driver row before this rotation
+    # the round-9 additions that had no driver row before this rotation
     for name in (
-        "manifest_vacuum_stats",
-        "manifest_file_skipping_stats",
-        "manifest_schema_evolution_stats",
-        "pos_stream_manifest_ingest",
-        "pos_stream_merge_upsert",
-        "pos_route_counts",
-        "stateful_cusum_alarms",
-        "hourly_cusum_changepoints",
-        "media_codec_decode_stats",
-        "semantic_dedup_stats",
-        "bloom_prefilter_stats",
-        "epoch_shuffle_quality",
+        "manifest_lifecycle_stats",
+        "manifest_delete_vector_stats",
+        "write_audit_publish_stats",
+        "cdf_incremental_agg_refresh",
+        "clustered_compaction_stats",
+        "manifest_bloom_skipping_stats",
+        "manifest_stream_tail_stats",
+        "pos_stream_wap_ingest",
+        "stateful_idle_timeout_retirement",
+        "embedding_truncation_recall",
+        "bpe_merge_pair_counts",
+        "dynamic_partition_pruning_stats",
     ):
         assert name in w, name
 
@@ -82,20 +82,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r10_draft_window_is_valid():
-    """The pre-staged round-10 window must stay swappable: exactly 50
+def test_r11_draft_window_is_valid():
+    """The pre-staged round-11 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-9 window (every slot either adds a first-time row or
+    active round-10 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R10_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R11_DRAFT
 
-    assert len(GATE_WINDOW_R10_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R10_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R10_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R11_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R11_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R11_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R10_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R11_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R10_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R11_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap
