@@ -3063,9 +3063,14 @@ def manifest_schema_evolution_stats(
     done = os.path.join(root, "_built")
     _fresh_build_dir(root, done)
     if not os.path.exists(done):
+        # repartition(1), NOT coalesce(1): coalescing a LocalTableScan
+        # parent through the Python DataSource writer round-trips every
+        # upstream partition through the writer task (the round-9 PERF
+        # TRAP — ~4.5 s per write); the single-shuffle repartition keeps
+        # the write one warm sub-second task.
         (
             region.filter(F.col("r_regionkey") < 3)
-            .coalesce(1)
+            .repartition(1)
             .write.format(fmt)
             .option("path", path)
             .mode("append")
@@ -3074,7 +3079,7 @@ def manifest_schema_evolution_stats(
         (
             region.filter(F.col("r_regionkey") >= 3)
             .withColumn("name_len", F.length("r_name").cast("int"))
-            .coalesce(1)
+            .repartition(1)
             .write.format(fmt)
             .option("path", path)
             .mode("append")
@@ -4155,8 +4160,9 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER KEY (16 range files), so every file's [min,max] on the
     UNSORTED customer column spans nearly the whole key space and a
     ``cust2 = ?`` probe zone-prunes nothing; the writer's opt-in
-    per-file bloom ({m} bits / {k} hashes, exact integer positions in
-    the manifest) prunes the same probes to at most a handful of
+    per-file bloom (BLOOM_M=16384 bits / BLOOM_K=2 hashes, exact
+    integer positions in the manifest) prunes the same probes to at
+    most a handful of
     files, with Bloom's no-false-negative guarantee verified by VALUE:
     rows found reading ONLY bloom-kept files equal the full scan's
     rows for every present probe (``total_rows_found`` is hash-pinned
@@ -4170,9 +4176,7 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     (one pass, integer-only), costs ~2 KB per file per column in the
     manifest, and turns needle-in-haystack lookups from 'open every
     file' into 'open the 1-2 files that can match' — Iceberg/Parquet
-    bloom semantics on the teachable manifest.""".format(
-        m=16384, k=2
-    )
+    bloom semantics on the teachable manifest."""
     import shutil
     import tempfile
 
