@@ -25,14 +25,17 @@ readable: the read path dispatches on extension and unions, so a table
 migrates to parquet by simply compacting (the rewrite snapshot is
 written through the current writer).
 
-Durability boundary: the commit point is ``os.replace`` after an
-``O_CREAT|O_EXCL`` version claim — atomic on POSIX filesystems and
-HDFS, NOT on S3-style object stores (rename is copy+delete and
-create-exclusive is unavailable). On object stores the same protocol
-needs a conditional PUT (If-None-Match) or an external log service for
-the version claim, which is exactly why Delta ships per-store
-LogStore implementations and Iceberg uses a catalog swap; the rest of
-the protocol (staging files + manifest listing) carries over unchanged.
+Durability boundary: the commit point is ``os.replace`` after a
+version claim. The claim is the ONE store-specific primitive, so it is
+a pluggable seam (:class:`VersionClaimer`): the default
+:class:`PosixVersionClaimer` uses ``O_CREAT|O_EXCL`` — atomic on POSIX
+filesystems and HDFS, NOT on S3-style object stores (rename is
+copy+delete and create-exclusive is unavailable) — and
+:class:`ConditionalPutClaimer` carries the same protocol to object
+stores via conditional PUT (If-None-Match) or an external log service,
+which is exactly why Delta ships per-store LogStore implementations
+and Iceberg uses a catalog swap; the rest of the protocol (staging
+files + manifest listing) is store-agnostic and carries over unchanged.
 """
 
 from __future__ import annotations
@@ -80,6 +83,81 @@ def _bloom_positions(v: int) -> tuple[int, ...]:
     return tuple((h1 + i * h2) % BLOOM_M for i in range(BLOOM_K))
 
 
+class VersionClaimer:
+    """The ONE primitive of the commit protocol that must be atomic per
+    backing store: claiming an integer snapshot version such that two
+    racing committers can never both own it. Everything else (staging
+    files, manifest content, the read path) is store-agnostic — which
+    is exactly why Delta ships per-store ``LogStore`` implementations
+    and Iceberg swaps a catalog pointer: the claim is the only part
+    that changes shape between POSIX/HDFS and S3-class object stores.
+
+    ``claim(path, version)`` returns True iff THIS caller won the
+    version; ``claimed_versions(path)`` lists every claimed version
+    (won by anyone, committed or still in flight) so the committer can
+    pick the next free number."""
+
+    def claim(self, path: str, version: int) -> bool:
+        raise NotImplementedError
+
+    def claimed_versions(self, path: str) -> list[int]:
+        raise NotImplementedError
+
+
+class PosixVersionClaimer(VersionClaimer):
+    """Default claimer: ``O_CREAT|O_EXCL`` on the manifest's final
+    name — atomic on POSIX filesystems and HDFS. The empty claimed
+    file doubles as the read path's commit-in-flight signal until
+    ``os.replace`` lands the content."""
+
+    def claim(self, path: str, version: int) -> bool:
+        final = os.path.join(path, f"_manifest-{version:06d}.json")
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
+
+    def claimed_versions(self, path: str) -> list[int]:
+        return [v for v, _ in _list_manifests(path)]
+
+
+class ConditionalPutClaimer(VersionClaimer):
+    """Object-store-shaped claimer: the claim is a conditional PUT
+    (S3 ``If-None-Match: *`` / GCS ``x-goog-if-generation-match: 0``
+    semantics) against an injected key-value store, because
+    create-exclusive and atomic rename do not exist on S3-class
+    stores. ``store`` models the minimal object-store API the
+    protocol needs: a ``put_if_absent(key) -> bool`` callable (a real
+    deployment backs it with S3 conditional PUT or a DynamoDB lock
+    table, which is precisely Delta's ``S3DynamoDBLogStore``). The
+    claim registry lives in the store, NOT the filesystem — the
+    in-flight signal moves with it."""
+
+    def __init__(self, put_if_absent, list_claimed):
+        self._put_if_absent = put_if_absent
+        self._list_claimed = list_claimed
+
+    def claim(self, path: str, version: int) -> bool:
+        return self._put_if_absent(f"{path}/_manifest-{version:06d}.json")
+
+    def claimed_versions(self, path: str) -> list[int]:
+        return list(self._list_claimed(path))
+
+
+_VERSION_CLAIMER: VersionClaimer = PosixVersionClaimer()
+
+
+def set_version_claimer(claimer: VersionClaimer) -> VersionClaimer:
+    """Install a claim strategy (returns the previous one, so tests
+    and store-specific deployments can swap and restore)."""
+    global _VERSION_CLAIMER
+    prev = _VERSION_CLAIMER
+    _VERSION_CLAIMER = claimer
+    return prev
+
+
 class ManifestWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool, schema: StructType | None = None):
         self.path = options.get("path")
@@ -95,6 +173,31 @@ class ManifestWriter(DataSourceWriter):
         # opt-in per-file bloom filter over one integer column — the
         # point-lookup skipping index zone maps cannot provide
         self.bloom_col = options.get("bloom_col")
+        # opt-in BUCKETED layout (Spark-native bucketing): the caller
+        # guarantees the incoming DataFrame is hash-partitioned
+        # ``n_buckets``-ways on ``bucket_by`` (``df.repartition(n, col)``
+        # — HashPartitioning's pmod(murmur3, n) IS Spark's bucket-id
+        # function), each task embeds its partition id in the file name
+        # as the bucket id Spark's scan parses, and the layout is
+        # recorded in the manifest like bloom_col — so a catalog
+        # registration (:func:`register_bucketed_table`) gives every
+        # future join/agg on the key an exchange-free plan.
+        self.bucket_by = options.get("bucket_by")
+        nb = options.get("n_buckets")
+        self.n_buckets = int(nb) if nb is not None else None
+        if (self.bucket_by is None) != (self.n_buckets is None):
+            raise ValueError("bucket_by and n_buckets come together")
+        # dedicated staging subdirectory for this commit's files —
+        # required for bucketed commits (a catalog table's LOCATION is
+        # directory-scoped, so the bucketed snapshot needs a directory
+        # that holds exactly its own files)
+        self.subdir = options.get("subdir")
+        if self.subdir is not None and (
+            "/" in self.subdir or self.subdir.startswith(".")
+        ):
+            raise ValueError(f"invalid staging subdir: {self.subdir!r}")
+        if self.bucket_by is not None and self.subdir is None:
+            raise ValueError("bucketed commits require a 'subdir' option")
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -115,8 +218,26 @@ class ManifestWriter(DataSourceWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.parquet"
+        out_dir = (
+            os.path.join(staging, self.subdir) if self.subdir else staging
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        base = f"part-{uuid.uuid4().hex}"
+        if self.bucket_by is not None:
+            # the task's partition id IS the bucket id (the caller
+            # repartitioned by pmod(murmur3(key), n)); the `_NNNNN`
+            # suffix is the exact pattern Spark's bucketed scan parses
+            from pyspark import TaskContext
+
+            bucket_id = TaskContext.get().partitionId()
+            if bucket_id >= self.n_buckets:
+                raise ValueError(
+                    f"task partition {bucket_id} >= n_buckets "
+                    f"{self.n_buckets}: the input was not repartitioned "
+                    "n_buckets-ways on the bucket key"
+                )
+            base += f"_{bucket_id:05d}"
+        name = f"{base}.parquet"
         arrow_schema = to_arrow_schema(self.schema)
         cols = [f.name for f in self.schema.fields]
         n = 0
@@ -166,7 +287,7 @@ class ManifestWriter(DataSourceWriter):
 
         buf: dict[str, list] = {c: [] for c in cols}
         with pq.ParquetWriter(
-            os.path.join(staging, name), arrow_schema
+            os.path.join(out_dir, name), arrow_schema
         ) as writer:
             for row in iterator:
                 d = row.asDict()
@@ -183,7 +304,9 @@ class ManifestWriter(DataSourceWriter):
                     feed_bloom(buf)
                 flush(writer, buf)
         return _PartCommit(
-            file_name=name,
+            # staging-relative name: commits into a dedicated subdir
+            # carry the "<subdir>/" prefix everywhere the file is named
+            file_name=f"{self.subdir}/{name}" if self.subdir else name,
             n_rows=n,
             col_stats=stats,
             bloom_bits=sorted(bloom) if bloom is not None else None,
@@ -216,6 +339,14 @@ class ManifestWriter(DataSourceWriter):
                 for m in messages
                 if m.bloom_bits is not None
             }
+        if self.bucket_by is not None:
+            # layout metadata, recorded like bloom_col: readers can
+            # register the snapshot as a Spark bucketed table and run
+            # exchange-free joins/aggs on the bucket key
+            manifest["bucket_by"] = self.bucket_by
+            manifest["n_buckets"] = self.n_buckets
+        if self.subdir is not None:
+            manifest["layout_dir"] = self.subdir
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -225,14 +356,11 @@ class ManifestWriter(DataSourceWriter):
             json.dump(manifest, f)
         while True:
             version = 1 + max(
-                (v for v, _ in _list_manifests(self.path)), default=0
+                _VERSION_CLAIMER.claimed_versions(self.path), default=0
             )
-            final = os.path.join(self.path, f"_manifest-{version:06d}.json")
-            try:
-                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            if not _VERSION_CLAIMER.claim(self.path, version):
                 continue  # lost the race for this version; take the next
-            os.close(fd)
+            final = os.path.join(self.path, f"_manifest-{version:06d}.json")
             manifest["version"] = version
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -269,6 +397,37 @@ class ManifestStreamReader(DataSourceStreamReader):
     semantics — a file-level tail cannot represent row removals; run
     consumers before compacting, or restart them from the rewrite).
 
+    Exactly-once under concurrency: the offset never advances past a
+    version that is claimed but not yet readable. An in-flight commit
+    (claimed version file, content not yet replaced) and an
+    unpublished write-audit-publish branch commit (parseable but
+    branch-tagged — it may become visible at exactly that version when
+    published) both HOLD the stream head at the version before them —
+    the Delta rule that a log gap is not-yet-readable, never skippable.
+    A version HOLE (no file at all — an abandoned branch or a
+    vacuumed-away stale claim) is genuinely unreachable: commit always
+    claims above the observed maximum, so holes below it are permanent
+    and the head skips them.
+
+    Backpressure: ``maxVersionsPerTrigger`` (Delta's
+    ``maxFilesPerTrigger`` analog, per-version granularity) bounds how
+    many versions one micro-batch may drain, so a 100-TB backlog
+    arrives as bounded batches instead of one giant one. The cap
+    applies from the first trigger of a fresh stream (the Python
+    stream API polls ``latestOffset`` before the start offset is
+    knowable, so the first poll assumes a fresh start); on a
+    checkpoint-restart the reader learns the true position only when
+    Spark plans a batch, so the first restarted batch under a
+    processing-time trigger is uncapped catch-up and every subsequent
+    trigger is capped again. Trigger interplay (probed on Spark 4.1):
+    ``processingTime`` drains a backlog as a sequence of capped
+    batches; ``availableNow`` captures its target from the FIRST poll,
+    so one fresh run processes one capped batch — and a RESTARTED
+    availableNow run whose checkpoint is at or past the cap makes no
+    progress that run (the capped first-poll target lands at or below
+    the checkpoint). Drain deep backlogs with a processing-time
+    trigger; use availableNow throttling for fresh bounded ingest.
+
     Scale: ``latestOffset`` is O(#manifests) driver-side metadata; the
     data reads are per-file executor tasks (Arrow record batches)."""
 
@@ -276,16 +435,43 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest stream source requires 'path'")
+        mv = options.get("maxVersionsPerTrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # last offset this reader planned/committed — the base the
+        # per-trigger version cap counts from (None until known)
+        self._cursor: int | None = None
+        self._unknown_polls = 0
         self.schema = schema
 
     def initialOffset(self) -> dict:
+        self._cursor = 0
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        versions = [v for v, _m in _log(self.path)]
-        return {"version": max(versions, default=0)}
+        head = _stream_visible_head(self.path)
+        if self.max_versions is not None:
+            if self._cursor is not None:
+                head = min(head, self._cursor + self.max_versions)
+            else:
+                # Spark polls latestOffset BEFORE initialOffset (probed
+                # on 4.1), so the first poll runs with an unknown start.
+                # A fresh stream starts at 0 — cap against that, and
+                # initialOffset/partitions pin the cursor right after.
+                # On a checkpoint RESTART initialOffset never runs; if
+                # the guess undershoots the checkpointed start, Spark
+                # plans no batch and the NEXT poll lifts the cap (one
+                # uncapped batch beats a permanent stall).
+                self._unknown_polls += 1
+                if self._unknown_polls == 1:
+                    head = min(head, self.max_versions)
+        if self._cursor is not None:
+            head = max(head, self._cursor)  # an offset never regresses
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._cursor = end["version"]
         out: list[InputPartition] = []
         sj = json.dumps(self.schema.jsonValue())
         for version, m in _log(self.path):
@@ -297,6 +483,14 @@ class ManifestStreamReader(DataSourceStreamReader):
                     f"streaming tail hit a {kind} snapshot at version "
                     f"{version}; the file-level CDF is append-only — "
                     "restart the consumer from the rewrite"
+                )
+            legacy = [f for f in m["files"] if not f.endswith(".parquet")]
+            if legacy:
+                raise ValueError(
+                    f"version {version} commits pre-columnar staging "
+                    f"files ({legacy[0]}, …); the streaming tail reads "
+                    "the parquet data plane only — compact the table "
+                    "to parquet before streaming it"
                 )
             staging = os.path.join(self.path, "_staging")
             out += [
@@ -318,7 +512,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield batch.select([f.name for f in want]).cast(want)
 
     def commit(self, end: dict) -> None:
-        pass  # versions are immutable; nothing to release
+        self._cursor = end["version"]  # versions are immutable; just
+        # advance the backpressure base — nothing to release
 
 
 class ManifestSinkDataSource(DataSource):
@@ -359,6 +554,32 @@ def _list_manifests(path: str) -> list[tuple[int, str]]:
 def table_versions(path: str) -> list[int]:
     """Committed snapshot versions, ascending — the time-travel axis."""
     return sorted(v for v, _ in _list_manifests(path))
+
+
+def _stream_visible_head(path: str) -> int:
+    """The largest version a streaming tail may deliver THROUGH: walk
+    claimed versions ascending and stop before the first one that is
+    not yet main-readable — an in-flight commit (claimed, content not
+    yet written) or an unpublished branch commit (could become visible
+    at exactly this version when published). Either would otherwise be
+    skipped by the checkpoint and its rows lost when it completes; the
+    stream waits instead (Delta's not-yet-readable-gap rule). Version
+    holes with NO file (abandoned branches, vacuumed stale claims) are
+    safe to walk over: a hole BELOW a higher claimed version is
+    permanent (commit always claims above the observed max), and a
+    freed TOP version can only be reclaimed while the head still holds
+    below it — nothing was ever delivered past it either way."""
+    head = 0
+    for version, entry in _list_manifests(path):
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            break  # in-flight commit: not yet readable — wait
+        if m.get("branch") is not None:
+            break  # staged WAP commit: may publish at this version — wait
+        head = version
+    return head
 
 
 def _read_files(spark: SparkSession, path: str, schema, names) -> DataFrame:
@@ -738,15 +959,32 @@ def publish_branch(path: str, branch: str) -> list[int]:
     ]
     if not staged:
         return []
-    main_head = max(
-        (v for v, m in _log(path) if m.get("branch") is None), default=0
-    )
+    # main head over ALL claimed version files, not just parseable main
+    # manifests: an in-flight commit (claimed, content not yet written)
+    # counts as main conservatively — publishing past it would let a
+    # lower main version land AFTER a higher published one became
+    # visible, retroactively changing history/as_of. Other branches'
+    # staged commits do NOT count (they may be abandoned; their own
+    # publish runs this same check symmetrically).
+    staged_versions = {v for v, _ in staged}
+    main_head = 0
+    for version, entry in _list_manifests(path):
+        if version in staged_versions:
+            continue
+        try:
+            with open(os.path.join(path, entry)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            main_head = max(main_head, version)  # in-flight: assume main
+            continue
+        if m.get("branch") is None:
+            main_head = max(main_head, version)
     behind = [v for v, _ in staged if v <= main_head]
     if behind:
         raise ValueError(
             f"branch {branch!r} versions {behind} are behind main head "
-            f"{main_head}; publish is fast-forward-only — rebase by "
-            "re-writing the branch"
+            f"{main_head} (counting in-flight claims); publish is "
+            "fast-forward-only — rebase by re-writing the branch"
         )
     published = []
     for version, m in staged:
@@ -794,6 +1032,8 @@ def compact_snapshots(
     schema,
     cluster_by: list[str] | None = None,
     n_files: int = 16,
+    bucket_by: str | None = None,
+    n_buckets: int | None = None,
 ) -> int:
     """Consolidate the table's current committed state into ONE rewrite
     snapshot — the small-file compaction lever for the manifest table
@@ -813,24 +1053,105 @@ def compact_snapshots(
     Pass a space-filling-curve column (functions/scale.zorder_key) to
     cluster on two dimensions at once.
 
+    ``bucket_by``/``n_buckets`` make it a BUCKETED rewrite instead
+    (Spark-native hash bucketing, the §2.5 co-location lever): the
+    state is hash-partitioned ``n_buckets``-ways on the key — the one
+    exchange that pre-pays every future shuffle on it — each task's
+    file carries its bucket id in the Spark-parseable ``_NNNNN`` name
+    suffix, the files land in a dedicated staging subdirectory, and
+    the manifest records the layout. Register the snapshot with
+    :func:`register_bucketed_table` and joins/aggregations on the
+    bucket key run with NO exchange on this table's side (asserted by
+    plan in tests). Mutually exclusive with ``cluster_by``: bucketing
+    optimizes JOIN/AGG co-location, clustering optimizes RANGE
+    skipping — a table layout picks one clustering axis.
+
     Scale: the consolidation is a normal distributed read + write
     through the same exactly-once writer (one pass; clustered rewrites
     add the one range-exchange any sort-order rewrite costs); expired
     staging files are garbage to collect only once no reader needs
     pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
+    if bucket_by is not None and cluster_by:
+        raise ValueError("bucket_by and cluster_by are mutually exclusive")
     current = read_committed(spark, path, schema)
-    if cluster_by:
+    writer_opts: dict[str, str] = {}
+    if bucket_by is not None:
+        n_buckets = n_buckets or 16
+        current = current.repartition(n_buckets, bucket_by)
+        writer_opts = {
+            "bucket_by": bucket_by,
+            "n_buckets": str(n_buckets),
+            "subdir": f"bkt-{uuid.uuid4().hex[:12]}",
+        }
+    elif cluster_by:
         current = current.repartitionByRange(
             n_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)
-    (
+    writer = (
         current.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "rewrite")
-        .mode("append")
-        .save()
     )
+    for k, v in writer_opts.items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
     return max(table_versions(path))
+
+
+def register_bucketed_table(
+    spark: SparkSession, path: str, table_name: str
+) -> str:
+    """Register the manifest table's current BUCKETED snapshot as a
+    Spark catalog table so Catalyst plans exchange-free joins and
+    aggregations on the bucket key — the storage-partitioned-join
+    contract on the teachable lakehouse. Requires the latest committed
+    snapshot to be a bucketed rewrite (written by
+    :func:`compact_snapshots` with ``bucket_by``): its manifest records
+    the key, bucket count, and the dedicated staging subdirectory that
+    holds exactly its files.
+
+    Because a catalog table's LOCATION is directory-scoped while the
+    manifest's contract is an explicit file LIST, registration
+    RECONCILES the two: any file in the snapshot's subdirectory that
+    the manifest does not list (residue of retried task attempts whose
+    first write survived) is deleted before the table is created —
+    after commit, unlisted files in a committed snapshot's private
+    subdir are garbage by definition. This is the listing-vs-manifest
+    gap Iceberg closes natively; a dir-scoped register must close it
+    explicitly.
+
+    The table is EXTERNAL (LOCATION-based): dropping it later never
+    touches the data files, and time travel to pre-compaction versions
+    still reads through the manifest path unchanged."""
+    log = _log(path)
+    if not log:
+        raise ValueError(f"no committed snapshots at {path}")
+    version, m = log[-1]
+    if m.get("kind", "append") != "rewrite" or "bucket_by" not in m:
+        raise ValueError(
+            f"latest snapshot {version} is not a bucketed rewrite; run "
+            "compact_snapshots(bucket_by=...) first"
+        )
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema in manifest log at {path}")
+    layout_dir = m["layout_dir"]
+    loc = os.path.join(path, "_staging", layout_dir)
+    committed = {f.split("/", 1)[1] for f in m["files"]}
+    for entry in sorted(os.listdir(loc)):
+        if entry not in committed:
+            os.remove(os.path.join(loc, entry))
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({cols}) USING parquet "
+        f"CLUSTERED BY (`{m['bucket_by']}`) "
+        f"INTO {int(m['n_buckets'])} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return table_name
 
 
 # Spark's Python-DataSource registry scopes LOOKUP per-session but the
@@ -873,7 +1194,10 @@ def ensure_manifest_sink(spark: SparkSession) -> str:
 
 
 def vacuum_snapshots(
-    path: str, keep_from: int | None = None, delete_orphans: bool = True
+    path: str,
+    keep_from: int | None = None,
+    delete_orphans: bool = True,
+    stale_claim_ttl_s: float | None = None,
 ) -> dict:
     """Expire old snapshots and collect unreferenced staging files —
     the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` /
@@ -908,16 +1232,37 @@ def vacuum_snapshots(
     (``in_flight_commits`` > 0 in the returned stats) rather than
     merely documented as a maintenance-window precondition; snapshot
     expiry still proceeds, since it deletes only files referenced by
-    expired manifests, which an in-flight commit cannot reference."""
+    expired manifests, which an in-flight commit cannot reference.
+
+    Stale-claim GC (``stale_claim_ttl_s``): a writer that crashes
+    BETWEEN the version claim and the atomic content replace leaves a
+    permanently-empty claimed manifest — a version that will never
+    become readable, invisible to history, holding the streaming tail
+    and the in-flight guard forever. An unparseable claim OLDER than
+    the TTL (far beyond any plausible commit duration; Delta's
+    equivalent knob is its log-retry timeout) is deleted
+    (``stale_claims_deleted``), turning it into a permanent version
+    hole that readers, streams, and history all already skip — and its
+    never-referenced staging files become collectible orphans on the
+    next pass. Claims younger than the TTL still count as in-flight."""
+    import time
+
     entries: list[tuple[int, str, dict]] = []
     in_flight = 0
+    stale_deleted = 0
     for version, entry in _list_manifests(path):
+        full = os.path.join(path, entry)
         try:
-            with open(os.path.join(path, entry)) as f:
+            with open(full) as f:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
-            in_flight += 1
-            continue  # commit in flight — never treat as expirable
+            age = time.time() - os.path.getmtime(full)
+            if stale_claim_ttl_s is not None and age > stale_claim_ttl_s:
+                os.remove(full)  # crashed claim: permanent hole, GC it
+                stale_deleted += 1
+            else:
+                in_flight += 1  # commit in flight — never expirable
+            continue
         entries.append((version, entry, m))
     rewrites = [v for v, _, m in entries if m.get("kind") == "rewrite"]
     if keep_from is None:
@@ -933,16 +1278,22 @@ def vacuum_snapshots(
         "expired_manifests": 0,
         "expired_files": 0,
         "in_flight_commits": in_flight,
+        "stale_claims_deleted": stale_deleted,
     }
     staging = os.path.join(path, "_staging")
     referenced_any = {f for _, _, m in entries for f in m.get("files", [])}
     if in_flight:
         delete_orphans = False  # the guard: never GC under a live commit
     if delete_orphans and os.path.isdir(staging):
-        for name in sorted(os.listdir(staging)):
-            if name not in referenced_any:
-                os.remove(os.path.join(staging, name))
-                stats["orphans_deleted"] += 1
+        # recursive: bucketed snapshots stage files under dedicated
+        # subdirectories, referenced by staging-relative name
+        for dirpath, _dirs, files in os.walk(staging):
+            for fname in sorted(files):
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, staging)
+                if rel not in referenced_any:
+                    os.remove(full)
+                    stats["orphans_deleted"] += 1
     if keep_from is not None:
         retained = {
             f
@@ -960,5 +1311,10 @@ def vacuum_snapshots(
                     stats["expired_files"] += 1
             os.remove(os.path.join(path, entry))
             stats["expired_manifests"] += 1
+    # drop staging subdirectories emptied by orphan GC / expiry
+    if os.path.isdir(staging):
+        for dirpath, _dirs, files in sorted(os.walk(staging), reverse=True):
+            if dirpath != staging and not files and not os.listdir(dirpath):
+                os.rmdir(dirpath)
     stats["kept_versions"] = table_versions(path)
     return stats

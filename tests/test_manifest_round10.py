@@ -1,0 +1,507 @@
+"""Round-10 lakehouse hardening: the pluggable version-claim seam,
+real concurrent-writer races, stream-tail gap semantics (in-flight and
+branch-staged commits hold the head), maxVersionsPerTrigger
+backpressure, stale-claim vacuum, and the bucketed snapshot layout."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from olap_project_spark.export.manifest_sink import (
+    ConditionalPutClaimer,
+    ManifestSinkDataSource,
+    ManifestWriter,
+    PosixVersionClaimer,
+    _PartCommit,
+    _stream_visible_head,
+    compact_snapshots,
+    ensure_manifest_sink,
+    publish_branch,
+    read_committed,
+    register_bucketed_table,
+    set_version_claimer,
+    table_versions,
+    vacuum_snapshots,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestSinkDataSource)
+    return spark
+
+
+SCHEMA = "k bigint, v string"
+
+
+def _write(spark, path, rows, n_parts=1, **opts):
+    w = (
+        spark.createDataFrame(rows, SCHEMA)
+        .repartition(n_parts)
+        .write.format("manifest_sink")
+        .option("path", path)
+    )
+    for key, val in opts.items():
+        w = w.option(key, val)
+    w.mode("append").save()
+
+
+def _commit_meta(path, tag, kind="append"):
+    """Drive ONE commit through the real driver-side protocol (the
+    commit step needs no Spark: it is pure metadata)."""
+    w = ManifestWriter({"path": path, "kind": kind}, overwrite=False)
+    w.commit([_PartCommit(file_name=f"part-{tag}.parquet", n_rows=1)])
+
+
+class TestVersionClaimSeam:
+    def test_racing_claimant_forces_retry_to_next_version(self, tmp_path):
+        """Inject a claimer that loses its first claim (another writer
+        'wins' the version just before us): commit must retry and land
+        on the NEXT version, never overwrite the winner's."""
+        path = str(tmp_path / "race")
+        os.makedirs(path)
+
+        class LoseFirst(PosixVersionClaimer):
+            def __init__(self):
+                self.lost = 0
+
+            def claim(self, p, version):
+                if self.lost == 0:
+                    self.lost += 1
+                    # the other writer claims this exact version
+                    assert super().claim(p, version)
+                    return False
+                return super().claim(p, version)
+
+        claimer = LoseFirst()
+        prev = set_version_claimer(claimer)
+        try:
+            _commit_meta(path, "a")
+        finally:
+            set_version_claimer(prev)
+        # version 1 = the rival's empty claim (in flight), version 2 = ours
+        assert claimer.lost == 1
+        m1 = os.path.join(path, "_manifest-000001.json")
+        m2 = os.path.join(path, "_manifest-000002.json")
+        assert os.path.getsize(m1) == 0
+        assert json.load(open(m2))["version"] == 2
+
+    def test_conditional_put_claimer_round_trip(self, tmp_path):
+        """The object-store-shaped claimer: claims live in an injected
+        store (conditional PUT), not the filesystem — two commits take
+        versions 1 and 2, a pre-claimed key forces a skip."""
+        path = str(tmp_path / "cput")
+        os.makedirs(path)
+        store: set[str] = set()
+        lock = threading.Lock()
+
+        def put_if_absent(key: str) -> bool:
+            with lock:
+                if key in store:
+                    return False
+                store.add(key)
+                return True
+
+        def list_claimed(p: str):
+            pre = f"{p}/_manifest-"
+            return [
+                int(k[len(pre) :].split(".")[0])
+                for k in store
+                if k.startswith(pre)
+            ]
+
+        prev = set_version_claimer(
+            ConditionalPutClaimer(put_if_absent, list_claimed)
+        )
+        try:
+            store.add(f"{path}/_manifest-000001.json")  # rival in flight
+            _commit_meta(path, "a")
+            _commit_meta(path, "b")
+        finally:
+            set_version_claimer(prev)
+        assert sorted(table_versions(path)) == [2, 3]
+
+    def test_concurrent_committers_claim_distinct_versions(self, tmp_path):
+        """N threads commit to one table simultaneously (the commit
+        step is driver-side metadata — this exercises the REAL O_EXCL
+        race on the real filesystem): every commit must land, versions
+        must be distinct and contiguous, no manifest may be lost or
+        overwritten."""
+        path = str(tmp_path / "conc")
+        os.makedirs(path)
+        n = 8
+        barrier = threading.Barrier(n)
+        errors: list[Exception] = []
+
+        def run(i: int) -> None:
+            try:
+                barrier.wait()
+                _commit_meta(path, f"t{i}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        versions = table_versions(path)
+        assert versions == list(range(1, n + 1))
+        # every manifest parseable, every staged file referenced once
+        files = []
+        for v in versions:
+            m = json.load(open(os.path.join(path, f"_manifest-{v:06d}.json")))
+            assert m["version"] == v
+            files += m["files"]
+        assert len(files) == n and len(set(files)) == n
+
+    def test_concurrent_committers_across_processes(self, tmp_path):
+        """The same race across real PROCESSES (two writers on one
+        table is the multi-job production shape): distinct contiguous
+        versions, no lost update."""
+        import concurrent.futures as cf
+
+        path = str(tmp_path / "conc_proc")
+        os.makedirs(path)
+        n = 6
+        with cf.ProcessPoolExecutor(max_workers=n) as pool:
+            list(
+                pool.map(
+                    _process_commit, [(path, f"p{i}") for i in range(n)]
+                )
+            )
+        assert table_versions(path) == list(range(1, n + 1))
+
+
+def _process_commit(args: tuple[str, str]) -> None:
+    path, tag = args
+    _commit_meta(path, tag)
+
+
+class TestStreamGapSemantics:
+    def test_in_flight_commit_holds_the_head(self, registered, tmp_path):
+        path = str(tmp_path / "gap1")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")])
+        assert _stream_visible_head(path) == 2
+        # a rival's claim lands for version 3 but its content never does
+        open(os.path.join(path, "_manifest-000003.json"), "w").close()
+        assert _stream_visible_head(path) == 2
+        # a LATER completed commit does not unblock delivery past the gap
+        _commit_meta(path, "later")  # claims version 4
+        assert table_versions(path) == [1, 2, 3, 4]
+        assert _stream_visible_head(path) == 2
+
+    def test_branch_staged_commit_holds_the_head(self, registered, tmp_path):
+        path = str(tmp_path / "gap2")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")], branch="wip")
+        _write(registered, path, [(3, "c")])
+        # v2 is staged: it may become visible at exactly version 2 when
+        # published, so the tail must not advance past it
+        assert _stream_visible_head(path) == 1
+        # publish is fast-forward-only and v3 (main) is above v2 → the
+        # branch can never publish; abandoning it opens the hole
+        from olap_project_spark.export.manifest_sink import abandon_branch
+
+        abandon_branch(path, "wip")
+        assert _stream_visible_head(path) == 3
+
+    def test_version_hole_is_skipped(self, registered, tmp_path):
+        path = str(tmp_path / "gap3")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")])
+        _write(registered, path, [(3, "c")])
+        os.remove(os.path.join(path, "_manifest-000002.json"))
+        assert _stream_visible_head(path) == 3
+
+    def test_publish_blocked_by_in_flight_main_claim(
+        self, registered, tmp_path
+    ):
+        """An in-flight MAIN commit below a branch version blocks the
+        publish: if it later completed at a lower version than an
+        already-published one, history would change retroactively."""
+        path = str(tmp_path / "gap4")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")], branch="wip")
+        # rival main commit claims version 3, still in flight
+        open(os.path.join(path, "_manifest-000003.json"), "w").close()
+        with pytest.raises(ValueError, match="fast-forward-only"):
+            publish_branch(path, "wip")
+        # the rival resolves ABOVE the branch → publish remains blocked
+        # (2 <= main head 3); a fresh branch write above it publishes
+        os.remove(os.path.join(path, "_manifest-000003.json"))
+        assert publish_branch(path, "wip") == [2]
+        got = read_committed(registered, path, SCHEMA)
+        assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+    def test_tail_rejects_pre_columnar_files(self, registered, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        path = str(tmp_path / "gap5")
+        _write(registered, path, [(1, "a")])
+        # hand-craft a legacy jsonl commit (pre-columnar data plane)
+        staging = os.path.join(path, "_staging")
+        with open(os.path.join(staging, "part-legacy.jsonl"), "w") as f:
+            f.write('{"k": 2, "v": "b"}\n')
+        legacy = {
+            "kind": "append",
+            "files": ["part-legacy.jsonl"],
+            "n_rows": 1,
+            "version": 2,
+        }
+        with open(os.path.join(path, "_manifest-000002.json"), "w") as f:
+            json.dump(legacy, f)
+        fmt = ensure_manifest_sink(registered)
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .load()
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "gap5_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="pre-columnar"):
+            q.awaitTermination(120)
+
+
+class TestMaxVersionsPerTrigger:
+    def test_backlog_drains_in_bounded_batches(self, registered, tmp_path):
+        """Five committed versions, cap 2 → at least 3 micro-batches,
+        each at most 2 versions' rows, exactly-once overall."""
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "bp")
+        for i in range(5):
+            _write(registered, path, [(i, f"v{i}")])
+        batches: list[tuple[int, int]] = []
+
+        def sink(df, epoch):
+            batches.append((epoch, df.count()))
+
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "bp_ckpt"))
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(n for _, n in batches) < 5:
+            time.sleep(0.5)
+        q.stop()
+        assert sum(n for _, n in batches) == 5
+        assert len([b for b in batches if b[1]]) >= 3
+        assert max(n for _, n in batches) <= 2
+
+    def test_restart_resumes_and_recaps(self, registered, tmp_path):
+        """A capped availableNow run processes ONE bounded batch and
+        checkpoints; a processing-time run on the same checkpoint
+        resumes past it — the restart's first poll undershoots (start
+        unknowable), the second poll lifts the cap (no stall), and
+        nothing is lost or re-delivered."""
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "bp2")
+        ckpt = str(tmp_path / "bp2_ckpt")
+        for i in range(5):
+            _write(registered, path, [(i, f"v{i}")])
+        got: list[int] = []
+
+        def sink(df, epoch):
+            got.extend(r["k"] for r in df.collect())
+
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == [0, 1]  # fresh capped run: one bounded batch
+        q2 = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(got) < 5:
+            time.sleep(0.5)
+        q2.stop()
+        assert sorted(got) == [0, 1, 2, 3, 4]
+
+
+class TestStaleClaimVacuum:
+    def test_fresh_claim_guards_young_stale_claim_collected(self, tmp_path):
+        path = str(tmp_path / "stale")
+        os.makedirs(path)
+        _commit_meta(path, "a")
+        # crashed writer: claimed version 2, content never landed
+        open(os.path.join(path, "_manifest-000002.json"), "w").close()
+        # without a TTL the claim counts as in-flight and guards GC
+        stats = vacuum_snapshots(path)
+        assert stats["in_flight_commits"] == 1
+        assert stats["stale_claims_deleted"] == 0
+        # young claim under a generous TTL: still guarded
+        stats = vacuum_snapshots(path, stale_claim_ttl_s=3600)
+        assert stats["in_flight_commits"] == 1
+        assert os.path.exists(os.path.join(path, "_manifest-000002.json"))
+        # aged out (ttl 0): collected, version hole opens for the tail
+        stats = vacuum_snapshots(path, stale_claim_ttl_s=0.0)
+        assert stats["stale_claims_deleted"] == 1
+        assert stats["in_flight_commits"] == 0
+        assert not os.path.exists(os.path.join(path, "_manifest-000002.json"))
+        assert _stream_visible_head(path) == 1
+        # the freed TOP version may be reclaimed (safe: the stream head
+        # held below the claim, so nothing was ever delivered past it —
+        # same rule as abandoned branches); holes BELOW a higher
+        # committed version stay permanent because commit claims 1+max
+        _commit_meta(path, "b")
+        assert table_versions(path) == [1, 2]
+
+    def test_stale_claims_staging_residue_becomes_orphan(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "stale2")
+        _write(registered, path, [(1, "a")])
+        staging = os.path.join(path, "_staging")
+        # the crashed writer's task output: staged but never referenced
+        with open(os.path.join(staging, "part-crashed.parquet"), "w") as f:
+            f.write("x")
+        open(os.path.join(path, "_manifest-000002.json"), "w").close()
+        # guarded while the claim looks in-flight
+        stats = vacuum_snapshots(path)
+        assert stats["orphans_deleted"] == 0
+        # stale claim collected → residue is GC-able in the same run
+        stats = vacuum_snapshots(path, stale_claim_ttl_s=0.0)
+        assert stats["stale_claims_deleted"] == 1
+        assert stats["orphans_deleted"] == 1
+        assert read_committed(registered, path, SCHEMA).count() == 1
+
+
+class TestBucketedSnapshot:
+    def test_layout_recorded_and_join_is_exchange_free(
+        self, registered, tmp_path
+    ):
+        import uuid as _uuid
+
+        path_a = str(tmp_path / "bkt_a")
+        path_b = str(tmp_path / "bkt_b")
+        _write(registered, path_a, [(i, f"a{i}") for i in range(64)], 4)
+        _write(registered, path_b, [(i, f"b{i}") for i in range(0, 64, 2)], 4)
+        compact_snapshots(
+            registered, path_a, SCHEMA, bucket_by="k", n_buckets=4
+        )
+        compact_snapshots(
+            registered, path_b, SCHEMA, bucket_by="k", n_buckets=4
+        )
+        from olap_project_spark.export.manifest_sink import _log
+
+        m = _log(path_a)[-1][1]
+        assert m["bucket_by"] == "k" and m["n_buckets"] == 4
+        assert all(f.startswith(m["layout_dir"] + "/") for f in m["files"])
+        tag = _uuid.uuid4().hex[:8]
+        ta = register_bucketed_table(registered, path_a, f"bkt_a_{tag}")
+        tb = register_bucketed_table(registered, path_b, f"bkt_b_{tag}")
+        old = registered.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        registered.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = registered.table(ta).join(registered.table(tb), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            rows = j.count()
+        finally:
+            registered.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old
+            )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(k" not in plan
+        assert rows == 32
+        # the bucketed read returns exactly the manifest-committed rows
+        a = sorted(
+            r["k"] for r in read_committed(registered, path_a, SCHEMA).collect()
+        )
+        b = sorted(r["k"] for r in registered.table(ta).collect())
+        assert a == b
+
+    def test_registration_reconciles_unlisted_residue(
+        self, registered, tmp_path
+    ):
+        import uuid as _uuid
+
+        path = str(tmp_path / "bkt_rec")
+        _write(registered, path, [(i, f"v{i}") for i in range(16)], 2)
+        compact_snapshots(registered, path, SCHEMA, bucket_by="k", n_buckets=2)
+        from olap_project_spark.export.manifest_sink import _log
+
+        layout_dir = _log(path)[-1][1]["layout_dir"]
+        loc = os.path.join(path, "_staging", layout_dir)
+        # residue of a retried task attempt: present in the dir, absent
+        # from the manifest — a dir-scoped read would double-count it
+        residue = os.path.join(loc, "part-retryghost_00001.parquet")
+        with open(residue, "w") as f:
+            f.write("x")
+        t = register_bucketed_table(
+            registered, path, f"bkt_rec_{_uuid.uuid4().hex[:8]}"
+        )
+        assert not os.path.exists(residue)
+        assert registered.table(t).count() == 16
+
+    def test_register_requires_bucketed_rewrite(self, registered, tmp_path):
+        path = str(tmp_path / "bkt_req")
+        _write(registered, path, [(1, "a")])
+        with pytest.raises(ValueError, match="not a bucketed rewrite"):
+            register_bucketed_table(registered, path, "nope_t")
+
+    def test_vacuum_walks_bucket_subdirs(self, registered, tmp_path):
+        path = str(tmp_path / "bkt_vac")
+        _write(registered, path, [(i, f"v{i}") for i in range(8)], 2)
+        compact_snapshots(registered, path, SCHEMA, bucket_by="k", n_buckets=2)
+        from olap_project_spark.export.manifest_sink import _log
+
+        layout_dir = _log(path)[-1][1]["layout_dir"]
+        loc = os.path.join(path, "_staging", layout_dir)
+        orphan = os.path.join(loc, "part-zombie_00009.parquet")
+        with open(orphan, "w") as f:
+            f.write("x")
+        stats = vacuum_snapshots(path)
+        assert stats["orphans_deleted"] == 1
+        assert not os.path.exists(orphan)
+        # expiry past the rewrite removes the PRE-compaction files and
+        # keeps the bucketed subdir intact
+        assert stats["expired_manifests"] == 1
+        assert os.path.isdir(loc) and len(os.listdir(loc)) == 2
+        got = read_committed(registered, path, SCHEMA)
+        assert got.count() == 8
+
+    def test_writer_option_validation(self, registered, tmp_path):
+        path = str(tmp_path / "bkt_bad")
+        df = registered.createDataFrame([(1, "a")], SCHEMA)
+        with pytest.raises(Exception, match="bucket_by and n_buckets"):
+            df.write.format("manifest_sink").option("path", path).option(
+                "bucket_by", "k"
+            ).mode("append").save()
+        with pytest.raises(Exception, match="subdir"):
+            df.write.format("manifest_sink").option("path", path).option(
+                "bucket_by", "k"
+            ).option("n_buckets", "2").mode("append").save()
