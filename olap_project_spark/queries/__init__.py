@@ -210,6 +210,9 @@ GATE_WINDOW: tuple[str, ...] = (
 GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     # round-10 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "manifest_bucketed_join_stats",
+    "manifest_stream_backpressure_stats",
+    "manifest_stale_claim_gc_stats",
     # round-4 refresh slots — 12 (the last of the round-4 rows)
     "price_neighborhood_density",
     "segment_priority_mode",
@@ -223,8 +226,8 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 38 (CORRECTNESS_r05 order; tail trimmed
-    # as round-10 additions land)
+    # round-5 refresh slots — 35 (CORRECTNESS_r05 order; tail
+    # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
     "training_shard_stats",
@@ -260,9 +263,6 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "ivf_near_dup_pairs",
     "exact_dedup_summary",
     "ngram_dup_pairs",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
-    "near_dup_clusters",
 )
 
 

@@ -4527,3 +4527,365 @@ def manifest_stream_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Bucketed lakehouse snapshot: the advisor-driven co-location layout
+# --------------------------------------------------------------------------
+@register(
+    "manifest_bucketed_join_stats",
+    oracle="""
+    WITH per AS (
+      SELECT user_id % 1024 AS pkey, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, pkey ASC) AS rn,
+             COUNT(*) OVER () AS n_parts, MAX(n) OVER () AS max_n,
+             CAST(SUM(n) OVER () AS BIGINT) AS total_rows
+      FROM per
+    ),
+    med AS (
+      SELECT total_rows, max_n, n AS median_n
+      FROM ranked WHERE rn = (n_parts + 1) // 2
+    ),
+    sizing AS (
+      SELECT CAST(CASE WHEN total_rows <= 8 * 65536 THEN 8
+                       WHEN total_rows <= 16 * 65536 THEN 16
+                       WHEN total_rows <= 32 * 65536 THEN 32
+                       ELSE 64 END AS INTEGER) AS n_buckets,
+             max_n < 8 * median_n AS skew_ok
+      FROM med
+    )
+    SELECT c_mktsegment,
+           (SELECT n_buckets FROM sizing) AS n_buckets,
+           (SELECT skew_ok FROM sizing) AS skew_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED lakehouse snapshot, layout CONSUMED from the partition
+    advisor — closing the advise→commit→benefit loop: the join
+    workload pins the key family to the user hash
+    (``partition_layout_advisor``'s ``user_mod_1024`` candidate), the
+    advisor's measured row for that candidate supplies the sizing
+    input (total rows → bucket count on a 64Ki-rows-per-bucket ladder)
+    and the acceptance check (hash-layout skew max/median < 8 — a
+    pathological key distribution would overflow one bucket and the
+    layout would be rejected), and the fact is then committed to the
+    manifest table and BUCKET-compacted at the advised width
+    (``compact_snapshots(bucket_by=...)``: task partition id = Spark
+    bucket id in the ``_NNNNN`` file-name suffix, layout recorded in
+    the manifest like bloom_col). ``register_bucketed_table``
+    reconciles the snapshot's private staging directory against the
+    manifest's file list and registers it CLUSTERED BY — after which
+    the events⋈customer join runs with NO Exchange on the fact side
+    (pinned in tests/test_plans.py: SortMergeJoin, zero
+    fact-side shuffle with broadcast disabled). The per-segment
+    aggregate, the advised bucket count, and the skew verdict are all
+    oracle-pinned.
+
+    Scale: this is THE cross-query shuffle lever at 100 TB — the
+    bucket exchange is paid once at compaction; every subsequent join
+    or aggregation on user_id reads co-located buckets for free. AQE
+    cannot do this (it optimizes within one query); the advisor's
+    skew gate is what makes it safe to commit to.
+
+    Reference basis: the reference pre-aggregates its fact into
+    BigQuery tables keyed for its dashboards
+    (bigquery_update_scheduler.py); bucketing is the engine-native
+    generalization of that keyed-layout idea."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        ensure_manifest_sink,
+        register_bucketed_table,
+    )
+    from olap_project_spark.queries.events import partition_layout_advisor
+
+    # consume the advisor: one bounded collect (4 candidate rows)
+    adv = {
+        r["candidate"]: r
+        for r in partition_layout_advisor(spark, sf_dir).collect()
+    }["user_mod_1024"]
+    total = int(adv["total_rows"])
+    n_buckets = next(
+        p for p in (8, 16, 32, 64) if total <= p * 65536 or p == 64
+    )
+    skew_ok = bool(
+        int(adv["max_partition_rows"]) < 8 * int(adv["median_partition_rows"])
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_bktjoin_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_fact")
+    done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        (
+            ev.repartition(8)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        compact_snapshots(
+            spark, path, ev.schema, bucket_by="user_id", n_buckets=n_buckets
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    table_name = f"events_bucketed_{os.getpid()}_{tag}"
+    if not spark.catalog.tableExists(table_name):
+        register_bucketed_table(spark, path, table_name)
+    fact = spark.table(table_name)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        fact.join(cust, fact.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+            F.lit(skew_ok).alias("skew_ok"),
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming backpressure on the lakehouse tail (maxVersionsPerTrigger)
+# --------------------------------------------------------------------------
+@register(
+    "manifest_stream_backpressure_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderkey % 20 AS grp, COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 20 < 5 GROUP BY 1
+    )
+    SELECT CAST(5 AS INTEGER) AS n_versions,
+           CAST(3 AS INTEGER) AS n_batches,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM g) AS total_rows,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM g WHERE grp IN (0, 1))
+             AS batch1_rows,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM g WHERE grp IN (2, 3))
+             AS batch2_rows,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM g WHERE grp = 4)
+             AS batch3_rows
+    """,
+)
+def manifest_stream_backpressure_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming BACKPRESSURE on the lakehouse tail — the
+    ``maxVersionsPerTrigger`` contract (Delta's ``maxFilesPerTrigger``
+    at version granularity) driven through the gate: five snapshot
+    versions are committed up front, then ONE capped tail
+    (``maxVersionsPerTrigger=2``) drains the whole backlog — and the
+    oracle pins that it arrives as exactly THREE bounded micro-batches
+    whose row counts equal the (v1+v2), (v3+v4), (v5) version slices,
+    never one giant batch. Exactly-once totals are pinned by the same
+    row.
+
+    Scale: THIS is what makes a streaming restart survivable at
+    100 TB — a consumer that was down for a day faces a deep version
+    backlog, and without admission control the catch-up batch must
+    hold a day of data in one trigger (state, shuffle, and memory all
+    sized by the outage instead of by the cap). The offset never
+    advances past an in-flight or branch-staged commit, so the cap
+    composes with the exactly-once gap rule."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    root = tempfile.mkdtemp(prefix="manifest_backpressure_")
+    src, ckpt = f"{root}/t", f"{root}/ckpt"
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    try:
+        for grp in range(5):
+            (
+                orders.filter(F.col("o_orderkey") % 20 == grp)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", src)
+                .mode("append")
+                .save()
+            )
+        total_expected = orders.filter(F.col("o_orderkey") % 20 < 5).count()
+        batches: list[tuple[int, int]] = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            n = batch_df.count()
+            if n:
+                batches.append((batch_id, n))
+
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", src)
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 300
+        while (
+            _time.time() < deadline
+            and sum(n for _, n in batches) < total_expected
+        ):
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        batches.sort()
+        counts = [n for _, n in batches]
+        return spark.createDataFrame(
+            [
+                (
+                    5,
+                    len(counts),
+                    sum(counts),
+                    counts[0] if len(counts) > 0 else -1,
+                    counts[1] if len(counts) > 1 else -1,
+                    counts[2] if len(counts) > 2 else -1,
+                )
+            ],
+            "n_versions int, n_batches int, total_rows bigint, "
+            "batch1_rows bigint, batch2_rows bigint, batch3_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Stale-claim GC: the crashed-writer recovery path through the gate
+# --------------------------------------------------------------------------
+@register(
+    "manifest_stale_claim_gc_stats",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS head_with_claim,
+           CAST(1 AS INTEGER) AS guarded_in_flight,
+           CAST(0 AS INTEGER) AS guarded_orphans_deleted,
+           CAST(1 AS INTEGER) AS stale_claims_deleted,
+           CAST(1 AS INTEGER) AS freed_orphans_deleted,
+           CAST(2 AS INTEGER) AS reclaimed_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_rows_final
+    """,
+)
+def manifest_stale_claim_gc_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CRASHED-WRITER recovery through the gate: a writer that dies
+    between the version claim and the atomic content replace leaves a
+    permanently-empty claimed manifest plus unreferenced staging
+    residue. The gate drives the full containment-and-recovery arc:
+    (1) the streaming head HOLDS below the dead claim (exactly-once —
+    the version might still be completing); (2) a default vacuum
+    treats it as in-flight and GUARDS orphan GC (zero deletions);
+    (3) an age-gated vacuum (``stale_claim_ttl_s``) collects the
+    stale claim AND frees its staging residue as orphans in the same
+    pass; (4) the freed top version is safely reclaimed by the next
+    commit (nothing was ever delivered past the held head), and the
+    final read returns the complete dimension. Every transition count
+    is oracle-pinned.
+
+    Scale: all driver-side metadata work, O(#manifests); the TTL is
+    the same liveness/durability dial as Delta's log-retry timeout —
+    far beyond any plausible commit duration, so a live slow commit
+    is never mistaken for a corpse."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        _stream_visible_head,
+        ensure_manifest_sink,
+        read_committed,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_staleclaim_{os.getpid()}_{tag}"
+    path = os.path.join(root, "region_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+        (
+            region.filter(F.col("r_regionkey") < 3)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        # the crash artifacts: an empty claimed version file and the
+        # dead writer's staged-but-unreferenced task output
+        open(os.path.join(path, "_manifest-000002.json"), "w").close()
+        with open(
+            os.path.join(path, "_staging", "part-crashed.parquet"), "wb"
+        ) as f:
+            f.write(b"dead")
+        head_with_claim = _stream_visible_head(path)
+        guarded = vacuum_snapshots(path)
+        freed = vacuum_snapshots(path, stale_claim_ttl_s=0.0)
+        (
+            region.filter(F.col("r_regionkey") >= 3)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        stats = {
+            "head_with_claim": head_with_claim,
+            "guarded_in_flight": guarded["in_flight_commits"],
+            "guarded_orphans_deleted": guarded["orphans_deleted"],
+            "stale_claims_deleted": freed["stale_claims_deleted"],
+            "freed_orphans_deleted": freed["orphans_deleted"],
+            "reclaimed_version": max(table_versions(path)),
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    n_rows_final = read_committed(spark, path, region.schema).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["head_with_claim"],
+                stats["guarded_in_flight"],
+                stats["guarded_orphans_deleted"],
+                stats["stale_claims_deleted"],
+                stats["freed_orphans_deleted"],
+                stats["reclaimed_version"],
+                n_rows_final,
+            )
+        ],
+        "head_with_claim int, guarded_in_flight int, "
+        "guarded_orphans_deleted int, stale_claims_deleted int, "
+        "freed_orphans_deleted int, reclaimed_version int, "
+        "n_rows_final bigint",
+    )

@@ -236,6 +236,10 @@ class TestDriverContract:
             "bitmap_distinct_rollup",      # mergeable exact distincts
             "manifest_files_metadata",     # table$files metadata surface
             "manifest_stream_tail_stats",  # readStream on the lakehouse
+            # round-10 additions (r11 draft head):
+            "manifest_bucketed_join_stats",  # advisor-driven bucketed layout
+            "manifest_stream_backpressure_stats",  # capped tail drain
+            "manifest_stale_claim_gc_stats",  # crashed-claim recovery arc
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -753,3 +753,69 @@ def test_dynamic_partition_pruning_subquery_in_plan(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower()
     assert "CartesianProduct" not in p
+
+
+class TestRound10PlanShapes:
+    def test_manifest_bucketed_join_has_no_fact_side_exchange(
+        self, spark, sf_dir
+    ):
+        """The advisor-driven bucketed manifest snapshot must give the
+        events⋈customer join an exchange-free FACT side: with
+        broadcast disabled (the 100 TB shape) the plan is a
+        SortMergeJoin whose bucketed input needs no shuffle — the
+        dimension side pays the only join exchange."""
+        from olap_project_spark.queries import QUERY_REGISTRY, _import_all
+
+        _import_all()
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = QUERY_REGISTRY["manifest_bucketed_join_stats"].fn(
+                spark, sf_dir
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(user_id" not in plan
+        # the bucketed scan advertises its bucket layout to the planner
+        assert "Bucketed: true" in plan
+
+    def test_backpressure_oracle_slices_align(self, spark, sf_dir):
+        """The backpressure gate's pinned batch boundaries derive from
+        deterministic offers (2, 4, 5): verify the offer ladder the
+        reader produces over a 5-version log with cap 2."""
+        import tempfile
+
+        from olap_project_spark.export.manifest_sink import (
+            ManifestStreamReader,
+            ensure_manifest_sink,
+        )
+
+        fmt = ensure_manifest_sink(spark)
+        path = tempfile.mkdtemp(prefix="bp_ladder_") + "/t"
+        for i in range(5):
+            (
+                spark.createDataFrame([(i, "x")], "k bigint, v string")
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        from pyspark.sql.types import StructType
+
+        r = ManifestStreamReader(
+            {"path": path, "maxVersionsPerTrigger": "2"},
+            schema=StructType.fromDDL("k bigint, v string"),
+        )
+        offers = []
+        first = r.latestOffset()["version"]  # Spark polls before initial
+        offers.append(first)
+        r.initialOffset()
+        r.partitions({"version": 0}, {"version": first})
+        for _ in range(2):
+            end = r.latestOffset()["version"]
+            offers.append(end)
+            r.partitions({"version": offers[-2]}, {"version": end})
+        assert offers == [2, 4, 5]

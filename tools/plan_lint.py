@@ -94,6 +94,8 @@ EXECUTING = {
     "manifest_bloom_skipping_stats",  # bloom point-lookup planning
     "manifest_files_metadata",  # builds + compacts the files table
     "manifest_stream_tail_stats",  # streaming tail + CDC mirror loop
+    "manifest_stream_backpressure_stats",  # capped tail drain loop
+    "manifest_stale_claim_gc_stats",  # crashed-claim vacuum recovery arc
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
@@ -116,6 +118,9 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "dedup_token_savings",  # built on the CC memo
     "pagerank_canonical_docs",  # fixed-point iteration
     "bucketed_order_revenue",  # writes the bucketed table once
+    # advisor collect (4 rows) + one-time bucketed commit/compaction;
+    # the returned join-aggregate plan itself stays lazy and lintable
+    "manifest_bucketed_join_stats",
     # iterative BFS: each superstep localCheckpoints its frontier (the
     # Pregel barrier), which executes under AQE; per-level plan shape
     # is asserted in tests/test_plans.py instead
