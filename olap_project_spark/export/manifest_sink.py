@@ -198,6 +198,12 @@ class ManifestWriter(DataSourceWriter):
             raise ValueError(f"invalid staging subdir: {self.subdir!r}")
         if self.bucket_by is not None and self.subdir is None:
             raise ValueError("bucketed commits require a 'subdir' option")
+        # partial-rewrite support: JSON map of RETAINED file name →
+        # {"rows": n, "stats": zone-map} carried verbatim into the
+        # rewrite manifest beside the newly-written files (the caller —
+        # compact_range — computes it from the current committed state)
+        retain = options.get("retain")
+        self.retain: dict = json.loads(retain) if retain else {}
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -347,6 +353,27 @@ class ManifestWriter(DataSourceWriter):
             manifest["n_buckets"] = self.n_buckets
         if self.subdir is not None:
             manifest["layout_dir"] = self.subdir
+        if self.retain:
+            # PARTIAL rewrite (OPTIMIZE WHERE): the rewrite manifest
+            # must list the FULL consolidated state, so the untouched
+            # files — with their zone maps and row counts — are folded
+            # in beside the newly-written ones. Their per-file blooms
+            # are NOT carried (blooms are per-manifest, keyed by this
+            # manifest's bloom_col); bloom pruning then conservatively
+            # keeps retained files — correctness over skipping.
+            if self.kind != "rewrite":
+                raise ValueError("'retain' applies to rewrite commits only")
+            manifest["files"] = sorted(
+                set(manifest["files"]) | set(self.retain)
+            )
+            manifest["n_rows"] += sum(
+                e.get("rows", 0) for e in self.retain.values()
+            )
+            for name, entry in self.retain.items():
+                if entry.get("stats"):
+                    manifest["file_stats"][name] = entry["stats"]
+                if "rows" in entry:
+                    manifest["file_rows"][name] = entry["rows"]
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -1096,6 +1123,155 @@ def compact_snapshots(
         writer = writer.option(k, v)
     writer.mode("append").save()
     return max(table_versions(path))
+
+
+def compact_range(
+    spark: SparkSession,
+    path: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    n_files: int = 4,
+) -> dict:
+    """PARTIAL compaction — ``OPTIMIZE WHERE col BETWEEN lo AND hi``
+    (Iceberg ``rewrite_data_files`` with a filter / Delta OPTIMIZE on a
+    partition predicate): rewrite ONLY the files whose zone maps
+    overlap [lo, hi], carry every other file into the rewrite manifest
+    untouched (with its zone maps and row counts), and leave the data
+    of retained files byte-identical on disk. At 100 TB this is the
+    only compaction that exists — nobody rewrites a full table; the
+    maintenance job walks hot key ranges (recent ingest, small-file
+    storms) and consolidates just those, paying I/O proportional to
+    the range, not the table.
+
+    The rewrite snapshot lists the full consolidated state (retained ∪
+    new), so the read path needs no new rules: time travel to
+    pre-compaction versions still reads the old file lists, vacuum's
+    expiry keeps every file the rewrite references, and the zone maps
+    of the rewritten range become tight (range-partitioned + sorted on
+    ``col``) while retained files keep theirs.
+
+    Delete snapshots in the current log are REJECTED: a partial
+    rewrite would resurrect tombstoned rows in files it retains (the
+    tombstones stop applying at the rewrite, but retained files were
+    never re-folded). Run a FULL :func:`compact_snapshots` first — it
+    materializes deletes — then range-compact freely.
+
+    Returns {"version", "n_rewritten", "n_retained", "n_new"}."""
+    if any(m.get("kind", "append") == "delete" for _, m in _log(path)):
+        raise ValueError(
+            "partial compaction over a log with delete snapshots would "
+            "resurrect deleted rows in retained files; run a full "
+            "compact_snapshots() first to materialize the deletes"
+        )
+    rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
+    rewrite_set = set(rewrite_files)
+    if not rewrite_set:  # nothing overlaps: a no-op, commit nothing
+        return {
+            "version": max(table_versions(path), default=0),
+            "n_rewritten": 0,
+            "n_retained": _total,
+            "n_new": 0,
+        }
+    retain = {}
+    for name, st in _committed_files(path):
+        if name in rewrite_set:
+            continue
+        entry: dict = {"stats": st or {}}
+        retain[name] = entry
+    # row counts for the retained files, from the freshest manifest
+    # that recorded them (table$files semantics)
+    for f in table_files(path):
+        if f["file_name"] in retain and f["n_rows"] is not None:
+            retain[f["file_name"]]["rows"] = f["n_rows"]
+    current = read_committed(spark, path, schema, _keep=rewrite_set)
+    current = current.repartitionByRange(n_files, col).sortWithinPartitions(
+        col
+    )
+    (
+        current.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("kind", "rewrite")
+        .option("retain", json.dumps(retain))
+        .mode("append")
+        .save()
+    )
+    version = max(table_versions(path))
+    new_files = [
+        f
+        for f in _log(path)[-1][1]["files"]
+        if f not in retain and f not in rewrite_set
+    ]
+    return {
+        "version": version,
+        "n_rewritten": len(rewrite_set),
+        "n_retained": len(retain),
+        "n_new": len(new_files),
+    }
+
+
+def read_changes(
+    spark: SparkSession, path: str, schema, from_v: int, to_v: int
+) -> DataFrame:
+    """ROW-LEVEL change data feed — the Delta CDF contract including
+    removals: every row changed in versions (from_v, to_v], tagged
+    with ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``. Appends contribute their files' rows as
+    inserts (no diffing scan — exactly the committed files). A delete
+    snapshot contributes the rows it REMOVED: the table state as of
+    the preceding version, semi-joined to the tombstone keys — a
+    distributed join against only the pre-delete state, never a full
+    history diff. A rewrite (compaction) inside the range still
+    raises: it reorganizes bytes without changing rows, so a
+    row-level feed crossing it would double-count (Delta's CDF makes
+    the same run-before-compacting demand).
+
+    This supersedes the file-level :func:`read_version_delta` when
+    the range crosses deletes — incremental view maintenance over a
+    mutating table consumes inserts AND deletes and stays O(delta)."""
+    from pyspark.sql import functions as _F
+
+    parts: list[DataFrame] = []
+    for version, m in _log(path):
+        if version <= from_v or version > to_v:
+            continue
+        kind = m.get("kind", "append")
+        if kind == "rewrite":
+            raise ValueError(
+                f"row-level CDF ({from_v}, {to_v}] crosses the rewrite "
+                f"snapshot {version}; compaction reorganizes bytes "
+                "without changing rows — consume the feed before "
+                "compacting"
+            )
+        if kind == "append":
+            df = _read_files(spark, path, schema, m["files"])
+        else:  # delete: emit the rows the tombstones removed
+            if "schema" not in m:
+                raise ValueError(
+                    f"delete snapshot {version} recorded no key schema"
+                )
+            key_schema = StructType.fromJson(m["schema"])
+            tomb = _read_files(spark, path, key_schema, m["files"])
+            before = read_committed(spark, path, schema, as_of=version - 1)
+            df = before.join(
+                tomb, on=[f.name for f in key_schema.fields], how="left_semi"
+            )
+        parts.append(
+            df.withColumn(
+                "_change_type",
+                _F.lit("insert" if kind == "append" else "delete"),
+            ).withColumn("_commit_version", _F.lit(version).cast("int"))
+        )
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", _F.lit("")).withColumn(
+            "_commit_version", _F.lit(0).cast("int")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def register_bucketed_table(

@@ -213,6 +213,9 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "manifest_bucketed_join_stats",
     "manifest_stream_backpressure_stats",
     "manifest_stale_claim_gc_stats",
+    "partial_compaction_stats",
+    "cdf_delete_change_rows_stats",
+    "stateful_rocksdb_store_stats",
     # round-4 refresh slots — 12 (the last of the round-4 rows)
     "price_neighborhood_density",
     "segment_priority_mode",
@@ -226,7 +229,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 35 (CORRECTNESS_r05 order; tail
+    # round-5 refresh slots — 32 (CORRECTNESS_r05 order; tail
     # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
@@ -260,9 +263,6 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "context_packing_stats",
     "quantized_cosine_quality",
     "ann_topk_bruteforce",
-    "ivf_near_dup_pairs",
-    "exact_dedup_summary",
-    "ngram_dup_pairs",
 )
 
 

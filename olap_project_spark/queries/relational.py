@@ -4889,3 +4889,220 @@ def manifest_stale_claim_gc_stats(
         "freed_orphans_deleted int, reclaimed_version int, "
         "n_rows_final bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Partial (range-scoped) compaction: OPTIMIZE WHERE through the gate
+# --------------------------------------------------------------------------
+@register(
+    "partial_compaction_stats",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT CAST(8 AS INTEGER) AS files_before,
+           CAST(4 AS INTEGER) AS n_rewritten,
+           CAST(4 AS INTEGER) AS n_retained,
+           CAST(2 AS INTEGER) AS n_new,
+           CAST(1 AS INTEGER) AS probe_files_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, m
+            WHERE o_orderkey <= mx // 2) AS rows_low_half
+    """,
+)
+def partial_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL compaction through the gate — ``OPTIMIZE WHERE`` on the
+    manifest table (Iceberg ``rewrite_data_files`` with a filter):
+    four range-disjoint small-file appends (two files each) build the
+    table, then ``compact_range`` over the LOW HALF of the key space
+    rewrites exactly the four files whose zone maps overlap it —
+    range-partitioned and sorted into two tight files — while the four
+    high-half files are carried into the rewrite manifest untouched,
+    zone maps and row counts intact, bytes never read. A point probe
+    inside the compacted range then keeps exactly ONE of the six live
+    files; totals and time travel are unchanged. Every count is
+    oracle-pinned.
+
+    Scale: THE 100-TB compaction shape — nobody rewrites a full
+    table. The maintenance job walks hot ranges (yesterday's ingest,
+    a small-file storm) and pays I/O proportional to the RANGE, not
+    the table; the manifest's full-state listing keeps readers,
+    time travel, and vacuum contracts unchanged."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        _committed_files,
+        compact_range,
+        ensure_manifest_sink,
+        plan_pruned_files,
+        read_committed,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_partcomp_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    schema = orders.schema
+    if not os.path.exists(stats_file):
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        bounds = [-1, mx // 4, mx // 2, 3 * mx // 4, mx]  # keys start at 0
+        for i in range(4):
+            (
+                orders.filter(
+                    (F.col("o_orderkey") > bounds[i])
+                    & (F.col("o_orderkey") <= bounds[i + 1])
+                )
+                .repartition(2)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        files_before = len(_committed_files(path))
+        res = compact_range(
+            spark, path, schema, "o_orderkey", 0, mx // 2, n_files=2
+        )
+        keep, _total = plan_pruned_files(path, "o_orderkey", 1, 2)
+        stats = {
+            "files_before": files_before,
+            "n_rewritten": res["n_rewritten"],
+            "n_retained": res["n_retained"],
+            "n_new": res["n_new"],
+            "probe_files_kept": len(keep),
+            "mx": mx,
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    table = read_committed(spark, path, schema)
+    rows_total = table.count()
+    rows_low_half = table.filter(
+        F.col("o_orderkey") <= stats["mx"] // 2
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["files_before"],
+                stats["n_rewritten"],
+                stats["n_retained"],
+                stats["n_new"],
+                stats["probe_files_kept"],
+                rows_total,
+                rows_low_half,
+            )
+        ],
+        "files_before int, n_rewritten int, n_retained int, n_new int, "
+        "probe_files_kept int, rows_total bigint, rows_low_half bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Row-level change data feed (inserts AND deletes) through the gate
+# --------------------------------------------------------------------------
+@register(
+    "cdf_delete_change_rows_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS inserts_v1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_nationkey < 5) AS deletes_v2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_nationkey < 5 AND c_custkey % 10 = 0) AS inserts_v3,
+           (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer
+            WHERE c_nationkey < 5) AS deleted_key_sum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_nationkey >= 5
+               OR (c_nationkey < 5 AND c_custkey % 10 = 0))
+             AS final_rows
+    """,
+)
+def cdf_delete_change_rows_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-LEVEL change data feed through the gate — the Delta CDF
+    contract INCLUDING removals, which the file-level
+    ``read_version_delta`` rejects by design: v1 appends the customer
+    dimension, v2 equality-deletes five nations' customers, v3
+    re-inserts a tenth of them. ``read_changes`` over the whole range
+    then yields the exact ledger — every v1 row as an insert, every
+    tombstoned ROW (full pre-delete values, recovered by semi-joining
+    the pre-delete state to the tombstone keys — never a history
+    diff) as a delete with its commit version, and the re-inserts as
+    fresh inserts. The deleted rows' key-sum pins that the feed
+    carries real row VALUES, not just counts; the final table row
+    count pins ledger-vs-state consistency.
+
+    Scale: the delete leg joins tombstone keys against ONLY the
+    as-of-previous-version state — O(state + delta), never O(history);
+    incremental view maintenance downstream consumes inserts and
+    deletes and stays O(delta) across mutations, the step CDF-IVM
+    (cdf_incremental_agg_refresh) cannot take without this feed."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        delete_where,
+        ensure_manifest_sink,
+        read_changes,
+        read_committed,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_cdfrows_{os.getpid()}_{tag}"
+    path = os.path.join(root, "cust_tbl")
+    done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
+    schema = cust.schema
+    if not os.path.exists(done):
+        (
+            cust.repartition(2)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        delete_where(
+            spark, path, cust.filter(F.col("c_nationkey") < 5).select("c_custkey")
+        )
+        (
+            cust.filter(
+                (F.col("c_nationkey") < 5) & (F.col("c_custkey") % 10 == 0)
+            )
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    ch = read_changes(spark, path, schema, 0, 3)
+    ledger = (
+        ch.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .collect()
+    )
+    by = {(r["_change_type"], r["_commit_version"]): r for r in ledger}
+    final_rows = read_committed(spark, path, schema).count()
+    return spark.createDataFrame(
+        [
+            (
+                by[("insert", 1)]["n"],
+                by[("delete", 2)]["n"],
+                by[("insert", 3)]["n"],
+                by[("delete", 2)]["key_sum"],
+                final_rows,
+            )
+        ],
+        "inserts_v1 bigint, deletes_v2 bigint, inserts_v3 bigint, "
+        "deleted_key_sum bigint, final_rows bigint",
+    )

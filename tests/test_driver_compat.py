@@ -240,6 +240,9 @@ class TestDriverContract:
             "manifest_bucketed_join_stats",  # advisor-driven bucketed layout
             "manifest_stream_backpressure_stats",  # capped tail drain
             "manifest_stale_claim_gc_stats",  # crashed-claim recovery arc
+            "partial_compaction_stats",      # range-scoped OPTIMIZE WHERE
+            "cdf_delete_change_rows_stats",  # row-level CDF with deletes
+            "stateful_rocksdb_store_stats",  # RocksDB streaming state
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -505,3 +505,156 @@ class TestBucketedSnapshot:
             df.write.format("manifest_sink").option("path", path).option(
                 "bucket_by", "k"
             ).option("n_buckets", "2").mode("append").save()
+
+
+class TestPartialCompaction:
+    NUM_SCHEMA = "k bigint, v double"
+
+    def _build(self, registered, path):
+        for q in range(4):
+            (
+                registered.range(q * 1000, (q + 1) * 1000)
+                .selectExpr("id as k", "cast(id % 7 as double) as v")
+                .repartition(2)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+    def test_range_scoped_rewrite(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            _committed_files,
+            compact_range,
+            plan_pruned_files,
+        )
+
+        path = str(tmp_path / "pc")
+        self._build(registered, path)
+        assert len(_committed_files(path)) == 8
+        res = compact_range(
+            registered, path, self.NUM_SCHEMA, "k", 1000, 2999, n_files=2
+        )
+        assert res == {
+            "version": 5,
+            "n_rewritten": 4,
+            "n_retained": 4,
+            "n_new": 2,
+        }
+        # full state intact, time travel intact
+        now = read_committed(registered, path, self.NUM_SCHEMA)
+        assert now.count() == 4000
+        assert (
+            read_committed(
+                registered, path, self.NUM_SCHEMA, as_of=4
+            ).count()
+            == 4000
+        )
+        # the compacted range's zone maps are tight: a point probe
+        # inside it keeps exactly one of the six live files
+        keep, total = plan_pruned_files(path, "k", 1500, 1600)
+        assert total == 6 and len(keep) == 1
+        # the rewrite lists the full consolidated state: 4 retained
+        # (byte-identical, same names as before) + 2 new files
+        before_rewrite = {
+            f for f, _ in _committed_files(path, as_of=4)
+        }
+        live = {f for f, _ in _committed_files(path)}
+        assert len(live) == 6
+        assert len(live & before_rewrite) == 4
+        # vacuum expiry keeps every file the partial rewrite references
+        stats = vacuum_snapshots(path)
+        assert stats["expired_manifests"] == 4
+        assert (
+            read_committed(registered, path, self.NUM_SCHEMA).count() == 4000
+        )
+
+    def test_rejects_delete_log_and_noop_range(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            compact_range,
+            delete_where,
+        )
+
+        path = str(tmp_path / "pc2")
+        self._build(registered, path)
+        # no-op: nothing overlaps a range beyond the data
+        res = compact_range(
+            registered, path, self.NUM_SCHEMA, "k", 50_000, 60_000
+        )
+        assert res["n_rewritten"] == 0 and res["n_new"] == 0
+        assert res["version"] == 4  # no commit happened
+        delete_where(
+            registered, path, registered.range(0, 10).selectExpr("id as k")
+        )
+        with pytest.raises(ValueError, match="resurrect"):
+            compact_range(registered, path, self.NUM_SCHEMA, "k", 0, 100)
+
+
+class TestRowLevelCDF:
+    NUM_SCHEMA = "k bigint, v double"
+
+    def test_insert_delete_reinsert_ledger(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            delete_where,
+            read_changes,
+        )
+
+        path = str(tmp_path / "cdf")
+        for q in range(2):
+            (
+                registered.range(q * 100, (q + 1) * 100)
+                .selectExpr("id as k", "cast(1.0 as double) as v")
+                .repartition(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        delete_where(
+            registered, path, registered.range(0, 50).selectExpr("id as k")
+        )
+        (
+            registered.range(0, 10)
+            .selectExpr("id as k", "cast(2.0 as double) as v")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        ch = read_changes(registered, path, self.NUM_SCHEMA, 0, 4)
+        got = {
+            (r["_change_type"], r["_commit_version"]): r["count"]
+            for r in ch.groupBy("_change_type", "_commit_version")
+            .count()
+            .collect()
+        }
+        assert got == {
+            ("insert", 1): 100,
+            ("insert", 2): 100,
+            ("delete", 3): 50,
+            ("insert", 4): 10,
+        }
+        # the deleted rows carry their full pre-delete values
+        dels = ch.filter("_change_type = 'delete'")
+        assert dels.agg({"v": "sum"}).collect()[0][0] == 50.0
+        # consuming only the tail of the feed works too
+        tail = read_changes(registered, path, self.NUM_SCHEMA, 2, 4)
+        assert tail.count() == 60
+        # final state agrees with the ledger
+        assert (
+            read_committed(registered, path, self.NUM_SCHEMA).count() == 160
+        )
+
+    def test_rewrite_in_range_raises(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import read_changes
+
+        path = str(tmp_path / "cdf2")
+        _write(registered, path, [(1, "a")])
+        compact_snapshots(registered, path, SCHEMA)
+        with pytest.raises(ValueError, match="compaction reorganizes"):
+            read_changes(registered, path, SCHEMA, 0, 2).count()
+        # an empty range yields an empty, well-typed feed
+        empty = read_changes(registered, path, SCHEMA, 2, 2)
+        assert empty.count() == 0
+        assert "_change_type" in empty.columns

@@ -61,6 +61,11 @@ REPS = [
     ("bitmap_distinct_rollup", "mergeable bitmap distincts"),
     ("span_corruption_stats", "span-corruption explode algebra"),
     ("bpe_merge_pair_counts", "BPE merge-pair counting"),
+    # round-10 flagships: the bucketed join pays advisor + one-time
+    # bucket-compaction at build, then an exchange-free fact-side SMJ;
+    # the backpressure tail drains a version backlog as capped batches
+    ("manifest_bucketed_join_stats", "advisor-bucketed colocated join"),
+    ("manifest_stream_backpressure_stats", "capped lakehouse tail"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

@@ -96,6 +96,9 @@ EXECUTING = {
     "manifest_stream_tail_stats",  # streaming tail + CDC mirror loop
     "manifest_stream_backpressure_stats",  # capped tail drain loop
     "manifest_stale_claim_gc_stats",  # crashed-claim vacuum recovery arc
+    "partial_compaction_stats",  # range-scoped OPTIMIZE WHERE rewrite
+    "cdf_delete_change_rows_stats",  # row-level CDF with delete rows
+    "stateful_rocksdb_store_stats",  # RocksDB-backed streaming state
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
