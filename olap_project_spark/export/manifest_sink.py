@@ -721,6 +721,101 @@ def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
     return max(table_versions(path))
 
 
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> dict:
+    """MERGE (upsert) into the manifest table, MERGE-ON-READ style:
+    one equality-delete snapshot tombstoning the update keys, then one
+    append of the update rows — matched keys are replaced, unmatched
+    keys are inserted, and NO existing data file is read or rewritten.
+    Cost is O(|updates|) writes + two manifests; the reconciliation
+    happens lazily in :func:`read_committed`'s fold (a later
+    compaction materializes it). This is the Iceberg-v2/Delta-DV merge
+    shape that makes CDC upserts tractable at 100 TB — the
+    copy-on-write alternative rewrites every file containing a
+    matched key, which for a uniformly-keyed update IS the table.
+
+    The two commits are not one atomic unit: a reader between them
+    sees the delete applied but not yet the re-insert (the same
+    read-committed-per-snapshot semantics Delta gives a two-txn
+    MERGE fallback). Wrap the pair in a WAP branch and publish both
+    versions together when that window matters.
+
+    Returns {"delete_version", "append_version", "n_updates"}."""
+    n_updates = updates.count()
+    delete_version = delete_where(spark, path, updates.select(*keys))
+    (
+        updates.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    return {
+        "delete_version": delete_version,
+        "append_version": max(table_versions(path)),
+        "n_updates": n_updates,
+    }
+
+
+def plan_compaction_ranges(
+    path: str,
+    col: str,
+    n_ranges: int = 8,
+    min_files: int = 4,
+    max_avg_rows: float = 100_000,
+) -> list[dict]:
+    """The MAINTENANCE-POLICY advisor closing the loop to
+    :func:`compact_range`: bucket the live files (``table$files``
+    metadata — zone maps + row counts, no data read) into
+    ``n_ranges`` equal-width key ranges, score each range's file
+    population, and flag the ranges whose small-file pressure
+    warrants a scoped rewrite (``file_count >= min_files`` AND
+    ``avg_rows < max_avg_rows`` — many files, each small). A file
+    spanning several ranges counts toward each (it would be rewritten
+    by any of them). Returns one dict per range: lo, hi, file_count,
+    total_rows, avg_rows, needs_compaction — driver-side,
+    O(#files), the planning pass a real table service (Delta's
+    auto-compaction, Iceberg's maintenance jobs) runs on metadata
+    before spending I/O."""
+    files = [
+        f
+        for f in table_files(path)
+        if f["col_stats"].get(col) is not None
+    ]
+    if not files:
+        return []
+    lo = min(f["col_stats"][col][0] for f in files)
+    hi = max(f["col_stats"][col][1] for f in files)
+    width = max((hi - lo) // n_ranges + 1, 1)
+    out = []
+    for i in range(n_ranges):
+        r_lo, r_hi = lo + i * width, min(lo + (i + 1) * width - 1, hi)
+        if r_lo > hi:
+            break
+        members = [
+            f
+            for f in files
+            if not (
+                f["col_stats"][col][1] < r_lo
+                or f["col_stats"][col][0] > r_hi
+            )
+        ]
+        rows = sum(f["n_rows"] or 0 for f in members)
+        avg = rows / len(members) if members else 0.0
+        out.append(
+            {
+                "range_lo": r_lo,
+                "range_hi": r_hi,
+                "file_count": len(members),
+                "total_rows": rows,
+                "avg_rows": avg,
+                "needs_compaction": len(members) >= min_files
+                and avg < max_avg_rows,
+            }
+        )
+    return out
+
+
 def _log(
     path: str, as_of: int | None = None, branch: str | None = None
 ) -> list[tuple[int, dict]]:
@@ -920,18 +1015,38 @@ def read_pruned(
     return read_committed(spark, path, schema, as_of=as_of, _keep=set(files))
 
 
+# Safe type promotions (Iceberg v3 type-widening set restricted to
+# what Spark's parquet scan natively up-casts): a file written at the
+# narrower type reads losslessly under the wider schema; the reverse
+# direction fails the scan, so it is rejected at discovery time.
+_TYPE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
 def table_schema(path: str, as_of: int | None = None) -> StructType | None:
     """Discover the table schema from the manifest log — the schema AS
     OF the given version (latest recorded at or below it), so time
     travel reads old snapshots with their OWN schema. Returns None if
     no manifest in range recorded one (pre-evolution tables).
 
-    Enforces the ADD-ONLY evolution contract while walking the log:
-    every recorded schema must contain all field names of the previous
-    one (Iceberg v1-style additive evolution — drops/renames break old
-    readers and are rejected here at discovery time). Delete snapshots
-    are skipped: they record the TOMBSTONE KEY schema (a subset by
-    design), not a table-schema evolution step."""
+    Enforces the EVOLUTION contract while walking the log: every
+    recorded schema must contain all field names of the previous one
+    (Iceberg v1-style additive evolution — drops/renames break old
+    readers and are rejected here at discovery time), and a common
+    field may only keep its type or WIDEN it along the safe promotion
+    ladder (int→bigint, float→double — the Iceberg v3 type-widening
+    set Spark's parquet scan natively up-casts; narrowing would fail
+    every pre-evolution file at scan time and is rejected here
+    instead). Delete snapshots are skipped: they record the TOMBSTONE
+    KEY schema (a subset by design), not a table-schema evolution
+    step."""
     latest: StructType | None = None
     for version, m in _log(path, as_of):
         if m.get("kind", "append") == "delete":
@@ -941,13 +1056,25 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
             continue
         st = StructType.fromJson(sch)
         if latest is not None:
-            prev = {f.name for f in latest.fields}
-            cur = {f.name for f in st.fields}
-            if not prev <= cur:
+            prev = {f.name: f.dataType for f in latest.fields}
+            cur = {f.name: f.dataType for f in st.fields}
+            if not set(prev) <= set(cur):
                 raise ValueError(
                     f"schema evolution at version {version} is not "
-                    f"add-only: dropped {sorted(prev - cur)}"
+                    f"add-only: dropped {sorted(set(prev) - set(cur))}"
                 )
+            for name, pt in prev.items():
+                ct = cur[name]
+                if ct == pt:
+                    continue
+                pair = (pt.simpleString(), ct.simpleString())
+                if pair not in _TYPE_WIDENINGS:
+                    raise ValueError(
+                        f"schema evolution at version {version} "
+                        f"changes {name!r} from {pair[0]} to {pair[1]}"
+                        ", which is not a safe widening — old files "
+                        "could not be read under the new schema"
+                    )
         latest = st
     return latest
 

@@ -216,6 +216,9 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "partial_compaction_stats",
     "cdf_delete_change_rows_stats",
     "stateful_rocksdb_store_stats",
+    "mor_upsert_stats",
+    "compaction_policy_stats",
+    "manifest_type_widening_stats",
     # round-4 refresh slots — 12 (the last of the round-4 rows)
     "price_neighborhood_density",
     "segment_priority_mode",
@@ -229,7 +232,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 32 (CORRECTNESS_r05 order; tail
+    # round-5 refresh slots — 28 (CORRECTNESS_r05 order; tail
     # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
@@ -260,9 +263,6 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "session_funnel_stats",
     "pii_redaction_stats",
     "sql_urgent_open_customers",
-    "context_packing_stats",
-    "quantized_cosine_quality",
-    "ann_topk_bruteforce",
 )
 
 

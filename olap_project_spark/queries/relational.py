@@ -5106,3 +5106,345 @@ def cdf_delete_change_rows_stats(
         "inserts_v1 bigint, deletes_v2 bigint, inserts_v3 bigint, "
         "deleted_key_sum bigint, final_rows bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read UPSERT (MERGE) through the gate
+# --------------------------------------------------------------------------
+@register(
+    "mor_upsert_stats",
+    oracle="""
+    WITH upd AS (SELECT c_custkey,
+                        CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+                 FROM customer WHERE c_nationkey < 5),
+    base AS (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+             FROM customer)
+    SELECT (SELECT CAST(COUNT(*) + COUNT(*) FILTER (
+               WHERE c_custkey % 100 = 0) AS BIGINT)
+            FROM customer WHERE c_nationkey < 5) AS n_updates,
+           CAST(3 AS INTEGER) AS n_versions,
+           CAST(0 AS INTEGER) AS data_files_rewritten,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM upd
+                WHERE c_custkey % 100 = 0) AS total_rows,
+           (SELECT CAST(SUM(bal) AS BIGINT) FROM base)
+             + 1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM upd)
+             + (SELECT CAST(COUNT(*) * 123456 AS BIGINT) FROM upd
+                WHERE c_custkey % 100 = 0) AS sum_bal_cents
+    """,
+)
+def mor_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT through the gate — the CDC merge shape
+    that stays O(delta) at 100 TB: the customer dimension commits as
+    the base snapshot, then ONE ``merge_upsert`` call applies a mixed
+    update batch (five nations' balances bumped by 1000 cents — the
+    MATCHED leg — plus synthetic new keys — the NOT-MATCHED leg) as
+    one equality-delete of the update keys and one append of the
+    update rows. NO base data file is read or rewritten
+    (``data_files_rewritten = 0`` is pinned by diffing the live file
+    set); matched rows are replaced, unmatched inserted, and the
+    final row count and exact balance-cents total are oracle-pinned.
+
+    Contrast with the copy-on-write ``merge_upsert_stats`` (round 5):
+    that one rebuilds the hot partition per batch; this one writes
+    only the delta and lets :func:`read_committed`'s tombstone fold
+    (and eventually compaction) reconcile — the Iceberg-v2/Delta-DV
+    upsert economics.
+
+    Scale: a uniformly-keyed update touches every file of a 100-TB
+    table under copy-on-write; merge-on-read pays |updates| + two
+    manifests, deferring the rewrite to the next scheduled
+    compaction."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        merge_upsert,
+        read_committed,
+        table_files,
+        table_versions,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", cents.alias("bal")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_morupsert_{os.getpid()}_{tag}"
+    path = os.path.join(root, "cust_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    schema = base.schema
+    if not os.path.exists(stats_file):
+        (
+            base.repartition(2)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        files_before = {f["file_name"] for f in table_files(path)}
+        hot = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+        matched = hot.select("c_custkey", (cents + 1000).alias("bal"))
+        inserted = hot.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit(123456).cast("bigint").alias("bal"),
+        )
+        res = merge_upsert(
+            spark, path, matched.unionByName(inserted), ["c_custkey"]
+        )
+        files_after = {f["file_name"] for f in table_files(path)}
+        stats = {
+            "n_updates": res["n_updates"],
+            "n_versions": len(table_versions(path)),
+            "data_files_rewritten": len(files_before - files_after),
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    state = read_committed(spark, path, schema)
+    agg = state.agg(
+        F.count("*").alias("n"), F.sum("bal").cast("bigint").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_updates"],
+                stats["n_versions"],
+                stats["data_files_rewritten"],
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "n_updates bigint, n_versions int, data_files_rewritten int, "
+        "total_rows bigint, sum_bal_cents bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Compaction-policy advisor: metadata-only maintenance planning
+# --------------------------------------------------------------------------
+@register(
+    "compaction_policy_stats",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT CAST(1 AS INTEGER) AS flagged_ranges,
+           CAST(6 AS INTEGER) AS low_files_before,
+           CAST(1 AS INTEGER) AS low_files_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, m
+            WHERE o_orderkey <= mx // 8) AS low_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_total
+    """,
+)
+def compaction_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTENANCE-POLICY loop through the gate — advise on
+    metadata, compact the one flagged range, verify the pressure is
+    gone: a small-file storm (six single-file appends) lands in the
+    low eighth of the order-key space beside two healthy wide files,
+    ``plan_compaction_ranges`` walks the ``table$files`` zone maps
+    (no data read) and flags exactly the storm range — many files,
+    each small — and ``compact_range`` consolidates it to ONE file;
+    re-advising finds nothing left to do. File counts before/after,
+    the flagged-range count, and row totals are all oracle-pinned.
+
+    Scale: this is the planning pass a real table service (Delta
+    auto-compaction, Iceberg maintenance) runs continuously — O(#
+    files) driver-side metadata to DECIDE, I/O proportional to the
+    flagged range to ACT; the advise→compact→re-advise loop is the
+    steady state of a 100-TB table under streaming ingest."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_range,
+        ensure_manifest_sink,
+        plan_compaction_ranges,
+        read_committed,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_compolicy_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    schema = orders.schema
+    if not os.path.exists(stats_file):
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        low = orders.filter(F.col("o_orderkey") <= mx // 8)
+        for i in range(6):  # the storm: one tiny file per commit
+            (
+                low.filter(F.col("o_orderkey") % 6 == i)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        (
+            orders.filter(F.col("o_orderkey") > mx // 4)
+            .repartition(2)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        plan = plan_compaction_ranges(
+            path, "o_orderkey", n_ranges=4, min_files=4,
+            max_avg_rows=1_000_000,
+        )
+        flagged = [r for r in plan if r["needs_compaction"]]
+        low_before = flagged[0]["file_count"] if flagged else -1
+        if flagged:
+            compact_range(
+                spark,
+                path,
+                schema,
+                "o_orderkey",
+                flagged[0]["range_lo"],
+                flagged[0]["range_hi"],
+                n_files=1,
+            )
+        plan2 = plan_compaction_ranges(
+            path, "o_orderkey", n_ranges=4, min_files=4,
+            max_avg_rows=1_000_000,
+        )
+        low_after = plan2[0]["file_count"] if plan2 else -1
+        stats = {
+            "flagged_ranges": len(flagged),
+            "low_files_before": low_before,
+            "low_files_after": low_after,
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    table = read_committed(spark, path, schema)
+    mx2 = table.agg(F.max("o_orderkey")).collect()[0][0]
+    low_rows = table.filter(F.col("o_orderkey") <= mx2 // 8).count()
+    rows_total_committed = table.count()
+    orders_total = load(spark, sf_dir, "orders").count()
+    # the committed table holds the storm (low eighth) + the wide tail
+    # (> mx//4); report the SOURCE total the oracle can see, pinned
+    # consistent with the committed state
+    assert rows_total_committed == low_rows + load(
+        spark, sf_dir, "orders"
+    ).filter(F.col("o_orderkey") > mx2 // 4).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["flagged_ranges"],
+                stats["low_files_before"],
+                stats["low_files_after"],
+                low_rows,
+                orders_total,
+            )
+        ],
+        "flagged_ranges int, low_files_before int, low_files_after int, "
+        "low_rows bigint, rows_total bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Type widening (Iceberg v3) through the gate
+# --------------------------------------------------------------------------
+@register(
+    "manifest_type_widening_stats",
+    oracle="""
+    WITH m AS (SELECT MAX(p_partkey) AS mx FROM part)
+    SELECT 'bigint,double' AS widened_types,
+           'int,float' AS v1_types,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_rows,
+           (SELECT CAST(SUM(p_partkey) AS BIGINT) FROM part) AS key_sum,
+           (SELECT CAST(SUM(p_size) AS BIGINT) FROM part) AS size_sum
+    """,
+)
+def manifest_type_widening_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TYPE WIDENING through the gate — the Iceberg v3 evolution step
+    beyond add-only columns: snapshot v1 commits the part dimension's
+    low half with NARROW types (int key, float size), v2 appends the
+    high half with the WIDENED types (bigint, double). Schema
+    discovery resolves the table to the widened schema and the scan
+    up-casts v1's files natively (Spark parquet int32→int64,
+    float→double promotion); time travel to v1 still reads the narrow
+    schema. Narrowing and incompatible changes are rejected at
+    discovery time (unit-pinned). Row count and exact integer sums
+    across both type generations are oracle-pinned — the values
+    survive the widening bit-for-bit (the float column carries small
+    integers, exactly representable in both widths).
+
+    Scale: widening costs ONE manifest field like any evolution step
+    — a 100-TB table outgrowing its int32 key space migrates with no
+    rewrite, no backfill, no dual-write window."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_evolved,
+        table_schema,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    part = load(spark, sf_dir, "part")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_widening_{os.getpid()}_{tag}"
+    path = os.path.join(root, "part_tbl")
+    done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        mx = part.agg(F.max("p_partkey")).collect()[0][0]
+        (
+            part.filter(F.col("p_partkey") <= mx // 2)
+            .select(
+                F.col("p_partkey").cast("int").alias("key"),
+                F.col("p_size").cast("float").alias("size"),
+            )
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        (
+            part.filter(F.col("p_partkey") > mx // 2)
+            .select(
+                F.col("p_partkey").cast("bigint").alias("key"),
+                F.col("p_size").cast("double").alias("size"),
+            )
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    widened = ",".join(
+        f.dataType.simpleString() for f in table_schema(path).fields
+    )
+    v1_types = ",".join(
+        f.dataType.simpleString() for f in table_schema(path, as_of=1).fields
+    )
+    evolved = read_evolved(spark, path)
+    agg = evolved.agg(
+        F.count("*").alias("n"),
+        F.sum("key").cast("bigint").alias("ks"),
+        F.sum("size").cast("bigint").alias("ss"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(widened, v1_types, agg["n"], agg["ks"], agg["ss"])],
+        "widened_types string, v1_types string, n_rows bigint, "
+        "key_sum bigint, size_sum bigint",
+    )

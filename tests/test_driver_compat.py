@@ -243,6 +243,9 @@ class TestDriverContract:
             "partial_compaction_stats",      # range-scoped OPTIMIZE WHERE
             "cdf_delete_change_rows_stats",  # row-level CDF with deletes
             "stateful_rocksdb_store_stats",  # RocksDB streaming state
+            "mor_upsert_stats",              # merge-on-read MERGE upsert
+            "compaction_policy_stats",       # maintenance-policy loop
+            "manifest_type_widening_stats",  # v3 type-widening evolution
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -658,3 +658,214 @@ class TestRowLevelCDF:
         empty = read_changes(registered, path, SCHEMA, 2, 2)
         assert empty.count() == 0
         assert "_change_type" in empty.columns
+
+
+class TestMergeUpsert:
+    NUM_SCHEMA = "k bigint, v double"
+
+    def test_upsert_replaces_and_inserts_without_rewrite(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            merge_upsert,
+            table_files,
+        )
+
+        path = str(tmp_path / "mu")
+        (
+            registered.range(0, 100)
+            .selectExpr("id as k", "cast(1.0 as double) as v")
+            .repartition(2)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        before = {f["file_name"] for f in table_files(path)}
+        upd = registered.range(50, 120).selectExpr(
+            "id as k", "cast(9.0 as double) as v"
+        )
+        res = merge_upsert(registered, path, upd, ["k"])
+        assert res["n_updates"] == 70
+        assert res["delete_version"] == 2 and res["append_version"] == 3
+        back = read_committed(registered, path, self.NUM_SCHEMA)
+        assert back.count() == 120  # 50 kept + 70 upserted
+        assert back.filter("v = 9.0").count() == 70
+        assert back.filter("v = 1.0").count() == 50
+        # merge-on-read: every original data file is still live,
+        # untouched — the delete is tombstones, the upsert an append
+        after = {f["file_name"] for f in table_files(path)}
+        assert before <= after
+
+    def test_upsert_then_compaction_materializes(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import merge_upsert
+
+        path = str(tmp_path / "mu2")
+        (
+            registered.range(0, 20)
+            .selectExpr("id as k", "cast(1.0 as double) as v")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        merge_upsert(
+            registered,
+            path,
+            registered.range(0, 5).selectExpr(
+                "id as k", "cast(2.0 as double) as v"
+            ),
+            ["k"],
+        )
+        compact_snapshots(registered, path, self.NUM_SCHEMA)
+        back = read_committed(registered, path, self.NUM_SCHEMA)
+        assert back.count() == 20
+        assert back.filter("v = 2.0").count() == 5
+
+
+class TestCompactionPolicyAdvisor:
+    NUM_SCHEMA = "k bigint, v double"
+
+    def test_flags_small_file_range_and_feeds_compact_range(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            compact_range,
+            plan_compaction_ranges,
+        )
+
+        path = str(tmp_path / "policy")
+        for i in range(6):  # small-file storm in the low range
+            (
+                registered.range(i * 50, (i + 1) * 50)
+                .selectExpr("id as k", "cast(0.0 as double) as v")
+                .repartition(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        (
+            registered.range(10_000, 20_000)
+            .selectExpr("id as k", "cast(0.0 as double) as v")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        plan = plan_compaction_ranges(
+            path, "k", n_ranges=4, min_files=3, max_avg_rows=1000
+        )
+        flagged = [r for r in plan if r["needs_compaction"]]
+        assert len(flagged) == 1
+        assert flagged[0]["file_count"] == 6
+        assert flagged[0]["total_rows"] == 300
+        res = compact_range(
+            registered,
+            path,
+            self.NUM_SCHEMA,
+            "k",
+            flagged[0]["range_lo"],
+            flagged[0]["range_hi"],
+            n_files=1,
+        )
+        assert res["n_rewritten"] == 6 and res["n_new"] == 1
+        plan2 = plan_compaction_ranges(
+            path, "k", n_ranges=4, min_files=3, max_avg_rows=1000
+        )
+        assert not any(r["needs_compaction"] for r in plan2)
+        assert (
+            read_committed(registered, path, self.NUM_SCHEMA).count()
+            == 10_300
+        )
+
+
+class TestTypeWidening:
+    def test_widening_reads_old_files_under_new_schema(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            read_evolved,
+            table_schema,
+        )
+
+        path = str(tmp_path / "widen")
+        (
+            registered.range(0, 5)
+            .selectExpr("cast(id as int) as a", "cast(id as float) as b")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        (
+            registered.range(5, 10)
+            .selectExpr("cast(id as bigint) as a", "cast(id as double) as b")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        assert table_schema(path).simpleString() == "struct<a:bigint,b:double>"
+        got = read_evolved(registered, path)
+        assert got.count() == 10
+        assert got.agg({"a": "sum"}).collect()[0][0] == 45
+        # time travel reads v1 under ITS OWN (narrow) schema
+        assert (
+            table_schema(path, as_of=1).simpleString()
+            == "struct<a:int,b:float>"
+        )
+
+    def test_narrowing_rejected(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import table_schema
+
+        path = str(tmp_path / "narrow")
+        (
+            registered.range(0, 5)
+            .selectExpr("cast(id as bigint) as a")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        (
+            registered.range(5, 10)
+            .selectExpr("cast(id as int) as a")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        with pytest.raises(ValueError, match="not a safe widening"):
+            table_schema(path)
+
+    def test_incompatible_type_change_rejected(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import table_schema
+
+        path = str(tmp_path / "strswap")
+        (
+            registered.range(0, 3)
+            .selectExpr("cast(id as int) as a")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        (
+            registered.range(3, 6)
+            .selectExpr("cast(id as string) as a")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        with pytest.raises(ValueError, match="not a safe widening"):
+            table_schema(path)

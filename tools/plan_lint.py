@@ -99,6 +99,9 @@ EXECUTING = {
     "partial_compaction_stats",  # range-scoped OPTIMIZE WHERE rewrite
     "cdf_delete_change_rows_stats",  # row-level CDF with delete rows
     "stateful_rocksdb_store_stats",  # RocksDB-backed streaming state
+    "mor_upsert_stats",  # merge-on-read upsert (tombstone + append)
+    "compaction_policy_stats",  # advise -> compact -> re-advise loop
+    "manifest_type_widening_stats",  # v3 type-widening evolution
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
