@@ -496,6 +496,15 @@ SHOWCASE = [
         "distinct-position aggregate handles overlap exactly, and the "
         "plan has no join and no Python.",
     ),
+    (
+        "manifest_bucketed_join_stats",
+        "Advisor-consumed bucketed lakehouse snapshot: the fact scan "
+        "reads the manifest table's bucketed rewrite ('Bucketed: true', "
+        "SelectedBucketsCount), so the SortMergeJoin has NO Exchange on "
+        "the fact side — the dimension pays the only join shuffle. The "
+        "bucket exchange was paid ONCE at compaction; every future "
+        "join/agg on the key rides it free.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
@@ -518,7 +527,7 @@ def main() -> int:
     )
     # Queries whose showcase plan needs auto-broadcast off (to exhibit
     # the large-scale join strategy AQE would override at doc scale).
-    NO_AUTOBROADCAST = {"bucketed_order_revenue"}
+    NO_AUTOBROADCAST = {"bucketed_order_revenue", "manifest_bucketed_join_stats"}
     # Adaptive decisions (skew split) only appear in the FINAL plan, so
     # these run to completion before the plan string is captured.
     EXECUTE_FIRST = {"aqe_skew_join_stats"}
