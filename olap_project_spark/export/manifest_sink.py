@@ -721,6 +721,74 @@ def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
     return max(table_versions(path))
 
 
+def tag_snapshot(
+    path: str, name: str, version: int | None = None
+) -> int:
+    """Create an immutable NAMED TAG for a snapshot version — the
+    Iceberg tag / Delta named-version ref: ``read_committed(path,
+    schema, as_of=read_tag(path, name))`` then reproduces the tagged
+    state forever (or until vacuum expires the underlying versions —
+    expiry is the documented retention boundary, same as Iceberg's).
+    Defaults to tagging the current head. Tags are immutable by
+    contract (re-tagging a name raises — drop it first with
+    :func:`drop_tag`); the tag file is written atomically via the same
+    tmp + ``os.replace`` pattern as commits.
+
+    Scale: a tag is one O(1) metadata file — the mechanism that makes
+    'the exact training set of run X' a durable, named artifact
+    instead of a copied table."""
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name: {name!r}")
+    versions = table_versions(path)
+    if version is None:
+        version = max(versions, default=0)
+    if version not in versions:
+        raise ValueError(f"cannot tag version {version}: not committed")
+    final = os.path.join(path, f"_tag-{name}.json")
+    if os.path.exists(final):
+        raise ValueError(f"tag {name!r} already exists; drop it first")
+    tmp = os.path.join(path, f"._tag-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": version}, f)
+    os.replace(tmp, final)
+    return version
+
+
+def read_tag(path: str, name: str) -> int:
+    """Resolve a named tag to its snapshot version."""
+    final = os.path.join(path, f"_tag-{name}.json")
+    try:
+        with open(final) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r} at {path}") from None
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """Every tag name → version, the table's named-ref catalog."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(path):
+        return out
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_tag-") and entry.endswith(".json"):
+            try:
+                with open(os.path.join(path, entry)) as f:
+                    m = json.load(f)
+                out[m["name"]] = int(m["version"])
+            except (json.JSONDecodeError, OSError, KeyError):
+                continue
+    return out
+
+
+def drop_tag(path: str, name: str) -> bool:
+    """Remove a tag (the ref only — never the data); False if absent."""
+    try:
+        os.remove(os.path.join(path, f"_tag-{name}.json"))
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
 ) -> dict:

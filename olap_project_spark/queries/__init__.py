@@ -219,6 +219,8 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "mor_upsert_stats",
     "compaction_policy_stats",
     "manifest_type_widening_stats",
+    "manifest_snapshot_tag_stats",
+    "manifest_nested_embeddings_stats",
     # round-4 refresh slots — 12 (the last of the round-4 rows)
     "price_neighborhood_density",
     "segment_priority_mode",
@@ -232,7 +234,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 28 (CORRECTNESS_r05 order; tail
+    # round-5 refresh slots — 26 (CORRECTNESS_r05 order; tail
     # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
@@ -261,8 +263,6 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "ab_bucket_metrics",
     "cohort_value_curve",
     "session_funnel_stats",
-    "pii_redaction_stats",
-    "sql_urgent_open_customers",
 )
 
 

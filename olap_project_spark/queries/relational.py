@@ -5448,3 +5448,178 @@ def manifest_type_widening_stats(
         "widened_types string, v1_types string, n_rows bigint, "
         "key_sum bigint, size_sum bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Named snapshot tags (Iceberg refs) through the gate
+# --------------------------------------------------------------------------
+@register(
+    "manifest_snapshot_tag_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM region
+            WHERE r_regionkey < 3) AS rows_at_tag,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS rows_at_head,
+           CAST(1 AS INTEGER) AS tagged_version,
+           CAST(1 AS INTEGER) AS n_tags,
+           CAST(1 AS INTEGER) AS retag_rejected
+    """,
+)
+def manifest_snapshot_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED SNAPSHOT TAGS through the gate — the Iceberg tag / named
+    ref: after the first commit the state is tagged ``baseline``; a
+    second commit moves the head, and reading
+    ``as_of=read_tag('baseline')`` still reproduces the tagged state
+    exactly while the head read sees everything. Tags are immutable —
+    re-tagging the name is REJECTED (pinned) — and dropping a tag
+    removes only the ref, never data. This is what makes 'the exact
+    training set of run X' a durable named artifact instead of a
+    copied table; vacuum's snapshot expiry is the documented retention
+    boundary, as in Iceberg.
+
+    Scale: a tag is one O(1) metadata file; resolution is one read —
+    no listing, no data access."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        list_tags,
+        read_committed,
+        read_tag,
+        tag_snapshot,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_snaptag_{os.getpid()}_{tag}"
+    path = os.path.join(root, "region_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    schema = region.schema
+    if not os.path.exists(stats_file):
+        (
+            region.filter(F.col("r_regionkey") < 3)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        tagged_version = tag_snapshot(path, "baseline")
+        (
+            region.filter(F.col("r_regionkey") >= 3)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        try:
+            tag_snapshot(path, "baseline")
+            retag_rejected = 0
+        except ValueError:
+            retag_rejected = 1
+        stats = {
+            "tagged_version": tagged_version,
+            "n_tags": len(list_tags(path)),
+            "retag_rejected": retag_rejected,
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    rows_at_tag = read_committed(
+        spark, path, schema, as_of=read_tag(path, "baseline")
+    ).count()
+    rows_at_head = read_committed(spark, path, schema).count()
+    return spark.createDataFrame(
+        [
+            (
+                rows_at_tag,
+                rows_at_head,
+                stats["tagged_version"],
+                stats["n_tags"],
+                stats["retag_rejected"],
+            )
+        ],
+        "rows_at_tag bigint, rows_at_head bigint, tagged_version int, "
+        "n_tags int, retag_rejected int",
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested types (array/struct) through the lakehouse, gate-verified
+# --------------------------------------------------------------------------
+@register(
+    "manifest_nested_embeddings_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(len(embedding)) AS INTEGER) AS dims,
+           CAST(SUM(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT))))
+             AS BIGINT) AS fp_sum
+    FROM embeddings GROUP BY label
+    """,
+)
+def manifest_nested_embeddings_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED TYPES through the lakehouse, end to end — the shape every
+    training pipeline actually stores (``array<float>`` embeddings
+    beside scalar metadata): the embeddings corpus commits to the
+    manifest table in two snapshots, the reader DISCOVERS the schema —
+    including the array type — from the manifest log
+    (``read_evolved``), and the per-label vector counts, dimension
+    width, and an order-independent integer fixed-point component sum
+    (each element rounded to 1e-5 BEFORE summing, so float
+    accumulation order cannot differ between engines) are pinned
+    against the SOURCE table — write→read fidelity of nested data,
+    value-checked. Zone maps cover the scalar columns and stand down
+    for the array (complex types never skip — correctness over
+    pruning, unit-pinned).
+
+    Scale: the Arrow-batched writer streams nested columns the same
+    way as scalars (one record batch at a time, bounded task memory);
+    the fixed-point discipline is the same integer-exact convention
+    the ANN family uses for cross-engine hashes."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        read_evolved,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_nestemb_{os.getpid()}_{tag}"
+    path = os.path.join(root, "emb_tbl")
+    done = os.path.join(root, "_built")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        for parity in (0, 1):
+            (
+                emb.filter(F.col("vec_id") % 2 == parity)
+                .repartition(2)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    table = read_evolved(spark, path)
+    fp = F.expr(
+        "aggregate(embedding, cast(0 as bigint), "
+        "(a, x) -> a + cast(round(cast(x as double) * 100000) as bigint))"
+    )
+    return table.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.max(F.size("embedding")).cast("int").alias("dims"),
+        F.sum(fp).cast("bigint").alias("fp_sum"),
+    )

@@ -246,6 +246,8 @@ class TestDriverContract:
             "mor_upsert_stats",              # merge-on-read MERGE upsert
             "compaction_policy_stats",       # maintenance-policy loop
             "manifest_type_widening_stats",  # v3 type-widening evolution
+            "manifest_snapshot_tag_stats",   # named-ref tag lifecycle
+            "manifest_nested_embeddings_stats",  # nested types E2E
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -869,3 +869,61 @@ class TestTypeWidening:
         )
         with pytest.raises(ValueError, match="not a safe widening"):
             table_schema(path)
+
+
+class TestSnapshotTags:
+    def test_tag_resolves_forever_and_is_immutable(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            drop_tag,
+            list_tags,
+            read_tag,
+            tag_snapshot,
+        )
+
+        path = str(tmp_path / "tags")
+        _write(registered, path, [(1, "a")])
+        assert tag_snapshot(path, "baseline") == 1
+        _write(registered, path, [(2, "b")])
+        tag_snapshot(path, "after-load", version=2)
+        assert list_tags(path) == {"baseline": 1, "after-load": 2}
+        got = read_committed(
+            registered, path, SCHEMA, as_of=read_tag(path, "baseline")
+        )
+        assert [r["k"] for r in got.collect()] == [1]
+        with pytest.raises(ValueError, match="already exists"):
+            tag_snapshot(path, "baseline")
+        with pytest.raises(ValueError, match="not committed"):
+            tag_snapshot(path, "ghost", version=99)
+        assert drop_tag(path, "baseline") is True
+        assert drop_tag(path, "baseline") is False
+        assert list_tags(path) == {"after-load": 2}
+
+
+class TestNestedTypes:
+    def test_array_and_struct_columns_round_trip(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import read_evolved
+
+        path = str(tmp_path / "nested")
+        df = registered.range(5).selectExpr(
+            "id as k",
+            "named_struct('a', id, 'b', cast(id as string)) as s",
+            "array(cast(id as float), cast(id + 1 as float)) as arr",
+        )
+        df.repartition(1).write.format("manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        # schema DISCOVERY round-trips the nested types (nullability
+        # normalizes to nullable on read, as in every table format)
+        back = read_evolved(registered, path)
+        assert back.schema.simpleString() == df.schema.simpleString()
+        rows = back.orderBy("k").collect()
+        assert rows[2]["s"]["b"] == "2" and list(rows[2]["arr"]) == [2.0, 3.0]
+        # zone maps exist for the scalar, not the complex columns
+        from olap_project_spark.export.manifest_sink import _committed_files
+
+        stats = dict(_committed_files(path))
+        (only_stats,) = stats.values()
+        assert "k" in only_stats and "s" not in only_stats
+        assert "arr" not in only_stats

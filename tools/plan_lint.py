@@ -102,6 +102,8 @@ EXECUTING = {
     "mor_upsert_stats",  # merge-on-read upsert (tombstone + append)
     "compaction_policy_stats",  # advise -> compact -> re-advise loop
     "manifest_type_widening_stats",  # v3 type-widening evolution
+    "manifest_snapshot_tag_stats",  # named-ref tag lifecycle
+    "manifest_nested_embeddings_stats",  # nested types through the sink
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
