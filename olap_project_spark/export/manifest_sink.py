@@ -1347,18 +1347,28 @@ def compact_range(
     of the rewritten range become tight (range-partitioned + sorted on
     ``col``) while retained files keep theirs.
 
-    Delete snapshots in the current log are REJECTED: a partial
-    rewrite would resurrect tombstoned rows in files it retains (the
-    tombstones stop applying at the rewrite, but retained files were
-    never re-folded). Run a FULL :func:`compact_snapshots` first — it
-    materializes deletes — then range-compact freely.
+    Delete snapshots not yet materialized by a full rewrite are
+    REJECTED: a partial rewrite would resurrect tombstoned rows in
+    files it retains (the tombstones stop applying at the rewrite, but
+    retained files were never re-folded). Deletes BEFORE the latest
+    full rewrite are fine — that rewrite already materialized them.
+    Run a FULL :func:`compact_snapshots` first, then range-compact
+    freely.
 
     Returns {"version", "n_rewritten", "n_retained", "n_new"}."""
-    if any(m.get("kind", "append") == "delete" for _, m in _log(path)):
+    log = _log(path)
+    last_rw = -1
+    for i, (_v, m) in enumerate(log):
+        if m.get("kind", "append") == "rewrite":
+            last_rw = i
+    if any(
+        m.get("kind", "append") == "delete"
+        for _v, m in log[last_rw + 1 :]
+    ):
         raise ValueError(
-            "partial compaction over a log with delete snapshots would "
-            "resurrect deleted rows in retained files; run a full "
-            "compact_snapshots() first to materialize the deletes"
+            "partial compaction over unmaterialized delete snapshots "
+            "would resurrect deleted rows in retained files; run a "
+            "full compact_snapshots() first to materialize the deletes"
         )
     rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
     rewrite_set = set(rewrite_files)

@@ -927,3 +927,130 @@ class TestNestedTypes:
         (only_stats,) = stats.values()
         assert "k" in only_stats and "s" not in only_stats
         assert "arr" not in only_stats
+
+
+# ---------------------------------------------------------------------------
+# Round 10: arbitrary-interleaving discipline over the NEW surface —
+# merge-on-read upserts, range-scoped partial compaction, crashed
+# claims + TTL vacuum, and named tags — with a pure-Python model of the
+# committed state (and each tag's pinned state) checked after every op.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+r10_op = st.sampled_from(
+    ["append", "upsert", "compact_range", "compact_full",
+     "stale_claim", "vacuum_ttl", "tag"]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(r10_op, min_size=2, max_size=7))
+def test_round10_lifecycle_preserves_state_and_tags(
+    registered, spark, tmp_path, ops
+):
+    from olap_project_spark.export.manifest_sink import (
+        _log,
+        compact_range,
+        compact_snapshots,
+        merge_upsert,
+        read_committed,
+        read_tag,
+        tag_snapshot,
+        table_versions,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / ("r10_" + "".join(o[0] for o in ops)))
+    model: dict[int, str] = {}
+    next_k = 0
+    tags: dict[str, dict[int, str]] = {}  # name -> pinned state
+    tag_versions: dict[str, int] = {}
+
+    def unmaterialized_delete() -> bool:
+        log = _log(path)
+        last_rw = -1
+        for i, (_v, m) in enumerate(log):
+            if m.get("kind", "append") == "rewrite":
+                last_rw = i
+        return any(
+            m.get("kind", "append") == "delete"
+            for _v, m in log[last_rw + 1 :]
+        )
+
+    for op in ops:
+        if op == "append":
+            rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
+            next_k += 2
+            _write(registered, path, rows)
+            model.update(rows)
+        elif op == "upsert":
+            if not model:
+                continue
+            k0 = min(model)
+            upd = [(k0, f"u{k0}"), (next_k, f"n{next_k}")]
+            next_k += 1
+            merge_upsert(
+                registered,
+                path,
+                registered.createDataFrame(upd, SCHEMA).repartition(1),
+                ["k"],
+            )
+            model.update(upd)
+        elif op == "compact_range":
+            if not table_versions(path) or not model:
+                continue
+            mid = sorted(model)[len(model) // 2]
+            if unmaterialized_delete():
+                with pytest.raises(ValueError, match="resurrect"):
+                    compact_range(registered, path, SCHEMA, "k", 0, mid)
+            else:
+                compact_range(registered, path, SCHEMA, "k", 0, mid)
+        elif op == "compact_full":
+            if not table_versions(path):
+                continue
+            compact_snapshots(registered, path, SCHEMA)
+        elif op == "stale_claim":
+            if not os.path.isdir(path):
+                continue
+            v = 1 + max(table_versions(path), default=0)
+            claim = os.path.join(path, f"_manifest-{v:06d}.json")
+            if not os.path.exists(claim):
+                open(claim, "w").close()
+        elif op == "vacuum_ttl":
+            if not os.path.isdir(path):
+                continue
+            vacuum_snapshots(path, stale_claim_ttl_s=0.0)
+            # expiry may have shortened time travel: drop tags whose
+            # version fell below the retained floor
+            kept = table_versions(path)
+            floor = min(kept, default=0)
+            for name in list(tag_versions):
+                if tag_versions[name] < floor:
+                    tags.pop(name)
+                    tag_versions.pop(name)
+        elif op == "tag":
+            if not table_versions(path):
+                continue
+            name = f"t{len(tags)}_{next_k}"
+            tag_versions[name] = tag_snapshot(path, name)
+            tags[name] = dict(model)
+        if os.path.isdir(path):
+            got = {
+                r["k"]: r["v"]
+                for r in read_committed(registered, path, SCHEMA).collect()
+            }
+            assert got == model, op
+            for name, pinned in tags.items():
+                at_tag = {
+                    r["k"]: r["v"]
+                    for r in read_committed(
+                        registered, path, SCHEMA,
+                        as_of=read_tag(path, name),
+                    ).collect()
+                }
+                assert at_tag == pinned, (op, name)
