@@ -1054,3 +1054,96 @@ def test_round10_lifecycle_preserves_state_and_tags(
                     ).collect()
                 }
                 assert at_tag == pinned, (op, name)
+
+
+class TestLiveTailUnderConcurrency:
+    def test_stream_holds_at_live_claim_then_resumes_exactly_once(
+        self, registered, tmp_path
+    ):
+        """END-TO-END gap semantics under real concurrency: a stream
+        tails the table while commits land; mid-stream a rival's claim
+        appears (in-flight) — the tail must HOLD below it even as later
+        commits complete above it, and when the claim resolves (here:
+        abandoned → permanent hole) the tail resumes and delivers every
+        committed row exactly once."""
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "live")
+        ckpt = str(tmp_path / "live_ckpt")
+        got: list[int] = []
+
+        def sink(df, epoch):
+            got.extend(r["k"] for r in df.collect())
+
+        _write(registered, path, [(0, "v0")])  # v1
+        _write(registered, path, [(1, "v1")])  # v2
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and sorted(got) != [0, 1]:
+                time.sleep(0.25)
+            assert sorted(got) == [0, 1]
+            # rival claims v3 and stalls; commits keep landing above it
+            claim = os.path.join(path, "_manifest-000003.json")
+            open(claim, "w").close()
+            _write(registered, path, [(2, "v2")])  # v4
+            _write(registered, path, [(3, "v3")])  # v5
+            time.sleep(2.0)  # several trigger periods
+            assert sorted(got) == [0, 1], "tail advanced past a live claim"
+            # the claim resolves as a permanent hole (crashed writer
+            # vacuumed away); the tail must deliver v4/v5 exactly once
+            os.remove(claim)
+            deadline = time.time() + 60
+            while time.time() < deadline and sorted(got) != [0, 1, 2, 3]:
+                time.sleep(0.25)
+            assert sorted(got) == [0, 1, 2, 3]
+        finally:
+            q.stop()
+
+    def test_stream_tails_while_writers_commit(self, registered, tmp_path):
+        """Interleaved writer/tailer: five commits land WHILE the tail
+        runs (not before it starts); every row arrives exactly once —
+        the steady-state CDC shape."""
+        import threading as th
+
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "live2")
+        ckpt = str(tmp_path / "live2_ckpt")
+        _write(registered, path, [(0, "seed")])
+        got: list[int] = []
+
+        def sink(df, epoch):
+            got.extend(r["k"] for r in df.collect())
+
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+        def writer():
+            for i in range(1, 6):
+                _write(registered, path, [(i, f"v{i}")])
+                time.sleep(0.3)
+
+        t = th.Thread(target=writer)
+        try:
+            t.start()
+            deadline = time.time() + 120
+            while time.time() < deadline and sorted(got) != list(range(6)):
+                time.sleep(0.25)
+            t.join()
+            assert sorted(got) == list(range(6))
+        finally:
+            q.stop()
