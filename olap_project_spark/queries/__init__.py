@@ -221,6 +221,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "manifest_type_widening_stats",
     "manifest_snapshot_tag_stats",
     "manifest_nested_embeddings_stats",
+    "classifier_auc_roc",
     # round-4 refresh slots — 12 (the last of the round-4 rows)
     "price_neighborhood_density",
     "segment_priority_mode",
@@ -234,7 +235,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 26 (CORRECTNESS_r05 order; tail
+    # round-5 refresh slots — 25 (CORRECTNESS_r05 order; tail
     # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",
@@ -262,7 +263,6 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "manifest_snapshot_stats",
     "ab_bucket_metrics",
     "cohort_value_curve",
-    "session_funnel_stats",
 )
 
 

@@ -1101,3 +1101,113 @@ def epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             3 * F.col("sad").cast("double") / (nd * nd - 1), 6
         ).alias("disp_vs_ideal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Threshold-free classifier evaluation: exact tie-aware ROC-AUC
+# --------------------------------------------------------------------------
+@register(
+    "classifier_auc_roc",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tok,
+             SUM(CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT)
+                 % {_W_MOD} - {_W_OFF}) AS sum_w
+      FROM tok GROUP BY doc_id, lang
+    ),
+    binned AS (
+      SELECT CAST(((sum_w + n_tok * {_W_OFF}) * 4096)
+                  // (n_tok * {2 * _W_OFF}) AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored
+    ),
+    g AS (
+      SELECT bin, CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+      FROM binned GROUP BY bin
+    ),
+    c AS (
+      SELECT n1, n0,
+             CAST(COALESCE(SUM(n0) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_n0
+      FROM g
+    )
+    SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+           CAST(SUM(n0) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n1 * (2 * cum_n0 + n0)) AS BIGINT) AS twice_u,
+           ROUND(CAST(SUM(n1 * (2 * cum_n0 + n0)) AS DOUBLE)
+                 / (2.0 * SUM(n1) * SUM(n0)), 6) AS auc
+    FROM c
+    """,
+)
+def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free classifier evaluation at corpus scale — the
+    exact tie-aware ROC-AUC of the hashed linear quality score against
+    the is-English label, via the rank-sum identity AUC = U/(N₁N₀)
+    with ties contributing half (the Mann-Whitney U the A/B test
+    already uses, reframed as the ranking metric every quality-filter
+    paper reports). Scores are binned to a FIXED 4096-step resolution
+    by integer arithmetic (shifted-nonnegative numerator, truncating
+    DIV — both engines agree for nonnegative operands), so 2U is an
+    exact integer (hash-pinned) and the cumulative window runs over at
+    most 4097 bin rows — a constant-size frame regardless of corpus
+    size, never an entity-scale global sort. AUC ≈ 0.5 here (random
+    weights carry no language signal) — the pinned value is the
+    metric's exactness, not the classifier's skill.
+
+    Scale: explode → per-doc hash aggregate → 4096-row bin table;
+    every aggregate map-side combines; the only window is over the
+    constant bin domain. The same plan evaluates any real classifier:
+    swap the score expression, keep the metric."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    weight = portable_hash48(F.col("tk")) % _W_MOD - _W_OFF
+    scored = tok.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"), F.sum(weight).alias("sum_w")
+    )
+    binned = scored.select(
+        F.expr(
+            f"CAST(((sum_w + n_tok * {_W_OFF}) * 4096) "
+            f"DIV (n_tok * {2 * _W_OFF}) AS BIGINT)"
+        ).alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n0"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "n1",
+        "n0",
+        F.coalesce(F.sum("n0").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_n0"),
+    )
+    twice_u = F.sum(
+        F.col("n1") * (2 * F.col("cum_n0") + F.col("n0"))
+    ).cast("bigint")
+    return c.agg(
+        F.sum("n1").cast("bigint").alias("n_pos"),
+        F.sum("n0").cast("bigint").alias("n_neg"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        twice_u.alias("twice_u"),
+        F.round(
+            twice_u.cast("double")
+            / (2.0 * F.sum("n1") * F.sum("n0")),
+            6,
+        ).alias("auc"),
+    )

@@ -248,6 +248,7 @@ class TestDriverContract:
             "manifest_type_widening_stats",  # v3 type-widening evolution
             "manifest_snapshot_tag_stats",   # named-ref tag lifecycle
             "manifest_nested_embeddings_stats",  # nested types E2E
+            "classifier_auc_roc",            # exact tie-aware ROC-AUC
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

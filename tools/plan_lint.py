@@ -190,6 +190,9 @@ GLOBAL_WINDOW_OK = {
     # rank windows over the two 5-row TakeOrderedAndProject results
     # (the hybrid_rrf_retrieval pattern: limit first, window after)
     "bpe_merge_pair_counts",
+    # cumulative window over the fixed 4096-step score-bin table
+    # (bounded by the integer score resolution, never by corpus size)
+    "classifier_auc_roc",
 }
 
 # Families where Arrow-batched Python is the documented extension point
