@@ -95,13 +95,43 @@ class VersionClaimer:
     ``claim(path, version)`` returns True iff THIS caller won the
     version; ``claimed_versions(path)`` lists every claimed version
     (won by anyone, committed or still in flight) so the committer can
-    pick the next free number."""
+    pick the next free number; ``release(path, version)`` frees a
+    claim whose commit will never complete (abandoned branches,
+    stale-claim GC) — a no-op where the claim IS the manifest file
+    (POSIX), a store delete where it lives elsewhere.
+
+    Every consumer of the commit-in-flight signal (the streaming
+    head, vacuum's orphan-GC guard, publish's main-head computation)
+    derives it from THIS interface — a version claimed here but with
+    no readable manifest file is in flight, whether or not any file
+    exists yet — so the not-yet-readable-gap guarantees survive a
+    claimer whose claims live outside the filesystem."""
 
     def claim(self, path: str, version: int) -> bool:
         raise NotImplementedError
 
     def claimed_versions(self, path: str) -> list[int]:
         raise NotImplementedError
+
+    def release(self, path: str, version: int) -> None:
+        """Free an abandoned claim (default: nothing to do — POSIX
+        claims are the manifest files themselves, removed by the
+        caller)."""
+
+    def in_flight_versions(self, path: str) -> set[int]:
+        """Claimed versions whose manifest content is not yet
+        readable — the commit-in-flight set every gap-rule consumer
+        checks. Derived, not overridden: claims minus
+        readable-manifest versions."""
+        readable = set()
+        for version, entry in _list_manifests(path):
+            try:
+                with open(os.path.join(path, entry)) as f:
+                    json.load(f)
+                readable.add(version)
+            except (json.JSONDecodeError, OSError):
+                continue
+        return set(self.claimed_versions(path)) - readable
 
 
 class PosixVersionClaimer(VersionClaimer):
@@ -379,8 +409,6 @@ class ManifestWriter(DataSourceWriter):
         if self.branch is not None:
             manifest["branch"] = self.branch
         tmp = os.path.join(self.path, f"._manifest-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
         while True:
             version = 1 + max(
                 _VERSION_CLAIMER.claimed_versions(self.path), default=0
@@ -527,6 +555,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _VersionFiles):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -534,9 +563,20 @@ class ManifestStreamReader(DataSourceStreamReader):
         want = to_arrow_schema(StructType.fromJson(json.loads(partition.schema_json)))
         pf = pq.ParquetFile(partition.file_path)
         for batch in pf.iter_batches():
-            # project/cast to the discovered table schema (column order
-            # must match the read schema exactly for Arrow handoff)
-            yield batch.select([f.name for f in want]).cast(want)
+            # project/cast to the DISCOVERED table schema; files
+            # written before a schema-evolution column existed
+            # null-backfill it (the same add-only contract the batch
+            # read path honors), and files written at a narrower
+            # widened type up-cast
+            cols = []
+            for f in want:
+                if f.name in batch.schema.names:
+                    cols.append(
+                        batch.column(f.name).cast(f.type)
+                    )
+                else:
+                    cols.append(pa.nulls(batch.num_rows, type=f.type))
+            yield pa.record_batch(cols, schema=want)
 
     def commit(self, end: dict) -> None:
         self._cursor = end["version"]  # versions are immutable; just
@@ -583,6 +623,14 @@ def table_versions(path: str) -> list[int]:
     return sorted(v for v, _ in _list_manifests(path))
 
 
+def committed_versions(path: str) -> list[int]:
+    """Versions with a READABLE MAIN manifest — excludes in-flight
+    claims and unpublished branch commits. This is the axis tags and
+    API return values use; :func:`table_versions` remains the raw
+    claimed-file listing (vacuum's bookkeeping axis)."""
+    return sorted(v for v, _m in _log(path))
+
+
 def _stream_visible_head(path: str) -> int:
     """The largest version a streaming tail may deliver THROUGH: walk
     claimed versions ascending and stop before the first one that is
@@ -591,13 +639,23 @@ def _stream_visible_head(path: str) -> int:
     at exactly this version when published). Either would otherwise be
     skipped by the checkpoint and its rows lost when it completes; the
     stream waits instead (Delta's not-yet-readable-gap rule). Version
-    holes with NO file (abandoned branches, vacuumed stale claims) are
-    safe to walk over: a hole BELOW a higher claimed version is
-    permanent (commit always claims above the observed max), and a
-    freed TOP version can only be reclaimed while the head still holds
-    below it — nothing was ever delivered past it either way."""
+    holes with NO file AND no live claim (abandoned branches, vacuumed
+    stale claims) are safe to walk over: a hole BELOW a higher claimed
+    version is permanent (commit always claims above the observed
+    max), and a freed TOP version can only be reclaimed while the head
+    still holds below it — nothing was ever delivered past it either
+    way. The in-flight signal comes from the VersionClaimer interface,
+    so a claimer whose claims live outside the filesystem (conditional
+    PUT) still holds the head below its file-less claims."""
+    files = dict(_list_manifests(path))
+    versions = sorted(
+        set(_VERSION_CLAIMER.claimed_versions(path)) | set(files)
+    )
     head = 0
-    for version, entry in _list_manifests(path):
+    for version in versions:
+        entry = files.get(version)
+        if entry is None:
+            break  # claimed, content not yet on disk — wait
         try:
             with open(os.path.join(path, entry)) as f:
                 m = json.load(f)
@@ -718,7 +776,7 @@ def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
         .mode("append")
         .save()
     )
-    return max(table_versions(path))
+    return max(committed_versions(path))
 
 
 def tag_snapshot(
@@ -739,18 +797,27 @@ def tag_snapshot(
     instead of a copied table."""
     if "/" in name or name.startswith("."):
         raise ValueError(f"invalid tag name: {name!r}")
-    versions = table_versions(path)
+    versions = committed_versions(path)  # never an in-flight or
+    # unpublished-branch version: a tag must resolve to main state
     if version is None:
         version = max(versions, default=0)
     if version not in versions:
         raise ValueError(f"cannot tag version {version}: not committed")
     final = os.path.join(path, f"_tag-{name}.json")
-    if os.path.exists(final):
-        raise ValueError(f"tag {name!r} already exists; drop it first")
     tmp = os.path.join(path, f"._tag-{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump({"name": name, "version": version}, f)
-    os.replace(tmp, final)
+    try:
+        # link is create-EXCLUSIVE and delivers full content atomically
+        # (no exists-then-replace TOCTOU: two racing taggers cannot
+        # both win, and no reader ever sees a half-written tag)
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists; drop it first"
+        ) from None
+    finally:
+        os.remove(tmp)
     return version
 
 
@@ -805,22 +872,34 @@ def merge_upsert(
 
     The two commits are not one atomic unit: a reader between them
     sees the delete applied but not yet the re-insert (the same
-    read-committed-per-snapshot semantics Delta gives a two-txn
-    MERGE fallback). Wrap the pair in a WAP branch and publish both
-    versions together when that window matters.
+    read-committed-per-snapshot semantics Delta gives a two-txn MERGE
+    fallback). A WAP branch NARROWS the window to the publish loop —
+    publish flips one manifest at a time, oldest first, so the
+    interleaving a concurrent reader can observe is still
+    delete-then-insert (never duplicates) but not nothing-then-both;
+    a crash mid-publish resumes by re-running publish.
+
+    ``updates`` is persisted for the duration of the call: its plan
+    is evaluated twice (tombstone keys, then rows), and a
+    non-deterministic input re-computed per leg could otherwise
+    tombstone keys whose replacement rows never land.
 
     Returns {"delete_version", "append_version", "n_updates"}."""
-    n_updates = updates.count()
-    delete_version = delete_where(spark, path, updates.select(*keys))
-    (
-        updates.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .mode("append")
-        .save()
-    )
+    updates = updates.persist()
+    try:
+        n_updates = updates.count()
+        delete_version = delete_where(spark, path, updates.select(*keys))
+        (
+            updates.write.format(ensure_manifest_sink(spark))
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    finally:
+        updates.unpersist()
     return {
         "delete_version": delete_version,
-        "append_version": max(table_versions(path)),
+        "append_version": max(committed_versions(path)),
         "n_updates": n_updates,
     }
 
@@ -852,6 +931,16 @@ def plan_compaction_ranges(
     ]
     if not files:
         return []
+    if not all(
+        isinstance(b, (int, float)) and not isinstance(b, bool)
+        for f in files
+        for b in f["col_stats"][col]
+    ):
+        raise ValueError(
+            f"plan_compaction_ranges needs NUMERIC zone maps on "
+            f"{col!r}; string-keyed layouts need a numeric surrogate "
+            "(hash bucket, date ordinal) as the range axis"
+        )
     lo = min(f["col_stats"][col][0] for f in files)
     hi = max(f["col_stats"][col][1] for f in files)
     width = max((hi - lo) // n_ranges + 1, 1)
@@ -1201,6 +1290,11 @@ def publish_branch(path: str, branch: str) -> list[int]:
             continue
         if m.get("branch") is None:
             main_head = max(main_head, version)
+    # claims with no file yet (conditional-PUT claimers) are in-flight
+    # main conservatively, exactly like an unparseable file
+    for version in _VERSION_CLAIMER.in_flight_versions(path):
+        if version not in staged_versions:
+            main_head = max(main_head, version)
     behind = [v for v, _ in staged if v <= main_head]
     if behind:
         raise ValueError(
@@ -1232,12 +1326,10 @@ def abandon_branch(path: str, branch: str) -> int:
         (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
     ]
     # files still referenced by surviving manifests must not be GC'd
-    keep = {
-        f
-        for v, m in _log(path)
-        for f in m.get("files", [])
-        if m.get("branch") != branch
-    }
+    # (_log's default main view already excludes every branch-tagged
+    # manifest; distinct staging files per commit make cross-branch
+    # sharing impossible anyway)
+    keep = {f for _v, m in _log(path) for f in m.get("files", [])}
     staging = os.path.join(path, "_staging")
     for version, m in staged:
         for name in m.get("files", []):
@@ -1245,6 +1337,7 @@ def abandon_branch(path: str, branch: str) -> int:
             if name not in keep and os.path.exists(target):
                 os.remove(target)
         os.remove(os.path.join(path, f"_manifest-{version:06d}.json"))
+        _VERSION_CLAIMER.release(path, version)
     return len(staged)
 
 
@@ -1317,7 +1410,7 @@ def compact_snapshots(
     for k, v in writer_opts.items():
         writer = writer.option(k, v)
     writer.mode("append").save()
-    return max(table_versions(path))
+    return max(committed_versions(path))
 
 
 def compact_range(
@@ -1374,7 +1467,7 @@ def compact_range(
     rewrite_set = set(rewrite_files)
     if not rewrite_set:  # nothing overlaps: a no-op, commit nothing
         return {
-            "version": max(table_versions(path), default=0),
+            "version": max(committed_versions(path), default=0),
             "n_rewritten": 0,
             "n_retained": _total,
             "n_new": 0,
@@ -1402,7 +1495,7 @@ def compact_range(
         .mode("append")
         .save()
     )
-    version = max(table_versions(path))
+    version = max(committed_versions(path))
     new_files = [
         f
         for f in _log(path)[-1][1]["files"]
@@ -1640,19 +1733,34 @@ def vacuum_snapshots(
             age = time.time() - os.path.getmtime(full)
             if stale_claim_ttl_s is not None and age > stale_claim_ttl_s:
                 os.remove(full)  # crashed claim: permanent hole, GC it
+                _VERSION_CLAIMER.release(path, version)
                 stale_deleted += 1
             else:
                 in_flight += 1  # commit in flight — never expirable
             continue
         entries.append((version, entry, m))
-    rewrites = [v for v, _, m in entries if m.get("kind") == "rewrite"]
+    # claims with no manifest file at all (conditional-PUT claimers)
+    # are in flight too: their staging output must not look like
+    # orphans just because the claim lives outside the filesystem.
+    # (Unparseable FILE claims were already counted in the loop.)
+    on_disk = {v for v, _ in _list_manifests(path)}
+    in_flight += len(_VERSION_CLAIMER.in_flight_versions(path) - on_disk)
+    # retention anchors are MAIN rewrites only: an unpublished WAP
+    # branch's rewrite is invisible to main readers — expiring main
+    # history against it would empty the table for everyone
+    rewrites = [
+        v
+        for v, _, m in entries
+        if m.get("kind") == "rewrite" and m.get("branch") is None
+    ]
     if keep_from is None:
         keep_from = max(rewrites) if rewrites else None
     elif keep_from not in rewrites:
         raise ValueError(
-            f"keep_from={keep_from} is not a rewrite snapshot "
-            f"(rewrites: {rewrites}); expiring past an append base "
-            "would break the retained versions"
+            f"keep_from={keep_from} is not a main rewrite snapshot "
+            f"(main rewrites: {rewrites}); expiring past an append "
+            "base (or anchoring on an unpublished branch) would break "
+            "the retained versions"
         )
     stats = {
         "orphans_deleted": 0,
@@ -1683,8 +1791,9 @@ def vacuum_snapshots(
             for f in m.get("files", [])
         }
         for v, entry, m in entries:
-            if v >= keep_from:
-                continue
+            if v >= keep_from or m.get("branch") is not None:
+                continue  # branch-staged manifests belong to
+                # publish/abandon, never to main expiry
             for name in m.get("files", []):
                 target = os.path.join(staging, name)
                 if name not in retained and os.path.exists(target):

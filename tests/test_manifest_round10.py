@@ -1147,3 +1147,171 @@ class TestLiveTailUnderConcurrency:
             assert sorted(got) == list(range(6))
         finally:
             q.stop()
+
+
+class TestReviewFixes:
+    """Regression pins for the round-10 self-review findings."""
+
+    def test_branch_rewrite_never_anchors_vacuum(self, registered, tmp_path):
+        """An unpublished WAP branch's rewrite is invisible to main —
+        vacuum must not expire main history against it (it would empty
+        the table for every main reader)."""
+        path = str(tmp_path / "fix_vac")
+        _write(registered, path, [(1, "a")])
+        _write(registered, path, [(2, "b")])
+        # a branch stages a rewrite-tagged commit
+        (
+            registered.createDataFrame([(9, "staged")], SCHEMA)
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .option("branch", "audit")
+            .option("kind", "rewrite")
+            .mode("append")
+            .save()
+        )
+        stats = vacuum_snapshots(registered_path := path)
+        assert stats["expired_manifests"] == 0  # nothing anchored on it
+        with pytest.raises(ValueError, match="main rewrite"):
+            vacuum_snapshots(registered_path, keep_from=3)
+        got = read_committed(registered, path, SCHEMA)
+        assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+    def test_stream_backfills_pre_evolution_files(self, registered, tmp_path):
+        """A fresh tail over a schema-evolved table must null-backfill
+        the added column for files written before it existed — the
+        same add-only contract the batch path honors."""
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "fix_evo")
+        (
+            registered.createDataFrame([(1, "a")], SCHEMA)
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        (
+            registered.createDataFrame(
+                [(2, "b", 7)], "k bigint, v string, extra int"
+            )
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        got: list[tuple] = []
+
+        def sink(df, epoch):
+            got.extend(
+                (r["k"], r["v"], r["extra"]) for r in df.collect()
+            )
+
+        q = (
+            registered.readStream.format(fmt)
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "fix_evo_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == [(1, "a", None), (2, "b", 7)]
+
+    def test_stream_head_holds_below_fileless_claim(
+        self, registered, tmp_path
+    ):
+        """With a conditional-PUT claimer, an in-flight claim has NO
+        file on disk — the stream head must still hold below it."""
+        path = str(tmp_path / "fix_cput")
+        _write(registered, path, [(1, "a")])
+        store = {f"{path}/_manifest-000001.json"}  # v1 already committed
+        lock = threading.Lock()
+
+        def put_if_absent(key):
+            with lock:
+                if key in store:
+                    return False
+                store.add(key)
+                return True
+
+        def list_claimed(p):
+            pre = f"{p}/_manifest-"
+            return [
+                int(k[len(pre) :].split(".")[0])
+                for k in store
+                if k.startswith(pre)
+            ]
+
+        prev = set_version_claimer(
+            ConditionalPutClaimer(put_if_absent, list_claimed)
+        )
+        try:
+            # rival claims v2 in the STORE only; no file exists
+            store.add(f"{path}/_manifest-000002.json")
+            assert _stream_visible_head(path) == 1
+            # vacuum treats the file-less claim as in-flight: no GC
+            staging = os.path.join(path, "_staging")
+            with open(os.path.join(staging, "part-live.parquet"), "wb") as f:
+                f.write(b"live")
+            stats = vacuum_snapshots(path)
+            assert stats["in_flight_commits"] == 1
+            assert stats["orphans_deleted"] == 0
+        finally:
+            set_version_claimer(prev)
+
+    def test_policy_advisor_rejects_string_zone_maps(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            plan_compaction_ranges,
+        )
+
+        path = str(tmp_path / "fix_str")
+        _write(registered, path, [(1, "a"), (2, "b")])
+        with pytest.raises(ValueError, match="NUMERIC zone maps"):
+            plan_compaction_ranges(path, "v")
+
+    def test_merge_upsert_reports_committed_versions(
+        self, registered, tmp_path
+    ):
+        """API return values use the committed-main axis: a rival's
+        in-flight claim above our commit must not leak into the
+        reported versions."""
+        from olap_project_spark.export.manifest_sink import merge_upsert
+
+        path = str(tmp_path / "fix_ver")
+        (
+            registered.range(0, 10)
+            .selectExpr("id as k", "cast(1.0 as double) as v")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        res = merge_upsert(
+            registered,
+            path,
+            registered.range(0, 3).selectExpr(
+                "id as k", "cast(2.0 as double) as v"
+            ),
+            ["k"],
+        )
+        # rival claims the NEXT version and stalls
+        open(os.path.join(path, "_manifest-000004.json"), "w").close()
+        assert res == {
+            "delete_version": 2,
+            "append_version": 3,
+            "n_updates": 3,
+        }
+        from olap_project_spark.export.manifest_sink import (
+            committed_versions,
+            tag_snapshot,
+        )
+
+        assert committed_versions(path) == [1, 2, 3]
+        with pytest.raises(ValueError, match="not committed"):
+            tag_snapshot(path, "x", version=4)

@@ -210,7 +210,7 @@ class TestVacuum:
         _write(registered, path, [(1, "x")])
         _write(registered, path, [(2, "y")])
         compact_snapshots(spark, path, SCHEMA)
-        with pytest.raises(ValueError, match="not a rewrite"):
+        with pytest.raises(ValueError, match="not a main rewrite"):
             vacuum_snapshots(path, keep_from=2)
 
     def test_vacuum_is_idempotent(self, registered, spark, tmp_path):
