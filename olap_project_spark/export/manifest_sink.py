@@ -378,7 +378,27 @@ class ManifestWriter(DataSourceWriter):
         if self.bucket_by is not None:
             # layout metadata, recorded like bloom_col: readers can
             # register the snapshot as a Spark bucketed table and run
-            # exchange-free joins/aggs on the bucket key
+            # exchange-free joins/aggs on the bucket key. Validate the
+            # layout BEFORE it becomes a manifest: every bucket id in
+            # [0, n_buckets) must appear exactly once (each partition
+            # writes one file, empty partitions included) — an input
+            # repartitioned fewer ways than n_buckets would otherwise
+            # commit a layout whose bucket-id assumption is false and
+            # an exchange-free join would silently drop matches. (A
+            # repartition on the WRONG key at the right width remains
+            # the caller's contract — only compact_snapshots calls
+            # this, and it repartitions on bucket_by itself.)
+            bucket_ids = sorted(
+                int(m.file_name.rsplit("_", 1)[1].split(".")[0])
+                for m in messages
+            )
+            if bucket_ids != list(range(self.n_buckets)):
+                raise ValueError(
+                    f"bucketed commit expected one file per bucket id "
+                    f"0..{self.n_buckets - 1}, got {bucket_ids}: the "
+                    "input was not repartitioned n_buckets-ways on the "
+                    "bucket key"
+                )
             manifest["bucket_by"] = self.bucket_by
             manifest["n_buckets"] = self.n_buckets
         if self.subdir is not None:
@@ -758,7 +778,12 @@ def read_committed(
     return df if df is not None else spark.createDataFrame([], schema)
 
 
-def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    branch: str | None = None,
+) -> int:
     """Row-level DELETE from the manifest table without rewriting any
     data file — an equality-delete snapshot (Iceberg v2 merge-on-read):
     ``keys``' rows are written as tombstone files through the same
@@ -768,15 +793,22 @@ def delete_where(spark: SparkSession, path: str, keys: DataFrame) -> int:
     undeleted state). The delete costs O(|keys|) writes + one manifest,
     never a table rewrite; the rewrite happens lazily at the next
     compaction, which materializes the deletes and drops the
-    tombstones. Returns the new snapshot version."""
-    (
+    tombstones. ``branch`` stages the delete on a write-audit-publish
+    branch instead of committing it to main directly. Returns the new
+    snapshot version."""
+    w = (
         keys.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "delete")
-        .mode("append")
-        .save()
     )
-    return max(committed_versions(path))
+    if branch is not None:
+        w = w.option("branch", branch)
+    w.mode("append").save()
+    if branch is None:
+        return max(committed_versions(path))
+    return max(
+        v for v, m in _log(path, branch=branch) if m.get("branch") == branch
+    )
 
 
 def tag_snapshot(
@@ -857,7 +889,11 @@ def drop_tag(path: str, name: str) -> bool:
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    branch: str | None = None,
 ) -> dict:
     """MERGE (upsert) into the manifest table, MERGE-ON-READ style:
     one equality-delete snapshot tombstoning the update keys, then one
@@ -873,11 +909,13 @@ def merge_upsert(
     The two commits are not one atomic unit: a reader between them
     sees the delete applied but not yet the re-insert (the same
     read-committed-per-snapshot semantics Delta gives a two-txn MERGE
-    fallback). A WAP branch NARROWS the window to the publish loop —
-    publish flips one manifest at a time, oldest first, so the
-    interleaving a concurrent reader can observe is still
-    delete-then-insert (never duplicates) but not nothing-then-both;
-    a crash mid-publish resumes by re-running publish.
+    fallback). Pass ``branch`` to stage BOTH legs on a
+    write-audit-publish branch and :func:`publish_branch` them
+    together — that NARROWS the window to the publish loop (one
+    manifest flip at a time, oldest first, so a concurrent reader can
+    still observe delete-then-insert, never duplicates or
+    nothing-then-both); a crash mid-publish resumes by re-running
+    publish.
 
     ``updates`` is persisted for the duration of the call: its plan
     is evaluated twice (tombstone keys, then rows), and a
@@ -888,18 +926,30 @@ def merge_upsert(
     updates = updates.persist()
     try:
         n_updates = updates.count()
-        delete_version = delete_where(spark, path, updates.select(*keys))
-        (
+        delete_version = delete_where(
+            spark, path, updates.select(*keys), branch=branch
+        )
+        w = (
             updates.write.format(ensure_manifest_sink(spark))
             .option("path", path)
-            .mode("append")
-            .save()
         )
+        if branch is not None:
+            w = w.option("branch", branch)
+        w.mode("append").save()
     finally:
         updates.unpersist()
+    versions = (
+        committed_versions(path)
+        if branch is None
+        else [
+            v
+            for v, m in _log(path, branch=branch)
+            if m.get("branch") == branch
+        ]
+    )
     return {
         "delete_version": delete_version,
-        "append_version": max(committed_versions(path)),
+        "append_version": max(versions),
         "n_updates": n_updates,
     }
 
@@ -943,18 +993,25 @@ def plan_compaction_ranges(
         )
     lo = min(f["col_stats"][col][0] for f in files)
     hi = max(f["col_stats"][col][1] for f in files)
-    width = max((hi - lo) // n_ranges + 1, 1)
+    # contiguous half-open ranges (the last closed at hi): integer
+    # "width-1" arithmetic would leave 1-unit gaps on FLOAT axes where
+    # a file could sit in no range and never be flagged
+    width = (hi - lo) / n_ranges if hi > lo else 1.0
     out = []
     for i in range(n_ranges):
-        r_lo, r_hi = lo + i * width, min(lo + (i + 1) * width - 1, hi)
-        if r_lo > hi:
-            break
+        r_lo = lo + i * width
+        r_hi = hi if i == n_ranges - 1 else lo + (i + 1) * width
+        last = i == n_ranges - 1
         members = [
             f
             for f in files
             if not (
                 f["col_stats"][col][1] < r_lo
-                or f["col_stats"][col][0] > r_hi
+                or (
+                    f["col_stats"][col][0] > r_hi
+                    if last
+                    else f["col_stats"][col][0] >= r_hi
+                )
             )
         ]
         rows = sum(f["n_rows"] or 0 for f in members)
@@ -1292,7 +1349,8 @@ def publish_branch(path: str, branch: str) -> list[int]:
             main_head = max(main_head, version)
     # claims with no file yet (conditional-PUT claimers) are in-flight
     # main conservatively, exactly like an unparseable file
-    for version in _VERSION_CLAIMER.in_flight_versions(path):
+    on_disk = {v for v, _ in _list_manifests(path)}
+    for version in set(_VERSION_CLAIMER.claimed_versions(path)) - on_disk:
         if version not in staged_versions:
             main_head = max(main_head, version)
     behind = [v for v, _ in staged if v <= main_head]
@@ -1742,9 +1800,12 @@ def vacuum_snapshots(
     # claims with no manifest file at all (conditional-PUT claimers)
     # are in flight too: their staging output must not look like
     # orphans just because the claim lives outside the filesystem.
-    # (Unparseable FILE claims were already counted in the loop.)
+    # (Unparseable FILE claims were already counted in the loop; the
+    # set difference needs no manifest parsing at all.)
     on_disk = {v for v, _ in _list_manifests(path)}
-    in_flight += len(_VERSION_CLAIMER.in_flight_versions(path) - on_disk)
+    in_flight += len(
+        set(_VERSION_CLAIMER.claimed_versions(path)) - on_disk
+    )
     # retention anchors are MAIN rewrites only: an unpublished WAP
     # branch's rewrite is invisible to main readers — expiring main
     # history against it would empty the table for everyone

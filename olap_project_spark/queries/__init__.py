@@ -235,7 +235,7 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "user_sessions",
     "last_touch_attribution",
     "embedding_near_dup_pairs",
-    # round-5 refresh slots — 25 (CORRECTNESS_r05 order; tail
+    # round-5 refresh slots — 26 (CORRECTNESS_r05 order; tail
     # trimmed as round-10 additions land)
     "repetition_quality_stats",
     "boilerplate_coverage_stats",

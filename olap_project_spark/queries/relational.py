@@ -4610,27 +4610,32 @@ def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from olap_project_spark.queries.events import partition_layout_advisor
 
-    # consume the advisor: one bounded collect (4 candidate rows)
-    adv = {
-        r["candidate"]: r
-        for r in partition_layout_advisor(spark, sf_dir).collect()
-    }["user_mod_1024"]
-    total = int(adv["total_rows"])
-    n_buckets = next(
-        p for p in (8, 16, 32, 64) if total <= p * 65536 or p == 64
-    )
-    skew_ok = bool(
-        int(adv["max_partition_rows"]) < 8 * int(adv["median_partition_rows"])
-    )
-
     fmt = ensure_manifest_sink(spark)
     ev = load(spark, sf_dir, "events").select("user_id", "value")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/olap_project_spark_bktjoin_{os.getpid()}_{tag}"
     path = os.path.join(root, "events_fact")
-    done = os.path.join(root, "_built")
+    done = os.path.join(root, "_built.json")
     _fresh_build_dir(root, done)
     if not os.path.exists(done):
+        # consume the advisor ONCE per corpus (one bounded collect of
+        # 4 candidate rows) — its scalars are deterministic per
+        # sf_dir, so they persist behind the build marker with the
+        # bucketed table they sized
+        import json as _json
+
+        adv = {
+            r["candidate"]: r
+            for r in partition_layout_advisor(spark, sf_dir).collect()
+        }["user_mod_1024"]
+        total = int(adv["total_rows"])
+        n_buckets = next(
+            p for p in (8, 16, 32, 64) if total <= p * 65536 or p == 64
+        )
+        skew_ok = bool(
+            int(adv["max_partition_rows"])
+            < 8 * int(adv["median_partition_rows"])
+        )
         (
             ev.repartition(8)
             .write.format(fmt)
@@ -4642,7 +4647,13 @@ def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, ev.schema, bucket_by="user_id", n_buckets=n_buckets
         )
         os.makedirs(root, exist_ok=True)
-        open(done, "w").close()
+        with open(done, "w") as f:
+            _json.dump({"n_buckets": n_buckets, "skew_ok": skew_ok}, f)
+    import json as _json
+
+    with open(done) as f:
+        sizing = _json.load(f)
+    n_buckets, skew_ok = sizing["n_buckets"], bool(sizing["skew_ok"])
     table_name = f"events_bucketed_{os.getpid()}_{tag}"
     if not spark.catalog.tableExists(table_name):
         register_bucketed_table(spark, path, table_name)

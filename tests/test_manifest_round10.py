@@ -1315,3 +1315,102 @@ class TestReviewFixes:
         assert committed_versions(path) == [1, 2, 3]
         with pytest.raises(ValueError, match="not committed"):
             tag_snapshot(path, "x", version=4)
+
+
+class TestReviewFixesB:
+    """Second self-review batch: bucket-layout validation, float-axis
+    advisor ranges, WAP-staged merge."""
+
+    NUM_SCHEMA = "k bigint, v double"
+
+    def test_under_partitioned_bucketed_commit_rejected(
+        self, registered, tmp_path
+    ):
+        """An input repartitioned fewer ways than n_buckets must fail
+        AT COMMIT, before a false bucket layout becomes a manifest an
+        exchange-free join would silently trust."""
+        path = str(tmp_path / "fixb_bkt")
+        df = registered.range(0, 100).selectExpr(
+            "id as k", "cast(1.0 as double) as v"
+        )
+        with pytest.raises(Exception, match="not repartitioned"):
+            (
+                df.repartition(4, "k")  # 4 ways, claims 8 buckets
+                .write.format("manifest_sink")
+                .option("path", path)
+                .option("kind", "rewrite")
+                .option("bucket_by", "k")
+                .option("n_buckets", "8")
+                .option("subdir", "bkt-test")
+                .mode("append")
+                .save()
+            )
+        # nothing committed: the table stays empty
+        assert table_versions(path) == []
+
+    def test_advisor_ranges_are_gap_free_on_float_axes(
+        self, registered, tmp_path
+    ):
+        """Float zone maps: a file sitting strictly between two integer
+        '-1' style range ends must still land in exactly one range."""
+        from olap_project_spark.export.manifest_sink import (
+            plan_compaction_ranges,
+        )
+
+        path = str(tmp_path / "fixb_float")
+        # three files: [0,1], [1.2,1.9] (the would-be gap), [8,10]
+        for lo_, hi_ in ((0.0, 1.0), (1.2, 1.9), (8.0, 10.0)):
+            (
+                registered.createDataFrame(
+                    [(1, lo_), (2, hi_)], "k bigint, x double"
+                )
+                .repartition(1)
+                .write.format("manifest_sink")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        plan = plan_compaction_ranges(
+            path, "x", n_ranges=8, min_files=1, max_avg_rows=10
+        )
+        counted = sum(r["file_count"] for r in plan)
+        assert counted >= 3  # every file in at least one range
+
+    def test_merge_upsert_stages_on_wap_branch(self, registered, tmp_path):
+        """branch= stages BOTH merge legs invisibly, and publishing
+        flips them into main together (delete-then-insert order)."""
+        from olap_project_spark.export.manifest_sink import merge_upsert
+
+        path = str(tmp_path / "fixb_wap")
+        (
+            registered.range(0, 10)
+            .selectExpr("id as k", "cast(1.0 as double) as v")
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        res = merge_upsert(
+            registered,
+            path,
+            registered.range(0, 4).selectExpr(
+                "id as k", "cast(9.0 as double) as v"
+            ),
+            ["k"],
+            branch="merge-wip",
+        )
+        assert res["delete_version"] == 2 and res["append_version"] == 3
+        # main sees NOTHING until the publish
+        main = read_committed(registered, path, self.NUM_SCHEMA)
+        assert main.filter("v = 9.0").count() == 0
+        assert main.count() == 10
+        # the branch audit sees the merged state
+        staged = read_committed(
+            registered, path, self.NUM_SCHEMA, branch="merge-wip"
+        )
+        assert staged.filter("v = 9.0").count() == 4
+        assert publish_branch(path, "merge-wip") == [2, 3]
+        after = read_committed(registered, path, self.NUM_SCHEMA)
+        assert after.count() == 10
+        assert after.filter("v = 9.0").count() == 4
