@@ -136,80 +136,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-10 window (swapped in from the pre-staged r10
-# draft after the ts-encoding canaries passed 3/3): the 18 round-9
+# modules import. Round-11 window (swapped in from the pre-staged r11
+# draft after the ts-encoding canaries passed 3/3): the 12 round-10
 # additions that have never had a driver CORRECTNESS row — the
-# table-format arc (parquet data plane, equality deletes, WAP, CDF-IVM,
-# Z-order, blooms, manifest streaming source), the EventTimeTimeout
-# stateful arm, MRL truncation recall, BPE/span-corruption text ops —
-# plus the 32 oldest remaining round-4 refresh rows. Rotate the list
-# each round to cycle coverage.
+# lakehouse arc (bucketed snapshots + exchange-free join, backpressured
+# streaming source, stale-claim GC, partial compaction + policy
+# advisor, row-level CDF with deletes, MoR upsert, type widening,
+# snapshot tags, nested embeddings), the RocksDB state-store arm, and
+# the exact tie-aware ROC-AUC — plus the 12 last round-4 refresh rows
+# and the 26 oldest round-5 rows. Rotate the list each round to cycle
+# coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-9 additions — first driver CORRECTNESS row this round
-    "manifest_lifecycle_stats",
-    "binned_quantile_refinement",
-    "bpe_merge_pair_counts",
-    "manifest_delete_vector_stats",
-    "write_audit_publish_stats",
-    "cdf_incremental_agg_refresh",
-    "clustered_compaction_stats",
-    "embedding_truncation_recall",
-    "pos_stream_wap_ingest",
-    "stateful_idle_timeout_retirement",
-    "span_corruption_stats",
-    "lakehouse_erasure_audit",
-    "manifest_bloom_skipping_stats",
-    "dynamic_partition_pruning_stats",
-    "event_regex_matches",
-    "bitmap_distinct_rollup",
-    "manifest_files_metadata",
-    "manifest_stream_tail_stats",
-    # round-4 refresh slots — 32 (the oldest remaining driver rows;
-    # tail trimmed as round-9 additions landed)
-    "pricing_summary",
-    "nation_revenue",
-    "top10_customers",
-    "order_volume_rollup",
-    "lineitem_grouping_sets",
-    "segment_large_order_share",
-    "customer_order_gaps",
-    "running_customer_spend",
-    "top3_parts_per_brand",
-    "customers_with_open_orders",
-    "customers_without_open_orders",
-    "urgent_revenue_window",
-    "priority_shipping_buckets",
-    "customer_order_distribution",
-    "customer_only_nations",
-    "shared_nations",
-    "order_recency_buckets",
-    "price_quantity_stats",
-    "orders_profile",
-    "trading_nations",
-    "segment_balance_ranks",
-    "returnflag_status_cube",
-    "nation_key_multiset_diff",
-    "heavy_hitter_parts",
-    "brand_measure_unpivot",
-    "integrity_audit",
-    "region_nation_list",
-    "nation_population_correlation",
-    "price_quantity_regression",
-    "stratified_customer_sample",
-    "nation_key_multiset_common",
-    "priority_flag_profile",
-)
-
-
-# Round-11 window, pre-staged (swap into GATE_WINDOW at round-11 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 10: new round-10 queries are inserted at
-# the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: 12 remaining round-4 refresh rows + the 38
-# oldest round-5 rows (CORRECTNESS_r05 order).
-GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
-    # round-10 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
+    # round-10 additions — first driver CORRECTNESS row this round
     "manifest_bucketed_join_stats",
     "manifest_stream_backpressure_stats",
     "manifest_stale_claim_gc_stats",
@@ -263,6 +201,72 @@ GATE_WINDOW_R11_DRAFT: tuple[str, ...] = (
     "manifest_snapshot_stats",
     "ab_bucket_metrics",
     "cohort_value_curve",
+)
+
+
+# Round-12 window, pre-staged (swap into GATE_WINDOW at round-12 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 11: new round-11 queries are inserted at
+# the HEAD and the refresh tail is trimmed to keep the list at exactly
+# 50. Current composition: the 24 remaining round-5 rows
+# (CORRECTNESS_r05 order) + the 26 oldest round-6 rows
+# (CORRECTNESS_r06 order).
+GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
+    # round-11 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-5 refresh slots — 24 (the last of the round-5 rows)
+    "session_funnel_stats",
+    "pii_redaction_stats",
+    "sql_urgent_open_customers",
+    "context_packing_stats",
+    "quantized_cosine_quality",
+    "ann_topk_bruteforce",
+    "ivf_near_dup_pairs",
+    "exact_dedup_summary",
+    "ngram_dup_pairs",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "near_dup_clusters",
+    "fuzzy_part_name_pairs",
+    "dup_triangles",
+    "doc_knn_graph",
+    "pagerank_canonical_docs",
+    "events_by_hour",
+    "anomalous_hours",
+    "event_type_summary",
+    "user_error_rates",
+    "large_events_profile",
+    "daily_error_trend",
+    "weekend_vs_weekday",
+    "above_avg_error_users",
+    # round-6 refresh slots — 26 (CORRECTNESS_r06 order; tail
+    # trimmed as round-11 additions land)
+    "conversion_latency_quantiles",
+    "score_lift_gains",
+    "bootstrap_mean_ci",
+    "retrieval_eval_metrics",
+    "benford_digit_audit",
+    "cusum_changepoints",
+    "k_anonymity_audit",
+    "value_drawdown_curve",
+    "cluster_top_terms",
+    "aqe_skew_join_stats",
+    "ewma_daily_value",
+    "embedding_dimension_stats",
+    "kmv_set_similarity",
+    "countmin_heavy_hitters",
+    "session_path_topk",
+    "knn_bfs_hops",
+    "vocab_oov_rate",
+    "bloom_pruned_urgent_revenue",
+    "stateful_spend_alerts",
+    "zorder_pruning_benefit",
+    "scd2_user_type_history",
+    "merge_upsert_stats",
+    "table_profile_summary",
+    "cohort_retention_matrix",
+    "multi_touch_attribution",
+    "approx_quantile_contract",
 )
 
 

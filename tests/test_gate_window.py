@@ -1,8 +1,8 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-10 rotation: the 18 round-9 additions
-that had never been driver-checked occupy the window alongside the
-oldest (round-4) refresh rows, every windowed query is oracle-backed,
-and reordering loses nothing."""
+queries. These tests pin the round-11 rotation: the 12 round-10
+additions that had never been driver-checked occupy the window alongside
+the oldest (round-4/round-5) refresh rows, every windowed query is
+oracle-backed, and reordering loses nothing."""
 
 from __future__ import annotations
 
@@ -53,20 +53,20 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-9 additions that had no driver row before this rotation
+    # the round-10 additions that had no driver row before this rotation
     for name in (
-        "manifest_lifecycle_stats",
-        "manifest_delete_vector_stats",
-        "write_audit_publish_stats",
-        "cdf_incremental_agg_refresh",
-        "clustered_compaction_stats",
-        "manifest_bloom_skipping_stats",
-        "manifest_stream_tail_stats",
-        "pos_stream_wap_ingest",
-        "stateful_idle_timeout_retirement",
-        "embedding_truncation_recall",
-        "bpe_merge_pair_counts",
-        "dynamic_partition_pruning_stats",
+        "manifest_bucketed_join_stats",
+        "manifest_stream_backpressure_stats",
+        "manifest_stale_claim_gc_stats",
+        "partial_compaction_stats",
+        "cdf_delete_change_rows_stats",
+        "stateful_rocksdb_store_stats",
+        "mor_upsert_stats",
+        "compaction_policy_stats",
+        "manifest_type_widening_stats",
+        "manifest_snapshot_tag_stats",
+        "manifest_nested_embeddings_stats",
+        "classifier_auc_roc",
     ):
         assert name in w, name
 
@@ -82,20 +82,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r11_draft_window_is_valid():
-    """The pre-staged round-11 window must stay swappable: exactly 50
+def test_r12_draft_window_is_valid():
+    """The pre-staged round-12 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-10 window (every slot either adds a first-time row or
+    active round-11 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R11_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R12_DRAFT
 
-    assert len(GATE_WINDOW_R11_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R11_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R11_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R12_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R12_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R12_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R11_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R12_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R11_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R12_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap
