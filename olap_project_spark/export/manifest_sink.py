@@ -194,8 +194,31 @@ class ManifestWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("manifest_sink requires a 'path' option")
         self.kind = options.get("kind", "append")
-        if self.kind not in ("append", "rewrite", "delete"):
+        if self.kind not in ("append", "rewrite", "delete", "merge"):
             raise ValueError(f"unknown manifest kind: {self.kind}")
+        # MERGE (upsert) commits: ONE atomic snapshot that is both the
+        # tombstone and the insert — the manifest's data files hold the
+        # update rows, and ``merge_keys`` names the key columns whose
+        # projection of those same rows tombstones the matched
+        # pre-merge state. No separate delete files exist, so there is
+        # no two-commit window a reader could observe half of (the
+        # Iceberg-v2 single-snapshot delete-file + data-file shape,
+        # specialized to whole-row upserts where tombstone keys ARE a
+        # projection of the new rows).
+        mk = options.get("merge_keys")
+        self.merge_keys: list | None = json.loads(mk) if mk else None
+        if (self.kind == "merge") != (self.merge_keys is not None):
+            raise ValueError("kind='merge' and merge_keys come together")
+        if self.merge_keys is not None:
+            if not self.merge_keys:
+                raise ValueError("merge_keys must name at least one column")
+            if schema is not None:
+                missing = set(self.merge_keys) - {f.name for f in schema.fields}
+                if missing:
+                    raise ValueError(
+                        f"merge_keys {sorted(missing)} not in the "
+                        "update rows' schema"
+                    )
         # write-audit-publish: a branch-tagged commit claims a version
         # in the shared sequence but is INVISIBLE to main readers until
         # published (the tag is dropped atomically by publish_branch)
@@ -424,6 +447,8 @@ class ManifestWriter(DataSourceWriter):
                     manifest["file_stats"][name] = entry["stats"]
                 if "rows" in entry:
                     manifest["file_rows"][name] = entry["rows"]
+        if self.merge_keys is not None:
+            manifest["merge_keys"] = self.merge_keys
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -734,12 +759,21 @@ def read_committed(
     file's key columns (so a key re-inserted AFTER its delete
     survives, the sequence-number rule), and a rewrite resets to its
     consolidated state (compaction MATERIALIZES deletes: it rewrites
-    through this reader, so tombstones never outlive it). Logs without
-    deletes take the single-scan fast path unchanged. ``_keep``
-    restricts the DATA files scanned (zone-map pruning); tombstones
-    are never pruned — correctness over skipping."""
+    through this reader, so tombstones never outlive it). A MERGE
+    snapshot (atomic upsert, :func:`merge_upsert`) folds as
+    delete-then-insert from ONE commit: the state-so-far is
+    anti-joined on the merge's key columns projected from the merge's
+    OWN data files, then those files append — matched rows replaced,
+    unmatched inserted, no intermediate state ever readable. Logs
+    without deletes or merges take the single-scan fast path
+    unchanged. ``_keep`` restricts the DATA files scanned (zone-map
+    pruning); tombstone applications are never pruned — a pruned-out
+    merge file still anti-joins its keys, it just isn't scanned as
+    data — correctness over skipping."""
     log = _log(path, as_of, branch)
-    if not any(m.get("kind", "append") == "delete" for _, m in log):
+    if not any(
+        m.get("kind", "append") in ("delete", "merge") for _, m in log
+    ):
         committed = [f for f, _ in _committed_files(path, as_of, branch)]
         if _keep is not None:
             committed = [f for f in committed if f in _keep]
@@ -760,6 +794,17 @@ def read_committed(
         if kind == "rewrite":
             df, pending = None, list(m["files"])
         elif kind == "append":
+            pending += m["files"]
+        elif kind == "merge":
+            # atomic upsert: tombstone the pre-merge state on the key
+            # projection of this commit's OWN files, then append them
+            df, pending = flush(df, pending), []
+            keys = m["merge_keys"]
+            if df is not None:
+                tomb = _read_files(spark, path, schema, m["files"]).select(
+                    *keys
+                )
+                df = df.join(tomb, on=keys, how="left_anti")
             pending += m["files"]
         else:  # delete
             df, pending = flush(df, pending), []
@@ -895,62 +940,79 @@ def merge_upsert(
     keys: list[str],
     branch: str | None = None,
 ) -> dict:
-    """MERGE (upsert) into the manifest table, MERGE-ON-READ style:
-    one equality-delete snapshot tombstoning the update keys, then one
-    append of the update rows — matched keys are replaced, unmatched
-    keys are inserted, and NO existing data file is read or rewritten.
-    Cost is O(|updates|) writes + two manifests; the reconciliation
-    happens lazily in :func:`read_committed`'s fold (a later
-    compaction materializes it). This is the Iceberg-v2/Delta-DV merge
-    shape that makes CDC upserts tractable at 100 TB — the
-    copy-on-write alternative rewrites every file containing a
-    matched key, which for a uniformly-keyed update IS the table.
+    """MERGE (upsert) into the manifest table as ONE ATOMIC SNAPSHOT,
+    merge-on-read style: a single ``kind='merge'`` commit whose data
+    files hold the update rows and whose recorded ``merge_keys``
+    tombstone the matched pre-merge state (the tombstone keys are the
+    key projection of the commit's OWN files, so no separate delete
+    files exist). Matched keys are replaced, unmatched keys are
+    inserted, and NO existing data file is read or rewritten. Cost is
+    O(|updates|) writes + one manifest; the reconciliation happens
+    lazily in :func:`read_committed`'s fold (a later compaction
+    materializes it). This is the Iceberg-v2 single-snapshot
+    delete-file + data-file shape — the merge economics that make CDC
+    upserts tractable at 100 TB, where the copy-on-write alternative
+    rewrites every file containing a matched key.
 
-    The two commits are not one atomic unit: a reader between them
-    sees the delete applied but not yet the re-insert (the same
-    read-committed-per-snapshot semantics Delta gives a two-txn MERGE
-    fallback). Pass ``branch`` to stage BOTH legs on a
-    write-audit-publish branch and :func:`publish_branch` them
-    together — that NARROWS the window to the publish loop (one
-    manifest flip at a time, oldest first, so a concurrent reader can
-    still observe delete-then-insert, never duplicates or
-    nothing-then-both); a crash mid-publish resumes by re-running
-    publish.
+    Atomicity: the commit point is the one ``os.replace`` of the one
+    manifest, so a reader pinned at any version sees exactly the
+    pre-merge state or exactly the post-merge state — the
+    delete-applied-but-not-yet-reinserted window of a two-commit MERGE
+    cannot be observed. ``updates``' plan is evaluated exactly once
+    (the write job), so non-deterministic inputs cannot diverge
+    between tombstone and insert legs — both are the same rows by
+    construction. ``branch`` stages the merge on a write-audit-publish
+    branch; publish flips its ONE manifest atomically.
 
-    ``updates`` is persisted for the duration of the call: its plan
-    is evaluated twice (tombstone keys, then rows), and a
-    non-deterministic input re-computed per leg could otherwise
-    tombstone keys whose replacement rows never land.
-
-    Returns {"delete_version", "append_version", "n_updates"}."""
-    updates = updates.persist()
-    try:
-        n_updates = updates.count()
-        delete_version = delete_where(
-            spark, path, updates.select(*keys), branch=branch
-        )
-        w = (
-            updates.write.format(ensure_manifest_sink(spark))
-            .option("path", path)
-        )
-        if branch is not None:
-            w = w.option("branch", branch)
-        w.mode("append").save()
-    finally:
-        updates.unpersist()
-    versions = (
-        committed_versions(path)
-        if branch is None
-        else [
-            v
-            for v, m in _log(path, branch=branch)
-            if m.get("branch") == branch
-        ]
+    Returns {"version", "n_updates", "n_data_files"}."""
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
+    # a merge records its rows' schema as a table-schema step (it IS a
+    # data commit), so validate the evolution contract BEFORE the
+    # commit: an update frame missing a table column (or narrowing a
+    # type) would otherwise land and poison schema discovery for every
+    # subsequent reader
+    current = table_schema(path)
+    if current is not None:
+        cur = {f.name: f.dataType for f in current.fields}
+        upd = {f.name: f.dataType for f in updates.schema.fields}
+        missing = set(cur) - set(upd)
+        if missing:
+            raise ValueError(
+                f"merge_upsert update rows lack table columns "
+                f"{sorted(missing)}; MERGE is whole-row — supply full "
+                "rows (read-modify-write the missing columns)"
+            )
+        for name, pt in cur.items():
+            ct = upd[name]
+            if ct != pt and (
+                pt.simpleString(),
+                ct.simpleString(),
+            ) not in _TYPE_WIDENINGS:
+                raise ValueError(
+                    f"merge_upsert changes {name!r} from "
+                    f"{pt.simpleString()} to {ct.simpleString()}, "
+                    "which is not a safe widening"
+                )
+    w = (
+        updates.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("kind", "merge")
+        .option("merge_keys", json.dumps(list(keys)))
     )
+    if branch is not None:
+        w = w.option("branch", branch)
+    w.mode("append").save()
+    log = _log(path, branch=branch)
+    if branch is not None:
+        log = [(v, m) for v, m in log if m.get("branch") == branch]
+    version, m = [
+        (v, m) for v, m in log if m.get("kind") == "merge"
+    ][-1]
     return {
-        "delete_version": delete_version,
-        "append_version": max(versions),
-        "n_updates": n_updates,
+        "version": version,
+        "n_updates": m["n_rows"],
+        "n_data_files": len(m["files"]),
     }
 
 
@@ -1063,7 +1125,9 @@ def _committed_files(
     replaces everything before it — it holds the consolidated table
     state). Delete manifests list tombstone files, not data — they are
     excluded here; tombstone application happens in
-    :func:`read_committed`'s fold."""
+    :func:`read_committed`'s fold. MERGE manifests' files ARE data
+    (the update rows) and are included; their tombstone side is a key
+    projection applied in the same fold."""
     committed: list[tuple[str, dict]] = []
     for _version, m in _log(path, as_of, branch):
         if m.get("kind", "append") == "delete":
@@ -1498,13 +1562,14 @@ def compact_range(
     of the rewritten range become tight (range-partitioned + sorted on
     ``col``) while retained files keep theirs.
 
-    Delete snapshots not yet materialized by a full rewrite are
-    REJECTED: a partial rewrite would resurrect tombstoned rows in
+    Delete and MERGE snapshots not yet materialized by a full rewrite
+    are REJECTED: a partial rewrite would resurrect tombstoned rows in
     files it retains (the tombstones stop applying at the rewrite, but
-    retained files were never re-folded). Deletes BEFORE the latest
-    full rewrite are fine — that rewrite already materialized them.
-    Run a FULL :func:`compact_snapshots` first, then range-compact
-    freely.
+    retained files were never re-folded — a merge's key-tombstones
+    carry the same hazard as a standalone delete). Deletes/merges
+    BEFORE the latest full rewrite are fine — that rewrite already
+    materialized them. Run a FULL :func:`compact_snapshots` first,
+    then range-compact freely.
 
     Returns {"version", "n_rewritten", "n_retained", "n_new"}."""
     log = _log(path)
@@ -1513,13 +1578,14 @@ def compact_range(
         if m.get("kind", "append") == "rewrite":
             last_rw = i
     if any(
-        m.get("kind", "append") == "delete"
+        m.get("kind", "append") in ("delete", "merge")
         for _v, m in log[last_rw + 1 :]
     ):
         raise ValueError(
-            "partial compaction over unmaterialized delete snapshots "
-            "would resurrect deleted rows in retained files; run a "
-            "full compact_snapshots() first to materialize the deletes"
+            "partial compaction over unmaterialized delete/merge "
+            "snapshots would resurrect tombstoned rows in retained "
+            "files; run a full compact_snapshots() first to "
+            "materialize them"
         )
     rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
     rewrite_set = set(rewrite_files)
@@ -1602,6 +1668,23 @@ def read_changes(
             )
         if kind == "append":
             df = _read_files(spark, path, schema, m["files"])
+        elif kind == "merge":
+            # atomic upsert: the rows its key-tombstones REMOVED from
+            # the pre-merge state, plus its own rows as inserts — both
+            # stamped with the ONE commit version (a CDF consumer
+            # replaying them in (delete, insert) order reconstructs
+            # exactly the post-merge state)
+            keys = m["merge_keys"]
+            rows = _read_files(spark, path, schema, m["files"])
+            before = read_committed(spark, path, schema, as_of=version - 1)
+            removed = before.join(
+                rows.select(*keys), on=keys, how="left_semi"
+            )
+            parts.append(
+                removed.withColumn("_change_type", _F.lit("delete"))
+                .withColumn("_commit_version", _F.lit(version).cast("int"))
+            )
+            df = rows
         else:  # delete: emit the rows the tombstones removed
             if "schema" not in m:
                 raise ValueError(
@@ -1616,7 +1699,7 @@ def read_changes(
         parts.append(
             df.withColumn(
                 "_change_type",
-                _F.lit("insert" if kind == "append" else "delete"),
+                _F.lit("delete" if kind == "delete" else "insert"),
             ).withColumn("_commit_version", _F.lit(version).cast("int"))
         )
     if not parts:

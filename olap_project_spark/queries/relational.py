@@ -5134,7 +5134,7 @@ def cdf_delete_change_rows_stats(
     SELECT (SELECT CAST(COUNT(*) + COUNT(*) FILTER (
                WHERE c_custkey % 100 = 0) AS BIGINT)
             FROM customer WHERE c_nationkey < 5) AS n_updates,
-           CAST(3 AS INTEGER) AS n_versions,
+           CAST(2 AS INTEGER) AS n_versions,
            CAST(0 AS INTEGER) AS data_files_rewritten,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
              + (SELECT CAST(COUNT(*) AS BIGINT) FROM upd
@@ -5151,8 +5151,12 @@ def mor_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base snapshot, then ONE ``merge_upsert`` call applies a mixed
     update batch (five nations' balances bumped by 1000 cents — the
     MATCHED leg — plus synthetic new keys — the NOT-MATCHED leg) as
-    one equality-delete of the update keys and one append of the
-    update rows. NO base data file is read or rewritten
+    ONE ATOMIC ``kind='merge'`` snapshot: the commit's own data files
+    hold the update rows and the recorded ``merge_keys`` tombstone the
+    matched pre-merge state, so the table goes from exactly-old to
+    exactly-new at a single version (``n_versions = 2`` — base +
+    merge — is oracle-pinned; the old two-commit delete+append window
+    no longer exists). NO base data file is read or rewritten
     (``data_files_rewritten = 0`` is pinned by diffing the live file
     set); matched rows are replaced, unmatched inserted, and the
     final row count and exact balance-cents total are oracle-pinned.
@@ -5160,8 +5164,8 @@ def mor_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contrast with the copy-on-write ``merge_upsert_stats`` (round 5):
     that one rebuilds the hot partition per batch; this one writes
     only the delta and lets :func:`read_committed`'s tombstone fold
-    (and eventually compaction) reconcile — the Iceberg-v2/Delta-DV
-    upsert economics.
+    (and eventually compaction) reconcile — the Iceberg-v2
+    single-snapshot delete-file + data-file upsert economics.
 
     Scale: a uniformly-keyed update touches every file of a 100-TB
     table under copy-on-write; merge-on-read pays |updates| + two

@@ -687,13 +687,15 @@ class TestMergeUpsert:
         )
         res = merge_upsert(registered, path, upd, ["k"])
         assert res["n_updates"] == 70
-        assert res["delete_version"] == 2 and res["append_version"] == 3
+        # ONE atomic commit: base was version 1, the merge IS version 2
+        assert res["version"] == 2
         back = read_committed(registered, path, self.NUM_SCHEMA)
         assert back.count() == 120  # 50 kept + 70 upserted
         assert back.filter("v = 9.0").count() == 70
         assert back.filter("v = 1.0").count() == 50
         # merge-on-read: every original data file is still live,
-        # untouched — the delete is tombstones, the upsert an append
+        # untouched — the tombstones are a key projection of the
+        # merge's own files, the upsert rows an append
         after = {f["file_name"] for f in table_files(path)}
         assert before <= after
 
@@ -978,7 +980,7 @@ def test_round10_lifecycle_preserves_state_and_tags(
             if m.get("kind", "append") == "rewrite":
                 last_rw = i
         return any(
-            m.get("kind", "append") == "delete"
+            m.get("kind", "append") in ("delete", "merge")
             for _v, m in log[last_rw + 1 :]
         )
 
@@ -1301,20 +1303,17 @@ class TestReviewFixes:
             ["k"],
         )
         # rival claims the NEXT version and stalls
-        open(os.path.join(path, "_manifest-000004.json"), "w").close()
-        assert res == {
-            "delete_version": 2,
-            "append_version": 3,
-            "n_updates": 3,
-        }
+        open(os.path.join(path, "_manifest-000003.json"), "w").close()
+        assert res["version"] == 2 and res["n_updates"] == 3
+        assert res["n_data_files"] >= 1
         from olap_project_spark.export.manifest_sink import (
             committed_versions,
             tag_snapshot,
         )
 
-        assert committed_versions(path) == [1, 2, 3]
+        assert committed_versions(path) == [1, 2]
         with pytest.raises(ValueError, match="not committed"):
-            tag_snapshot(path, "x", version=4)
+            tag_snapshot(path, "x", version=3)
 
 
 class TestReviewFixesB:
@@ -1377,8 +1376,8 @@ class TestReviewFixesB:
         assert counted >= 3  # every file in at least one range
 
     def test_merge_upsert_stages_on_wap_branch(self, registered, tmp_path):
-        """branch= stages BOTH merge legs invisibly, and publishing
-        flips them into main together (delete-then-insert order)."""
+        """branch= stages the ONE atomic merge snapshot invisibly, and
+        publishing flips it into main with a single manifest swap."""
         from olap_project_spark.export.manifest_sink import merge_upsert
 
         path = str(tmp_path / "fixb_wap")
@@ -1400,7 +1399,7 @@ class TestReviewFixesB:
             ["k"],
             branch="merge-wip",
         )
-        assert res["delete_version"] == 2 and res["append_version"] == 3
+        assert res["version"] == 2 and res["n_updates"] == 4
         # main sees NOTHING until the publish
         main = read_committed(registered, path, self.NUM_SCHEMA)
         assert main.filter("v = 9.0").count() == 0
@@ -1410,7 +1409,7 @@ class TestReviewFixesB:
             registered, path, self.NUM_SCHEMA, branch="merge-wip"
         )
         assert staged.filter("v = 9.0").count() == 4
-        assert publish_branch(path, "merge-wip") == [2, 3]
+        assert publish_branch(path, "merge-wip") == [2]
         after = read_committed(registered, path, self.NUM_SCHEMA)
         assert after.count() == 10
         assert after.filter("v = 9.0").count() == 4

@@ -1,0 +1,225 @@
+"""Round-11 lakehouse hardening: MERGE as one atomic snapshot — a
+``kind='merge'`` manifest whose data files hold the update rows and
+whose recorded ``merge_keys`` tombstone the matched pre-merge state, so
+the two-commit delete+append window of the round-10 merge_upsert can no
+longer be observed by any reader."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from olap_project_spark.export.manifest_sink import (
+    ManifestSinkDataSource,
+    compact_range,
+    compact_snapshots,
+    merge_upsert,
+    read_changes,
+    read_committed,
+    table_schema,
+    table_versions,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestSinkDataSource)
+    return spark
+
+
+NUM_SCHEMA = "k bigint, v double"
+
+
+def _seed(spark, path, n=20, parts=1):
+    (
+        spark.range(0, n)
+        .selectExpr("id as k", "cast(1.0 as double) as v")
+        .repartition(parts)
+        .write.format("manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+
+def _updates(spark, lo, hi, v=9.0):
+    return spark.range(lo, hi).selectExpr(
+        "id as k", f"cast({v} as double) as v"
+    )
+
+
+class TestAtomicMerge:
+    def test_merge_is_exactly_one_version(self, registered, tmp_path):
+        """A reader pinned at ANY committed version sees exactly the
+        pre-merge state or exactly the post-merge state — there is no
+        intermediate version where the delete applied but the insert
+        had not (the round-10 two-commit window)."""
+        path = str(tmp_path / "atomic")
+        _seed(registered, path, n=20)
+        res = merge_upsert(
+            registered, path, _updates(registered, 10, 30), ["k"]
+        )
+        assert table_versions(path) == [1, 2]
+        assert res["version"] == 2 and res["n_updates"] == 20
+        old = read_committed(registered, path, NUM_SCHEMA, as_of=1)
+        assert old.count() == 20
+        assert old.filter("v = 9.0").count() == 0
+        new = read_committed(registered, path, NUM_SCHEMA, as_of=2)
+        assert new.count() == 30  # 10 kept + 20 upserted
+        assert new.filter("v = 9.0").count() == 20
+        assert new.filter("v = 1.0").count() == 10
+
+    def test_merge_manifest_records_keys_and_rows(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "meta")
+        _seed(registered, path, n=4)
+        merge_upsert(registered, path, _updates(registered, 0, 2), ["k"])
+        with open(os.path.join(path, "_manifest-000002.json")) as f:
+            m = json.load(f)
+        assert m["kind"] == "merge"
+        assert m["merge_keys"] == ["k"]
+        assert m["n_rows"] == 2
+        # the merge records the FULL row schema (it is a data commit,
+        # a table-schema evolution step — unlike a delete's key schema)
+        assert table_schema(path) is not None
+        assert {f.name for f in table_schema(path).fields} == {"k", "v"}
+
+    def test_concurrent_reader_sees_old_or_new_never_half(
+        self, registered, tmp_path
+    ):
+        """Live-concurrency leg: readers polling the table WHILE the
+        merge commits must observe only the two legal states. With the
+        old two-commit merge a poll between the legs read 10 rows
+        (delete applied, re-insert missing); any such observation
+        fails this test."""
+        path = str(tmp_path / "live")
+        _seed(registered, path, n=20)
+        legal = {
+            (20, 20 * 1.0),  # pre-merge: 20 rows at v=1.0
+            (25, 5 * 1.0 + 20 * 9.0),  # post-merge: 5 kept + 20 at 9.0
+        }
+        observed: list[tuple[int, float]] = []
+        stop = threading.Event()
+
+        def poll():
+            while not stop.is_set():
+                rows = read_committed(
+                    registered, path, NUM_SCHEMA
+                ).groupBy().sum("v").collect()
+                n = read_committed(registered, path, NUM_SCHEMA).count()
+                s = rows[0][0] or 0.0
+                observed.append((n, s))
+
+        t = threading.Thread(target=poll)
+        t.start()
+        try:
+            merge_upsert(
+                registered, path, _updates(registered, 5, 25), ["k"]
+            )
+        finally:
+            stop.set()
+            t.join()
+        assert observed, "poller never completed a read"
+        illegal = [o for o in observed if o not in legal]
+        assert illegal == [], f"reader observed intermediate state: {illegal}"
+
+    def test_merge_cdf_is_one_commit_version(self, registered, tmp_path):
+        """read_changes across a merge emits the removed pre-image rows
+        as deletes and the update rows as inserts, all stamped with the
+        ONE merge version."""
+        path = str(tmp_path / "cdf")
+        _seed(registered, path, n=10)
+        merge_upsert(registered, path, _updates(registered, 8, 12), ["k"])
+        feed = read_changes(registered, path, NUM_SCHEMA, 1, 2).collect()
+        assert {r["_commit_version"] for r in feed} == {2}
+        deletes = [r for r in feed if r["_change_type"] == "delete"]
+        inserts = [r for r in feed if r["_change_type"] == "insert"]
+        # keys 8,9 existed and were replaced; 10,11 are pure inserts
+        assert sorted(r["k"] for r in deletes) == [8, 9]
+        assert sorted(r["k"] for r in inserts) == [8, 9, 10, 11]
+        assert all(r["v"] == 1.0 for r in deletes)  # pre-image rows
+        assert all(r["v"] == 9.0 for r in inserts)
+
+    def test_streaming_tail_rejects_merge_snapshot(
+        self, registered, tmp_path
+    ):
+        """A file-level streaming tail cannot represent the merge's row
+        removals — same contract as delete/rewrite snapshots."""
+        from olap_project_spark.export.manifest_sink import (
+            ManifestStreamReader,
+        )
+
+        path = str(tmp_path / "tail")
+        _seed(registered, path, n=4)
+        merge_upsert(registered, path, _updates(registered, 0, 2), ["k"])
+        schema = registered.createDataFrame([], NUM_SCHEMA).schema
+        reader = ManifestStreamReader({"path": path}, schema)
+        with pytest.raises(ValueError, match="merge snapshot"):
+            reader.partitions({"version": 0}, {"version": 2})
+
+    def test_partial_compaction_rejects_unmaterialized_merge(
+        self, registered, tmp_path
+    ):
+        """compact_range over a merge not yet materialized by a full
+        rewrite would resurrect the tombstoned pre-merge rows in files
+        it retains; a full compaction clears the hazard."""
+        path = str(tmp_path / "pc")
+        _seed(registered, path, n=20)
+        merge_upsert(registered, path, _updates(registered, 0, 5), ["k"])
+        with pytest.raises(ValueError, match="resurrect"):
+            compact_range(registered, path, NUM_SCHEMA, "k", 0, 10)
+        compact_snapshots(registered, path, NUM_SCHEMA)
+        res = compact_range(registered, path, NUM_SCHEMA, "k", 0, 10)
+        assert res["version"] > 0
+        back = read_committed(registered, path, NUM_SCHEMA)
+        assert back.count() == 20
+        assert back.filter("v = 9.0").count() == 5
+
+    def test_merge_missing_column_rejected_before_commit(
+        self, registered, tmp_path
+    ):
+        """An update frame lacking a table column would poison schema
+        discovery if committed; merge_upsert rejects it driver-side and
+        the table is untouched."""
+        path = str(tmp_path / "guard")
+        _seed(registered, path, n=4)
+        partial = registered.range(0, 2).selectExpr("id as k")
+        with pytest.raises(ValueError, match="whole-row"):
+            merge_upsert(registered, path, partial, ["k"])
+        assert table_versions(path) == [1]
+        assert read_committed(registered, path, NUM_SCHEMA).count() == 4
+
+    def test_merge_requires_keys_in_update_schema(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "keys")
+        _seed(registered, path, n=4)
+        with pytest.raises(Exception, match="merge_keys"):
+            merge_upsert(
+                registered, path, _updates(registered, 0, 2), ["nope"]
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            merge_upsert(registered, path, _updates(registered, 0, 2), [])
+
+    def test_reinsert_after_merge_survives(self, registered, tmp_path):
+        """Sequence-number rule across kinds: a merge tombstones only
+        the state BEFORE it; a later plain append of the same key
+        stacks on top (duplicate keys are the append contract)."""
+        path = str(tmp_path / "seq")
+        _seed(registered, path, n=4)
+        merge_upsert(registered, path, _updates(registered, 0, 2), ["k"])
+        (
+            registered.createDataFrame([(0, 5.0)], NUM_SCHEMA)
+            .repartition(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        back = read_committed(registered, path, NUM_SCHEMA)
+        assert back.count() == 5
+        assert back.filter("k = 0").count() == 2  # merged row + append
