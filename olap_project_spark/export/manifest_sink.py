@@ -51,9 +51,15 @@ from collections.abc import Iterator as _Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -628,6 +634,240 @@ class ManifestStreamReader(DataSourceStreamReader):
         # advance the backpressure base — nothing to release
 
 
+class _FileScan(InputPartition):
+    """One batch input partition = one live data file, carrying the
+    version it committed at and the tombstone applications whose
+    sequence number exceeds it (the per-file equality-delete rule)."""
+
+    def __init__(
+        self,
+        file_path: str,
+        schema_json: str,
+        tombs: list,  # [(key col tuple, [tombstone file paths]), ...]
+    ):
+        self.file_path = file_path
+        self.schema_json = schema_json
+        self.tombs = tombs
+
+
+def _resolve_as_of(options) -> int | None:
+    """Time-travel option resolution shared by the batch reader and
+    schema discovery: ``versionAsOf`` pins a snapshot version, ``tag``
+    resolves a named ref; both together is ambiguous and rejected."""
+    v = options.get("versionAsOf")
+    tag = options.get("tag")
+    if v is not None and tag is not None:
+        raise ValueError("pass versionAsOf OR tag, not both")
+    if v is not None:
+        return int(v)
+    if tag is not None:
+        return read_tag(options.get("path"), tag)
+    return None
+
+
+class ManifestBatchReader(DataSourceReader):
+    """BATCH-read the manifest table through the public DataSource API —
+    ``spark.read.format(fmt).option('path', …).load()`` on a vanilla
+    session, no library import needed on the read side. Plans the same
+    committed-file list :func:`read_committed` folds (time travel via
+    ``versionAsOf`` or ``tag``, WAP staging via ``branch``), applies
+    row-level tombstones per task by the SEQUENCE-NUMBER rule (a
+    tombstone committed at version vt removes matching rows from files
+    committed at vf < vt — exactly Iceberg's equality-delete sequence
+    semantics, so a key re-inserted after its delete survives), and
+    skips files the pushed-down filters provably exclude:
+
+    - zone maps prune range/equality comparisons on any stats column;
+    - per-file blooms prune integer equality probes on the bloom_col.
+
+    Every pushed filter is RETURNED to Spark for re-evaluation — the
+    pruning only shrinks the FILE list, so it is transparently
+    conservative. Tombstone applications are never pruned. One input
+    partition per live data file keeps the scan executor-parallel and
+    the tombstone anti-joins local Arrow joins against the (delta-
+    sized) key files.
+
+    Pushdown is OPT-IN via ``.option('pushdown', 'true')`` (which
+    requires ``spark.sql.python.filterPushdown.enabled=true``): Spark
+    4.1 refuses to plan a Python reader that merely IMPLEMENTS
+    pushFilters while that conf is off, so the base reader stays
+    pushdown-free and a vanilla session can read the table with zero
+    configuration."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest batch read requires a 'path' option")
+        self.as_of = _resolve_as_of(options)
+        self.branch = options.get("branch")
+        self.schema = schema
+        # (col, op, value) comparisons recorded by pushFilters
+        self._pushed: list[tuple[str, str, object]] = []
+
+    @staticmethod
+    def _excluded(stats: dict, bloom_col, bloom_bits, pushed) -> bool:
+        for col, op, val in pushed:
+            rng = (stats or {}).get(col)
+            if rng is not None:
+                lo, hi = rng[0], rng[1]
+                # compare only like-typed values (zone maps hold the
+                # column's native type; a mistyped literal never prunes)
+                same = isinstance(val, str) == isinstance(lo, str)
+                if same:
+                    if op == "EqualTo" and (val < lo or val > hi):
+                        return True
+                    if op == "GreaterThan" and hi <= val:
+                        return True
+                    if op == "GreaterThanOrEqual" and hi < val:
+                        return True
+                    if op == "LessThan" and lo >= val:
+                        return True
+                    if op == "LessThanOrEqual" and lo > val:
+                        return True
+            if (
+                op == "EqualTo"
+                and bloom_bits is not None
+                and col == bloom_col
+                and isinstance(val, int)
+                and not all(p in bloom_bits for p in _bloom_positions(val))
+            ):
+                return True
+        return False
+
+    def partitions(self) -> list[InputPartition]:
+        staging = os.path.join(self.path, "_staging")
+        # fold the log driver-side: live file -> (commit version, zone
+        # map, bloom), plus the tombstone ledger (version, keys, files)
+        live: dict[str, tuple] = {}
+        tombs: list[tuple[int, tuple, list[str]]] = []
+        for version, m in _log(self.path, self.as_of, self.branch):
+            kind = m.get("kind", "append")
+            fs = m.get("file_stats", {})
+            bcol = m.get("bloom_col")
+            blooms = m.get("file_blooms", {})
+            if kind == "delete":
+                cols = tuple(
+                    f["name"] for f in m["schema"]["fields"]
+                )
+                tombs.append((version, cols, list(m["files"])))
+                continue
+            entries = {
+                f: (
+                    version,
+                    fs.get(f, {}),
+                    bcol,
+                    set(blooms[f]) if f in blooms else None,
+                )
+                for f in m["files"]
+            }
+            if kind == "rewrite":
+                live = entries
+            else:
+                live.update(entries)
+                if kind == "merge":
+                    tombs.append(
+                        (version, tuple(m["merge_keys"]), list(m["files"]))
+                    )
+        legacy = [f for f in live if not f.endswith(".parquet")]
+        if legacy:
+            raise ValueError(
+                f"the batch DataSource reads the parquet data plane "
+                f"only and {legacy[0]} is pre-columnar; compact the "
+                "table to parquet first (read_committed still reads "
+                "legacy files)"
+            )
+        sj = json.dumps(self.schema.jsonValue())
+        out: list[InputPartition] = []
+        for name in sorted(live):
+            vf, stats, bcol, bits = live[name]
+            if self._excluded(stats, bcol, bits, self._pushed):
+                continue
+            applicable = [
+                (cols, [os.path.join(staging, t) for t in files])
+                for vt, cols, files in tombs
+                if vt > vf
+            ]
+            out.append(
+                _FileScan(os.path.join(staging, name), sj, applicable)
+            )
+        return out
+
+    def read(self, partition: _FileScan | None):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if partition is None:
+            # an empty partitions() list (empty table, or every file
+            # pruned by the pushed filters) reaches the task as ONE
+            # None partition — Spark's empty-scan convention
+            return
+        want = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_json))
+        )
+        # tombstone key tables, cast to the read schema's key types so
+        # the anti-join compares like types (a delete written at int
+        # still removes rows read under a widened bigint schema)
+        keysets: list[tuple[list[str], pa.Table]] = []
+        for cols, files in partition.tombs:
+            tables = [pq.read_table(f, columns=list(cols)) for f in files]
+            t = pa.concat_tables(tables) if tables else None
+            if t is None or t.num_rows == 0:
+                continue
+            t = t.cast(
+                pa.schema([pa.field(c, want.field(c).type) for c in cols])
+            )
+            keysets.append((list(cols), t))
+        pf = pq.ParquetFile(partition.file_path)
+        for batch in pf.iter_batches():
+            cols = []
+            for f in want:
+                if f.name in batch.schema.names:
+                    cols.append(batch.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, type=f.type))
+            tbl = pa.Table.from_batches(
+                [pa.record_batch(cols, schema=want)]
+            )
+            for kcols, keys in keysets:
+                tbl = tbl.join(keys, keys=kcols, join_type="left anti")
+            for out in tbl.to_batches():
+                if out.num_rows:
+                    yield out
+
+
+class ManifestBatchReaderPushdown(ManifestBatchReader):
+    """The pushdown-enabled variant, selected by
+    ``.option('pushdown', 'true')`` — separate because Spark 4.1
+    refuses any Python reader that implements pushFilters under the
+    default ``spark.sql.python.filterPushdown.enabled=false``."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                )
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str))
+                and not isinstance(f.value, bool)
+            ):
+                self._pushed.append(
+                    (f.attribute[0], type(f).__name__, f.value)
+                )
+        # everything is handed back: Spark re-applies the row filters,
+        # the recorded comparisons only prune the file list
+        return filters
+
+
 class ManifestSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -635,13 +875,22 @@ class ManifestSinkDataSource(DataSource):
 
     def schema(self) -> StructType:
         # table schema DISCOVERED from the manifest log (readers never
-        # declare it) — the same discovery read_evolved uses
-        sch = table_schema(self.options.get("path"))
+        # declare it) — the same discovery read_evolved uses; honors
+        # versionAsOf/tag so a time-travel read binds the schema AS OF
+        # that snapshot
+        sch = table_schema(
+            self.options.get("path"), _resolve_as_of(self.options)
+        )
         if sch is None:
             raise ValueError(
-                "manifest table has no recorded schema; cannot stream"
+                "manifest table has no recorded schema; cannot read"
             )
         return sch
+
+    def reader(self, schema: StructType) -> ManifestBatchReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return ManifestBatchReaderPushdown(self.options, schema)
+        return ManifestBatchReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> ManifestWriter:
         return ManifestWriter(self.options, overwrite, schema)

@@ -208,12 +208,13 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 11: new round-11 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: the 24 remaining round-5 rows
-# (CORRECTNESS_r05 order) + the 26 oldest round-6 rows
-# (CORRECTNESS_r06 order).
+# 50. Current composition: the round-11 additions + the 24 remaining
+# round-5 rows (CORRECTNESS_r05 order) + the oldest round-6 rows
+# (CORRECTNESS_r06 order; tail trimmed as round-11 additions land).
 GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "manifest_batch_reader_stats",
     # round-5 refresh slots — 24 (the last of the round-5 rows)
     "session_funnel_stats",
     "pii_redaction_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "table_profile_summary",
     "cohort_retention_matrix",
     "multi_touch_attribution",
-    "approx_quantile_contract",
 )
 
 

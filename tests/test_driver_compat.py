@@ -249,6 +249,8 @@ class TestDriverContract:
             "manifest_snapshot_tag_stats",   # named-ref tag lifecycle
             "manifest_nested_embeddings_stats",  # nested types E2E
             "classifier_auc_roc",            # exact tie-aware ROC-AUC
+            # round-11 additions (r12 draft head):
+            "manifest_batch_reader_stats",   # public batch read + pushdown
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -104,6 +104,7 @@ EXECUTING = {
     "manifest_type_widening_stats",  # v3 type-widening evolution
     "manifest_snapshot_tag_stats",  # named-ref tag lifecycle
     "manifest_nested_embeddings_stats",  # nested types through the sink
+    "manifest_batch_reader_stats",  # public DataSource read w/ pushdown
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
