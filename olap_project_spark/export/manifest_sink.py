@@ -127,17 +127,24 @@ class VersionClaimer:
     def in_flight_versions(self, path: str) -> set[int]:
         """Claimed versions whose manifest content is not yet
         readable — the commit-in-flight set every gap-rule consumer
-        checks. Derived, not overridden: claims minus
-        readable-manifest versions."""
+        (the streaming head, publish's main-head computation, vacuum's
+        orphan-GC guard) obtains from THIS method. Derived, not
+        overridden: (claims ∪ on-disk version files) minus
+        readable-manifest versions — the union covers both claim
+        shapes (POSIX claims ARE the version files; conditional-PUT
+        claims live in the store while an unparseable on-disk file can
+        still appear mid-``os.replace``)."""
         readable = set()
+        on_disk = set()
         for version, entry in _list_manifests(path):
+            on_disk.add(version)
             try:
                 with open(os.path.join(path, entry)) as f:
                     json.load(f)
                 readable.add(version)
             except (json.JSONDecodeError, OSError):
                 continue
-        return set(self.claimed_versions(path)) - readable
+        return (set(self.claimed_versions(path)) | on_disk) - readable
 
 
 class PosixVersionClaimer(VersionClaimer):
@@ -171,15 +178,37 @@ class ConditionalPutClaimer(VersionClaimer):
     claim registry lives in the store, NOT the filesystem — the
     in-flight signal moves with it."""
 
-    def __init__(self, put_if_absent, list_claimed):
+    def __init__(self, put_if_absent, list_claimed, delete=None):
         self._put_if_absent = put_if_absent
         self._list_claimed = list_claimed
+        self._delete = delete
+
+    @staticmethod
+    def _key(path: str, version: int) -> str:
+        return f"{path}/_manifest-{version:06d}.json"
 
     def claim(self, path: str, version: int) -> bool:
-        return self._put_if_absent(f"{path}/_manifest-{version:06d}.json")
+        return self._put_if_absent(self._key(path, version))
 
     def claimed_versions(self, path: str) -> list[int]:
         return list(self._list_claimed(path))
+
+    def release(self, path: str, version: int) -> None:
+        """Remove the claim from the store — without this, an
+        abandoned branch's or stale-claim GC's freed version stays a
+        permanent phantom claim (the streaming head blocks at it
+        forever and vacuum counts it in-flight forever). ``delete`` is
+        the store's delete-object callable (S3 DeleteObject / the lock
+        table's delete item); constructing the claimer without one
+        keeps the old never-release behavior and is rejected HERE, at
+        release time, so read-only deployments still work."""
+        if self._delete is None:
+            raise NotImplementedError(
+                "this ConditionalPutClaimer was built without a "
+                "delete callable; abandon_branch and stale-claim GC "
+                "need one to free claims"
+            )
+        self._delete(self._key(path, version))
 
 
 _VERSION_CLAIMER: VersionClaimer = PosixVersionClaimer()
@@ -938,23 +967,24 @@ def _stream_visible_head(path: str) -> int:
     version is permanent (commit always claims above the observed
     max), and a freed TOP version can only be reclaimed while the head
     still holds below it — nothing was ever delivered past it either
-    way. The in-flight signal comes from the VersionClaimer interface,
-    so a claimer whose claims live outside the filesystem (conditional
-    PUT) still holds the head below its file-less claims."""
+    way. The in-flight signal comes from
+    :meth:`VersionClaimer.in_flight_versions`, so a claimer whose
+    claims live outside the filesystem (conditional PUT) still holds
+    the head below its file-less claims."""
     files = dict(_list_manifests(path))
+    in_flight = _VERSION_CLAIMER.in_flight_versions(path)
     versions = sorted(
-        set(_VERSION_CLAIMER.claimed_versions(path)) | set(files)
+        set(_VERSION_CLAIMER.claimed_versions(path)) | set(files) | in_flight
     )
     head = 0
     for version in versions:
-        entry = files.get(version)
-        if entry is None:
-            break  # claimed, content not yet on disk — wait
+        if version in in_flight:
+            break  # commit in flight: not yet readable — wait
         try:
-            with open(os.path.join(path, entry)) as f:
+            with open(os.path.join(path, files[version])) as f:
                 m = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            break  # in-flight commit: not yet readable — wait
+        except (KeyError, json.JSONDecodeError, OSError):
+            break  # raced into in-flight since the derivation — wait
         if m.get("branch") is not None:
             break  # staged WAP commit: may publish at this version — wait
         head = version
@@ -1660,10 +1690,10 @@ def publish_branch(path: str, branch: str) -> list[int]:
             continue
         if m.get("branch") is None:
             main_head = max(main_head, version)
-    # claims with no file yet (conditional-PUT claimers) are in-flight
-    # main conservatively, exactly like an unparseable file
-    on_disk = {v for v, _ in _list_manifests(path)}
-    for version in set(_VERSION_CLAIMER.claimed_versions(path)) - on_disk:
+    # in-flight claims (unparseable file, or no file yet under a
+    # conditional-PUT claimer) are main conservatively — the shared
+    # derivation from the claimer interface
+    for version in _VERSION_CLAIMER.in_flight_versions(path):
         if version not in staged_versions:
             main_head = max(main_head, version)
     behind = [v for v, _ in staged if v <= main_head]
@@ -2108,36 +2138,62 @@ def vacuum_snapshots(
     (``stale_claims_deleted``), turning it into a permanent version
     hole that readers, streams, and history all already skip — and its
     never-referenced staging files become collectible orphans on the
-    next pass. Claims younger than the TTL still count as in-flight."""
+    next pass. Claims younger than the TTL still count as in-flight.
+
+    The GC is check-then-remove, not atomic: the claim file is
+    re-verified (still empty, mtime unchanged) IMMEDIATELY before the
+    ``os.remove`` to shrink the window in which a committer stalled
+    past the TTL lands its ``os.replace`` between the failed parse and
+    the remove. The residual hazard is inherent to a TTL — a committer
+    whose ``os.replace`` is delayed past BOTH the TTL and the re-check
+    loses its commit (or, if the version was reclaimed, silently
+    overwrites the rival's manifest). This is the same hazard class as
+    Delta's log-retry timeout: the TTL must dominate any plausible
+    commit duration by orders of magnitude, which is why it is an
+    explicit opt-in knob with no default."""
     import time
 
     entries: list[tuple[int, str, dict]] = []
-    in_flight = 0
     stale_deleted = 0
+    racing = 0  # replaces observed mid-flight: poisons orphan GC
     for version, entry in _list_manifests(path):
         full = os.path.join(path, entry)
         try:
             with open(full) as f:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
-            age = time.time() - os.path.getmtime(full)
+            try:
+                st = os.stat(full)
+            except FileNotFoundError:
+                continue  # a rival vacuum removed it first
+            if st.st_size > 0:
+                # the commit LANDED between the failed parse and the
+                # re-stat: re-parse so its files are referenced (they
+                # must not look like orphans this run)
+                try:
+                    with open(full) as f:
+                        m = json.load(f)
+                    entries.append((version, entry, m))
+                except (json.JSONDecodeError, OSError):
+                    racing += 1  # racing replace: defer GC this run
+                continue
+            age = time.time() - st.st_mtime
             if stale_claim_ttl_s is not None and age > stale_claim_ttl_s:
+                # the size-0 re-stat just above is the last-moment
+                # re-verification: a committer that landed its
+                # os.replace since the failed parse shows non-zero
+                # size and is left alone
                 os.remove(full)  # crashed claim: permanent hole, GC it
                 _VERSION_CLAIMER.release(path, version)
                 stale_deleted += 1
-            else:
-                in_flight += 1  # commit in flight — never expirable
-            continue
+            continue  # young claims count in-flight via the claimer
         entries.append((version, entry, m))
-    # claims with no manifest file at all (conditional-PUT claimers)
-    # are in flight too: their staging output must not look like
-    # orphans just because the claim lives outside the filesystem.
-    # (Unparseable FILE claims were already counted in the loop; the
-    # set difference needs no manifest parsing at all.)
-    on_disk = {v for v, _ in _list_manifests(path)}
-    in_flight += len(
-        set(_VERSION_CLAIMER.claimed_versions(path)) - on_disk
-    )
+    # the commit-in-flight set, from the claimer interface (covers
+    # unparseable young file claims AND store-side claims with no file
+    # yet): their staging output must not look like orphans. A replace
+    # caught mid-landing counts too, even if it became readable by the
+    # time the claimer re-derived — its files are not in `entries`.
+    in_flight = len(_VERSION_CLAIMER.in_flight_versions(path)) + racing
     # retention anchors are MAIN rewrites only: an unpublished WAP
     # branch's rewrite is invisible to main readers — expiring main
     # history against it would empty the table for everyone

@@ -4576,8 +4576,9 @@ def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     advisor's measured row for that candidate supplies the sizing
     input (total rows → bucket count on a 64Ki-rows-per-bucket ladder)
     and the acceptance check (hash-layout skew max/median < 8 — a
-    pathological key distribution would overflow one bucket and the
-    layout would be rejected), and the fact is then committed to the
+    pathological key distribution raises BEFORE any bucketed commit,
+    so the layout is enforced, not merely reported; the oracle pins
+    the verdict TRUE on this corpus), and the fact is then committed to the
     manifest table and BUCKET-compacted at the advised width
     (``compact_snapshots(bucket_by=...)``: task partition id = Spark
     bucket id in the ``_NNNNN`` file-name suffix, layout recorded in
@@ -4636,6 +4637,17 @@ def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(adv["max_partition_rows"])
             < 8 * int(adv["median_partition_rows"])
         )
+        if not skew_ok:
+            # ENFORCED, not just reported: committing a bucketed
+            # layout under a pathological key distribution would bake
+            # one overflowing bucket into every future exchange-free
+            # join — the advisor's whole point is refusing that
+            raise ValueError(
+                "bucketed layout rejected: hash-key skew "
+                f"max={adv['max_partition_rows']} >= 8x median="
+                f"{adv['median_partition_rows']}; salt the key or "
+                "pick another layout candidate"
+            )
         (
             ev.repartition(8)
             .write.format(fmt)

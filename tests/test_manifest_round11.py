@@ -113,13 +113,17 @@ class TestAtomicMerge:
         stop = threading.Event()
 
         def poll():
+            from pyspark.sql import functions as F
+
             while not stop.is_set():
-                rows = read_committed(
-                    registered, path, NUM_SCHEMA
-                ).groupBy().sum("v").collect()
-                n = read_committed(registered, path, NUM_SCHEMA).count()
-                s = rows[0][0] or 0.0
-                observed.append((n, s))
+                # ONE read per observation: count and sum must come
+                # from the same snapshot or the pair itself races
+                row = (
+                    read_committed(registered, path, NUM_SCHEMA)
+                    .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+                    .collect()[0]
+                )
+                observed.append((row["n"], row["s"] or 0.0))
 
         t = threading.Thread(target=poll)
         t.start()
@@ -230,6 +234,143 @@ class TestAtomicMerge:
         back = read_committed(registered, path, NUM_SCHEMA)
         assert back.count() == 5
         assert back.filter("k = 0").count() == 2  # merged row + append
+
+
+class TestConditionalPutRelease:
+    """Round-10 ADVICE: ConditionalPutClaimer needs a real release() —
+    without one an abandoned branch's or GC'd claim's version stays a
+    phantom claim in the store forever, blocking the streaming head
+    and vacuum's orphan GC permanently."""
+
+    def _claimer(self):
+        from olap_project_spark.export.manifest_sink import (
+            ConditionalPutClaimer,
+        )
+
+        store: set = set()
+        return (
+            ConditionalPutClaimer(
+                put_if_absent=lambda k: (
+                    False if k in store else (store.add(k) or True)
+                ),
+                list_claimed=lambda p: [
+                    int(k.rsplit("-", 1)[1].split(".")[0])
+                    for k in store
+                    if k.startswith(f"{p}/_manifest-")
+                ],
+                delete=store.discard,
+            ),
+            store,
+        )
+
+    @staticmethod
+    def _commit(path, kind="append", branch=None, tag="x"):
+        """Drive ONE commit through the real driver-side protocol
+        in-process (a Spark write's commit step runs in a separate
+        Python worker where the injected claimer is invisible — same
+        technique as the round-10 seam tests)."""
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            ManifestWriter,
+            _PartCommit,
+        )
+
+        _os.makedirs(path, exist_ok=True)
+        opts = {"path": path, "kind": kind}
+        if branch is not None:
+            opts["branch"] = branch
+        w = ManifestWriter(opts, overwrite=False)
+        w.commit([_PartCommit(file_name=f"part-{tag}.parquet", n_rows=1)])
+
+    def test_abandon_branch_releases_store_claims(self, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            _stream_visible_head,
+            abandon_branch,
+            set_version_claimer,
+        )
+
+        claimer, store = self._claimer()
+        prev = set_version_claimer(claimer)
+        try:
+            path = str(tmp_path / "cpc_ab")
+            self._commit(path, tag="base")
+            self._commit(path, branch="audit-wip", tag="staged")
+            assert len(store) == 2  # base + branch claim
+            assert abandon_branch(path, "audit-wip") == 1
+            # the claim left the store: version 2 is a reusable hole,
+            # not a permanent phantom holding the stream head at 1
+            assert len(store) == 1
+            assert _stream_visible_head(path) == 1
+            self._commit(path, tag="next")  # reclaims version 2
+            assert _stream_visible_head(path) == 2
+        finally:
+            set_version_claimer(prev)
+
+    def test_stale_claim_gc_releases_store_claims(self, tmp_path):
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            set_version_claimer,
+            vacuum_snapshots,
+        )
+
+        claimer, store = self._claimer()
+        prev = set_version_claimer(claimer)
+        try:
+            path = str(tmp_path / "cpc_gc")
+            self._commit(path, tag="base")
+            # simulate a crash between claim and os.replace: claim in
+            # the store AND an empty file on disk
+            assert claimer.claim(path, 2)
+            open(_os.path.join(path, "_manifest-000002.json"), "w").close()
+            stats = vacuum_snapshots(
+                path, delete_orphans=False, stale_claim_ttl_s=0.0
+            )
+            assert stats["stale_claims_deleted"] == 1
+            # released from the store too — vacuum's in-flight guard
+            # re-arms instead of blocking forever
+            assert len(store) == 1
+            stats2 = vacuum_snapshots(path, delete_orphans=False)
+            assert stats2["in_flight_commits"] == 0
+        finally:
+            set_version_claimer(prev)
+
+    def test_release_without_delete_raises(self, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            ConditionalPutClaimer,
+        )
+
+        c = ConditionalPutClaimer(
+            put_if_absent=lambda k: True, list_claimed=lambda p: []
+        )
+        with pytest.raises(NotImplementedError, match="delete callable"):
+            c.release(str(tmp_path), 1)
+
+    def test_stale_gc_last_moment_reverify_spares_landed_commit(
+        self, registered, tmp_path
+    ):
+        """A claim file that became a real manifest between the TTL
+        check setup and the remove is spared (non-zero size), and its
+        files are referenced — never orphan-collected — this run."""
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "reverify")
+        _seed(registered, path, n=4)
+        # a NON-empty but unparseable file models the half-landed racing
+        # replace: too big to be a crashed claim, not yet valid JSON
+        racing = _os.path.join(path, "_manifest-000002.json")
+        with open(racing, "w") as f:
+            f.write("{not json")
+        stats = vacuum_snapshots(path, stale_claim_ttl_s=0.0)
+        assert stats["stale_claims_deleted"] == 0
+        assert stats["in_flight_commits"] >= 1
+        assert stats["orphans_deleted"] == 0  # GC disarmed under it
+        assert _os.path.exists(racing)
 
 
 class TestBatchDataSourceReader:
