@@ -71,6 +71,7 @@ class _PartCommit(WriterCommitMessage):
     n_rows: int
     col_stats: dict | None = None  # col -> [min, max] for orderable types
     bloom_bits: list | None = None  # sorted set positions for bloom_col
+    part_range: list | None = None  # [min, max] transform value
 
 
 # Per-file bloom parameters (opt-in via the writer's ``bloom_col``
@@ -87,6 +88,126 @@ def _bloom_positions(v: int) -> tuple[int, ...]:
     h1 = (v * 2654435761) % (1 << 32)
     h2 = (v * 40503 + 2699) % (1 << 31)
     return tuple((h1 + i * h2) % BLOOM_M for i in range(BLOOM_K))
+
+
+# ---------------------------------------------------------------------------
+# HIDDEN PARTITIONING — Iceberg-style partition transforms. The table
+# records a transform SPEC ({"col", "kind", "arg"}) per manifest and a
+# per-file transform-value range; readers prune files by a predicate on
+# the SOURCE column with no materialized partition column and no layout
+# knowledge in the query — the reference's year/month/day directory
+# scheme (spark_streaming_consumer.py:323) generalized into table
+# metadata. Supported kinds: identity, truncate[W] and bucket[N] on
+# integers, year/month/days/hours on timestamps. All except bucket are
+# MONOTONE in the source value, so a source range [lo, hi] maps to the
+# transform range [T(lo), T(hi)]; bucket prunes equality probes only.
+# ---------------------------------------------------------------------------
+_EPOCH_ORDINAL = 719163  # date(1970, 1, 1).toordinal()
+
+
+def _parse_transform(raw) -> dict:
+    spec = json.loads(raw) if isinstance(raw, str) else dict(raw)
+    kind = spec.get("kind")
+    if kind not in ("identity", "truncate", "bucket", "year", "month",
+                    "days", "hours"):
+        raise ValueError(f"unknown partition transform kind: {kind!r}")
+    if not spec.get("col"):
+        raise ValueError("partition transform needs a 'col'")
+    if kind in ("truncate", "bucket"):
+        arg = spec.get("arg")
+        if not isinstance(arg, int) or arg < 1:
+            raise ValueError(f"{kind} transform needs a positive int arg")
+    return {"col": spec["col"], "kind": kind, "arg": spec.get("arg")}
+
+
+def _transform_scalar(spec: dict, v) -> int:
+    """Apply the transform to ONE source value (planning-side: maps a
+    predicate bound into transform space). Timestamps accept Python
+    datetime/date; integer kinds accept ints. Python floor-mod keeps
+    truncate/bucket correct for negative values."""
+    import datetime as _dt
+
+    kind = spec["kind"]
+    if kind == "identity":
+        return int(v)
+    if kind == "truncate":
+        return int(v) - (int(v) % spec["arg"])
+    if kind == "bucket":
+        return int(v) % spec["arg"]
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if kind == "year":
+        return v.year - 1970
+    if kind == "month":
+        return (v.year - 1970) * 12 + v.month - 1
+    if kind == "days":
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        return d.toordinal() - _EPOCH_ORDINAL
+    # hours: naive timestamps are wall-clock UTC by the engine's
+    # session-timezone pin (sources/registry.load_table)
+    epoch = _dt.datetime(1970, 1, 1)
+    return int((v - epoch).total_seconds()) // 3600
+
+
+def _transform_array(spec: dict, arr):
+    """Vectorized transform of one Arrow array → int64 numpy values
+    (writer-side: per-batch transform-range tracking). Returns None
+    when any null is present — the file then records no partition
+    range and is never pruned, matching the zone-map contract."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if arr.null_count:
+        return None
+    kind = spec["kind"]
+    if kind in ("identity", "truncate", "bucket"):
+        if not pa.types.is_integer(arr.type):
+            return None
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if kind == "identity":
+            return v
+        if kind == "truncate":
+            return v - np.mod(v, spec["arg"])
+        return np.mod(v, spec["arg"])
+    if not pa.types.is_timestamp(arr.type):
+        return None
+    if kind == "year":
+        return pc.year(arr).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) - 1970
+    if kind == "month":
+        y = pc.year(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (y - 1970) * 12 + m - 1
+    us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if kind == "days":
+        return us // 86_400_000_000
+    return us // 3_600_000_000  # hours
+
+
+def transform_column(spec: dict):
+    """The Spark Column mirroring the transform — what
+    :func:`write_partitioned` range-partitions by, so files land with
+    tight transform ranges. Timestamp kinds assume the engine's UTC
+    session pin (every load path sets it)."""
+    from pyspark.sql import functions as _F
+
+    c = _F.col(spec["col"])
+    kind = spec["kind"]
+    if kind == "identity":
+        return c
+    if kind == "truncate":
+        return c - _F.pmod(c, _F.lit(spec["arg"]))
+    if kind == "bucket":
+        return _F.pmod(c, _F.lit(spec["arg"]))
+    if kind == "year":
+        return _F.year(c) - _F.lit(1970)
+    if kind == "month":
+        return (_F.year(c) - _F.lit(1970)) * 12 + _F.month(c) - _F.lit(1)
+    if kind == "days":
+        return _F.datediff(c, _F.lit("1970-01-01"))
+    return _F.floor(_F.unix_timestamp(c) / _F.lit(3600))  # hours
 
 
 class VersionClaimer:
@@ -286,6 +407,20 @@ class ManifestWriter(DataSourceWriter):
             raise ValueError(f"invalid staging subdir: {self.subdir!r}")
         if self.bucket_by is not None and self.subdir is None:
             raise ValueError("bucketed commits require a 'subdir' option")
+        # HIDDEN PARTITIONING: a transform spec recorded per manifest;
+        # each task tracks its file's [min, max] transform value so
+        # readers prune by source-column predicates with no
+        # materialized partition column (see _parse_transform)
+        pt = options.get("partition_transform")
+        self.partition_transform = _parse_transform(pt) if pt else None
+        if self.partition_transform is not None and schema is not None:
+            if self.partition_transform["col"] not in {
+                f.name for f in schema.fields
+            }:
+                raise ValueError(
+                    f"partition transform column "
+                    f"{self.partition_transform['col']!r} not in schema"
+                )
         # partial-rewrite support: JSON map of RETAINED file name →
         # {"rows": n, "stats": zone-map} carried verbatim into the
         # rewrite manifest beside the newly-written files (the caller —
@@ -344,6 +479,7 @@ class ManifestWriter(DataSourceWriter):
                 schema=arrow_schema,
             )
             writer.write_batch(batch)
+            feed_partition(batch)
             # vectorized zone-map update (Arrow min_max kernel); a
             # column drops out of the zone map on the first null or
             # non-orderable-scalar value, matching the read contract
@@ -379,6 +515,32 @@ class ManifestWriter(DataSourceWriter):
                 if v is not None:
                     bloom.update(_bloom_positions(int(v)))
 
+        # per-file transform-value range (hidden partitioning); falls
+        # to None on nulls/untransformable values — the file is then
+        # never pruned, the zone-map conservatism contract
+        part_range: list | None = None
+        part_disabled = False
+
+        def feed_partition(batch) -> None:
+            nonlocal part_range, part_disabled
+            if self.partition_transform is None or part_disabled:
+                return
+            arr = batch.column(
+                batch.schema.get_field_index(
+                    self.partition_transform["col"]
+                )
+            )
+            vals = _transform_array(self.partition_transform, arr)
+            if vals is None or len(vals) == 0:
+                part_range, part_disabled = None, True
+                return
+            lo, hi = int(vals.min()), int(vals.max())
+            if part_range is None:
+                part_range = [lo, hi]
+            else:
+                part_range[0] = min(part_range[0], lo)
+                part_range[1] = max(part_range[1], hi)
+
         buf: dict[str, list] = {c: [] for c in cols}
         with pq.ParquetWriter(
             os.path.join(out_dir, name), arrow_schema
@@ -404,6 +566,7 @@ class ManifestWriter(DataSourceWriter):
             n_rows=n,
             col_stats=stats,
             bloom_bits=sorted(bloom) if bloom is not None else None,
+            part_range=part_range,
         )
 
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -482,6 +645,13 @@ class ManifestWriter(DataSourceWriter):
                     manifest["file_stats"][name] = entry["stats"]
                 if "rows" in entry:
                     manifest["file_rows"][name] = entry["rows"]
+        if self.partition_transform is not None:
+            manifest["partition_transform"] = self.partition_transform
+            manifest["file_partitions"] = {
+                m.file_name: m.part_range
+                for m in messages
+                if m.part_range is not None
+            }
         if self.merge_keys is not None:
             manifest["merge_keys"] = self.merge_keys
         if self.schema is not None:
@@ -1423,19 +1593,62 @@ def _committed_files(
 def plan_pruned_files(
     path: str, col: str, lo, hi, as_of: int | None = None
 ) -> tuple[list[str], int]:
-    """Data skipping against the manifest zone maps: return (files that
+    """Data skipping against the manifest metadata: return (files that
     may contain rows with ``col`` in [lo, hi], total committed files).
-    A file is skipped ONLY when its recorded [min, max] provably
-    excludes the range; files without a zone map for ``col`` (nulls
-    seen, complex type, pre-stats manifests) are conservatively kept —
-    skipping is an optimization, never a correctness gamble."""
-    entries = _committed_files(path, as_of)
+    A file is skipped ONLY when provably excluded, by EITHER index:
+
+    - its zone map — the recorded raw [min, max] misses the range;
+    - its HIDDEN-PARTITION range — when the committing manifest
+      records a partition transform ON THIS COLUMN, the query range
+      maps into transform space ([T(lo), T(hi)] for the monotone
+      kinds; bucket handles equality probes only) and is checked
+      against the file's recorded transform range. This is what
+      prunes TIMESTAMP predicates: zone maps track only
+      int/float/string, so a month/days-partitioned fact prunes by
+      time through the transform with no materialized date column.
+
+    Files without either record (nulls seen, complex type, pre-stats
+    manifests) are conservatively kept — skipping is an optimization,
+    never a correctness gamble."""
+    live: dict[str, tuple] = {}
+    for _version, m in _log(path, as_of):
+        kind = m.get("kind", "append")
+        if kind == "delete":
+            continue
+        fs = m.get("file_stats", {})
+        spec = m.get("partition_transform")
+        if spec is not None and spec.get("col") != col:
+            spec = None
+        fparts = m.get("file_partitions", {}) if spec is not None else {}
+        entries = {
+            name: (fs.get(name, {}), spec, fparts.get(name))
+            for name in m["files"]
+        }
+        if kind == "rewrite":
+            live = entries
+        else:
+            live.update(entries)
     keep = []
-    for name, st in entries:
+    for name in sorted(live):
+        st, spec, prng = live[name]
         rng = (st or {}).get(col)
-        if rng is None or not (hi < rng[0] or lo > rng[1]):
+        excluded = rng is not None and (hi < rng[0] or lo > rng[1])
+        if not excluded and spec is not None and prng is not None:
+            try:
+                tlo = _transform_scalar(spec, lo)
+                thi = _transform_scalar(spec, hi)
+            except (TypeError, ValueError, AttributeError):
+                tlo = thi = None  # untransformable bound: keep the file
+            if tlo is not None:
+                if spec["kind"] == "bucket":
+                    # bucket is not monotone — equality probes only
+                    if lo == hi:
+                        excluded = not (prng[0] <= tlo <= prng[1])
+                else:
+                    excluded = thi < prng[0] or tlo > prng[1]
+        if not excluded:
             keep.append(name)
-    return sorted(keep), len(entries)
+    return sorted(keep), len(live)
 
 
 def plan_bloom_pruned_files(
@@ -1910,6 +2123,53 @@ def compact_range(
         "n_retained": len(retain),
         "n_new": len(new_files),
     }
+
+
+def write_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    col: str,
+    kind: str,
+    arg: int | None = None,
+    n_files: int = 16,
+    branch: str | None = None,
+) -> int:
+    """Append ``df`` under a HIDDEN-PARTITIONING layout: the rows are
+    range-partitioned on the transform of ``col`` (month/days/year/
+    hours for timestamps, truncate/bucket/identity for integers) so
+    each task's file covers a tight transform range, and the manifest
+    records the spec plus every file's [min, max] transform value.
+    Readers then prune by SOURCE-column predicates
+    (:func:`plan_pruned_files` / :func:`read_pruned`) with no
+    materialized partition column and no layout knowledge in the query
+    — Iceberg's hidden partitioning, the generalization of the
+    reference's year/month/day output directories
+    (spark_streaming_consumer.py:323).
+
+    Scale: the one range exchange here is the pay-once layout cost;
+    every later time-windowed scan opens only the files whose
+    transform range intersects the window. Returns the new snapshot
+    version."""
+    spec = _parse_transform({"col": col, "kind": kind, "arg": arg})
+    out = (
+        df.withColumn("_pt", transform_column(spec))
+        .repartitionByRange(n_files, "_pt")
+        .drop("_pt")
+    )
+    w = (
+        out.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("partition_transform", json.dumps(spec))
+    )
+    if branch is not None:
+        w = w.option("branch", branch)
+    w.mode("append").save()
+    if branch is None:
+        return max(committed_versions(path))
+    return max(
+        v for v, m in _log(path, branch=branch) if m.get("branch") == branch
+    )
 
 
 def read_changes(

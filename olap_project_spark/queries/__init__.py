@@ -215,6 +215,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "manifest_batch_reader_stats",
+    "hidden_partitioning_stats",
     # round-5 refresh slots — 24 (the last of the round-5 rows)
     "session_funnel_stats",
     "pii_redaction_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "merge_upsert_stats",
     "table_profile_summary",
     "cohort_retention_matrix",
-    "multi_touch_attribution",
 )
 
 

@@ -5391,6 +5391,119 @@ def manifest_batch_reader_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hidden partitioning: Iceberg-style partition transforms
+# --------------------------------------------------------------------------
+@register(
+    "hidden_partitioning_stats",
+    oracle="""
+    WITH tgt AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+    drows AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+              FROM events, tgt
+              WHERE CAST(ts AS DATE) = d0)
+    SELECT (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INTEGER)
+            FROM events) AS files_total,
+           TRUE AS prune_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM drows) AS rows_day,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM drows)
+             AS value_cents_day
+    """,
+)
+def hidden_partitioning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING through the gate — Iceberg-style partition
+    transforms on the manifest table, the generalization of the
+    reference's year/month/day output directories
+    (spark_streaming_consumer.py:323) into table metadata: the events
+    fact is written once via :func:`write_partitioned` under a
+    ``days(ts)`` transform (rows range-partitioned on the transform,
+    one file per day; the manifest records the spec and each file's
+    [min, max] transform value), and a calendar-day predicate ON THE
+    SOURCE COLUMN then prunes the file list with no materialized date
+    column and no layout knowledge in the query:
+
+    - ``files_total`` — one file per distinct day (oracle-pinned to
+      the day count);
+    - ``prune_ok`` — planning the first day's window keeps at most
+      2 of them and strictly fewer than all (a boolean, not a pinned
+      sample-dependent count, per the clustered-compaction
+      convention: repartitionByRange boundaries come from sampling);
+    - the day's row count and exact cents sum flow through
+      :func:`read_pruned` (transform pruning + the row filter), so
+      skipping provably loses no rows.
+
+    This is the pruning path zone maps CANNOT provide: the writer's
+    zone maps track int/float/string only, so a timestamp predicate
+    prunes exclusively through the recorded transform ranges.
+
+    Scale: the one range exchange at write is the pay-once layout
+    cost; every later time-windowed scan opens only the files whose
+    transform range intersects the window — the 100-TB time-series
+    read pattern (a day's scan touches 1/365th of the files)."""
+    import datetime as _dt
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        plan_pruned_files,
+        read_pruned,
+        write_partitioned,
+    )
+
+    ensure_manifest_sink(spark)
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_hiddenpart_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_days")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        bounds = ev.agg(
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.min(F.to_date("ts")).alias("d0"),
+        ).collect()[0]
+        n_days = int(bounds["n_days"])
+        write_partitioned(spark, ev, path, "ts", "days", n_files=n_days)
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as f:
+            _json.dump(
+                {"n_days": n_days, "d0": bounds["d0"].isoformat()}, f
+            )
+    with open(done) as f:
+        built = _json.load(f)
+    d0 = _dt.date.fromisoformat(built["d0"])
+    lo = _dt.datetime(d0.year, d0.month, d0.day)
+    hi = lo + _dt.timedelta(days=1)
+    kept, total = plan_pruned_files(
+        path, "ts", lo, hi - _dt.timedelta(microseconds=1)
+    )
+    prune_ok = 1 <= len(kept) <= 2 and len(kept) < total
+    day_rows = (
+        read_pruned(
+            spark,
+            path,
+            "ts timestamp, value double",
+            "ts",
+            lo,
+            hi - _dt.timedelta(microseconds=1),
+        )
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(total, prune_ok, day_rows["n"], day_rows["cents"])],
+        "files_total int, prune_ok boolean, rows_day bigint, "
+        "value_cents_day bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Compaction-policy advisor: metadata-only maintenance planning
 # --------------------------------------------------------------------------
 @register(

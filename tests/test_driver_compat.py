@@ -251,6 +251,7 @@ class TestDriverContract:
             "classifier_auc_roc",            # exact tie-aware ROC-AUC
             # round-11 additions (r12 draft head):
             "manifest_batch_reader_stats",   # public batch read + pushdown
+            "hidden_partitioning_stats",     # partition-transform pruning
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

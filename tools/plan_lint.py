@@ -105,6 +105,7 @@ EXECUTING = {
     "manifest_snapshot_tag_stats",  # named-ref tag lifecycle
     "manifest_nested_embeddings_stats",  # nested types through the sink
     "manifest_batch_reader_stats",  # public DataSource read w/ pushdown
+    "hidden_partitioning_stats",  # partition-transform pruning
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
