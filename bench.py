@@ -250,6 +250,21 @@ def main() -> None:
     except Exception:
         pass
     try:
+        if wanted is not None:
+            raise KeyError("family-filtered run skips telemetry")
+        # the TRAINED-quantizer point (k=32 Lloyd cells): fraction AND
+        # recall, so the frontier comparison vs the untrained index is
+        # re-measured every round (see ann_trained_quantizer_stats)
+        row = (
+            QUERY_REGISTRY["ann_trained_quantizer_stats"]
+            .fn(spark, sf_dir)
+            .collect()[0]
+        )
+        ann_fraction["frac_ivf_trained"] = float(row["frac_trained"])
+        ann_fraction["recall_trained"] = float(row["recall_at_10"])
+    except Exception:
+        pass
+    try:
         ingest_eps = measure_ingest_eps(spark) if wanted is None else None
     except Exception:
         ingest_eps = None

@@ -1230,6 +1230,243 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Trained coarse quantizer: Lloyd-refined IVF cells, cross-engine exact
+# --------------------------------------------------------------------------
+K_TRAINED = 32
+TRAIN_ITERS = 2
+EMB_FIX = 100_000  # per-element fixed point for centroid sums (1e5 —
+# the probe manifest_nested_embeddings_stats already pinned cross-engine)
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, cemb): a k-means-TRAINED coarse quantizer (k=32, 2 Lloyd
+    iterations, deterministic init = the first k vectors) that an SQL
+    oracle can replay EXACTLY — the property the first-16-vectors
+    quantizer had, kept through training:
+
+    - assignment is the bit-stable cosine fold (zip_with/aggregate ↔
+      DuckDB list_dot_product) with row_number(cos DESC, cid ASC)
+      tie-breaks;
+    - the centroid update sums per-element FIXED-POINT integers
+      (round(v·1e5) as bigint — order-independent exact sums, immune
+      to the FP-reduction-order fragility that keeps
+      kmeans_cluster_profile's raw centroids out of its oracle) and
+      divides in double (s / (1e5·n)), an operation both engines and
+      Python perform identically on exactly-representable operands;
+    - empty cells simply drop (both engines GROUP BY the survivors).
+
+    The k×dim result is collected (k·dim doubles — the same bounded
+    scalar pull kmeans_cluster_profile makes) and re-broadcast, so
+    each Lloyd pass is one fused scan. Memoized per (session, corpus)."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        cents = e.filter(F.col("vec_id") < K_TRAINED).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+        )
+        for _ in range(TRAIN_ITERS):
+            c = cosine(F.col("emb"), F.col("cemb"))
+            w = Window.partitionBy("vec_id").orderBy(
+                F.desc("c"), F.asc("cid")
+            )
+            a = (
+                e.join(F.broadcast(cents))
+                .select("vec_id", "emb", "cid", c.alias("c"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+            parts = (
+                a.select("cid", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(
+                        F.round(F.col("v") * EMB_FIX).cast("bigint")
+                    ).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            byc: dict[int, dict[int, tuple]] = {}
+            for r in parts:
+                byc.setdefault(int(r["cid"]), {})[int(r["pos"])] = (
+                    int(r["s"]),
+                    int(r["n"]),
+                )
+            rows = []
+            for cid, dims in sorted(byc.items()):
+                arr = [
+                    dims[p][0] / (EMB_FIX * dims[p][1])
+                    for p in range(len(dims))
+                ]
+                rows.append((cid, arr))
+            cents = spark.createDataFrame(
+                rows, "cid bigint, cemb array<double>"
+            )
+        return cents
+
+    return session_memo(spark, sf_dir, "trained_centroids", build)
+
+
+_TRAINED_COS_SQL = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _trained_oracle() -> str:
+    """DuckDB replay of the trained quantizer + the IVF probe: the
+    same two Lloyd iterations (cosine assignment, 1e5 fixed-point
+    sums, double division), then the query cell's candidate set, its
+    fraction, and recall@10 of the in-cell exact top-k against the
+    global brute force."""
+    cos_ec = _TRAINED_COS_SQL.format(a="e.emb", b="c.cemb")
+    cos_q = _TRAINED_COS_SQL.format(a="e.emb", b="qemb")
+    step = """
+    r{i} AS (SELECT e.vec_id, e.emb, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {cos} DESC, c.cid) AS rn
+           FROM e, c{prev} c),
+    a{i} AS (SELECT vec_id, emb, cid FROM r{i} WHERE rn = 1),
+    s{i} AS (SELECT cid, i,
+                  SUM(CAST(ROUND(emb[i] * {fix}, 0) AS BIGINT)) AS s,
+                  COUNT(*) AS n
+           FROM a{i}, UNNEST(range(1, len(emb) + 1)) AS t(i)
+           GROUP BY cid, i),
+    c{i} AS (SELECT cid, list(s / ({fix}.0 * n) ORDER BY i) AS cemb
+           FROM s{i} GROUP BY cid)"""
+    chain = ",".join(
+        step.format(i=i + 1, prev=i, cos=cos_ec, fix=EMB_FIX)
+        for i in range(TRAIN_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e
+           WHERE vec_id < {K_TRAINED}),
+    {chain},
+    rf AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {cos_ec} DESC, c.cid) AS rn
+           FROM e, c{TRAIN_ITERS} c),
+    af AS (SELECT vec_id, cid FROM rf WHERE rn = 1),
+    q AS (SELECT cid FROM af WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (SELECT af.vec_id FROM af JOIN q USING (cid)
+             WHERE af.vec_id <> {QUERY_VEC_ID}),
+    qe AS (SELECT emb AS qemb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    bf AS (SELECT e.vec_id FROM e, qe WHERE e.vec_id <> {QUERY_VEC_ID}
+           ORDER BY {cos_q} DESC, e.vec_id LIMIT {TOP_K}),
+    iv AS (SELECT e.vec_id FROM e JOIN cand USING (vec_id), qe
+           ORDER BY {cos_q} DESC, e.vec_id LIMIT {TOP_K}),
+    hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+             FROM iv JOIN bf USING (vec_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM e),
+    k AS (SELECT CAST(COUNT(DISTINCT cid) AS INTEGER) AS n_cells FROM af),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_trained FROM cand)
+    SELECT n_vectors, n_cells, n_cand_trained,
+           ROUND(CAST(n_cand_trained AS DOUBLE) / (n_vectors - 1), 6)
+             AS frac_trained,
+           CAST(h AS DOUBLE) / {TOP_K} AS recall_at_10
+    FROM n, k, nc, hits
+    """
+
+
+@register("ann_trained_quantizer_stats", oracle=_trained_oracle)
+def ann_trained_quantizer_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF over the TRAINED coarse quantizer — closing the round-10
+    advisory loop: the k-means loop now supplies the index's cells
+    instead of the first-16-vectors shortcut, at k={K_TRAINED}. Both
+    axes of the quality/cost trade are pinned cross-engine:
+    ``frac_trained`` (the nprobe=1 scored fraction — measurably lower
+    than the untrained ≈1/16: 0.034 at sf0.1) and ``recall_at_10``
+    (the in-cell exact top-10 against the global brute force —
+    computed by BOTH engines, so recall loss is a hash mismatch,
+    never a silent regression).
+
+    MEASURED CONCLUSION (the round-11 sweep, k ∈ {{16, 24, 32}} ×
+    nprobe ∈ {{1, 2, 3}} at sf0.01 and sf0.1): on this corpus no
+    trained configuration dominates the untrained k=16 frontier
+    (frac 0.059 at recall 1.0). Trained k=16/nprobe=1 reproduces it
+    (0.060 / 1.0); finer trained cells cut fraction to 0.034 but drop
+    vec-0 recall to 0.8, and widening the probe buys fraction back
+    without recovering it — the synthetic vectors are near-random
+    beyond the planted near-dups, so Lloyd refinement cannot carve
+    cells that respect vec-0's (largely noise-rank) top-10. The
+    production recall-1.0 contract therefore stays on the untrained
+    k=16 index; this query pins the trained k=32 point so bench
+    tracks both and any corpus change re-opens the question with
+    numbers, not intuition.
+
+    Scale: training is TRAIN_ITERS fused scans (broadcast k×dim
+    centroids, k·dim-double collects); the probe is the same
+    centroid-cell equi-join as every IVF query — candidate generation
+    never scores more than the probed cells' members."""
+    e = _emb(spark, sf_dir)
+    cents = _trained_centroids(spark, sf_dir)
+    c = cosine(F.col("emb"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "cid", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qcid = assign.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cid").alias("qcid")
+    )
+    cand = assign.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(qcid), F.col("cid") == F.col("qcid")
+    )
+    qe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    qcos = cosine(F.col("emb"), F.col("qemb"))
+    bf = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qe))
+        .select("vec_id", qcos.alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    iv = (
+        e.join(cand.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(qe))
+        .select("vec_id", qcos.alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = iv.join(bf, "vec_id").agg(
+        F.count("*").cast("bigint").alias("h")
+    )
+    n = assign.agg(F.count("*").cast("bigint").alias("n_vectors"))
+    k = assign.agg(
+        F.countDistinct("cid").cast("int").alias("n_cells")
+    )
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_cand_trained"))
+    return (
+        n.join(F.broadcast(k))
+        .join(F.broadcast(nc))
+        .join(F.broadcast(hits))
+        .select(
+            "n_vectors",
+            "n_cells",
+            "n_cand_trained",
+            F.round(
+                F.col("n_cand_trained").cast("double")
+                / (F.col("n_vectors") - 1),
+                6,
+            ).alias("frac_trained"),
+            (F.col("h").cast("double") / TOP_K).alias("recall_at_10"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # ANN cost telemetry: candidate fraction of the probed index
 # --------------------------------------------------------------------------
 @register(

@@ -252,6 +252,7 @@ class TestDriverContract:
             # round-11 additions (r12 draft head):
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
+            "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

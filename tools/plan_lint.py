@@ -145,6 +145,10 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     # driver-side job) — executing them IS the session-variable
     # semantics being showcased; the SELECT itself stays lazy
     "sql_session_variable_params",
+    # Lloyd training collects k×dim centroid partials per iteration
+    # (bounded scalar pulls, the kmeans_cluster_profile pattern); the
+    # returned probe plan itself stays lazy and lintable
+    "ann_trained_quantizer_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
@@ -274,6 +278,10 @@ BROADCAST_BOUNDED_OK = {
     # user list (LIMIT 32 after a unique total order) — ≤32 dim rows
     # regardless of SF; the E3 provenance scan can't see the bound
     "hybrid_skew_join_stats",
+    # trained centroids (k=32 literal rows, collected k×dim doubles),
+    # the 1-row `vec_id = 0` query cell/vector, and 1-row aggregates —
+    # all literal-bounded sides
+    "ann_trained_quantizer_stats",
 }
 
 
