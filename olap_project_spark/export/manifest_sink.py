@@ -1541,6 +1541,128 @@ def plan_compaction_ranges(
     return out
 
 
+@dataclass
+class MaintenancePolicy:
+    """One declarative knob set for the table's maintenance loop —
+    what Delta's auto-compaction / Iceberg's maintenance jobs encode
+    as service configuration:
+
+    - ``col``: the numeric range axis the advisor buckets on;
+    - ``n_ranges`` / ``min_files`` / ``max_avg_rows``: the advisor's
+      flagging thresholds (many files, each small — see
+      :func:`plan_compaction_ranges`);
+    - ``n_files_per_range``: rewrite width for a scoped compaction;
+    - ``full_n_files``: consolidation width when a FULL compaction is
+      needed (unmaterialized delete/merge tombstones block scoped
+      rewrites, so the loop materializes them first);
+    - ``vacuum``: expire pre-rewrite snapshots + collect orphans after
+      a rewrite landed this pass;
+    - ``stale_claim_ttl_s``: forwarded to vacuum's crashed-claim GC.
+    """
+
+    col: str
+    n_ranges: int = 8
+    min_files: int = 4
+    max_avg_rows: float = 100_000
+    n_files_per_range: int = 4
+    full_n_files: int = 16
+    vacuum: bool = True
+    stale_claim_ttl_s: float | None = None
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    schema,
+    policy: MaintenancePolicy,
+    dry_run: bool = False,
+) -> dict:
+    """ONE pass of the auto-maintenance loop — the promotion of the
+    advise→compact chain into a single entry point a scheduler calls
+    (Delta auto-compaction / Iceberg maintenance-job shape):
+
+    1. PLAN on metadata only (:func:`plan_compaction_ranges` over the
+       zone maps — no data read);
+    2. if tombstones (delete/merge snapshots) sit above the latest
+       rewrite, a scoped rewrite is unsafe (it would resurrect rows in
+       retained files), so a FULL clustered compaction materializes
+       them — also resolving the flagged small-file pressure;
+    3. otherwise each flagged range gets a scoped
+       :func:`compact_range` (pay I/O proportional to the range);
+    4. a rewrite landed this pass → :func:`vacuum_snapshots` expires
+       pre-rewrite history and collects orphans (per policy).
+
+    ``dry_run=True`` returns the same report with ZERO writes — the
+    operator preview. The pass is IDEMPOTENT: a second call on a
+    maintained table reports ``noop=True`` and commits nothing.
+
+    Returns {"dry_run", "had_tombstones", "flagged_before", "actions",
+    "versions_written", "vacuum", "noop"}."""
+    log = _log(path)
+    last_rw = -1
+    for i, (_v, m) in enumerate(log):
+        if m.get("kind", "append") == "rewrite":
+            last_rw = i
+    had_tombstones = any(
+        m.get("kind", "append") in ("delete", "merge")
+        for _v, m in log[last_rw + 1 :]
+    )
+    plan = plan_compaction_ranges(
+        path,
+        policy.col,
+        n_ranges=policy.n_ranges,
+        min_files=policy.min_files,
+        max_avg_rows=policy.max_avg_rows,
+    )
+    flagged = [r for r in plan if r["needs_compaction"]]
+    report: dict = {
+        "dry_run": dry_run,
+        "had_tombstones": had_tombstones,
+        "flagged_before": len(flagged),
+        "actions": [],
+        "versions_written": [],
+        "vacuum": None,
+        "noop": not flagged and not had_tombstones,
+    }
+    if dry_run or report["noop"]:
+        return report
+    if had_tombstones:
+        # materialize tombstones + consolidate in ONE clustered
+        # rewrite; the sort also turns the zone maps on the policy
+        # axis from "present" into "selective"
+        v = compact_snapshots(
+            spark,
+            path,
+            schema,
+            cluster_by=[policy.col],
+            n_files=policy.full_n_files,
+        )
+        report["actions"].append("full_compact")
+        report["versions_written"].append(v)
+    else:
+        for r in flagged:
+            res = compact_range(
+                spark,
+                path,
+                schema,
+                policy.col,
+                r["range_lo"],
+                r["range_hi"],
+                n_files=policy.n_files_per_range,
+            )
+            if res["n_rewritten"]:
+                report["actions"].append(
+                    f"compact_range[{r['range_lo']}, {r['range_hi']}]"
+                )
+                report["versions_written"].append(res["version"])
+    if policy.vacuum and report["versions_written"]:
+        report["vacuum"] = vacuum_snapshots(
+            path, stale_claim_ttl_s=policy.stale_claim_ttl_s
+        )
+        report["actions"].append("vacuum")
+    return report
+
+
 def _log(
     path: str, as_of: int | None = None, branch: str | None = None
 ) -> list[tuple[int, dict]]:

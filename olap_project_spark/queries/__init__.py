@@ -217,6 +217,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "manifest_batch_reader_stats",
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
+    "auto_maintenance_stats",
     # round-5 refresh slots — 24 (the last of the round-5 rows)
     "session_funnel_stats",
     "pii_redaction_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "zorder_pruning_benefit",
     "scd2_user_type_history",
     "merge_upsert_stats",
-    "table_profile_summary",
 )
 
 

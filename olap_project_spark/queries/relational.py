@@ -5504,6 +5504,154 @@ def hidden_partitioning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Auto-maintenance loop: plan -> compact -> vacuum under one policy
+# --------------------------------------------------------------------------
+@register(
+    "auto_maintenance_stats",
+    oracle="""
+    WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
+    base AS (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+             FROM customer)
+    SELECT CAST(1 AS INTEGER) AS flagged_before,
+           TRUE AS had_tombstones,
+           TRUE AS dry_run_noop,
+           CAST(8 AS INTEGER) AS files_after,
+           CAST(1 AS INTEGER) AS versions_after,
+           TRUE AS noop_second_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS rows_total,
+           (SELECT CAST(SUM(bal) AS BIGINT) FROM base)
+             + 1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM base, m
+                       WHERE c_custkey > mx - mx // 8) AS sum_bal_cents
+    """,
+)
+def auto_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-MAINTENANCE loop through the gate —
+    :func:`maintain(table, policy)` promotes the round-10
+    advise→compact chain into the single entry point a scheduler
+    calls (Delta auto-compaction / Iceberg maintenance-job shape).
+    The fixture manufactures BOTH maintenance debts at once: a
+    small-file storm (six tiny commits in the low eighth of the
+    customer-key space beside one wide healthy commit) and
+    unmaterialized MERGE tombstones (an atomic upsert bumping the top
+    eighth's balances). Then:
+
+    - a DRY RUN reports the work (1 flagged range, tombstones
+      present) and provably writes nothing (version list unchanged);
+    - the REAL pass materializes the tombstones + consolidates in one
+      clustered rewrite (scoped rewrites are unsafe over tombstones —
+      the same resurrection rule compact_range enforces), then
+      vacuums: exactly ``full_n_files`` = 8 live files and ONE
+      retained version remain, oracle-pinned;
+    - a SECOND pass is a no-op — the loop converged;
+    - the end-state row count and exact cents total (base + the
+      merge's +1000/row bump) prove no row was lost or resurrected
+      across compact + vacuum.
+
+    Scale: each pass DECIDES on O(#files) driver metadata and ACTS
+    with I/O proportional to the debt; idempotence is what makes it
+    safe to run from a scheduler every few minutes at 100 TB."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        MaintenancePolicy,
+        ensure_manifest_sink,
+        maintain,
+        merge_upsert,
+        read_committed,
+        table_files,
+        table_versions,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", cents.alias("bal")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_automaint_{os.getpid()}_{tag}"
+    path = os.path.join(root, "cust_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    schema = base.schema
+    if not os.path.exists(stats_file):
+        mx = base.agg(F.max("c_custkey")).collect()[0][0]
+        low = base.filter(F.col("c_custkey") <= mx // 8)
+        for i in range(6):  # the storm: one tiny file per commit
+            (
+                low.filter(F.col("c_custkey") % 6 == i)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        (
+            base.filter(F.col("c_custkey") > mx // 8)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        bump = (
+            base.filter(F.col("c_custkey") > mx - mx // 8)
+            .withColumn("bal", F.col("bal") + 1000)
+            .repartition(1)
+        )
+        merge_upsert(spark, path, bump, ["c_custkey"])
+        policy = MaintenancePolicy(
+            col="c_custkey",
+            n_ranges=4,
+            min_files=4,
+            max_avg_rows=1_000_000,
+            full_n_files=8,
+        )
+        versions_pre = table_versions(path)
+        dry = maintain(spark, path, schema, policy, dry_run=True)
+        dry_noop = table_versions(path) == versions_pre
+        first = maintain(spark, path, schema, policy)
+        second = maintain(spark, path, schema, policy)
+        stats = {
+            "flagged_before": dry["flagged_before"],
+            "had_tombstones": dry["had_tombstones"],
+            "dry_run_noop": dry_noop,
+            "files_after": len(table_files(path)),
+            "versions_after": len(table_versions(path)),
+            "noop_second_pass": second["noop"]
+            and not second["versions_written"]
+            and bool(first["versions_written"]),
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    agg = read_committed(spark, path, schema).agg(
+        F.count("*").alias("n"), F.sum("bal").cast("bigint").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["flagged_before"],
+                stats["had_tombstones"],
+                stats["dry_run_noop"],
+                stats["files_after"],
+                stats["versions_after"],
+                stats["noop_second_pass"],
+                agg["n"],
+                agg["s"],
+            )
+        ],
+        "flagged_before int, had_tombstones boolean, dry_run_noop boolean, "
+        "files_after int, versions_after int, noop_second_pass boolean, "
+        "rows_total bigint, sum_bal_cents bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Compaction-policy advisor: metadata-only maintenance planning
 # --------------------------------------------------------------------------
 @register(

@@ -253,6 +253,7 @@ class TestDriverContract:
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
+            "auto_maintenance_stats",        # maintain(table, policy) loop
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -942,7 +942,7 @@ from hypothesis import strategies as st  # noqa: E402
 
 r10_op = st.sampled_from(
     ["append", "upsert", "compact_range", "compact_full",
-     "stale_claim", "vacuum_ttl", "tag"]
+     "stale_claim", "vacuum_ttl", "tag", "maintain"]
 )
 
 
@@ -1029,6 +1029,36 @@ def test_round10_lifecycle_preserves_state_and_tags(
             vacuum_snapshots(path, stale_claim_ttl_s=0.0)
             # expiry may have shortened time travel: drop tags whose
             # version fell below the retained floor
+            kept = table_versions(path)
+            floor = min(kept, default=0)
+            for name in list(tag_versions):
+                if tag_versions[name] < floor:
+                    tags.pop(name)
+                    tag_versions.pop(name)
+        elif op == "maintain":
+            # round-11: one scheduler pass of the auto-maintenance
+            # loop — plan, compact (scoped or full over tombstones),
+            # vacuum — must preserve the model and every retained tag
+            if not table_versions(path) or not model:
+                continue
+            from olap_project_spark.export.manifest_sink import (
+                MaintenancePolicy,
+                maintain,
+            )
+
+            maintain(
+                registered,
+                path,
+                SCHEMA,
+                MaintenancePolicy(
+                    col="k",
+                    n_ranges=4,
+                    min_files=3,
+                    max_avg_rows=10,
+                    n_files_per_range=1,
+                    full_n_files=2,
+                ),
+            )
             kept = table_versions(path)
             floor = min(kept, default=0)
             for name in list(tag_versions):

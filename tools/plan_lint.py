@@ -106,6 +106,7 @@ EXECUTING = {
     "manifest_nested_embeddings_stats",  # nested types through the sink
     "manifest_batch_reader_stats",  # public DataSource read w/ pushdown
     "hidden_partitioning_stats",  # partition-transform pruning
+    "auto_maintenance_stats",  # plan -> compact -> vacuum policy loop
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
