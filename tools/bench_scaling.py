@@ -66,6 +66,20 @@ REPS = [
     # the backpressure tail drains a version backlog as capped batches
     ("manifest_bucketed_join_stats", "advisor-bucketed colocated join"),
     ("manifest_stream_backpressure_stats", "capped lakehouse tail"),
+    # the third round-10 flagship (r10 verdict #7): micro-batch count
+    # is trigger-bounded, so wall time is state-store-constant
+    ("stateful_rocksdb_store_stats", "RocksDB state-store stream"),
+    # round-11 flagships: the atomic MERGE pays O(|updates|) + ONE
+    # manifest; the public reader plans O(#manifests) driver-side and
+    # scans one task per surviving file; transform pruning opens files
+    # in proportion to the time window; the maintenance pass decides
+    # on metadata and re-reads only the consolidated state; the
+    # trained-quantizer probe scores only the query cell's members
+    ("mor_upsert_stats", "atomic MoR MERGE upsert"),
+    ("manifest_batch_reader_stats", "public batch read + pushdown"),
+    ("hidden_partitioning_stats", "partition-transform pruning"),
+    ("auto_maintenance_stats", "policy maintenance pass"),
+    ("ann_trained_quantizer_stats", "Lloyd-trained IVF probe"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
