@@ -877,7 +877,10 @@ class ManifestBatchReader(DataSourceReader):
     skips files the pushed-down filters provably exclude:
 
     - zone maps prune range/equality comparisons on any stats column;
-    - per-file blooms prune integer equality probes on the bloom_col.
+    - per-file blooms prune integer equality probes on the bloom_col;
+    - HIDDEN-PARTITION transform ranges prune comparisons on the
+      transform's source column — including TIMESTAMP predicates,
+      which zone maps (int/float/string only) never see.
 
     Every pushed filter is RETURNED to Spark for re-evaluation — the
     pruning only shrinks the FILE list, so it is transparently
@@ -904,33 +907,63 @@ class ManifestBatchReader(DataSourceReader):
         self._pushed: list[tuple[str, str, object]] = []
 
     @staticmethod
-    def _excluded(stats: dict, bloom_col, bloom_bits, pushed) -> bool:
+    def _excluded(stats: dict, bloom_col, bloom_bits, spec, prng, pushed) -> bool:
+        import datetime as _dt
+
         for col, op, val in pushed:
-            rng = (stats or {}).get(col)
-            if rng is not None:
-                lo, hi = rng[0], rng[1]
-                # compare only like-typed values (zone maps hold the
-                # column's native type; a mistyped literal never prunes)
-                same = isinstance(val, str) == isinstance(lo, str)
-                if same:
-                    if op == "EqualTo" and (val < lo or val > hi):
+            if not isinstance(val, (_dt.datetime, _dt.date)):
+                rng = (stats or {}).get(col)
+                if rng is not None:
+                    lo, hi = rng[0], rng[1]
+                    # compare only like-typed values (zone maps hold
+                    # the column's native type; a mistyped literal
+                    # never prunes)
+                    same = isinstance(val, str) == isinstance(lo, str)
+                    if same:
+                        if op == "EqualTo" and (val < lo or val > hi):
+                            return True
+                        if op == "GreaterThan" and hi <= val:
+                            return True
+                        if op == "GreaterThanOrEqual" and hi < val:
+                            return True
+                        if op == "LessThan" and lo >= val:
+                            return True
+                        if op == "LessThanOrEqual" and lo > val:
+                            return True
+                if (
+                    op == "EqualTo"
+                    and bloom_bits is not None
+                    and col == bloom_col
+                    and isinstance(val, int)
+                    and not all(
+                        p in bloom_bits for p in _bloom_positions(val)
+                    )
+                ):
+                    return True
+            # HIDDEN-PARTITION pruning: map the comparison into
+            # transform space against the file's recorded transform
+            # range — the path that prunes TIMESTAMP filters, which
+            # zone maps (int/float/string only) never see. The
+            # comparison bound maps CONSERVATIVELY (inclusive), which
+            # is always safe for monotone transforms; bucket handles
+            # equality probes only.
+            if spec is not None and prng is not None and col == spec["col"]:
+                try:
+                    t = _transform_scalar(spec, val)
+                except (TypeError, ValueError, AttributeError):
+                    continue  # untransformable literal: keep the file
+                if spec["kind"] == "bucket":
+                    if op == "EqualTo" and not (prng[0] <= t <= prng[1]):
                         return True
-                    if op == "GreaterThan" and hi <= val:
-                        return True
-                    if op == "GreaterThanOrEqual" and hi < val:
-                        return True
-                    if op == "LessThan" and lo >= val:
-                        return True
-                    if op == "LessThanOrEqual" and lo > val:
-                        return True
-            if (
-                op == "EqualTo"
-                and bloom_bits is not None
-                and col == bloom_col
-                and isinstance(val, int)
-                and not all(p in bloom_bits for p in _bloom_positions(val))
-            ):
-                return True
+                    continue
+                if op == "EqualTo" and (t < prng[0] or t > prng[1]):
+                    return True
+                if op in ("GreaterThan", "GreaterThanOrEqual") and (
+                    prng[1] < t
+                ):
+                    return True
+                if op in ("LessThan", "LessThanOrEqual") and prng[0] > t:
+                    return True
         return False
 
     def partitions(self) -> list[InputPartition]:
@@ -944,6 +977,8 @@ class ManifestBatchReader(DataSourceReader):
             fs = m.get("file_stats", {})
             bcol = m.get("bloom_col")
             blooms = m.get("file_blooms", {})
+            spec = m.get("partition_transform")
+            fparts = m.get("file_partitions", {}) if spec else {}
             if kind == "delete":
                 cols = tuple(
                     f["name"] for f in m["schema"]["fields"]
@@ -956,6 +991,8 @@ class ManifestBatchReader(DataSourceReader):
                     fs.get(f, {}),
                     bcol,
                     set(blooms[f]) if f in blooms else None,
+                    spec,
+                    fparts.get(f),
                 )
                 for f in m["files"]
             }
@@ -978,8 +1015,8 @@ class ManifestBatchReader(DataSourceReader):
         sj = json.dumps(self.schema.jsonValue())
         out: list[InputPartition] = []
         for name in sorted(live):
-            vf, stats, bcol, bits = live[name]
-            if self._excluded(stats, bcol, bits, self._pushed):
+            vf, stats, bcol, bits, spec, prng = live[name]
+            if self._excluded(stats, bcol, bits, spec, prng, self._pushed):
                 continue
             applicable = [
                 (cols, [os.path.join(staging, t) for t in files])
@@ -1043,6 +1080,8 @@ class ManifestBatchReaderPushdown(ManifestBatchReader):
     default ``spark.sql.python.filterPushdown.enabled=false``."""
 
     def pushFilters(self, filters):
+        import datetime as _dt
+
         for f in filters:
             if (
                 isinstance(
@@ -1056,7 +1095,9 @@ class ManifestBatchReaderPushdown(ManifestBatchReader):
                     ),
                 )
                 and len(f.attribute) == 1
-                and isinstance(f.value, (int, float, str))
+                and isinstance(
+                    f.value, (int, float, str, _dt.datetime, _dt.date)
+                )
                 and not isinstance(f.value, bool)
             ):
                 self._pushed.append(

@@ -636,6 +636,41 @@ class TestBatchDataSourceReader:
         assert none.count() == 0
         assert none.rdd.getNumPartitions() == 1  # the empty-scan stub
 
+    def test_pushdown_prunes_by_transform_range(self, registered, tmp_path):
+        """A TIMESTAMP filter prunes files through the recorded
+        hidden-partition transform ranges — the pushdown path zone
+        maps cannot serve (they track int/float/string only)."""
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "ts_push")
+        frame = registered.range(0, 96).selectExpr(
+            "id as k",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,"
+            "cast(id as int),0,0) as ts",
+            "cast(1.0 as double) as v",
+        )
+        write_partitioned(registered, frame, path, "ts", "days", n_files=4)
+        child = registered.newSession()
+        child.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        fmt = ensure_manifest_sink(child)
+        full = (
+            child.read.format(fmt)
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+        )
+        assert full.rdd.getNumPartitions() == 4
+        day = full.filter(
+            "ts >= timestamp'2024-01-02 00:00:00' "
+            "and ts < timestamp'2024-01-03 00:00:00'"
+        )
+        assert day.count() == 24
+        assert day.rdd.getNumPartitions() <= 2  # transform-pruned
+
     def test_pruned_merge_file_still_tombstones(self, registered, tmp_path):
         """A pushed filter that excludes the MERGE's own data file must
         not resurrect the pre-merge rows it tombstoned: file pruning
