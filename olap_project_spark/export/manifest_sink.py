@@ -1598,7 +1598,11 @@ class MaintenancePolicy:
       rewrites, so the loop materializes them first);
     - ``vacuum``: expire pre-rewrite snapshots + collect orphans after
       a rewrite landed this pass;
-    - ``stale_claim_ttl_s``: forwarded to vacuum's crashed-claim GC.
+    - ``stale_claim_ttl_s``: forwarded to vacuum's crashed-claim GC;
+    - ``partition_by``: ``(col, kind[, arg])`` — the table's HIDDEN
+      PARTITIONING layout, preserved through any full compaction this
+      loop performs (otherwise the rewrite would drop the transform
+      metadata and time-window pruning with it).
     """
 
     col: str
@@ -1609,6 +1613,7 @@ class MaintenancePolicy:
     full_n_files: int = 16
     vacuum: bool = True
     stale_claim_ttl_s: float | None = None
+    partition_by: tuple | None = None
 
 
 def maintain(
@@ -1670,12 +1675,15 @@ def maintain(
     if had_tombstones:
         # materialize tombstones + consolidate in ONE clustered
         # rewrite; the sort also turns the zone maps on the policy
-        # axis from "present" into "selective"
+        # axis from "present" into "selective". A declared hidden-
+        # partitioning layout takes precedence as the rewrite axis so
+        # the loop never strips the table's transform metadata.
         v = compact_snapshots(
             spark,
             path,
             schema,
-            cluster_by=[policy.col],
+            cluster_by=None if policy.partition_by else [policy.col],
+            partition_by=policy.partition_by,
             n_files=policy.full_n_files,
         )
         report["actions"].append("full_compact")
@@ -2126,6 +2134,7 @@ def compact_snapshots(
     n_files: int = 16,
     bucket_by: str | None = None,
     n_buckets: int | None = None,
+    partition_by: tuple | None = None,
 ) -> int:
     """Consolidate the table's current committed state into ONE rewrite
     snapshot — the small-file compaction lever for the manifest table
@@ -2158,16 +2167,38 @@ def compact_snapshots(
     optimizes JOIN/AGG co-location, clustering optimizes RANGE
     skipping — a table layout picks one clustering axis.
 
+    ``partition_by`` = ``(col, kind, arg)`` preserves (or establishes)
+    a HIDDEN-PARTITIONING layout through the rewrite: without it a
+    compaction of a :func:`write_partitioned` table would silently
+    DROP the transform metadata — the rewrite manifest records no
+    spec, so every later time-window read stops pruning. The rewrite
+    range-partitions on the transform and records the spec + per-file
+    transform ranges exactly like the original writes.
+
     Scale: the consolidation is a normal distributed read + write
     through the same exactly-once writer (one pass; clustered rewrites
     add the one range-exchange any sort-order rewrite costs); expired
     staging files are garbage to collect only once no reader needs
     pre-compaction versions (the Iceberg/Delta VACUUM contract)."""
-    if bucket_by is not None and cluster_by:
-        raise ValueError("bucket_by and cluster_by are mutually exclusive")
+    if sum(1 for x in (bucket_by, cluster_by, partition_by) if x) > 1:
+        raise ValueError(
+            "bucket_by, cluster_by, and partition_by are mutually "
+            "exclusive — a layout picks one clustering axis"
+        )
     current = read_committed(spark, path, schema)
     writer_opts: dict[str, str] = {}
-    if bucket_by is not None:
+    if partition_by is not None:
+        col_, kind_, *arg_ = partition_by
+        spec = _parse_transform(
+            {"col": col_, "kind": kind_, "arg": arg_[0] if arg_ else None}
+        )
+        current = (
+            current.withColumn("_pt", transform_column(spec))
+            .repartitionByRange(n_files, "_pt")
+            .drop("_pt")
+        )
+        writer_opts = {"partition_transform": json.dumps(spec)}
+    elif bucket_by is not None:
         n_buckets = n_buckets or 16
         current = current.repartition(n_buckets, bucket_by)
         writer_opts = {

@@ -384,6 +384,69 @@ class TestHiddenPartitioning:
             vec = list(_transform_array(spec, arr_i))
             assert vec == [_transform_scalar(spec, v) for v in ints], kind
 
+    def test_compaction_preserves_hidden_partitioning(
+        self, registered, tmp_path
+    ):
+        """compact_snapshots(partition_by=...) re-records the transform
+        spec + per-file ranges through the rewrite — without it the
+        consolidation would silently drop the layout and every later
+        time-window read would stop pruning."""
+        import datetime as dt
+
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            plan_pruned_files,
+            read_committed,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "compat")
+        write_partitioned(
+            registered,
+            self._ts_frame(registered, hours=48),
+            path,
+            "ts",
+            "days",
+            n_files=2,
+        )
+        write_partitioned(
+            registered,
+            self._ts_frame(registered, hours=96).filter("k >= 48"),
+            path,
+            "ts",
+            "days",
+            n_files=2,
+        )
+        compact_snapshots(
+            registered,
+            path,
+            self.TS_SCHEMA,
+            partition_by=("ts", "days"),
+            n_files=4,
+        )
+        lo = dt.datetime(2024, 1, 2)
+        hi = dt.datetime(2024, 1, 2, 23, 59, 59)
+        kept, total = plan_pruned_files(path, "ts", lo, hi)
+        assert total == 4  # the rewrite's files, not the history's
+        assert 1 <= len(kept) <= 2
+        got = (
+            read_committed(registered, path, self.TS_SCHEMA)
+            .filter("ts >= '2024-01-02' and ts < '2024-01-03'")
+            .count()
+        )
+        assert got == 24
+
+    def test_layout_options_mutually_exclusive(self, registered, tmp_path):
+        with pytest.raises(ValueError, match="mutually"):
+            compact_snapshots(
+                registered,
+                str(tmp_path / "never"),
+                self.TS_SCHEMA,
+                cluster_by=["k"],
+                partition_by=("ts", "days"),
+            )
+
     def test_invalid_transform_rejected(self, registered, tmp_path):
         from olap_project_spark.export.manifest_sink import (
             write_partitioned,
