@@ -505,6 +505,19 @@ SHOWCASE = [
         "bucket exchange was paid ONCE at compaction; every future "
         "join/agg on the key rides it free.",
     ),
+    # (manifest_batch_reader_stats returns a collected 1-row stats
+    # frame, so its INTERESTING plan — the BatchScan of the Python
+    # DataSource with the pushed filter re-applied above it and the
+    # file list pruned — is pinned live in
+    # tests/test_plans.py::TestRound11PlanShapes instead.)
+    (
+        "ann_trained_quantizer_stats",
+        "Lloyd-trained IVF probe: the trained k×dim centroids broadcast "
+        "(literal-bounded, never the corpus), candidate generation is a "
+        "centroid-cell equi-join, and both top-k legs compile to "
+        "TakeOrderedAndProject — the index scores only the query cell's "
+        "members.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
