@@ -5602,10 +5602,17 @@ def auto_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(1)
         )
         merge_upsert(spark, path, bump, ["c_custkey"])
+        # min_files=5, deliberately: after the 8-file clustered
+        # rewrite, a 4-range plan can attribute at most 4 contiguous
+        # files to one range (2 interior + 2 boundary-spanners, and
+        # repartitionByRange boundaries come from sampling) — a
+        # threshold of 4 would make second-pass convergence depend on
+        # the sample, while the storm range always holds 7 (6 tiny
+        # files + the wide file spanning in)
         policy = MaintenancePolicy(
             col="c_custkey",
             n_ranges=4,
-            min_files=4,
+            min_files=5,
             max_avg_rows=1_000_000,
             full_n_files=8,
         )
