@@ -144,9 +144,12 @@ def _transform_scalar(spec: dict, v) -> int:
         d = v.date() if isinstance(v, _dt.datetime) else v
         return d.toordinal() - _EPOCH_ORDINAL
     # hours: naive timestamps are wall-clock UTC by the engine's
-    # session-timezone pin (sources/registry.load_table)
+    # session-timezone pin (sources/registry.load_table). timedelta
+    # floor-division FLOORS (matching the writer's microsecond floor
+    # for pre-epoch values); int(total_seconds()) would truncate
+    # toward zero and disagree in the final second before the epoch
     epoch = _dt.datetime(1970, 1, 1)
-    return int((v - epoch).total_seconds()) // 3600
+    return (v - epoch) // _dt.timedelta(hours=1)
 
 
 def _transform_array(spec: dict, arr):
@@ -240,6 +243,14 @@ class VersionClaimer:
     def claimed_versions(self, path: str) -> list[int]:
         raise NotImplementedError
 
+    def can_release(self) -> bool:
+        """Whether :meth:`release` will succeed — checked BEFORE any
+        destructive step that must be followed by a release, so a
+        release-incapable claimer (conditional PUT without a delete
+        callable) degrades to skipping the operation instead of
+        half-performing it."""
+        return True
+
     def release(self, path: str, version: int) -> None:
         """Free an abandoned claim (default: nothing to do — POSIX
         claims are the manifest files themselves, removed by the
@@ -254,18 +265,14 @@ class VersionClaimer:
         readable-manifest versions — the union covers both claim
         shapes (POSIX claims ARE the version files; conditional-PUT
         claims live in the store while an unparseable on-disk file can
-        still appear mid-``os.replace``)."""
-        readable = set()
-        on_disk = set()
-        for version, entry in _list_manifests(path):
-            on_disk.add(version)
-            try:
-                with open(os.path.join(path, entry)) as f:
-                    json.load(f)
-                readable.add(version)
-            except (json.JSONDecodeError, OSError):
-                continue
-        return (set(self.claimed_versions(path)) | on_disk) - readable
+        still appear mid-``os.replace``). The hot streaming path
+        (:func:`_stream_visible_head`) inlines this same formula over
+        one shared parse pass rather than parsing the log twice per
+        trigger."""
+        files, parsed = _parse_all(path)
+        return (set(self.claimed_versions(path)) | set(files)) - set(
+            parsed
+        )
 
 
 class PosixVersionClaimer(VersionClaimer):
@@ -313,6 +320,9 @@ class ConditionalPutClaimer(VersionClaimer):
 
     def claimed_versions(self, path: str) -> list[int]:
         return list(self._list_claimed(path))
+
+    def can_release(self) -> bool:
+        return self._delete is not None
 
     def release(self, path: str, version: int) -> None:
         """Remove the claim from the store — without this, an
@@ -427,6 +437,11 @@ class ManifestWriter(DataSourceWriter):
         # compact_range — computes it from the current committed state)
         retain = options.get("retain")
         self.retain: dict = json.loads(retain) if retain else {}
+        # caller-generated opaque token recorded in the manifest: the
+        # ONLY race-free way for an API caller to find the version ITS
+        # write committed (a post-write "latest version" re-read can
+        # pick up a concurrent writer's commit instead)
+        self.commit_token = options.get("commit_token")
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -647,13 +662,22 @@ class ManifestWriter(DataSourceWriter):
                     manifest["file_rows"][name] = entry["rows"]
         if self.partition_transform is not None:
             manifest["partition_transform"] = self.partition_transform
-            manifest["file_partitions"] = {
+            fparts = {
                 m.file_name: m.part_range
                 for m in messages
                 if m.part_range is not None
             }
+            # partial rewrites carry RETAINED files' transform ranges
+            # beside the newly-computed ones (compact_range includes
+            # them only when they were recorded under THIS spec)
+            for name, entry in self.retain.items():
+                if entry.get("part") is not None:
+                    fparts[name] = entry["part"]
+            manifest["file_partitions"] = fparts
         if self.merge_keys is not None:
             manifest["merge_keys"] = self.merge_keys
+        if self.commit_token is not None:
+            manifest["commit_token"] = self.commit_token
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -985,6 +1009,7 @@ class ManifestBatchReader(DataSourceReader):
                 )
                 tombs.append((version, cols, list(m["files"])))
                 continue
+            rows = m.get("file_rows", {})
             entries = {
                 f: (
                     version,
@@ -993,6 +1018,7 @@ class ManifestBatchReader(DataSourceReader):
                     set(blooms[f]) if f in blooms else None,
                     spec,
                     fparts.get(f),
+                    rows.get(f),
                 )
                 for f in m["files"]
             }
@@ -1015,7 +1041,9 @@ class ManifestBatchReader(DataSourceReader):
         sj = json.dumps(self.schema.jsonValue())
         out: list[InputPartition] = []
         for name in sorted(live):
-            vf, stats, bcol, bits, spec, prng = live[name]
+            vf, stats, bcol, bits, spec, prng, n_rows = live[name]
+            if n_rows == 0:
+                continue  # recorded empty: provably nothing to scan
             if self._excluded(stats, bcol, bits, spec, prng, self._pushed):
                 continue
             applicable = [
@@ -1152,6 +1180,22 @@ def _list_manifests(path: str) -> list[tuple[int, str]]:
     return out
 
 
+def _parse_all(path: str) -> tuple[dict[int, str], dict[int, dict]]:
+    """ONE parse pass over the manifest log: (version → filename,
+    version → parsed manifest for the readable subset). The shared
+    substrate of the in-flight derivation and the streaming head, so
+    a latestOffset poll costs one O(#manifests) parse, not two."""
+    files = dict(_list_manifests(path))
+    parsed: dict[int, dict] = {}
+    for version, entry in files.items():
+        try:
+            with open(os.path.join(path, entry)) as f:
+                parsed[version] = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+    return files, parsed
+
+
 def table_versions(path: str) -> list[int]:
     """Committed snapshot versions, ascending — the time-travel axis."""
     return sorted(v for v, _ in _list_manifests(path))
@@ -1178,25 +1222,21 @@ def _stream_visible_head(path: str) -> int:
     version is permanent (commit always claims above the observed
     max), and a freed TOP version can only be reclaimed while the head
     still holds below it — nothing was ever delivered past it either
-    way. The in-flight signal comes from
-    :meth:`VersionClaimer.in_flight_versions`, so a claimer whose
-    claims live outside the filesystem (conditional PUT) still holds
-    the head below its file-less claims."""
-    files = dict(_list_manifests(path))
-    in_flight = _VERSION_CLAIMER.in_flight_versions(path)
-    versions = sorted(
-        set(_VERSION_CLAIMER.claimed_versions(path)) | set(files) | in_flight
-    )
+    way. The in-flight signal is the
+    :meth:`VersionClaimer.in_flight_versions` derivation — (claims ∪
+    on-disk) − readable — inlined over ONE shared parse pass
+    (:func:`_parse_all`), so a claimer whose claims live outside the
+    filesystem (conditional PUT) still holds the head below its
+    file-less claims and a latestOffset poll parses each manifest
+    exactly once."""
+    files, parsed = _parse_all(path)
+    claimed = set(_VERSION_CLAIMER.claimed_versions(path))
+    in_flight = (claimed | set(files)) - set(parsed)
     head = 0
-    for version in versions:
+    for version in sorted(claimed | set(files)):
         if version in in_flight:
             break  # commit in flight: not yet readable — wait
-        try:
-            with open(os.path.join(path, files[version])) as f:
-                m = json.load(f)
-        except (KeyError, json.JSONDecodeError, OSError):
-            break  # raced into in-flight since the derivation — wait
-        if m.get("branch") is not None:
+        if parsed[version].get("branch") is not None:
             break  # staged WAP commit: may publish at this version — wait
         head = version
     return head
@@ -1225,6 +1265,22 @@ def _read_files(spark: SparkSession, path: str, schema, names) -> DataFrame:
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+def _committed_entry_of(
+    path: str, token: str, branch: str | None = None
+) -> tuple[int, dict]:
+    """(version, manifest) of the commit that recorded ``token`` — the
+    race-free post-write lookup every write-API return value uses
+    (scanning for "the latest version" instead would attribute a
+    CONCURRENT writer's commit to this caller)."""
+    for version, m in reversed(_log(path, branch=branch)):
+        if m.get("commit_token") == token and m.get("branch") == branch:
+            return version, m
+    raise RuntimeError(
+        f"commit with token {token!r} not found at {path}; the write "
+        "did not land"
+    )
 
 
 def read_committed(
@@ -1331,19 +1387,17 @@ def delete_where(
     tombstones. ``branch`` stages the delete on a write-audit-publish
     branch instead of committing it to main directly. Returns the new
     snapshot version."""
+    token = uuid.uuid4().hex
     w = (
         keys.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "delete")
+        .option("commit_token", token)
     )
     if branch is not None:
         w = w.option("branch", branch)
     w.mode("append").save()
-    if branch is None:
-        return max(committed_versions(path))
-    return max(
-        v for v, m in _log(path, branch=branch) if m.get("branch") == branch
-    )
+    return _committed_entry_of(path, token, branch)[0]
 
 
 def tag_snapshot(
@@ -1484,21 +1538,18 @@ def merge_upsert(
                     f"{pt.simpleString()} to {ct.simpleString()}, "
                     "which is not a safe widening"
                 )
+    token = uuid.uuid4().hex
     w = (
         updates.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "merge")
         .option("merge_keys", json.dumps(list(keys)))
+        .option("commit_token", token)
     )
     if branch is not None:
         w = w.option("branch", branch)
     w.mode("append").save()
-    log = _log(path, branch=branch)
-    if branch is not None:
-        log = [(v, m) for v, m in log if m.get("branch") == branch]
-    version, m = [
-        (v, m) for v, m in log if m.get("kind") == "merge"
-    ][-1]
+    version, m = _committed_entry_of(path, token, branch)
     return {
         "version": version,
         "n_updates": m["n_rows"],
@@ -1780,19 +1831,22 @@ def plan_pruned_files(
 
     Files without either record (nulls seen, complex type, pre-stats
     manifests) are conservatively kept — skipping is an optimization,
-    never a correctness gamble."""
+    never a correctness gamble. The one unconditional exclusion:
+    files whose manifest records ZERO rows (empty partitions of a
+    range-partitioned write) provably contain nothing."""
     live: dict[str, tuple] = {}
     for _version, m in _log(path, as_of):
         kind = m.get("kind", "append")
         if kind == "delete":
             continue
         fs = m.get("file_stats", {})
+        rows = m.get("file_rows", {})
         spec = m.get("partition_transform")
         if spec is not None and spec.get("col") != col:
             spec = None
         fparts = m.get("file_partitions", {}) if spec is not None else {}
         entries = {
-            name: (fs.get(name, {}), spec, fparts.get(name))
+            name: (fs.get(name, {}), spec, fparts.get(name), rows.get(name))
             for name in m["files"]
         }
         if kind == "rewrite":
@@ -1801,7 +1855,9 @@ def plan_pruned_files(
             live.update(entries)
     keep = []
     for name in sorted(live):
-        st, spec, prng = live[name]
+        st, spec, prng, n_rows = live[name]
+        if n_rows == 0:
+            continue  # recorded empty: provably nothing to read
         rng = (st or {}).get(col)
         excluded = rng is not None and (hi < rng[0] or lo > rng[1])
         if not excluded and spec is not None and prng is not None:
@@ -2110,6 +2166,15 @@ def abandon_branch(path: str, branch: str) -> int:
     staged = [
         (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
     ]
+    if staged and not _VERSION_CLAIMER.can_release():
+        # fail BEFORE any destructive step: removing manifests and
+        # then failing to release their store claims would leave
+        # permanent phantom in-flight versions (stream head blocked,
+        # orphan GC disarmed forever)
+        raise NotImplementedError(
+            "the installed VersionClaimer cannot release claims; "
+            "abandon_branch needs a delete-capable claimer"
+        )
     # files still referenced by surviving manifests must not be GC'd
     # (_log's default main view already excludes every branch-tagged
     # manifest; distinct staging files per commit make cross-branch
@@ -2293,22 +2358,51 @@ def compact_range(
     for f in table_files(path):
         if f["file_name"] in retain and f["n_rows"] is not None:
             retain[f["file_name"]]["rows"] = f["n_rows"]
+    # HIDDEN-PARTITIONING preservation: a scoped rewrite must not
+    # strip the table's transform metadata (the round-11 layout —
+    # otherwise every later time-window read stops pruning). The
+    # LATEST recorded spec survives: retained files carry their
+    # recorded transform range (only if recorded under that same
+    # spec), and the writer recomputes ranges for the new files.
+    live_spec_parts: dict[str, tuple] = {}
+    spec_latest = None
+    for _v2, m2 in log:
+        kind2 = m2.get("kind", "append")
+        if kind2 == "delete":
+            continue
+        sp = m2.get("partition_transform")
+        fp = m2.get("file_partitions", {})
+        entries2 = {f: (sp, fp.get(f)) for f in m2["files"]}
+        if kind2 == "rewrite":
+            live_spec_parts = entries2
+        else:
+            live_spec_parts.update(entries2)
+        if sp is not None:
+            spec_latest = sp
+    if spec_latest is not None:
+        for name, entry in retain.items():
+            sp, rng = live_spec_parts.get(name, (None, None))
+            if sp == spec_latest and rng is not None:
+                entry["part"] = rng
     current = read_committed(spark, path, schema, _keep=rewrite_set)
     current = current.repartitionByRange(n_files, col).sortWithinPartitions(
         col
     )
-    (
+    token = uuid.uuid4().hex
+    w = (
         current.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("kind", "rewrite")
         .option("retain", json.dumps(retain))
-        .mode("append")
-        .save()
+        .option("commit_token", token)
     )
-    version = max(committed_versions(path))
+    if spec_latest is not None:
+        w = w.option("partition_transform", json.dumps(spec_latest))
+    w.mode("append").save()
+    version, rewrite_m = _committed_entry_of(path, token)
     new_files = [
         f
-        for f in _log(path)[-1][1]["files"]
+        for f in rewrite_m["files"]
         if f not in retain and f not in rewrite_set
     ]
     return {
@@ -2346,6 +2440,7 @@ def write_partitioned(
     transform range intersects the window. Returns the new snapshot
     version."""
     spec = _parse_transform({"col": col, "kind": kind, "arg": arg})
+    token = uuid.uuid4().hex
     out = (
         df.withColumn("_pt", transform_column(spec))
         .repartitionByRange(n_files, "_pt")
@@ -2355,15 +2450,12 @@ def write_partitioned(
         out.write.format(ensure_manifest_sink(spark))
         .option("path", path)
         .option("partition_transform", json.dumps(spec))
+        .option("commit_token", token)
     )
     if branch is not None:
         w = w.option("branch", branch)
     w.mode("append").save()
-    if branch is None:
-        return max(committed_versions(path))
-    return max(
-        v for v, m in _log(path, branch=branch) if m.get("branch") == branch
-    )
+    return _committed_entry_of(path, token, branch)[0]
 
 
 def read_changes(
@@ -2609,7 +2701,12 @@ def vacuum_snapshots(
 
     entries: list[tuple[int, str, dict]] = []
     stale_deleted = 0
-    racing = 0  # replaces observed mid-flight: poisons orphan GC
+    # unparseable claims seen DURING the scan, whether young-and-kept
+    # or caught mid-replace: each may become readable between this
+    # loop and the claimer derivation below, in which case it is no
+    # longer "in flight" there yet its files are absent from
+    # `entries` — orphan GC must stay disarmed for this run either way
+    unresolved = 0
     for version, entry in _list_manifests(path):
         full = os.path.join(path, entry)
         try:
@@ -2629,25 +2726,39 @@ def vacuum_snapshots(
                         m = json.load(f)
                     entries.append((version, entry, m))
                 except (json.JSONDecodeError, OSError):
-                    racing += 1  # racing replace: defer GC this run
+                    unresolved += 1  # racing replace: defer GC this run
                 continue
             age = time.time() - st.st_mtime
-            if stale_claim_ttl_s is not None and age > stale_claim_ttl_s:
+            if (
+                stale_claim_ttl_s is not None
+                and age > stale_claim_ttl_s
+                and _VERSION_CLAIMER.can_release()
+            ):
                 # the size-0 re-stat just above is the last-moment
                 # re-verification: a committer that landed its
                 # os.replace since the failed parse shows non-zero
-                # size and is left alone
+                # size and is left alone. A claimer that cannot
+                # release (conditional-PUT without a delete callable)
+                # skips the GC entirely: removing the file while the
+                # store claim lingers would leave a permanent phantom
+                # in-flight version.
                 os.remove(full)  # crashed claim: permanent hole, GC it
                 _VERSION_CLAIMER.release(path, version)
                 stale_deleted += 1
-            continue  # young claims count in-flight via the claimer
+            else:
+                unresolved += 1  # young/unreleasable: in flight now
+            continue
         entries.append((version, entry, m))
-    # the commit-in-flight set, from the claimer interface (covers
-    # unparseable young file claims AND store-side claims with no file
-    # yet): their staging output must not look like orphans. A replace
-    # caught mid-landing counts too, even if it became readable by the
-    # time the claimer re-derived — its files are not in `entries`.
-    in_flight = len(_VERSION_CLAIMER.in_flight_versions(path)) + racing
+    # the commit-in-flight count: the claimer derivation (covers
+    # store-side claims with no file yet) joined with the scan loop's
+    # own unresolved count via max — a commit that LANDED between the
+    # loop and the derivation is readable there (not in-flight) yet
+    # absent from `entries`, so the loop's count must still disarm
+    # orphan GC; max (not sum) avoids double-counting a claim both
+    # saw
+    in_flight = max(
+        len(_VERSION_CLAIMER.in_flight_versions(path)), unresolved
+    )
     # retention anchors are MAIN rewrites only: an unpublished WAP
     # branch's rewrite is invisible to main readers — expiring main
     # history against it would empty the table for everyone

@@ -243,8 +243,8 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "daily_error_trend",
     "weekend_vs_weekday",
     "above_avg_error_users",
-    # round-6 refresh slots — 26 (CORRECTNESS_r06 order; tail
-    # trimmed as round-11 additions land)
+    # round-6 refresh slots — 22 (CORRECTNESS_r06 order; tail
+    # trimmed as round-11 additions landed)
     "conversion_latency_quantiles",
     "score_lift_gains",
     "bootstrap_mean_ci",

@@ -791,3 +791,215 @@ class TestBatchDataSourceReader:
         )
         assert df.count() == 8
         assert set(df.columns) == {"k", "v"}
+
+
+class TestReviewFixesR11:
+    """Round-11 self-review regressions: the vacuum in-flight window,
+    pre-epoch hours flooring, layout preservation through scoped
+    rewrites, zero-row file exclusion, commit-token attribution, and
+    release-incapable-claimer degradation."""
+
+    def test_vacuum_guard_survives_commit_landing_mid_pass(
+        self, registered, tmp_path
+    ):
+        """A commit that lands BETWEEN vacuum's scan loop and the
+        claimer derivation is readable there (not in-flight) yet
+        absent from the scan's entries — the loop's own unresolved
+        count must still disarm orphan GC or the just-committed data
+        files get deleted as orphans."""
+        import json as _json
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            PosixVersionClaimer,
+            set_version_claimer,
+            vacuum_snapshots,
+        )
+
+        path = str(tmp_path / "midpass")
+        _seed(registered, path, n=4)
+        # version 2 is mid-commit: staging file written, manifest
+        # still the empty O_EXCL claim
+        staging = _os.path.join(path, "_staging")
+        data = _os.path.join(staging, "part-midpass.parquet")
+        open(data, "wb").write(b"xx")
+        claim = _os.path.join(path, "_manifest-000002.json")
+        open(claim, "w").close()
+        manifest = {
+            "kind": "append",
+            "files": ["part-midpass.parquet"],
+            "n_rows": 1,
+            "file_stats": {},
+            "file_rows": {"part-midpass.parquet": 1},
+            "version": 2,
+        }
+
+        class LandsBetween(PosixVersionClaimer):
+            def in_flight_versions(self, p):
+                # the rival's os.replace lands NOW — after vacuum's
+                # scan loop, before the derivation
+                with open(claim, "w") as f:
+                    _json.dump(manifest, f)
+                return super().in_flight_versions(p)
+
+        prev = set_version_claimer(LandsBetween())
+        try:
+            stats = vacuum_snapshots(path)
+        finally:
+            set_version_claimer(prev)
+        assert stats["in_flight_commits"] >= 1
+        assert stats["orphans_deleted"] == 0
+        assert _os.path.exists(data), "committed data eaten as orphan"
+
+    def test_hours_transform_floors_pre_epoch(self):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        from olap_project_spark.export.manifest_sink import (
+            _transform_array,
+            _transform_scalar,
+        )
+
+        spec = {"col": "ts", "kind": "hours", "arg": None}
+        edge = dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
+        assert _transform_scalar(spec, edge) == -1  # floor, not trunc
+        arr = pa.array([edge], type=pa.timestamp("us"))
+        assert list(_transform_array(spec, arr)) == [-1]
+
+    def test_compact_range_preserves_hidden_partitioning(
+        self, registered, tmp_path
+    ):
+        """A SCOPED rewrite must not strip the transform metadata:
+        retained files keep their recorded ranges, new files get
+        recomputed ones, and time-window pruning still works."""
+        import datetime as dt
+
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            plan_pruned_files,
+            read_committed,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "scoped_keep")
+        frame = registered.range(0, 96).selectExpr(
+            "id as k",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,"
+            "cast(id as int),0,0) as ts",
+            "cast(1.0 as double) as v",
+        )
+        write_partitioned(registered, frame, path, "ts", "days", n_files=4)
+        # scoped rewrite over the LOW k range only
+        res = compact_range(
+            registered, path, "k bigint, ts timestamp, v double",
+            "k", 0, 10, n_files=1,
+        )
+        assert res["n_rewritten"] >= 1 and res["n_retained"] >= 1
+        lo = dt.datetime(2024, 1, 3)
+        hi = dt.datetime(2024, 1, 3, 23, 59, 59)
+        kept, total = plan_pruned_files(path, "ts", lo, hi)
+        assert len(kept) < total, "transform metadata lost in rewrite"
+        got = (
+            read_committed(
+                registered, path, "k bigint, ts timestamp, v double"
+            )
+            .filter("ts >= '2024-01-03' and ts < '2024-01-04'")
+            .count()
+        )
+        assert got == 24
+
+    def test_zero_row_files_provably_excluded(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            plan_pruned_files,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "zeros")
+        # 2 rows spread over 4 partitions: at least 2 files are empty
+        (
+            registered.createDataFrame([(1, 1.0), (2, 1.0)], NUM_SCHEMA)
+            .repartition(4)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        kept, total = plan_pruned_files(path, "k", -10**9, 10**9)
+        assert total == 4
+        assert len(kept) <= 2  # empty files never planned
+
+    def test_commit_token_attributes_the_right_version(
+        self, registered, tmp_path
+    ):
+        import json as _json
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            _committed_entry_of,
+        )
+
+        path = str(tmp_path / "token")
+        _seed(registered, path, n=4)
+        res1 = merge_upsert(
+            registered, path, _updates(registered, 0, 2, v=5.0), ["k"]
+        )
+        res2 = merge_upsert(
+            registered, path, _updates(registered, 0, 2, v=7.0), ["k"]
+        )
+        # same keys, two merges: each call reported ITS OWN version
+        assert (res1["version"], res2["version"]) == (2, 3)
+        with open(_os.path.join(path, "_manifest-000002.json")) as f:
+            assert "commit_token" in _json.load(f)
+        with pytest.raises(RuntimeError, match="not found"):
+            _committed_entry_of(path, "no-such-token")
+
+    def test_release_incapable_claimer_degrades_safely(self, tmp_path):
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            ConditionalPutClaimer,
+            abandon_branch,
+            set_version_claimer,
+            table_versions,
+            vacuum_snapshots,
+        )
+
+        store: set = set()
+        claimer = ConditionalPutClaimer(
+            put_if_absent=lambda k: (
+                False if k in store else (store.add(k) or True)
+            ),
+            list_claimed=lambda p: [
+                int(k.rsplit("-", 1)[1].split(".")[0])
+                for k in store
+                if k.startswith(f"{p}/_manifest-")
+            ],
+            # no delete callable: release-incapable
+        )
+        prev = set_version_claimer(claimer)
+        try:
+            path = str(tmp_path / "nodelete")
+            TestConditionalPutRelease._commit(path, tag="base")
+            TestConditionalPutRelease._commit(
+                path, branch="wip", tag="staged"
+            )
+            # abandon fails FAST, before removing anything
+            with pytest.raises(NotImplementedError, match="release"):
+                abandon_branch(path, "wip")
+            assert len(table_versions(path)) == 2  # nothing half-done
+            # stale-claim GC skips (file kept, counted in flight)
+            assert claimer.claim(path, 3)
+            open(_os.path.join(path, "_manifest-000003.json"), "w").close()
+            stats = vacuum_snapshots(
+                path, delete_orphans=False, stale_claim_ttl_s=0.0
+            )
+            assert stats["stale_claims_deleted"] == 0
+            assert stats["in_flight_commits"] >= 1
+            assert _os.path.exists(
+                _os.path.join(path, "_manifest-000003.json")
+            )
+        finally:
+            set_version_claimer(prev)

@@ -419,7 +419,11 @@ class TestFileSkipping:
             if e.startswith("_manifest-")
         )
         m = _json.load(open(m_file))
-        m.pop("file_stats", None)  # pre-stats manifest
+        # a genuinely pre-stats manifest records neither zone maps nor
+        # row counts (a recorded rows=0 file IS provably excludable —
+        # the round-11 empty-file rule — so it must go too)
+        m.pop("file_stats", None)
+        m.pop("file_rows", None)
         _json.dump(m, open(m_file, "w"))
         files, total = plan_pruned_files(path, "k", 10**9, 10**9 + 1)
         assert len(files) == total  # nothing provably excludable
