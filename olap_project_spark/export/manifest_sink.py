@@ -120,6 +120,40 @@ def _parse_transform(raw) -> dict:
     return {"col": spec["col"], "kind": kind, "arg": spec.get("arg")}
 
 
+def _parse_transforms(raw) -> list[dict]:
+    """Normalize the ``partition_transform`` option to a SPEC LIST —
+    Iceberg partition specs are multi-field (e.g. days(ts) +
+    bucket(user)); a single dict stays the canonical one-field form."""
+    val = json.loads(raw) if isinstance(raw, str) else raw
+    if isinstance(val, dict):
+        return [_parse_transform(val)]
+    specs = [_parse_transform(s) for s in val]
+    if not specs:
+        raise ValueError("partition_transform list is empty")
+    if len({s["col"] for s in specs}) != len(specs):
+        raise ValueError("one transform per source column")
+    return specs
+
+
+def _specs_of(m: dict) -> list[dict]:
+    """The manifest's recorded spec list (a one-field spec is stored
+    as a bare dict for round-11 back-compat)."""
+    raw = m.get("partition_transform")
+    if raw is None:
+        return []
+    return [raw] if isinstance(raw, dict) else list(raw)
+
+
+def _ranges_of(value, n_specs: int) -> list:
+    """Normalize a file's recorded transform range(s) to a list
+    aligned with the spec list (a one-field range is stored flat)."""
+    if value is None:
+        return [None] * n_specs
+    if n_specs == 1 and value and not isinstance(value[0], list):
+        return [value]
+    return list(value)
+
+
 def _transform_scalar(spec: dict, v) -> int:
     """Apply the transform to ONE source value (planning-side: maps a
     predicate bound into transform space). Timestamps accept Python
@@ -417,19 +451,24 @@ class ManifestWriter(DataSourceWriter):
             raise ValueError(f"invalid staging subdir: {self.subdir!r}")
         if self.bucket_by is not None and self.subdir is None:
             raise ValueError("bucketed commits require a 'subdir' option")
-        # HIDDEN PARTITIONING: a transform spec recorded per manifest;
-        # each task tracks its file's [min, max] transform value so
-        # readers prune by source-column predicates with no
-        # materialized partition column (see _parse_transform)
+        # HIDDEN PARTITIONING: a transform SPEC LIST recorded per
+        # manifest (Iceberg multi-field partition specs — e.g.
+        # days(ts) + bucket(user)); each task tracks its file's
+        # [min, max] value per transform so readers prune by
+        # source-column predicates with no materialized partition
+        # column (see _parse_transforms)
         pt = options.get("partition_transform")
-        self.partition_transform = _parse_transform(pt) if pt else None
-        if self.partition_transform is not None and schema is not None:
-            if self.partition_transform["col"] not in {
-                f.name for f in schema.fields
-            }:
+        self.partition_transforms = _parse_transforms(pt) if pt else None
+        if self.partition_transforms is not None and schema is not None:
+            names = {f.name for f in schema.fields}
+            missing = [
+                s["col"]
+                for s in self.partition_transforms
+                if s["col"] not in names
+            ]
+            if missing:
                 raise ValueError(
-                    f"partition transform column "
-                    f"{self.partition_transform['col']!r} not in schema"
+                    f"partition transform columns {missing} not in schema"
                 )
         # partial-rewrite support: JSON map of RETAINED file name →
         # {"rows": n, "stats": zone-map} carried verbatim into the
@@ -530,31 +569,34 @@ class ManifestWriter(DataSourceWriter):
                 if v is not None:
                     bloom.update(_bloom_positions(int(v)))
 
-        # per-file transform-value range (hidden partitioning); falls
-        # to None on nulls/untransformable values — the file is then
-        # never pruned, the zone-map conservatism contract
-        part_range: list | None = None
-        part_disabled = False
+        # per-file transform-value range PER SPEC (hidden
+        # partitioning); a spec's slot falls to None on
+        # nulls/untransformable values — the file is then never pruned
+        # on that transform, the zone-map conservatism contract
+        n_specs = (
+            len(self.partition_transforms)
+            if self.partition_transforms
+            else 0
+        )
+        part_ranges: list = [None] * n_specs
 
         def feed_partition(batch) -> None:
-            nonlocal part_range, part_disabled
-            if self.partition_transform is None or part_disabled:
-                return
-            arr = batch.column(
-                batch.schema.get_field_index(
-                    self.partition_transform["col"]
+            for i, spec in enumerate(self.partition_transforms or ()):
+                if part_ranges[i] is False:
+                    continue  # disabled for this spec
+                arr = batch.column(
+                    batch.schema.get_field_index(spec["col"])
                 )
-            )
-            vals = _transform_array(self.partition_transform, arr)
-            if vals is None or len(vals) == 0:
-                part_range, part_disabled = None, True
-                return
-            lo, hi = int(vals.min()), int(vals.max())
-            if part_range is None:
-                part_range = [lo, hi]
-            else:
-                part_range[0] = min(part_range[0], lo)
-                part_range[1] = max(part_range[1], hi)
+                vals = _transform_array(spec, arr)
+                if vals is None or len(vals) == 0:
+                    part_ranges[i] = False
+                    continue
+                lo, hi = int(vals.min()), int(vals.max())
+                if part_ranges[i] is None:
+                    part_ranges[i] = [lo, hi]
+                else:
+                    part_ranges[i][0] = min(part_ranges[i][0], lo)
+                    part_ranges[i][1] = max(part_ranges[i][1], hi)
 
         buf: dict[str, list] = {c: [] for c in cols}
         with pq.ParquetWriter(
@@ -581,7 +623,22 @@ class ManifestWriter(DataSourceWriter):
             n_rows=n,
             col_stats=stats,
             bloom_bits=sorted(bloom) if bloom is not None else None,
-            part_range=part_range,
+            # flat [lo, hi] for a one-field spec (round-11 on-disk
+            # form); list-of-ranges for multi-field specs; None when
+            # no spec or every slot disabled
+            part_range=(
+                None
+                if not n_specs
+                or all(r in (None, False) for r in part_ranges)
+                else (
+                    (part_ranges[0] if part_ranges[0] is not False else None)
+                    if n_specs == 1
+                    else [
+                        (r if r is not False else None)
+                        for r in part_ranges
+                    ]
+                )
+            ),
         )
 
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -660,8 +717,12 @@ class ManifestWriter(DataSourceWriter):
                     manifest["file_stats"][name] = entry["stats"]
                 if "rows" in entry:
                     manifest["file_rows"][name] = entry["rows"]
-        if self.partition_transform is not None:
-            manifest["partition_transform"] = self.partition_transform
+        if self.partition_transforms is not None:
+            manifest["partition_transform"] = (
+                self.partition_transforms[0]
+                if len(self.partition_transforms) == 1
+                else self.partition_transforms
+            )
             fparts = {
                 m.file_name: m.part_range
                 for m in messages
@@ -931,7 +992,7 @@ class ManifestBatchReader(DataSourceReader):
         self._pushed: list[tuple[str, str, object]] = []
 
     @staticmethod
-    def _excluded(stats: dict, bloom_col, bloom_bits, spec, prng, pushed) -> bool:
+    def _excluded(stats: dict, bloom_col, bloom_bits, specs, pranges, pushed) -> bool:
         import datetime as _dt
 
         for col, op, val in pushed:
@@ -966,12 +1027,15 @@ class ManifestBatchReader(DataSourceReader):
                     return True
             # HIDDEN-PARTITION pruning: map the comparison into
             # transform space against the file's recorded transform
-            # range — the path that prunes TIMESTAMP filters, which
-            # zone maps (int/float/string only) never see. The
+            # range(s) — the path that prunes TIMESTAMP filters, which
+            # zone maps (int/float/string only) never see, and the
+            # bucket-field equality probes of a multi-field spec. The
             # comparison bound maps CONSERVATIVELY (inclusive), which
-            # is always safe for monotone transforms; bucket handles
-            # equality probes only.
-            if spec is not None and prng is not None and col == spec["col"]:
+            # is always safe for monotone transforms.
+            for i, spec in enumerate(specs or ()):
+                prng = pranges[i] if pranges is not None else None
+                if prng is None or col != spec["col"]:
+                    continue
                 try:
                     t = _transform_scalar(spec, val)
                 except (TypeError, ValueError, AttributeError):
@@ -1001,8 +1065,8 @@ class ManifestBatchReader(DataSourceReader):
             fs = m.get("file_stats", {})
             bcol = m.get("bloom_col")
             blooms = m.get("file_blooms", {})
-            spec = m.get("partition_transform")
-            fparts = m.get("file_partitions", {}) if spec else {}
+            specs = _specs_of(m)
+            fparts = m.get("file_partitions", {}) if specs else {}
             if kind == "delete":
                 cols = tuple(
                     f["name"] for f in m["schema"]["fields"]
@@ -1016,8 +1080,12 @@ class ManifestBatchReader(DataSourceReader):
                     fs.get(f, {}),
                     bcol,
                     set(blooms[f]) if f in blooms else None,
-                    spec,
-                    fparts.get(f),
+                    specs,
+                    (
+                        _ranges_of(fparts[f], len(specs))
+                        if f in fparts
+                        else None
+                    ),
                     rows.get(f),
                 )
                 for f in m["files"]
@@ -1041,10 +1109,12 @@ class ManifestBatchReader(DataSourceReader):
         sj = json.dumps(self.schema.jsonValue())
         out: list[InputPartition] = []
         for name in sorted(live):
-            vf, stats, bcol, bits, spec, prng, n_rows = live[name]
+            vf, stats, bcol, bits, specs, pranges, n_rows = live[name]
             if n_rows == 0:
                 continue  # recorded empty: provably nothing to scan
-            if self._excluded(stats, bcol, bits, spec, prng, self._pushed):
+            if self._excluded(
+                stats, bcol, bits, specs, pranges, self._pushed
+            ):
                 continue
             applicable = [
                 (cols, [os.path.join(staging, t) for t in files])
@@ -1650,9 +1720,10 @@ class MaintenancePolicy:
     - ``vacuum``: expire pre-rewrite snapshots + collect orphans after
       a rewrite landed this pass;
     - ``stale_claim_ttl_s``: forwarded to vacuum's crashed-claim GC;
-    - ``partition_by``: ``(col, kind[, arg])`` — the table's HIDDEN
-      PARTITIONING layout, preserved through any full compaction this
-      loop performs (otherwise the rewrite would drop the transform
+    - ``partition_by``: ``(col, kind[, arg])`` or a list of such
+      tuples (multi-field spec) — the table's HIDDEN PARTITIONING
+      layout, preserved through any full compaction this loop
+      performs (otherwise the rewrite would drop the transform
       metadata and time-window pruning with it).
     """
 
@@ -1664,7 +1735,7 @@ class MaintenancePolicy:
     full_n_files: int = 16
     vacuum: bool = True
     stale_claim_ttl_s: float | None = None
-    partition_by: tuple | None = None
+    partition_by: tuple | list | None = None
 
 
 def maintain(
@@ -1841,12 +1912,21 @@ def plan_pruned_files(
             continue
         fs = m.get("file_stats", {})
         rows = m.get("file_rows", {})
-        spec = m.get("partition_transform")
-        if spec is not None and spec.get("col") != col:
-            spec = None
-        fparts = m.get("file_partitions", {}) if spec is not None else {}
+        specs = _specs_of(m)
+        # (index into the spec list, spec) for the transforms ON this
+        # column — multi-field specs carry one range per field
+        matching = [
+            (i, s) for i, s in enumerate(specs) if s.get("col") == col
+        ]
+        fparts = m.get("file_partitions", {}) if matching else {}
         entries = {
-            name: (fs.get(name, {}), spec, fparts.get(name), rows.get(name))
+            name: (
+                fs.get(name, {}),
+                matching,
+                len(specs),
+                fparts.get(name),
+                rows.get(name),
+            )
             for name in m["files"]
         }
         if kind == "rewrite":
@@ -1855,24 +1935,30 @@ def plan_pruned_files(
             live.update(entries)
     keep = []
     for name in sorted(live):
-        st, spec, prng, n_rows = live[name]
+        st, matching, n_specs, pval, n_rows = live[name]
         if n_rows == 0:
             continue  # recorded empty: provably nothing to read
         rng = (st or {}).get(col)
         excluded = rng is not None and (hi < rng[0] or lo > rng[1])
-        if not excluded and spec is not None and prng is not None:
-            try:
-                tlo = _transform_scalar(spec, lo)
-                thi = _transform_scalar(spec, hi)
-            except (TypeError, ValueError, AttributeError):
-                tlo = thi = None  # untransformable bound: keep the file
-            if tlo is not None:
+        if not excluded and matching and pval is not None:
+            ranges = _ranges_of(pval, n_specs)
+            for i, spec in matching:
+                prng = ranges[i]
+                if prng is None:
+                    continue
+                try:
+                    tlo = _transform_scalar(spec, lo)
+                    thi = _transform_scalar(spec, hi)
+                except (TypeError, ValueError, AttributeError):
+                    continue  # untransformable bound: no pruning here
                 if spec["kind"] == "bucket":
                     # bucket is not monotone — equality probes only
-                    if lo == hi:
-                        excluded = not (prng[0] <= tlo <= prng[1])
-                else:
-                    excluded = thi < prng[0] or tlo > prng[1]
+                    if lo == hi and not (prng[0] <= tlo <= prng[1]):
+                        excluded = True
+                elif thi < prng[0] or tlo > prng[1]:
+                    excluded = True
+                if excluded:
+                    break
         if not excluded:
             keep.append(name)
     return sorted(keep), len(live)
@@ -2199,7 +2285,7 @@ def compact_snapshots(
     n_files: int = 16,
     bucket_by: str | None = None,
     n_buckets: int | None = None,
-    partition_by: tuple | None = None,
+    partition_by: tuple | list | None = None,
 ) -> int:
     """Consolidate the table's current committed state into ONE rewrite
     snapshot — the small-file compaction lever for the manifest table
@@ -2232,7 +2318,8 @@ def compact_snapshots(
     optimizes JOIN/AGG co-location, clustering optimizes RANGE
     skipping — a table layout picks one clustering axis.
 
-    ``partition_by`` = ``(col, kind, arg)`` preserves (or establishes)
+    ``partition_by`` = ``(col, kind[, arg])`` — or a LIST of such
+    tuples for a multi-field spec — preserves (or establishes)
     a HIDDEN-PARTITIONING layout through the rewrite: without it a
     compaction of a :func:`write_partitioned` table would silently
     DROP the transform metadata — the rewrite manifest records no
@@ -2253,16 +2340,30 @@ def compact_snapshots(
     current = read_committed(spark, path, schema)
     writer_opts: dict[str, str] = {}
     if partition_by is not None:
-        col_, kind_, *arg_ = partition_by
-        spec = _parse_transform(
-            {"col": col_, "kind": kind_, "arg": arg_[0] if arg_ else None}
+        fields = (
+            partition_by
+            if isinstance(partition_by, list)
+            else [partition_by]
         )
-        current = (
-            current.withColumn("_pt", transform_column(spec))
-            .repartitionByRange(n_files, "_pt")
-            .drop("_pt")
+        specs = _parse_transforms(
+            [
+                {"col": c, "kind": k, "arg": (rest[0] if rest else None)}
+                for c, k, *rest in fields
+            ]
         )
-        writer_opts = {"partition_transform": json.dumps(spec)}
+        pt_cols = [f"_pt{i}" for i in range(len(specs))]
+        current = current.select(
+            "*",
+            *[
+                transform_column(s).alias(c)
+                for s, c in zip(specs, pt_cols)
+            ],
+        ).repartitionByRange(n_files, *pt_cols).drop(*pt_cols)
+        writer_opts = {
+            "partition_transform": json.dumps(
+                specs[0] if len(specs) == 1 else specs
+            )
+        }
     elif bucket_by is not None:
         n_buckets = n_buckets or 16
         current = current.repartition(n_buckets, bucket_by)
@@ -2417,11 +2518,12 @@ def write_partitioned(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    col: str,
-    kind: str,
+    col: str | None = None,
+    kind: str | None = None,
     arg: int | None = None,
     n_files: int = 16,
     branch: str | None = None,
+    transforms: list[tuple] | None = None,
 ) -> int:
     """Append ``df`` under a HIDDEN-PARTITIONING layout: the rows are
     range-partitioned on the transform of ``col`` (month/days/year/
@@ -2435,21 +2537,47 @@ def write_partitioned(
     reference's year/month/day output directories
     (spark_streaming_consumer.py:323).
 
+    ``transforms`` = ``[(col, kind[, arg]), …]`` writes a MULTI-FIELD
+    spec (Iceberg's partition-spec shape — e.g. ``[("ts", "days"),
+    ("user_id", "bucket", 16)]``): rows are range-partitioned
+    lexicographically on ALL the transform values, so a file is tight
+    in the leading field and contiguous in the rest, and every field
+    prunes independently (a time window via the days range, a user
+    point-lookup via the bucket equality) — the layout a 100-TB
+    events fact actually wants.
+
     Scale: the one range exchange here is the pay-once layout cost;
     every later time-windowed scan opens only the files whose
     transform range intersects the window. Returns the new snapshot
     version."""
-    spec = _parse_transform({"col": col, "kind": kind, "arg": arg})
+    if transforms is not None:
+        if col is not None or kind is not None:
+            raise ValueError("pass col/kind OR transforms, not both")
+        specs = [
+            _parse_transform(
+                {"col": c, "kind": k, "arg": (rest[0] if rest else None)}
+            )
+            for c, k, *rest in transforms
+        ]
+        specs = _parse_transforms(specs)  # uniqueness/shape checks
+    else:
+        specs = [_parse_transform({"col": col, "kind": kind, "arg": arg})]
     token = uuid.uuid4().hex
-    out = (
-        df.withColumn("_pt", transform_column(spec))
-        .repartitionByRange(n_files, "_pt")
-        .drop("_pt")
-    )
+    pt_cols = [f"_pt{i}" for i in range(len(specs))]
+    out = df.select(
+        "*",
+        *[
+            transform_column(s).alias(c)
+            for s, c in zip(specs, pt_cols)
+        ],
+    ).repartitionByRange(n_files, *pt_cols).drop(*pt_cols)
     w = (
         out.write.format(ensure_manifest_sink(spark))
         .option("path", path)
-        .option("partition_transform", json.dumps(spec))
+        .option(
+            "partition_transform",
+            json.dumps(specs[0] if len(specs) == 1 else specs),
+        )
         .option("commit_token", token)
     )
     if branch is not None:

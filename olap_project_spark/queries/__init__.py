@@ -218,6 +218,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
     "auto_maintenance_stats",
+    "multi_transform_pruning_stats",
     # round-5 refresh slots — 24 (the last of the round-5 rows)
     "session_funnel_stats",
     "pii_redaction_stats",
@@ -243,7 +244,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "daily_error_trend",
     "weekend_vs_weekday",
     "above_avg_error_users",
-    # round-6 refresh slots — 22 (CORRECTNESS_r06 order; tail
+    # round-6 refresh slots — 21 (CORRECTNESS_r06 order; tail
     # trimmed as round-11 additions landed)
     "conversion_latency_quantiles",
     "score_lift_gains",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
     "scd2_user_type_history",
-    "merge_upsert_stats",
 )
 
 

@@ -5504,6 +5504,129 @@ def hidden_partitioning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-field hidden partitioning: days(ts) + bucket(user) in one spec
+# --------------------------------------------------------------------------
+@register(
+    "multi_transform_pruning_stats",
+    oracle="""
+    WITH tgt AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+    u AS (SELECT MIN(user_id) AS u0 FROM events, tgt
+          WHERE CAST(ts AS DATE) = d0),
+    probe AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+              FROM events, tgt, u
+              WHERE CAST(ts AS DATE) = d0 AND user_id = u0)
+    SELECT (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) * 4 AS INTEGER)
+            FROM events) AS files_total,
+           TRUE AS day_prune_ok,
+           TRUE AS probe_prune_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS rows_probe,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM probe) AS cents_probe
+    """,
+)
+def multi_transform_pruning_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-FIELD hidden partitioning through the gate — the Iceberg
+    partition-spec shape with more than one transform: the events fact
+    is written ONCE under ``days(ts) + bucket(user_id, 16)`` (rows
+    range-partitioned lexicographically on both transform values, 4
+    files per day), and the two fields then prune INDEPENDENTLY:
+
+    - a one-day window prunes by the days ranges
+      (``day_prune_ok`` — strictly fewer than all files kept);
+    - a user point-lookup prunes by the bucket equality WITHIN the
+      surviving day files (``probe_prune_ok`` — the intersection is
+      strictly smaller than the day set), because each file covers a
+      contiguous bucket span under the lexicographic layout;
+    - the probed (day, user) row count and exact cents sum flow
+      through the intersected file list, so composed skipping loses
+      no rows. The probe targets the first day's smallest user id —
+      deterministic and provably non-empty.
+
+    This is the 100-TB events-fact layout: time windows AND entity
+    point-lookups both open only their own files, from one pay-once
+    range exchange at write."""
+    import datetime as _dt
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        plan_pruned_files,
+        read_committed,
+        write_partitioned,
+    )
+
+    ensure_manifest_sink(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_multipart_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_spec2")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        bounds = ev.agg(
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.min(F.to_date("ts")).alias("d0"),
+        ).collect()[0]
+        d0_iso = bounds["d0"].isoformat()
+        u0 = (
+            ev.filter(F.to_date("ts") == F.lit(d0_iso))
+            .agg(F.min("user_id"))
+            .collect()[0][0]
+        )
+        write_partitioned(
+            spark,
+            ev,
+            path,
+            transforms=[("ts", "days"), ("user_id", "bucket", 16)],
+            n_files=int(bounds["n_days"]) * 4,
+        )
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as f:
+            _json.dump({"d0": d0_iso, "u0": int(u0)}, f)
+    with open(done) as f:
+        built = _json.load(f)
+    d0 = _dt.date.fromisoformat(built["d0"])
+    u0 = built["u0"]
+    lo = _dt.datetime(d0.year, d0.month, d0.day)
+    hi = lo + _dt.timedelta(days=1)
+    kept_day, total = plan_pruned_files(
+        path, "ts", lo, hi - _dt.timedelta(microseconds=1)
+    )
+    kept_user, _ = plan_pruned_files(path, "user_id", u0, u0)
+    both = sorted(set(kept_day) & set(kept_user))
+    day_prune_ok = 1 <= len(kept_day) < total
+    probe_prune_ok = len(both) < len(kept_day) or len(kept_day) == 1
+    probe = (
+        read_committed(
+            spark,
+            path,
+            "user_id bigint, ts timestamp, value double",
+            _keep=set(both),
+        )
+        .filter(
+            (F.col("user_id") == u0)
+            & (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(hi))
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(total, day_prune_ok, probe_prune_ok, probe["n"], probe["cents"])],
+        "files_total int, day_prune_ok boolean, probe_prune_ok boolean, "
+        "rows_probe bigint, cents_probe bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Auto-maintenance loop: plan -> compact -> vacuum under one policy
 # --------------------------------------------------------------------------
 @register(

@@ -254,6 +254,7 @@ class TestDriverContract:
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
             "auto_maintenance_stats",        # maintain(table, policy) loop
+            "multi_transform_pruning_stats", # multi-field spec pruning
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -1003,3 +1003,190 @@ class TestReviewFixesR11:
             )
         finally:
             set_version_claimer(prev)
+
+
+class TestMultiFieldSpec:
+    """Iceberg multi-field partition specs: days(ts) + bucket(user) in
+    ONE layout — a time window prunes via the days range and a user
+    point-lookup prunes via the bucket equality, independently."""
+
+    TS_SCHEMA = "u bigint, ts timestamp, v double"
+
+    def _frame(self, spark, hours=96):
+        return spark.range(0, hours * 10).selectExpr(
+            "id % 40 as u",
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,"
+            f"cast(id % {hours} as int),0,0) as ts",
+            "cast(1.0 as double) as v",
+        )
+
+    def test_both_fields_prune_independently(self, registered, tmp_path):
+        import datetime as dt
+
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            plan_pruned_files,
+            read_committed,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "multi")
+        write_partitioned(
+            registered,
+            self._frame(registered),
+            path,
+            transforms=[("ts", "days"), ("u", "bucket", 8)],
+            n_files=16,
+        )
+        # field 1: a one-day window prunes to ~1/4 of the files
+        lo = dt.datetime(2024, 1, 2)
+        hi = dt.datetime(2024, 1, 2, 23, 59, 59)
+        kept_day, total = plan_pruned_files(path, "ts", lo, hi)
+        assert total == 16
+        assert len(kept_day) <= 6
+        # field 2: a user equality probe prunes via the bucket ranges
+        # WITHIN the day's files (intersection = both fields pruning)
+        kept_u, _ = plan_pruned_files(path, "u", 3, 3)
+        both = set(kept_day) & set(kept_u)
+        assert len(both) < len(kept_day)
+        got = (
+            read_committed(
+                registered, path, self.TS_SCHEMA, _keep=both
+            )
+            .filter(
+                "u = 3 and ts >= '2024-01-02' and ts < '2024-01-03'"
+            )
+            .count()
+        )
+        want = (
+            self._frame(registered)
+            .filter(
+                "u = 3 and ts >= '2024-01-02' and ts < '2024-01-03'"
+            )
+            .count()
+        )
+        assert got == want > 0
+
+    def test_manifest_records_spec_list_and_per_field_ranges(
+        self, registered, tmp_path
+    ):
+        import json as _json
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "multirec")
+        write_partitioned(
+            registered,
+            self._frame(registered, hours=24),
+            path,
+            transforms=[("ts", "days"), ("u", "bucket", 8)],
+            n_files=4,
+        )
+        with open(_os.path.join(path, "_manifest-000001.json")) as f:
+            m = _json.load(f)
+        assert isinstance(m["partition_transform"], list)
+        assert [s["kind"] for s in m["partition_transform"]] == [
+            "days",
+            "bucket",
+        ]
+        for ranges in m["file_partitions"].values():
+            assert len(ranges) == 2  # one range per field
+
+    def test_pushdown_composes_both_fields(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "multipush")
+        write_partitioned(
+            registered,
+            self._frame(registered),
+            path,
+            transforms=[("ts", "days"), ("u", "bucket", 8)],
+            n_files=16,
+        )
+        child = registered.newSession()
+        child.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        fmt = ensure_manifest_sink(child)
+        base = (
+            child.read.format(fmt)
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+        )
+        assert base.rdd.getNumPartitions() == 16
+        probe = base.filter(
+            "u = 3 and ts >= timestamp'2024-01-02 00:00:00' "
+            "and ts < timestamp'2024-01-03 00:00:00'"
+        )
+        assert probe.rdd.getNumPartitions() < 6  # both fields pruned
+        assert probe.count() == base.filter(
+            "u = 3 and ts >= timestamp'2024-01-02 00:00:00' "
+            "and ts < timestamp'2024-01-03 00:00:00'"
+        ).count()
+        ensure_manifest_sink(registered)
+
+    def test_single_field_form_unchanged_on_disk(
+        self, registered, tmp_path
+    ):
+        """Round-11 back-compat: a one-field spec still writes the bare
+        dict + flat range shape."""
+        import json as _json
+        import os as _os
+
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "singleform")
+        write_partitioned(
+            registered,
+            self._frame(registered, hours=24),
+            path,
+            "ts",
+            "days",
+            n_files=2,
+        )
+        with open(_os.path.join(path, "_manifest-000001.json")) as f:
+            m = _json.load(f)
+        assert isinstance(m["partition_transform"], dict)
+        for rng in m["file_partitions"].values():
+            assert len(rng) == 2 and not isinstance(rng[0], list)
+
+    def test_compaction_preserves_multi_field_spec(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            ensure_manifest_sink,
+            plan_pruned_files,
+            write_partitioned,
+        )
+
+        ensure_manifest_sink(registered)
+        path = str(tmp_path / "multicompact")
+        write_partitioned(
+            registered,
+            self._frame(registered),
+            path,
+            transforms=[("ts", "days"), ("u", "bucket", 8)],
+            n_files=8,
+        )
+        compact_snapshots(
+            registered,
+            path,
+            self.TS_SCHEMA,
+            partition_by=[("ts", "days"), ("u", "bucket", 8)],
+            n_files=8,
+        )
+        kept_u, total = plan_pruned_files(path, "u", 3, 3)
+        assert total == 8 and len(kept_u) < total

@@ -107,6 +107,7 @@ EXECUTING = {
     "manifest_batch_reader_stats",  # public DataSource read w/ pushdown
     "hidden_partitioning_stats",  # partition-transform pruning
     "auto_maintenance_stats",  # plan -> compact -> vacuum policy loop
+    "multi_transform_pruning_stats",  # multi-field spec pruning
 }
 
 # Queries whose CONSTRUCTOR may legitimately launch Spark jobs: the
