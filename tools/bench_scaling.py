@@ -78,6 +78,7 @@ REPS = [
     ("mor_upsert_stats", "atomic MoR MERGE upsert"),
     ("manifest_batch_reader_stats", "public batch read + pushdown"),
     ("hidden_partitioning_stats", "partition-transform pruning"),
+    ("multi_transform_pruning_stats", "multi-field spec pruning"),
     ("auto_maintenance_stats", "policy maintenance pass"),
     ("ann_trained_quantizer_stats", "Lloyd-trained IVF probe"),
 ]
