@@ -864,7 +864,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._cursor = end["version"]
         out: list[InputPartition] = []
         sj = json.dumps(self.schema.jsonValue())
-        for version, m in _log(self.path):
+        for version, m in _log(self.path, raw=True):
             if version <= start["version"] or version > end["version"]:
                 continue
             kind = m.get("kind", "append")
@@ -1275,8 +1275,9 @@ def committed_versions(path: str) -> list[int]:
     """Versions with a READABLE MAIN manifest — excludes in-flight
     claims and unpublished branch commits. This is the axis tags and
     API return values use; :func:`table_versions` remains the raw
-    claimed-file listing (vacuum's bookkeeping axis)."""
-    return sorted(v for v, _m in _log(path))
+    claimed-file listing (vacuum's bookkeeping axis). Versions behind
+    a later RESTORE stay listed — they remain time-travel targets."""
+    return sorted(v for v, _m in _log(path, raw=True))
 
 
 def _stream_visible_head(path: str) -> int:
@@ -1344,7 +1345,7 @@ def _committed_entry_of(
     race-free post-write lookup every write-API return value uses
     (scanning for "the latest version" instead would attribute a
     CONCURRENT writer's commit to this caller)."""
-    for version, m in reversed(_log(path, branch=branch)):
+    for version, m in reversed(_log(path, branch=branch, raw=True)):
         if m.get("commit_token") == token and m.get("branch") == branch:
             return version, m
     raise RuntimeError(
@@ -1545,6 +1546,95 @@ def drop_tag(path: str, name: str) -> bool:
         return True
     except FileNotFoundError:
         return False
+
+
+def _commit_manifest_dict(path: str, manifest: dict) -> int:
+    """Commit a driver-built manifest through the SAME claim protocol
+    the Spark writer uses (claim the next version exclusively, write
+    to a temp name, ``os.replace`` as the atomic commit point) — the
+    shared primitive for metadata-only commits (RESTORE) that carry
+    no new data files and therefore need no Spark job."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"._manifest-{uuid.uuid4().hex}.tmp")
+    while True:
+        version = 1 + max(
+            _VERSION_CLAIMER.claimed_versions(path), default=0
+        )
+        if not _VERSION_CLAIMER.claim(path, version):
+            continue
+        final = os.path.join(path, f"_manifest-{version:06d}.json")
+        manifest["version"] = version
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)
+        return version
+
+
+def restore_table(path: str, version: int) -> int:
+    """RESTORE the table to an earlier snapshot as a NEW commit — the
+    Delta ``RESTORE TABLE ... TO VERSION AS OF`` contract. The commit
+    is METADATA-ONLY: one ``kind='restore'`` manifest recording the
+    target version; no data file is read, copied, or rewritten, so
+    restoring a 100-TB table costs one JSON write. Readers expand it
+    through the effective log (:func:`_effective`): the state at/after
+    the restore version equals the state as of the target (including
+    across delete/merge tombstone folds — the expansion replays the
+    ORIGINAL log prefix, so merge-on-read semantics are preserved
+    exactly), while ``as_of`` reads BELOW the restore still see the
+    pre-restore history unchanged — restore never rewrites the past,
+    it appends a new head. History (``table_history``) shows the
+    restore event; :func:`read_changes` emits its row-level symmetric
+    diff; the streaming tail treats it like every other non-append
+    snapshot (restart-from-snapshot rule); vacuum refuses snapshot
+    expiry that would cut a retained restore's target out from under
+    it. Restoring PAST a restore chains correctly (the target's own
+    effective state is what returns).
+
+    Rejected: a target that is not a readable main snapshot (expired,
+    in-flight, branch-staged, or future), and restoring while
+    unpublished WAP branches exist — their staged commits were built
+    on the pre-restore head; publish or abandon them first (the same
+    fast-forward discipline :func:`publish_branch` enforces).
+
+    Returns the new snapshot version. Reference analogue: the closest
+    behavior the reference has is re-running its daily batch export
+    over yesterday's partition directories
+    (bigquery_update_scheduler.py:163-231) — recovery by reprocessing;
+    here recovery is a constant-time catalog operation."""
+    committed = committed_versions(path)
+    if version not in committed:
+        raise ValueError(
+            f"restore target {version} is not a readable main snapshot "
+            f"at {path} (committed: {committed})"
+        )
+    staged_branches = sorted(
+        {
+            m.get("branch")
+            for _v, entry in _list_manifests(path)
+            for m in (_load_manifest_or_none(path, entry),)
+            if m is not None and m.get("branch") is not None
+        }
+    )
+    if staged_branches:
+        raise ValueError(
+            f"cannot restore while write-audit-publish branches "
+            f"{staged_branches} hold unpublished commits built on the "
+            "current head; publish or abandon them first"
+        )
+    return _commit_manifest_dict(
+        path,
+        {"kind": "restore", "restore_as_of": version, "files": []},
+    )
+
+
+def _load_manifest_or_none(path: str, entry: str) -> dict | None:
+    """Parse one manifest file, None for in-flight/corrupt content —
+    the tolerant single-file read the scan loops share."""
+    try:
+        with open(os.path.join(path, entry)) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
 
 
 def merge_upsert(
@@ -1834,15 +1924,54 @@ def maintain(
     return report
 
 
+def _effective(
+    entries: list[tuple[int, dict]],
+) -> list[tuple[int, dict]]:
+    """Expand RESTORE snapshots into the log they denote. A
+    ``kind='restore'`` manifest (written by :func:`restore_table`)
+    carries no files; its meaning is "the table state becomes exactly
+    what it was as of ``restore_as_of``" — so the effective log up to
+    and including a restore is the (recursively expanded) prefix of
+    the ORIGINAL log at/<= the target version, and later commits
+    append on top of that. Expansion keeps versions ascending (the
+    restored prefix's versions all precede the restore's own), so
+    every fold downstream — read_committed's tombstone fold, zone-map
+    pruning, table_files, schema resolution — consumes restore-free
+    logs unchanged. O(n · #restores) over driver-side JSON dicts;
+    restores are rare maintenance events."""
+    out: list[tuple[int, dict]] = []
+    for i, (version, m) in enumerate(entries):
+        if m.get("kind") == "restore":
+            target = int(m["restore_as_of"])
+            out = _effective(
+                [(v, pm) for v, pm in entries[:i] if v <= target]
+            )
+        else:
+            out.append((version, m))
+    return out
+
+
 def _log(
-    path: str, as_of: int | None = None, branch: str | None = None
+    path: str,
+    as_of: int | None = None,
+    branch: str | None = None,
+    raw: bool = False,
 ) -> list[tuple[int, dict]]:
     """(version, parsed manifest) in commit order at/<= the requested
     version; in-flight commits (claimed but unwritten version files)
     are skipped — the read path's standing contract. Branch-tagged
     commits (write-audit-publish staging) are invisible to main
     readers (``branch=None``); a branch reader sees main PLUS its own
-    branch's commits, Iceberg-branch-from-main-head style."""
+    branch's commits, Iceberg-branch-from-main-head style.
+
+    By default the log is the EFFECTIVE log — RESTORE snapshots are
+    expanded into the state they denote (:func:`_effective`), so every
+    state-folding consumer (reads, pruning, schema, compaction
+    planning) sees only append/rewrite/delete/merge kinds.
+    ``raw=True`` returns the physical log instead — the axis vacuum,
+    branch publish/abandon, version listings, history, and the
+    file-level CDF paths operate on (those either manage the manifest
+    files themselves or must keep referencing pre-restore entries)."""
     out: list[tuple[int, dict]] = []
     for version, entry in _list_manifests(path):
         if as_of is not None and version > as_of:
@@ -1856,7 +1985,7 @@ def _log(
         if tag is not None and tag != branch:
             continue
         out.append((version, m))
-    return out
+    return out if raw else _effective(out)
 
 
 def _committed_files(
@@ -2063,9 +2192,11 @@ def read_version_delta(
     row-level delta (run the CDF before compacting, as Delta does). A
     delete snapshot is rejected for the same reason — its change rows
     are REMOVALS, which a file-level feed cannot represent (Delta's CDF
-    emits them as _change_type=delete rows from a row-level log)."""
+    emits them as _change_type=delete rows from a row-level log).
+    A restore snapshot is likewise rejected — its change rows are the
+    symmetric diff :func:`read_changes` computes at the row level."""
     files: list[str] = []
-    for version, m in _log(path):
+    for version, m in _log(path, raw=True):
         if version <= from_v or version > to_v:
             continue
         kind = m.get("kind", "append")
@@ -2192,7 +2323,9 @@ def publish_branch(path: str, branch: str) -> list[int]:
     staged commits while main readers see nothing), then publish on a
     green audit or :func:`abandon_branch` on a red one."""
     staged = [
-        (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
+        (v, m)
+        for v, m in _log(path, branch=branch, raw=True)
+        if m.get("branch") == branch
     ]
     if not staged:
         return []
@@ -2250,7 +2383,9 @@ def abandon_branch(path: str, branch: str) -> int:
     main readers, so no reader holds an ``as_of`` that meant it.
     Returns the number of abandoned commits."""
     staged = [
-        (v, m) for v, m in _log(path, branch=branch) if m.get("branch") == branch
+        (v, m)
+        for v, m in _log(path, branch=branch, raw=True)
+        if m.get("branch") == branch
     ]
     if staged and not _VERSION_CLAIMER.can_release():
         # fail BEFORE any destructive step: removing manifests and
@@ -2262,10 +2397,13 @@ def abandon_branch(path: str, branch: str) -> int:
             "abandon_branch needs a delete-capable claimer"
         )
     # files still referenced by surviving manifests must not be GC'd
-    # (_log's default main view already excludes every branch-tagged
-    # manifest; distinct staging files per commit make cross-branch
+    # (the RAW main log: pre-restore manifests' files remain live as
+    # time-travel and restore targets; branch-tagged manifests are
+    # excluded; distinct staging files per commit make cross-branch
     # sharing impossible anyway)
-    keep = {f for _v, m in _log(path) for f in m.get("files", [])}
+    keep = {
+        f for _v, m in _log(path, raw=True) for f in m.get("files", [])
+    }
     staging = os.path.join(path, "_staging")
     for version, m in staged:
         for name in m.get("files", []):
@@ -2602,13 +2740,21 @@ def read_changes(
     row-level feed crossing it would double-count (Delta's CDF makes
     the same run-before-compacting demand).
 
+    A RESTORE snapshot contributes its row-level symmetric diff: the
+    rows the restore removed (pre-restore state minus the restored
+    state, ``exceptAll`` so duplicate multiplicities diff exactly) as
+    deletes, and the rows it brought back as inserts — a consumer
+    replaying (delete, insert) in order lands on exactly the restored
+    state, the same contract the merge arm keeps. Both sides are
+    as-of reads of committed state, never a history walk.
+
     This supersedes the file-level :func:`read_version_delta` when
     the range crosses deletes — incremental view maintenance over a
     mutating table consumes inserts AND deletes and stays O(delta)."""
     from pyspark.sql import functions as _F
 
     parts: list[DataFrame] = []
-    for version, m in _log(path):
+    for version, m in _log(path, raw=True):
         if version <= from_v or version > to_v:
             continue
         kind = m.get("kind", "append")
@@ -2619,6 +2765,21 @@ def read_changes(
                 "without changing rows — consume the feed before "
                 "compacting"
             )
+        if kind == "restore":
+            # the restore's row-level change = symmetric diff between
+            # the pre-restore state and the state it restored to;
+            # exceptAll keeps duplicate-row multiplicities exact
+            before = read_committed(spark, path, schema, as_of=version - 1)
+            after = read_committed(spark, path, schema, as_of=version)
+            removed = before.exceptAll(after)
+            added = after.exceptAll(before)
+            for side, tag in ((removed, "delete"), (added, "insert")):
+                parts.append(
+                    side.withColumn("_change_type", _F.lit(tag)).withColumn(
+                        "_commit_version", _F.lit(version).cast("int")
+                    )
+                )
+            continue
         if kind == "append":
             df = _read_files(spark, path, schema, m["files"])
         elif kind == "merge":
@@ -2691,7 +2852,7 @@ def register_bucketed_table(
     The table is EXTERNAL (LOCATION-based): dropping it later never
     touches the data files, and time travel to pre-compaction versions
     still reads through the manifest path unchanged."""
-    log = _log(path)
+    log = _log(path, raw=True)
     if not log:
         raise ValueError(f"no committed snapshots at {path}")
     version, m = log[-1]
@@ -2904,6 +3065,27 @@ def vacuum_snapshots(
             "base (or anchoring on an unpublished branch) would break "
             "the retained versions"
         )
+    if keep_from is not None:
+        # a retained RESTORE whose target lies below the expiry line
+        # would silently lose its meaning (the effective-log expansion
+        # references manifests expiry deletes); targets AT/ABOVE
+        # keep_from are safe because the anchor rewrite consolidates
+        # everything below it
+        broken = [
+            v
+            for v, _, m in entries
+            if m.get("kind") == "restore"
+            and m.get("branch") is None
+            and v >= keep_from
+            and int(m.get("restore_as_of", 0)) < keep_from
+        ]
+        if broken:
+            raise ValueError(
+                f"snapshot expiry below {keep_from} would cut the "
+                f"target out from under restore snapshot(s) {broken}; "
+                "compact after the restore and anchor on that rewrite "
+                "instead"
+            )
     stats = {
         "orphans_deleted": 0,
         "expired_manifests": 0,

@@ -214,6 +214,7 @@ GATE_WINDOW: tuple[str, ...] = (
 GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "manifest_restore_stats",
     "manifest_batch_reader_stats",
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "bloom_pruned_urgent_revenue",
     "stateful_spend_alerts",
     "zorder_pruning_benefit",
-    "scd2_user_type_history",
 )
 
 

@@ -6177,3 +6177,145 @@ def manifest_nested_embeddings_stats(
         F.max(F.size("embedding")).cast("int").alias("dims"),
         F.sum(fp).cast("bigint").alias("fp_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# RESTORE: Delta-style table restore as a metadata-only commit
+# --------------------------------------------------------------------------
+@register(
+    "manifest_restore_stats",
+    oracle="""
+    SELECT CAST(5 AS INTEGER) AS restore_version,
+           CAST(23 AS BIGINT) AS rows_v4,
+           CAST(20 AS BIGINT) AS rows_after_restore,
+           CAST(23 AS BIGINT) AS rows_asof_v4,
+           CAST(5 AS BIGINT) AS cdf_deletes,
+           CAST(2 AS BIGINT) AS cdf_inserts,
+           CAST(6 AS INTEGER) AS expired_manifests,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows_final,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation)
+               AS sum_key_final
+    """,
+)
+def manifest_restore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF through the gate — the full
+    arc of the metadata-only restore commit (export/manifest_sink.py
+    ``restore_table``): build a table through appends + a row-level
+    equality delete, restore to the pre-delete version (ONE O(1) JSON
+    commit — no data read, copied, or rewritten, the property that
+    makes restoring a 100-TB table a constant-time catalog operation),
+    then pin every contract around it:
+
+    - the restored head equals the target's state INCLUDING rows a
+      later tombstone had removed (the effective-log expansion replays
+      the original prefix, preserving merge-on-read semantics);
+    - time travel BELOW the restore still sees pre-restore history
+      (restore appends a new head, never rewrites the past);
+    - the row-level CDF emits the restore as a symmetric diff
+      (5 deletes = the rolled-back appends, 2 inserts = the rows the
+      rolled-back tombstone had removed);
+    - appends after the restore build on the restored state;
+    - compacting after the restore materializes it, and snapshot
+      expiry anchored on that rewrite retires the restore and its
+      targets together while preserving state (the guard against
+      expiring a LIVE restore's target is test-pinned in
+      tests/test_manifest_restore.py).
+
+    Reference analogue: the reference's only recovery path is
+    re-running the daily export DAG over yesterday's partitions
+    (bigquery_update_scheduler.py:163-231) — recovery by
+    reprocessing; here it is one catalog commit."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        delete_where,
+        ensure_manifest_sink,
+        read_changes,
+        read_committed,
+        restore_table,
+        vacuum_snapshots,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_restore_{os.getpid()}_{tag}"
+    path = os.path.join(root, "nation_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+
+        def append(pred):
+            (
+                nation.filter(pred)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+        append(F.col("n_nationkey") < 10)  # v1: keys 0..9
+        append(F.col("n_nationkey").between(10, 19))  # v2: keys 10..19
+        delete_where(  # v3: tombstone keys {1, 11}
+            spark,
+            path,
+            spark.createDataFrame([(1,), (11,)], "n_nationkey bigint"),
+        )
+        append(F.col("n_nationkey") >= 20)  # v4: keys 20..24
+        sch = nation.schema
+        rows_v4 = read_committed(spark, path, sch).count()
+        rv = restore_table(path, 2)  # metadata-only rollback
+        rows_after = read_committed(spark, path, sch).count()
+        rows_asof_v4 = read_committed(spark, path, sch, as_of=4).count()
+        ch = read_changes(spark, path, sch, 4, rv)
+        cdf = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        append(F.col("n_nationkey") >= 20)  # v6: rebuild on restored state
+        rw = compact_snapshots(spark, path, sch)  # v7: materialize
+        vac = vacuum_snapshots(path, keep_from=rw)
+        stats = {
+            "restore_version": rv,
+            "rows_v4": rows_v4,
+            "rows_after_restore": rows_after,
+            "rows_asof_v4": rows_asof_v4,
+            "cdf_deletes": cdf.get("delete", 0),
+            "cdf_inserts": cdf.get("insert", 0),
+            "expired_manifests": vac["expired_manifests"],
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    final = read_committed(spark, path, nation.schema).agg(
+        F.count("*").alias("n_rows_final"),
+        F.sum("n_nationkey").alias("sum_key_final"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["restore_version"],
+                stats["rows_v4"],
+                stats["rows_after_restore"],
+                stats["rows_asof_v4"],
+                stats["cdf_deletes"],
+                stats["cdf_inserts"],
+                stats["expired_manifests"],
+                final["n_rows_final"],
+                final["sum_key_final"],
+            )
+        ],
+        "restore_version int, rows_v4 bigint, rows_after_restore bigint, "
+        "rows_asof_v4 bigint, cdf_deletes bigint, cdf_inserts bigint, "
+        "expired_manifests int, n_rows_final bigint, sum_key_final bigint",
+    )

@@ -250,6 +250,7 @@ class TestDriverContract:
             "manifest_nested_embeddings_stats",  # nested types E2E
             "classifier_auc_roc",            # exact tie-aware ROC-AUC
             # round-11 additions (r12 draft head):
+            "manifest_restore_stats",        # metadata-only RESTORE commit
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
