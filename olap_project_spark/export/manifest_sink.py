@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -1635,6 +1636,102 @@ def _load_manifest_or_none(path: str, entry: str) -> dict | None:
             return json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+
+
+def clone_table(
+    src: str,
+    dst: str,
+    as_of: int | None = None,
+    include_tags: bool = True,
+) -> dict:
+    """ZERO-COPY clone of the manifest table — Delta SHALLOW CLONE /
+    Iceberg register_table, strengthened to a FULL-HISTORY clone: the
+    source's main manifests at/<= ``as_of`` are replayed verbatim into
+    ``dst`` (claimed at their ORIGINAL version numbers through the
+    standard protocol), and every staging file they reference — data,
+    tombstones, bucketed-layout subdirs — is hard-linked, not copied.
+    The clone is then a fully independent table: its own commit log,
+    its own tags, its own vacuum/compaction/restore lifecycle, with
+    time travel to every cloned version intact — yet zero data bytes
+    were moved (``os.link`` shares inodes; cloning a 100-TB table
+    costs O(#manifests + #files) metadata operations).
+
+    Divergence is free in both directions: appends/deletes/restores on
+    either side are invisible to the other. Unlike Delta's shallow
+    clone — where VACUUM on the source BREAKS clones that reference
+    its files — POSIX hard links make the clone vacuum-proof: the
+    source deleting its directory entry leaves the clone's link (and
+    the shared inode) alive. On an object store (no links) a
+    deployment substitutes server-side copy (S3 CopyObject is a
+    metadata operation within a bucket) — the manifest-replay protocol
+    is unchanged; ``copied_fallback`` counts files that fell back to a
+    byte copy here (cross-device links).
+
+    Branch-staged source commits are NOT cloned (they are unpublished
+    by definition); in-flight claims below ``as_of`` become permanent
+    version holes the readers already skip. ``include_tags`` carries
+    the source's named tags whose target is <= ``as_of``.
+
+    Returns {"versions_cloned", "files_linked", "copied_fallback",
+    "head_version"}. Refuses a ``dst`` that already holds manifests —
+    clone creates tables, it never splices histories."""
+    committed = committed_versions(src)
+    if not committed:
+        raise ValueError(f"no committed snapshots to clone at {src}")
+    if as_of is None:
+        as_of = committed[-1]
+    elif as_of not in committed:
+        raise ValueError(
+            f"clone as_of={as_of} is not a readable main snapshot at "
+            f"{src} (committed: {committed})"
+        )
+    if os.path.isdir(dst) and _list_manifests(dst):
+        raise ValueError(
+            f"clone destination {dst} already holds a committed table"
+        )
+    src_staging = os.path.join(src, "_staging")
+    dst_staging = os.path.join(dst, "_staging")
+    os.makedirs(dst_staging, exist_ok=True)
+    linked = 0
+    copied = 0
+    seen: set[str] = set()
+    log = _log(src, as_of=as_of, raw=True)
+    for _version, m in log:
+        for name in m.get("files", []):
+            if name in seen:
+                continue  # rewrites re-reference earlier files
+            seen.add(name)
+            s = os.path.join(src_staging, name)
+            d = os.path.join(dst_staging, name)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+                linked += 1
+            except OSError:
+                shutil.copy2(s, d)  # cross-device: byte copy fallback
+                copied += 1
+    for version, m in log:
+        if not _VERSION_CLAIMER.claim(dst, version):
+            raise RuntimeError(
+                f"version {version} already claimed at fresh clone "
+                f"destination {dst}; a concurrent writer is racing the "
+                "clone"
+            )
+        tmp = os.path.join(dst, f"._manifest-{uuid.uuid4().hex}.tmp")
+        final = os.path.join(dst, f"_manifest-{version:06d}.json")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, final)
+    if include_tags:
+        for name, target in list_tags(src).items():
+            if target <= as_of:
+                tag_snapshot(dst, name, target)
+    return {
+        "versions_cloned": len(log),
+        "files_linked": linked,
+        "copied_fallback": copied,
+        "head_version": as_of,
+    }
 
 
 def merge_upsert(

@@ -215,6 +215,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "manifest_restore_stats",
+    "manifest_clone_stats",
     "manifest_batch_reader_stats",
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "vocab_oov_rate",
     "bloom_pruned_urgent_revenue",
     "stateful_spend_alerts",
-    "zorder_pruning_benefit",
 )
 
 

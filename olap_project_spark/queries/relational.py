@@ -6319,3 +6319,142 @@ def manifest_restore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_asof_v4 bigint, cdf_deletes bigint, cdf_inserts bigint, "
         "expired_manifests int, n_rows_final bigint, sum_key_final bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# CLONE: zero-copy full-history table clone
+# --------------------------------------------------------------------------
+@register(
+    "manifest_clone_stats",
+    oracle="""
+    SELECT CAST(2 AS INTEGER) AS versions_cloned,
+           CAST(2 AS INTEGER) AS files_linked,
+           CAST(0 AS INTEGER) AS copied_fallback,
+           CAST(1 AS INTEGER) AS tag_carried,
+           CAST(2 AS INTEGER) AS src_expired_manifests,
+           CAST(2 AS INTEGER) AS src_expired_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS rows_src,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation)
+               AS sum_src,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+             WHERE n_nationkey < 20) AS rows_dst,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+             WHERE n_nationkey < 20) AS sum_dst
+    """,
+)
+def manifest_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY CLONE through the gate — Delta SHALLOW CLONE /
+    Iceberg register_table as a full-history clone
+    (export/manifest_sink.py ``clone_table``): the source's manifests
+    replay verbatim into the destination and every staging file is
+    HARD-LINKED, so cloning a 100-TB table moves zero data bytes
+    (O(#manifests + #files) metadata ops; ``copied_fallback`` pins
+    that not one file fell back to a byte copy). The arc then pins
+    every independence contract:
+
+    - the clone carries full time travel and the source's named tag;
+    - divergence is invisible both ways (a row-level DELETE on the
+      clone leaves the source untouched — the final reads check BOTH
+      sides against the raw dimension);
+    - the clone is VACUUM-PROOF: the source is compacted and its
+      pre-rewrite history fully expired (manifest + file counts
+      pinned), and the clone still reads its hard-linked inodes — the
+      exact hazard Delta documents for shallow clones (source VACUUM
+      breaking clone reads), removed by construction here. An
+      object-store deployment substitutes server-side copy; the
+      replay protocol is unchanged.
+
+    Reference analogue: the reference has no table-copy story at all —
+    duplicating its warehouse means re-exporting via the DAG
+    (bigquery_update_scheduler.py:255-260, WRITE_APPEND to a second
+    table); here it is a metadata operation."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        clone_table,
+        compact_snapshots,
+        delete_where,
+        ensure_manifest_sink,
+        list_tags,
+        read_committed,
+        tag_snapshot,
+        vacuum_snapshots,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_clone_{os.getpid()}_{tag}"
+    src = os.path.join(root, "src_tbl")
+    dst = os.path.join(root, "dst_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+
+        def append(pred):
+            (
+                nation.filter(pred)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", src)
+                .mode("append")
+                .save()
+            )
+
+        append(F.col("n_nationkey") < 13)  # v1
+        append(F.col("n_nationkey") >= 13)  # v2
+        tag_snapshot(src, "gold", 1)
+        cs = clone_table(src, dst)
+        # diverge: the clone drops its top keys; the source keeps them
+        delete_where(
+            spark,
+            dst,
+            nation.filter(F.col("n_nationkey") >= 20).select("n_nationkey"),
+        )
+        # vacuum-proofness: expire the source's entire pre-rewrite
+        # history; the clone's hard links must keep reading
+        compact_snapshots(spark, src, nation.schema)
+        vac = vacuum_snapshots(src)
+        stats = {
+            "versions_cloned": cs["versions_cloned"],
+            "files_linked": cs["files_linked"],
+            "copied_fallback": cs["copied_fallback"],
+            "tag_carried": int(list_tags(dst).get("gold") == 1),
+            "src_expired_manifests": vac["expired_manifests"],
+            "src_expired_files": vac["expired_files"],
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    s = read_committed(spark, src, nation.schema).agg(
+        F.count("*").alias("n"), F.sum("n_nationkey").alias("s")
+    ).collect()[0]
+    d = read_committed(spark, dst, nation.schema).agg(
+        F.count("*").alias("n"), F.sum("n_nationkey").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["versions_cloned"],
+                stats["files_linked"],
+                stats["copied_fallback"],
+                stats["tag_carried"],
+                stats["src_expired_manifests"],
+                stats["src_expired_files"],
+                s["n"],
+                s["s"],
+                d["n"],
+                d["s"],
+            )
+        ],
+        "versions_cloned int, files_linked int, copied_fallback int, "
+        "tag_carried int, src_expired_manifests int, src_expired_files "
+        "int, rows_src bigint, sum_src bigint, rows_dst bigint, "
+        "sum_dst bigint",
+    )

@@ -251,6 +251,7 @@ class TestDriverContract:
             "classifier_auc_roc",            # exact tie-aware ROC-AUC
             # round-11 additions (r12 draft head):
             "manifest_restore_stats",        # metadata-only RESTORE commit
+            "manifest_clone_stats",          # zero-copy full-history clone
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
