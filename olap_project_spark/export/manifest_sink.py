@@ -482,6 +482,17 @@ class ManifestWriter(DataSourceWriter):
         # write committed (a post-write "latest version" re-read can
         # pick up a concurrent writer's commit instead)
         self.commit_token = options.get("commit_token")
+        # free-form snapshot summary (Iceberg snapshot-summary /
+        # Delta commitInfo shape): a JSON object recorded verbatim in
+        # the manifest and surfaced by table_history — the seam write
+        # APIs use to make their provenance (e.g. the expectation
+        # contract a write enforced) part of the table's audit trail
+        cp = options.get("commit_props")
+        self.commit_props: dict | None = json.loads(cp) if cp else None
+        if self.commit_props is not None and not isinstance(
+            self.commit_props, dict
+        ):
+            raise ValueError("commit_props must be a JSON object")
         # recorded in the manifest so readers can DISCOVER the table
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
@@ -740,6 +751,8 @@ class ManifestWriter(DataSourceWriter):
             manifest["merge_keys"] = self.merge_keys
         if self.commit_token is not None:
             manifest["commit_token"] = self.commit_token
+        if self.commit_props is not None:
+            manifest["props"] = self.commit_props
         if self.schema is not None:
             manifest["schema"] = self.schema.jsonValue()
         if self.branch is not None:
@@ -1734,6 +1747,161 @@ def clone_table(
     }
 
 
+def write_with_expectations(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    rules: dict[str, str],
+    on_violation: str = "fail",
+    quarantine_path: str | None = None,
+) -> dict:
+    """Write-time data-quality EXPECTATIONS on the manifest table —
+    the Delta Live Tables expect / expect-or-drop / expect-or-fail
+    contract, Spark-first. ``rules`` maps rule names to SQL boolean
+    predicates every written row must satisfy.
+
+    - ``on_violation='fail'``: ALL-OR-NOTHING. The rows are written to
+      a private write-audit-publish branch with per-rule violation
+      counters attached as **observation metrics**
+      (``df.observe``/CollectMetrics — the counters ride the write
+      job itself, so auditing costs ZERO extra scans even at 100 TB).
+      A clean audit publishes the branch atomically; any violation
+      abandons it (nothing was ever visible to readers) and raises
+      with the counts — the WAP loop, driven by expectations.
+    - ``on_violation='drop'``: valid rows commit to main; violating
+      rows are dropped. The same observe-metrics trick counts
+      violations on the single write scan (the filter and the
+      counters share one pass over the input).
+    - ``on_violation='quarantine'``: like drop, but violating rows are
+      ALSO written — to a side manifest table (default
+      ``<path>_quarantine``) with a ``_violated`` array column naming
+      each rule the row broke, so triage reads the quarantine table
+      instead of re-scanning the source. Costs one extra scan of the
+      input for the violating-row projection (cache ``df`` upstream
+      if it is expensive to recompute).
+
+    Every commit records the enforced contract in its manifest
+    ``props`` (snapshot-summary style, surfaced by
+    :func:`table_history`) — the audit trail shows WHICH rules guarded
+    WHICH snapshot. Returns {"version", "violations": {rule: count},
+    "rows_written", "rows_quarantined", "quarantine_version"}.
+
+    Reference analogue: the reference's routing classifier tags
+    invalid rows with ``invalid_reason`` and writes them to a CSV
+    validation log (spark_streaming_consumer.py:270-281, :367-392) —
+    the same quarantine idea, here promoted to an enforced write-time
+    contract on a transactional table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as _F
+
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(f"unknown on_violation mode: {on_violation!r}")
+    if not rules:
+        raise ValueError("expectations need at least one rule")
+    names = list(rules)
+    ok = None
+    for pred in rules.values():
+        e = _F.expr(pred)
+        ok = e if ok is None else ok & e
+    counters = [_F.count(_F.lit(1)).alias("_rows_in")] + [
+        _F.sum(
+            _F.when(~_F.coalesce(_F.expr(p), _F.lit(False)), 1).otherwise(0)
+        ).alias(n)
+        for n, p in rules.items()
+    ]
+    fmt = ensure_manifest_sink(spark)
+    token = uuid.uuid4().hex
+    props = json.dumps(
+        {"expectations": rules, "on_violation": on_violation}
+    )
+    obs = Observation()
+    if on_violation == "fail":
+        branch = f"_expect-{token[:12]}"
+        (
+            df.observe(obs, *counters)
+            .write.format(fmt)
+            .option("path", path)
+            .option("branch", branch)
+            .option("commit_token", token)
+            .option("commit_props", props)
+            .mode("append")
+            .save()
+        )
+        got = obs.get
+        violations = {n: int(got[n] or 0) for n in names}
+        if any(violations.values()):
+            abandon_branch(path, branch)
+            raise ValueError(
+                f"expectations violated, write rolled back: "
+                f"{ {n: c for n, c in violations.items() if c} }"
+            )
+        version = publish_branch(path, branch)[0]
+        return {
+            "version": version,
+            "violations": violations,
+            "rows_written": int(got["_rows_in"] or 0),
+            "rows_quarantined": 0,
+            "quarantine_version": None,
+        }
+    # drop / quarantine: filter AFTER observe so the counters see the
+    # pre-filter rows on the same scan the write consumes
+    valid = df.observe(obs, *counters).filter(
+        _F.coalesce(ok, _F.lit(False))
+    )
+    (
+        valid.write.format(fmt)
+        .option("path", path)
+        .option("commit_token", token)
+        .option("commit_props", props)
+        .mode("append")
+        .save()
+    )
+    version, main_manifest = _committed_entry_of(path, token)
+    got = obs.get
+    violations = {n: int(got[n] or 0) for n in names}
+    n_bad = 0
+    q_version = None
+    if on_violation == "quarantine" and any(violations.values()):
+        qp = quarantine_path or f"{path}_quarantine"
+        q_token = uuid.uuid4().hex
+        # NULL predicate results count as violations on BOTH sides:
+        # valid keeps coalesce(ok, False); bad takes its complement,
+        # so no row can fall through the quarantine
+        bad = df.filter(~_F.coalesce(ok, _F.lit(False))).withColumn(
+            "_violated",
+            _F.array_compact(
+                _F.array(
+                    *[
+                        _F.when(
+                            ~_F.coalesce(_F.expr(p), _F.lit(False)),
+                            _F.lit(n),
+                        )
+                        for n, p in rules.items()
+                    ]
+                )
+            ),
+        )
+        (
+            bad.write.format(fmt)
+            .option("path", qp)
+            .option("commit_token", q_token)
+            .option("commit_props", props)
+            .mode("append")
+            .save()
+        )
+        # quarantined row count straight from the quarantine commit's
+        # manifest — no extra count job
+        q_version, q_manifest = _committed_entry_of(qp, q_token)
+        n_bad = q_manifest.get("n_rows", 0)
+    return {
+        "version": version,
+        "violations": violations,
+        "rows_written": main_manifest.get("n_rows", 0),
+        "rows_quarantined": n_bad,
+        "quarantine_version": q_version,
+    }
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -2240,6 +2408,7 @@ def table_history(path: str) -> list[dict]:
                 "n_files": len(m["files"]),
                 "n_rows": m.get("n_rows"),
                 "has_schema": "schema" in m,
+                "props": m.get("props"),
             }
         )
     return out

@@ -6458,3 +6458,150 @@ def manifest_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int, rows_src bigint, sum_src bigint, rows_dst bigint, "
         "sum_dst bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Write-time expectations: DLT-style expect / expect-or-fail through the gate
+# --------------------------------------------------------------------------
+@register(
+    "expectations_quarantine_stats",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus IN ('O','F')) AS rows_written,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus NOT IN ('O','F')) AS v_status,
+      CAST(0 AS BIGINT) AS v_price,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus NOT IN ('O','F')) AS rows_quarantined,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus NOT IN ('O','F')) AS q_tagged,
+      (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        WHERE o_orderstatus IN ('O','F')) AS sum_key_main,
+      CAST(1 AS INTEGER) AS fail_rolled_back,
+      CAST(1 AS INTEGER) AS fail_clean_version,
+      CAST(20 AS BIGINT) AS fail_rows
+    """,
+)
+def expectations_quarantine_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-TIME EXPECTATIONS through the gate — the Delta Live
+    Tables expect-or-quarantine / expect-or-fail contract on the
+    manifest table (export/manifest_sink.py
+    ``write_with_expectations``), with the property that makes it
+    100-TB-viable: per-rule violation counters ride the write job as
+    OBSERVATION METRICS (``df.observe``/CollectMetrics), so auditing
+    the full orders fact costs zero extra scans — the counts below
+    are what the single write pass observed, cross-checked against
+    the raw table by the oracle.
+
+    Arc 1 (quarantine): orders commit under two rules —
+    ``o_orderstatus IN ('O','F')`` (violated by every 'P' row) and
+    ``o_totalprice > 0`` (never violated). Valid rows land in the main
+    table; each violating row lands in the quarantine side table
+    tagged with the rules it broke (``_violated`` array), and the
+    enforced contract is recorded in the commit's ``props`` (snapshot
+    summary). Pinned: written/violation/quarantine counts, the tag
+    audit (every quarantined row names the status rule), and the main
+    table's key checksum.
+
+    Arc 2 (fail): an all-or-nothing write of the nation dim under
+    ``n_nationkey < 20`` rolls back atomically through a WAP branch —
+    nothing visible, no version burned — then the filtered retry
+    commits as version 1 with 20 rows.
+
+    Reference analogue: the routing classifier's invalid stream with
+    ``invalid_reason`` written to a CSV validation log
+    (spark_streaming_consumer.py:270-281, :367-392), promoted to an
+    enforced transactional write contract."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        committed_versions,
+        ensure_manifest_sink,
+        read_committed,
+        table_schema,
+        write_with_expectations,
+    )
+
+    ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_expect_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_tbl")
+    fail_path = os.path.join(root, "nation_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+        rules = {
+            "status_known": "o_orderstatus IN ('O','F')",
+            "positive_price": "o_totalprice > 0",
+        }
+        r = write_with_expectations(
+            spark, path, orders, rules, on_violation="quarantine"
+        )
+        rolled_back = 0
+        try:
+            write_with_expectations(
+                spark,
+                fail_path,
+                nation,
+                {"key_bound": "n_nationkey < 20"},
+                on_violation="fail",
+            )
+        except ValueError:
+            rolled_back = int(committed_versions(fail_path) == [])
+        rf = write_with_expectations(
+            spark,
+            fail_path,
+            nation.filter(F.col("n_nationkey") < 20),
+            {"key_bound": "n_nationkey < 20"},
+            on_violation="fail",
+        )
+        stats = {
+            "rows_written": r["rows_written"],
+            "v_status": r["violations"]["status_known"],
+            "v_price": r["violations"]["positive_price"],
+            "rows_quarantined": r["rows_quarantined"],
+            "fail_rolled_back": rolled_back,
+            "fail_clean_version": rf["version"],
+            "fail_rows": rf["rows_written"],
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    main = read_committed(spark, path, orders.schema).agg(
+        F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    qp = path + "_quarantine"
+    q_tagged = (
+        read_committed(spark, qp, table_schema(qp))
+        .filter(F.array_contains("_violated", "status_known"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows_written"],
+                stats["v_status"],
+                stats["v_price"],
+                stats["rows_quarantined"],
+                q_tagged,
+                main["s"],
+                stats["fail_rolled_back"],
+                stats["fail_clean_version"],
+                stats["fail_rows"],
+            )
+        ],
+        "rows_written bigint, v_status bigint, v_price bigint, "
+        "rows_quarantined bigint, q_tagged bigint, sum_key_main bigint, "
+        "fail_rolled_back int, fail_clean_version int, fail_rows bigint",
+    )
