@@ -73,6 +73,20 @@ class _PartCommit(WriterCommitMessage):
     col_stats: dict | None = None  # col -> [min, max] for orderable types
     bloom_bits: list | None = None  # sorted set positions for bloom_col
     part_range: list | None = None  # [min, max] transform value
+    # exact per-partition-tuple row counts for this file —
+    # [[ [v1, v2, ...], n_rows ], ...] over the spec list's transform
+    # values, capped at PART_VALUES_CAP distinct tuples (None past the
+    # cap or when any spec slot saw nulls) — the record that powers
+    # the table$partitions metadata surface with zero data scans
+    part_rows: list | None = None
+
+
+# Per-file cap on recorded partition tuples: a data file that spans
+# more distinct partition values than this records no value-level
+# stats (range pruning still applies); bounds manifest size — a
+# well-laid-out file covers FEW partitions, which is the layout
+# write_partitioned produces.
+PART_VALUES_CAP = 128
 
 
 # Per-file bloom parameters (opt-in via the writer's ``bloom_col``
@@ -591,10 +605,19 @@ class ManifestWriter(DataSourceWriter):
             else 0
         )
         part_ranges: list = [None] * n_specs
+        # exact tuple-level row counts (the table$partitions record);
+        # disabled (None) on the first null-bearing batch or past the
+        # PART_VALUES_CAP distinct-tuple bound
+        part_counts: dict | None = {} if n_specs else None
 
         def feed_partition(batch) -> None:
+            nonlocal part_counts
+            import numpy as _np
+
+            batch_vals: list = []
             for i, spec in enumerate(self.partition_transforms or ()):
                 if part_ranges[i] is False:
+                    batch_vals.append(None)
                     continue  # disabled for this spec
                 arr = batch.column(
                     batch.schema.get_field_index(spec["col"])
@@ -602,13 +625,28 @@ class ManifestWriter(DataSourceWriter):
                 vals = _transform_array(spec, arr)
                 if vals is None or len(vals) == 0:
                     part_ranges[i] = False
+                    batch_vals.append(None)
                     continue
+                batch_vals.append(vals)
                 lo, hi = int(vals.min()), int(vals.max())
                 if part_ranges[i] is None:
                     part_ranges[i] = [lo, hi]
                 else:
                     part_ranges[i][0] = min(part_ranges[i][0], lo)
                     part_ranges[i][1] = max(part_ranges[i][1], hi)
+            if part_counts is None:
+                return
+            if any(v is None for v in batch_vals):
+                part_counts = None  # conservatism: no value-level stats
+                return
+            # vectorized tuple histogram over the Arrow batch
+            stacked = _np.stack(batch_vals, axis=1)
+            uniq, counts = _np.unique(stacked, axis=0, return_counts=True)
+            for t, c in zip(uniq.tolist(), counts.tolist()):
+                key = tuple(t)
+                part_counts[key] = part_counts.get(key, 0) + c
+            if len(part_counts) > PART_VALUES_CAP:
+                part_counts = None
 
         buf: dict[str, list] = {c: [] for c in cols}
         with pq.ParquetWriter(
@@ -650,6 +688,14 @@ class ManifestWriter(DataSourceWriter):
                         for r in part_ranges
                     ]
                 )
+            ),
+            part_rows=(
+                [
+                    [list(t), int(c)]
+                    for t, c in sorted(part_counts.items())
+                ]
+                if part_counts
+                else None
             ),
         )
 
@@ -747,6 +793,18 @@ class ManifestWriter(DataSourceWriter):
                 if entry.get("part") is not None:
                     fparts[name] = entry["part"]
             manifest["file_partitions"] = fparts
+            # exact per-tuple row counts (table$partitions): new files'
+            # histograms plus retained files' carried ones
+            prows = {
+                m.file_name: m.part_rows
+                for m in messages
+                if m.part_rows is not None
+            }
+            for name, entry in self.retain.items():
+                if entry.get("prows") is not None:
+                    prows[name] = entry["prows"]
+            if prows:
+                manifest["file_partition_rows"] = prows
         if self.merge_keys is not None:
             manifest["merge_keys"] = self.merge_keys
         if self.commit_token is not None:
@@ -2447,6 +2505,102 @@ def table_files(
     return live
 
 
+def table_partitions(
+    path: str,
+    as_of: int | None = None,
+    branch: str | None = None,
+    strict: bool = True,
+) -> dict:
+    """The ``table$partitions`` METADATA TABLE (Iceberg's partitions
+    table): exact per-partition file and row counts for a
+    hidden-partitioned table, computed ENTIRELY from the manifest
+    log — zero data files opened, zero scans. The writer records each
+    file's per-partition-tuple row histogram
+    (``file_partition_rows``, capped at PART_VALUES_CAP tuples per
+    file); this folds them over the live file set exactly as the read
+    path would (rewrites supersede, deletes excluded).
+
+    Returns {"spec": <the latest transform spec list>, "partitions":
+    [{"partition": [v, ...], "n_rows", "n_files"}, ...] sorted by
+    partition tuple, "unaccounted_files": k} where ``k`` counts live
+    files WITHOUT value-level stats (written before the feature,
+    recorded under an older spec, past the tuple cap, or null-bearing).
+    ``strict=True`` (default) raises when k > 0 — partial metadata
+    must never masquerade as exact counts; ``strict=False`` returns
+    the accounted subset plus the honest remainder count.
+
+    A file is counted toward a partition only when its histogram was
+    recorded under the CURRENT spec — spec evolution invalidates older
+    histograms for this surface (they describe different tuples), the
+    same rule compact_range applies to carried ranges.
+
+    Scale: driver-side O(#manifests + #files·#tuples-per-file) JSON
+    work; answering "how many rows landed in yesterday's partition"
+    on a 100-TB fact costs no cluster time at all. DELETE/MERGE
+    tombstones are NOT folded here (they are row-level, file counts
+    are physical) — tables with unmaterialized tombstones are rejected
+    so the counts can never silently overstate; compact first, as the
+    CDF paths demand.
+
+    Reference analogue: the reference answers this by listing HDFS
+    partition directories and counting (bigquery_update_scheduler.py:
+    163-231); here it is a catalog lookup."""
+    log = _log(path, as_of, branch)
+    if any(
+        m.get("kind", "append") in ("delete", "merge") for _, m in log
+    ):
+        raise ValueError(
+            "table$partitions requires materialized state: the log "
+            "holds delete/merge tombstones that row counts cannot "
+            "reflect — compact first"
+        )
+    live: dict[str, tuple] = {}
+    spec_latest = None
+    for _version, m in log:
+        sp = m.get("partition_transform")
+        pr = m.get("file_partition_rows", {})
+        fr = m.get("file_rows", {})
+        entries = {f: (sp, pr.get(f), fr.get(f)) for f in m["files"]}
+        if m.get("kind", "append") == "rewrite":
+            live = entries
+        else:
+            live.update(entries)
+        if sp is not None:
+            spec_latest = sp
+    if spec_latest is None:
+        raise ValueError(
+            f"table at {path} records no partition transform spec"
+        )
+    agg: dict[tuple, list] = {}
+    unaccounted = 0
+    for _name, (sp, prows, n_rows) in live.items():
+        if n_rows == 0:
+            continue  # an empty file is exactly accounted: no rows
+        if sp != spec_latest or prows is None:
+            unaccounted += 1
+            continue
+        for t, c in prows:
+            key = tuple(t)
+            slot = agg.setdefault(key, [0, 0])
+            slot[0] += c
+            slot[1] += 1
+    if strict and unaccounted:
+        raise ValueError(
+            f"{unaccounted} live file(s) carry no value-level "
+            "partition stats under the current spec; pass "
+            "strict=False for the accounted subset or compact to "
+            "refresh the histograms"
+        )
+    return {
+        "spec": spec_latest,
+        "partitions": [
+            {"partition": list(k), "n_rows": v[0], "n_files": v[1]}
+            for k, v in sorted(agg.items())
+        ],
+        "unaccounted_files": unaccounted,
+    }
+
+
 def read_version_delta(
     spark: SparkSession, path: str, schema, from_v: int, to_v: int
 ) -> DataFrame:
@@ -2877,7 +3031,8 @@ def compact_range(
             continue
         sp = m2.get("partition_transform")
         fp = m2.get("file_partitions", {})
-        entries2 = {f: (sp, fp.get(f)) for f in m2["files"]}
+        pr = m2.get("file_partition_rows", {})
+        entries2 = {f: (sp, fp.get(f), pr.get(f)) for f in m2["files"]}
         if kind2 == "rewrite":
             live_spec_parts = entries2
         else:
@@ -2886,9 +3041,11 @@ def compact_range(
             spec_latest = sp
     if spec_latest is not None:
         for name, entry in retain.items():
-            sp, rng = live_spec_parts.get(name, (None, None))
+            sp, rng, prows = live_spec_parts.get(name, (None, None, None))
             if sp == spec_latest and rng is not None:
                 entry["part"] = rng
+            if sp == spec_latest and prows is not None:
+                entry["prows"] = prows
     current = read_committed(spark, path, schema, _keep=rewrite_set)
     current = current.repartitionByRange(n_files, col).sortWithinPartitions(
         col

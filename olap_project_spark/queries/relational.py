@@ -6605,3 +6605,76 @@ def expectations_quarantine_stats(
         "rows_quarantined bigint, q_tagged bigint, sum_key_main bigint, "
         "fail_rolled_back int, fail_clean_version int, fail_rows bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# table$partitions: the Iceberg partitions metadata table, scan-free
+# --------------------------------------------------------------------------
+@register(
+    "manifest_partitions_metadata_stats",
+    oracle="""
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS day_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+)
+def manifest_partitions_metadata_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``table$partitions`` METADATA TABLE through the gate —
+    Iceberg's partitions table for the hidden-partitioned manifest
+    format (export/manifest_sink.py ``table_partitions``): the events
+    fact commits once under a ``days(ts)`` transform, with the writer
+    recording each file's EXACT per-partition-tuple row histogram
+    beside its transform range; the query then answers "how many rows
+    per day" ENTIRELY from the manifest log — zero data files opened,
+    zero Spark jobs for the counts — and the oracle checks every
+    per-day count against a full GROUP BY over the raw table. The
+    result is multi-row: one row per live partition, each value-exact.
+
+    Scale: this is the catalog query a 100-TB time-series operator
+    runs hourly (ingest completeness, partition skew, retention
+    planning); here it costs O(#manifests) driver-side JSON work
+    instead of a cluster-wide scan. Histograms are capped at
+    PART_VALUES_CAP tuples per file — a spilled file degrades to
+    honest ``unaccounted_files`` (strict mode refuses to answer) —
+    and zero-row files are exactly accounted.
+
+    Reference analogue: the reference counts partition rows by
+    listing HDFS day directories and reading them
+    (bigquery_update_scheduler.py:163-231); here it is a metadata
+    lookup."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        table_partitions,
+        write_partitioned,
+    )
+
+    ensure_manifest_sink(spark)
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_partsmeta_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_days")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        n_days = int(
+            ev.agg(F.countDistinct(F.to_date("ts")).alias("n")).collect()[
+                0
+            ]["n"]
+        )
+        write_partitioned(spark, ev, path, "ts", "days", n_files=n_days)
+        os.makedirs(root, exist_ok=True)
+        with open(done, "w") as f:
+            _json.dump({"n_days": n_days}, f)
+    tp = table_partitions(path)  # strict: every live file accounted
+    return spark.createDataFrame(
+        [(e["partition"][0], e["n_rows"]) for e in tp["partitions"]],
+        "day_key bigint, n_rows bigint",
+    )

@@ -253,6 +253,7 @@ class TestDriverContract:
             "manifest_restore_stats",        # metadata-only RESTORE commit
             "manifest_clone_stats",          # zero-copy full-history clone
             "expectations_quarantine_stats", # DLT-style write expectations
+            "manifest_partitions_metadata_stats",  # table$partitions surface
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer

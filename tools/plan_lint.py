@@ -151,6 +151,13 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     # (bounded scalar pulls, the kmeans_cluster_profile pattern); the
     # returned probe plan itself stays lazy and lintable
     "ann_trained_quantizer_stats",
+    # round-11 lakehouse lifecycle showcases: building the fixture
+    # table (appends/delete/restore/clone/compaction/expectation
+    # writes) IS the semantics; the returned stats frames stay lazy
+    "manifest_restore_stats",
+    "manifest_clone_stats",
+    "expectations_quarantine_stats",
+    "manifest_partitions_metadata_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
