@@ -79,6 +79,9 @@ class _PartCommit(WriterCommitMessage):
     # cap or when any spec slot saw nulls) — the record that powers
     # the table$partitions metadata surface with zero data scans
     part_rows: list | None = None
+    # packed token bloom for this file ({"m", "b64"}), when the writer
+    # ran with a token_bloom_col — powers plan_token_pruned_files
+    token_bloom: dict | None = None
 
 
 # Per-file cap on recorded partition tuples: a data file that spans
@@ -97,6 +100,66 @@ PART_VALUES_CAP = 128
 # positions are exact integer arithmetic, reproducible anywhere.
 BLOOM_M = 16384
 BLOOM_K = 2
+
+# TOKEN bloom (opt-in via ``token_bloom_col``): per-file bloom over the
+# DISTINCT lowercase tokens of a text column — the pruning class
+# neither zone maps (min/max of whole strings) nor the integer bloom
+# can provide: "which files contain the word W" over a 100-TB document
+# corpus. The bitmap is sized adaptively to the file's distinct-token
+# count (10 bits/token, power of two, within [TOKEN_BLOOM_M_MIN,
+# TOKEN_BLOOM_M_MAX]) and stored base64-packed, so a file with a small
+# vocabulary costs ~128 B of manifest while a 100k-token file caps at
+# 16 KiB — bounded metadata, never a posting list. Tokenization is the
+# shared TOKEN_SPLIT_RE (lowercase, alnum runs), applied identically at
+# write (Arrow-vectorized), at plan (the probe token), and at read (the
+# residual filter), so pruning can never disagree with the filter.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOKEN_BLOOM_K = 3
+TOKEN_BLOOM_M_MIN = 1024
+TOKEN_BLOOM_M_MAX = 131072
+
+
+def _token_hash(token: str) -> int:
+    """Portable 48-bit token hash (md5 prefix — the same convention the
+    engine's SQL-side portable_hash48 uses), exact integer arithmetic
+    everywhere."""
+    import hashlib as _hashlib
+
+    return int(_hashlib.md5(token.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def _token_bloom_positions(th: int, m: int) -> tuple[int, ...]:
+    h1 = (th * 2654435761) % (1 << 32)
+    h2 = (th * 40503 + 2699) % (1 << 31)
+    return tuple((h1 + i * h2) % m for i in range(TOKEN_BLOOM_K))
+
+
+def _token_bloom_pack(hashes: set[int]) -> dict:
+    """Size and pack a token bloom: m = the smallest power of two
+    holding ~10 bits per distinct token, clamped to the global bounds;
+    returns {"m": m, "b64": base64 bitmap}."""
+    import base64 as _base64
+
+    m = TOKEN_BLOOM_M_MIN
+    target = 10 * max(1, len(hashes))
+    while m < target and m < TOKEN_BLOOM_M_MAX:
+        m *= 2
+    bits = bytearray(m // 8)
+    for th in hashes:
+        for p in _token_bloom_positions(th, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "b64": _base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _token_bloom_hit(packed: dict, th: int) -> bool:
+    import base64 as _base64
+
+    m = packed["m"]
+    bits = _base64.b64decode(packed["b64"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7))
+        for p in _token_bloom_positions(th, m)
+    )
 
 
 def _bloom_positions(v: int) -> tuple[int, ...]:
@@ -441,6 +504,9 @@ class ManifestWriter(DataSourceWriter):
         # opt-in per-file bloom filter over one integer column — the
         # point-lookup skipping index zone maps cannot provide
         self.bloom_col = options.get("bloom_col")
+        # opt-in per-file TOKEN bloom over one text column — the
+        # keyword-search skipping index (see TOKEN_SPLIT_RE block)
+        self.token_bloom_col = options.get("token_bloom_col")
         # opt-in BUCKETED layout (Spark-native bucketing): the caller
         # guarantees the incoming DataFrame is hash-partitioned
         # ``n_buckets``-ways on ``bucket_by`` (``df.repartition(n, col)``
@@ -595,6 +661,31 @@ class ManifestWriter(DataSourceWriter):
                 if v is not None:
                     bloom.update(_bloom_positions(int(v)))
 
+        token_hashes: set[int] | None = (
+            set() if self.token_bloom_col else None
+        )
+
+        def feed_tokens(buf: dict[str, list]) -> None:
+            # Arrow-vectorized tokenization of the batch: lowercase,
+            # split on non-alnum runs, flatten, unique — only the
+            # UNIQUE tokens (bounded by the batch vocabulary) are
+            # hashed in Python
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            arr = _pa.array(buf[self.token_bloom_col], type=_pa.string())
+            toks = _pc.unique(
+                _pc.list_flatten(
+                    _pc.split_pattern_regex(
+                        _pc.utf8_lower(_pc.coalesce(arr, "")),
+                        pattern=TOKEN_SPLIT_RE,
+                    )
+                )
+            )
+            for t in toks.to_pylist():
+                if t:
+                    token_hashes.add(_token_hash(t))
+
         # per-file transform-value range PER SPEC (hidden
         # partitioning); a spec's slot falls to None on
         # nulls/untransformable values — the file is then never pruned
@@ -660,11 +751,15 @@ class ManifestWriter(DataSourceWriter):
                 if n % self.BATCH_ROWS == 0:
                     if bloom is not None:
                         feed_bloom(buf)
+                    if token_hashes is not None:
+                        feed_tokens(buf)
                     flush(writer, buf)
                     buf = {c: [] for c in cols}
             if cols and buf[cols[0]]:
                 if bloom is not None:
                     feed_bloom(buf)
+                if token_hashes is not None:
+                    feed_tokens(buf)
                 flush(writer, buf)
         return _PartCommit(
             # staging-relative name: commits into a dedicated subdir
@@ -697,6 +792,11 @@ class ManifestWriter(DataSourceWriter):
                 if part_counts
                 else None
             ),
+            token_bloom=(
+                _token_bloom_pack(token_hashes)
+                if token_hashes is not None
+                else None
+            ),
         )
 
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -725,6 +825,13 @@ class ManifestWriter(DataSourceWriter):
                 m.file_name: m.bloom_bits
                 for m in messages
                 if m.bloom_bits is not None
+            }
+        if any(m.token_bloom is not None for m in messages):
+            manifest["token_bloom_col"] = self.token_bloom_col
+            manifest["file_token_blooms"] = {
+                m.file_name: m.token_bloom
+                for m in messages
+                if m.token_bloom is not None
             }
         if self.bucket_by is not None:
             # layout metadata, recorded like bloom_col: readers can
@@ -2446,6 +2553,72 @@ def plan_bloom_pruned_files(
             keep += entries
             total += len(m["files"])
     return sorted(keep), total
+
+
+def plan_token_pruned_files(
+    path: str, col: str, token: str, as_of: int | None = None
+) -> tuple[list[str], int]:
+    """Keyword-search data skipping against the per-file TOKEN blooms:
+    (files that MIGHT contain the word ``token`` in text column
+    ``col``, total committed files). The probe token passes through
+    the same normalization the writer applied (lowercase; it must be a
+    single TOKEN_SPLIT_RE token). A file is skipped only when its
+    token bloom provably excludes the word — no false negatives by
+    construction; files without a token bloom for ``col`` are
+    conservatively kept. This is the pruning class neither zone maps
+    (whole-string min/max) nor the integer bloom can serve: "which
+    files of a 100-TB document corpus contain the word W" becomes a
+    driver-side bitmap probe, with only the surviving files scanned."""
+    token = token.lower()
+    import re as _re
+
+    if not token or _re.search(TOKEN_SPLIT_RE, token):
+        raise ValueError(
+            f"probe {token!r} is not a single token under "
+            f"TOKEN_SPLIT_RE ({TOKEN_SPLIT_RE})"
+        )
+    th = _token_hash(token)
+    keep: list[str] = []
+    total = 0
+    for _version, m in _log(path, as_of):
+        if m.get("kind", "append") == "delete":
+            continue
+        blooms = (
+            m.get("file_token_blooms", {})
+            if m.get("token_bloom_col") == col
+            else {}
+        )
+        entries = []
+        for name in m["files"]:
+            packed = blooms.get(name)
+            if packed is None or _token_bloom_hit(packed, th):
+                entries.append(name)
+        if m.get("kind", "append") == "rewrite":
+            keep, total = entries, len(m["files"])
+        else:
+            keep += entries
+            total += len(m["files"])
+    return sorted(keep), total
+
+
+def read_token_search(
+    spark: SparkSession, path: str, schema, col: str, token: str
+) -> DataFrame:
+    """Keyword search over the manifest table: token-bloom pruning
+    (:func:`plan_token_pruned_files`) + the EXACT residual filter —
+    ``array_contains`` over the same lowercase/TOKEN_SPLIT_RE
+    tokenization the writer indexed, so the result equals a full scan
+    with the filter, having opened only the surviving files."""
+    from pyspark.sql import functions as _F
+
+    keep, _total = plan_token_pruned_files(path, col, token)
+    df = read_committed(spark, path, schema, _keep=set(keep))
+    return df.filter(
+        _F.array_contains(
+            _F.split(_F.lower(_F.col(col)), TOKEN_SPLIT_RE),
+            token.lower(),
+        )
+    )
 
 
 def table_history(path: str) -> list[dict]:

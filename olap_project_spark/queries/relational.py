@@ -6678,3 +6678,111 @@ def manifest_partitions_metadata_stats(
         [(e["partition"][0], e["n_rows"]) for e in tp["partitions"]],
         "day_key bigint, n_rows bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Token bloom: keyword-search data skipping over the documents corpus
+# --------------------------------------------------------------------------
+@register(
+    "token_bloom_search_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id FROM documents
+      WHERE list_contains(
+              string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')
+    )
+    SELECT CAST(8 AS INTEGER) AS files_total,
+           CAST(0 AS INTEGER) AS kept_absent,
+           TRUE AS prune_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_dup_docs,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM m) AS sum_dup_docid
+    """,
+)
+def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD-SEARCH DATA SKIPPING through the gate — the per-file
+    TOKEN BLOOM index (export/manifest_sink.py, TOKEN_SPLIT_RE block):
+    the documents corpus commits once with ``token_bloom_col='text'``
+    (the writer tokenizes each batch Arrow-vectorized and packs a
+    per-file bloom over the DISTINCT lowercase tokens, sized
+    adaptively at ~10 bits/token), clustered by the dedup cohort —
+    the layout a curation pipeline's dedup stage naturally produces,
+    duplicates consolidated together. Three contracts pinned:
+
+    - a token ABSENT from the corpus vocabulary prunes EVERY file
+      (``kept_absent = 0`` — the bloom answers "definitely not here"
+      at the driver, no scan at all; deterministic because the hash
+      and bitmap arithmetic are exact integers);
+    - searching the rare duplicate-marker token ``dup`` opens
+      STRICTLY FEWER files than the table holds (``prune_ok``), and
+      the pruned read + exact residual filter (the same tokenizer)
+      returns precisely the full-scan answer — count and doc_id
+      checksum oracle-verified against a DuckDB tokenization of the
+      raw corpus;
+    - files are never wrongly skipped: the residual filter sits on
+      top of a conservative keep set (no false negatives by bloom
+      construction).
+
+    This is the pruning class neither zone maps (whole-string
+    min/max) nor the integer bloom provide: "which files of a 100-TB
+    document corpus contain the word W" as a driver-side bitmap
+    probe, with bounded manifest cost (~128 B for a small-vocabulary
+    file, 16 KiB cap).
+
+    Reference analogue: none — the reference greps nothing; the
+    closest is its routing of fraud keywords via column predicates
+    (spark_streaming_consumer.py:254-268), which this generalizes to
+    full-text membership over opaque document bodies."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        TOKEN_SPLIT_RE,
+        ensure_manifest_sink,
+        plan_token_pruned_files,
+        read_token_search,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_tokbloom_{os.getpid()}_{tag}"
+    path = os.path.join(root, "docs_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        cohort = F.array_contains(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
+        ).cast("int")
+        (
+            docs.withColumn("_cohort", cohort)
+            .repartitionByRange(8, "_cohort", "doc_id")
+            .drop("_cohort")
+            .write.format(fmt)
+            .option("path", path)
+            .option("token_bloom_col", "text")
+            .mode("append")
+            .save()
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    kept_dup, files_total = plan_token_pruned_files(path, "text", "dup")
+    kept_absent, _ = plan_token_pruned_files(path, "text", "zzznotoken")
+    hits = read_token_search(spark, path, docs.schema, "text", "dup").agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                files_total,
+                len(kept_absent),
+                len(kept_dup) < files_total,
+                hits["n"],
+                hits["s"],
+            )
+        ],
+        "files_total int, kept_absent int, prune_ok boolean, "
+        "n_dup_docs bigint, sum_dup_docid bigint",
+    )

@@ -158,6 +158,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "manifest_clone_stats",
     "expectations_quarantine_stats",
     "manifest_partitions_metadata_stats",
+    "token_bloom_search_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
