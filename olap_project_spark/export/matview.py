@@ -1,0 +1,249 @@
+"""MATERIALIZED VIEWS over the manifest table, with CDF-driven
+incremental refresh — the lakehouse MV maintenance loop
+(Delta Live Tables materialized views / Snowflake MVs / the classic
+self-maintainable-view literature), Spark-first.
+
+View class: KEYED AGGREGATES — ``GROUP BY k1..kn`` with integer SUM
+aggregates (and row counts), the self-maintainable family: every
+base-table change folds into the view as a SIGNED delta (+row for an
+insert, −row for a delete), so a refresh costs O(|changes|), never a
+base re-scan. Sums are exact integers (the engine's cross-engine
+convention — express money as cents in the agg expr); averages are
+derivable as sum/count downstream.
+
+The view itself IS a manifest table, so it inherits time travel,
+snapshot isolation, vacuum, and the metadata surfaces. A refresh is
+ONE atomic merge commit even when keys must disappear: a key whose
+base-row count reaches zero stays in the view's data plane as a
+TOMBSTONE ROW (``_mv_count = 0``) that ``mv_read`` filters out — the
+classic counted-IVM trick, which keeps every refresh single-commit
+(no multi-statement window exists, even for time-travel readers
+pinned at any version). ``mv_vacuum`` purges accumulated tombstone
+rows as a maintenance operation, exactly as compaction materializes
+the base table's deletes.
+
+When the base log crosses a REWRITE (compaction) inside the unrefreshed
+range, the row-level CDF is undefined (Delta makes the same demand), so
+the refresh falls back to a FULL recompute committed as one rewrite
+snapshot — correctness first, and the fallback is itself atomic.
+
+Reference analogue: the reference's Airflow DAG re-aggregates
+yesterday's partitions wholesale into BigQuery every day
+(bigquery_update_scheduler.py:163-260) — a full recompute on a timer;
+here the same freshness costs O(changes) with exactly-once semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from olap_project_spark.export.manifest_sink import (
+    committed_versions,
+    delete_where,
+    ensure_manifest_sink,
+    merge_upsert,
+    read_changes,
+    read_committed,
+    table_schema,
+)
+
+_COUNT_COL = "_mv_count"  # internal per-key base-row count (zero ⇒ drop)
+
+
+def _meta_path(mv_path: str) -> str:
+    return os.path.join(mv_path, "_mv.json")
+
+
+def _load_meta(mv_path: str) -> dict:
+    with open(_meta_path(mv_path)) as f:
+        return json.load(f)
+
+
+def _store_meta(mv_path: str, meta: dict) -> None:
+    os.makedirs(mv_path, exist_ok=True)
+    tmp = os.path.join(mv_path, f"._mv-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(mv_path))
+
+
+def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
+    """The full-recompute aggregation: GROUP BY keys with exact
+    integer sums + the internal row count."""
+    aggs = [
+        F.sum(F.expr(a["expr"])).cast("bigint").alias(a["as"])
+        for a in spec["aggs"]
+    ]
+    aggs.append(F.count(F.lit(1)).alias(_COUNT_COL))
+    return df.groupBy(*spec["group_by"]).agg(*aggs)
+
+
+def _delta_frame(changes: DataFrame, spec: dict) -> DataFrame:
+    """Signed-delta aggregation over a CDF slice: inserts weigh +1,
+    deletes −1, so summing weighted values per key yields exactly the
+    adjustment the view needs."""
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [
+        F.sum(F.expr(a["expr"]) * w).cast("bigint").alias(a["as"])
+        for a in spec["aggs"]
+    ]
+    aggs.append(F.sum(w).cast("bigint").alias(_COUNT_COL))
+    return changes.groupBy(*spec["group_by"]).agg(*aggs)
+
+
+def mv_create(
+    spark: SparkSession,
+    mv_path: str,
+    base_path: str,
+    spec: dict,
+) -> dict:
+    """Define a materialized view over a manifest table and run its
+    initial full refresh. ``spec`` = {"group_by": [cols], "aggs":
+    [{"expr": <integer-valued SQL expr>, "as": name}, ...]}. The view
+    definition persists beside the view's own manifest log
+    (``_mv.json``), so any session can refresh it later. Returns the
+    stored metadata."""
+    if os.path.exists(_meta_path(mv_path)):
+        raise ValueError(f"materialized view already exists at {mv_path}")
+    if not spec.get("group_by") or not spec.get("aggs"):
+        raise ValueError("spec needs group_by and at least one agg")
+    head = max(committed_versions(base_path), default=0)
+    base = read_committed(spark, base_path, table_schema(base_path))
+    fmt = ensure_manifest_sink(spark)
+    (
+        _view_frame(base, spec)
+        .write.format(fmt)
+        .option("path", mv_path)
+        .mode("append")
+        .save()
+    )
+    meta = {"base": base_path, "spec": spec, "base_version": head}
+    _store_meta(mv_path, meta)
+    return meta
+
+
+def mv_status(mv_path: str) -> dict:
+    """Freshness: the base version the view reflects vs the base's
+    current head, and how many unapplied versions lie between."""
+    meta = _load_meta(mv_path)
+    head = max(committed_versions(meta["base"]), default=0)
+    return {
+        "base": meta["base"],
+        "base_version": meta["base_version"],
+        "base_head": head,
+        "lag_versions": head - meta["base_version"],
+        "fresh": head == meta["base_version"],
+    }
+
+
+def mv_read(spark: SparkSession, mv_path: str) -> DataFrame:
+    """The view's current state (exposed columns only — the internal
+    count column stays an implementation detail unless the spec
+    exposes its own count via ``{"expr": "1", "as": name}``).
+    Zero-count tombstone rows (keys whose base rows were all deleted)
+    are filtered here, so consumers never see them."""
+    df = read_committed(spark, mv_path, table_schema(mv_path))
+    return df.filter(F.col(_COUNT_COL) > 0).drop(_COUNT_COL)
+
+
+def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
+    """Bring the view up to the base head. Incremental when the
+    unrefreshed range is CDF-expressible: the signed delta joins
+    against ONLY the view's current state (never the base) and every
+    touched key — including keys whose count reaches zero, kept as
+    filtered tombstone rows — lands in ONE atomic merge commit, so
+    no reader (current or time-traveling) can observe a half-applied
+    refresh. Falls back to an atomic full recompute (one rewrite
+    snapshot) when the range crosses a base compaction. Returns
+    {"mode": "noop"|"incremental"|"full", "from_version",
+    "to_version", "keys_upserted", "keys_deleted"}."""
+    meta = _load_meta(mv_path)
+    base_path, spec = meta["base"], meta["spec"]
+    from_v = meta["base_version"]
+    head = max(committed_versions(base_path), default=0)
+    if head == from_v:
+        return {
+            "mode": "noop",
+            "from_version": from_v,
+            "to_version": head,
+            "keys_upserted": 0,
+            "keys_deleted": 0,
+        }
+    base_schema = table_schema(base_path)
+    keys = spec["group_by"]
+    fmt = ensure_manifest_sink(spark)
+    try:
+        changes = read_changes(
+            spark, base_path, base_schema, from_v, head
+        )
+    except ValueError:
+        # a base rewrite inside the range: full atomic recompute
+        base = read_committed(spark, base_path, base_schema, as_of=head)
+        (
+            _view_frame(base, spec)
+            .write.format(fmt)
+            .option("path", mv_path)
+            .option("kind", "rewrite")
+            .mode("append")
+            .save()
+        )
+        meta["base_version"] = head
+        _store_meta(mv_path, meta)
+        return {
+            "mode": "full",
+            "from_version": from_v,
+            "to_version": head,
+            "keys_upserted": -1,
+            "keys_deleted": -1,
+        }
+    delta = _delta_frame(changes, spec)
+    state = read_committed(spark, mv_path, table_schema(mv_path))
+    agg_cols = [a["as"] for a in spec["aggs"]] + [_COUNT_COL]
+    merged = (
+        state.join(delta, on=keys, how="right")  # touched keys only
+        .select(
+            *keys,
+            *[
+                (
+                    F.coalesce(state[c], F.lit(0))
+                    + F.coalesce(delta[c], F.lit(0))
+                ).alias(c)
+                for c in agg_cols
+            ],
+        )
+        .localCheckpoint(eager=True)  # bounded: touched keys only
+    )
+    n_up = merge_upsert(spark, mv_path, merged, keys=keys)
+    n_dead = merged.filter(F.col(_COUNT_COL) <= 0).count()
+    meta["base_version"] = head
+    _store_meta(mv_path, meta)
+    return {
+        "mode": "incremental",
+        "from_version": from_v,
+        "to_version": head,
+        "keys_upserted": n_up["n_updates"] - n_dead,
+        "keys_deleted": n_dead,
+    }
+
+
+def mv_vacuum(spark: SparkSession, mv_path: str) -> int:
+    """Purge accumulated zero-count tombstone rows from the view's
+    data plane (maintenance, never required for correctness —
+    ``mv_read`` filters them). One equality-delete commit; returns
+    the number of purged keys. Compact afterwards to materialize."""
+    meta = _load_meta(mv_path)
+    keys = meta["spec"]["group_by"]
+    state = read_committed(spark, mv_path, table_schema(mv_path))
+    dead = state.filter(F.col(_COUNT_COL) <= 0).select(*keys)
+    n = dead.count()
+    if n:
+        delete_where(spark, mv_path, dead)
+    return n

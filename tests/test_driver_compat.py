@@ -255,6 +255,7 @@ class TestDriverContract:
             "expectations_quarantine_stats", # DLT-style write expectations
             "manifest_partitions_metadata_stats",  # table$partitions surface
             "token_bloom_search_stats",      # keyword-search file skipping
+            "matview_incremental_refresh_stats",  # counted-IVM refresh loop
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer

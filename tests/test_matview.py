@@ -1,0 +1,163 @@
+"""Materialized views with CDF-driven incremental refresh: signed-delta
+maintenance (O(changes), never a base re-scan), zero-count key removal,
+atomic multi-statement refresh via a WAP branch, full-recompute
+fallback across base compactions, and freshness accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_project_spark.export.manifest_sink import (
+    ManifestSinkDataSource,
+    compact_snapshots,
+    delete_where,
+    read_committed,
+    restore_table,
+    table_history,
+    table_schema,
+)
+from olap_project_spark.export.matview import (
+    mv_create,
+    mv_read,
+    mv_refresh,
+    mv_status,
+)
+
+SCHEMA = "k string, v bigint"
+SPEC = {"group_by": ["k"], "aggs": [{"expr": "v", "as": "sum_v"}]}
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestSinkDataSource)
+    return spark
+
+
+def _write(spark, base, rows):
+    (
+        spark.createDataFrame(rows, SCHEMA)
+        .coalesce(1)
+        .write.format("manifest_sink")
+        .option("path", base)
+        .mode("append")
+        .save()
+    )
+
+
+def _state(spark, view):
+    return sorted((r.k, r.sum_v) for r in mv_read(spark, view).collect())
+
+
+def _truth(spark, base):
+    df = read_committed(spark, base, table_schema(base))
+    return sorted(
+        (r.k, r.s)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    )
+
+
+class TestLifecycle:
+    def test_create_refresh_delete_fallback(self, registered, tmp_path):
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 10), ("a", 5), ("b", 7)])
+        meta = mv_create(registered, view, base, SPEC)
+        assert meta["base_version"] == 1
+        assert _state(registered, view) == _truth(registered, base)
+
+        _write(registered, base, [("b", 3), ("c", 1)])
+        st = mv_status(view)
+        assert st["lag_versions"] == 1 and not st["fresh"]
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        assert r["keys_upserted"] == 2 and r["keys_deleted"] == 0
+        assert _state(registered, view) == _truth(registered, base)
+
+        # deleting EVERY base row of a key removes the key atomically
+        delete_where(
+            registered, base, registered.createDataFrame([("a",)], "k string")
+        )
+        r2 = mv_refresh(registered, view)
+        assert r2["mode"] == "incremental" and r2["keys_deleted"] == 1
+        assert _state(registered, view) == _truth(registered, base)
+        assert ("a", 15) not in _state(registered, view)
+
+        # base compaction in the unrefreshed range → atomic full rebuild
+        _write(registered, base, [("d", 9)])
+        compact_snapshots(registered, base, SCHEMA)
+        r3 = mv_refresh(registered, view)
+        assert r3["mode"] == "full"
+        assert _state(registered, view) == _truth(registered, base)
+        # the fallback committed ONE rewrite snapshot on the view
+        assert table_history(view)[-1]["kind"] == "rewrite"
+
+        assert mv_refresh(registered, view)["mode"] == "noop"
+        assert mv_status(view)["fresh"]
+
+    def test_refresh_across_base_restore(self, registered, tmp_path):
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1)])
+        mv_create(registered, view, base, SPEC)
+        _write(registered, base, [("b", 2)])
+        restore_table(base, 1)  # CDF emits the symmetric diff
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        assert _state(registered, view) == [("a", 1)]
+
+    def test_refresh_is_atomic_to_view_readers(self, registered, tmp_path):
+        """A refresh that both updates and removes keys is ONE merge
+        commit (zero-count keys become filtered tombstone rows), so
+        EVERY committed view version — including time-travel reads —
+        shows exactly the old or the new state, never a half-applied
+        refresh."""
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2)])
+        mv_create(registered, view, base, SPEC)
+        delete_where(
+            registered, base, registered.createDataFrame([("a",)], "k string")
+        )
+        _write(registered, base, [("b", 5)])
+        r = mv_refresh(registered, view)
+        assert r["keys_deleted"] == 1
+        sch = table_schema(view)
+        states = []
+        for h in table_history(view):
+            rows = (
+                read_committed(registered, view, sch, as_of=h["version"])
+                .filter(F.col("_mv_count") > 0)
+                .collect()
+            )
+            states.append(sorted((r.k, r.sum_v) for r in rows))
+        old = [("a", 1), ("b", 2)]
+        new = [("b", 7)]
+        assert all(s in (old, new) for s in states), states
+
+    def test_vacuum_purges_tombstone_rows(self, registered, tmp_path):
+        from olap_project_spark.export.matview import mv_vacuum
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2)])
+        mv_create(registered, view, base, SPEC)
+        delete_where(
+            registered, base, registered.createDataFrame([("a",)], "k string")
+        )
+        mv_refresh(registered, view)
+        assert mv_vacuum(registered, view) == 1
+        # physically gone now, and the visible state is unchanged
+        raw = read_committed(registered, view, table_schema(view))
+        assert raw.count() == 1
+        assert _state(registered, view) == [("b", 2)]
+        assert mv_vacuum(registered, view) == 0
+
+
+class TestRejections:
+    def test_double_create_and_bad_spec(self, registered, tmp_path):
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1)])
+        mv_create(registered, view, base, SPEC)
+        with pytest.raises(ValueError, match="already exists"):
+            mv_create(registered, view, base, SPEC)
+        with pytest.raises(ValueError, match="group_by"):
+            mv_create(
+                registered, str(tmp_path / "v2"), base, {"group_by": []}
+            )

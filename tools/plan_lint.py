@@ -159,6 +159,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "expectations_quarantine_stats",
     "manifest_partitions_metadata_stats",
     "token_bloom_search_stats",
+    "matview_incremental_refresh_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
