@@ -82,6 +82,9 @@ class _PartCommit(WriterCommitMessage):
     # packed token bloom for this file ({"m", "b64"}), when the writer
     # ran with a token_bloom_col — powers plan_token_pruned_files
     token_bloom: dict | None = None
+    # exact per-column null counts (col -> n) — metadata-only
+    # COUNT(col)/IS NULL accounting; recorded for every column
+    col_nulls: dict | None = None
 
 
 # Per-file cap on recorded partition tuples: a data file that spans
@@ -618,6 +621,10 @@ class ManifestWriter(DataSourceWriter):
         n = 0
         stats: dict[str, list] = {}  # zone map: col -> [min, max]
         disabled: set[str] = set()  # null/complex seen → no zone map
+        # exact per-column null counts (metadata-only COUNT(col)):
+        # tracked for EVERY column, independent of the zone map's
+        # null-disabling rule
+        nulls: dict[str, int] = {c: 0 for c in cols}
 
         def flush(writer: pq.ParquetWriter, buf: dict[str, list]) -> None:
             batch = pa.record_batch(
@@ -631,9 +638,11 @@ class ManifestWriter(DataSourceWriter):
             # non-orderable-scalar value, matching the read contract
             # (files without a map for a column are never skipped)
             for c in cols:
+                arr0 = batch.column(batch.schema.get_field_index(c))
+                nulls[c] += arr0.null_count
                 if c in disabled:
                     continue
-                arr = batch.column(batch.schema.get_field_index(c))
+                arr = arr0
                 if arr.null_count or not (
                     pa.types.is_integer(arr.type)
                     or pa.types.is_floating(arr.type)
@@ -797,6 +806,7 @@ class ManifestWriter(DataSourceWriter):
                 if token_hashes is not None
                 else None
             ),
+            col_nulls=dict(nulls),
         )
 
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -818,6 +828,14 @@ class ManifestWriter(DataSourceWriter):
             # per-file row counts: the `table$files` metadata surface
             # (planning row estimates without opening footers)
             "file_rows": {m.file_name: m.n_rows for m in messages},
+            # per-file per-column null counts: metadata-only
+            # COUNT(col) and the IS NULL accounting zone maps drop
+            # (they disable on the first null by contract)
+            "file_nulls": {
+                m.file_name: m.col_nulls
+                for m in messages
+                if m.col_nulls is not None
+            },
         }
         if any(m.bloom_bits is not None for m in messages):
             manifest["bloom_col"] = self.bloom_col
@@ -882,6 +900,8 @@ class ManifestWriter(DataSourceWriter):
                     manifest["file_stats"][name] = entry["stats"]
                 if "rows" in entry:
                     manifest["file_rows"][name] = entry["rows"]
+                if entry.get("nulls") is not None:
+                    manifest["file_nulls"][name] = entry["nulls"]
         if self.partition_transforms is not None:
             manifest["partition_transform"] = (
                 self.partition_transforms[0]
@@ -2774,6 +2794,108 @@ def table_partitions(
     }
 
 
+def metadata_aggregate(
+    path: str,
+    cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
+    as_of: int | None = None,
+    branch: str | None = None,
+) -> dict:
+    """METADATA-ONLY AGGREGATES — answer ``COUNT(*)``, per-column
+    ``MIN``/``MAX``, and ``COUNT(col)``/null counts ENTIRELY from the
+    manifest log (the Iceberg/Spark metadata-query optimization):
+    row counts fold from ``file_rows``, null counts from
+    ``file_nulls``, and min/max from the zone maps — which are EXACT
+    per-file extremes computed from the data at write time, so their
+    fold is the exact table extreme, not an estimate. Zero data files
+    opened; "SELECT COUNT(*), MIN(k), MAX(k) FROM a 100-TB table"
+    costs O(#manifests) driver-side JSON work.
+
+    STRICT by construction — an answer is returned only when it is
+    provably exact, else ValueError:
+
+    - delete/merge tombstones in the log → rejected (row-level
+      removals are invisible to file-level metadata; compact first);
+    - a live file without a recorded row count (pre-columnar legacy)
+      → rejected;
+    - MIN/MAX (columns listed in ``minmax_cols``) → every live file
+      holding at least one non-null value of the column must carry a
+      zone map; a file that saw nulls (the zone map disables on the
+      first null) or predates the column makes min/max unanswerable —
+      ask for such columns via ``cols`` (counts only) instead. None
+      min/max is returned ONLY in the all-null case, which is exact;
+    - null counts for a column → every live file must carry a
+      ``file_nulls`` record; a post-evolution reader counts a file
+      that PREDATES the column as all-null for it — exactly what the
+      null-backfill read contract produces.
+
+    Returns {"n_rows": N, "cols": {c: {"min", "max", "nulls",
+    "non_null"}}}."""
+    log = _log(path, as_of, branch)
+    if any(
+        m.get("kind", "append") in ("delete", "merge") for _, m in log
+    ):
+        raise ValueError(
+            "metadata aggregates require materialized state: the log "
+            "holds delete/merge tombstones — compact first"
+        )
+    live: dict[str, tuple] = {}
+    for _version, m in log:
+        fr = m.get("file_rows", {})
+        fs = m.get("file_stats", {})
+        fn = m.get("file_nulls", {})
+        entries = {
+            f: (fr.get(f), fs.get(f, {}), fn.get(f)) for f in m["files"]
+        }
+        if m.get("kind", "append") == "rewrite":
+            live = entries
+        else:
+            live.update(entries)
+    n_rows = 0
+    for name, (rows, _s, _n) in live.items():
+        if rows is None:
+            raise ValueError(
+                f"live file {name} records no row count (pre-columnar "
+                "commit); compact to refresh metadata"
+            )
+        n_rows += rows
+    out: dict = {"n_rows": n_rows, "cols": {}}
+    want_minmax = set(minmax_cols or [])
+    for c in list(cols or []) + sorted(want_minmax - set(cols or [])):
+        nulls = 0
+        lo = hi = None
+        for name, (rows, fstats, fnulls) in live.items():
+            if rows == 0:
+                continue
+            if fnulls is None:
+                raise ValueError(
+                    f"live file {name} records no null counts; compact "
+                    "to refresh metadata"
+                )
+            # a file predating an added column is all-null for it —
+            # the null-backfill contract, counted exactly
+            c_nulls = fnulls.get(c, rows)
+            nulls += c_nulls
+            if c_nulls == rows or c not in want_minmax:
+                continue  # counts-only column, or nothing non-null
+            s = fstats.get(c)
+            if s is None:
+                raise ValueError(
+                    f"live file {name} holds non-null {c!r} values but "
+                    "no zone map (nulls or non-orderable type disabled "
+                    "it); min/max is not answerable from metadata — "
+                    "request it via cols= for counts only"
+                )
+            lo = s[0] if lo is None or s[0] < lo else lo
+            hi = s[1] if hi is None or s[1] > hi else hi
+        entry = {"nulls": nulls, "non_null": n_rows - nulls}
+        if c in want_minmax:
+            entry["min"] = lo
+            entry["max"] = hi
+        out["cols"][c] = entry
+    return out
+
+
 def read_version_delta(
     spark: SparkSession, path: str, schema, from_v: int, to_v: int
 ) -> DataFrame:
@@ -3190,6 +3312,21 @@ def compact_range(
     for f in table_files(path):
         if f["file_name"] in retain and f["n_rows"] is not None:
             retain[f["file_name"]]["rows"] = f["n_rows"]
+    # null counts likewise (metadata-only COUNT(col) must survive a
+    # scoped rewrite for the files it does not touch)
+    live_nulls: dict[str, dict] = {}
+    for _v3, m3 in log:
+        if m3.get("kind", "append") == "delete":
+            continue
+        fn = m3.get("file_nulls", {})
+        entries3 = {f: fn.get(f) for f in m3["files"]}
+        if m3.get("kind", "append") == "rewrite":
+            live_nulls = entries3
+        else:
+            live_nulls.update(entries3)
+    for name, entry in retain.items():
+        if live_nulls.get(name) is not None:
+            entry["nulls"] = live_nulls[name]
     # HIDDEN-PARTITIONING preservation: a scoped rewrite must not
     # strip the table's transform metadata (the round-11 layout —
     # otherwise every later time-window read stops pruning). The

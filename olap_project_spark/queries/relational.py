@@ -6909,3 +6909,112 @@ def matview_incremental_refresh_stats(
             "tombstoned_keys"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-only aggregates: COUNT/MIN/MAX from the log, zero scans
+# --------------------------------------------------------------------------
+@register(
+    "metadata_only_aggregate_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(MIN(o_orderkey) AS BIGINT) FROM orders)
+             AS key_min,
+           (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders)
+             AS key_max,
+           (SELECT MIN(o_orderstatus) FROM orders) AS status_min,
+           (SELECT MAX(o_orderstatus) FROM orders) AS status_max,
+           (SELECT CAST(COUNT(CASE WHEN o_orderkey % 3 = 0
+                                   THEN o_totalprice END) AS BIGINT)
+            FROM orders) AS flagged_non_null,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 <> 0) AS flagged_nulls
+    """,
+)
+def metadata_only_aggregate_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METADATA-ONLY AGGREGATES through the gate
+    (export/manifest_sink.py ``metadata_aggregate``): the orders fact
+    commits in two snapshots and the query answers COUNT(*),
+    MIN/MAX(o_orderkey), MIN/MAX(o_orderstatus), and the null/non-null
+    split of a deliberately null-bearing derived column ENTIRELY from
+    the manifest log — zero data files opened, zero Spark jobs for the
+    answers (the Iceberg/Spark metadata-query optimization). Every
+    value is oracle-checked against real aggregation of the raw
+    table: the zone-map fold is exact because per-file [min,max] are
+    computed from the data at write time, row counts fold from
+    file_rows, and per-column null counts (recorded this round for
+    every column, independent of the zone map's null-disabling rule)
+    make COUNT(col) exact — including across schema evolution, where
+    a pre-evolution file counts as all-null for an added column, the
+    null-backfill contract.
+
+    Strictness is the point: the API raises rather than approximates —
+    tombstoned logs, stat-less legacy files, and min/max over a
+    null-bearing column (whose zone map the writer disables) are all
+    rejected, so an answer returned is an answer proved.
+
+    Scale: "SELECT COUNT(*), MIN(k), MAX(k) FROM a 100-TB table" costs
+    O(#manifests) driver-side JSON work. Reference analogue: the DAG
+    re-reads yesterday's partition wholesale just to know what it
+    holds (bigquery_update_scheduler.py:163-231)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        metadata_aggregate,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice")
+        ).alias("flagged"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_metaagg_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        for pred in (
+            F.col("o_orderkey") % 2 == 0,
+            F.col("o_orderkey") % 2 == 1,
+        ):
+            (
+                orders.filter(pred)
+                .repartition(4)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    agg = metadata_aggregate(
+        path, cols=["flagged"], minmax_cols=["o_orderkey", "o_orderstatus"]
+    )
+    k = agg["cols"]["o_orderkey"]
+    s = agg["cols"]["o_orderstatus"]
+    fl = agg["cols"]["flagged"]
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_rows"],
+                k["min"],
+                k["max"],
+                s["min"],
+                s["max"],
+                fl["non_null"],
+                fl["nulls"],
+            )
+        ],
+        "n_rows bigint, key_min bigint, key_max bigint, "
+        "status_min string, status_max string, flagged_non_null bigint, "
+        "flagged_nulls bigint",
+    )

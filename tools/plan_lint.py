@@ -160,6 +160,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "manifest_partitions_metadata_stats",
     "token_bloom_search_stats",
     "matview_incremental_refresh_stats",
+    "metadata_only_aggregate_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
