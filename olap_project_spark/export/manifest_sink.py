@@ -2020,7 +2020,20 @@ def write_with_expectations(
                 f"expectations violated, write rolled back: "
                 f"{ {n: c for n, c in violations.items() if c} }"
             )
-        version = publish_branch(path, branch)[0]
+        try:
+            version = publish_branch(path, branch)[0]
+        except ValueError as e:
+            # a concurrent main commit landed between our branch claim
+            # and this publish — the fast-forward condition fails.
+            # Roll the staged write back (pure GC: it was never
+            # visible) and surface a retryable conflict, the same
+            # shape as Delta's commit-conflict retry loop.
+            abandon_branch(path, branch)
+            raise RuntimeError(
+                "expect-or-fail write lost a commit race on "
+                f"{path}; the staged branch was rolled back — retry "
+                f"the write ({e})"
+            ) from e
         return {
             "version": version,
             "violations": violations,
@@ -2093,6 +2106,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     branch: str | None = None,
+    props: dict | None = None,
 ) -> dict:
     """MERGE (upsert) into the manifest table as ONE ATOMIC SNAPSHOT,
     merge-on-read style: a single ``kind='merge'`` commit whose data
@@ -2156,6 +2170,10 @@ def merge_upsert(
         .option("merge_keys", json.dumps(list(keys)))
         .option("commit_token", token)
     )
+    if props is not None:
+        # snapshot-summary provenance (e.g. the matview refresh range
+        # — the idempotence record its exactly-once recovery reads)
+        w = w.option("commit_props", json.dumps(props))
     if branch is not None:
         w = w.option("branch", branch)
     w.mode("append").save()

@@ -50,6 +50,7 @@ from olap_project_spark.export.manifest_sink import (
     merge_upsert,
     read_changes,
     read_committed,
+    table_history,
     table_schema,
 )
 
@@ -71,6 +72,22 @@ def _store_meta(mv_path: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, _meta_path(mv_path))
+
+
+def _applied_base_version(mv_path: str) -> int:
+    """The base version the view's OWN COMMIT LOG proves applied: the
+    largest ``mv_to`` recorded in any view commit's props. This — not
+    ``_mv.json`` — is the exactly-once source of truth: every refresh
+    stamps its applied range into the commit it lands, so a crash
+    between the commit and the metadata-cache write cannot double-
+    apply the range on recovery (the next refresh reconciles from
+    here). 0 when the view has no stamped commit (pre-feature logs)."""
+    applied = 0
+    for h in table_history(mv_path):
+        props = h.get("props") or {}
+        if "mv_to" in props:
+            applied = max(applied, int(props["mv_to"]))
+    return applied
 
 
 def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
@@ -122,6 +139,7 @@ def mv_create(
         _view_frame(base, spec)
         .write.format(fmt)
         .option("path", mv_path)
+        .option("commit_props", json.dumps({"mv_from": 0, "mv_to": head}))
         .mode("append")
         .save()
     )
@@ -167,9 +185,15 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     "to_version", "keys_upserted", "keys_deleted"}."""
     meta = _load_meta(mv_path)
     base_path, spec = meta["base"], meta["spec"]
-    from_v = meta["base_version"]
+    # exactly-once recovery: the view's own commit log outranks the
+    # metadata cache — a crash after the refresh commit but before the
+    # cache write must not re-apply the range
+    from_v = max(meta["base_version"], _applied_base_version(mv_path))
     head = max(committed_versions(base_path), default=0)
     if head == from_v:
+        if meta["base_version"] != from_v:  # heal the stale cache
+            meta["base_version"] = from_v
+            _store_meta(mv_path, meta)
         return {
             "mode": "noop",
             "from_version": from_v,
@@ -192,6 +216,10 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
             .write.format(fmt)
             .option("path", mv_path)
             .option("kind", "rewrite")
+            .option(
+                "commit_props",
+                json.dumps({"mv_from": from_v, "mv_to": head}),
+            )
             .mode("append")
             .save()
         )
@@ -221,7 +249,13 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         )
         .localCheckpoint(eager=True)  # bounded: touched keys only
     )
-    n_up = merge_upsert(spark, mv_path, merged, keys=keys)
+    n_up = merge_upsert(
+        spark,
+        mv_path,
+        merged,
+        keys=keys,
+        props={"mv_from": from_v, "mv_to": head},
+    )
     n_dead = merged.filter(F.col(_COUNT_COL) <= 0).count()
     meta["base_version"] = head
     _store_meta(mv_path, meta)

@@ -115,3 +115,41 @@ class TestRejections:
             )
         with pytest.raises(ValueError, match="at least one rule"):
             write_with_expectations(registered, path, dirty, {})
+
+
+class TestPublishRace:
+    def test_fail_mode_commit_race_rolls_back(self, registered, tmp_path):
+        """A concurrent main commit between the fail-mode branch claim
+        and its publish breaks the fast-forward condition: the staged
+        branch must roll back (nothing visible, claim released) and
+        the caller gets a retryable conflict."""
+        import olap_project_spark.export.manifest_sink as ms
+
+        path = str(tmp_path / "t")
+        clean = registered.createDataFrame(
+            [(1, "a", 10.0)], "id int, name string, amt double"
+        )
+        real_publish = ms.publish_branch
+
+        def racing_publish(p, branch):
+            # the rival lands a main commit just before our publish
+            clean.selectExpr("id + 100 as id", "name", "amt").repartition(
+                1
+            ).write.format("manifest_sink").option("path", p).mode(
+                "append"
+            ).save()
+            return real_publish(p, branch)
+
+        ms.publish_branch, saved = racing_publish, ms.publish_branch
+        try:
+            with pytest.raises(RuntimeError, match="commit race"):
+                write_with_expectations(
+                    registered, path, clean, RULES, on_violation="fail"
+                )
+        finally:
+            ms.publish_branch = saved
+        # only the rival's commit is visible; our staged rows are gone
+        rows = read_committed(
+            registered, path, table_schema(path)
+        ).collect()
+        assert [r.id for r in rows] == [101]

@@ -1,7 +1,8 @@
 """Materialized views with CDF-driven incremental refresh: signed-delta
-maintenance (O(changes), never a base re-scan), zero-count key removal,
-atomic multi-statement refresh via a WAP branch, full-recompute
-fallback across base compactions, and freshness accounting."""
+maintenance (O(changes), never a base re-scan), zero-count keys as
+filtered tombstone rows (single-commit atomicity), full-recompute
+fallback across base compactions, freshness accounting, and the
+commit-stamped exactly-once recovery."""
 
 from __future__ import annotations
 
@@ -161,3 +162,33 @@ class TestRejections:
             mv_create(
                 registered, str(tmp_path / "v2"), base, {"group_by": []}
             )
+
+
+class TestExactlyOnceRecovery:
+    def test_stale_meta_cache_cannot_double_apply(
+        self, registered, tmp_path
+    ):
+        """A crash between the refresh commit and the _mv.json write
+        leaves a stale cache; recovery must reconcile from the view's
+        OWN commit log (the stamped mv_to props) and refuse to re-fold
+        the already-applied range."""
+        import json
+        import os
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1)])
+        mv_create(registered, view, base, SPEC)
+        _write(registered, base, [("a", 2)])
+        mv_refresh(registered, view)
+        assert _state(registered, view) == [("a", 3)]
+        # simulate the crash: roll the cache back to the pre-refresh
+        # base version (the refresh commit itself is already durable)
+        mp = os.path.join(view, "_mv.json")
+        meta = json.load(open(mp))
+        meta["base_version"] = 1
+        json.dump(meta, open(mp, "w"))
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "noop"  # recovered, not double-applied
+        assert _state(registered, view) == [("a", 3)]
+        # and the cache healed itself
+        assert json.load(open(mp))["base_version"] == meta["base_version"] + 1
