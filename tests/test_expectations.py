@@ -22,7 +22,10 @@ RULES = {"pos_amt": "amt > 0", "has_name": "name IS NOT NULL"}
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(ManifestSinkDataSource)
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
     return spark
 
 
@@ -133,11 +136,12 @@ class TestPublishRace:
 
         def racing_publish(p, branch):
             # the rival lands a main commit just before our publish
+            # (through ensure_manifest_sink, which also re-pins the
+            # active session — the library's own write discipline)
+            fmt = ms.ensure_manifest_sink(registered)
             clean.selectExpr("id + 100 as id", "name", "amt").repartition(
                 1
-            ).write.format("manifest_sink").option("path", p).mode(
-                "append"
-            ).save()
+            ).write.format(fmt).option("path", p).mode("append").save()
             return real_publish(p, branch)
 
         ms.publish_branch, saved = racing_publish, ms.publish_branch

@@ -28,7 +28,10 @@ SCHEMA = "k bigint, v string"
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(ManifestSinkDataSource)
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
     return spark
 
 

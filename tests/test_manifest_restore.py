@@ -37,7 +37,10 @@ SCHEMA = "k bigint, v string"
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(ManifestSinkDataSource)
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
     return spark
 
 
@@ -262,3 +265,32 @@ class TestRestoreSchemaInterplay:
         assert [f.name for f in table_schema(path).fields] == ["k", "v", "w"]
         restore_table(path, 1)
         assert [f.name for f in table_schema(path).fields] == ["k", "v"]
+
+
+class TestPublicReaderSeesRestore:
+    def test_spark_read_format_honors_restore(self, registered, tmp_path):
+        """The public DataSource batch reader folds the effective log,
+        so a restore changes spark.read.format(...) results with no
+        reader-side code: head reads the restored state, versionAsOf
+        still time-travels above it."""
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")])  # v1
+        _write(registered, path, [(2, "b")])  # v2
+        restore_table(path, 1)  # v3
+        head = sorted(
+            r.k
+            for r in registered.read.format("manifest_sink")
+            .option("path", path)
+            .load()
+            .collect()
+        )
+        assert head == [1]
+        asof2 = sorted(
+            r.k
+            for r in registered.read.format("manifest_sink")
+            .option("path", path)
+            .option("versionAsOf", "2")
+            .load()
+            .collect()
+        )
+        assert asof2 == [1, 2]

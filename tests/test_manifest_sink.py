@@ -16,7 +16,10 @@ from olap_project_spark.export.manifest_sink import (
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(ManifestSinkDataSource)
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
     return spark
 
 

@@ -31,7 +31,10 @@ SPEC = {"group_by": ["k"], "aggs": [{"expr": "v", "as": "sum_v"}]}
 
 @pytest.fixture(scope="module")
 def registered(spark):
-    spark.dataSource.register(ManifestSinkDataSource)
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
     return spark
 
 

@@ -428,7 +428,10 @@ class TestStreamingManifestCommit:
         from olap_project_spark.streaming.pipeline import read_file_stream
         from olap_project_spark.transforms import clean
 
-        spark.dataSource.register(ManifestSinkDataSource)
+        try:
+            spark.dataSource.register(ManifestSinkDataSource)
+        except Exception:  # noqa: BLE001 — already registered
+            pass
         path = str(tmp_path / "mtbl")
         ckpt = str(tmp_path / "mckpt")
         stream = read_file_stream(spark, raw_json_dir, fmt="json")
