@@ -985,6 +985,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     inside the range raises (Delta's default ``ignoreChanges=false``
     semantics — a file-level tail cannot represent row removals; run
     consumers before compacting, or restart them from the rewrite).
+    Two Delta-parity opt-outs relax it: ``ignoreDeletes`` skips
+    equality-delete snapshots, and ``skipChangeCommits`` skips every
+    non-append kind (delete/merge/rewrite/restore) — the tail then
+    delivers exactly the rows plain appends committed, never
+    re-delivering reorganized or updated bytes (see __init__).
 
     Exactly-once under concurrency: the offset never advances past a
     version that is claimed but not yet readable. An in-flight commit
@@ -1028,6 +1033,24 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # Delta-parity relaxations of the append-only contract, both
+        # default-off (the raise is the safe default):
+        # - ignoreDeletes: SKIP equality-delete snapshots (their
+        #   removals simply never reach the tail — correct for
+        #   retention/GDPR deletes whose consumers only accrete, the
+        #   exact use Delta documents for its option of the same name);
+        # - skipChangeCommits: additionally skip merge/rewrite/restore
+        #   snapshots (Delta's skipChangeCommits): the tail delivers
+        #   ONLY rows committed by plain appends, at-least-append-only
+        #   semantics — updates from merges and reorganized bytes from
+        #   compactions never re-deliver, at the documented cost of
+        #   missing merge-inserted rows.
+        self.ignore_deletes = str(
+            options.get("ignoreDeletes", "false")
+        ).lower() in ("true", "1")
+        self.skip_change_commits = str(
+            options.get("skipChangeCommits", "false")
+        ).lower() in ("true", "1")
         # last offset this reader planned/committed — the base the
         # per-trigger version cap counts from (None until known)
         self._cursor: int | None = None
@@ -1068,10 +1091,16 @@ class ManifestStreamReader(DataSourceStreamReader):
                 continue
             kind = m.get("kind", "append")
             if kind != "append":
+                if self.skip_change_commits:
+                    continue  # at-least-append-only: change commits
+                    # (delete/merge/rewrite/restore) pass silently
+                if self.ignore_deletes and kind == "delete":
+                    continue  # removals never reach the tail
                 raise ValueError(
                     f"streaming tail hit a {kind} snapshot at version "
                     f"{version}; the file-level CDF is append-only — "
-                    "restart the consumer from the rewrite"
+                    "restart the consumer from the rewrite, or opt in "
+                    "to ignoreDeletes / skipChangeCommits"
                 )
             legacy = [f for f in m["files"] if not f.endswith(".parquet")]
             if legacy:

@@ -221,6 +221,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "token_bloom_search_stats",
     "matview_incremental_refresh_stats",
     "metadata_only_aggregate_stats",
+    "stream_skip_change_commits_stats",
     "manifest_batch_reader_stats",
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
@@ -266,7 +267,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "ewma_daily_value",
     "embedding_dimension_stats",
     "kmv_set_similarity",
-    "countmin_heavy_hitters",
 )
 
 

@@ -7018,3 +7018,126 @@ def metadata_only_aggregate_stats(
         "status_min string, status_max string, flagged_non_null bigint, "
         "flagged_nulls bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming skip options: Delta's ignoreDeletes / skipChangeCommits
+# --------------------------------------------------------------------------
+@register(
+    "stream_skip_change_commits_stats",
+    oracle="""
+    WITH appended AS (
+      SELECT n_nationkey FROM nation
+      WHERE n_nationkey < 10 OR n_nationkey >= 20
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM appended)
+             AS rows_delivered,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM appended)
+             AS sum_delivered,
+           CAST(1 AS INTEGER) AS default_raises
+    """,
+)
+def stream_skip_change_commits_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SKIP OPTIONS through the gate — Delta's
+    ``ignoreDeletes`` / ``skipChangeCommits`` parity on the manifest
+    stream source (export/manifest_sink.py ManifestStreamReader): the
+    table accretes a plain append, an equality delete, a compaction
+    rewrite, and a second append; the DEFAULT tail contract still
+    raises at the first change commit (``default_raises`` — the safe
+    semantics: a file-level tail cannot represent removals), while a
+    ``skipChangeCommits`` consumer drains the whole log and receives
+    EXACTLY the rows plain appends committed — the delete's removal
+    never reaches it, and the rewrite's reorganized bytes never
+    re-deliver (no duplicates), pinned by count and key checksum
+    against the raw dimension.
+
+    Scale: this is the Delta-documented contract for retention/GDPR
+    deletes under accretive consumers — downstream training-data
+    tails keep running across maintenance instead of restarting from
+    every compaction; the skip decision is per-version driver-side
+    metadata, free at any table size."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        delete_where,
+        ensure_manifest_sink,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_streamskip_{os.getpid()}_{tag}"
+    path = os.path.join(root, "nation_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+
+        def append(pred):
+            (
+                nation.filter(pred)
+                .repartition(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+        append(F.col("n_nationkey") < 10)  # v1
+        delete_where(  # v2: remove keys {1, 3}
+            spark,
+            path,
+            spark.createDataFrame([(1,), (3,)], "n_nationkey bigint"),
+        )
+        compact_snapshots(spark, path, nation.schema)  # v3 rewrite
+        append(F.col("n_nationkey") >= 20)  # v4
+
+        def drain(ckpt, **opts):
+            got: list[int] = []
+
+            def sink(df, _epoch):
+                got.extend(r["n_nationkey"] for r in df.collect())
+
+            reader = spark.readStream.format(fmt).option("path", path)
+            for key, val in opts.items():
+                reader = reader.option(key, val)
+            q = (
+                reader.load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(root, ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        default_raises = 0
+        try:
+            drain("ckpt_default")
+        except Exception:  # noqa: BLE001 — the contract raise
+            default_raises = 1
+        rows = drain("ckpt_skip", skipChangeCommits="true")
+        stats = {
+            "rows_delivered": len(rows),
+            "sum_delivered": sum(rows),
+            "default_raises": default_raises,
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    return spark.createDataFrame(
+        [
+            (
+                stats["rows_delivered"],
+                stats["sum_delivered"],
+                stats["default_raises"],
+            )
+        ],
+        "rows_delivered bigint, sum_delivered bigint, default_raises int",
+    )

@@ -257,6 +257,7 @@ class TestDriverContract:
             "token_bloom_search_stats",      # keyword-search file skipping
             "matview_incremental_refresh_stats",  # counted-IVM refresh loop
             "metadata_only_aggregate_stats",  # scan-free COUNT/MIN/MAX
+            "stream_skip_change_commits_stats",  # ignoreDeletes/skipChangeCommits
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer

@@ -161,6 +161,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "token_bloom_search_stats",
     "matview_incremental_refresh_stats",
     "metadata_only_aggregate_stats",
+    "stream_skip_change_commits_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
