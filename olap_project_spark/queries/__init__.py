@@ -208,9 +208,13 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 11: new round-11 queries are inserted at
 # the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: the round-11 additions + the 24 remaining
-# round-5 rows (CORRECTNESS_r05 order) + the oldest round-6 rows
-# (CORRECTNESS_r06 order; tail trimmed as round-11 additions land).
+# 50. Current composition: the 13 round-11 additions (5 early-round:
+# batch reader, hidden partitioning, trained quantizer, maintenance
+# loop, multi-field pruning; 8 late-round: restore, clone,
+# expectations, table$partitions, token bloom, matviews, metadata
+# aggregates, stream skip options) + the 24 remaining round-5 rows
+# (CORRECTNESS_r05 order) + the oldest round-6 rows (CORRECTNESS_r06
+# order; tail trimmed as additions landed).
 GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
