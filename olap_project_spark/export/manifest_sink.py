@@ -63,7 +63,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import Row, StructType
+from pyspark.sql.types import Row, StructField, StructType
 
 
 @dataclass
@@ -1288,8 +1288,17 @@ class ManifestBatchReader(DataSourceReader):
         # map, bloom), plus the tombstone ledger (version, keys, files)
         live: dict[str, tuple] = {}
         tombs: list[tuple[int, tuple, list[str]]] = []
-        for version, m in _log(self.path, self.as_of, self.branch):
+        reader_log = _log(self.path, self.as_of, self.branch)
+        if _alters_since_last_rewrite(reader_log):
+            raise ValueError(
+                "the public batch reader projects files by name and "
+                "cannot read across a column rename — read through "
+                "read_evolved, or compact to collapse the eras"
+            )
+        for version, m in reader_log:
             kind = m.get("kind", "append")
+            if kind == "alter":
+                continue  # history below the last rewrite: no files
             fs = m.get("file_stats", {})
             bcol = m.get("bloom_col")
             blooms = m.get("file_blooms", {})
@@ -1636,6 +1645,9 @@ def read_committed(
     pending: list = []
     for version, m in log:
         kind = m.get("kind", "append")
+        if kind == "alter":
+            continue  # metadata-only rename: no rows change; renamed
+            # tables read era-correctly through read_evolved
         if kind == "rewrite":
             df, pending = None, list(m["files"])
         elif kind == "append":
@@ -1863,6 +1875,72 @@ def _load_manifest_or_none(path: str, entry: str) -> dict | None:
             return json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """RENAME a column — Delta column-mapping / Iceberg field-ID rename
+    as a METADATA-ONLY ``kind='alter'`` commit: no data file is
+    touched; the manifest records the rename map and the post-rename
+    schema, and readers resolve each file under its WRITE-TIME schema
+    (every data manifest records the schema its files were written
+    with), aliasing to the current names — so files written before the
+    rename keep serving the column under its new name, which the plain
+    add-only evolution contract cannot express (it rejects renames at
+    discovery precisely because a name-based read would null them).
+
+    Reads of renamed tables go through :func:`read_evolved` (the
+    schema-discovery path — it performs the per-era aliasing);
+    :func:`read_committed` keeps its explicit-schema contract and
+    documents that renamed tables need the discovery path. Pruning
+    stays CORRECT automatically: zone maps/blooms are keyed by
+    written names, so a probe under the current name simply finds no
+    stats for pre-rename files and conservatively keeps them —
+    compaction (which collapses eras to the current names) restores
+    their skipping. Surfaces that cannot yet answer exactly across a
+    rename (metadata aggregates, table$partitions, the public batch
+    reader) REJECT renamed logs rather than degrade silently — the
+    strictness rule every metadata surface here follows; compact to
+    collapse the eras and they answer again.
+
+    Rejected: renaming a column that does not exist, onto a name that
+    does, while unpublished WAP branches exist, or while the table has
+    no recorded schema. Returns the new snapshot version."""
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema at {path}; nothing to rename")
+    names = [f.name for f in sch.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {names}")
+    staged = sorted(
+        {
+            m.get("branch")
+            for _v, entry in _list_manifests(path)
+            for m in (_load_manifest_or_none(path, entry),)
+            if m is not None and m.get("branch") is not None
+        }
+    )
+    if staged:
+        raise ValueError(
+            f"cannot rename while write-audit-publish branches {staged} "
+            "hold unpublished commits; publish or abandon them first"
+        )
+    renamed = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in sch.fields
+        ]
+    )
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "rename": {old: new},
+            "schema": renamed.jsonValue(),
+            "files": [],
+        },
+    )
 
 
 def clone_table(
@@ -2358,8 +2436,11 @@ def maintain(
     for i, (_v, m) in enumerate(log):
         if m.get("kind", "append") == "rewrite":
             last_rw = i
+    # a pending column rename forces the FULL compaction path exactly
+    # like tombstones do: the scoped rewrite is name-keyed and cannot
+    # cross eras, while the full pass collapses them
     had_tombstones = any(
-        m.get("kind", "append") in ("delete", "merge")
+        m.get("kind", "append") in ("delete", "merge", "alter")
         for _v, m in log[last_rw + 1 :]
     )
     plan = plan_compaction_ranges(
@@ -2483,6 +2564,21 @@ def _log(
             continue
         out.append((version, m))
     return out if raw else _effective(out)
+
+
+def _alters_since_last_rewrite(log: list[tuple[int, dict]]) -> bool:
+    """True when a column-rename (``kind='alter'``) commit sits ABOVE
+    the latest rewrite — i.e. the live file set still spans naming
+    eras. Alters below a rewrite are history: compaction rewrote every
+    live file under the current names, so name-keyed surfaces answer
+    exactly again."""
+    last_rw = -1
+    for i, (_v, m) in enumerate(log):
+        if m.get("kind", "append") == "rewrite":
+            last_rw = i
+    return any(
+        m.get("kind") == "alter" for _v, m in log[last_rw + 1 :]
+    )
 
 
 def _committed_files(
@@ -2794,6 +2890,12 @@ def table_partitions(
             "holds delete/merge tombstones that row counts cannot "
             "reflect — compact first"
         )
+    if _alters_since_last_rewrite(log):
+        raise ValueError(
+            "table$partitions cannot answer across a column rename "
+            "(specs and histograms are keyed by write-time names) — "
+            "compact to collapse the eras first"
+        )
     live: dict[str, tuple] = {}
     spec_latest = None
     for _version, m in log:
@@ -2885,6 +2987,12 @@ def metadata_aggregate(
         raise ValueError(
             "metadata aggregates require materialized state: the log "
             "holds delete/merge tombstones — compact first"
+        )
+    if _alters_since_last_rewrite(log):
+        raise ValueError(
+            "metadata aggregates cannot answer across a column rename "
+            "(per-file stats are keyed by write-time names) — compact "
+            "to collapse the eras first"
         )
     live: dict[str, tuple] = {}
     for _version, m in log:
@@ -3033,6 +3141,22 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
         st = StructType.fromJson(sch)
         if latest is not None:
             prev = {f.name: f.dataType for f in latest.fields}
+            if m.get("kind") == "alter":
+                # a RENAME commit: the recorded schema must be exactly
+                # the previous schema with the declared renames applied
+                # (types unchanged) — the column-mapping evolution step
+                # the plain add-only rule cannot express
+                ren = m.get("rename", {})
+                expect = {ren.get(n, n): t for n, t in prev.items()}
+                cur = {f.name: f.dataType for f in st.fields}
+                if cur != expect:
+                    raise ValueError(
+                        f"alter snapshot {version} declares renames "
+                        f"{ren} but its schema does not match the "
+                        "previous schema with those renames applied"
+                    )
+                latest = st
+                continue
             cur = {f.name: f.dataType for f in st.fields}
             if not set(prev) <= set(cur):
                 raise ValueError(
@@ -3062,11 +3186,87 @@ def read_evolved(
     DISCOVERED from the manifest log (as of the requested version), and
     files written before a column existed yield NULL for it — the JSON
     reader backfills missing fields against the explicit schema, which
-    is exactly the Iceberg/Delta add-column read contract."""
+    is exactly the Iceberg/Delta add-column read contract.
+
+    RENAMED tables (``kind='alter'`` commits in range) read by ERA:
+    each data manifest recorded the schema its files were written
+    with, so the live files group by write-era schema, each group is
+    scanned under ITS OWN names, and the eras alias-project to the
+    current names before the union — Delta column-mapping semantics
+    with the manifest-recorded schema standing in for field IDs. The
+    per-era projection also null-backfills columns added after the
+    era, so rename and add-column evolution compose. Unmaterialized
+    delete/merge tombstones alongside a rename are rejected (the
+    tombstone fold is name-based; compact first — compaction collapses
+    every era to the current names)."""
     sch = table_schema(path, as_of)
     if sch is None:
         raise ValueError(f"no recorded schema in manifest log at {path}")
-    return read_committed(spark, path, sch, as_of=as_of)
+    log = _log(path, as_of)
+    if not _alters_since_last_rewrite(log):
+        # no live naming eras (never renamed, or compaction collapsed
+        # them): the ordinary committed read under the current schema
+        return read_committed(spark, path, sch, as_of=as_of)
+    if any(
+        m.get("kind", "append") in ("delete", "merge") for _v, m in log
+    ):
+        raise ValueError(
+            "renamed table holds unmaterialized delete/merge "
+            "tombstones; compact to collapse the eras first"
+        )
+    from pyspark.sql import functions as _F
+
+    # live files with the index of the manifest that committed them
+    live: dict[str, int] = {}
+    for i, (_version, m) in enumerate(log):
+        entries = {f: i for f in m["files"]}
+        if m.get("kind", "append") == "rewrite":
+            live = entries
+        else:
+            live.update(entries)
+    # cumulative rename map FROM an era's names TO the current names:
+    # start from identity over the era's schema and push each later
+    # alter's renames through it
+    def era_map(i: int, era_names: list[str]) -> dict:
+        cur = {n: n for n in era_names}
+        for _v, m in log[i + 1 :]:
+            if m.get("kind") == "alter":
+                ren = m.get("rename", {})
+                cur = {k: ren.get(v, v) for k, v in cur.items()}
+        return cur  # era name -> current name
+
+    groups: dict[int, list[str]] = {}
+    for name, i in live.items():
+        groups.setdefault(i, []).append(name)
+    parts: list[DataFrame] = []
+    current_names = [f.name for f in sch.fields]
+    for i, names in groups.items():
+        m = log[i][1]
+        era_schema = (
+            StructType.fromJson(m["schema"]) if m.get("schema") else sch
+        )
+        ren = era_map(i, [f.name for f in era_schema.fields])
+        scan = _read_files(spark, path, era_schema, names)
+        # alias era names to current names; columns added after this
+        # era null-backfill (they are absent from the era schema)
+        have = {ren[f.name]: f.name for f in era_schema.fields}
+        cols = [
+            (
+                _F.col(have[c]).alias(c)
+                if c in have
+                else _F.lit(None).cast(
+                    dict((f.name, f.dataType) for f in sch.fields)[c]
+                ).alias(c)
+            )
+            for c in current_names
+        ]
+        parts.append(scan.select(*cols))
+    if not parts:
+        return spark.createDataFrame([], sch)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def publish_branch(path: str, branch: str) -> list[int]:
@@ -3237,7 +3437,15 @@ def compact_snapshots(
             "bucket_by, cluster_by, and partition_by are mutually "
             "exclusive — a layout picks one clustering axis"
         )
-    current = read_committed(spark, path, schema)
+    if any(m.get("kind") == "alter" for _v, m in _log(path)):
+        # a renamed table compacts through the era-aware read, and the
+        # rewrite lands under the CURRENT names — eras collapse here,
+        # restoring every name-keyed metadata surface (stats, blooms,
+        # partitions, metadata aggregates) for the consolidated files
+        current = read_evolved(spark, path)
+        schema = current.schema
+    else:
+        current = read_committed(spark, path, schema)
     writer_opts: dict[str, str] = {}
     if partition_by is not None:
         fields = (
@@ -3338,6 +3546,12 @@ def compact_range(
             "snapshots would resurrect tombstoned rows in retained "
             "files; run a full compact_snapshots() first to "
             "materialize them"
+        )
+    if any(m.get("kind") == "alter" for _v, m in log[last_rw + 1 :]):
+        raise ValueError(
+            "partial compaction cannot cross a column rename (the "
+            "scoped read and retained stats are name-keyed); run a "
+            "full compact_snapshots() first to collapse the eras"
         )
     rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
     rewrite_set = set(rewrite_files)
@@ -3538,6 +3752,13 @@ def read_changes(
         if version <= from_v or version > to_v:
             continue
         kind = m.get("kind", "append")
+        if kind == "alter":
+            raise ValueError(
+                f"row-level CDF ({from_v}, {to_v}] crosses the rename "
+                f"snapshot {version}; earlier versions' files carry "
+                "the pre-rename column names — consume the feed before "
+                "renaming, or restart it at the rename"
+            )
         if kind == "rewrite":
             raise ValueError(
                 f"row-level CDF ({from_v}, {to_v}] crosses the rewrite "

@@ -226,6 +226,7 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "matview_incremental_refresh_stats",
     "metadata_only_aggregate_stats",
     "stream_skip_change_commits_stats",
+    "column_rename_stats",
     "manifest_batch_reader_stats",
     "hidden_partitioning_stats",
     "ann_trained_quantizer_stats",
@@ -270,7 +271,6 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "aqe_skew_join_stats",
     "ewma_daily_value",
     "embedding_dimension_stats",
-    "kmv_set_similarity",
 )
 
 

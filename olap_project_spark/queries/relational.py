@@ -7141,3 +7141,124 @@ def stream_skip_change_commits_stats(
         ],
         "rows_delivered bigint, sum_delivered bigint, default_raises int",
     )
+
+
+# --------------------------------------------------------------------------
+# Column rename: Delta column-mapping via metadata-only alter commits
+# --------------------------------------------------------------------------
+@register(
+    "column_rename_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation)
+             AS sum_key,
+           (SELECT CAST(SUM(LENGTH(n_name)) AS BIGINT) FROM nation)
+             AS sum_label_len,
+           (SELECT MIN(n_name) FROM nation) AS label_min,
+           (SELECT MAX(n_name) FROM nation) AS label_max,
+           CAST(2 AS INTEGER) AS rename_version,
+           CAST(1 AS INTEGER) AS guarded_before_compact
+    """,
+)
+def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME through the gate — Delta column-mapping /
+    Iceberg field-ID rename on the manifest table
+    (export/manifest_sink.py ``rename_column``): half the nation dim
+    commits under the original ``n_name``, a METADATA-ONLY
+    ``kind='alter'`` commit renames it to ``nation_label`` (zero data
+    files touched — renaming a 100-TB table costs one JSON write),
+    and the rest commits under the new name. The era-aware read
+    (``read_evolved``) then serves BOTH eras under the current name —
+    each data manifest recorded the schema its files were written
+    with, so pre-rename files scan under their own names and
+    alias-project to the current ones, the manifest-recorded schema
+    standing in for field IDs. Every value below — row count, key
+    checksum, the renamed column's total length, its MIN/MAX — is
+    oracle-checked against the raw dimension through the rename.
+
+    Strictness pinned too: while naming eras are live, the name-keyed
+    metadata surfaces REFUSE to answer (``guarded_before_compact`` —
+    per-file stats are keyed by write-time names; a silent answer
+    would be wrong); a full compaction collapses the eras under the
+    current names, after which ``metadata_aggregate`` answers the
+    renamed column's MIN/MAX exactly — the final read and metadata
+    legs both run post-compaction.
+
+    Reference analogue: none — the reference renames columns by
+    editing the consumer code (spark_streaming_consumer.py:210-251
+    withColumnRenamed chains re-run over ALL data); here historic
+    files never rewrite."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        ensure_manifest_sink,
+        metadata_aggregate,
+        read_evolved,
+        rename_column,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_rename_{os.getpid()}_{tag}"
+    path = os.path.join(root, "nation_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+        (
+            nation.filter(F.col("n_nationkey") < 13)
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v1 under n_name
+        rv = rename_column(path, "n_name", "nation_label")  # v2
+        (
+            nation.filter(F.col("n_nationkey") >= 13)
+            .withColumnRenamed("n_name", "nation_label")
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # v3 under nation_label
+        guarded = 0
+        try:
+            metadata_aggregate(path, minmax_cols=["nation_label"])
+        except ValueError:
+            guarded = 1  # live eras: the surface refuses, never lies
+        compact_snapshots(spark, path, None)  # v4: eras collapse
+        stats = {"rename_version": rv, "guarded_before_compact": guarded}
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    agg = metadata_aggregate(path, minmax_cols=["nation_label"])["cols"][
+        "nation_label"
+    ]
+    got = read_evolved(spark, path).agg(
+        F.count("*").alias("n"),
+        F.sum("n_nationkey").alias("s"),
+        F.sum(F.length("nation_label")).alias("l"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                got["n"],
+                got["s"],
+                got["l"],
+                agg["min"],
+                agg["max"],
+                stats["rename_version"],
+                stats["guarded_before_compact"],
+            )
+        ],
+        "n_rows bigint, sum_key bigint, sum_label_len bigint, "
+        "label_min string, label_max string, rename_version int, "
+        "guarded_before_compact int",
+    )

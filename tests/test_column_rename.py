@@ -1,0 +1,185 @@
+"""COLUMN RENAME — Delta column-mapping / Iceberg field-ID rename as a
+metadata-only ``kind='alter'`` commit: per-era reads through the
+manifest-recorded write schemas, chaining, composition with add-column
+evolution, time travel and restore below the rename, compaction-driven
+era collapse, and the strict guards on every name-keyed surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_project_spark.export.manifest_sink import (
+    ManifestSinkDataSource,
+    compact_snapshots,
+    delete_where,
+    metadata_aggregate,
+    read_changes,
+    read_evolved,
+    rename_column,
+    restore_table,
+    table_history,
+    table_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+    return spark
+
+
+def _write(spark, path, rows, schema):
+    (
+        spark.createDataFrame(rows, schema)
+        .coalesce(1)
+        .write.format("manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+
+class TestRenameSemantics:
+    def test_rename_is_metadata_only_and_reads_across_eras(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a"), (2, "b")], "id int, name string")
+        v = rename_column(path, "name", "label")
+        assert table_history(path)[-1]["kind"] == "alter"
+        assert table_history(path)[-1]["n_files"] == 0  # zero data
+        assert [f.name for f in table_schema(path).fields] == [
+            "id",
+            "label",
+        ]
+        _write(registered, path, [(3, "c")], "id int, label string")
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        # the pre-rename file serves its column under the NEW name
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        assert v == 2
+
+    def test_chained_renames_compose(self, registered, tmp_path):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        _write(registered, path, [(2, "b")], "id int, label string")
+        rename_column(path, "label", "tag")
+        rows = sorted(
+            (r.id, r.tag) for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a"), (2, "b")]
+
+    def test_time_travel_and_restore_keep_old_names(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        assert [f.name for f in table_schema(path, as_of=1).fields] == [
+            "id",
+            "name",
+        ]
+        old = read_evolved(registered, path, as_of=1)
+        assert [(r.id, r.name) for r in old.collect()] == [(1, "a")]
+        restore_table(path, 1)
+        assert [f.name for f in table_schema(path).fields] == ["id", "name"]
+
+    def test_add_column_after_rename_composes(self, registered, tmp_path):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        _write(
+            registered,
+            path,
+            [(2, "b", 7)],
+            "id int, label string, extra int",
+        )
+        rows = sorted(
+            (r.id, r.label, r.extra)
+            for r in read_evolved(registered, path).collect()
+        )
+        # era-1 file: renamed column served, added column null-backfilled
+        assert rows == [(1, "a", None), (2, "b", 7)]
+
+    def test_compaction_collapses_eras(self, registered, tmp_path):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        _write(registered, path, [(2, "b")], "id int, label string")
+        # name-keyed surfaces refuse while eras are live...
+        with pytest.raises(ValueError, match="rename"):
+            metadata_aggregate(path, minmax_cols=["label"])
+        compact_snapshots(registered, path, None)
+        # ...and answer exactly once collapsed
+        agg = metadata_aggregate(path, minmax_cols=["label"])
+        assert agg["cols"]["label"] == {
+            "nulls": 0,
+            "non_null": 2,
+            "min": "a",
+            "max": "b",
+        }
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a"), (2, "b")]
+
+
+class TestRenameGuards:
+    def test_rejections(self, registered, tmp_path):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        with pytest.raises(ValueError, match="not in schema"):
+            rename_column(path, "ghost", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            rename_column(path, "name", "id")
+        _write(registered, path, [(2, "b")], "id int, name string", )
+        (
+            registered.createDataFrame([(9, "z")], "id int, name string")
+            .coalesce(1)
+            .write.format("manifest_sink")
+            .option("path", path)
+            .option("branch", "audit")
+            .mode("append")
+            .save()
+        )
+        with pytest.raises(ValueError, match="audit"):
+            rename_column(path, "name", "label")
+
+    def test_old_name_write_after_rename_rejected(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        _write(registered, path, [(2, "b")], "id int, name string")
+        # discovery catches the era violation (the add-only rule sees
+        # the renamed column as dropped)
+        with pytest.raises(ValueError, match="add-only"):
+            table_schema(path)
+
+    def test_public_reader_and_cdf_and_tombstones_guarded(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        with pytest.raises(Exception, match="read_evolved"):
+            registered.read.format("manifest_sink").option(
+                "path", path
+            ).load().collect()
+        sch = table_schema(path)
+        with pytest.raises(ValueError, match="rename"):
+            read_changes(registered, path, sch, 0, 2).collect()
+        delete_where(
+            registered, path, registered.createDataFrame([(1,)], "id int")
+        )
+        with pytest.raises(ValueError, match="compact"):
+            read_evolved(registered, path)

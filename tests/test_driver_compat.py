@@ -258,6 +258,7 @@ class TestDriverContract:
             "matview_incremental_refresh_stats",  # counted-IVM refresh loop
             "metadata_only_aggregate_stats",  # scan-free COUNT/MIN/MAX
             "stream_skip_change_commits_stats",  # ignoreDeletes/skipChangeCommits
+            "column_rename_stats",           # column-mapping rename eras
             "manifest_batch_reader_stats",   # public batch read + pushdown
             "hidden_partitioning_stats",     # partition-transform pruning
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer

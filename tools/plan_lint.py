@@ -162,6 +162,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "matview_incremental_refresh_stats",
     "metadata_only_aggregate_stats",
     "stream_skip_change_commits_stats",
+    "column_rename_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
