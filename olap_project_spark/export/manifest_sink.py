@@ -1090,6 +1090,18 @@ class ManifestStreamReader(DataSourceStreamReader):
             if version <= start["version"] or version > end["version"]:
                 continue
             kind = m.get("kind", "append")
+            if kind == "alter":
+                # a COLUMN RENAME always stops the stream, even under
+                # skipChangeCommits: the stream's schema is fixed at
+                # start, so appends across the rename boundary would
+                # silently null the renamed column — restart the
+                # consumer at the rename with the new schema
+                raise ValueError(
+                    f"streaming tail hit a column rename at version "
+                    f"{version}; restart the stream with the renamed "
+                    "schema (a fixed-schema tail cannot cross naming "
+                    "eras)"
+                )
             if kind != "append":
                 if self.skip_change_commits:
                     continue  # at-least-append-only: change commits
@@ -3242,9 +3254,13 @@ def read_evolved(
     current_names = [f.name for f in sch.fields]
     for i, names in groups.items():
         m = log[i][1]
-        era_schema = (
-            StructType.fromJson(m["schema"]) if m.get("schema") else sch
-        )
+        if m.get("schema") is None:
+            raise ValueError(
+                f"manifest version {log[i][0]} recorded no schema; its "
+                "files' write-era names are unknowable under a rename "
+                "— compact the table to collapse the eras"
+            )
+        era_schema = StructType.fromJson(m["schema"])
         ren = era_map(i, [f.name for f in era_schema.fields])
         scan = _read_files(spark, path, era_schema, names)
         # alias era names to current names; columns added after this

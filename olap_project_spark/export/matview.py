@@ -50,6 +50,7 @@ from olap_project_spark.export.manifest_sink import (
     merge_upsert,
     read_changes,
     read_committed,
+    read_evolved,
     table_history,
     table_schema,
 )
@@ -133,7 +134,9 @@ def mv_create(
     if not spec.get("group_by") or not spec.get("aggs"):
         raise ValueError("spec needs group_by and at least one agg")
     head = max(committed_versions(base_path), default=0)
-    base = read_committed(spark, base_path, table_schema(base_path))
+    # the era-aware read: equals read_committed for never-renamed
+    # bases, and resolves write-era names for renamed ones
+    base = read_evolved(spark, base_path)
     fmt = ensure_manifest_sink(spark)
     (
         _view_frame(base, spec)
@@ -209,8 +212,9 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
             spark, base_path, base_schema, from_v, head
         )
     except ValueError:
-        # a base rewrite inside the range: full atomic recompute
-        base = read_committed(spark, base_path, base_schema, as_of=head)
+        # a base rewrite (or rename) inside the range: full atomic
+        # recompute through the era-aware read
+        base = read_evolved(spark, base_path, as_of=head)
         (
             _view_frame(base, spec)
             .write.format(fmt)
