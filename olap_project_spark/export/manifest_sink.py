@@ -1955,6 +1955,54 @@ def rename_column(path: str, old: str, new: str) -> int:
     )
 
 
+def drop_column(path: str, col: str) -> int:
+    """DROP a column — the other half of column mapping, the same
+    METADATA-ONLY ``kind='alter'`` commit: no data file is rewritten;
+    the column simply leaves the discovered schema, and the era read
+    (:func:`read_evolved`) stops projecting it (pre-drop files keep
+    their bytes — time travel below the drop still reads them, and a
+    RESTORE below the drop brings the column back entirely). Dropping
+    the last column is rejected, as is dropping while unpublished WAP
+    branches exist. RE-USING a dropped name in a later append is
+    rejected at schema discovery until a compaction rewrites the live
+    files without the column — a name-based era read would otherwise
+    resurrect the retired generation's values (Delta avoids this with
+    field IDs; the guard is the honest equivalent). Returns the new
+    snapshot version."""
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema at {path}; nothing to drop")
+    names = [f.name for f in sch.fields]
+    if col not in names:
+        raise ValueError(f"column {col!r} not in schema {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    staged = sorted(
+        {
+            m.get("branch")
+            for _v, entry in _list_manifests(path)
+            for m in (_load_manifest_or_none(path, entry),)
+            if m is not None and m.get("branch") is not None
+        }
+    )
+    if staged:
+        raise ValueError(
+            f"cannot drop a column while write-audit-publish branches "
+            f"{staged} hold unpublished commits; publish or abandon "
+            "them first"
+        )
+    remaining = StructType([f for f in sch.fields if f.name != col])
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "drop": [col],
+            "schema": remaining.jsonValue(),
+            "files": [],
+        },
+    )
+
+
 def clone_table(
     src: str,
     dst: str,
@@ -3144,29 +3192,46 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
     KEY schema (a subset by design), not a table-schema evolution
     step."""
     latest: StructType | None = None
+    # names retired by an alter DROP since the last rewrite: re-adding
+    # one would make the era read resurrect the retired column's OLD
+    # values from pre-drop files (name-based mapping has no field IDs
+    # to distinguish generations) — rejected until a compaction
+    # rewrites the live files without the column
+    retired: set[str] = set()
     for version, m in _log(path, as_of):
-        if m.get("kind", "append") == "delete":
+        kind = m.get("kind", "append")
+        if kind == "delete":
             continue
+        if kind == "rewrite":
+            retired = set()  # the consolidated files carry no ghosts
         sch = m.get("schema")
         if sch is None:
             continue
         st = StructType.fromJson(sch)
         if latest is not None:
             prev = {f.name: f.dataType for f in latest.fields}
-            if m.get("kind") == "alter":
-                # a RENAME commit: the recorded schema must be exactly
-                # the previous schema with the declared renames applied
-                # (types unchanged) — the column-mapping evolution step
-                # the plain add-only rule cannot express
+            if kind == "alter":
+                # a RENAME/DROP commit: the recorded schema must be
+                # exactly the previous schema with the declared renames
+                # applied and the declared drops removed (types
+                # unchanged) — the column-mapping evolution steps the
+                # plain add-only rule cannot express
                 ren = m.get("rename", {})
-                expect = {ren.get(n, n): t for n, t in prev.items()}
+                dropped = set(m.get("drop", []))
+                expect = {
+                    ren.get(n, n): t
+                    for n, t in prev.items()
+                    if n not in dropped
+                }
                 cur = {f.name: f.dataType for f in st.fields}
                 if cur != expect:
                     raise ValueError(
                         f"alter snapshot {version} declares renames "
-                        f"{ren} but its schema does not match the "
-                        "previous schema with those renames applied"
+                        f"{ren} / drops {sorted(dropped)} but its "
+                        "schema does not match the previous schema "
+                        "with those changes applied"
                     )
+                retired |= dropped
                 latest = st
                 continue
             cur = {f.name: f.dataType for f in st.fields}
@@ -3174,6 +3239,14 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
                 raise ValueError(
                     f"schema evolution at version {version} is not "
                     f"add-only: dropped {sorted(set(prev) - set(cur))}"
+                )
+            ghosts = retired & (set(cur) - set(prev))
+            if ghosts:
+                raise ValueError(
+                    f"schema evolution at version {version} re-adds "
+                    f"{sorted(ghosts)}, dropped earlier by an alter — "
+                    "a name-based era read would resurrect the old "
+                    "values; compact before reusing a dropped name"
                 )
             for name, pt in prev.items():
                 ct = cur[name]

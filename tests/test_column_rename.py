@@ -242,3 +242,93 @@ class TestRenameComposition:
             q.awaitTermination(120)
             if q.exception() is not None:
                 raise q.exception()
+
+
+class TestDropColumn:
+    def test_drop_is_metadata_only_and_projects_out(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import drop_column
+
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a", 10.0), (2, "b", 20.0)],
+            "id int, name string, amt double",
+        )
+        v = drop_column(path, "amt")
+        assert table_history(path)[-1]["kind"] == "alter"
+        assert table_history(path)[-1]["n_files"] == 0
+        assert [f.name for f in table_schema(path).fields] == ["id", "name"]
+        _write(registered, path, [(3, "c")], "id int, name string")
+        df = read_evolved(registered, path)
+        assert df.columns == ["id", "name"]
+        assert sorted((r.id, r.name) for r in df.collect()) == [
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        ]
+        # time travel below the drop still reads the column's bytes
+        old = read_evolved(registered, path, as_of=1)
+        assert sorted((r.id, r.amt) for r in old.collect()) == [
+            (1, 10.0),
+            (2, 20.0),
+        ]
+        assert v == 2
+
+    def test_drop_composes_with_rename_and_guards_readd(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import drop_column
+
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a", 1.0)],
+            "id int, name string, amt double",
+        )
+        drop_column(path, "amt")
+        rename_column(path, "name", "label")
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a")]
+        # re-using the dropped name is rejected at discovery (a
+        # name-based era read would resurrect the retired values)
+        _write(
+            registered, path, [(9, "z", 5.0)],
+            "id int, label string, amt double",
+        )
+        with pytest.raises(ValueError, match="re-adds"):
+            table_schema(path)
+
+    def test_drop_rejections(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import drop_column
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        with pytest.raises(ValueError, match="not in schema"):
+            drop_column(path, "ghost")
+        drop_column(path, "name")
+        with pytest.raises(ValueError, match="only column"):
+            drop_column(path, "id")
+
+    def test_compaction_clears_the_readd_guard(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import drop_column
+
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a", 1.0)],
+            "id int, name string, amt double",
+        )
+        drop_column(path, "amt")
+        compact_snapshots(registered, path, None)
+        # the consolidated files carry no ghost bytes: the name is free
+        _write(
+            registered, path, [(2, "b", 9.0)],
+            "id int, name string, amt double",
+        )
+        rows = sorted(
+            (r.id, r.amt)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, None), (2, 9.0)]
