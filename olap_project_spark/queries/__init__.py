@@ -136,86 +136,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-11 window (swapped in from the pre-staged r11
-# draft after the ts-encoding canaries passed 3/3): the 12 round-10
+# modules import. Round-12 window (swapped in from the pre-staged r12
+# draft after the ts-encoding canaries passed 3/3): the 14 round-11
 # additions that have never had a driver CORRECTNESS row — the
-# lakehouse arc (bucketed snapshots + exchange-free join, backpressured
-# streaming source, stale-claim GC, partial compaction + policy
-# advisor, row-level CDF with deletes, MoR upsert, type widening,
-# snapshot tags, nested embeddings), the RocksDB state-store arm, and
-# the exact tie-aware ROC-AUC — plus the 12 last round-4 refresh rows
-# and the 26 oldest round-5 rows. Rotate the list each round to cycle
-# coverage.
+# lakehouse operational tier (restore, clone, write-time expectations,
+# table$partitions, token-bloom keyword search, materialized views with
+# incremental CDF refresh, metadata-only aggregates, stream skip
+# options, rename column, public pushdown batch reader, hidden
+# partitioning, maintenance loop, multi-field transform pruning) and
+# the k-means-trained IVF quantizer — plus the 24 last round-5 refresh
+# rows and the 12 oldest round-6 rows. Rotate the list each round to
+# cycle coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-10 additions — first driver CORRECTNESS row this round
-    "manifest_bucketed_join_stats",
-    "manifest_stream_backpressure_stats",
-    "manifest_stale_claim_gc_stats",
-    "partial_compaction_stats",
-    "cdf_delete_change_rows_stats",
-    "stateful_rocksdb_store_stats",
-    "mor_upsert_stats",
-    "compaction_policy_stats",
-    "manifest_type_widening_stats",
-    "manifest_snapshot_tag_stats",
-    "manifest_nested_embeddings_stats",
-    "classifier_auc_roc",
-    # round-4 refresh slots — 12 (the last of the round-4 rows)
-    "price_neighborhood_density",
-    "segment_priority_mode",
-    "customer_revenue_gini",
-    "part_price_skyline",
-    "dedup_keep_best",
-    "doc_embedding_join_stats",
-    "kmeans_cluster_profile",
-    "bucketed_order_revenue",
-    "user_bursts",
-    "user_sessions",
-    "last_touch_attribution",
-    "embedding_near_dup_pairs",
-    # round-5 refresh slots — 26 (CORRECTNESS_r05 order; tail
-    # trimmed as round-10 additions land)
-    "repetition_quality_stats",
-    "boilerplate_coverage_stats",
-    "training_shard_stats",
-    "source_mixture_plan",
-    "token_frequency_quality",
-    "cluster_label_purity",
-    "debounced_event_counts",
-    "late_event_accounting",
-    "watermark_tuning_curve",
-    "streaming_segment_enrichment",
-    "zorder_layout_stats",
-    "incremental_dedup_matches",
-    "leakage_safe_split_stats",
-    "hash_sampled_value_stats",
-    "seasonal_hour_anomalies",
-    "trending_types_daily",
-    "pareto_customer_classes",
-    "part_entity_clusters",
-    "media_feature_stats",
-    "ann_multiprobe_topk",
-    "ann_ivf_filtered_topk",
-    "ann_multiprobe_recall",
-    "format_roundtrip_stats",
-    "manifest_snapshot_stats",
-    "ab_bucket_metrics",
-    "cohort_value_curve",
-)
-
-
-# Round-12 window, pre-staged (swap into GATE_WINDOW at round-12 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 11: new round-11 queries are inserted at
-# the HEAD and the refresh tail is trimmed to keep the list at exactly
-# 50. Current composition: the 13 round-11 additions (5 early-round:
-# batch reader, hidden partitioning, trained quantizer, maintenance
-# loop, multi-field pruning; 8 late-round: restore, clone,
-# expectations, table$partitions, token bloom, matviews, metadata
-# aggregates, stream skip options) + the 24 remaining round-5 rows
-# (CORRECTNESS_r05 order) + the oldest round-6 rows (CORRECTNESS_r06
-# order; tail trimmed as additions landed).
-GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     # round-11 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "manifest_restore_stats",
@@ -271,6 +203,72 @@ GATE_WINDOW_R12_DRAFT: tuple[str, ...] = (
     "aqe_skew_join_stats",
     "ewma_daily_value",
     "embedding_dimension_stats",
+)
+
+
+# Round-13 window, pre-staged (swap into GATE_WINDOW at round-13 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 12: new round-12 queries are inserted
+# at the HEAD and the refresh tail is trimmed to keep the list at
+# exactly 50. Current composition: the 38 remaining round-6 rows
+# (CORRECTNESS_r06 order) + the 12 oldest round-7 rows
+# (CORRECTNESS_r07 order; tail trimmed as round-12 additions land).
+GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
+    # round-12 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-6 refresh slots — 38 (the last of the round-6 rows)
+    "kmv_set_similarity",
+    "countmin_heavy_hitters",
+    "session_path_topk",
+    "knn_bfs_hops",
+    "vocab_oov_rate",
+    "bloom_pruned_urgent_revenue",
+    "stateful_spend_alerts",
+    "zorder_pruning_benefit",
+    "scd2_user_type_history",
+    "merge_upsert_stats",
+    "table_profile_summary",
+    "cohort_retention_matrix",
+    "multi_touch_attribution",
+    "approx_quantile_contract",
+    "point_in_time_dimension_join",
+    "bm25_retrieval_topk",
+    "cascading_delete_audit",
+    "minhash_lsh_quality",
+    "value_drift_psi",
+    "hybrid_rrf_retrieval",
+    "trailing_user_features",
+    "revenue_share_drilldown",
+    "revenue_growth_mom_yoy",
+    "part_cooccurrence_topk",
+    "incremental_join_view",
+    "latest_event_per_user",
+    "signup_purchase_funnel",
+    "weekly_retention",
+    "geometric_mean_value",
+    "hourly_type_pivot",
+    "value_histogram",
+    "value_percentiles",
+    "props_json_stats",
+    "segment_event_value",
+    "salted_type_stats",
+    "event_transition_matrix",
+    "event_type_associations",
+    "stateful_record_highs",
+    # round-7 refresh slots — 12 (CORRECTNESS_r07 order; tail
+    # trimmed as round-12 additions land)
+    "daily_operations_summary",
+    "prefix_filtered_dup_pairs",
+    "stratified_sample_stats",
+    "pq_adc_quality",
+    "sql_lateral_top_orders",
+    "knn_label_accuracy",
+    "lm_perplexity_buckets",
+    "ann_ivf_pq_topk",
+    "source_vocab_divergence",
+    "concurrent_session_peaks",
+    "char_entropy_buckets",
+    "bpe_merge_candidates",
 )
 
 

@@ -1,7 +1,7 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-11 rotation: the 12 round-10
+queries. These tests pin the round-12 rotation: the 14 round-11
 additions that had never been driver-checked occupy the window alongside
-the oldest (round-4/round-5) refresh rows, every windowed query is
+the oldest (round-5/round-6) refresh rows, every windowed query is
 oracle-backed, and reordering loses nothing."""
 
 from __future__ import annotations
@@ -53,20 +53,22 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-10 additions that had no driver row before this rotation
+    # the round-11 additions that had no driver row before this rotation
     for name in (
-        "manifest_bucketed_join_stats",
-        "manifest_stream_backpressure_stats",
-        "manifest_stale_claim_gc_stats",
-        "partial_compaction_stats",
-        "cdf_delete_change_rows_stats",
-        "stateful_rocksdb_store_stats",
-        "mor_upsert_stats",
-        "compaction_policy_stats",
-        "manifest_type_widening_stats",
-        "manifest_snapshot_tag_stats",
-        "manifest_nested_embeddings_stats",
-        "classifier_auc_roc",
+        "manifest_restore_stats",
+        "manifest_clone_stats",
+        "expectations_quarantine_stats",
+        "manifest_partitions_metadata_stats",
+        "token_bloom_search_stats",
+        "matview_incremental_refresh_stats",
+        "metadata_only_aggregate_stats",
+        "stream_skip_change_commits_stats",
+        "column_rename_stats",
+        "manifest_batch_reader_stats",
+        "hidden_partitioning_stats",
+        "ann_trained_quantizer_stats",
+        "auto_maintenance_stats",
+        "multi_transform_pruning_stats",
     ):
         assert name in w, name
 
@@ -82,20 +84,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r12_draft_window_is_valid():
-    """The pre-staged round-12 window must stay swappable: exactly 50
+def test_r13_draft_window_is_valid():
+    """The pre-staged round-13 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-11 window (every slot either adds a first-time row or
+    active round-12 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R12_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R13_DRAFT
 
-    assert len(GATE_WINDOW_R12_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R12_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R12_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R13_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R13_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R13_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R12_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R13_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R12_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R13_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap
