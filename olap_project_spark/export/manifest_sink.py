@@ -1925,6 +1925,15 @@ def rename_column(path: str, old: str, new: str) -> int:
         raise ValueError(f"column {old!r} not in schema {names}")
     if new in names:
         raise ValueError(f"column {new!r} already exists in {names}")
+    retired = _retired_since_last_rewrite(_log(path))
+    if new in retired:
+        raise ValueError(
+            f"column name {new!r} was dropped by an earlier alter and "
+            "pre-drop live files still hold that generation's bytes "
+            "and name-keyed stats; renaming onto it would serve the "
+            "dropped column's old values — compact to rewrite the "
+            "live files first"
+        )
     staged = sorted(
         {
             m.get("branch")
@@ -2626,19 +2635,59 @@ def _log(
     return out if raw else _effective(out)
 
 
+def _last_rewrite_index(log: list[tuple[int, dict]]) -> int:
+    """Index of the latest rewrite snapshot in the log, or -1. A
+    rewrite holds the CONSOLIDATED table state: everything below it is
+    history the live file set no longer reflects, so state-sensitive
+    checks (naming eras, unmaterialized tombstones) scope to the
+    entries ABOVE it."""
+    last_rw = -1
+    for i, (_v, m) in enumerate(log):
+        if m.get("kind", "append") == "rewrite":
+            last_rw = i
+    return last_rw
+
+
 def _alters_since_last_rewrite(log: list[tuple[int, dict]]) -> bool:
     """True when a column-rename (``kind='alter'``) commit sits ABOVE
     the latest rewrite — i.e. the live file set still spans naming
     eras. Alters below a rewrite are history: compaction rewrote every
     live file under the current names, so name-keyed surfaces answer
     exactly again."""
-    last_rw = -1
-    for i, (_v, m) in enumerate(log):
-        if m.get("kind", "append") == "rewrite":
-            last_rw = i
     return any(
-        m.get("kind") == "alter" for _v, m in log[last_rw + 1 :]
+        m.get("kind") == "alter"
+        for _v, m in log[_last_rewrite_index(log) + 1 :]
     )
+
+
+def _tombstones_since_last_rewrite(log: list[tuple[int, dict]]) -> bool:
+    """True when an UNMATERIALIZED delete/merge tombstone sits above
+    the latest rewrite. Tombstones below a rewrite are already folded
+    into the consolidated files (compaction materializes them), so
+    surfaces that cannot apply row-level tombstones — metadata
+    aggregates, table$partitions, the era read — must reject only the
+    ones above; rejecting on ANY historical tombstone would wedge
+    those surfaces forever (old manifests persist until snapshot
+    expiry, so 'compact first' would never clear the condition)."""
+    return any(
+        m.get("kind", "append") in ("delete", "merge")
+        for _v, m in log[_last_rewrite_index(log) + 1 :]
+    )
+
+
+def _retired_since_last_rewrite(log: list[tuple[int, dict]]) -> set[str]:
+    """Column names DROPPED by an alter above the latest rewrite.
+    These names are radioactive until a compaction rewrites the live
+    files without them: pre-drop files still hold the retired
+    generation's bytes AND its name-keyed zone maps/blooms, so a new
+    column re-using the name (by append — guarded at schema
+    discovery — or by rename, guarded in :func:`rename_column`) would
+    make era reads and pruning probes serve the wrong generation."""
+    out: set[str] = set()
+    for _v, m in log[_last_rewrite_index(log) + 1 :]:
+        if m.get("kind") == "alter":
+            out |= set(m.get("drop", []))
+    return out
 
 
 def _committed_files(
@@ -2934,21 +2983,20 @@ def table_partitions(
     work; answering "how many rows landed in yesterday's partition"
     on a 100-TB fact costs no cluster time at all. DELETE/MERGE
     tombstones are NOT folded here (they are row-level, file counts
-    are physical) — tables with unmaterialized tombstones are rejected
-    so the counts can never silently overstate; compact first, as the
-    CDF paths demand.
+    are physical) — tables with unmaterialized tombstones ABOVE the
+    latest rewrite are rejected so the counts can never silently
+    overstate (compact first); tombstones a rewrite already
+    materialized don't block.
 
     Reference analogue: the reference answers this by listing HDFS
     partition directories and counting (bigquery_update_scheduler.py:
     163-231); here it is a catalog lookup."""
     log = _log(path, as_of, branch)
-    if any(
-        m.get("kind", "append") in ("delete", "merge") for _, m in log
-    ):
+    if _tombstones_since_last_rewrite(log):
         raise ValueError(
             "table$partitions requires materialized state: the log "
-            "holds delete/merge tombstones that row counts cannot "
-            "reflect — compact first"
+            "holds unmaterialized delete/merge tombstones that row "
+            "counts cannot reflect — compact first"
         )
     if _alters_since_last_rewrite(log):
         raise ValueError(
@@ -3023,8 +3071,11 @@ def metadata_aggregate(
     STRICT by construction — an answer is returned only when it is
     provably exact, else ValueError:
 
-    - delete/merge tombstones in the log → rejected (row-level
-      removals are invisible to file-level metadata; compact first);
+    - UNMATERIALIZED delete/merge tombstones (above the latest
+      rewrite) → rejected (row-level removals are invisible to
+      file-level metadata; compact first — tombstones below a rewrite
+      are already folded into the consolidated files and don't
+      block);
     - a live file without a recorded row count (pre-columnar legacy)
       → rejected;
     - MIN/MAX (columns listed in ``minmax_cols``) → every live file
@@ -3041,12 +3092,11 @@ def metadata_aggregate(
     Returns {"n_rows": N, "cols": {c: {"min", "max", "nulls",
     "non_null"}}}."""
     log = _log(path, as_of, branch)
-    if any(
-        m.get("kind", "append") in ("delete", "merge") for _, m in log
-    ):
+    if _tombstones_since_last_rewrite(log):
         raise ValueError(
             "metadata aggregates require materialized state: the log "
-            "holds delete/merge tombstones — compact first"
+            "holds unmaterialized delete/merge tombstones — compact "
+            "first"
         )
     if _alters_since_last_rewrite(log):
         raise ValueError(
@@ -3074,6 +3124,22 @@ def metadata_aggregate(
                 "commit); compact to refresh metadata"
             )
         n_rows += rows
+    # strictness extends to the REQUEST: a column name outside the
+    # discovered schema raises (a typo must never be indistinguishable
+    # from an all-null added column). Branch reads skip the check —
+    # branch commits may add columns main's schema has not seen.
+    if branch is None and (cols or minmax_cols):
+        sch = table_schema(path, as_of)
+        if sch is not None:
+            known = {f.name for f in sch.fields}
+            unknown = sorted(
+                (set(cols or []) | set(minmax_cols or [])) - known
+            )
+            if unknown:
+                raise ValueError(
+                    f"unknown column(s) {unknown}; table schema has "
+                    f"{sorted(known)}"
+                )
     out: dict = {"n_rows": n_rows, "cols": {}}
     want_minmax = set(minmax_cols or [])
     for c in list(cols or []) + sorted(want_minmax - set(cols or [])):
@@ -3273,17 +3339,23 @@ def read_evolved(
     reader backfills missing fields against the explicit schema, which
     is exactly the Iceberg/Delta add-column read contract.
 
-    RENAMED tables (``kind='alter'`` commits in range) read by ERA:
-    each data manifest recorded the schema its files were written
-    with, so the live files group by write-era schema, each group is
-    scanned under ITS OWN names, and the eras alias-project to the
-    current names before the union — Delta column-mapping semantics
-    with the manifest-recorded schema standing in for field IDs. The
-    per-era projection also null-backfills columns added after the
-    era, so rename and add-column evolution compose. Unmaterialized
-    delete/merge tombstones alongside a rename are rejected (the
-    tombstone fold is name-based; compact first — compaction collapses
-    every era to the current names)."""
+    RENAMED tables (``kind='alter'`` commits in range) read by a
+    SEGMENTED FOLD: the log is replayed in commit order, the folded
+    state is kept in the naming of the segment being replayed (each
+    data manifest recorded the schema its files were written with),
+    and each alter commit applies its renames/drops TO THE STATE as a
+    metadata-only projection — Delta column-mapping semantics with the
+    manifest-recorded schema standing in for field IDs. Because every
+    delete/merge tombstone anti-joins the state under the SAME names
+    it was written with (the names current at its sequence point),
+    row-level operations compose exactly with renames and drops in
+    ANY interleaving — delete-then-rename, rename-then-delete, and
+    drop-then-rename-reuse all fold to the correct rows (a rename is
+    a column bijection, so the per-segment fold is the
+    :func:`read_committed` fold expressed in each segment's own
+    coordinate system). Columns added after a file's write-era
+    null-backfill, so rename, drop, add-column, and type-widening
+    evolution all compose."""
     sch = table_schema(path, as_of)
     if sch is None:
         raise ValueError(f"no recorded schema in manifest log at {path}")
@@ -3292,70 +3364,89 @@ def read_evolved(
         # no live naming eras (never renamed, or compaction collapsed
         # them): the ordinary committed read under the current schema
         return read_committed(spark, path, sch, as_of=as_of)
-    if any(
-        m.get("kind", "append") in ("delete", "merge") for _v, m in log
-    ):
-        raise ValueError(
-            "renamed table holds unmaterialized delete/merge "
-            "tombstones; compact to collapse the eras first"
-        )
     from pyspark.sql import functions as _F
 
-    # live files with the index of the manifest that committed them
-    live: dict[str, int] = {}
-    for i, (_version, m) in enumerate(log):
-        entries = {f: i for f in m["files"]}
-        if m.get("kind", "append") == "rewrite":
-            live = entries
-        else:
-            live.update(entries)
-    # cumulative rename map FROM an era's names TO the current names:
-    # start from identity over the era's schema and push each later
-    # alter's renames through it
-    def era_map(i: int, era_names: list[str]) -> dict:
-        cur = {n: n for n in era_names}
-        for _v, m in log[i + 1 :]:
-            if m.get("kind") == "alter":
-                ren = m.get("rename", {})
-                cur = {k: ren.get(v, v) for k, v in cur.items()}
-        return cur  # era name -> current name
+    def conform(df: DataFrame, st: StructType) -> DataFrame:
+        """Project to exactly ``st``: present columns cast to the
+        (possibly widened) target type, absent ones null-backfill."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                (
+                    _F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else _F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in st.fields
+            ]
+        )
 
-    groups: dict[int, list[str]] = {}
-    for name, i in live.items():
-        groups.setdefault(i, []).append(name)
-    parts: list[DataFrame] = []
-    current_names = [f.name for f in sch.fields]
-    for i, names in groups.items():
-        m = log[i][1]
+    def data_schema(m: dict, version: int) -> StructType:
         if m.get("schema") is None:
             raise ValueError(
-                f"manifest version {log[i][0]} recorded no schema; its "
+                f"manifest version {version} recorded no schema; its "
                 "files' write-era names are unknowable under a rename "
                 "— compact the table to collapse the eras"
             )
-        era_schema = StructType.fromJson(m["schema"])
-        ren = era_map(i, [f.name for f in era_schema.fields])
-        scan = _read_files(spark, path, era_schema, names)
-        # alias era names to current names; columns added after this
-        # era null-backfill (they are absent from the era schema)
-        have = {ren[f.name]: f.name for f in era_schema.fields}
-        cols = [
-            (
-                _F.col(have[c]).alias(c)
-                if c in have
-                else _F.lit(None).cast(
-                    dict((f.name, f.dataType) for f in sch.fields)[c]
-                ).alias(c)
-            )
-            for c in current_names
-        ]
-        parts.append(scan.select(*cols))
-    if not parts:
+        return StructType.fromJson(m["schema"])
+
+    df: DataFrame | None = None  # state, in the segment's naming
+    pending: list = []  # buffered append files of this segment
+    seg: StructType | None = None  # latest write schema in segment
+
+    def flush(df: DataFrame | None) -> DataFrame | None:
+        if not pending:
+            return df
+        scan = _read_files(spark, path, seg, pending)
+        return scan if df is None else conform(df, seg).unionByName(scan)
+
+    for version, m in log:
+        kind = m.get("kind", "append")
+        if kind == "alter":
+            df, pending = flush(df), []
+            if df is not None:
+                ren = m.get("rename", {})
+                dropped = set(m.get("drop", []))
+                df = df.select(
+                    *[
+                        _F.col(c).alias(ren.get(c, c))
+                        for c in df.columns
+                        if c not in dropped
+                    ]
+                )
+            seg = data_schema(m, version)
+        elif kind == "rewrite":
+            seg = data_schema(m, version)
+            df, pending = None, list(m["files"])
+        elif kind == "append":
+            seg = data_schema(m, version)
+            pending += m["files"]
+        elif kind == "merge":
+            seg = data_schema(m, version)
+            df, pending = flush(df), []
+            keys = m["merge_keys"]
+            if df is not None:
+                tomb = _read_files(spark, path, seg, m["files"]).select(
+                    *keys
+                )
+                df = conform(df, seg).join(tomb, on=keys, how="left_anti")
+            pending += m["files"]
+        else:  # delete: key names are the segment's names
+            df, pending = flush(df), []
+            if df is None:
+                continue
+            if "schema" not in m:
+                raise ValueError(
+                    f"delete snapshot {version} recorded no key schema"
+                )
+            key_schema = StructType.fromJson(m["schema"])
+            keys = [f.name for f in key_schema.fields]
+            tomb = _read_files(spark, path, key_schema, m["files"])
+            df = conform(df, seg).join(tomb, on=keys, how="left_anti")
+    df = flush(df)
+    if df is None:
         return spark.createDataFrame([], sch)
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    return conform(df, sch)
 
 
 def publish_branch(path: str, branch: str) -> list[int]:
@@ -3534,6 +3625,13 @@ def compact_snapshots(
         current = read_evolved(spark, path)
         schema = current.schema
     else:
+        if schema is None:
+            schema = table_schema(path)
+            if schema is None:
+                raise ValueError(
+                    f"no recorded schema in manifest log at {path}; "
+                    "pass an explicit schema to compact"
+                )
         current = read_committed(spark, path, schema)
     writer_opts: dict[str, str] = {}
     if partition_by is not None:

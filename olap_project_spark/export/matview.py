@@ -135,8 +135,12 @@ def mv_create(
         raise ValueError("spec needs group_by and at least one agg")
     head = max(committed_versions(base_path), default=0)
     # the era-aware read: equals read_committed for never-renamed
-    # bases, and resolves write-era names for renamed ones
-    base = read_evolved(spark, base_path)
+    # bases, and resolves write-era names for renamed ones. PINNED to
+    # the head captured above — an unpinned read would include any
+    # base commit landing between the two calls while base_version
+    # recorded the older head, and the next incremental refresh would
+    # re-apply that version's CDF slice and double-count it.
+    base = read_evolved(spark, base_path, as_of=head)
     fmt = ensure_manifest_sink(spark)
     (
         _view_frame(base, spec)

@@ -178,11 +178,12 @@ class TestRenameGuards:
         sch = table_schema(path)
         with pytest.raises(ValueError, match="rename"):
             read_changes(registered, path, sch, 0, 2).collect()
+        # a delete AFTER the rename folds era-correctly (the segmented
+        # fold applies each tombstone under its own segment's names)
         delete_where(
             registered, path, registered.createDataFrame([(1,)], "id int")
         )
-        with pytest.raises(ValueError, match="compact"):
-            read_evolved(registered, path)
+        assert read_evolved(registered, path).count() == 0
 
 
 class TestRenameComposition:
@@ -332,3 +333,169 @@ class TestDropColumn:
             for r in read_evolved(registered, path).collect()
         )
         assert rows == [(1, None), (2, 9.0)]
+
+
+class TestSegmentedFold:
+    """Round-12: the era read is a SEGMENTED FOLD — tombstones apply
+    under the names of their own segment, alters transform the state —
+    so row-level ops and renames compose in any interleaving (the two
+    wedges the round-11 advice flagged: delete-then-rename could only
+    be compacted after an undocumented vacuum, and rename-then-delete
+    rejected forever)."""
+
+    def test_delete_then_rename_reads_and_compacts(
+        self, registered, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a"), (2, "b"), (3, "c")],
+            "id int, name string",
+        )
+        delete_where(
+            registered, path, registered.createDataFrame([(2,)], "id int")
+        )
+        rename_column(path, "name", "label")
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a"), (3, "c")]
+        # the advertised remedy now actually works: compaction
+        # materializes the tombstones AND collapses the eras
+        compact_snapshots(registered, path, None)
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a"), (3, "c")]
+        # post-compaction, the strict metadata surfaces answer again
+        assert metadata_aggregate(path)["n_rows"] == 2
+
+    def test_rename_then_delete_then_append_sequencing(
+        self, registered, tmp_path
+    ):
+        """A key re-inserted AFTER its delete survives (the
+        sequence-number rule), across a rename boundary."""
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a"), (2, "b")], "id int, name string")
+        rename_column(path, "name", "label")
+        delete_where(
+            registered, path, registered.createDataFrame([(1,)], "id int")
+        )
+        _write(registered, path, [(1, "z")], "id int, label string")
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "z"), (2, "b")]
+
+    def test_merge_across_rename(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import merge_upsert
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a"), (2, "b")], "id int, name string")
+        rename_column(path, "name", "label")
+        merge_upsert(
+            registered,
+            path,
+            registered.createDataFrame(
+                [(2, "B"), (3, "C")], "id int, label string"
+            ),
+            keys=["id"],
+        )
+        rows = sorted(
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a"), (2, "B"), (3, "C")]
+
+    def test_drop_then_rename_reuse_is_rejected_at_write(
+        self, registered, tmp_path
+    ):
+        """Renaming onto a name a live-era drop retired would make
+        name-keyed stats serve the dropped generation — rejected until
+        a compaction rewrites the live files (round-11 advice, high)."""
+        from olap_project_spark.export.manifest_sink import drop_column
+
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a", 9.0)],
+            "id int, name string, amt double",
+        )
+        drop_column(path, "amt")
+        with pytest.raises(ValueError, match="dropped"):
+            rename_column(path, "name", "amt")
+        # compaction rewrites the live files without the ghost bytes:
+        # the name is free again
+        compact_snapshots(registered, path, None)
+        rename_column(path, "name", "amt")
+        rows = [
+            (r.id, r.amt) for r in read_evolved(registered, path).collect()
+        ]
+        assert rows == [(1, "a")]
+
+    def test_delete_key_added_after_old_era_backfills_null(
+        self, registered, tmp_path
+    ):
+        """A tombstone keyed on a column added after an old era never
+        matches that era's rows (null keys don't equal) — identical to
+        what the name-based fold did at the original sequence point."""
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1,)], "id int")
+        _write(registered, path, [(2, "x")], "id int, src string")
+        rename_column(path, "src", "origin")
+        delete_where(
+            registered,
+            path,
+            registered.createDataFrame([("x",)], "origin string"),
+        )
+        rows = sorted(
+            (r.id, r.origin)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, None)]
+
+    def test_historical_materialized_tombstones_dont_block(
+        self, registered, tmp_path
+    ):
+        """delete → compact → rename: the old delete manifest persists
+        below the rewrite but is already materialized; the era read,
+        metadata aggregates, and table$partitions must not reject on
+        it (round-11 advice, medium ×2)."""
+        from olap_project_spark.export.manifest_sink import (
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        _write(
+            registered, path, [(1, "a"), (2, "b")], "id int, name string"
+        )
+        delete_where(
+            registered, path, registered.createDataFrame([(1,)], "id int")
+        )
+        compact_snapshots(registered, path, None)
+        rename_column(path, "name", "label")
+        rows = [
+            (r.id, r.label)
+            for r in read_evolved(registered, path).collect()
+        ]
+        assert rows == [(2, "b")]
+        # metadata_aggregate: rejects for the RENAME (names moved), not
+        # for the long-materialized tombstone
+        with pytest.raises(ValueError, match="rename"):
+            metadata_aggregate(path, cols=["id"])
+        compact_snapshots(registered, path, None)
+        agg = metadata_aggregate(path, cols=["id"])
+        assert agg["n_rows"] == 1
+
+    def test_metadata_aggregate_rejects_unknown_column(
+        self, registered, tmp_path
+    ):
+        """A typo must never be indistinguishable from an all-null
+        added column (round-11 advice, low)."""
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        with pytest.raises(ValueError, match="unknown column"):
+            metadata_aggregate(path, cols=["nam"])
+        with pytest.raises(ValueError, match="unknown column"):
+            metadata_aggregate(path, minmax_cols=["idd"])

@@ -195,3 +195,36 @@ class TestExactlyOnceRecovery:
         assert _state(registered, view) == [("a", 3)]
         # and the cache healed itself
         assert json.load(open(mp))["base_version"] == meta["base_version"] + 1
+
+
+class TestCreateRace:
+    def test_create_pins_the_captured_head(
+        self, registered, tmp_path, monkeypatch
+    ):
+        """A base commit landing between mv_create's head capture and
+        its initial read must NOT leak into the built view (it would be
+        double-counted by the next incremental refresh). Reproduced
+        deterministically by making the head capture see a stale log
+        (round-11 advice, medium)."""
+        import olap_project_spark.export.matview as mv
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2)])  # v1
+        _write(registered, base, [("a", 10)])  # v2 — the racing commit
+
+        real = mv.committed_versions
+        monkeypatch.setattr(
+            mv, "committed_versions", lambda p: [
+                v for v in real(p) if v <= 1
+            ]
+        )
+        meta = mv_create(registered, view, base, SPEC)
+        monkeypatch.setattr(mv, "committed_versions", real)
+
+        assert meta["base_version"] == 1
+        # the built view reflects ONLY v1 — the racing commit excluded
+        assert _state(registered, view) == [("a", 1), ("b", 2)]
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        # v2 applied exactly once: totals match the base truth
+        assert _state(registered, view) == _truth(registered, base)
