@@ -1160,18 +1160,22 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 class _FileScan(InputPartition):
     """One batch input partition = one live data file, carrying the
-    version it committed at and the tombstone applications whose
-    sequence number exceeds it (the per-file equality-delete rule)."""
+    version it committed at, the tombstone applications whose sequence
+    number exceeds it (the per-file equality-delete rule), and — for
+    files written before a column rename — the field-id-derived map
+    from CURRENT column names to this file's WRITE-ERA names."""
 
     def __init__(
         self,
         file_path: str,
         schema_json: str,
-        tombs: list,  # [(key col tuple, [tombstone file paths]), ...]
+        tombs: list,  # [(era key cols, current key cols, [paths]), ...]
+        colmap: dict | None = None,  # {current name: era name | None}
     ):
         self.file_path = file_path
         self.schema_json = schema_json
         self.tombs = tombs
+        self.colmap = colmap
 
 
 def _resolve_as_of(options) -> int | None:
@@ -1299,29 +1303,72 @@ class ManifestBatchReader(DataSourceReader):
         # fold the log driver-side: live file -> (commit version, zone
         # map, bloom), plus the tombstone ledger (version, keys, files)
         live: dict[str, tuple] = {}
-        tombs: list[tuple[int, tuple, list[str]]] = []
+        tombs: list[tuple[int, tuple, tuple, list[str]]] = []
         reader_log = _log(self.path, self.as_of, self.branch)
-        if _alters_since_last_rewrite(reader_log):
+        renamed = _alters_since_last_rewrite(reader_log)
+        per_index, current_ids, fid_ok = _field_id_history(reader_log)
+        if renamed and not fid_ok:
             raise ValueError(
-                "the public batch reader projects files by name and "
-                "cannot read across a column rename — read through "
-                "read_evolved, or compact to collapse the eras"
+                "the public batch reader cannot read across a column "
+                "rename on this log: a file-bearing manifest records "
+                "no schema, so field ids cannot be derived — read "
+                "through read_evolved, or compact to collapse the eras"
             )
-        for version, m in reader_log:
+        # per-manifest translation: field id -> write-era name, and
+        # current name -> write-era name (None = the file predates the
+        # column's current generation, so its rows are all-null for it)
+        id_to_cur = {i: n for n, i in current_ids.items()}
+
+        def cur2era(idx: int) -> dict[str, str | None] | None:
+            if not renamed:
+                return None  # identity: names never moved
+            pi = per_index[idx] or {}
+            inv = {i: n for n, i in pi.items()}
+            return {
+                cn: inv.get(cid) for cn, cid in current_ids.items()
+            }
+
+        for idx, (version, m) in enumerate(reader_log):
             kind = m.get("kind", "append")
             if kind == "alter":
-                continue  # history below the last rewrite: no files
+                continue  # metadata-only: no files
             fs = m.get("file_stats", {})
             bcol = m.get("bloom_col")
             blooms = m.get("file_blooms", {})
             specs = _specs_of(m)
             fparts = m.get("file_partitions", {}) if specs else {}
-            if kind == "delete":
-                cols = tuple(
-                    f["name"] for f in m["schema"]["fields"]
+            if kind in ("delete", "merge"):
+                # tombstone key names are the names CURRENT at this
+                # commit; translate them to the read schema's names so
+                # the anti-join runs in one coordinate system (a
+                # rename is a column bijection, so equality is
+                # preserved). A key column dropped later cannot be
+                # expressed in current coordinates — reject.
+                era_cols = (
+                    tuple(f["name"] for f in m["schema"]["fields"])
+                    if kind == "delete"
+                    else tuple(m["merge_keys"])
                 )
-                tombs.append((version, cols, list(m["files"])))
-                continue
+                if renamed:
+                    pi = per_index[idx] or {}
+                    cur_cols = tuple(
+                        id_to_cur.get(pi.get(c)) for c in era_cols
+                    )
+                    if any(c is None for c in cur_cols):
+                        raise ValueError(
+                            f"tombstone at version {version} is keyed "
+                            f"on {era_cols}, of which a column was "
+                            "later dropped; the flat batch reader "
+                            "cannot apply it — read through "
+                            "read_evolved, or compact first"
+                        )
+                else:
+                    cur_cols = era_cols
+                tombs.append(
+                    (version, era_cols, cur_cols, list(m["files"]))
+                )
+                if kind == "delete":
+                    continue
             rows = m.get("file_rows", {})
             entries = {
                 f: (
@@ -1336,6 +1383,7 @@ class ManifestBatchReader(DataSourceReader):
                         else None
                     ),
                     rows.get(f),
+                    idx,
                 )
                 for f in m["files"]
             }
@@ -1343,10 +1391,6 @@ class ManifestBatchReader(DataSourceReader):
                 live = entries
             else:
                 live.update(entries)
-                if kind == "merge":
-                    tombs.append(
-                        (version, tuple(m["merge_keys"]), list(m["files"]))
-                    )
         legacy = [f for f in live if not f.endswith(".parquet")]
         if legacy:
             raise ValueError(
@@ -1356,22 +1400,45 @@ class ManifestBatchReader(DataSourceReader):
                 "legacy files)"
             )
         sj = json.dumps(self.schema.jsonValue())
+        colmap_cache: dict[int, dict | None] = {}
         out: list[InputPartition] = []
         for name in sorted(live):
-            vf, stats, bcol, bits, specs, pranges, n_rows = live[name]
+            vf, stats, bcol, bits, specs, pranges, n_rows, idx = live[
+                name
+            ]
             if n_rows == 0:
                 continue  # recorded empty: provably nothing to scan
-            if self._excluded(
-                stats, bcol, bits, specs, pranges, self._pushed
-            ):
+            if idx not in colmap_cache:
+                colmap_cache[idx] = cur2era(idx)
+            colmap = colmap_cache[idx]
+            pushed = self._pushed
+            if colmap is not None and pushed:
+                # translate pushed probes into this file's write-era
+                # names so its name-keyed stats/blooms/transform
+                # ranges keep pruning after a rename. A probe on a
+                # column the file PREDATES excludes the file outright:
+                # its rows are all-null there, and every pushable
+                # comparison is null-rejecting.
+                pushed, skip = [], False
+                for col, op, val in self._pushed:
+                    era = colmap.get(col, col)
+                    if era is None:
+                        skip = True
+                        break
+                    pushed.append((era, op, val))
+                if skip:
+                    continue
+            if self._excluded(stats, bcol, bits, specs, pranges, pushed):
                 continue
             applicable = [
-                (cols, [os.path.join(staging, t) for t in files])
-                for vt, cols, files in tombs
+                (ec, cc, [os.path.join(staging, t) for t in files])
+                for vt, ec, cc, files in tombs
                 if vt > vf
             ]
             out.append(
-                _FileScan(os.path.join(staging, name), sj, applicable)
+                _FileScan(
+                    os.path.join(staging, name), sj, applicable, colmap
+                )
             )
         return out
 
@@ -1389,25 +1456,36 @@ class ManifestBatchReader(DataSourceReader):
         want = to_arrow_schema(
             StructType.fromJson(json.loads(partition.schema_json))
         )
-        # tombstone key tables, cast to the read schema's key types so
-        # the anti-join compares like types (a delete written at int
-        # still removes rows read under a widened bigint schema)
+        colmap = partition.colmap or {}
+        # tombstone key tables: read under the key columns' WRITE-ERA
+        # names, rename to the current names, and cast to the read
+        # schema's key types so the anti-join compares like types (a
+        # delete written at int still removes rows read under a
+        # widened bigint schema)
         keysets: list[tuple[list[str], pa.Table]] = []
-        for cols, files in partition.tombs:
-            tables = [pq.read_table(f, columns=list(cols)) for f in files]
+        for era_cols, cur_cols, files in partition.tombs:
+            tables = [
+                pq.read_table(f, columns=list(era_cols)) for f in files
+            ]
             t = pa.concat_tables(tables) if tables else None
             if t is None or t.num_rows == 0:
                 continue
-            t = t.cast(
-                pa.schema([pa.field(c, want.field(c).type) for c in cols])
+            t = t.rename_columns(list(cur_cols)).cast(
+                pa.schema(
+                    [pa.field(c, want.field(c).type) for c in cur_cols]
+                )
             )
-            keysets.append((list(cols), t))
+            keysets.append((list(cur_cols), t))
         pf = pq.ParquetFile(partition.file_path)
         for batch in pf.iter_batches():
             cols = []
             for f in want:
-                if f.name in batch.schema.names:
-                    cols.append(batch.column(f.name).cast(f.type))
+                # a pre-rename file serves the column under its
+                # write-era name (field-id column mapping); None means
+                # the file predates the column's current generation
+                src = colmap.get(f.name, f.name)
+                if src is not None and src in batch.schema.names:
+                    cols.append(batch.column(src).cast(f.type))
                 else:
                     cols.append(pa.nulls(batch.num_rows, type=f.type))
             tbl = pa.Table.from_batches(
@@ -1901,18 +1979,17 @@ def rename_column(path: str, old: str, new: str) -> int:
     discovery precisely because a name-based read would null them).
 
     Reads of renamed tables go through :func:`read_evolved` (the
-    schema-discovery path — it performs the per-era aliasing);
-    :func:`read_committed` keeps its explicit-schema contract and
-    documents that renamed tables need the discovery path. Pruning
-    stays CORRECT automatically: zone maps/blooms are keyed by
-    written names, so a probe under the current name simply finds no
-    stats for pre-rename files and conservatively keeps them —
-    compaction (which collapses eras to the current names) restores
-    their skipping. Surfaces that cannot yet answer exactly across a
-    rename (metadata aggregates, table$partitions, the public batch
-    reader) REJECT renamed logs rather than degrade silently — the
-    strictness rule every metadata surface here follows; compact to
-    collapse the eras and they answer again.
+    schema-discovery path — it performs the per-era aliasing) or the
+    public batch reader (which resolves each file's columns through
+    FIELD IDS, :func:`_field_id_history`); :func:`read_committed`
+    keeps its explicit-schema contract and documents that renamed
+    tables need one of those paths. The metadata surfaces — metadata
+    aggregates, table$partitions, the public reader's pushdown
+    pruning — likewise translate every probe current name → field id
+    → write-era name, so they answer EXACTLY across a rename with no
+    compaction, and pre-rename files keep being pruned by their stats
+    under the new name. Only legacy logs whose file-bearing manifests
+    record no schema still reject (ids underivable — compact first).
 
     Rejected: renaming a column that does not exist, onto a name that
     does, while unpublished WAP branches exist, or while the table has
@@ -2675,6 +2752,73 @@ def _tombstones_since_last_rewrite(log: list[tuple[int, dict]]) -> bool:
     )
 
 
+def _field_id_history(
+    log: list[tuple[int, dict]],
+) -> tuple[list[dict[str, int] | None], dict[str, int], bool]:
+    """Derive per-column FIELD IDs from the manifest log — the Delta
+    column-mapping / Iceberg field-ID mechanism, computed as a PURE
+    FUNCTION of the log instead of stored state: every column is
+    assigned a stable integer id at its BIRTH (first appearance in a
+    data manifest's recorded schema, ids issued in log order and never
+    reused), renames carry the id to the new name, drops retire it.
+    Because the log already records each manifest's write schema and
+    each alter's rename/drop, the derivation is deterministic,
+    race-free (no writer coordination needed), and applies
+    RETROACTIVELY to every existing table.
+
+    Returns ``(per_index, current, ok)``:
+
+    - ``per_index[i]`` maps the WRITE-ERA column names of ``log[i]``'s
+      files to their field ids (for delete manifests: the tombstone
+      key names; ``None`` when the manifest records no schema);
+    - ``current`` maps the CURRENT names to ids;
+    - ``ok`` is False when a file-bearing manifest records no schema
+      (legacy log) — name-keyed surfaces then keep their strict
+      reject-on-rename behavior.
+
+    A name dropped and later re-used gets a NEW id, so the two
+    generations never alias: a stats probe for the new generation
+    finds NO id match in pre-drop manifests and conservatively treats
+    those files as predating the column — which they do."""
+    mapping: dict[str, int] = {}
+    next_id = 1
+    per_index: list[dict[str, int] | None] = []
+    ok = True
+    for _v, m in log:
+        kind = m.get("kind", "append")
+        sch = m.get("schema")
+        if kind == "alter":
+            for d in m.get("drop", []):
+                mapping.pop(d, None)
+            ren = m.get("rename", {})
+            mapping = {ren.get(n, n): i for n, i in mapping.items()}
+            per_index.append(dict(mapping))
+            continue
+        if kind == "delete":
+            if sch is None:
+                per_index.append(None)
+                if m.get("files"):
+                    ok = False
+                continue
+            keys = [f["name"] for f in sch["fields"]]
+            per_index.append(
+                {n: mapping[n] for n in keys if n in mapping}
+            )
+            continue
+        if sch is None:
+            per_index.append(None)
+            if m.get("files"):
+                ok = False
+            continue
+        names = [f["name"] for f in sch["fields"]]
+        for n in names:
+            if n not in mapping:
+                mapping[n] = next_id
+                next_id += 1
+        per_index.append({n: mapping[n] for n in names})
+    return per_index, mapping, ok
+
+
 def _retired_since_last_rewrite(log: list[tuple[int, dict]]) -> set[str]:
     """Column names DROPPED by an alter above the latest rewrite.
     These names are radioactive until a compaction rewrites the live
@@ -2977,7 +3121,11 @@ def table_partitions(
     A file is counted toward a partition only when its histogram was
     recorded under the CURRENT spec — spec evolution invalidates older
     histograms for this surface (they describe different tuples), the
-    same rule compact_range applies to carried ranges.
+    same rule compact_range applies to carried ranges. Spec identity
+    is by FIELD ID (:func:`_field_id_history`), so RENAMING the
+    transform's source column does not invalidate histograms — the
+    surface answers exactly across renames, and the returned ``spec``
+    shows the CURRENT column names.
 
     Scale: driver-side O(#manifests + #files·#tuples-per-file) JSON
     work; answering "how many rows landed in yesterday's partition"
@@ -2998,35 +3146,63 @@ def table_partitions(
             "holds unmaterialized delete/merge tombstones that row "
             "counts cannot reflect — compact first"
         )
-    if _alters_since_last_rewrite(log):
+    renamed = _alters_since_last_rewrite(log)
+    per_index, current_ids, fid_ok = _field_id_history(log)
+    if renamed and not fid_ok:
         raise ValueError(
-            "table$partitions cannot answer across a column rename "
-            "(specs and histograms are keyed by write-time names) — "
-            "compact to collapse the eras first"
+            "table$partitions cannot answer across a column rename on "
+            "this log: a file-bearing manifest records no schema, so "
+            "field ids cannot be derived — compact to collapse the "
+            "eras first"
         )
+
+    def canon(sp, idx: int):
+        """Spec identity by FIELD ID: a spec on a column keeps its
+        identity across renames of that column (the histograms it
+        produced describe the same physical tuples), while a spec
+        naming a dropped-and-reused name does NOT match the new
+        generation. None when any spec column is untranslatable."""
+        specs = sp if isinstance(sp, list) else [sp]
+        pi = per_index[idx] if fid_ok else None
+        out = []
+        for s in specs:
+            key = (
+                pi.get(s["col"])
+                if pi is not None
+                else s["col"]  # legacy identity (never-renamed)
+            )
+            if key is None:
+                return None
+            out.append((key, s.get("kind"), s.get("arg")))
+        return tuple(out)
+
     live: dict[str, tuple] = {}
     spec_latest = None
-    for _version, m in log:
+    spec_latest_canon = None
+    for idx, (_version, m) in enumerate(log):
+        if m.get("kind", "append") == "delete":
+            continue  # materialized tombstone files are not data
         sp = m.get("partition_transform")
+        spc = canon(sp, idx) if sp is not None else None
         pr = m.get("file_partition_rows", {})
         fr = m.get("file_rows", {})
-        entries = {f: (sp, pr.get(f), fr.get(f)) for f in m["files"]}
+        entries = {f: (spc, pr.get(f), fr.get(f)) for f in m["files"]}
         if m.get("kind", "append") == "rewrite":
             live = entries
         else:
             live.update(entries)
         if sp is not None:
-            spec_latest = sp
+            spec_latest, spec_latest_canon = sp, spc
     if spec_latest is None:
         raise ValueError(
             f"table at {path} records no partition transform spec"
         )
     agg: dict[tuple, list] = {}
     unaccounted = 0
-    for _name, (sp, prows, n_rows) in live.items():
+    for _name, (spc, prows, n_rows) in live.items():
         if n_rows == 0:
             continue  # an empty file is exactly accounted: no rows
-        if sp != spec_latest or prows is None:
+        if spc is None or spc != spec_latest_canon or prows is None:
             unaccounted += 1
             continue
         for t, c in prows:
@@ -3041,8 +3217,30 @@ def table_partitions(
             "strict=False for the accounted subset or compact to "
             "refresh the histograms"
         )
+    # report the spec under CURRENT column names (the recorded one may
+    # carry a pre-rename name)
+    if fid_ok:
+        id_to_cur = {i: n for n, i in current_ids.items()}
+        shown = []
+        for s, (key, _k, _a) in zip(
+            spec_latest
+            if isinstance(spec_latest, list)
+            else [spec_latest],
+            spec_latest_canon or (),
+        ):
+            s = dict(s)
+            if isinstance(key, int) and key in id_to_cur:
+                s["col"] = id_to_cur[key]
+            shown.append(s)
+        spec_shown = (
+            shown
+            if isinstance(spec_latest, list)
+            else (shown[0] if shown else spec_latest)
+        )
+    else:
+        spec_shown = spec_latest
     return {
-        "spec": spec_latest,
+        "spec": spec_shown,
         "partitions": [
             {"partition": list(k), "n_rows": v[0], "n_files": v[1]}
             for k, v in sorted(agg.items())
@@ -3089,6 +3287,15 @@ def metadata_aggregate(
       that PREDATES the column as all-null for it — exactly what the
       null-backfill read contract produces.
 
+    RENAMED tables answer EXACTLY without compaction: every probe
+    translates current name → FIELD ID → the file's write-era name
+    (:func:`_field_id_history` derives stable per-column ids from the
+    log itself), so pre-rename files' name-keyed stats keep serving
+    the column under its new name, and a dropped-then-reused name
+    never reads the retired generation's stats (the reuse gets a new
+    id). Only legacy logs whose file-bearing manifests record no
+    schema still reject on rename (ids underivable — compact first).
+
     Returns {"n_rows": N, "cols": {c: {"min", "max", "nulls",
     "non_null"}}}."""
     log = _log(path, as_of, branch)
@@ -3098,26 +3305,53 @@ def metadata_aggregate(
             "holds unmaterialized delete/merge tombstones — compact "
             "first"
         )
-    if _alters_since_last_rewrite(log):
+    renamed = _alters_since_last_rewrite(log)
+    per_index, current_ids, fid_ok = _field_id_history(log)
+    if renamed and not fid_ok:
         raise ValueError(
             "metadata aggregates cannot answer across a column rename "
-            "(per-file stats are keyed by write-time names) — compact "
-            "to collapse the eras first"
+            "on this log: a file-bearing manifest records no schema, "
+            "so field ids cannot be derived — compact to collapse the "
+            "eras first"
         )
     live: dict[str, tuple] = {}
-    for _version, m in log:
+    for idx, (_version, m) in enumerate(log):
+        if m.get("kind", "append") == "delete":
+            continue  # materialized tombstone files are not data
         fr = m.get("file_rows", {})
         fs = m.get("file_stats", {})
         fn = m.get("file_nulls", {})
         entries = {
-            f: (fr.get(f), fs.get(f, {}), fn.get(f)) for f in m["files"]
+            f: (fr.get(f), fs.get(f, {}), fn.get(f), idx)
+            for f in m["files"]
         }
         if m.get("kind", "append") == "rewrite":
             live = entries
         else:
             live.update(entries)
+    # per-manifest inverse maps: field id -> that manifest's write-era
+    # name for it. A probe for a CURRENT column translates current
+    # name -> id -> era name, so per-file stats keyed by write-time
+    # names answer EXACTLY across renames — no compaction required.
+    inv_cache: dict[int, dict[int, str]] = {}
+
+    def era_name(idx: int, col: str) -> str | None:
+        """The write-era name of current column ``col`` in manifest
+        ``idx``; None when the file predates the column (its rows are
+        all-null for it, the backfill contract)."""
+        if not fid_ok:
+            return col  # legacy identity (never-renamed, checked above)
+        cid = current_ids.get(col)
+        if cid is None:
+            return None
+        if idx not in inv_cache:
+            pi = per_index[idx]
+            inv_cache[idx] = (
+                {} if pi is None else {i: n for n, i in pi.items()}
+            )
+        return inv_cache[idx].get(cid)
     n_rows = 0
-    for name, (rows, _s, _n) in live.items():
+    for name, (rows, _s, _n, _i) in live.items():
         if rows is None:
             raise ValueError(
                 f"live file {name} records no row count (pre-columnar "
@@ -3145,7 +3379,7 @@ def metadata_aggregate(
     for c in list(cols or []) + sorted(want_minmax - set(cols or [])):
         nulls = 0
         lo = hi = None
-        for name, (rows, fstats, fnulls) in live.items():
+        for name, (rows, fstats, fnulls, idx) in live.items():
             if rows == 0:
                 continue
             if fnulls is None:
@@ -3153,13 +3387,16 @@ def metadata_aggregate(
                     f"live file {name} records no null counts; compact "
                     "to refresh metadata"
                 )
-            # a file predating an added column is all-null for it —
-            # the null-backfill contract, counted exactly
-            c_nulls = fnulls.get(c, rows)
+            era = era_name(idx, c)
+            # a file predating an added column — or predating the
+            # column's CURRENT generation after a drop-and-reuse — is
+            # all-null for it: the null-backfill contract, counted
+            # exactly
+            c_nulls = rows if era is None else fnulls.get(era, rows)
             nulls += c_nulls
             if c_nulls == rows or c not in want_minmax:
                 continue  # counts-only column, or nothing non-null
-            s = fstats.get(c)
+            s = fstats.get(era)
             if s is None:
                 raise ValueError(
                     f"live file {name} holds non-null {c!r} values but "

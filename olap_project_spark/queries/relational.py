@@ -7157,7 +7157,7 @@ def stream_skip_change_commits_stats(
            (SELECT MIN(n_name) FROM nation) AS label_min,
            (SELECT MAX(n_name) FROM nation) AS label_max,
            CAST(2 AS INTEGER) AS rename_version,
-           CAST(1 AS INTEGER) AS guarded_before_compact
+           CAST(1 AS INTEGER) AS exact_before_compact
     """,
 )
 def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7176,13 +7176,13 @@ def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum, the renamed column's total length, its MIN/MAX — is
     oracle-checked against the raw dimension through the rename.
 
-    Strictness pinned too: while naming eras are live, the name-keyed
-    metadata surfaces REFUSE to answer (``guarded_before_compact`` —
-    per-file stats are keyed by write-time names; a silent answer
-    would be wrong); a full compaction collapses the eras under the
-    current names, after which ``metadata_aggregate`` answers the
-    renamed column's MIN/MAX exactly — the final read and metadata
-    legs both run post-compaction.
+    FIELD-ID metadata pinned too: while naming eras are live,
+    ``metadata_aggregate`` answers the renamed column EXACTLY — every
+    probe translates current name → field id → the file's write-era
+    name (``_field_id_history`` derives stable ids from the log
+    itself), so the pre-rename files' stats serve under the new name
+    with no compaction (``exact_before_compact`` pins that the live-era
+    answer equals the post-compaction one bit-for-bit).
 
     Reference analogue: none — the reference renames columns by
     editing the consumer code (spark_streaming_consumer.py:210-251
@@ -7226,13 +7226,13 @@ def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("append")
             .save()
         )  # v3 under nation_label
-        guarded = 0
-        try:
-            metadata_aggregate(path, minmax_cols=["nation_label"])
-        except ValueError:
-            guarded = 1  # live eras: the surface refuses, never lies
+        pre = metadata_aggregate(path, minmax_cols=["nation_label"])
         compact_snapshots(spark, path, None)  # v4: eras collapse
-        stats = {"rename_version": rv, "guarded_before_compact": guarded}
+        post = metadata_aggregate(path, minmax_cols=["nation_label"])
+        stats = {
+            "rename_version": rv,
+            "exact_before_compact": int(pre == post),
+        }
         os.makedirs(root, exist_ok=True)
         with open(stats_file, "w") as f:
             _json.dump(stats, f)
@@ -7255,10 +7255,10 @@ def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg["min"],
                 agg["max"],
                 stats["rename_version"],
-                stats["guarded_before_compact"],
+                stats["exact_before_compact"],
             )
         ],
         "n_rows bigint, sum_key bigint, sum_label_len bigint, "
         "label_min string, label_max string, rename_version int, "
-        "guarded_before_compact int",
+        "exact_before_compact int",
     )

@@ -113,11 +113,17 @@ class TestRenameSemantics:
         _write(registered, path, [(1, "a")], "id int, name string")
         rename_column(path, "name", "label")
         _write(registered, path, [(2, "b")], "id int, label string")
-        # name-keyed surfaces refuse while eras are live...
-        with pytest.raises(ValueError, match="rename"):
-            metadata_aggregate(path, minmax_cols=["label"])
+        # field-id translation answers EXACTLY while eras are live —
+        # the pre-rename file's stats serve under the new name
+        agg = metadata_aggregate(path, minmax_cols=["label"])
+        assert agg["cols"]["label"] == {
+            "nulls": 0,
+            "non_null": 2,
+            "min": "a",
+            "max": "b",
+        }
         compact_snapshots(registered, path, None)
-        # ...and answer exactly once collapsed
+        # ...and identically once collapsed
         agg = metadata_aggregate(path, minmax_cols=["label"])
         assert agg["cols"]["label"] == {
             "nulls": 0,
@@ -165,16 +171,20 @@ class TestRenameGuards:
         with pytest.raises(ValueError, match="add-only"):
             table_schema(path)
 
-    def test_public_reader_and_cdf_and_tombstones_guarded(
+    def test_public_reader_reads_across_rename_cdf_guarded(
         self, registered, tmp_path
     ):
         path = str(tmp_path / "t")
         _write(registered, path, [(1, "a")], "id int, name string")
         rename_column(path, "name", "label")
-        with pytest.raises(Exception, match="read_evolved"):
-            registered.read.format("manifest_sink").option(
-                "path", path
-            ).load().collect()
+        # the public reader resolves pre-rename files via field ids
+        got = (
+            registered.read.format("manifest_sink")
+            .option("path", path)
+            .load()
+            .collect()
+        )
+        assert [(r.id, r.label) for r in got] == [(1, "a")]
         sch = table_schema(path)
         with pytest.raises(ValueError, match="rename"):
             read_changes(registered, path, sch, 0, 2).collect()
@@ -184,6 +194,14 @@ class TestRenameGuards:
             registered, path, registered.createDataFrame([(1,)], "id int")
         )
         assert read_evolved(registered, path).count() == 0
+        # ...and the public reader applies the same tombstone
+        assert (
+            registered.read.format("manifest_sink")
+            .option("path", path)
+            .load()
+            .count()
+            == 0
+        )
 
 
 class TestRenameComposition:
@@ -480,13 +498,12 @@ class TestSegmentedFold:
             for r in read_evolved(registered, path).collect()
         ]
         assert rows == [(2, "b")]
-        # metadata_aggregate: rejects for the RENAME (names moved), not
-        # for the long-materialized tombstone
-        with pytest.raises(ValueError, match="rename"):
-            metadata_aggregate(path, cols=["id"])
-        compact_snapshots(registered, path, None)
+        # metadata_aggregate answers exactly: the long-materialized
+        # tombstone doesn't block, and the rename resolves by field id
         agg = metadata_aggregate(path, cols=["id"])
         assert agg["n_rows"] == 1
+        compact_snapshots(registered, path, None)
+        assert metadata_aggregate(path, cols=["id"])["n_rows"] == 1
 
     def test_metadata_aggregate_rejects_unknown_column(
         self, registered, tmp_path
