@@ -1232,6 +1232,15 @@ class ManifestBatchReader(DataSourceReader):
         self.as_of = _resolve_as_of(options)
         self.branch = options.get("branch")
         self.schema = schema
+        # optional explicit DATA-file restriction (JSON list) — the
+        # hook external index planners (token-bloom keyword search)
+        # use to surface their pruning as input-partition pruning.
+        # Restricts files SCANNED only; tombstone applications still
+        # attach to every surviving file — correctness over skipping.
+        kf = options.get("keepFiles")
+        self.keep_files: set | None = (
+            set(json.loads(kf)) if kf else None
+        )
         # (col, op, value) comparisons recorded by pushFilters
         self._pushed: list[tuple[str, str, object]] = []
 
@@ -1408,6 +1417,8 @@ class ManifestBatchReader(DataSourceReader):
             ]
             if n_rows == 0:
                 continue  # recorded empty: provably nothing to scan
+            if self.keep_files is not None and name not in self.keep_files:
+                continue  # external index (token blooms) excluded it
             if idx not in colmap_cache:
                 colmap_cache[idx] = cur2era(idx)
             colmap = colmap_cache[idx]
@@ -3035,6 +3046,112 @@ def read_token_search(
             token.lower(),
         )
     )
+
+
+def plan_token_pruned_files_all(
+    path: str, col: str, tokens: list[str], as_of: int | None = None
+) -> tuple[list[str], int]:
+    """MULTI-TOKEN keyword-search data skipping: files that MIGHT
+    contain EVERY word of ``tokens`` in text column ``col``. AND is
+    free at the driver — a file survives only when every token hits
+    its bloom, i.e. the per-token surviving file sets intersect as a
+    bitmap operation, in ONE pass over the manifest log (not one pass
+    per token). Files without a token bloom are conservatively kept;
+    no false negatives by construction, so the exact residual filter
+    on top equals a full scan having opened only the intersection.
+
+    Scale: "which files of a 100-TB corpus contain w1 AND w2 AND w3"
+    costs O(#manifests + #files·#tokens) driver-side integer probes —
+    and the selectivities MULTIPLY, so each extra token shrinks the
+    scan geometrically."""
+    import re as _re
+
+    if not tokens:
+        raise ValueError("need at least one probe token")
+    norm = [t.lower() for t in tokens]
+    for t in norm:
+        if not t or _re.search(TOKEN_SPLIT_RE, t):
+            raise ValueError(
+                f"probe {t!r} is not a single token under "
+                f"TOKEN_SPLIT_RE ({TOKEN_SPLIT_RE})"
+            )
+    hashes = [_token_hash(t) for t in norm]
+    keep: list[str] = []
+    total = 0
+    for _version, m in _log(path, as_of):
+        if m.get("kind", "append") == "delete":
+            continue
+        blooms = (
+            m.get("file_token_blooms", {})
+            if m.get("token_bloom_col") == col
+            else {}
+        )
+        entries = []
+        for name in m["files"]:
+            packed = blooms.get(name)
+            if packed is None or all(
+                _token_bloom_hit(packed, th) for th in hashes
+            ):
+                entries.append(name)
+        if m.get("kind", "append") == "rewrite":
+            keep, total = entries, len(m["files"])
+        else:
+            keep += entries
+            total += len(m["files"])
+    return sorted(keep), total
+
+
+def read_token_search_all(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    tokens: list[str],
+    phrase: bool = False,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Multi-token keyword search over the manifest table, routed
+    through the PUBLIC batch reader so the bloom pruning shows up as
+    INPUT-PARTITION pruning (``df.rdd.getNumPartitions()`` equals the
+    surviving non-empty file count): token-bloom AND-intersection
+    (:func:`plan_token_pruned_files_all`) shrinks the file list via
+    the reader's ``keepFiles`` option, then the EXACT residual filter
+    reproduces the full-scan answer —
+
+    - ``phrase=False``: the document's token array (same
+      lowercase/TOKEN_SPLIT_RE tokenization the writer indexed)
+      contains EVERY probe token, in any order;
+    - ``phrase=True``: the tokens appear CONSECUTIVELY in probe
+      order — checked on the space-joined token string with sentinel
+      spaces, so it is exact w.r.t. the tokenization (a phrase is an
+      AND plus an adjacency residual; the bloom prune set is
+      identical).
+
+    Tombstones still apply (the reader attaches them per surviving
+    file); pruning never skips a tombstone application."""
+    from pyspark.sql import functions as _F
+
+    keep, _total = plan_token_pruned_files_all(path, col, tokens, as_of)
+    fmt = ensure_manifest_sink(spark)
+    reader = (
+        spark.read.format(fmt)
+        .option("path", path)
+        .option("keepFiles", json.dumps(keep))
+    )
+    if as_of is not None:
+        reader = reader.option("versionAsOf", str(as_of))
+    df = reader.load()
+    toks = _F.split(_F.lower(_F.col(col)), TOKEN_SPLIT_RE)
+    if phrase:
+        joined = _F.concat(
+            _F.lit(" "), _F.array_join(toks, " "), _F.lit(" ")
+        )
+        needle = " " + " ".join(t.lower() for t in tokens) + " "
+        return df.filter(joined.contains(needle))
+    cond = None
+    for t in tokens:
+        c = _F.array_contains(toks, t.lower())
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond)
 
 
 def table_history(path: str) -> list[dict]:

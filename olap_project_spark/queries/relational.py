@@ -6789,6 +6789,132 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-token bloom search: AND/phrase keyword search through the gate
+# --------------------------------------------------------------------------
+@register(
+    "token_search_multi_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '[^a-z0-9]+') AS toks,
+             (' ' || array_to_string(
+                string_split_regex(lower(text), '[^a-z0-9]+'), ' ')
+              || ' ') AS joined
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id FROM t
+      WHERE list_contains(toks, 'dup') AND list_contains(toks, 'table')
+    ),
+    p AS (
+      SELECT doc_id FROM t WHERE joined LIKE '% fast table %'
+    )
+    SELECT CAST(8 AS INTEGER) AS files_total,
+           TRUE AS opened_eq_intersection,
+           TRUE AS prune_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_and,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM a) AS sum_and,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_phrase,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM p) AS sum_phrase
+    """,
+)
+def token_search_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOKEN keyword search through the gate — the round-12
+    extension of the token-bloom index (export/manifest_sink.py,
+    ``plan_token_pruned_files_all`` / ``read_token_search_all``): real
+    keyword search is AND/phrase, and AND is FREE at the driver — the
+    per-token surviving file sets intersect as a bitmap operation in
+    ONE pass over the manifest log, selectivities multiplying so each
+    extra token shrinks the scan geometrically. The scan routes
+    through the PUBLIC batch reader's ``keepFiles`` hook, so the
+    pruning is visible as input-partition pruning and the pinned
+    contract is literal: ``opened_eq_intersection`` asserts
+    files-opened == the intersected set (``df.rdd.getNumPartitions()``
+    vs the planned keep list), ``prune_ok`` that the intersection is
+    STRICTLY smaller than the table. Two exact-residual legs are
+    oracle-checked against a DuckDB tokenization of the raw corpus:
+
+    - AND: docs containing both ``dup`` (the rare duplicate marker the
+      cohort layout clusters) and ``table`` — count + doc_id checksum;
+    - PHRASE: ``"fast table"`` — adjacency checked on the
+      space-joined token string with sentinel spaces, exact w.r.t.
+      the indexed tokenization (the bloom prune set is the same AND
+      intersection; adjacency is residual-only).
+
+    Scale: "which files of a 100-TB corpus contain w1 AND w2" costs
+    O(#manifests + #files·#tokens) driver-side integer probes before
+    any cluster work; the phrase residual touches only the
+    intersection's files.
+
+    Reference analogue: none — generalizes the reference's keyword
+    routing (spark_streaming_consumer.py:254-268) to conjunctive
+    full-text membership over opaque document bodies."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        TOKEN_SPLIT_RE,
+        ensure_manifest_sink,
+        plan_token_pruned_files_all,
+        read_token_search_all,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_tokmulti_{os.getpid()}_{tag}"
+    path = os.path.join(root, "docs_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        cohort = F.array_contains(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
+        ).cast("int")
+        (
+            docs.withColumn("_cohort", cohort)
+            .repartitionByRange(8, "_cohort", "doc_id")
+            .drop("_cohort")
+            .write.format(fmt)
+            .option("path", path)
+            .option("token_bloom_col", "text")
+            .mode("append")
+            .save()
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    keep_and, files_total = plan_token_pruned_files_all(
+        path, "text", ["dup", "table"]
+    )
+    df_and = read_token_search_all(spark, path, "text", ["dup", "table"])
+    opened = df_and.rdd.getNumPartitions()
+    got_and = df_and.agg(
+        F.count("*").alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    got_phrase = read_token_search_all(
+        spark, path, "text", ["fast", "table"], phrase=True
+    ).agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                files_total,
+                opened == len(keep_and),
+                len(keep_and) < files_total,
+                got_and["n"],
+                got_and["s"],
+                got_phrase["n"],
+                got_phrase["s"],
+            )
+        ],
+        "files_total int, opened_eq_intersection boolean, "
+        "prune_ok boolean, n_and bigint, sum_and bigint, "
+        "n_phrase bigint, sum_phrase bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Materialized views: CDF-driven incremental refresh through the gate
 # --------------------------------------------------------------------------
 @register(

@@ -264,6 +264,8 @@ class TestDriverContract:
             "ann_trained_quantizer_stats",   # Lloyd-trained IVF quantizer
             "auto_maintenance_stats",        # maintain(table, policy) loop
             "multi_transform_pruning_stats", # multi-field spec pruning
+            # round-12 additions (r13 draft head):
+            "token_search_multi_stats",      # AND/phrase bloom search
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

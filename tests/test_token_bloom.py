@@ -126,3 +126,123 @@ class TestBitmapSizing:
 
         for i in range(0, 50000, 997):
             assert _token_bloom_hit(big, _token_hash(f"t{i}"))
+
+
+class TestMultiToken:
+    """Round-12: AND/phrase keyword search — per-token surviving sets
+    intersect at the driver in ONE log pass, the scan routes through
+    the public batch reader (pruning visible as input partitions), and
+    the exact residual reproduces the full-scan answer."""
+
+    def test_and_intersects_per_token_sets(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            plan_token_pruned_files_all,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, DOCS)  # ids 1-2 | 3-4 in two files
+        # 'my' survives both files; 'quartz' only the second;
+        # the AND is their intersection
+        keep, total = plan_token_pruned_files_all(
+            path, "body", ["my", "quartz"]
+        )
+        assert total == 2 and len(keep) == 1
+        k1, _ = plan_token_pruned_files(path, "body", "my")
+        k2, _ = plan_token_pruned_files(path, "body", "quartz")
+        assert set(keep) == set(k1) & set(k2)
+        # an absent token zeroes the intersection
+        keep, _ = plan_token_pruned_files_all(
+            path, "body", ["my", "zzznotoken"]
+        )
+        assert keep == []
+
+    def test_reader_partitions_equal_intersected_set(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            plan_token_pruned_files_all,
+            read_token_search_all,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, DOCS)
+        keep, _ = plan_token_pruned_files_all(
+            path, "body", ["my", "quartz"]
+        )
+        df = read_token_search_all(
+            registered, path, "body", ["my", "quartz"]
+        )
+        # files opened == the intersected set (input-partition pruning
+        # through the public reader's keepFiles hook)
+        assert df.rdd.getNumPartitions() == len(keep) == 1
+        assert [(r.id) for r in df.collect()] == [3]
+
+    def test_and_equals_full_scan(self, registered, tmp_path):
+        from pyspark.sql import functions as F
+
+        from olap_project_spark.export.manifest_sink import (
+            TOKEN_SPLIT_RE,
+            read_committed,
+            read_token_search_all,
+            table_schema,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, DOCS)
+        got = sorted(
+            r.id
+            for r in read_token_search_all(
+                registered, path, "body", ["the"]
+            ).collect()
+        )
+        full = read_committed(registered, path, table_schema(path))
+        toks = F.split(F.lower("body"), TOKEN_SPLIT_RE)
+        want = sorted(
+            r.id
+            for r in full.filter(
+                F.array_contains(toks, "the")
+            ).collect()
+        )
+        assert got == want == [1, 4]
+
+    def test_phrase_requires_adjacency(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            read_token_search_all,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, DOCS)
+        # 'quick brown' is consecutive in doc 1; 'quick fox' is not,
+        # though both tokens appear (AND matches, phrase must not)
+        hit = read_token_search_all(
+            registered, path, "body", ["quick", "brown"], phrase=True
+        )
+        assert [r.id for r in hit.collect()] == [1]
+        miss = read_token_search_all(
+            registered, path, "body", ["quick", "fox"], phrase=True
+        )
+        assert miss.count() == 0
+        and_hit = read_token_search_all(
+            registered, path, "body", ["quick", "fox"]
+        )
+        assert [r.id for r in and_hit.collect()] == [1]
+
+    def test_tombstones_still_apply_under_keepfiles(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            delete_where,
+            read_token_search_all,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, DOCS)
+        delete_where(
+            registered,
+            path,
+            registered.createDataFrame([(3,)], "id int"),
+        )
+        got = read_token_search_all(
+            registered, path, "body", ["my", "quartz"]
+        )
+        assert got.count() == 0  # the only match was tombstoned
