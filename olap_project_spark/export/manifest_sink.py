@@ -2100,6 +2100,92 @@ def drop_column(path: str, col: str) -> int:
     )
 
 
+def set_partition_spec(
+    path: str, transforms: list[tuple] | tuple | None
+) -> int:
+    """PARTITION-SPEC EVOLUTION — Iceberg's ``ALTER TABLE … ADD/
+    REPLACE PARTITION FIELD`` as a METADATA-ONLY ``kind='alter'``
+    commit: no data file moves; the table's DECLARED spec changes, and
+    the two eras coexist. ``transforms`` is ``(col, kind[, arg])`` or
+    a list of such tuples (the multi-field spec shape
+    :func:`compact_snapshots` takes), or ``None`` to unpartition.
+
+    Era semantics fall out of the per-manifest design: every data
+    manifest already records the spec its files were written under
+    plus per-file transform ranges, and the planners
+    (:func:`plan_pruned_files`, the public reader's ``_excluded``)
+    evaluate each file against ITS OWN recorded spec — so after an
+    evolution, old files keep pruning under the old spec and new
+    files under the new one, exactly Iceberg's mixed-spec contract.
+    What this commit changes is the DECLARED CURRENT spec:
+
+    - :func:`write_partitioned` with no explicit transform follows it
+      (writers inherit the table's layout, Iceberg-style);
+    - :func:`maintain` preserves it through full compactions (the
+      rewrite re-partitions under the CURRENT spec, collapsing the
+      spec eras the way it collapses naming eras);
+    - :func:`table_partitions` treats it as the reference spec: files
+      written under an older spec report as unaccounted (their
+      histograms describe different tuples) until a rewrite refreshes
+      them.
+
+    A spec-only alter changes NO column names, so it never creates
+    naming eras: reads, metadata aggregates, and the CDF are
+    unaffected. Spec columns must exist in the current schema.
+    Returns the new snapshot version."""
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(
+            f"no recorded schema at {path}; nothing to partition"
+        )
+    specs = None
+    if transforms is not None:
+        fields = (
+            transforms if isinstance(transforms, list) else [transforms]
+        )
+        specs = _parse_transforms(
+            [
+                {"col": c, "kind": k, "arg": (rest[0] if rest else None)}
+                for c, k, *rest in fields
+            ]
+        )
+        names = {f.name for f in sch.fields}
+        missing = [s["col"] for s in specs if s["col"] not in names]
+        if missing:
+            raise ValueError(
+                f"partition spec references unknown column(s) "
+                f"{missing}; schema has {sorted(names)}"
+            )
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "partition_spec": specs,
+            "schema": sch.jsonValue(),
+            "files": [],
+        },
+    )
+
+
+def current_partition_spec(
+    path: str, as_of: int | None = None
+) -> list[dict] | None:
+    """The table's DECLARED current partition spec: the latest signal
+    in the effective log wins, whether a :func:`set_partition_spec`
+    alter or an explicit :func:`write_partitioned` (a writer declaring
+    a spec evolves the table's layout as much as an alter does — the
+    round-11 behavior, kept). ``None`` = unpartitioned."""
+    spec: list[dict] | None = None
+    for _version, m in _log(path, as_of):
+        if m.get("kind") == "alter" and "partition_spec" in m:
+            spec = m["partition_spec"]
+        else:
+            sp = _specs_of(m)
+            if sp:
+                spec = sp
+    return spec
+
+
 def clone_table(
     src: str,
     dst: str,
@@ -2589,17 +2675,15 @@ def maintain(
     Returns {"dry_run", "had_tombstones", "flagged_before", "actions",
     "versions_written", "vacuum", "noop"}."""
     log = _log(path)
-    last_rw = -1
-    for i, (_v, m) in enumerate(log):
-        if m.get("kind", "append") == "rewrite":
-            last_rw = i
-    # a pending column rename forces the FULL compaction path exactly
-    # like tombstones do: the scoped rewrite is name-keyed and cannot
-    # cross eras, while the full pass collapses them
-    had_tombstones = any(
-        m.get("kind", "append") in ("delete", "merge", "alter")
-        for _v, m in log[last_rw + 1 :]
-    )
+    # a pending column rename/drop forces the FULL compaction path
+    # exactly like tombstones do: the scoped rewrite is name-keyed and
+    # cannot cross eras, while the full pass collapses them. A
+    # spec-only alter (partition evolution) does NOT force it — the
+    # flagged ranges decide, and the full path preserves the CURRENT
+    # spec when it runs.
+    had_tombstones = _tombstones_since_last_rewrite(
+        log
+    ) or _alters_since_last_rewrite(log)
     plan = plan_compaction_ranges(
         path,
         policy.col,
@@ -2624,13 +2708,27 @@ def maintain(
         # rewrite; the sort also turns the zone maps on the policy
         # axis from "present" into "selective". A declared hidden-
         # partitioning layout takes precedence as the rewrite axis so
-        # the loop never strips the table's transform metadata.
+        # the loop never strips the table's transform metadata — the
+        # policy's declared layout first, else the table's CURRENT
+        # spec (set_partition_spec / latest partitioned write), so a
+        # maintenance pass after a spec evolution collapses the spec
+        # eras under the NEW spec rather than silently dropping it.
+        pby = policy.partition_by
+        if pby is None:
+            cur = current_partition_spec(path)
+            if cur is not None:
+                pby = [
+                    (s["col"], s["kind"], s["arg"])
+                    if s.get("arg") is not None
+                    else (s["col"], s["kind"])
+                    for s in cur
+                ]
         v = compact_snapshots(
             spark,
             path,
             schema,
-            cluster_by=None if policy.partition_by else [policy.col],
-            partition_by=policy.partition_by,
+            cluster_by=None if pby else [policy.col],
+            partition_by=pby,
             n_files=policy.full_n_files,
         )
         report["actions"].append("full_compact")
@@ -2737,13 +2835,16 @@ def _last_rewrite_index(log: list[tuple[int, dict]]) -> int:
 
 
 def _alters_since_last_rewrite(log: list[tuple[int, dict]]) -> bool:
-    """True when a column-rename (``kind='alter'``) commit sits ABOVE
-    the latest rewrite — i.e. the live file set still spans naming
-    eras. Alters below a rewrite are history: compaction rewrote every
-    live file under the current names, so name-keyed surfaces answer
-    exactly again."""
+    """True when a column RENAME/DROP (``kind='alter'`` with a rename
+    map or drop list) sits ABOVE the latest rewrite — i.e. the live
+    file set still spans naming eras. Alters below a rewrite are
+    history: compaction rewrote every live file under the current
+    names, so name-keyed surfaces answer exactly again. Alters that
+    change no names — partition-spec evolution commits — never create
+    naming eras and are not counted."""
     return any(
         m.get("kind") == "alter"
+        and (m.get("rename") or m.get("drop"))
         for _v, m in log[_last_rewrite_index(log) + 1 :]
     )
 
@@ -3299,6 +3400,15 @@ def table_partitions(
     for idx, (_version, m) in enumerate(log):
         if m.get("kind", "append") == "delete":
             continue  # materialized tombstone files are not data
+        if m.get("kind") == "alter" and "partition_spec" in m:
+            # spec evolution: the DECLARED spec becomes the reference;
+            # files written under older specs report as unaccounted
+            sp2 = m["partition_spec"]
+            spec_latest = sp2
+            spec_latest_canon = (
+                canon(sp2, idx) if sp2 is not None else None
+            )
+            continue
         sp = m.get("partition_transform")
         spc = canon(sp, idx) if sp is not None else None
         pr = m.get("file_partition_rows", {})
@@ -4233,8 +4343,19 @@ def write_partitioned(
             for c, k, *rest in transforms
         ]
         specs = _parse_transforms(specs)  # uniqueness/shape checks
-    else:
+    elif col is not None:
         specs = [_parse_transform({"col": col, "kind": kind, "arg": arg})]
+    else:
+        # no explicit transform: follow the table's DECLARED spec
+        # (set_partition_spec / the latest partitioned write) — the
+        # Iceberg contract that writers inherit the table layout
+        specs = current_partition_spec(path)
+        if specs is None:
+            raise ValueError(
+                "write_partitioned needs a transform: pass col/kind, "
+                "transforms=[...], or declare one with "
+                "set_partition_spec first"
+            )
     token = uuid.uuid4().hex
     pt_cols = [f"_pt{i}" for i in range(len(specs))]
     out = df.select(

@@ -217,6 +217,7 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     # round-12 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
     "token_search_multi_stats",
+    "partition_spec_evolution_stats",
     # round-6 refresh slots — 38 (the last of the round-6 rows)
     "kmv_set_similarity",
     "countmin_heavy_hitters",
@@ -268,7 +269,6 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "source_vocab_divergence",
     "concurrent_session_peaks",
-    "char_entropy_buckets",
 )
 
 

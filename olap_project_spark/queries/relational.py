@@ -6789,6 +6789,149 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Partition-spec evolution: mixed-spec pruning through the gate
+# --------------------------------------------------------------------------
+@register(
+    "partition_spec_evolution_stats",
+    oracle="""
+    WITH a AS (
+      SELECT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+    ),
+    b AS (
+      SELECT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+    )
+    SELECT CAST(8 AS INTEGER) AS files_total,
+           TRUE AS prune_ok_a,
+           TRUE AS prune_ok_b,
+           TRUE AS eras_isolated,
+           TRUE AS writer_inherited_spec,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(SUM(user_id) AS BIGINT) FROM a) AS sum_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(SUM(user_id) AS BIGINT) FROM b) AS sum_b
+    """,
+)
+def partition_spec_evolution_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION through the gate — Iceberg's ALTER
+    TABLE … PARTITION FIELD as a metadata-only alter
+    (export/manifest_sink.py ``set_partition_spec``): the first half
+    of the events fact commits hidden-partitioned by ``days(ts)``, the
+    declared spec evolves to ``hours(ts)``, and the second half
+    commits through WRITER INHERITANCE (``write_partitioned`` with no
+    explicit transform follows the declared spec —
+    ``writer_inherited_spec`` pins that the era-B manifests record the
+    hours transform). Mixed-spec pruning falls out of the
+    per-manifest design: every manifest records the spec ITS files
+    were written under plus per-file transform ranges, so a time
+    window inside era A prunes era-A files by the days ranges AND
+    every era-B file by the hours ranges, with no spec ever rewritten:
+
+    - ``prune_ok_a`` / ``prune_ok_b``: each window's plan opens
+      STRICTLY fewer files than the table holds;
+    - ``eras_isolated``: the two windows' keep sets are disjoint —
+      each era pruned under its OWN spec;
+    - both windows' row counts and user_id checksums are
+      oracle-checked against the raw fact (the residual filter on top
+      of the pruned scan equals the full scan).
+
+    Scale: spec evolution on a 100-TB fact is one JSON write; the
+    alternative — rewriting the layout — is a full-table shuffle.
+    Old files keep their pruning power forever (or until a
+    maintenance pass collapses the eras under the current spec, which
+    ``maintain`` now does by consulting ``current_partition_spec``).
+
+    Reference analogue: none — the reference's year/month/day
+    directory scheme (spark_streaming_consumer.py:323) is frozen at
+    write time; changing it means rewriting history."""
+    import datetime as _dt
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        _specs_of,
+        plan_pruned_files,
+        read_pruned,
+        set_partition_spec,
+        table_history,
+        table_schema,
+        write_partitioned,
+    )
+    from olap_project_spark.export.manifest_sink import _log as _mlog
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cut = _dt.datetime(2024, 1, 16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_specevo_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        write_partitioned(
+            spark,
+            events.filter(F.col("ts") < F.lit(cut)),
+            path,
+            "ts",
+            "days",
+            n_files=4,
+        )
+        set_partition_spec(path, ("ts", "hours"))
+        write_partitioned(
+            spark,
+            events.filter(F.col("ts") >= F.lit(cut)),
+            path,
+            n_files=4,
+        )  # no transform: inherits the declared hours spec
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    # era-B manifests must record the INHERITED hours spec
+    inherited = any(
+        _specs_of(m) == [{"col": "ts", "kind": "hours", "arg": None}]
+        for _v, m in _mlog(path)
+    )
+    wa = (_dt.datetime(2024, 1, 2), _dt.datetime(2024, 1, 4))
+    wb = (_dt.datetime(2024, 1, 20), _dt.datetime(2024, 1, 22))
+    keep_a, total = plan_pruned_files(path, "ts", wa[0], wa[1])
+    keep_b, _ = plan_pruned_files(path, "ts", wb[0], wb[1])
+    sch = table_schema(path)
+
+    def window_agg(lo, hi):
+        df = read_pruned(spark, path, sch, "ts", lo, hi)
+        return df.filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+        ).agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+
+    ga = window_agg(*wa).collect()[0]
+    gb = window_agg(*wb).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                len(keep_a) < total,
+                len(keep_b) < total,
+                not (set(keep_a) & set(keep_b)),
+                inherited,
+                ga["n"],
+                ga["s"],
+                gb["n"],
+                gb["s"],
+            )
+        ],
+        "files_total int, prune_ok_a boolean, prune_ok_b boolean, "
+        "eras_isolated boolean, writer_inherited_spec boolean, "
+        "n_a bigint, sum_a bigint, n_b bigint, sum_b bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Multi-token bloom search: AND/phrase keyword search through the gate
 # --------------------------------------------------------------------------
 @register(

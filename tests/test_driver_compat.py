@@ -266,6 +266,7 @@ class TestDriverContract:
             "multi_transform_pruning_stats", # multi-field spec pruning
             # round-12 additions (r13 draft head):
             "token_search_multi_stats",      # AND/phrase bloom search
+            "partition_spec_evolution_stats",  # mixed-spec pruning
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
