@@ -2632,7 +2632,18 @@ class MaintenancePolicy:
       tuples (multi-field spec) — the table's HIDDEN PARTITIONING
       layout, preserved through any full compaction this loop
       performs (otherwise the rewrite would drop the transform
-      metadata and time-window pruning with it).
+      metadata and time-window pruning with it); when absent the loop
+      preserves the table's DECLARED spec
+      (:func:`current_partition_spec`) instead;
+    - ``matviews``: paths of MATERIALIZED VIEWS over this table
+      (export/matview.py) the loop keeps fresh: each pass runs the
+      CDF-incremental ``mv_refresh`` (exactly-once by the view's own
+      commit-log stamps), then — when the view has accumulated at
+      least ``mv_vacuum_min_tombstones`` zero-count tombstone rows —
+      purges them and compacts the view's OWN manifest log, so the
+      view's small-file and tombstone pressure is serviced by the
+      same scheduler entry point as the base table's;
+    - ``mv_vacuum_min_tombstones``: the purge threshold above.
     """
 
     col: str
@@ -2644,6 +2655,41 @@ class MaintenancePolicy:
     vacuum: bool = True
     stale_claim_ttl_s: float | None = None
     partition_by: tuple | list | None = None
+    matviews: list[str] | None = None
+    mv_vacuum_min_tombstones: int = 16
+
+
+def _maintain_matview(
+    spark: SparkSession, mv_path: str, policy: MaintenancePolicy
+) -> dict:
+    """One maintenance pass over a registered MATERIALIZED VIEW:
+    CDF-incremental refresh (exactly-once via the view's own commit
+    stamps), then tombstone purge + view-manifest compaction once the
+    zero-count rows pass the policy threshold — the view's own
+    small-file/tombstone pressure serviced alongside the base's.
+    Lazy import: matview builds ON the sink, not the reverse."""
+    from pyspark.sql import functions as _F
+
+    from olap_project_spark.export import matview as _mv
+
+    r = _mv.mv_refresh(spark, mv_path)
+    out = {
+        "path": mv_path,
+        "mode": r["mode"],
+        "to_version": r["to_version"],
+        "tombstones_purged": 0,
+        "compacted": False,
+    }
+    state = read_committed(spark, mv_path, table_schema(mv_path))
+    n_dead = state.filter(
+        _F.col(_mv._COUNT_COL) <= 0
+    ).count()
+    if n_dead >= policy.mv_vacuum_min_tombstones:
+        _mv.mv_vacuum(spark, mv_path)
+        compact_snapshots(spark, mv_path, None)
+        out["tombstones_purged"] = n_dead
+        out["compacted"] = True
+    return out
 
 
 def maintain(
@@ -2657,6 +2703,9 @@ def maintain(
     advise→compact chain into a single entry point a scheduler calls
     (Delta auto-compaction / Iceberg maintenance-job shape):
 
+    0. registered MATERIALIZED VIEWS refresh first (CDF-incremental,
+       exactly-once), then purge+compact past the tombstone threshold
+       — before any base rewrite can truncate the CDF range;
     1. PLAN on metadata only (:func:`plan_compaction_ranges` over the
        zone maps — no data read);
     2. if tombstones (delete/merge snapshots) sit above the latest
@@ -2673,7 +2722,7 @@ def maintain(
     maintained table reports ``noop=True`` and commits nothing.
 
     Returns {"dry_run", "had_tombstones", "flagged_before", "actions",
-    "versions_written", "vacuum", "noop"}."""
+    "versions_written", "vacuum", "matviews", "noop"}."""
     log = _log(path)
     # a pending column rename/drop forces the FULL compaction path
     # exactly like tombstones do: the scoped rewrite is name-keyed and
@@ -2699,9 +2748,22 @@ def maintain(
         "actions": [],
         "versions_written": [],
         "vacuum": None,
+        "matviews": [],
         "noop": not flagged and not had_tombstones,
     }
-    if dry_run or report["noop"]:
+    # registered materialized views refresh BEFORE any base rewrite —
+    # the CDF is consumed while the unrefreshed range is still
+    # rewrite-free, so the refresh stays O(|changes|) incremental
+    # instead of falling back to a full recompute (the run-the-CDF-
+    # before-compacting rule, automated)
+    if not dry_run:
+        for mv_path in policy.matviews or []:
+            r = _maintain_matview(spark, mv_path, policy)
+            report["matviews"].append(r)
+            if r["mode"] != "noop" or r["compacted"]:
+                report["noop"] = False
+                report["actions"].append(f"matview[{mv_path}]")
+    if dry_run or (not flagged and not had_tombstones):
         return report
     if had_tombstones:
         # materialize tombstones + consolidate in ONE clustered

@@ -6932,6 +6932,169 @@ def partition_spec_evolution_stats(
 
 
 # --------------------------------------------------------------------------
+# Streaming ingest -> materialized-view freshness through maintain()
+# --------------------------------------------------------------------------
+@register(
+    "stream_matview_freshness_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(2 AS INTEGER) AS n_incremental,
+           TRUE AS exactly_once
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_matview_freshness_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM → TABLE → VIEW freshness, one loop — the round-12 fold
+    of materialized-view maintenance into ``maintain(table, policy)``
+    (export/manifest_sink.py ``MaintenancePolicy.matviews``), driven
+    end-to-end from a real micro-batch stream: the orders fact splits
+    into a seed commit plus two file-stream batches
+    (``maxFilesPerTrigger=1``), and each foreachBatch appends the
+    batch through the exactly-once manifest sink THEN runs one
+    ``maintain`` pass whose policy registers the view — so the view
+    chases the stream head with CDF-incremental refreshes
+    (``n_incremental`` pins that BOTH passes stayed incremental;
+    the refresh runs before any rewrite could truncate the CDF).
+
+    EXACTLY-ONCE across a simulated crash: after the stream drains,
+    the view's metadata cache (_mv.json) is rewound to a pre-stream
+    base version — the crash-between-commit-and-cache-write window —
+    and one more refresh must be a NOOP: the view's OWN commit log
+    stamps every applied range (``mv_from``/``mv_to`` props), and
+    recovery reconciles from the stamps, never the cache
+    (``exactly_once`` pins that the totals did not double).
+
+    Final state: the view's per-status exact-cents totals and order
+    counts, oracle-checked against a DuckDB GROUP BY over the raw
+    fact.
+
+    Reference analogue: the reference's Airflow DAG re-aggregates
+    yesterday's partitions into BigQuery on a timer with no fence
+    (bigquery_update_scheduler.py:163-260); here freshness costs
+    O(changes) per micro-batch and survives the crash window."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        MaintenancePolicy,
+        ensure_manifest_sink,
+        maintain,
+    )
+    from olap_project_spark.export.matview import (
+        _load_meta,
+        _store_meta,
+        mv_create,
+        mv_read,
+        mv_refresh,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_mvstream_{os.getpid()}_{tag}"
+    base = os.path.join(root, "orders_tbl")
+    view = os.path.join(root, "status_mv")
+    src_dir = os.path.join(root, "incoming")
+    ckpt = os.path.join(root, "ckpt")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+        seed = orders.filter(F.col("o_orderkey") % 3 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 3 != 0)
+        (
+            seed.select("o_orderstatus", "cents")
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", base)
+            .mode("append")
+            .save()
+        )
+        spec = {
+            "group_by": ["o_orderstatus"],
+            "aggs": [
+                {"expr": "cents", "as": "sum_cents"},
+                {"expr": "1", "as": "n_orders"},
+            ],
+        }
+        mv_create(spark, view, base, spec)
+        pre_stream_version = _load_meta(view)["base_version"]
+        # two stream source files -> two micro-batches
+        for pred in (1, 2):
+            (
+                rest.filter(F.col("o_orderkey") % 3 == pred)
+                .select("o_orderstatus", "cents")
+                .coalesce(1)
+                .write.parquet(os.path.join(src_dir, f"b{pred}"))
+            )
+        modes: list[str] = []
+        pol = MaintenancePolicy(
+            col="cents", vacuum=False, matviews=[view]
+        )
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.coalesce(1)
+                .write.format(fmt)
+                .option("path", base)
+                .mode("append")
+                .save()
+            )
+            report = maintain(spark, base, None, pol)
+            modes.append(report["matviews"][0]["mode"])
+
+        stream = (
+            spark.readStream.schema("o_orderstatus string, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src_dir, "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        before = sorted(
+            tuple(r) for r in mv_read(spark, view).collect()
+        )
+        # simulated crash: rewind the metadata cache below the stream
+        meta = _load_meta(view)
+        meta["base_version"] = pre_stream_version
+        _store_meta(view, meta)
+        r = mv_refresh(spark, view)
+        after = sorted(tuple(r) for r in mv_read(spark, view).collect())
+        stats = {
+            "n_incremental": sum(1 for m in modes if m == "incremental"),
+            "exactly_once": bool(r["mode"] == "noop" and before == after),
+        }
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    return mv_read(spark, view).select(
+        "o_orderstatus",
+        "sum_cents",
+        "n_orders",
+        F.lit(stats["n_incremental"]).cast("int").alias("n_incremental"),
+        F.lit(stats["exactly_once"]).alias("exactly_once"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multi-token bloom search: AND/phrase keyword search through the gate
 # --------------------------------------------------------------------------
 @register(

@@ -267,6 +267,7 @@ class TestDriverContract:
             # round-12 additions (r13 draft head):
             "token_search_multi_stats",      # AND/phrase bloom search
             "partition_spec_evolution_stats",  # mixed-spec pruning
+            "stream_matview_freshness_stats",  # stream->view via maintain
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

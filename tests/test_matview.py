@@ -228,3 +228,93 @@ class TestCreateRace:
         assert r["mode"] == "incremental"
         # v2 applied exactly once: totals match the base truth
         assert _state(registered, view) == _truth(registered, base)
+
+
+class TestMaintainIntegration:
+    """Round-12: materialized-view maintenance folded into
+    maintain(table, policy) — one scheduler entry point refreshes
+    registered views (CDF-incremental, before any base rewrite can
+    truncate the CDF range), purges tombstone rows past the policy
+    threshold, and compacts the view's own manifest."""
+
+    def test_maintain_refreshes_registered_view(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            MaintenancePolicy,
+            maintain,
+        )
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2)])
+        mv_create(registered, view, base, SPEC)
+        _write(registered, base, [("a", 10), ("c", 5)])
+        pol = MaintenancePolicy(col="v", vacuum=False, matviews=[view])
+        report = maintain(registered, base, None, pol)
+        assert report["matviews"][0]["mode"] == "incremental"
+        assert not report["noop"]
+        assert mv_status(view)["fresh"]
+        assert _state(registered, view) == _truth(registered, base)
+        # idempotent: a second pass does nothing anywhere
+        report2 = maintain(registered, base, None, pol)
+        assert report2["matviews"][0]["mode"] == "noop"
+        assert report2["noop"]
+
+    def test_refresh_runs_before_base_compaction(
+        self, registered, tmp_path
+    ):
+        """Tombstones force the full-compaction arm; the view must
+        consume the CDF BEFORE the rewrite truncates it, staying
+        incremental."""
+        from olap_project_spark.export.manifest_sink import (
+            MaintenancePolicy,
+            maintain,
+        )
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2)])
+        mv_create(registered, view, base, SPEC)
+        delete_where(
+            registered,
+            base,
+            registered.createDataFrame([("b",)], "k string"),
+        )
+        pol = MaintenancePolicy(col="v", vacuum=False, matviews=[view])
+        report = maintain(registered, base, None, pol)
+        assert report["matviews"][0]["mode"] == "incremental"
+        assert "full_compact" in report["actions"]
+        assert _state(registered, view) == _truth(registered, base) == [
+            ("a", 1)
+        ]
+
+    def test_tombstone_purge_past_threshold(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            MaintenancePolicy,
+            maintain,
+            read_committed as rc,
+            table_schema as ts,
+        )
+
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 1), ("b", 2), ("c", 3)])
+        mv_create(registered, view, base, SPEC)
+        # kill two keys -> two tombstone rows in the view after refresh
+        delete_where(
+            registered,
+            base,
+            registered.createDataFrame([("b",), ("c",)], "k string"),
+        )
+        pol = MaintenancePolicy(
+            col="v",
+            vacuum=False,
+            matviews=[view],
+            mv_vacuum_min_tombstones=2,
+        )
+        report = maintain(registered, base, None, pol)
+        mv_r = report["matviews"][0]
+        assert mv_r["tombstones_purged"] == 2
+        assert mv_r["compacted"]
+        # purge + compact materialized: zero tombstone rows physically
+        raw = rc(registered, view, ts(view))
+        assert raw.filter(F.col("_mv_count") <= 0).count() == 0
+        assert _state(registered, view) == [("a", 1)]
