@@ -1,0 +1,326 @@
+"""SQL DDL ENTRY for the manifest lakehouse — the table-format verbs
+exposed as SQL, parsed to the library calls, so a SQL-ONLY user drives
+the same code paths (exactly-once writer, metadata-only alters,
+restore/vacuum/optimize, materialized views) the Python API does.
+
+The reference's warehouse users speak DDL to BigQuery
+(bigquery_update_scheduler.py:34-56 creates datasets/tables by API —
+the DDL analogue); here the verbs target the manifest table format:
+
+    CREATE TABLE t AS SELECT ...
+    INSERT INTO t SELECT ...
+    ALTER TABLE t RENAME COLUMN a TO b
+    ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t SET PARTITION SPEC (month(ts), bucket(user_id, 16))
+    RESTORE TABLE t TO VERSION AS OF n
+    OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
+    VACUUM t
+    DESCRIBE HISTORY t
+    CREATE MATERIALIZED VIEW v AS
+        SELECT k, SUM(expr) AS a, COUNT(*) AS n FROM t GROUP BY k
+    REFRESH MATERIALIZED VIEW v
+    SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
+                materialized views resolve tombstone-filtered)
+
+Statements are dispatched by a small grammar (regex head + Spark SQL
+for every relational body); anything that is not a lakehouse verb
+falls through to ``spark.sql`` with the catalog's tables registered
+as temp views — so the analyst surface and the DDL surface are ONE
+entry point. Unknown verbs against known heads (e.g. ``ALTER TABLE …
+ADD COLUMN``) raise rather than half-apply.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from olap_project_spark.export.manifest_sink import (
+    compact_snapshots,
+    drop_column,
+    ensure_manifest_sink,
+    read_evolved,
+    rename_column,
+    restore_table,
+    set_partition_spec,
+    table_history,
+    vacuum_snapshots,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class LakehouseSQL:
+    """One SQL entry point over a DIRECTORY CATALOG: every manifest
+    table lives at ``<root>/<name>``; a table is 'in the catalog' iff
+    its directory holds committed manifests. No server, no metastore —
+    the manifest logs ARE the catalog, exactly as the table format
+    intends (a deployment points root at its object-store prefix)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.fmt = ensure_manifest_sink(spark)
+
+    # ---------------------------------------------------------------- util
+    def path(self, name: str) -> str:
+        if not re.fullmatch(_IDENT, name):
+            raise ValueError(f"invalid table name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            e.startswith("_manifest-") for e in os.listdir(p)
+        )
+
+    def _require(self, name: str) -> str:
+        if not self._exists(name):
+            raise ValueError(f"no lakehouse table named {name!r}")
+        return self.path(name)
+
+    def _tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            e
+            for e in os.listdir(self.root)
+            if re.fullmatch(_IDENT, e) and self._exists(e)
+        )
+
+    def _register_catalog(self) -> None:
+        """Expose every catalog table to Spark SQL: manifest tables
+        resolve through the era-aware read, materialized views through
+        mv_read (tombstone rows filtered) — a SELECT never sees
+        internals."""
+        from olap_project_spark.export.matview import _meta_path, mv_read
+
+        for name in self._tables():
+            p = self.path(name)
+            if os.path.exists(_meta_path(p)):
+                df = mv_read(self.spark, p)
+            else:
+                df = read_evolved(self.spark, p)
+            df.createOrReplaceTempView(name)
+
+    def _one_row(self, **kv) -> DataFrame:
+        cols = ", ".join(f"{k} string" for k in kv)
+        return self.spark.createDataFrame(
+            [tuple(str(v) for v in kv.values())], cols
+        )
+
+    @staticmethod
+    def _parse_transforms(body: str) -> list[tuple]:
+        out: list[tuple] = []
+        for part in (
+            p.strip()
+            for p in LakehouseSQL._split_select(body.strip())
+        ):
+            m = re.fullmatch(
+                rf"({_IDENT})\s*\(\s*({_IDENT})\s*"
+                rf"(?:,\s*(\d+)\s*)?\)",
+                part,
+            )
+            if not m:
+                raise ValueError(
+                    f"cannot parse partition transform {part!r}; "
+                    "expected kind(col) or kind(col, arg)"
+                )
+            kind, col, arg = m.group(1).lower(), m.group(2), m.group(3)
+            out.append(
+                (col, kind, int(arg)) if arg is not None else (col, kind)
+            )
+        return out
+
+    # ----------------------------------------------------------------- sql
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";").strip()
+
+        m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(.+)$", s
+        )
+        if m and not re.match(r"(?i)^CREATE\s+MATERIALIZED", s):
+            name, body = m.group(1), m.group(2)
+            if self._exists(name):
+                raise ValueError(f"table {name!r} already exists")
+            df = self.sql(body)
+            (
+                df.write.format(self.fmt)
+                .option("path", self.path(name))
+                .mode("append")
+                .save()
+            )
+            return self._one_row(table=name, rows=df.count())
+
+        m = re.match(
+            rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+(.+)$", s
+        )
+        if m:
+            name, body = m.group(1), m.group(2)
+            p = self._require(name)
+            df = self.sql(body)
+            (
+                df.write.format(self.fmt)
+                .option("path", p)
+                .mode("append")
+                .save()
+            )
+            return self._one_row(table=name, rows=df.count())
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_IDENT})\s+TO\s+({_IDENT})$",
+            s,
+        )
+        if m:
+            v = rename_column(self._require(m.group(1)), m.group(2), m.group(3))
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+"
+            rf"({_IDENT})$",
+            s,
+        )
+        if m:
+            v = drop_column(self._require(m.group(1)), m.group(2))
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+PARTITION\s+"
+            rf"SPEC\s*\((.+)\)$",
+            s,
+        )
+        if m:
+            v = set_partition_spec(
+                self._require(m.group(1)),
+                self._parse_transforms(m.group(2)),
+            )
+            return self._one_row(table=m.group(1), version=v)
+
+        if re.match(rf"(?i)^ALTER\s+TABLE\s+{_IDENT}\b", s):
+            raise ValueError(
+                f"unsupported ALTER TABLE verb: {s!r} (supported: "
+                "RENAME COLUMN, DROP COLUMN, SET PARTITION SPEC)"
+            )
+
+        m = re.match(
+            rf"(?i)^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+"
+            rf"AS\s+OF\s+(\d+)$",
+            s,
+        )
+        if m:
+            v = restore_table(self._require(m.group(1)), int(m.group(2)))
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?i)^OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$",
+            s,
+        )
+        if m:
+            cluster = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            v = compact_snapshots(
+                self.spark, self._require(m.group(1)), None,
+                cluster_by=cluster,
+            )
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(rf"(?i)^VACUUM\s+({_IDENT})$", s)
+        if m:
+            r = vacuum_snapshots(self._require(m.group(1)))
+            return self._one_row(table=m.group(1), **r)
+
+        m = re.match(rf"(?i)^DESCRIBE\s+HISTORY\s+({_IDENT})$", s)
+        if m:
+            hist = table_history(self._require(m.group(1)))
+            return self.spark.createDataFrame(
+                [
+                    (h["version"], h["kind"], h["n_files"], h["n_rows"])
+                    for h in hist
+                ],
+                "version int, kind string, n_files int, n_rows bigint",
+            )
+
+        m = re.match(
+            rf"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+"
+            rf"SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+"
+            rf"GROUP\s+BY\s+(.+)$",
+            s,
+        )
+        if m:
+            from olap_project_spark.export.matview import mv_create
+
+            view, select_list, base, group_by = m.groups()
+            keys = [k.strip() for k in re.split(r"\s*,\s*", group_by)]
+            aggs = []
+            for item in self._split_select(select_list):
+                if item.strip() in keys:
+                    continue
+                am = re.fullmatch(
+                    r"(?is)SUM\s*\((.+)\)\s+AS\s+(" + _IDENT + ")",
+                    item.strip(),
+                )
+                if am:
+                    aggs.append(
+                        {"expr": am.group(1).strip(), "as": am.group(2)}
+                    )
+                    continue
+                am = re.fullmatch(
+                    r"(?is)COUNT\s*\(\s*\*\s*\)\s+AS\s+(" + _IDENT + ")",
+                    item.strip(),
+                )
+                if am:
+                    aggs.append({"expr": "1", "as": am.group(1)})
+                    continue
+                raise ValueError(
+                    f"materialized views support GROUP BY keys, "
+                    f"SUM(expr) AS name, and COUNT(*) AS name; got "
+                    f"{item.strip()!r}"
+                )
+            meta = mv_create(
+                self.spark,
+                self.path(view),
+                self._require(base),
+                {"group_by": keys, "aggs": aggs},
+            )
+            return self._one_row(view=view, base_version=meta["base_version"])
+
+        m = re.match(
+            rf"(?i)^REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", s
+        )
+        if m:
+            from olap_project_spark.export.matview import mv_refresh
+
+            r = mv_refresh(self.spark, self._require(m.group(1)))
+            return self._one_row(
+                view=m.group(1), mode=r["mode"], to_version=r["to_version"]
+            )
+
+        # relational fall-through: catalog tables resolve as views
+        self._register_catalog()
+        return self.spark.sql(s)
+
+    @staticmethod
+    def _split_select(select_list: str) -> list[str]:
+        """Split a select list on top-level commas (commas inside
+        parentheses — SUM(a + b), COUNT(*) — don't split)."""
+        out, depth, cur = [], 0, []
+        for ch in select_list:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out

@@ -6932,6 +6932,87 @@ def partition_spec_evolution_stats(
 
 
 # --------------------------------------------------------------------------
+# Lakehouse SQL DDL: the table-format verbs driven from pure SQL
+# --------------------------------------------------------------------------
+@register(
+    "sql_lakehouse_ddl_stats",
+    oracle="""
+    SELECT CAST(n_regionkey AS INTEGER) AS r,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(SUM(LENGTH(n_name)) AS BIGINT) AS sum_label_len,
+           TRUE AS refresh_incremental
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def sql_lakehouse_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKEHOUSE DDL surface through the gate — every row of this
+    result has a PURE-SQL lineage (export/lakehouse_sql.py
+    ``LakehouseSQL``): the table is created and loaded by CTAS +
+    INSERT (the exactly-once manifest writer underneath), its column
+    is renamed by ``ALTER TABLE … RENAME COLUMN`` (the metadata-only
+    column-mapping alter), a materialized view is declared and
+    refreshed by ``CREATE/REFRESH MATERIALIZED VIEW`` (the counted-IVM
+    CDF refresh — ``refresh_incremental`` pins the incremental path),
+    the table is OPTIMIZEd (full compaction), and the final SELECT
+    resolves the renamed table era-aware and the view
+    tombstone-filtered through the same entry point. A SQL-only user
+    exercises exactly the library code paths the Python API does —
+    the BigQuery-DDL analogue of the reference's warehouse surface
+    (bigquery_update_scheduler.py:34-56).
+
+    Oracle: the per-region nation counts, key sums, and renamed-label
+    length sums recomputed by DuckDB from the raw dimension."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqlddl_{os.getpid()}_{tag}"
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(stats_file):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE nat AS SELECT n_nationkey AS k, n_name, "
+            "CAST(n_regionkey AS INT) AS r FROM nation "
+            "WHERE n_nationkey < 13"
+        )
+        lk.sql(
+            "CREATE MATERIALIZED VIEW nat_mv AS SELECT r, "
+            "COUNT(*) AS n_nations, SUM(k) AS sum_key "
+            "FROM nat GROUP BY r"
+        )
+        lk.sql(
+            "INSERT INTO nat SELECT n_nationkey AS k, n_name, "
+            "CAST(n_regionkey AS INT) AS r FROM nation "
+            "WHERE n_nationkey >= 13"
+        )
+        mode = lk.sql("REFRESH MATERIALIZED VIEW nat_mv").collect()[0][
+            "mode"
+        ]
+        lk.sql("ALTER TABLE nat RENAME COLUMN n_name TO nation_label")
+        lk.sql("OPTIMIZE nat")
+        with open(stats_file, "w") as f:
+            _json.dump({"refresh_incremental": mode == "incremental"}, f)
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    return lk.sql(
+        "SELECT m.r AS r, m.n_nations, m.sum_key, t.sum_label_len, "
+        f"{'TRUE' if stats['refresh_incremental'] else 'FALSE'} "
+        "AS refresh_incremental "
+        "FROM nat_mv m JOIN (SELECT r, SUM(LENGTH(nation_label)) "
+        "AS sum_label_len FROM nat GROUP BY r) t ON m.r = t.r"
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming ingest -> materialized-view freshness through maintain()
 # --------------------------------------------------------------------------
 @register(

@@ -268,6 +268,7 @@ class TestDriverContract:
             "token_search_multi_stats",      # AND/phrase bloom search
             "partition_spec_evolution_stats",  # mixed-spec pruning
             "stream_matview_freshness_stats",  # stream->view via maintain
+            "sql_lakehouse_ddl_stats",       # table-format verbs as SQL
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -62,3 +62,141 @@ class TestCostBasedOptimizer:
             spark.sql("DROP TABLE cbo_nation")
         finally:
             spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+class TestLakehouseSQL:
+    """Round-12: the table-format verbs as SQL (export/lakehouse_sql.py)
+    — a SQL-only user drives the same code paths the Python API does:
+    exactly-once CTAS/INSERT, metadata-only alters, restore, optimize,
+    vacuum, materialized views, and era-aware SELECT fall-through."""
+
+    @staticmethod
+    def _lk(spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+        from olap_project_spark.export.manifest_sink import (
+            ManifestSinkDataSource,
+        )
+
+        try:
+            spark.dataSource.register(ManifestSinkDataSource)
+        except Exception:  # noqa: BLE001 — already registered
+            pass
+        return LakehouseSQL(spark, str(tmp_path))
+
+    def test_ctas_insert_select_roundtrip(self, spark, tmp_path, sf_dir):
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql(
+            "CREATE TABLE nat AS SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey < 10"
+        )
+        lk.sql(
+            "INSERT INTO nat SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey >= 10"
+        )
+        got = lk.sql("SELECT COUNT(*) AS n, SUM(n_nationkey) AS s FROM nat")
+        want = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(n_nationkey) AS s FROM nation"
+        )
+        assert got.collect() == want.collect()
+
+    def test_ddl_verbs_drive_the_library_paths(
+        self, spark, tmp_path, sf_dir
+    ):
+        import pytest as _pytest
+
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql(
+            "CREATE TABLE t AS SELECT n_nationkey AS k, n_name AS name, "
+            "n_regionkey AS r FROM nation"
+        )
+        lk.sql("ALTER TABLE t RENAME COLUMN name TO label")
+        # era-aware SELECT: pre-rename file serves under the new name
+        n = lk.sql(
+            "SELECT COUNT(*) AS n FROM t WHERE label IS NOT NULL"
+        ).collect()[0]["n"]
+        assert n == 25
+        lk.sql("ALTER TABLE t DROP COLUMN r")
+        assert "r" not in lk.sql("SELECT * FROM t").columns
+        with _pytest.raises(ValueError, match="unsupported ALTER"):
+            lk.sql("ALTER TABLE t ADD COLUMN z INT")
+        # restore below both alters brings the old shape back
+        lk.sql("RESTORE TABLE t TO VERSION AS OF 1")
+        assert set(lk.sql("SELECT * FROM t").columns) == {
+            "k",
+            "name",
+            "r",
+        }
+        hist = lk.sql("DESCRIBE HISTORY t").collect()
+        assert [h["kind"] for h in hist] == [
+            "append",
+            "alter",
+            "alter",
+            "restore",
+        ]
+
+    def test_optimize_vacuum_and_partition_spec(
+        self, spark, tmp_path, sf_dir
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            current_partition_spec,
+        )
+
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql("CREATE TABLE ev AS SELECT ts, user_id, value FROM events")
+        lk.sql("INSERT INTO ev SELECT ts, user_id, value FROM events")
+        lk.sql(
+            "ALTER TABLE ev SET PARTITION SPEC (days(ts), "
+            "bucket(user_id, 8))"
+        )
+        assert current_partition_spec(lk.path("ev")) == [
+            {"col": "ts", "kind": "days", "arg": None},
+            {"col": "user_id", "kind": "bucket", "arg": 8},
+        ]
+        lk.sql("OPTIMIZE ev")
+        hist = lk.sql("DESCRIBE HISTORY ev").collect()
+        assert hist[-1]["kind"] == "rewrite"
+        lk.sql("VACUUM ev")
+        n = lk.sql("SELECT COUNT(*) AS n FROM ev").collect()[0]["n"]
+        want = 2 * spark.sql("SELECT COUNT(*) FROM events").collect()[0][0]
+        assert n == want
+
+    def test_materialized_view_lifecycle_in_sql(
+        self, spark, tmp_path, sf_dir
+    ):
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql(
+            "CREATE TABLE ord AS SELECT o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 2 = 0"
+        )
+        lk.sql(
+            "CREATE MATERIALIZED VIEW ord_mv AS "
+            "SELECT st, SUM(cents) AS sum_cents, COUNT(*) AS n "
+            "FROM ord GROUP BY st"
+        )
+        lk.sql(
+            "INSERT INTO ord SELECT o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 2 = 1"
+        )
+        r = lk.sql("REFRESH MATERIALIZED VIEW ord_mv").collect()[0]
+        assert r["mode"] == "incremental"
+        got = sorted(
+            tuple(x)
+            for x in lk.sql(
+                "SELECT st, sum_cents, n FROM ord_mv"
+            ).collect()
+        )
+        want = sorted(
+            tuple(x)
+            for x in spark.sql(
+                "SELECT o_orderstatus AS st, "
+                "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s, "
+                "COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+            ).collect()
+        )
+        assert got == want
