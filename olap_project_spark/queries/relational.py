@@ -6789,6 +6789,148 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Field IDs: renamed-table metadata + public-reader pruning via ids
+# --------------------------------------------------------------------------
+@register(
+    "field_id_reader_stats",
+    oracle="""
+    WITH w AS (
+      SELECT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+    )
+    SELECT CAST(8 AS INTEGER) AS files_total,
+           TRUE AS prune_ok,
+           TRUE AS partitions_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+             AS n_rows_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_window,
+           (SELECT CAST(SUM(user_id) AS BIGINT) FROM w) AS sum_window
+    """,
+)
+def field_id_reader_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN FIELD IDS through the gate — the round-12 mechanism
+    (export/manifest_sink.py ``_field_id_history``) that lets every
+    name-keyed surface answer EXACTLY over a RENAMED, NEVER-COMPACTED
+    log: ids are derived as a pure function of the manifest log
+    (issued at column birth, carried by renames, retired by drops,
+    never reused — no writer coordination, retroactive on every
+    existing table). The events fact commits hidden-partitioned by
+    ``days(ts)``, BOTH columns rename (``ts``→``event_ts``,
+    ``value``→``amount``), the second half commits under the new
+    names, and with zero compaction:
+
+    - the PUBLIC batch reader serves both eras under the current
+      names AND a pushed timestamp filter on ``event_ts`` still
+      prunes the PRE-RENAME files through their ``ts``-keyed
+      transform ranges (``prune_ok``: the window opens strictly
+      fewer input partitions than the table holds files);
+    - ``table$partitions`` stays exact (``partitions_exact``: spec
+      identity is field-id-keyed, so the rename invalidates nothing
+      and every live file is accounted);
+    - the window's row count and user_id checksum — and the full
+      table's row count through the renamed read — are oracle-checked
+      against the raw fact.
+
+    Scale: a rename on a 100-TB fact costs one JSON write and loses
+    NOTHING — not the metadata surfaces, not the file skipping, not
+    the public read path.
+
+    Reference analogue: none — the reference renames by editing
+    consumer code and re-running it over all data
+    (spark_streaming_consumer.py:210-251)."""
+    import datetime as _dt
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        ensure_manifest_sink,
+        rename_column,
+        table_partitions,
+        write_partitioned,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cut = _dt.datetime(2024, 1, 16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_fidreader_{os.getpid()}_{tag}"
+    path = os.path.join(root, "events_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        write_partitioned(
+            spark,
+            events.filter(F.col("ts") < F.lit(cut)),
+            path,
+            "ts",
+            "days",
+            n_files=4,
+        )
+        rename_column(path, "ts", "event_ts")
+        rename_column(path, "value", "amount")
+        write_partitioned(
+            spark,
+            events.filter(F.col("ts") >= F.lit(cut))
+            .withColumnRenamed("ts", "event_ts")
+            .withColumnRenamed("value", "amount"),
+            path,
+            "event_ts",
+            "days",
+            n_files=4,
+        )
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    # a pushdown-capable child session (the vanilla driver session
+    # keeps the Python-filter-pushdown conf off); the parent is
+    # restored as the active writer session afterwards
+    child = spark.newSession()
+    child.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    fmt = ensure_manifest_sink(child)
+    try:
+        lo = _dt.datetime(2024, 1, 2)
+        hi = _dt.datetime(2024, 1, 4)
+        full = child.read.format(fmt).option("path", path).load()
+        n_total = full.count()
+        win = (
+            child.read.format(fmt)
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+            .filter(
+                (F.col("event_ts") >= F.lit(lo))
+                & (F.col("event_ts") < F.lit(hi))
+            )
+        )
+        opened = win.rdd.getNumPartitions()
+        got = win.agg(
+            F.count("*").alias("n"), F.sum("user_id").alias("s")
+        ).collect()[0]
+        tp = table_partitions(path)
+        partitions_exact = (
+            tp["unaccounted_files"] == 0
+            and sum(e["n_rows"] for e in tp["partitions"]) == n_total
+        )
+    finally:
+        ensure_manifest_sink(spark)
+    return spark.createDataFrame(
+        [
+            (
+                8,
+                opened < 8,
+                partitions_exact,
+                n_total,
+                got["n"],
+                got["s"],
+            )
+        ],
+        "files_total int, prune_ok boolean, partitions_exact boolean, "
+        "n_rows_total bigint, n_window bigint, sum_window bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Partition-spec evolution: mixed-spec pruning through the gate
 # --------------------------------------------------------------------------
 @register(

@@ -269,6 +269,7 @@ class TestDriverContract:
             "partition_spec_evolution_stats",  # mixed-spec pruning
             "stream_matview_freshness_stats",  # stream->view via maintain
             "sql_lakehouse_ddl_stats",       # table-format verbs as SQL
+            "field_id_reader_stats",         # renamed-log reader + ids
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -247,3 +247,91 @@ class TestPublicReaderAcrossRenames:
             .collect()
         )
         assert sorted((r.id, r.name) for r in got) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# Property: under ANY interleaving of appends / renames / drops /
+# row-level deletes / merges / compactions, the era read equals a plain
+# Python model folded in current-name space, and whenever the
+# metadata-only aggregate answers, its row count is the model's.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.sampled_from(
+    ["append", "rename", "delete", "merge", "compact"]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_op, min_size=2, max_size=6))
+def test_era_read_matches_model_under_any_interleaving(
+    registered, tmp_path, ops
+):
+    from olap_project_spark.export.manifest_sink import (
+        compact_snapshots,
+        delete_where,
+        merge_upsert,
+        read_evolved,
+    )
+
+    path = str(tmp_path / ("era_" + "".join(o[0] for o in ops)))
+    vcol = "v0"
+    vgen = 0
+    model: dict[int, str] = {}
+    next_k = 0
+    started = False
+    for op in ops:
+        if op == "append" or not started:
+            rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
+            next_k += 2
+            _write(
+                registered, path, rows, f"k int, {vcol} string"
+            )
+            model.update(rows)
+            started = True
+        elif op == "rename":
+            vgen += 1
+            new = f"v{vgen}"
+            rename_column(path, vcol, new)
+            vcol = new
+        elif op == "delete":
+            victim = min(model)
+            delete_where(
+                registered,
+                path,
+                registered.createDataFrame([(victim,)], "k int"),
+            )
+            model.pop(victim)
+        elif op == "merge":
+            target = min(model)
+            merge_upsert(
+                registered,
+                path,
+                registered.createDataFrame(
+                    [(target, "UP"), (next_k, "NEW")],
+                    f"k int, {vcol} string",
+                ),
+                keys=["k"],
+            )
+            model[target] = "UP"
+            model[next_k] = "NEW"
+            next_k += 1
+        elif op == "compact":
+            compact_snapshots(registered, path, None)
+        got = sorted(
+            (r["k"], r[vcol])
+            for r in read_evolved(registered, path).collect()
+        )
+        assert got == sorted(model.items())
+        try:
+            agg = metadata_aggregate(path, cols=[vcol])
+        except ValueError:
+            pass  # unmaterialized tombstones: the strict refusal
+        else:
+            assert agg["n_rows"] == len(model)
+            assert agg["cols"][vcol]["non_null"] == len(model)
