@@ -1724,8 +1724,21 @@ def read_committed(
     unchanged. ``_keep`` restricts the DATA files scanned (zone-map
     pruning); tombstone applications are never pruned — a pruned-out
     merge file still anti-joins its keys, it just isn't scanned as
-    data — correctness over skipping."""
+    data — correctness over skipping.
+
+    RENAMED tables (live naming eras) are REJECTED here: this is the
+    explicit-schema path, and scanning a pre-rename file under the
+    current names would silently null the renamed columns. Read
+    through :func:`read_evolved` (the segmented era fold) or the
+    public batch reader (field-id column mapping) instead."""
     log = _log(path, as_of, branch)
+    if _alters_since_last_rewrite(log):
+        raise ValueError(
+            "table has live naming eras (column rename/drop above the "
+            "last rewrite); the explicit-schema read would silently "
+            "null pre-rename columns — read through read_evolved or "
+            "the public batch reader, or compact to collapse the eras"
+        )
     if not any(
         m.get("kind", "append") in ("delete", "merge") for _, m in log
     ):

@@ -81,6 +81,22 @@ REPS = [
     ("multi_transform_pruning_stats", "multi-field spec pruning"),
     ("auto_maintenance_stats", "policy maintenance pass"),
     ("ann_trained_quantizer_stats", "Lloyd-trained IVF probe"),
+    # late-round-11 flagships (r11 verdict #7): the matview refresh is
+    # O(|changes|); keyword search is a driver bitmap probe + residual
+    # scan of survivors; metadata aggregates open zero data files
+    ("matview_incremental_refresh_stats", "counted-IVM matview refresh"),
+    ("token_bloom_search_stats", "token-bloom keyword search"),
+    ("metadata_only_aggregate_stats", "metadata-only aggregates"),
+    # round-12 flagships: multi-token AND multiplies selectivities at
+    # the driver; field ids price a rename at one JSON write with
+    # pruning intact; spec evolution prunes each era under its own
+    # spec; the stream->view loop is per-trigger-bound; the SQL DDL
+    # path is the same library calls behind a parser
+    ("token_search_multi_stats", "AND/phrase bloom search"),
+    ("field_id_reader_stats", "field-id renamed-log reader"),
+    ("partition_spec_evolution_stats", "mixed-spec era pruning"),
+    ("stream_matview_freshness_stats", "stream->view maintain loop"),
+    ("sql_lakehouse_ddl_stats", "SQL DDL verb chain"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
