@@ -163,6 +163,16 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "metadata_only_aggregate_stats",
     "stream_skip_change_commits_stats",
     "column_rename_stats",
+    # round-12 lakehouse lifecycle showcases: the fixture builds
+    # (renamed/spec-evolved tables, the SQL DDL chain, the streamed
+    # matview loop) and the driver-side planning probes (bitmap
+    # intersections, getNumPartitions) ARE the semantics; the
+    # returned stats frames stay lazy
+    "token_search_multi_stats",
+    "partition_spec_evolution_stats",
+    "stream_matview_freshness_stats",
+    "sql_lakehouse_ddl_stats",
+    "field_id_reader_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
