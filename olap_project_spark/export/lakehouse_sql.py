@@ -39,13 +39,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from olap_project_spark.export.manifest_sink import (
     compact_snapshots,
+    delete_where,
     drop_column,
     ensure_manifest_sink,
+    merge_upsert,
     read_evolved,
     rename_column,
     restore_table,
     set_partition_spec,
+    table_files,
     table_history,
+    table_partitions,
     vacuum_snapshots,
 )
 
@@ -94,7 +98,11 @@ class LakehouseSQL:
         """Expose every catalog table to Spark SQL: manifest tables
         resolve through the era-aware read, materialized views through
         mv_read (tombstone rows filtered) — a SELECT never sees
-        internals."""
+        internals. Each table also registers its METADATA TABLES
+        (Iceberg's ``t$files``/``t$partitions``/``t$history``, spelled
+        ``t__files``/``t__partitions``/``t__history`` — ``$`` is not a
+        Spark view-name character): driver-side folds of the manifest
+        log, zero data files opened."""
         from olap_project_spark.export.matview import _meta_path, mv_read
 
         for name in self._tables():
@@ -104,6 +112,34 @@ class LakehouseSQL:
             else:
                 df = read_evolved(self.spark, p)
             df.createOrReplaceTempView(name)
+            hist = table_history(p)
+            self.spark.createDataFrame(
+                [
+                    (h["version"], h["kind"], h["n_files"], h["n_rows"])
+                    for h in hist
+                ],
+                "version int, kind string, n_files int, n_rows bigint",
+            ).createOrReplaceTempView(f"{name}__history")
+            files = table_files(p)
+            self.spark.createDataFrame(
+                [
+                    (e["version"], e["file_name"], e.get("n_rows"))
+                    for e in files
+                ],
+                "version int, file_name string, n_rows bigint",
+            ).createOrReplaceTempView(f"{name}__files")
+            try:
+                tp = table_partitions(p, strict=False)
+            except ValueError:
+                tp = None  # no transform spec recorded: no view
+            if tp is not None:
+                self.spark.createDataFrame(
+                    [
+                        (str(e["partition"]), e["n_rows"], e["n_files"])
+                        for e in tp["partitions"]
+                    ],
+                    "partition string, n_rows bigint, n_files int",
+                ).createOrReplaceTempView(f"{name}__partitions")
 
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
@@ -168,6 +204,51 @@ class LakehouseSQL:
                 .save()
             )
             return self._one_row(table=name, rows=df.count())
+
+        m = re.match(
+            rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$", s
+        )
+        if m:
+            name, pred = m.group(1), m.group(2)
+            p = self._require(name)
+            # row-level equality delete: the predicate selects the
+            # victim KEY ROWS over the table's full column set — an
+            # Iceberg-v2 tombstone commit, zero data files rewritten.
+            # Duplicated rows matching the predicate all disappear
+            # (equality semantics), exactly like the library call.
+            self._register_catalog()
+            keys = self.spark.sql(
+                f"SELECT DISTINCT * FROM {name} WHERE {pred}"
+            )
+            n = keys.count()
+            if n:
+                v = delete_where(self.spark, p, keys)
+            else:
+                v = None
+            return self._one_row(table=name, matched_keys=n, version=v)
+
+        m = re.match(
+            rf"(?is)^MERGE\s+INTO\s+({_IDENT})\s+USING\s+\((.+)\)\s+"
+            rf"ON\s+\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s+"
+            rf"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            s,
+        )
+        if m:
+            name, body, keys = m.group(1), m.group(2), m.group(3)
+            p = self._require(name)
+            updates = self.sql(body)
+            r = merge_upsert(
+                self.spark,
+                p,
+                updates,
+                keys=[k.strip() for k in keys.split(",")],
+            )
+            return self._one_row(
+                table=name,
+                version=r["version"],
+                n_updates=r["n_updates"],
+            )
 
         m = re.match(
             rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"

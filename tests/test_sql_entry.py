@@ -200,3 +200,45 @@ class TestLakehouseSQL:
             ).collect()
         )
         assert got == want
+
+    def test_delete_merge_and_metadata_tables(
+        self, spark, tmp_path, sf_dir
+    ):
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql(
+            "CREATE TABLE nat AS SELECT n_nationkey AS k, n_name AS v "
+            "FROM nation"
+        )
+        r = lk.sql("DELETE FROM nat WHERE k < 5").collect()[0]
+        assert r["matched_keys"] == "5"
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM nat").collect()[0]["n"]
+            == 20
+        )
+        lk.sql(
+            "MERGE INTO nat USING (SELECT n_nationkey AS k, "
+            "CONCAT(n_name, '!') AS v FROM nation "
+            "WHERE n_nationkey >= 20) "
+            "ON (k) WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        up = lk.sql(
+            "SELECT COUNT(*) AS n FROM nat WHERE v LIKE '%!'"
+        ).collect()[0]["n"]
+        assert up == 5  # keys 20-24 upserted in place
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM nat").collect()[0]["n"]
+            == 20
+        )
+        # metadata tables: history/files as driver-side views
+        hist = lk.sql(
+            "SELECT kind, COUNT(*) AS n FROM nat__history GROUP BY kind"
+        ).collect()
+        kinds = {r["kind"]: r["n"] for r in hist}
+        assert kinds["append"] == 1 and kinds["delete"] == 1
+        assert kinds["merge"] == 1
+        files_rows = lk.sql(
+            "SELECT SUM(n_rows) AS s FROM nat__files"
+        ).collect()[0]["s"]
+        assert files_rows >= 20
