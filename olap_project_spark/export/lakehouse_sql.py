@@ -9,6 +9,10 @@ the DDL analogue); here the verbs target the manifest table format:
 
     CREATE TABLE t AS SELECT ...
     INSERT INTO t SELECT ...
+    DELETE FROM t WHERE ...                -- equality-delete commit
+    MERGE INTO t USING (SELECT ...) ON (k1, k2)
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *     -- atomic MoR upsert
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t SET PARTITION SPEC (month(ts), bucket(user_id, 16))
@@ -20,7 +24,9 @@ the DDL analogue); here the verbs target the manifest table format:
         SELECT k, SUM(expr) AS a, COUNT(*) AS n FROM t GROUP BY k
     REFRESH MATERIALIZED VIEW v
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
-                materialized views resolve tombstone-filtered)
+                materialized views resolve tombstone-filtered, and
+                t__history / t__files / t__partitions resolve as
+                driver-side metadata views — zero data files opened)
 
 Statements are dispatched by a small grammar (regex head + Spark SQL
 for every relational body); anything that is not a lakehouse verb
