@@ -15,6 +15,7 @@ the DDL analogue); here the verbs target the manifest table format:
         WHEN NOT MATCHED THEN INSERT *     -- atomic MoR upsert
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t ADD COLUMN x INT
     ALTER TABLE t SET PARTITION SPEC (month(ts), bucket(user_id, 16))
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
@@ -33,7 +34,7 @@ for every relational body); anything that is not a lakehouse verb
 falls through to ``spark.sql`` with the catalog's tables registered
 as temp views — so the analyst surface and the DDL surface are ONE
 entry point. Unknown verbs against known heads (e.g. ``ALTER TABLE …
-ADD COLUMN``) raise rather than half-apply.
+CLUSTER BY``) raise rather than half-apply.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from olap_project_spark.export.manifest_sink import (
+    add_column,
     compact_snapshots,
     delete_where,
     drop_column,
@@ -275,6 +277,19 @@ class LakehouseSQL:
             return self._one_row(table=m.group(1), version=v)
 
         m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+"
+            rf"({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)$",
+            s,
+        )
+        if m:
+            v = add_column(
+                self._require(m.group(1)),
+                m.group(2),
+                m.group(3).strip().lower(),
+            )
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
             rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+PARTITION\s+"
             rf"SPEC\s*\((.+)\)$",
             s,
@@ -289,7 +304,8 @@ class LakehouseSQL:
         if re.match(rf"(?i)^ALTER\s+TABLE\s+{_IDENT}\b", s):
             raise ValueError(
                 f"unsupported ALTER TABLE verb: {s!r} (supported: "
-                "RENAME COLUMN, DROP COLUMN, SET PARTITION SPEC)"
+                "RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
+                "SET PARTITION SPEC)"
             )
 
         m = re.match(

@@ -2113,6 +2113,51 @@ def drop_column(path: str, col: str) -> int:
     )
 
 
+def add_column(path: str, col: str, dtype: str) -> int:
+    """ADD a column — the third leg of the alter triple, a
+    METADATA-ONLY ``kind='alter'`` commit: no data file is touched;
+    the column joins the discovered schema with a fresh FIELD ID and
+    every pre-existing file reads NULL for it (the add-column
+    backfill contract the append-driven evolution already honors —
+    this makes the step an EXPLICIT one-JSON-write DDL instead of a
+    side effect of the next wider append). ``dtype`` is a Spark type
+    string (``int``, ``bigint``, ``string``, ``array<float>``, …).
+
+    Re-using a name retired by a live-era DROP is rejected exactly as
+    the append path rejects it (pre-drop files still hold that
+    generation's bytes and name-keyed stats); compaction clears the
+    guard. Returns the new snapshot version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema at {path}; nothing to alter")
+    names = [f.name for f in sch.fields]
+    if col in names:
+        raise ValueError(f"column {col!r} already exists in {names}")
+    retired = _retired_since_last_rewrite(_log(path))
+    if col in retired:
+        raise ValueError(
+            f"column name {col!r} was dropped by an earlier alter and "
+            "pre-drop live files still hold that generation's bytes "
+            "and name-keyed stats — compact to rewrite the live files "
+            "first"
+        )
+    widened = StructType(
+        list(sch.fields)
+        + [StructField(col, _parse_datatype_string(dtype), True)]
+    )
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "add": [col],
+            "schema": widened.jsonValue(),
+            "files": [],
+        },
+    )
+
+
 def set_partition_spec(
     path: str, transforms: list[tuple] | tuple | None
 ) -> int:
@@ -2979,6 +3024,10 @@ def _field_id_history(
                 mapping.pop(d, None)
             ren = m.get("rename", {})
             mapping = {ren.get(n, n): i for n, i in mapping.items()}
+            for a in m.get("add", []):
+                if a not in mapping:
+                    mapping[a] = next_id
+                    next_id += 1
             per_index.append(dict(mapping))
             continue
         if kind == "delete":
@@ -3816,25 +3865,44 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
         if latest is not None:
             prev = {f.name: f.dataType for f in latest.fields}
             if kind == "alter":
-                # a RENAME/DROP commit: the recorded schema must be
-                # exactly the previous schema with the declared renames
-                # applied and the declared drops removed (types
-                # unchanged) — the column-mapping evolution steps the
-                # plain add-only rule cannot express
+                # a RENAME/DROP/ADD commit: the recorded schema must
+                # be exactly the previous schema with the declared
+                # renames applied, the declared drops removed, and the
+                # declared adds appended (types unchanged otherwise) —
+                # the column-mapping evolution steps the plain
+                # add-only rule cannot express
                 ren = m.get("rename", {})
                 dropped = set(m.get("drop", []))
+                added = set(m.get("add", []))
                 expect = {
                     ren.get(n, n): t
                     for n, t in prev.items()
                     if n not in dropped
                 }
                 cur = {f.name: f.dataType for f in st.fields}
-                if cur != expect:
+                ghosts = retired & added
+                if ghosts:
+                    raise ValueError(
+                        f"alter snapshot {version} re-adds "
+                        f"{sorted(ghosts)}, dropped earlier by an "
+                        "alter — a name-based era read would "
+                        "resurrect the old values; compact before "
+                        "reusing a dropped name"
+                    )
+                if added - set(cur):
+                    raise ValueError(
+                        f"alter snapshot {version} declares adds "
+                        f"{sorted(added)} absent from its schema"
+                    )
+                if {
+                    n: t for n, t in cur.items() if n not in added
+                } != expect:
                     raise ValueError(
                         f"alter snapshot {version} declares renames "
-                        f"{ren} / drops {sorted(dropped)} but its "
-                        "schema does not match the previous schema "
-                        "with those changes applied"
+                        f"{ren} / drops {sorted(dropped)} / adds "
+                        f"{sorted(added)} but its schema does not "
+                        "match the previous schema with those changes "
+                        "applied"
                     )
                 retired |= dropped
                 latest = st

@@ -259,7 +259,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _op = st.sampled_from(
-    ["append", "rename", "delete", "merge", "compact"]
+    ["append", "rename", "delete", "merge", "compact", "addcol"]
 )
 
 
@@ -279,19 +279,28 @@ def test_era_read_matches_model_under_any_interleaving(
         read_evolved,
     )
 
+    from olap_project_spark.export.manifest_sink import add_column
+
     path = str(tmp_path / ("era_" + "".join(o[0] for o in ops)))
     vcol = "v0"
     vgen = 0
+    extra: list[str] = []  # columns added by explicit ADD COLUMN
     model: dict[int, str] = {}
     next_k = 0
     started = False
+
+    def schema():
+        cols = [f"k int, {vcol} string"] + [f"{c} int" for c in extra]
+        return ", ".join(cols)
+
+    def pad(rows):
+        return [r + (None,) * len(extra) for r in rows]
+
     for op in ops:
         if op == "append" or not started:
             rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
             next_k += 2
-            _write(
-                registered, path, rows, f"k int, {vcol} string"
-            )
+            _write(registered, path, pad(rows), schema())
             model.update(rows)
             started = True
         elif op == "rename":
@@ -299,6 +308,10 @@ def test_era_read_matches_model_under_any_interleaving(
             new = f"v{vgen}"
             rename_column(path, vcol, new)
             vcol = new
+        elif op == "addcol":
+            name = f"e{len(extra)}_{vgen}"
+            add_column(path, name, "int")
+            extra.append(name)
         elif op == "delete":
             victim = min(model)
             delete_where(
@@ -313,8 +326,8 @@ def test_era_read_matches_model_under_any_interleaving(
                 registered,
                 path,
                 registered.createDataFrame(
-                    [(target, "UP"), (next_k, "NEW")],
-                    f"k int, {vcol} string",
+                    pad([(target, "UP"), (next_k, "NEW")]),
+                    schema(),
                 ),
                 keys=["k"],
             )
@@ -325,7 +338,9 @@ def test_era_read_matches_model_under_any_interleaving(
             compact_snapshots(registered, path, None)
         got = sorted(
             (r["k"], r[vcol])
-            for r in read_evolved(registered, path).collect()
+            for r in read_evolved(registered, path)
+            .select("k", vcol)
+            .collect()
         )
         assert got == sorted(model.items())
         try:
@@ -335,3 +350,100 @@ def test_era_read_matches_model_under_any_interleaving(
         else:
             assert agg["n_rows"] == len(model)
             assert agg["cols"][vcol]["non_null"] == len(model)
+
+
+class TestAddColumn:
+    """Round-12 completion of the alter triple: ADD COLUMN as an
+    explicit metadata-only commit with a fresh field id."""
+
+    def test_add_is_metadata_only_and_backfills(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            add_column,
+            read_committed,
+            table_history,
+            table_schema,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        v = add_column(path, "score", "bigint")
+        assert v == 2
+        assert table_history(path)[-1]["n_files"] == 0
+        assert [f.name for f in table_schema(path).fields] == [
+            "id",
+            "name",
+            "score",
+        ]
+        _write(
+            registered, path, [(2, "b", 9)],
+            "id int, name string, score bigint",
+        )
+        rows = sorted(
+            (r.id, r.score)
+            for r in read_committed(
+                registered, path, table_schema(path)
+            ).collect()
+        )
+        assert rows == [(1, None), (2, 9)]
+        # metadata: pre-add file counts all-null, minmax from new file
+        agg = metadata_aggregate(path, minmax_cols=["score"])
+        assert agg["cols"]["score"] == {
+            "nulls": 1,
+            "non_null": 1,
+            "min": 9,
+            "max": 9,
+        }
+        per, cur, ok = _field_id_history(_log(path))
+        assert ok and cur == {"id": 1, "name": 2, "score": 3}
+
+    def test_add_composes_with_rename_eras(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            add_column,
+            read_evolved,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")], "id int, name string")
+        rename_column(path, "name", "label")
+        add_column(path, "score", "int")
+        _write(
+            registered, path, [(2, "b", 5)],
+            "id int, label string, score int",
+        )
+        rows = sorted(
+            (r.id, r.label, r.score)
+            for r in read_evolved(registered, path).collect()
+        )
+        assert rows == [(1, "a", None), (2, "b", 5)]
+
+    def test_add_rejections(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import (
+            add_column,
+            table_schema,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a", 2.0)], "id int, name string, amt double")
+        with pytest.raises(ValueError, match="already exists"):
+            add_column(path, "name", "string")
+        drop_column(path, "amt")
+        with pytest.raises(ValueError, match="dropped"):
+            add_column(path, "amt", "double")
+        compact_snapshots(registered, path, None)
+        add_column(path, "amt", "double")  # guard cleared by rewrite
+        assert "amt" in [f.name for f in table_schema(path).fields]
+
+    def test_add_via_sql(self, spark, tmp_path, sf_dir):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+        from olap_project_spark.sources import register_tables
+
+        register_tables(spark, sf_dir)
+        lk = LakehouseSQL(spark, str(tmp_path))
+        lk.sql("CREATE TABLE t AS SELECT n_nationkey AS k FROM nation")
+        lk.sql("ALTER TABLE t ADD COLUMN tag STRING")
+        got = lk.sql(
+            "SELECT COUNT(*) AS n FROM t WHERE tag IS NULL"
+        ).collect()[0]["n"]
+        assert got == 25
