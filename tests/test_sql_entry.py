@@ -119,8 +119,10 @@ class TestLakehouseSQL:
         assert n == 25
         lk.sql("ALTER TABLE t DROP COLUMN r")
         assert "r" not in lk.sql("SELECT * FROM t").columns
+        lk.sql("ALTER TABLE t ADD COLUMN z INT")
+        assert "z" in lk.sql("SELECT * FROM t").columns
         with _pytest.raises(ValueError, match="unsupported ALTER"):
-            lk.sql("ALTER TABLE t ADD COLUMN z INT")
+            lk.sql("ALTER TABLE t CLUSTER BY (k)")
         # restore below both alters brings the old shape back
         lk.sql("RESTORE TABLE t TO VERSION AS OF 1")
         assert set(lk.sql("SELECT * FROM t").columns) == {
@@ -131,6 +133,7 @@ class TestLakehouseSQL:
         hist = lk.sql("DESCRIBE HISTORY t").collect()
         assert [h["kind"] for h in hist] == [
             "append",
+            "alter",
             "alter",
             "alter",
             "restore",
