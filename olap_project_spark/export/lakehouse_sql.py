@@ -58,6 +58,7 @@ from olap_project_spark.export.manifest_sink import (
     table_files,
     table_history,
     table_partitions,
+    table_schema,
     vacuum_snapshots,
 )
 
@@ -338,6 +339,37 @@ class LakehouseSQL:
         if m:
             r = vacuum_snapshots(self._require(m.group(1)))
             return self._one_row(table=m.group(1), **r)
+
+        if re.match(r"(?i)^SHOW\s+TABLES$", s):
+            from olap_project_spark.export.matview import _meta_path
+
+            rows = [
+                (
+                    n,
+                    "materialized_view"
+                    if os.path.exists(_meta_path(self.path(n)))
+                    else "table",
+                )
+                for n in self._tables()
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "name string, kind string"
+            ).filter("name <> ''")
+
+        m = re.match(rf"(?i)^DESCRIBE\s+({_IDENT})$", s)
+        if m:
+            sch = table_schema(self._require(m.group(1)))
+            if sch is None:
+                raise ValueError(
+                    f"table {m.group(1)!r} records no schema"
+                )
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString())
+                    for f in sch.fields
+                ],
+                "col_name string, data_type string",
+            )
 
         m = re.match(rf"(?i)^DESCRIBE\s+HISTORY\s+({_IDENT})$", s)
         if m:

@@ -245,3 +245,21 @@ class TestLakehouseSQL:
             "SELECT SUM(n_rows) AS s FROM nat__files"
         ).collect()[0]["s"]
         assert files_rows >= 20
+
+    def test_show_tables_and_describe(self, spark, tmp_path, sf_dir):
+        register_tables(spark, sf_dir)
+        lk = self._lk(spark, tmp_path)
+        lk.sql("CREATE TABLE a AS SELECT n_nationkey AS k FROM nation")
+        lk.sql(
+            "CREATE MATERIALIZED VIEW amv AS SELECT k, COUNT(*) AS n "
+            "FROM a GROUP BY k"
+        )
+        rows = {
+            (r["name"], r["kind"]) for r in lk.sql("SHOW TABLES").collect()
+        }
+        assert ("a", "table") in rows
+        assert ("amv", "materialized_view") in rows
+        desc = lk.sql("DESCRIBE a").collect()
+        assert [(r["col_name"], r["data_type"]) for r in desc] == [
+            ("k", "int")
+        ]
