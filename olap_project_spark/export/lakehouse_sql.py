@@ -16,6 +16,7 @@ the DDL analogue); here the verbs target the manifest table format:
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t ADD COLUMN x INT
+    ALTER TABLE t ALTER COLUMN c TYPE BIGINT   -- safe widening
     ALTER TABLE t SET PARTITION SPEC (month(ts), bucket(user_id, 16))
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
@@ -60,6 +61,7 @@ from olap_project_spark.export.manifest_sink import (
     table_partitions,
     table_schema,
     vacuum_snapshots,
+    widen_column,
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -291,6 +293,19 @@ class LakehouseSQL:
             return self._one_row(table=m.group(1), version=v)
 
         m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+TYPE\s+([A-Za-z0-9_<>,() ]+?)$",
+            s,
+        )
+        if m:
+            v = widen_column(
+                self._require(m.group(1)),
+                m.group(2),
+                m.group(3).strip().lower(),
+            )
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
             rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+PARTITION\s+"
             rf"SPEC\s*\((.+)\)$",
             s,
@@ -306,7 +321,7 @@ class LakehouseSQL:
             raise ValueError(
                 f"unsupported ALTER TABLE verb: {s!r} (supported: "
                 "RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
-                "SET PARTITION SPEC)"
+                "ALTER COLUMN TYPE, SET PARTITION SPEC)"
             )
 
         m = re.match(

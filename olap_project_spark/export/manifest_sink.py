@@ -2158,6 +2158,56 @@ def add_column(path: str, col: str, dtype: str) -> int:
     )
 
 
+def widen_column(path: str, col: str, dtype: str) -> int:
+    """WIDEN a column's type — Iceberg v3 type promotion as an
+    explicit METADATA-ONLY ``kind='alter'`` commit: no data file is
+    rewritten; the discovered schema changes and every existing file
+    reads losslessly under the wider type (the same safe-promotion
+    ladder the append-driven evolution enforces: int→bigint,
+    float→double, … — Spark's parquet scan natively up-casts).
+    Narrowing or lateral changes are rejected. Returns the new
+    snapshot version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema at {path}; nothing to alter")
+    target = _parse_datatype_string(dtype)
+    fields = []
+    found = False
+    for f in sch.fields:
+        if f.name == col:
+            found = True
+            pair = (f.dataType.simpleString(), target.simpleString())
+            if pair[0] == pair[1]:
+                raise ValueError(
+                    f"column {col!r} is already {pair[0]}"
+                )
+            if pair not in _TYPE_WIDENINGS:
+                raise ValueError(
+                    f"cannot alter {col!r} from {pair[0]} to "
+                    f"{pair[1]}: not a safe widening (allowed: "
+                    f"{sorted(_TYPE_WIDENINGS)})"
+                )
+            fields.append(StructField(col, target, f.nullable))
+        else:
+            fields.append(f)
+    if not found:
+        raise ValueError(
+            f"column {col!r} not in schema "
+            f"{[f.name for f in sch.fields]}"
+        )
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "widen": {col: target.simpleString()},
+            "schema": StructType(fields).jsonValue(),
+            "files": [],
+        },
+    )
+
+
 def set_partition_spec(
     path: str, transforms: list[tuple] | tuple | None
 ) -> int:
@@ -3880,6 +3930,24 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
                     if n not in dropped
                 }
                 cur = {f.name: f.dataType for f in st.fields}
+                for wcol, wtype in (m.get("widen") or {}).items():
+                    if wcol not in expect:
+                        raise ValueError(
+                            f"alter snapshot {version} widens "
+                            f"unknown column {wcol!r}"
+                        )
+                    pair = (expect[wcol].simpleString(), wtype)
+                    if pair not in _TYPE_WIDENINGS:
+                        raise ValueError(
+                            f"alter snapshot {version} changes "
+                            f"{wcol!r} from {pair[0]} to {pair[1]}, "
+                            "not a safe widening"
+                        )
+                    from pyspark.sql.types import (
+                        _parse_datatype_string as _pds,
+                    )
+
+                    expect[wcol] = _pds(wtype)
                 ghosts = retired & added
                 if ghosts:
                     raise ValueError(

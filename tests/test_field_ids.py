@@ -447,3 +447,74 @@ class TestAddColumn:
             "SELECT COUNT(*) AS n FROM t WHERE tag IS NULL"
         ).collect()[0]["n"]
         assert got == 25
+
+
+class TestWidenColumn:
+    """Explicit type widening as DDL — the Iceberg v3 promotion the
+    append path already enforced, now one metadata-only commit."""
+
+    def test_widen_is_metadata_only_and_reads_upcast(
+        self, registered, tmp_path
+    ):
+        from olap_project_spark.export.manifest_sink import (
+            read_committed,
+            table_history,
+            table_schema,
+            widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, 10)], "id int, v int")
+        v = widen_column(path, "v", "bigint")
+        assert v == 2
+        assert table_history(path)[-1]["n_files"] == 0
+        sch = table_schema(path)
+        assert dict(
+            (f.name, f.dataType.simpleString()) for f in sch.fields
+        ) == {"id": "int", "v": "bigint"}
+        _write(registered, path, [(2, 2**40)], "id int, v bigint")
+        rows = sorted(
+            (r.id, r.v)
+            for r in read_committed(registered, path, sch).collect()
+        )
+        assert rows == [(1, 10), (2, 2**40)]
+        # metadata min/max folds int-era and bigint-era stats exactly
+        agg = metadata_aggregate(path, minmax_cols=["v"])
+        assert agg["cols"]["v"]["min"] == 10
+        assert agg["cols"]["v"]["max"] == 2**40
+
+    def test_widen_rejections(self, registered, tmp_path):
+        from olap_project_spark.export.manifest_sink import widen_column
+
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, 10)], "id int, v bigint")
+        with pytest.raises(ValueError, match="not a safe widening"):
+            widen_column(path, "v", "int")  # narrowing
+        with pytest.raises(ValueError, match="already"):
+            widen_column(path, "v", "bigint")
+        with pytest.raises(ValueError, match="not in schema"):
+            widen_column(path, "ghost", "bigint")
+
+    def test_widen_via_sql_and_composes_with_rename(
+        self, spark, tmp_path, sf_dir
+    ):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+        from olap_project_spark.sources import register_tables
+
+        register_tables(spark, sf_dir)
+        lk = LakehouseSQL(spark, str(tmp_path))
+        lk.sql(
+            "CREATE TABLE t AS SELECT CAST(n_nationkey AS INT) AS k, "
+            "n_name AS v FROM nation"
+        )
+        lk.sql("ALTER TABLE t ALTER COLUMN k TYPE BIGINT")
+        lk.sql("ALTER TABLE t RENAME COLUMN v TO label")
+        got = lk.sql(
+            "SELECT SUM(k) AS s, COUNT(label) AS n FROM t"
+        ).collect()[0]
+        assert (got["s"], got["n"]) == (300, 25)
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in lk.sql("DESCRIBE t").collect()
+        }
+        assert desc == {"k": "bigint", "label": "string"}
