@@ -221,6 +221,7 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "stream_matview_freshness_stats",
     "sql_lakehouse_ddl_stats",
     "field_id_reader_stats",
+    "sql_dml_roundtrip_stats",
     # round-6 refresh slots — 38 (the last of the round-6 rows)
     "kmv_set_similarity",
     "countmin_heavy_hitters",
@@ -268,7 +269,6 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "pq_adc_quality",
     "sql_lateral_top_orders",
     "knn_label_accuracy",
-    "lm_perplexity_buckets",
 )
 
 

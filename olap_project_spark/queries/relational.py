@@ -7155,6 +7155,91 @@ def sql_lakehouse_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Lakehouse SQL DML: DELETE FROM + MERGE INTO driven from pure SQL
+# --------------------------------------------------------------------------
+@register(
+    "sql_dml_roundtrip_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    kept AS (SELECT * FROM base WHERE k % 10 <> 0),
+    upd AS (
+      SELECT k, st, cents * 2 AS cents FROM base WHERE k % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM kept WHERE k NOT IN (SELECT k FROM upd)
+    )
+    SELECT st, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM merged GROUP BY st
+    """,
+)
+def sql_dml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML surface through the gate — row-level mutation with
+    a PURE-SQL lineage (export/lakehouse_sql.py): CTAS loads the
+    orders fact, ``DELETE FROM … WHERE`` commits an Iceberg-v2
+    equality-delete of the predicate's rows (zero data files
+    rewritten), ``MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *`` lands the atomic single-commit MoR
+    upsert — including RE-INSERTING keys the delete removed (the
+    sequence-number rule: a later merge outranks an earlier
+    tombstone) — and the final per-status exact-cents totals read
+    back through the same SQL entry point, era-aware.
+
+    Oracle: DuckDB replays the identical mutation algebra
+    (kept = base minus deleted; merged = updates ∪ kept-minus-updated)
+    over the raw fact — the engine's tombstone fold and the oracle's
+    set algebra must agree to the cent.
+
+    Scale: the delete costs O(|matched keys|) tombstone bytes + one
+    manifest; the merge costs O(|updates|) + one manifest; neither
+    rewrites the fact — the same mutation pattern at 100 TB.
+
+    Reference analogue: the reference mutates by re-running the whole
+    day's WRITE_APPEND (bigquery_update_scheduler.py:163-260); here
+    row-level DML is two metadata commits."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqldml_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE ord AS SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql("DELETE FROM ord WHERE k % 10 = 0")
+        lk.sql(
+            "MERGE INTO ord USING (SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 2 AS cents "
+            "FROM orders WHERE o_orderkey % 7 = 0) ON (k) "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        open(done, "w").close()
+    return lk.sql(
+        "SELECT st, SUM(cents) AS sum_cents, COUNT(*) AS n_orders "
+        "FROM ord GROUP BY st"
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming ingest -> materialized-view freshness through maintain()
 # --------------------------------------------------------------------------
 @register(

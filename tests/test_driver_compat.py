@@ -270,6 +270,7 @@ class TestDriverContract:
             "stream_matview_freshness_stats",  # stream->view via maintain
             "sql_lakehouse_ddl_stats",       # table-format verbs as SQL
             "field_id_reader_stats",         # renamed-log reader + ids
+            "sql_dml_roundtrip_stats",       # SQL DELETE/MERGE lineage
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -173,6 +173,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "stream_matview_freshness_stats",
     "sql_lakehouse_ddl_stats",
     "field_id_reader_stats",
+    "sql_dml_roundtrip_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
