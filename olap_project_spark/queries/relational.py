@@ -7155,6 +7155,121 @@ def sql_lakehouse_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Alter-DDL surface: add + widen + rename with field-id-exact metadata
+# --------------------------------------------------------------------------
+@register(
+    "alter_ddl_stats",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation)
+             AS sum_key,
+           (SELECT CAST(SUM(n_nationkey * 10) AS BIGINT) FROM nation
+             WHERE n_nationkey >= 13) AS sum_quality,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+             WHERE n_nationkey < 13) AS nulls_quality,
+           (SELECT CAST(MIN(n_nationkey * 10) AS BIGINT) FROM nation
+             WHERE n_nationkey >= 13) AS q_min,
+           (SELECT CAST(MAX(n_nationkey * 10) AS BIGINT) FROM nation
+             WHERE n_nationkey >= 13) AS q_max
+    """,
+)
+def alter_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ALTER surface in one arc — ADD COLUMN, type WIDENING,
+    and RENAME as three METADATA-ONLY commits (export/manifest_sink.py
+    ``add_column`` / ``widen_column`` / ``rename_column``), with the
+    field-id metadata staying EXACT through all of them and zero
+    compaction: half the nation dim commits under ``(k int, name)``,
+    ``score bigint`` is ADDED (fresh field id; pre-add files read
+    NULL — the backfill contract), the second half commits with
+    scores, ``k`` WIDENS int→bigint (existing files up-cast natively
+    in the scan), and ``score`` RENAMES to ``quality``. Every value —
+    row count, the widened key sum, the renamed column's sum, its
+    exact null count (the pre-add files' rows, counted from
+    ``file_nulls`` via id translation), and its metadata-only
+    MIN/MAX — is oracle-checked against the raw dimension.
+
+    Scale: three schema changes on a 100-TB table cost three JSON
+    writes; nothing is rescanned, nothing re-sorted, and every
+    metadata surface keeps answering exactly.
+
+    Reference analogue: none — the reference evolves schemas by
+    editing consumer code and re-running it over all data
+    (spark_streaming_consumer.py:210-251)."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        add_column,
+        ensure_manifest_sink,
+        metadata_aggregate,
+        read_evolved,
+        rename_column,
+        widen_column,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    nation = load(spark, sf_dir, "nation")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_alterddl_{os.getpid()}_{tag}"
+    path = os.path.join(root, "nation_tbl")
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    if not os.path.exists(done):
+        (
+            nation.filter(F.col("n_nationkey") < 13)
+            .select(
+                F.col("n_nationkey").cast("int").alias("k"),
+                F.col("n_name").alias("name"),
+            )
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        add_column(path, "score", "bigint")
+        (
+            nation.filter(F.col("n_nationkey") >= 13)
+            .select(
+                F.col("n_nationkey").cast("int").alias("k"),
+                F.col("n_name").alias("name"),
+                (F.col("n_nationkey") * 10)
+                .cast("bigint")
+                .alias("score"),
+            )
+            .repartition(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        widen_column(path, "k", "bigint")
+        rename_column(path, "score", "quality")
+        os.makedirs(root, exist_ok=True)
+        open(done, "w").close()
+    agg = metadata_aggregate(path, minmax_cols=["quality"])
+    got = read_evolved(spark, path).agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum("quality").alias("sq"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                got["n"],
+                got["sk"],
+                got["sq"],
+                agg["cols"]["quality"]["nulls"],
+                agg["cols"]["quality"]["min"],
+                agg["cols"]["quality"]["max"],
+            )
+        ],
+        "n_rows bigint, sum_key bigint, sum_quality bigint, "
+        "nulls_quality bigint, q_min bigint, q_max bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Lakehouse SQL DML: DELETE FROM + MERGE INTO driven from pure SQL
 # --------------------------------------------------------------------------
 @register(

@@ -271,6 +271,7 @@ class TestDriverContract:
             "sql_lakehouse_ddl_stats",       # table-format verbs as SQL
             "field_id_reader_stats",         # renamed-log reader + ids
             "sql_dml_roundtrip_stats",       # SQL DELETE/MERGE lineage
+            "alter_ddl_stats",               # add/widen/rename DDL arc
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

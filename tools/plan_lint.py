@@ -174,6 +174,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "sql_lakehouse_ddl_stats",
     "field_id_reader_stats",
     "sql_dml_roundtrip_stats",
+    "alter_ddl_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
