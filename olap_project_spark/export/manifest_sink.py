@@ -1091,11 +1091,29 @@ class ManifestStreamReader(DataSourceStreamReader):
                 continue
             kind = m.get("kind", "append")
             if kind == "alter":
-                # a COLUMN RENAME always stops the stream, even under
-                # skipChangeCommits: the stream's schema is fixed at
-                # start, so appends across the rename boundary would
-                # silently null the renamed column — restart the
-                # consumer at the rename with the new schema
+                if not (
+                    m.get("rename") or m.get("drop") or m.get("widen")
+                ):
+                    # a SPEC-ONLY or ADD-COLUMN alter moves no names,
+                    # changes no readable types, and commits no rows:
+                    # the fixed-schema tail reads on unchanged (an
+                    # added column becomes visible at the NEXT stream
+                    # start) — pure metadata, safe to pass by default
+                    continue
+                if m.get("widen"):
+                    raise ValueError(
+                        f"streaming tail hit a type widening at "
+                        f"version {version}; files written under the "
+                        "wider type cannot scan under the stream's "
+                        "started schema — restart the stream to pick "
+                        "up the widened schema"
+                    )
+                # a COLUMN RENAME/DROP always stops the stream, even
+                # under skipChangeCommits: the stream's schema is
+                # fixed at start, so appends across the rename
+                # boundary would silently null the renamed column —
+                # restart the consumer at the rename with the new
+                # schema
                 raise ValueError(
                     f"streaming tail hit a column rename at version "
                     f"{version}; restart the stream with the renamed "
@@ -3943,11 +3961,14 @@ def table_schema(path: str, as_of: int | None = None) -> StructType | None:
                             f"{wcol!r} from {pair[0]} to {pair[1]}, "
                             "not a safe widening"
                         )
-                    from pyspark.sql.types import (
-                        _parse_datatype_string as _pds,
-                    )
-
-                    expect[wcol] = _pds(wtype)
+                    cur_t = cur.get(wcol)
+                    if cur_t is None or cur_t.simpleString() != wtype:
+                        raise ValueError(
+                            f"alter snapshot {version} declares "
+                            f"{wcol!r} widened to {wtype} but its "
+                            "schema disagrees"
+                        )
+                    expect[wcol] = cur_t
                 ghosts = retired & added
                 if ghosts:
                     raise ValueError(

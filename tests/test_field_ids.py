@@ -259,7 +259,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _op = st.sampled_from(
-    ["append", "rename", "delete", "merge", "compact", "addcol"]
+    ["append", "rename", "delete", "merge", "compact", "addcol",
+     "setspec"]
 )
 
 
@@ -334,6 +335,12 @@ def test_era_read_matches_model_under_any_interleaving(
             model[target] = "UP"
             model[next_k] = "NEW"
             next_k += 1
+        elif op == "setspec":
+            from olap_project_spark.export.manifest_sink import (
+                set_partition_spec,
+            )
+
+            set_partition_spec(path, ("k", "bucket", 4))
         elif op == "compact":
             compact_snapshots(registered, path, None)
         got = sorted(

@@ -187,3 +187,91 @@ class TestMaintenancePreservesSpec:
         assert tp["unaccounted_files"] == 0
         assert sum(e["n_rows"] for e in tp["partitions"]) == 15
         assert current_partition_spec(path)[0]["kind"] == "month"
+
+
+class TestStreamAcrossMetadataAlters:
+    def test_tail_passes_spec_and_add_alters_stops_at_widen(
+        self, registered, tmp_path
+    ):
+        """A spec-only or add-column alter is pure metadata: the
+        fixed-schema tail reads on by DEFAULT. A widen stops it (files
+        written wider cannot scan under the started schema)."""
+        from olap_project_spark.export.manifest_sink import (
+            add_column,
+            ensure_manifest_sink,
+            widen_column,
+        )
+
+        fmt = ensure_manifest_sink(registered)
+        path = str(tmp_path / "t")
+        (
+            registered.createDataFrame([(1, 10)], "k int, v int")
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        set_partition_spec(path, ("k", "bucket", 4))
+        add_column(path, "w", "int")
+        (
+            registered.createDataFrame(
+                [(2, 20, 5)], "k int, v int, w int"
+            )
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+
+        def drain(ckpt):
+            rows = []
+            q = (
+                registered.readStream.format(fmt)
+                .option("path", path)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, _i: rows.extend(
+                        (r.k, r.v) for r in df.collect()
+                    )
+                )
+                .option(
+                    "checkpointLocation", str(tmp_path / ckpt)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(rows)
+
+        # both metadata alters pass silently; both appends delivered
+        assert drain("c1") == [(1, 10), (2, 20)]
+        widen_column(path, "v", "bigint")
+        (
+            registered.createDataFrame(
+                [(3, 2**40, 6)], "k int, v bigint, w int"
+            )
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="widening"):
+            q = (
+                registered.readStream.format(fmt)
+                .option("path", path)
+                .load()
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", str(tmp_path / "c2")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
