@@ -282,7 +282,9 @@ def test_era_read_matches_model_under_any_interleaving(
 
     from olap_project_spark.export.manifest_sink import add_column
 
-    path = str(tmp_path / ("era_" + "".join(o[0] for o in ops)))
+    import uuid as _uuid
+
+    path = str(tmp_path / f"era_{_uuid.uuid4().hex[:12]}")
     vcol = "v0"
     vgen = 0
     extra: list[str] = []  # columns added by explicit ADD COLUMN
