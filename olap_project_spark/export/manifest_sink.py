@@ -3651,11 +3651,12 @@ def table_partitions(
             if isinstance(key, int) and key in id_to_cur:
                 s["col"] = id_to_cur[key]
             shown.append(s)
-        spec_shown = (
-            shown
-            if isinstance(spec_latest, list)
-            else (shown[0] if shown else spec_latest)
-        )
+        if not shown:
+            spec_shown = spec_latest  # canon-untranslatable: as recorded
+        elif isinstance(spec_latest, list):
+            spec_shown = shown
+        else:
+            spec_shown = shown[0]
     else:
         spec_shown = spec_latest
     return {
