@@ -2761,6 +2761,9 @@ class MaintenancePolicy:
       metadata and time-window pruning with it); when absent the loop
       preserves the table's DECLARED spec
       (:func:`current_partition_spec`) instead;
+    - ``checkpoint``: write a LOG CHECKPOINT (:func:`checkpoint_log`)
+      at the end of every non-noop pass, so read planning parses one
+      bundled file + the tail instead of the whole manifest log;
     - ``matviews``: paths of MATERIALIZED VIEWS over this table
       (export/matview.py) the loop keeps fresh: each pass runs the
       CDF-incremental ``mv_refresh`` (exactly-once by the view's own
@@ -2783,6 +2786,7 @@ class MaintenancePolicy:
     partition_by: tuple | list | None = None
     matviews: list[str] | None = None
     mv_vacuum_min_tombstones: int = 16
+    checkpoint: bool = False
 
 
 def _maintain_matview(
@@ -2942,6 +2946,11 @@ def maintain(
             path, stale_claim_ttl_s=policy.stale_claim_ttl_s
         )
         report["actions"].append("vacuum")
+    if policy.checkpoint:
+        ck = checkpoint_log(path)
+        if ck["version"] is not None:
+            report["actions"].append(f"checkpoint@{ck['version']}")
+        report["checkpoint"] = ck
     return report
 
 
@@ -2994,19 +3003,103 @@ def _log(
     file-level CDF paths operate on (those either manage the manifest
     files themselves or must keep referencing pre-restore entries)."""
     out: list[tuple[int, dict]] = []
+    ck = _latest_checkpoint(path)
     for version, entry in _list_manifests(path):
         if as_of is not None and version > as_of:
             continue
-        try:
-            with open(os.path.join(path, entry)) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            continue
+        m = ck.get(version)
+        if m is None:
+            try:
+                with open(os.path.join(path, entry)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
         tag = m.get("branch")
         if tag is not None and tag != branch:
             continue
         out.append((version, m))
     return out if raw else _effective(out)
+
+
+def _latest_checkpoint(path: str) -> dict[int, dict]:
+    """The newest LOG CHECKPOINT's bundled entries ({version:
+    manifest}), or {} — the pure PARSE CACHE behind
+    :func:`checkpoint_log`. A version absent from the bundle (a
+    branch-staged commit, an in-flight claim that landed after the
+    checkpoint, anything newer) simply falls back to its own file, so
+    a checkpoint can never change WHAT is read — only how many files
+    the driver must open to read it. A corrupt or half-written
+    checkpoint degrades to the empty cache."""
+    best = -1
+    name = None
+    if not os.path.isdir(path):
+        return {}
+    for entry in os.listdir(path):
+        if entry.startswith("_logcheckpoint-") and entry.endswith(".json"):
+            stem = entry[len("_logcheckpoint-") : -len(".json")]
+            if stem.isdigit() and int(stem) > best:
+                best, name = int(stem), entry
+    if name is None:
+        return {}
+    try:
+        with open(os.path.join(path, name)) as f:
+            bundle = json.load(f)
+        return {int(v): m for v, m in bundle["entries"].items()}
+    except (json.JSONDecodeError, OSError, KeyError, ValueError):
+        return {}  # corrupt cache: parse the files instead
+
+
+def checkpoint_log(path: str) -> dict:
+    """Write a LOG CHECKPOINT — the Delta ``_last_checkpoint`` /
+    Iceberg metadata-file mechanism for the manifest table: ONE JSON
+    file bundling every parseable MAIN manifest of the STABLE PREFIX
+    (at or below the lowest in-flight claim, so a claimed-but-unwritten
+    commit that lands later is never frozen out). Read planning then
+    parses 1 checkpoint + the tail instead of the whole log — at a
+    100-TB table's commit cadence (thousands of manifests between
+    compactions) this turns every driver-side plan from O(#manifests)
+    file opens into O(#manifests-since-checkpoint) + 1.
+
+    The checkpoint is a CACHE, not a truth: readers still LIST the
+    physical manifests (vacuum-expired versions never resurrect) and
+    fall back to per-file parsing for any version the bundle lacks —
+    branch-staged commits (excluded by construction; they may mutate
+    at publish), late-landing in-flight claims, and everything newer.
+    Idempotent: re-checkpointing at the same stable head is a no-op.
+
+    Returns {"version": k, "bundled": n} (or {"version": None} when
+    there is nothing new to checkpoint)."""
+    files, parsed = _parse_all(path)
+    in_flight = _VERSION_CLAIMER.in_flight_versions(path)
+    head = max(parsed, default=0)
+    k = min(in_flight) - 1 if in_flight else head
+    k = min(k, head)
+    if k <= 0:
+        return {"version": None, "bundled": 0}
+    existing = _latest_checkpoint(path)
+    entries = {
+        v: m
+        for v, m in parsed.items()
+        if v <= k and m.get("branch") is None
+    }
+    if existing and max(existing, default=0) >= max(entries, default=0):
+        return {"version": None, "bundled": len(existing)}
+    tmp = os.path.join(path, f"._ckpt-{uuid.uuid4().hex}.tmp")
+    final = os.path.join(path, f"_logcheckpoint-{k:06d}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": k, "entries": entries}, f)
+    os.replace(tmp, final)  # atomic: readers see old or new cache
+    for entry in os.listdir(path):  # retire superseded caches
+        if (
+            entry.startswith("_logcheckpoint-")
+            and entry.endswith(".json")
+            and entry != f"_logcheckpoint-{k:06d}.json"
+        ):
+            try:
+                os.remove(os.path.join(path, entry))
+            except OSError:
+                pass  # a racing reader may hold it; next pass retries
+    return {"version": k, "bundled": len(entries)}
 
 
 def _last_rewrite_index(log: list[tuple[int, dict]]) -> int:

@@ -223,6 +223,7 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "field_id_reader_stats",
     "sql_dml_roundtrip_stats",
     "alter_ddl_stats",
+    "log_checkpoint_stats",
     # round-6 refresh slots — 38 (the last of the round-6 rows)
     "kmv_set_similarity",
     "countmin_heavy_hitters",
@@ -268,7 +269,6 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "prefix_filtered_dup_pairs",
     "stratified_sample_stats",
     "pq_adc_quality",
-    "sql_lateral_top_orders",
 )
 
 

@@ -7155,6 +7155,129 @@ def sql_lakehouse_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Log checkpoints: O(tail) read planning over a deep commit history
+# --------------------------------------------------------------------------
+@register(
+    "log_checkpoint_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    kept AS (SELECT * FROM base WHERE k % 10 <> 0),
+    reins AS (SELECT * FROM base WHERE k % 10 = 0 AND k % 4 = 2),
+    fin AS (SELECT * FROM kept UNION ALL SELECT * FROM reins)
+    SELECT CAST(13 AS INTEGER) AS ck_version,
+           CAST(13 AS INTEGER) AS bundled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_rows,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM fin) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 12 < 6)
+             AS tt_rows
+    """,
+)
+def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG CHECKPOINTS through the gate — the Delta
+    ``_last_checkpoint`` mechanism for the manifest table
+    (export/manifest_sink.py ``checkpoint_log``): after 12 slice
+    appends and an equality-delete, ONE JSON file bundles the stable
+    13-commit prefix, and every read from then on parses 1 checkpoint
+    + the tail instead of the whole log — at a 100-TB table's commit
+    cadence (thousands of manifests between compactions), the
+    difference between O(#manifests) and O(Δ) driver-side file opens
+    on EVERY plan.
+
+    The checkpoint is a pure PARSE CACHE (reads stay listing-driven
+    and fall back per-version to the files), so the pinned contract is
+    pure invariance: a post-checkpoint append that RE-INSERTS keys the
+    pre-checkpoint delete removed folds by the sequence-number rule
+    across the cache/tail boundary (``n_rows``/``sum_cents`` — exact
+    cents against a DuckDB replay of the same mutation algebra), and
+    time travel BELOW the checkpoint still answers from the bundle
+    (``tt_rows`` at version 6 = the first six slices).
+
+    Reference analogue: none — the reference re-lists HDFS directories
+    per run (list_hdfs_files); here deep history costs one file."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.manifest_sink import (
+        checkpoint_log,
+        delete_where,
+        ensure_manifest_sink,
+        read_committed,
+        table_schema,
+    )
+
+    fmt = ensure_manifest_sink(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_logckpt_{os.getpid()}_{tag}"
+    path = os.path.join(root, "orders_tbl")
+    stats_file = os.path.join(root, "_stats.json")
+    _fresh_build_dir(root, stats_file)
+    if not os.path.exists(stats_file):
+        import json as _json
+
+        for i in range(12):  # a deep commit history, one slice each
+            (
+                orders.filter(F.col("k") % 12 == i)
+                .coalesce(1)
+                .write.format(fmt)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+        delete_where(
+            spark,
+            path,
+            orders.filter(F.col("k") % 10 == 0).select("k"),
+        )
+        ck = checkpoint_log(path)
+        (
+            orders.filter(
+                (F.col("k") % 10 == 0) & (F.col("k") % 4 == 2)
+            )
+            .coalesce(1)
+            .write.format(fmt)
+            .option("path", path)
+            .mode("append")
+            .save()
+        )  # the tail: re-inserted keys outrank the cached tombstone
+        stats = {"ck_version": ck["version"], "bundled": ck["bundled"]}
+        os.makedirs(root, exist_ok=True)
+        with open(stats_file, "w") as f:
+            _json.dump(stats, f)
+    import json as _json
+
+    with open(stats_file) as f:
+        stats = _json.load(f)
+    sch = table_schema(path)
+    got = read_committed(spark, path, sch).agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    ).collect()[0]
+    tt = read_committed(spark, path, sch, as_of=6).count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["ck_version"],
+                stats["bundled"],
+                got["n"],
+                got["s"],
+                tt,
+            )
+        ],
+        "ck_version int, bundled int, n_rows bigint, sum_cents bigint, "
+        "tt_rows bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Alter-DDL surface: add + widen + rename with field-id-exact metadata
 # --------------------------------------------------------------------------
 @register(

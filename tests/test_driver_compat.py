@@ -272,6 +272,7 @@ class TestDriverContract:
             "field_id_reader_stats",         # renamed-log reader + ids
             "sql_dml_roundtrip_stats",       # SQL DELETE/MERGE lineage
             "alter_ddl_stats",               # add/widen/rename DDL arc
+            "log_checkpoint_stats",          # O(tail) log-cache planning
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

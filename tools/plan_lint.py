@@ -175,6 +175,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "field_id_reader_stats",
     "sql_dml_roundtrip_stats",
     "alter_ddl_stats",
+    "log_checkpoint_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
