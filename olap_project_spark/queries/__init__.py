@@ -136,86 +136,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-12 window (swapped in from the pre-staged r12
-# draft after the ts-encoding canaries passed 3/3): the 14 round-11
+# modules import. Round-13 window (swapped in from the pre-staged r13
+# draft after the ts-encoding canaries passed 3/3): the 8 round-12
 # additions that have never had a driver CORRECTNESS row — the
-# lakehouse operational tier (restore, clone, write-time expectations,
-# table$partitions, token-bloom keyword search, materialized views with
-# incremental CDF refresh, metadata-only aggregates, stream skip
-# options, rename column, public pushdown batch reader, hidden
-# partitioning, maintenance loop, multi-field transform pruning) and
-# the k-means-trained IVF quantizer — plus the 24 last round-5 refresh
-# rows and the 12 oldest round-6 rows. Rotate the list each round to
-# cycle coverage.
+# lakehouse round-12 arc (multi-token/phrase bloom search,
+# partition-spec evolution, stream→matview freshness, SQL DDL entry,
+# field-id exact reads, SQL DML round-trip, ALTER verbs, log
+# checkpoints) — plus the 38 remaining round-6 refresh rows and the 12
+# oldest round-7 rows. Rotate the list each round to cycle coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-11 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
-    "manifest_restore_stats",
-    "manifest_clone_stats",
-    "expectations_quarantine_stats",
-    "manifest_partitions_metadata_stats",
-    "token_bloom_search_stats",
-    "matview_incremental_refresh_stats",
-    "metadata_only_aggregate_stats",
-    "stream_skip_change_commits_stats",
-    "column_rename_stats",
-    "manifest_batch_reader_stats",
-    "hidden_partitioning_stats",
-    "ann_trained_quantizer_stats",
-    "auto_maintenance_stats",
-    "multi_transform_pruning_stats",
-    # round-5 refresh slots — 24 (the last of the round-5 rows)
-    "session_funnel_stats",
-    "pii_redaction_stats",
-    "sql_urgent_open_customers",
-    "context_packing_stats",
-    "quantized_cosine_quality",
-    "ann_topk_bruteforce",
-    "ivf_near_dup_pairs",
-    "exact_dedup_summary",
-    "ngram_dup_pairs",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
-    "near_dup_clusters",
-    "fuzzy_part_name_pairs",
-    "dup_triangles",
-    "doc_knn_graph",
-    "pagerank_canonical_docs",
-    "events_by_hour",
-    "anomalous_hours",
-    "event_type_summary",
-    "user_error_rates",
-    "large_events_profile",
-    "daily_error_trend",
-    "weekend_vs_weekday",
-    "above_avg_error_users",
-    # round-6 refresh slots — 21 (CORRECTNESS_r06 order; tail
-    # trimmed as round-11 additions landed)
-    "conversion_latency_quantiles",
-    "score_lift_gains",
-    "bootstrap_mean_ci",
-    "retrieval_eval_metrics",
-    "benford_digit_audit",
-    "cusum_changepoints",
-    "k_anonymity_audit",
-    "value_drawdown_curve",
-    "cluster_top_terms",
-    "aqe_skew_join_stats",
-    "ewma_daily_value",
-    "embedding_dimension_stats",
-)
-
-
-# Round-13 window, pre-staged (swap into GATE_WINDOW at round-13 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 12: new round-12 queries are inserted
-# at the HEAD and the refresh tail is trimmed to keep the list at
-# exactly 50. Current composition: the 38 remaining round-6 rows
-# (CORRECTNESS_r06 order) + the 12 oldest round-7 rows
-# (CORRECTNESS_r07 order; tail trimmed as round-12 additions land).
-GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
-    # round-12 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
+    # round-12 additions — first driver CORRECTNESS row this round
     "token_search_multi_stats",
     "partition_spec_evolution_stats",
     "stream_matview_freshness_stats",
@@ -263,12 +193,77 @@ GATE_WINDOW_R13_DRAFT: tuple[str, ...] = (
     "event_transition_matrix",
     "event_type_associations",
     "stateful_record_highs",
-    # round-7 refresh slots — 12 (CORRECTNESS_r07 order; tail
-    # trimmed as round-12 additions land)
+    # round-7 refresh slots — 12 (CORRECTNESS_r07 order)
     "daily_operations_summary",
     "prefix_filtered_dup_pairs",
     "stratified_sample_stats",
     "pq_adc_quality",
+)
+
+
+# Round-14 window, pre-staged (swap into GATE_WINDOW at round-14 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Maintained live during round 13: new round-13 queries are inserted
+# at the HEAD and the refresh tail is trimmed to keep the list at
+# exactly 50. Current composition: the 46 remaining round-7 rows
+# (CORRECTNESS_r07 order) + the 4 oldest round-8 rows
+# (CORRECTNESS_r08 order; tail trimmed as round-13 additions land).
+GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
+    # round-13 additions — no driver CORRECTNESS row yet
+    # (inserted here as they land)
+    # round-7 refresh slots — 46 (the remaining round-7 rows)
+    "sql_lateral_top_orders",
+    "knn_label_accuracy",
+    "lm_perplexity_buckets",
+    "ann_ivf_pq_topk",
+    "source_vocab_divergence",
+    "concurrent_session_peaks",
+    "char_entropy_buckets",
+    "bpe_merge_candidates",
+    "km_churn_survival",
+    "cuped_adjusted_metrics",
+    "mann_whitney_ab_test",
+    "media_phash_dup_pairs",
+    "temperature_mixture_plan",
+    "dedup_token_savings",
+    "ann_hubness_audit",
+    "chi2_type_dow_independence",
+    "readability_scores",
+    "cross_source_dup_matrix",
+    "zipf_law_fit",
+    "mixture_diversity_stats",
+    "value_outliers",
+    "cumulative_unique_users",
+    "hourly_spine_filled",
+    "hourly_spine_interpolated",
+    "kmv_distinct_users",
+    "props_variant_buckets",
+    "rolling_daily_active_users",
+    "salted_nation_event_stats",
+    "session_window_stats",
+    "timezone_business_hours",
+    "user_key_skew_profile",
+    "value_moment_shape",
+    "value_robust_stats",
+    "weekly_value_growth",
+    "asof_last_order",
+    "bpe_token_stats",
+    "corpus_curation_report",
+    "customer_spend_deciles",
+    "discounted_revenue_or",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_rolling_hash",
+    "doc_split_assignment",
+    "dominant_part_suppliers",
+    "frame_sample_stats",
+    # round-8 refresh slots — 4 (CORRECTNESS_r08 order; tail
+    # trimmed as round-13 additions land)
+    "ann_candidate_fraction",
+    "repeated_substring_spans",
+    "substring_dedup_savings",
+    "hard_negative_mining",
 )
 
 
