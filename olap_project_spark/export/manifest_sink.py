@@ -43,7 +43,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
+from collections import OrderedDict
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -1606,19 +1608,123 @@ def _list_manifests(path: str) -> list[tuple[int, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# In-process parsed-log cache.
+#
+# Every driver-side planning step — read planning, schema resolution,
+# pruning, metadata tables, field-id derivation, the streaming head's
+# latestOffset poll — funnels through _log()/_parse_all(). Without a
+# cache each call re-opens and re-JSON-parses the latest checkpoint
+# bundle PLUS the log tail; a lifecycle operation makes dozens of such
+# calls, so driver work grows quadratically in log depth per session.
+# The cache makes each call O(#log files) stat()s instead: a scandir
+# fingerprint of every manifest + checkpoint file's (name, mtime_ns,
+# size) validates the cached parse, so ANY commit — a new manifest, a
+# claim file landing its os.replace, a branch publish rewriting a
+# manifest IN PLACE, a vacuum removing one, a new checkpoint —
+# invalidates it without writer coordination, including commits made
+# by OTHER processes (no in-process hook could see those). Entries are
+# parsed checkpoint-first exactly as _log() always has; the checkpoint
+# is a pure parse cache (it can never change WHAT is read), so serving
+# _parse_all() from the same entries is content-identical to its old
+# per-file parse. Consumers never mutate returned manifests (audited;
+# publish_branch copies before popping), so sharing the parsed dicts
+# is safe.
+_SCAN_CACHE: OrderedDict[
+    str, tuple[tuple, list[tuple[int, str, dict | None]]]
+] = OrderedDict()
+_SCAN_CACHE_MAX = 32
+_SCAN_LOCK = threading.Lock()
+_SCAN_STATS = {"hits": 0, "rebuilds": 0}
+
+
+def clear_log_cache() -> None:
+    """Drop every cached parsed log (tests; long-lived sessions that
+    want to bound memory across thousands of tables)."""
+    with _SCAN_LOCK:
+        _SCAN_CACHE.clear()
+        _SCAN_STATS["hits"] = 0
+        _SCAN_STATS["rebuilds"] = 0
+
+
+def _log_fingerprint(path: str) -> tuple | None:
+    """Stat-level fingerprint of the log directory: (name, mtime_ns,
+    size) for every manifest and checkpoint file, sorted. One syscall
+    per file — no opens, no JSON. None when the table directory does
+    not exist (never-written table)."""
+    try:
+        it = os.scandir(path)
+    except OSError:
+        return None
+    fp: list[tuple[str, int, int]] = []
+    with it:
+        for de in it:
+            n = de.name
+            if not n.endswith(".json"):
+                continue
+            if not (
+                n.startswith("_manifest-")
+                or n.startswith("_logcheckpoint-")
+            ):
+                continue
+            try:
+                st = de.stat()
+            except OSError:
+                continue  # racing remove: next call re-fingerprints
+            fp.append((n, st.st_mtime_ns, st.st_size))
+    fp.sort()
+    return tuple(fp)
+
+
+def _scan_log(path: str) -> list[tuple[int, str, dict | None]]:
+    """(version, filename, parsed manifest | None) for every committed
+    manifest file, in :func:`_list_manifests` order — the ONE parse
+    pass behind :func:`_log` and :func:`_parse_all`, cached per
+    process and validated by :func:`_log_fingerprint` on every call.
+    ``None`` marks an unreadable entry (an in-flight claim mid-write,
+    a corrupt file) — the in-flight signal the streaming head and the
+    claimer derivation consume."""
+    fp = _log_fingerprint(path)
+    if fp is None:
+        return []
+    with _SCAN_LOCK:
+        hit = _SCAN_CACHE.get(path)
+        if hit is not None and hit[0] == fp:
+            _SCAN_CACHE.move_to_end(path)
+            _SCAN_STATS["hits"] += 1
+            return hit[1]
+    ck = _latest_checkpoint(path)
+    entries: list[tuple[int, str, dict | None]] = []
+    for version, entry in _list_manifests(path):
+        m = ck.get(version)
+        if m is None:
+            try:
+                with open(os.path.join(path, entry)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                m = None
+        entries.append((version, entry, m))
+    with _SCAN_LOCK:
+        _SCAN_STATS["rebuilds"] += 1
+        _SCAN_CACHE[path] = (fp, entries)
+        _SCAN_CACHE.move_to_end(path)
+        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+            _SCAN_CACHE.popitem(last=False)
+    return entries
+
+
 def _parse_all(path: str) -> tuple[dict[int, str], dict[int, dict]]:
     """ONE parse pass over the manifest log: (version → filename,
     version → parsed manifest for the readable subset). The shared
     substrate of the in-flight derivation and the streaming head, so
-    a latestOffset poll costs one O(#manifests) parse, not two."""
-    files = dict(_list_manifests(path))
-    parsed: dict[int, dict] = {}
-    for version, entry in files.items():
-        try:
-            with open(os.path.join(path, entry)) as f:
-                parsed[version] = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            continue
+    a latestOffset poll costs one cached :func:`_scan_log` pass, not
+    two parses."""
+    scan = _scan_log(path)
+    files = {version: entry for version, entry, _m in scan}
+    last: dict[int, dict | None] = {}
+    for version, _entry, m in scan:
+        last[version] = m  # last filename per version wins, as before
+    parsed = {v: m for v, m in last.items() if m is not None}
     return files, parsed
 
 
@@ -2661,6 +2767,98 @@ def merge_upsert(
     }
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, str],
+    predicate: str,
+    branch: str | None = None,
+) -> dict:
+    """``UPDATE t SET col = expr, ... WHERE pred`` as ONE ATOMIC
+    snapshot, compiled to the merge-on-read path: the matched rows are
+    read, the assignments applied (cast back to each column's declared
+    type — the standard UPDATE contract), and the result committed
+    through :func:`merge_upsert` with the UNTOUCHED columns as the
+    merge keys — so the one ``kind='merge'`` manifest tombstones
+    exactly the matched pre-update rows and inserts their rewritten
+    images. No data file is read twice or rewritten; a reader pinned
+    at any version sees exactly pre- or post-update state (the
+    delete-applied-but-not-reinserted window of a two-commit UPDATE
+    cannot be observed), and the CDF surface shows the delete+insert
+    pairs of a row-level update.
+
+    The merge expresses the update faithfully iff tombstoning on the
+    untouched projection kills ONLY matched rows — i.e. no unmatched
+    row shares its untouched-column values with a matched row. That is
+    checked with one aggregation BEFORE the commit; an ambiguous
+    UPDATE raises (the caller can widen the SET-free identity —
+    standard MERGE engines reject the analogous multi-match — or fall
+    back to an explicit DELETE + INSERT pair). Duplicated matched rows
+    update together and keep their multiplicity. Returns
+    {"version", "n_updated", "n_data_files"}."""
+    from pyspark.sql import functions as _F
+
+    if not assignments:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"no recorded schema in manifest log at {path}")
+    cols = [f.name for f in sch.fields]
+    types = {f.name: f.dataType for f in sch.fields}
+    unknown = sorted(set(assignments) - set(cols))
+    if unknown:
+        raise ValueError(f"UPDATE sets unknown columns: {unknown}")
+    untouched = [c for c in cols if c not in assignments]
+    if not untouched:
+        raise ValueError(
+            "UPDATE sets every column, leaving no row identity for the "
+            "atomic merge; keep at least one column out of SET (or "
+            "DELETE + INSERT)"
+        )
+    df = read_evolved(spark, path)
+    # NULL predicate results are non-matches (SQL WHERE semantics) in
+    # BOTH the match leg and the ambiguity probe, so they agree.
+    pred = _F.coalesce(_F.expr(predicate), _F.lit(False))
+    ambiguous = (
+        df.groupBy(*[_F.col(c) for c in untouched])
+        .agg(
+            _F.max(pred).alias("__any_m"),
+            _F.min(pred).alias("__all_m"),
+        )
+        .filter("__any_m AND NOT __all_m")
+        .limit(1)
+        .count()
+    )
+    if ambiguous:
+        raise ValueError(
+            "ambiguous UPDATE: rows NOT matching the WHERE share their "
+            f"non-updated column values {untouched} with matched rows, "
+            "so the atomic merge would update them too; narrow the SET "
+            "list or use DELETE + INSERT"
+        )
+    new_rows = df.filter(pred).select(
+        *[
+            _F.expr(assignments[c]).cast(types[c]).alias(c)
+            if c in assignments
+            else _F.col(c)
+            for c in cols
+        ]
+    )
+    r = merge_upsert(
+        spark,
+        path,
+        new_rows,
+        keys=untouched,
+        branch=branch,
+        props={"update_where": predicate, "update_set": dict(assignments)},
+    )
+    return {
+        "version": r["version"],
+        "n_updated": r["n_updates"],
+        "n_data_files": r["n_data_files"],
+    }
+
+
 def plan_compaction_ranges(
     path: str,
     col: str,
@@ -3001,19 +3199,17 @@ def _log(
     ``raw=True`` returns the physical log instead — the axis vacuum,
     branch publish/abandon, version listings, history, and the
     file-level CDF paths operate on (those either manage the manifest
-    files themselves or must keep referencing pre-restore entries)."""
+    files themselves or must keep referencing pre-restore entries).
+
+    Parsing is served by the fingerprint-validated process cache
+    (:func:`_scan_log`): a call costs one stat pass over the log
+    directory, not a re-parse of the checkpoint bundle + tail."""
     out: list[tuple[int, dict]] = []
-    ck = _latest_checkpoint(path)
-    for version, entry in _list_manifests(path):
+    for version, _entry, m in _scan_log(path):
+        if m is None:
+            continue  # in-flight claim / corrupt file: not readable
         if as_of is not None and version > as_of:
             continue
-        m = ck.get(version)
-        if m is None:
-            try:
-                with open(os.path.join(path, entry)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue
         tag = m.get("branch")
         if tag is not None and tag != branch:
             continue
@@ -3543,13 +3739,11 @@ def read_token_search_all(
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY for the manifest table: one dict per committed
     snapshot — version, kind (append/rewrite), file count, row count,
-    and whether it recorded a schema. Driver-side, O(#manifests)."""
+    and whether it recorded a schema. Driver-side, served from the
+    fingerprint-validated parse cache (:func:`_scan_log`)."""
     out = []
-    for version, entry in _list_manifests(path):
-        try:
-            with open(os.path.join(path, entry)) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
+    for version, _entry, m in _scan_log(path):
+        if m is None:
             continue
         out.append(
             {
@@ -3562,6 +3756,46 @@ def table_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """Resolve a wall-clock instant to the snapshot version current AT
+    that instant — the latest committed version whose commit time is
+    at or before ``ts`` — enabling ``FOR TIMESTAMP AS OF`` /
+    BigQuery-style ``FOR SYSTEM_TIME AS OF`` reads (the reference's
+    warehouse time-travel verb, bigquery_update_scheduler.py:255-260,
+    re-expressed over the manifest log). Commit time is the manifest
+    file's modification time — the same mechanism Delta's
+    ``timestampAsOf`` uses (commit-file modification timestamps) — so
+    it applies retroactively to every existing table with no manifest
+    format change. ``ts`` is epoch seconds or an ISO-8601 string
+    (naive strings are UTC — the engine's wall-clock convention).
+    Raises when the table has no commit at or before ``ts``."""
+    if isinstance(ts, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = dt.timestamp()
+    else:
+        epoch = float(ts)
+    best = None
+    for version, entry, m in _scan_log(path):
+        if m is None or m.get("branch") is not None:
+            continue  # in-flight, corrupt, or staged: not main-visible
+        try:
+            mtime = os.path.getmtime(os.path.join(path, entry))
+        except OSError:
+            continue  # racing vacuum
+        if mtime <= epoch and (best is None or version > best):
+            best = version
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} is as old as {ts!r}; the earliest "
+            "commit is newer (or the table is empty)"
+        )
+    return best
 
 
 def table_files(

@@ -4,12 +4,15 @@ incremental refresh — the lakehouse MV maintenance loop
 self-maintainable-view literature), Spark-first.
 
 View class: KEYED AGGREGATES — ``GROUP BY k1..kn`` with integer SUM
-aggregates (and row counts), the self-maintainable family: every
-base-table change folds into the view as a SIGNED delta (+row for an
-insert, −row for a delete), so a refresh costs O(|changes|), never a
-base re-scan. Sums are exact integers (the engine's cross-engine
-convention — express money as cents in the agg expr); averages are
-derivable as sum/count downstream.
+aggregates, non-null COUNTs, and AVGs, the self-maintainable family:
+every base-table change folds into the view as a SIGNED delta (+row
+for an insert, −row for a delete), so a refresh costs O(|changes|),
+never a base re-scan. Sums are exact integers (the engine's
+cross-engine convention — express money as cents in the agg expr).
+AVG is stored as its exact (sum, non-null count) pair in hidden state
+columns and derived at read time — the counted-IVM decomposition —
+so it stays exactly incremental; MIN/MAX remain rejected (a delete
+can strand them, the classic non-self-maintainable aggregates).
 
 The view itself IS a manifest table, so it inherits time travel,
 snapshot isolation, vacuum, and the metadata surfaces. A refresh is
@@ -91,13 +94,48 @@ def _applied_base_version(mv_path: str) -> int:
     return applied
 
 
+def _agg_fn(a: dict) -> str:
+    fn = a.get("fn", "sum").lower()
+    if fn not in ("sum", "count", "avg"):
+        raise ValueError(
+            f"materialized views maintain sum/count/avg, not {fn!r} "
+            "(min/max are not self-maintainable under deletes)"
+        )
+    return fn
+
+
+def _state_cols(spec: dict) -> list[str]:
+    """The PHYSICAL aggregate columns of the view's state (excluding
+    the internal row count): sums and counts store under their own
+    names; an avg stores its exact (sum, non-null count) pair in
+    hidden columns and is derived at read time."""
+    out: list[str] = []
+    for a in spec["aggs"]:
+        if _agg_fn(a) == "avg":
+            out += [f"__mv_sum__{a['as']}", f"__mv_cnt__{a['as']}"]
+        else:
+            out.append(a["as"])
+    return out
+
+
 def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
     """The full-recompute aggregation: GROUP BY keys with exact
-    integer sums + the internal row count."""
-    aggs = [
-        F.sum(F.expr(a["expr"])).cast("bigint").alias(a["as"])
-        for a in spec["aggs"]
-    ]
+    integer sums / non-null counts (avg as its sum+count pair) + the
+    internal row count."""
+    aggs = []
+    for a in spec["aggs"]:
+        fn, e = _agg_fn(a), F.expr(a["expr"])
+        if fn == "sum":
+            aggs.append(F.sum(e).cast("bigint").alias(a["as"]))
+        elif fn == "count":
+            aggs.append(F.count(e).cast("bigint").alias(a["as"]))
+        else:  # avg: exact decomposition
+            aggs.append(
+                F.sum(e).cast("bigint").alias(f"__mv_sum__{a['as']}")
+            )
+            aggs.append(
+                F.count(e).cast("bigint").alias(f"__mv_cnt__{a['as']}")
+            )
     aggs.append(F.count(F.lit(1)).alias(_COUNT_COL))
     return df.groupBy(*spec["group_by"]).agg(*aggs)
 
@@ -105,14 +143,26 @@ def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
 def _delta_frame(changes: DataFrame, spec: dict) -> DataFrame:
     """Signed-delta aggregation over a CDF slice: inserts weigh +1,
     deletes −1, so summing weighted values per key yields exactly the
-    adjustment the view needs."""
+    adjustment the view needs. COUNT legs weigh only non-null expr
+    rows — SQL count semantics — so they stay exact under deltas."""
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    aggs = [
-        F.sum(F.expr(a["expr"]) * w).cast("bigint").alias(a["as"])
-        for a in spec["aggs"]
-    ]
+    aggs = []
+    for a in spec["aggs"]:
+        fn, e = _agg_fn(a), F.expr(a["expr"])
+        signed_cnt = F.coalesce(
+            F.sum(F.when(e.isNotNull(), w)), F.lit(0)
+        ).cast("bigint")
+        if fn == "sum":
+            aggs.append(F.sum(e * w).cast("bigint").alias(a["as"]))
+        elif fn == "count":
+            aggs.append(signed_cnt.alias(a["as"]))
+        else:  # avg
+            aggs.append(
+                F.sum(e * w).cast("bigint").alias(f"__mv_sum__{a['as']}")
+            )
+            aggs.append(signed_cnt.alias(f"__mv_cnt__{a['as']}"))
     aggs.append(F.sum(w).cast("bigint").alias(_COUNT_COL))
     return changes.groupBy(*spec["group_by"]).agg(*aggs)
 
@@ -174,9 +224,27 @@ def mv_read(spark: SparkSession, mv_path: str) -> DataFrame:
     count column stays an implementation detail unless the spec
     exposes its own count via ``{"expr": "1", "as": name}``).
     Zero-count tombstone rows (keys whose base rows were all deleted)
-    are filtered here, so consumers never see them."""
+    are filtered here, so consumers never see them. AVG aggregates are
+    derived from their exact hidden (sum, count) pair — double
+    division of exact integer state, NULL when every base value was
+    NULL, exactly SQL AVG."""
+    meta = _load_meta(mv_path)
+    spec = meta["spec"]
     df = read_committed(spark, mv_path, table_schema(mv_path))
-    return df.filter(F.col(_COUNT_COL) > 0).drop(_COUNT_COL)
+    df = df.filter(F.col(_COUNT_COL) > 0)
+    exposed = []
+    for a in spec["aggs"]:
+        if _agg_fn(a) == "avg":
+            s, c = f"__mv_sum__{a['as']}", f"__mv_cnt__{a['as']}"
+            exposed.append(
+                F.when(
+                    F.col(c) > 0,
+                    F.col(s).cast("double") / F.col(c),
+                ).alias(a["as"])
+            )
+        else:
+            exposed.append(F.col(a["as"]))
+    return df.select(*spec["group_by"], *exposed)
 
 
 def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
@@ -242,7 +310,7 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         }
     delta = _delta_frame(changes, spec)
     state = read_committed(spark, mv_path, table_schema(mv_path))
-    agg_cols = [a["as"] for a in spec["aggs"]] + [_COUNT_COL]
+    agg_cols = _state_cols(spec) + [_COUNT_COL]
     merged = (
         state.join(delta, on=keys, how="right")  # touched keys only
         .select(
