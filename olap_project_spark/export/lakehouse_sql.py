@@ -8,8 +8,10 @@ The reference's warehouse users speak DDL to BigQuery
 the DDL analogue); here the verbs target the manifest table format:
 
     CREATE TABLE t AS SELECT ...
+    CREATE TABLE t (a INT, b STRING)       -- schema-only empty commit
     INSERT INTO t SELECT ...
     DELETE FROM t WHERE ...                -- equality-delete commit
+    UPDATE t SET c = expr [, ...] [WHERE pred]  -- ONE atomic merge
     MERGE INTO t USING (SELECT ...) ON (k1, k2)
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *     -- atomic MoR upsert
@@ -23,12 +25,18 @@ the DDL analogue); here the verbs target the manifest table format:
     VACUUM t
     DESCRIBE HISTORY t
     CREATE MATERIALIZED VIEW v AS
-        SELECT k, SUM(expr) AS a, COUNT(*) AS n FROM t GROUP BY k
+        SELECT k, SUM(expr) AS a, COUNT(*) AS n,
+               COUNT(col) AS c, AVG(expr) AS m FROM t GROUP BY k
     REFRESH MATERIALIZED VIEW v
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
                 materialized views resolve tombstone-filtered, and
                 t__history / t__files / t__partitions resolve as
-                driver-side metadata views — zero data files opened)
+                driver-side metadata views — zero data files opened;
+                registration is LAZY — only the tables a statement
+                references fold their logs)
+    SELECT ... FROM t VERSION AS OF n           -- time-travel reads
+    SELECT ... FROM t [FOR] TIMESTAMP AS OF '2026-01-01 00:00:00'
+    SELECT ... FROM t FOR SYSTEM_TIME AS OF '...'  -- BigQuery spelling
 
 Statements are dispatched by a small grammar (regex head + Spark SQL
 for every relational body); anything that is not a lakehouse verb
@@ -47,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from olap_project_spark.export.manifest_sink import (
     add_column,
+    committed_versions,
     compact_snapshots,
     delete_where,
     drop_column,
@@ -60,11 +69,24 @@ from olap_project_spark.export.manifest_sink import (
     table_history,
     table_partitions,
     table_schema,
+    update_where,
     vacuum_snapshots,
+    version_at_timestamp,
     widen_column,
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+# Words that may directly follow a table reference and therefore are
+# NOT aliases — the time-travel rewriter uses this to decide whether
+# the original table name must be re-bound as an alias.
+_NOT_AN_ALIAS = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "EXCEPT",
+    "INTERSECT", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "NATURAL", "SEMI", "ANTI", "LATERAL", "ON", "USING", "WINDOW",
+    "QUALIFY", "DISTRIBUTE", "CLUSTER", "SORT", "PIVOT", "UNPIVOT",
+    "TABLESAMPLE", "FOR", "VERSION", "TIMESTAMP", "AND", "OR",
+}
 
 
 class LakehouseSQL:
@@ -105,52 +127,74 @@ class LakehouseSQL:
             if re.fullmatch(_IDENT, e) and self._exists(e)
         )
 
-    def _register_catalog(self) -> None:
-        """Expose every catalog table to Spark SQL: manifest tables
-        resolve through the era-aware read, materialized views through
-        mv_read (tombstone rows filtered) — a SELECT never sees
-        internals. Each table also registers its METADATA TABLES
-        (Iceberg's ``t$files``/``t$partitions``/``t$history``, spelled
+    def _register_catalog(self, statement: str | None = None) -> None:
+        """Expose catalog tables to Spark SQL: manifest tables resolve
+        through the era-aware read, materialized views through mv_read
+        (tombstone rows filtered) — a SELECT never sees internals.
+        Each table can also register its METADATA TABLES (Iceberg's
+        ``t$files``/``t$partitions``/``t$history``, spelled
         ``t__files``/``t__partitions``/``t__history`` — ``$`` is not a
         Spark view-name character): driver-side folds of the manifest
-        log, zero data files opened."""
+        log, zero data files opened.
+
+        Registration is LAZY per statement: only tables whose bare
+        identifier appears in ``statement`` register, and each
+        metadata view registers only when ITS identifier appears —
+        word-boundary matching on the raw SQL is a safe
+        over-approximation (any reference contains the identifier;
+        a false positive merely registers an unused view). Without
+        this, every statement would fold every table's full log —
+        O(catalog × log depth) driver work per SELECT. ``None``
+        registers everything (the eager legacy behavior, kept for
+        callers that enumerate the catalog)."""
         from olap_project_spark.export.matview import _meta_path, mv_read
 
         for name in self._tables():
-            p = self.path(name)
-            if os.path.exists(_meta_path(p)):
-                df = mv_read(self.spark, p)
+            if statement is None:
+                base = hist = files = parts = True
             else:
-                df = read_evolved(self.spark, p)
-            df.createOrReplaceTempView(name)
-            hist = table_history(p)
-            self.spark.createDataFrame(
-                [
-                    (h["version"], h["kind"], h["n_files"], h["n_rows"])
-                    for h in hist
-                ],
-                "version int, kind string, n_files int, n_rows bigint",
-            ).createOrReplaceTempView(f"{name}__history")
-            files = table_files(p)
-            self.spark.createDataFrame(
-                [
-                    (e["version"], e["file_name"], e.get("n_rows"))
-                    for e in files
-                ],
-                "version int, file_name string, n_rows bigint",
-            ).createOrReplaceTempView(f"{name}__files")
-            try:
-                tp = table_partitions(p, strict=False)
-            except ValueError:
-                tp = None  # no transform spec recorded: no view
-            if tp is not None:
+                base = re.search(rf"\b{name}\b", statement) is not None
+                hist = f"{name}__history" in statement
+                files = f"{name}__files" in statement
+                parts = f"{name}__partitions" in statement
+                if not (base or hist or files or parts):
+                    continue
+            p = self.path(name)
+            if base:
+                if os.path.exists(_meta_path(p)):
+                    df = mv_read(self.spark, p)
+                else:
+                    df = read_evolved(self.spark, p)
+                df.createOrReplaceTempView(name)
+            if hist:
                 self.spark.createDataFrame(
                     [
-                        (str(e["partition"]), e["n_rows"], e["n_files"])
-                        for e in tp["partitions"]
+                        (h["version"], h["kind"], h["n_files"], h["n_rows"])
+                        for h in table_history(p)
                     ],
-                    "partition string, n_rows bigint, n_files int",
-                ).createOrReplaceTempView(f"{name}__partitions")
+                    "version int, kind string, n_files int, n_rows bigint",
+                ).createOrReplaceTempView(f"{name}__history")
+            if files:
+                self.spark.createDataFrame(
+                    [
+                        (e["version"], e["file_name"], e.get("n_rows"))
+                        for e in table_files(p)
+                    ],
+                    "version int, file_name string, n_rows bigint",
+                ).createOrReplaceTempView(f"{name}__files")
+            if parts:
+                try:
+                    tp = table_partitions(p, strict=False)
+                except ValueError:
+                    tp = None  # no transform spec recorded: no view
+                if tp is not None:
+                    self.spark.createDataFrame(
+                        [
+                            (str(e["partition"]), e["n_rows"], e["n_files"])
+                            for e in tp["partitions"]
+                        ],
+                        "partition string, n_rows bigint, n_files int",
+                    ).createOrReplaceTempView(f"{name}__partitions")
 
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
@@ -181,6 +225,67 @@ class LakehouseSQL:
             )
         return out
 
+    def _rewrite_time_travel(self, s: str) -> str:
+        """Resolve SQL READ-SIDE TIME TRAVEL: every ``t VERSION AS OF
+        n``, ``t [FOR] TIMESTAMP AS OF '...'``, and BigQuery-spelled
+        ``t FOR SYSTEM_TIME AS OF '...'`` (the reference warehouse's
+        verb, bigquery_update_scheduler.py:255-260) over a catalog
+        table is replaced by a temp view bound to the era-aware
+        ``read_evolved(as_of=version)`` — the same history read the
+        Python API serves — re-aliased to the original name unless the
+        query supplies its own alias. Timestamps resolve through
+        :func:`version_at_timestamp` (manifest-file commit mtimes,
+        Delta's mechanism); an out-of-range version or a
+        timestamp older than the first commit raises rather than
+        silently reading a different snapshot."""
+        pat = re.compile(
+            rf"\b({_IDENT})\s+(?:FOR\s+)?"
+            rf"(VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+"
+            rf"('[^']*'|\d+)",
+            re.IGNORECASE,
+        )
+        out: list[str] = []
+        last = 0
+        for m in pat.finditer(s):
+            name, axis, lit = m.group(1), m.group(2).upper(), m.group(3)
+            if not self._exists(name):
+                continue  # not a catalog table: leave for spark.sql
+            p = self.path(name)
+            if axis == "VERSION":
+                if lit.startswith("'"):
+                    raise ValueError(
+                        f"VERSION AS OF takes an integer, got {lit}"
+                    )
+                v = int(lit)
+                versions = committed_versions(p)
+                if v not in versions:
+                    raise ValueError(
+                        f"table {name!r} has no version {v}; committed "
+                        f"versions: {versions}"
+                    )
+            else:  # TIMESTAMP / SYSTEM_TIME
+                if not lit.startswith("'"):
+                    raise ValueError(
+                        f"{axis} AS OF takes a quoted timestamp, got {lit}"
+                    )
+                v = version_at_timestamp(p, lit[1:-1])
+            view = f"{name}__asof_{v}"
+            read_evolved(self.spark, p, as_of=v).createOrReplaceTempView(
+                view
+            )
+            alias = re.match(
+                rf"\s+(?:AS\s+)?({_IDENT})", s[m.end() :], re.IGNORECASE
+            )
+            has_alias = (
+                alias is not None
+                and alias.group(1).upper() not in _NOT_AN_ALIAS
+            )
+            out.append(s[last : m.start()])
+            out.append(view if has_alias else f"{view} AS {name}")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
     # ----------------------------------------------------------------- sql
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";").strip()
@@ -202,12 +307,63 @@ class LakehouseSQL:
             return self._one_row(table=name, rows=df.count())
 
         m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.+)\)\s*$", s
+        )
+        if m and not re.match(r"(?i)^CREATE\s+MATERIALIZED", s):
+            name, col_list = m.group(1), m.group(2)
+            if self._exists(name):
+                raise ValueError(f"table {name!r} already exists")
+            cols = []
+            for item in self._split_select(col_list):
+                cm = re.match(
+                    rf"(?s)^\s*({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*$",
+                    item,
+                )
+                if not cm:
+                    raise ValueError(
+                        f"cannot parse column definition {item.strip()!r}"
+                    )
+                cols.append(f"{cm.group(1)} {cm.group(2).strip().lower()}")
+            # an empty commit that RECORDS the schema: the manifest is
+            # the metastore entry; the first INSERT appends under it
+            # (and schema evolution validates against it)
+            empty = self.spark.createDataFrame([], ", ".join(cols))
+            (
+                empty.coalesce(1)
+                .write.format(self.fmt)
+                .option("path", self.path(name))
+                .mode("append")
+                .save()
+            )
+            return self._one_row(table=name, rows=0)
+
+        m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+(.+)$", s
         )
         if m:
             name, body = m.group(1), m.group(2)
             p = self._require(name)
             df = self.sql(body)
+            sch = table_schema(p)
+            if sch is not None:
+                # SQL INSERT conformance: bind by name, coerce to the
+                # declared column types (a literal 100 arrives as INT
+                # even into a BIGINT column), declared order
+                have = set(df.columns)
+                need = {f.name for f in sch.fields}
+                if have != need:
+                    raise ValueError(
+                        f"INSERT INTO {name} columns {sorted(have)} != "
+                        f"table columns {sorted(need)}"
+                    )
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in sch.fields
+                    ]
+                )
             (
                 df.write.format(self.fmt)
                 .option("path", p)
@@ -227,7 +383,7 @@ class LakehouseSQL:
             # Iceberg-v2 tombstone commit, zero data files rewritten.
             # Duplicated rows matching the predicate all disappear
             # (equality semantics), exactly like the library call.
-            self._register_catalog()
+            self._register_catalog(s)
             keys = self.spark.sql(
                 f"SELECT DISTINCT * FROM {name} WHERE {pred}"
             )
@@ -237,6 +393,37 @@ class LakehouseSQL:
             else:
                 v = None
             return self._one_row(table=name, matched_keys=n, version=v)
+
+        m = re.match(
+            rf"(?is)^UPDATE\s+({_IDENT})\s+SET\s+(.+?)"
+            rf"(?:\s+WHERE\s+(.+))?$",
+            s,
+        )
+        if m:
+            name, set_list, pred = m.group(1), m.group(2), m.group(3)
+            p = self._require(name)
+            assignments: dict[str, str] = {}
+            for item in self._split_select(set_list):
+                am = re.match(
+                    rf"(?s)^\s*({_IDENT})\s*=\s*(.+?)\s*$", item
+                )
+                if not am:
+                    raise ValueError(
+                        f"cannot parse SET assignment {item.strip()!r}; "
+                        "expected col = expr"
+                    )
+                col = am.group(1)
+                if col in assignments:
+                    raise ValueError(f"column {col!r} SET twice")
+                assignments[col] = am.group(2)
+            r = update_where(
+                self.spark, p, assignments, pred if pred else "true"
+            )
+            return self._one_row(
+                table=name,
+                version=r["version"],
+                n_updated=r["n_updated"],
+            )
 
         m = re.match(
             rf"(?is)^MERGE\s+INTO\s+({_IDENT})\s+USING\s+\((.+)\)\s+"
@@ -428,10 +615,36 @@ class LakehouseSQL:
                 if am:
                     aggs.append({"expr": "1", "as": am.group(1)})
                     continue
+                am = re.fullmatch(
+                    r"(?is)COUNT\s*\((.+)\)\s+AS\s+(" + _IDENT + ")",
+                    item.strip(),
+                )
+                if am:
+                    aggs.append(
+                        {
+                            "expr": am.group(1).strip(),
+                            "as": am.group(2),
+                            "fn": "count",
+                        }
+                    )
+                    continue
+                am = re.fullmatch(
+                    r"(?is)AVG\s*\((.+)\)\s+AS\s+(" + _IDENT + ")",
+                    item.strip(),
+                )
+                if am:
+                    aggs.append(
+                        {
+                            "expr": am.group(1).strip(),
+                            "as": am.group(2),
+                            "fn": "avg",
+                        }
+                    )
+                    continue
                 raise ValueError(
                     f"materialized views support GROUP BY keys, "
-                    f"SUM(expr) AS name, and COUNT(*) AS name; got "
-                    f"{item.strip()!r}"
+                    f"SUM(expr) AS name, COUNT(*)/COUNT(expr) AS name, "
+                    f"and AVG(expr) AS name; got {item.strip()!r}"
                 )
             meta = mv_create(
                 self.spark,
@@ -452,8 +665,13 @@ class LakehouseSQL:
                 view=m.group(1), mode=r["mode"], to_version=r["to_version"]
             )
 
-        # relational fall-through: catalog tables resolve as views
-        self._register_catalog()
+        # relational fall-through: catalog tables resolve as views,
+        # time-travel clauses resolve to as-of temp views, and only
+        # the tables the statement references register (lazy — a
+        # SELECT over one table folds one table's log, not the
+        # catalog's)
+        s = self._rewrite_time_travel(s)
+        self._register_catalog(s)
         return self.spark.sql(s)
 
     @staticmethod

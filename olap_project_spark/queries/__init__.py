@@ -211,6 +211,10 @@ GATE_WINDOW: tuple[str, ...] = (
 GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     # round-13 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "sql_update_stats",
+    "sql_time_travel_stats",
+    "matview_avg_stats",
+    "log_cache_stats",
     # round-7 refresh slots — 46 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
@@ -258,12 +262,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "doc_split_assignment",
     "dominant_part_suppliers",
     "frame_sample_stats",
-    # round-8 refresh slots — 4 (CORRECTNESS_r08 order; tail
-    # trimmed as round-13 additions land)
-    "ann_candidate_fraction",
-    "repeated_substring_spans",
-    "substring_dedup_savings",
-    "hard_negative_mining",
 )
 
 

@@ -273,6 +273,11 @@ class TestDriverContract:
             "sql_dml_roundtrip_stats",       # SQL DELETE/MERGE lineage
             "alter_ddl_stats",               # add/widen/rename DDL arc
             "log_checkpoint_stats",          # O(tail) log-cache planning
+            # round-13 additions (r14 draft head):
+            "sql_update_stats",              # atomic UPDATE + CDF pairs
+            "sql_time_travel_stats",         # VERSION/SYSTEM_TIME AS OF
+            "matview_avg_stats",             # counted-IVM AVG pairs
+            "log_cache_stats",               # parsed-log cache contract
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
