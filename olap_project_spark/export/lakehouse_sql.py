@@ -26,7 +26,10 @@ the DDL analogue); here the verbs target the manifest table format:
     DESCRIBE HISTORY t
     CREATE MATERIALIZED VIEW v AS
         SELECT k, SUM(expr) AS a, COUNT(*) AS n,
-               COUNT(col) AS c, AVG(expr) AS m FROM t GROUP BY k
+               COUNT(col) AS c, AVG(expr) AS m
+        FROM t [JOIN dim USING (k1, k2)] [WHERE pred] GROUP BY k
+        -- filtered + fact-incremental join views; a dimension commit
+        -- falls back to an atomic full recompute on the next REFRESH
     REFRESH MATERIALIZED VIEW v
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
                 materialized views resolve tombstone-filtered, and
@@ -586,14 +589,18 @@ class LakehouseSQL:
 
         m = re.match(
             rf"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+"
-            rf"SELECT\s+(.+?)\s+FROM\s+({_IDENT})\s+"
-            rf"GROUP\s+BY\s+(.+)$",
+            rf"SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+JOIN\s+({_IDENT})\s+USING\s*\(([^)]+)\))?"
+            rf"(?:\s+WHERE\s+(.+?))?"
+            rf"\s+GROUP\s+BY\s+(.+)$",
             s,
         )
         if m:
             from olap_project_spark.export.matview import mv_create
 
-            view, select_list, base, group_by = m.groups()
+            view, select_list, base, dim, using, where, group_by = (
+                m.groups()
+            )
             keys = [k.strip() for k in re.split(r"\s*,\s*", group_by)]
             aggs = []
             for item in self._split_select(select_list):
@@ -646,11 +653,21 @@ class LakehouseSQL:
                     f"SUM(expr) AS name, COUNT(*)/COUNT(expr) AS name, "
                     f"and AVG(expr) AS name; got {item.strip()!r}"
                 )
+            spec: dict = {"group_by": keys, "aggs": aggs}
+            if dim is not None:
+                spec["join"] = {
+                    "path": self._require(dim),
+                    "using": [
+                        c.strip() for c in re.split(r"\s*,\s*", using)
+                    ],
+                }
+            if where is not None:
+                spec["where"] = where.strip()
             meta = mv_create(
                 self.spark,
                 self.path(view),
                 self._require(base),
-                {"group_by": keys, "aggs": aggs},
+                spec,
             )
             return self._one_row(view=view, base_version=meta["base_version"])
 

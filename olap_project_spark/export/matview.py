@@ -14,6 +14,23 @@ columns and derived at read time — the counted-IVM decomposition —
 so it stays exactly incremental; MIN/MAX remain rejected (a delete
 can strand them, the classic non-self-maintainable aggregates).
 
+Two relational extensions keep the same exactness:
+
+- **Filtered views** (``spec["where"]``): the predicate applies to the
+  full-recompute frame AND to each CDF slice — row-level CDF makes
+  filtered IVM exact for free (a row crossing the filter boundary
+  appears as delete(old)+insert(new), and the filter keeps exactly the
+  legs that were/are in the view).
+- **Join views** (``spec["join"]``: fact ⋈ dimension USING equi-keys):
+  the view is incrementally maintainable WITH RESPECT TO FACT CHANGES
+  — each fact CDF slice joins against the dimension state PINNED at
+  the version recorded by the last refresh, the textbook
+  IVM-under-stable-dimension case. A dimension commit in the
+  unrefreshed range voids that premise, so the refresh falls back to
+  an atomic full recompute against the new pinned dimension head
+  (exactly as a base rewrite does). Inner-join semantics on both
+  paths; dimension column names must not collide with fact columns.
+
 The view itself IS a manifest table, so it inherits time travel,
 snapshot isolation, vacuum, and the metadata surfaces. A refresh is
 ONE atomic merge commit even when keys must disappear: a key whose
@@ -118,6 +135,30 @@ def _state_cols(spec: dict) -> list[str]:
     return out
 
 
+def _dim_frame(spark: SparkSession, spec: dict, version: int) -> DataFrame:
+    """The join dimension pinned at ``version`` — every maintenance
+    path reads the SAME dimension state the recorded ``dim_version``
+    names, so incremental folds and recomputes can never mix eras."""
+    return read_evolved(spark, spec["join"]["path"], as_of=version)
+
+
+def _input_frame(
+    df: DataFrame, spec: dict, dim: DataFrame | None
+) -> DataFrame:
+    """The view's relational input: (fact ⋈ dim) then WHERE — applied
+    identically to the full-recompute frame and to CDF slices (whose
+    ``_change_type``/``_commit_version`` columns pass through), which
+    is what makes filtered/joined IVM exact."""
+    j = spec.get("join")
+    if j is not None:
+        if dim is None:
+            raise ValueError("join view requires the pinned dimension")
+        df = df.join(dim, on=list(j["using"]), how="inner")
+    if spec.get("where"):
+        df = df.filter(F.expr(spec["where"]))
+    return df
+
+
 def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
     """The full-recompute aggregation: GROUP BY keys with exact
     integer sums / non-null counts (avg as its sum+count pair) + the
@@ -175,10 +216,11 @@ def mv_create(
 ) -> dict:
     """Define a materialized view over a manifest table and run its
     initial full refresh. ``spec`` = {"group_by": [cols], "aggs":
-    [{"expr": <integer-valued SQL expr>, "as": name}, ...]}. The view
-    definition persists beside the view's own manifest log
-    (``_mv.json``), so any session can refresh it later. Returns the
-    stored metadata."""
+    [{"expr": <integer-valued SQL expr>, "as": name, ["fn": "sum" |
+    "count" | "avg"]}, ...], ["where": <SQL pred>], ["join": {"path":
+    <dim table>, "using": [equi-key cols]}]}. The view definition
+    persists beside the view's own manifest log (``_mv.json``), so any
+    session can refresh it later. Returns the stored metadata."""
     if os.path.exists(_meta_path(mv_path)):
         raise ValueError(f"materialized view already exists at {mv_path}")
     if not spec.get("group_by") or not spec.get("aggs"):
@@ -191,9 +233,28 @@ def mv_create(
     # recorded the older head, and the next incremental refresh would
     # re-apply that version's CDF slice and double-count it.
     base = read_evolved(spark, base_path, as_of=head)
+    dim = None
+    dim_head = None
+    j = spec.get("join")
+    if j is not None:
+        dim_head = max(committed_versions(j["path"]), default=0)
+        dim = _dim_frame(spark, spec, dim_head)
+        using = set(j["using"])
+        missing = using - set(base.columns), using - set(dim.columns)
+        if missing[0] or missing[1]:
+            raise ValueError(
+                f"join keys missing: fact lacks {sorted(missing[0])}, "
+                f"dimension lacks {sorted(missing[1])}"
+            )
+        clash = (set(dim.columns) - using) & set(base.columns)
+        if clash:
+            raise ValueError(
+                f"dimension columns {sorted(clash)} collide with fact "
+                "columns; rename them in the dimension table"
+            )
     fmt = ensure_manifest_sink(spark)
     (
-        _view_frame(base, spec)
+        _view_frame(_input_frame(base, spec, dim), spec)
         .write.format(fmt)
         .option("path", mv_path)
         .option("commit_props", json.dumps({"mv_from": 0, "mv_to": head}))
@@ -201,6 +262,8 @@ def mv_create(
         .save()
     )
     meta = {"base": base_path, "spec": spec, "base_version": head}
+    if j is not None:
+        meta["dim_version"] = dim_head
     _store_meta(mv_path, meta)
     return meta
 
@@ -210,13 +273,20 @@ def mv_status(mv_path: str) -> dict:
     current head, and how many unapplied versions lie between."""
     meta = _load_meta(mv_path)
     head = max(committed_versions(meta["base"]), default=0)
-    return {
+    out = {
         "base": meta["base"],
         "base_version": meta["base_version"],
         "base_head": head,
         "lag_versions": head - meta["base_version"],
         "fresh": head == meta["base_version"],
     }
+    j = meta["spec"].get("join")
+    if j is not None:
+        dim_head = max(committed_versions(j["path"]), default=0)
+        out["dim_version"] = meta.get("dim_version")
+        out["dim_head"] = dim_head
+        out["fresh"] = out["fresh"] and dim_head == meta.get("dim_version")
+    return out
 
 
 def mv_read(spark: SparkSession, mv_path: str) -> DataFrame:
@@ -265,7 +335,15 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     # cache write must not re-apply the range
     from_v = max(meta["base_version"], _applied_base_version(mv_path))
     head = max(committed_versions(base_path), default=0)
-    if head == from_v:
+    j = spec.get("join")
+    dim = None
+    dim_moved = False
+    dim_head = meta.get("dim_version")
+    if j is not None:
+        dim_now = max(committed_versions(j["path"]), default=0)
+        dim_moved = dim_now != dim_head
+        dim_head = dim_now
+    if head == from_v and not dim_moved:
         if meta["base_version"] != from_v:  # heal the stale cache
             meta["base_version"] = from_v
             _store_meta(mv_path, meta)
@@ -279,16 +357,17 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     base_schema = table_schema(base_path)
     keys = spec["group_by"]
     fmt = ensure_manifest_sink(spark)
-    try:
-        changes = read_changes(
-            spark, base_path, base_schema, from_v, head
-        )
-    except ValueError:
-        # a base rewrite (or rename) inside the range: full atomic
-        # recompute through the era-aware read
+    if j is not None:
+        dim = _dim_frame(spark, spec, dim_head)
+
+    def _full_recompute() -> dict:
+        # atomic full recompute through the era-aware read — the
+        # fallback for a base rewrite/rename in range AND for a
+        # dimension commit (which voids the pinned-dimension premise
+        # fact-side incremental maintenance rests on)
         base = read_evolved(spark, base_path, as_of=head)
         (
-            _view_frame(base, spec)
+            _view_frame(_input_frame(base, spec, dim), spec)
             .write.format(fmt)
             .option("path", mv_path)
             .option("kind", "rewrite")
@@ -300,6 +379,8 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
             .save()
         )
         meta["base_version"] = head
+        if j is not None:
+            meta["dim_version"] = dim_head
         _store_meta(mv_path, meta)
         return {
             "mode": "full",
@@ -308,7 +389,17 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
             "keys_upserted": -1,
             "keys_deleted": -1,
         }
-    delta = _delta_frame(changes, spec)
+
+    if dim_moved:
+        return _full_recompute()
+    try:
+        changes = read_changes(
+            spark, base_path, base_schema, from_v, head
+        )
+    except ValueError:
+        # a base rewrite (or rename) inside the range
+        return _full_recompute()
+    delta = _delta_frame(_input_frame(changes, spec, dim), spec)
     state = read_committed(spark, mv_path, table_schema(mv_path))
     agg_cols = _state_cols(spec) + [_COUNT_COL]
     merged = (

@@ -215,6 +215,7 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "sql_time_travel_stats",
     "matview_avg_stats",
     "log_cache_stats",
+    "matview_join_stats",
     # round-7 refresh slots — 46 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
@@ -261,7 +262,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "doc_rolling_hash",
     "doc_split_assignment",
     "dominant_part_suppliers",
-    "frame_sample_stats",
 )
 
 

@@ -8771,3 +8771,125 @@ def log_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cached_equals_fresh boolean, commit_invalidates boolean, "
         "publish_invalidates boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: filtered JOIN materialized views — fact-incremental IVM
+# --------------------------------------------------------------------------
+@register(
+    "matview_join_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey % 7 AS seg_id,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    kept AS (SELECT * FROM base WHERE k % 10 <> 0)
+    SELECT 'S' || CAST(seg_id AS VARCHAR) AS segment,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS fact_refresh_incremental,
+           TRUE AS dim_refresh_full,
+           TRUE AS matches_recompute
+    FROM kept WHERE cents >= 10000 GROUP BY seg_id
+    """,
+)
+def matview_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED JOIN materialized views — the round-13 relational
+    extension of the counted-IVM matview (export/matview.py): the view
+    is ``fact ⋈ dimension USING equi-keys`` with a WHERE filter,
+    incrementally maintainable WITH RESPECT TO FACT CHANGES — each CDF
+    slice joins the dimension state PINNED at the recorded version
+    (the textbook IVM-under-stable-dimension case; the filter is exact
+    for free because row-level CDF shows boundary crossings as
+    delete+insert pairs). A dimension commit voids the premise, so the
+    next REFRESH falls back to an atomic full recompute against the
+    new pinned head — correctness first, one commit either way.
+
+    Lineage is pure SQL: a segmented orders fact, a 6-row segment
+    dimension that deliberately LACKS segment 6 (those facts
+    inner-drop), a DELETE on the fact (``fact_refresh_incremental``
+    pins the CDF path), then a dimension INSERT adding segment 6
+    (``dim_refresh_full`` pins the fallback — and the previously
+    unjoined orders appear). ``matches_recompute`` pins the final view
+    equal to a from-scratch join+filter+aggregate, column for column.
+
+    Oracle: DuckDB replays the identical algebra over the raw fact —
+    after the dimension gains every segment, the view equals the plain
+    filtered GROUP BY.
+
+    Scale: a fact refresh shuffles only the touched keys joined to a
+    broadcastable dimension; the dimension-change fallback costs one
+    full aggregate — the same trade Delta Live Tables makes.
+
+    Reference analogue: the reference's dashboards join facts to
+    category dimensions in Power BI on every refresh
+    (requirements.md:42-53); here the join view is maintained."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_mvjoin_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(o_custkey % 7 AS INT) AS seg_id, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql(
+            "CREATE TABLE seg AS SELECT CAST(id AS INT) AS seg_id, "
+            "CONCAT('S', CAST(id AS STRING)) AS segment "
+            "FROM RANGE(0, 6)"
+        )
+        lk.sql(
+            "CREATE MATERIALIZED VIEW segview AS SELECT segment, "
+            "SUM(cents) AS sum_cents, COUNT(*) AS n_orders "
+            "FROM fact JOIN seg USING (seg_id) "
+            "WHERE cents >= 10000 GROUP BY segment"
+        )
+        lk.sql("DELETE FROM fact WHERE k % 10 = 0")
+        m1 = lk.sql("REFRESH MATERIALIZED VIEW segview").collect()[0].mode
+        lk.sql(
+            "INSERT INTO seg SELECT CAST(6 AS INT) AS seg_id, "
+            "'S6' AS segment"
+        )
+        m2 = lk.sql("REFRESH MATERIALIZED VIEW segview").collect()[0].mode
+        recomputed = lk.sql(
+            "SELECT segment, SUM(cents) AS sum_cents, "
+            "COUNT(*) AS n_orders FROM fact JOIN seg USING (seg_id) "
+            "WHERE cents >= 10000 GROUP BY segment"
+        )
+        view = lk.sql("SELECT * FROM segview")
+        diff = view.exceptAll(recomputed).count() + recomputed.exceptAll(
+            view
+        ).count()
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "fact_refresh_incremental": m1 == "incremental",
+                    "dim_refresh_full": m2 == "full",
+                    "matches_recompute": diff == 0,
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql("SELECT * FROM segview").select(
+        "segment",
+        "sum_cents",
+        "n_orders",
+        F.lit(bool(stats["fact_refresh_incremental"])).alias(
+            "fact_refresh_incremental"
+        ),
+        F.lit(bool(stats["dim_refresh_full"])).alias("dim_refresh_full"),
+        F.lit(bool(stats["matches_recompute"])).alias("matches_recompute"),
+    )

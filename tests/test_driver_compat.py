@@ -278,6 +278,7 @@ class TestDriverContract:
             "sql_time_travel_stats",         # VERSION/SYSTEM_TIME AS OF
             "matview_avg_stats",             # counted-IVM AVG pairs
             "log_cache_stats",               # parsed-log cache contract
+            "matview_join_stats",            # filtered join IVM views
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

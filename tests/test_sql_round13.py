@@ -253,3 +253,84 @@ def test_select_folds_only_referenced_tables(lh, monkeypatch):
     lh.sql("SELECT * FROM t1__history")
     assert folded == []  # metadata-only: base view not built
     assert [p.rsplit("/", 1)[-1] for p in hist_called] == ["t1"]
+
+
+# --------------------------------------------- filtered / join matviews
+
+
+def test_matview_where_filter_incremental(lh):
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    lh.sql(
+        "INSERT INTO t SELECT 1 AS k, 50 AS cents UNION ALL "
+        "SELECT 2, 150 UNION ALL SELECT 3, 250"
+    )
+    lh.sql(
+        "CREATE MATERIALIZED VIEW big AS SELECT COUNT(*) AS n, "
+        "SUM(cents) AS sc FROM t WHERE cents >= 100 GROUP BY k"
+    )
+    assert _rows(lh.sql("SELECT * FROM big")) == [(2, 1, 150), (3, 1, 250)]
+    # a filter-boundary crossing UPDATE: row 1 rises into the view,
+    # row 3 falls out — row-level CDF makes both legs exact
+    lh.sql("UPDATE t SET cents = 500 WHERE k = 1")
+    lh.sql("UPDATE t SET cents = 10 WHERE k = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW big").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh.sql("SELECT * FROM big")) == [(1, 1, 500), (2, 1, 150)]
+
+
+def test_matview_join_incremental_and_dim_fallback(lh):
+    from olap_project_spark.export.matview import mv_status
+
+    lh.sql("CREATE TABLE f (k INT, rid INT, cents BIGINT)")
+    lh.sql(
+        "INSERT INTO f SELECT 1 AS k, 1 AS rid, 100 AS cents UNION ALL "
+        "SELECT 2, 1, 200 UNION ALL SELECT 3, 2, 400 UNION ALL "
+        "SELECT 4, 9, 999"  # rid 9 has no dimension row: inner-drop
+    )
+    lh.sql("CREATE TABLE d (rid INT, region STRING)")
+    lh.sql(
+        "INSERT INTO d SELECT 1 AS rid, 'EU' AS region UNION ALL "
+        "SELECT 2, 'US'"
+    )
+    lh.sql(
+        "CREATE MATERIALIZED VIEW rv AS SELECT region, "
+        "SUM(cents) AS sc, COUNT(*) AS n "
+        "FROM f JOIN d USING (rid) GROUP BY region"
+    )
+    assert _rows(lh.sql("SELECT * FROM rv")) == [
+        ("EU", 300, 2),
+        ("US", 400, 1),
+    ]
+    # fact-side changes with a stable dimension stay incremental
+    lh.sql("DELETE FROM f WHERE k = 2")
+    lh.sql("INSERT INTO f SELECT 5 AS k, 2 AS rid, 40 AS cents")
+    r = lh.sql("REFRESH MATERIALIZED VIEW rv").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh.sql("SELECT * FROM rv")) == [
+        ("EU", 100, 1),
+        ("US", 440, 2),
+    ]
+    # a dimension commit voids the pinned-dim premise: status goes
+    # stale, the next refresh is an atomic full recompute, and the
+    # previously-unjoined rid appears
+    lh.sql("INSERT INTO d SELECT 9 AS rid, 'APAC' AS region")
+    assert mv_status(lh.path("rv"))["fresh"] is False
+    r = lh.sql("REFRESH MATERIALIZED VIEW rv").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh.sql("SELECT * FROM rv")) == [
+        ("APAC", 999, 1),
+        ("EU", 100, 1),
+        ("US", 440, 2),
+    ]
+
+
+def test_matview_join_rejects_colliding_dim_columns(lh):
+    lh.sql("CREATE TABLE f2 (k INT, cents BIGINT)")
+    lh.sql("INSERT INTO f2 SELECT 1 AS k, 10 AS cents")
+    lh.sql("CREATE TABLE d2 (k INT, cents BIGINT)")  # 'cents' collides
+    lh.sql("INSERT INTO d2 SELECT 1 AS k, 99 AS cents")
+    with pytest.raises(ValueError, match="collide"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) AS n "
+            "FROM f2 JOIN d2 USING (k) GROUP BY k"
+        )
