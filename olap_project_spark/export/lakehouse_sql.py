@@ -13,8 +13,10 @@ the DDL analogue); here the verbs target the manifest table format:
     DELETE FROM t WHERE ...                -- equality-delete commit
     UPDATE t SET c = expr [, ...] [WHERE pred]  -- ONE atomic merge
     MERGE INTO t USING (SELECT ...) ON (k1, k2)
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *     -- atomic MoR upsert
+        WHEN MATCHED [AND cond] THEN UPDATE SET *
+        [WHEN NOT MATCHED THEN INSERT *]   -- atomic MoR upsert
+    MERGE INTO t USING (...) ON (k) WHEN MATCHED [AND cond] THEN DELETE
+    MERGE INTO t USING (...) ON (k) WHEN NOT MATCHED THEN INSERT *
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t ADD COLUMN x INT
@@ -228,6 +230,146 @@ class LakehouseSQL:
             )
         return out
 
+    def _merge(
+        self, name: str, body: str, keys: list[str], tail: str
+    ) -> DataFrame:
+        """Dispatch MERGE's WHEN-clause combinations — each compiled to
+        ONE atomic commit:
+
+        - ``WHEN MATCHED [AND cond] THEN UPDATE SET * WHEN NOT MATCHED
+          THEN INSERT *`` — the upsert: one ``kind='merge'`` snapshot;
+          a matched-clause condition keeps non-qualifying target rows
+          untouched (they are simply absent from the commit, so their
+          keys are never tombstoned).
+        - ``WHEN MATCHED [AND cond] THEN UPDATE SET *`` — update-only:
+          unmatched source rows are dropped, not inserted.
+        - ``WHEN MATCHED [AND cond] THEN DELETE`` — delete-by-source:
+          one equality-delete commit tombstoning the qualifying source
+          keys (a key with no target match tombstones nothing).
+        - ``WHEN NOT MATCHED THEN INSERT *`` — insert-if-absent: one
+          append commit of the anti-joined source rows.
+
+        ``DELETE`` + ``INSERT`` in one statement is rejected: the
+        manifest format has no single commit kind that tombstones one
+        key set while inserting a DIFFERENT one, and splitting it into
+        two commits would silently break MERGE's atomicity contract —
+        run two statements to opt into that explicitly. Conditions may
+        reference source columns (the usual CDC shape: operation
+        flags, sequence numbers)."""
+        p = self._require(name)
+        upsert = re.fullmatch(
+            r"(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE"
+            r"\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            tail,
+        )
+        upd_only = re.fullmatch(
+            r"(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE"
+            r"\s+SET\s+\*",
+            tail,
+        )
+        del_only = re.fullmatch(
+            r"(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
+            tail,
+        )
+        ins_only = re.fullmatch(
+            r"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", tail
+        )
+        if re.search(r"(?is)THEN\s+DELETE", tail) and re.search(
+            r"(?is)THEN\s+INSERT", tail
+        ):
+            raise ValueError(
+                "MERGE cannot combine WHEN MATCHED THEN DELETE with "
+                "WHEN NOT MATCHED THEN INSERT atomically (no single "
+                "commit tombstones one key set while inserting "
+                "another); run a MERGE … DELETE and an INSERT-only "
+                "MERGE as two statements"
+            )
+        if not (upsert or upd_only or del_only or ins_only):
+            raise ValueError(
+                f"unsupported MERGE clause combination: {tail!r} "
+                "(supported: [AND cond on] UPDATE SET * / DELETE / "
+                "INSERT *, one matched clause + optional INSERT)"
+            )
+        from pyspark.sql import functions as F
+
+        source = self.sql(body)
+        sch = table_schema(p)
+        if sch is not None and del_only is None:
+            # SQL MERGE conformance, as INSERT: whole rows bound by
+            # name, literal types coerced to the declared column types
+            have, need = set(source.columns), {f.name for f in sch.fields}
+            if have != need:
+                raise ValueError(
+                    f"MERGE INTO {name} source columns {sorted(have)} "
+                    f"!= table columns {sorted(need)}"
+                )
+            source = source.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in sch.fields
+                ]
+            )
+        elif sch is not None:
+            # DELETE-by-source needs only keys (+ condition columns);
+            # coerce the key types so the tombstone equality is exact
+            types = {f.name: f.dataType for f in sch.fields}
+            source = source.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c)
+                    if c in types
+                    else F.col(c)
+                    for c in source.columns
+                ]
+            )
+        if upsert is not None and upsert.group(1) is None:
+            r = merge_upsert(self.spark, p, source, keys=keys)
+            return self._one_row(
+                table=name, version=r["version"], n_updates=r["n_updates"]
+            )
+        target_keys = read_evolved(self.spark, p).select(*keys).distinct()
+        if del_only is not None:
+            cond = del_only.group(1)
+            victims = source
+            if cond:
+                victims = victims.filter(F.expr(cond))
+            victims = (
+                victims.select(*keys)
+                .distinct()
+                .join(target_keys, on=keys, how="left_semi")
+            )
+            n = victims.count()
+            v = (
+                delete_where(self.spark, p, victims)
+                if n
+                else None
+            )
+            return self._one_row(table=name, version=v, n_deleted=n)
+        if ins_only is not None:
+            inserts = source.join(target_keys, on=keys, how="left_anti")
+            n = inserts.count()
+            if n:
+                (
+                    inserts.write.format(self.fmt)
+                    .option("path", p)
+                    .mode("append")
+                    .save()
+                )
+            return self._one_row(table=name, n_inserted=n)
+        clause = upsert or upd_only
+        cond = clause.group(1)
+        matched = source.join(target_keys, on=keys, how="left_semi")
+        if cond:
+            matched = matched.filter(F.expr(cond))
+        frame = matched
+        if upsert is not None:
+            frame = matched.unionByName(
+                source.join(target_keys, on=keys, how="left_anti")
+            )
+        r = merge_upsert(self.spark, p, frame, keys=keys)
+        return self._one_row(
+            table=name, version=r["version"], n_updates=r["n_updates"]
+        )
+
     def _rewrite_time_travel(self, s: str) -> str:
         """Resolve SQL READ-SIDE TIME TRAVEL: every ``t VERSION AS OF
         n``, ``t [FOR] TIMESTAMP AS OF '...'``, and BigQuery-spelled
@@ -431,24 +573,15 @@ class LakehouseSQL:
         m = re.match(
             rf"(?is)^MERGE\s+INTO\s+({_IDENT})\s+USING\s+\((.+)\)\s+"
             rf"ON\s+\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s+"
-            rf"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-            rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            rf"(WHEN\s+.+)$",
             s,
         )
         if m:
-            name, body, keys = m.group(1), m.group(2), m.group(3)
-            p = self._require(name)
-            updates = self.sql(body)
-            r = merge_upsert(
-                self.spark,
-                p,
-                updates,
-                keys=[k.strip() for k in keys.split(",")],
-            )
-            return self._one_row(
-                table=name,
-                version=r["version"],
-                n_updates=r["n_updates"],
+            return self._merge(
+                m.group(1),
+                m.group(2),
+                [k.strip() for k in m.group(3).split(",")],
+                m.group(4).strip(),
             )
 
         m = re.match(

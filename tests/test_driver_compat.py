@@ -279,6 +279,7 @@ class TestDriverContract:
             "matview_avg_stats",             # counted-IVM AVG pairs
             "log_cache_stats",               # parsed-log cache contract
             "matview_join_stats",            # filtered join IVM views
+            "sql_merge_breadth_stats",       # cond-update/delete/insert
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -334,3 +334,80 @@ def test_matview_join_rejects_colliding_dim_columns(lh):
             "CREATE MATERIALIZED VIEW bad AS SELECT k, COUNT(*) AS n "
             "FROM f2 JOIN d2 USING (k) GROUP BY k"
         )
+
+
+# ------------------------------------------------------- MERGE breadth
+
+
+def test_merge_conditional_update(lh):
+    lh.sql("CREATE TABLE t (k INT, v STRING, seq BIGINT)")
+    lh.sql(
+        "INSERT INTO t SELECT 1 AS k, 'a' AS v, 10 AS seq "
+        "UNION ALL SELECT 2, 'b', 20"
+    )
+    # CDC shape: only source rows with a NEWER sequence number apply;
+    # the stale row for k=2 must leave the target untouched
+    lh.sql(
+        "MERGE INTO t USING (SELECT 1 AS k, 'a2' AS v, 11 AS seq "
+        "UNION ALL SELECT 2, 'stale' AS v, 5 AS seq "
+        "UNION ALL SELECT 3, 'c' AS v, 30 AS seq) ON (k) "
+        "WHEN MATCHED AND seq > 10 THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _rows(lh.sql("SELECT k, v FROM t")) == [
+        (1, "a2"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_merge_update_only_drops_unmatched(lh):
+    lh.sql("CREATE TABLE t (k INT, v STRING)")
+    lh.sql("INSERT INTO t SELECT 1 AS k, 'a' AS v")
+    lh.sql(
+        "MERGE INTO t USING (SELECT 1 AS k, 'A' AS v "
+        "UNION ALL SELECT 9, 'ghost') ON (k) "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert _rows(lh.sql("SELECT k, v FROM t")) == [(1, "A")]
+
+
+def test_merge_matched_delete(lh):
+    lh.sql("CREATE TABLE t (k INT, v STRING)")
+    lh.sql(
+        "INSERT INTO t SELECT 1 AS k, 'a' AS v UNION ALL "
+        "SELECT 2, 'b' UNION ALL SELECT 3, 'c'"
+    )
+    before = committed_versions(lh.path("t"))
+    r = lh.sql(
+        "MERGE INTO t USING (SELECT 1 AS k, TRUE AS dead "
+        "UNION ALL SELECT 2, FALSE UNION ALL SELECT 9, TRUE) ON (k) "
+        "WHEN MATCHED AND dead THEN DELETE"
+    ).collect()[0]
+    after = committed_versions(lh.path("t"))
+    assert int(r.n_deleted) == 1  # k=9 matches nothing, k=2 not dead
+    assert len(after) == len(before) + 1
+    assert _rows(lh.sql("SELECT k FROM t")) == [(2,), (3,)]
+
+
+def test_merge_insert_if_absent(lh):
+    lh.sql("CREATE TABLE t (k INT, v STRING)")
+    lh.sql("INSERT INTO t SELECT 1 AS k, 'a' AS v")
+    r = lh.sql(
+        "MERGE INTO t USING (SELECT 1 AS k, 'DUPE' AS v "
+        "UNION ALL SELECT 2, 'b') ON (k) "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert int(r.n_inserted) == 1
+    assert _rows(lh.sql("SELECT k, v FROM t")) == [(1, "a"), (2, "b")]
+
+
+def test_merge_delete_plus_insert_rejected(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    with pytest.raises(ValueError, match="atomically"):
+        lh.sql(
+            "MERGE INTO t USING (SELECT 2 AS k) ON (k) "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
