@@ -9,6 +9,9 @@ the DDL analogue); here the verbs target the manifest table format:
 
     CREATE TABLE t AS SELECT ...
     CREATE TABLE t (a INT, b STRING)       -- schema-only empty commit
+        [PARTITIONED BY (days(ts), bucket(k, 16))]
+    DROP TABLE t / DROP MATERIALIZED VIEW v
+    RESTORE TABLE t TO TIMESTAMP AS OF '...'
     INSERT INTO t SELECT ...
     DELETE FROM t WHERE ...                -- equality-delete commit
     UPDATE t SET c = expr [, ...] [WHERE pred]  -- ONE atomic merge
@@ -452,10 +455,12 @@ class LakehouseSQL:
             return self._one_row(table=name, rows=df.count())
 
         m = re.match(
-            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.+)\)\s*$", s
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
+            rf"(?:PARTITIONED\s+BY\s*\((.+)\)\s*)?$",
+            s,
         )
         if m and not re.match(r"(?i)^CREATE\s+MATERIALIZED", s):
-            name, col_list = m.group(1), m.group(2)
+            name, col_list, part_spec = m.group(1), m.group(2), m.group(3)
             if self._exists(name):
                 raise ValueError(f"table {name!r} already exists")
             cols = []
@@ -480,6 +485,13 @@ class LakehouseSQL:
                 .mode("append")
                 .save()
             )
+            if part_spec is not None:
+                # hidden partitioning from birth: writers inherit the
+                # spec, files prune under it (Iceberg CREATE ...
+                # PARTITIONED BY transforms)
+                set_partition_spec(
+                    self.path(name), self._parse_transforms(part_spec)
+                )
             return self._one_row(table=name, rows=0)
 
         m = re.match(
@@ -509,12 +521,23 @@ class LakehouseSQL:
                         for f in sch.fields
                     ]
                 )
-            (
-                df.write.format(self.fmt)
-                .option("path", p)
-                .mode("append")
-                .save()
+            from olap_project_spark.export.manifest_sink import (
+                current_partition_spec,
+                write_partitioned,
             )
+
+            if current_partition_spec(p):
+                # writers inherit the table's declared layout
+                # (Iceberg-style): range-partition on the transforms so
+                # files stay tight and the histograms/pruning hold
+                write_partitioned(self.spark, df, p)
+            else:
+                (
+                    df.write.format(self.fmt)
+                    .option("path", p)
+                    .mode("append")
+                    .save()
+                )
             return self._one_row(table=name, rows=df.count())
 
         m = re.match(
@@ -655,6 +678,34 @@ class LakehouseSQL:
         if m:
             v = restore_table(self._require(m.group(1)), int(m.group(2)))
             return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?i)^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+            rf"(?:TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+'([^']*)'$",
+            s,
+        )
+        if m:
+            p = self._require(m.group(1))
+            v = restore_table(p, version_at_timestamp(p, m.group(2)))
+            return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?i)^DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+({_IDENT})$",
+            s,
+        )
+        if m:
+            import shutil
+
+            name = m.group(1)
+            # the parsed-log cache self-heals: a vanished directory
+            # fingerprints to None (empty log), and a new table later
+            # created at the same path re-fingerprints fresh
+            shutil.rmtree(self._require(name))
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — never registered: fine
+                pass
+            return self._one_row(table=name, dropped=True)
 
         m = re.match(
             rf"(?i)^OPTIMIZE\s+({_IDENT})"

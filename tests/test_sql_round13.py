@@ -411,3 +411,51 @@ def test_merge_delete_plus_insert_rejected(lh):
             "WHEN MATCHED THEN DELETE "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+# ------------------------------------------------ catalog sugar verbs
+
+
+def test_drop_table_and_view(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW m AS SELECT k, COUNT(*) AS n "
+        "FROM t GROUP BY k"
+    )
+    names = {r.name for r in lh.sql("SHOW TABLES").collect()}
+    assert names == {"t", "m"}
+    lh.sql("DROP MATERIALIZED VIEW m")
+    lh.sql("DROP TABLE t")
+    assert lh.sql("SHOW TABLES").count() == 0
+    with pytest.raises(ValueError, match="no lakehouse table"):
+        lh.sql("DROP TABLE t")
+
+
+def test_restore_to_timestamp(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    t_mid = time.time()
+    time.sleep(0.05)
+    lh.sql("INSERT INTO t SELECT 2 AS k")
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(t_mid, tz=timezone.utc).isoformat()
+    lh.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts}'")
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,)]
+
+
+def test_create_table_partitioned_by(lh):
+    from olap_project_spark.export.manifest_sink import table_partitions
+
+    lh.sql(
+        "CREATE TABLE t (k INT, cents BIGINT) "
+        "PARTITIONED BY (bucket(k, 4))"
+    )
+    lh.sql(
+        "INSERT INTO t SELECT id AS k, id * 100 AS cents "
+        "FROM RANGE(0, 40)"
+    )
+    tp = table_partitions(lh.path("t"), strict=False)
+    assert tp["spec"] == {"col": "k", "kind": "bucket", "arg": 4}
+    assert sum(e["n_rows"] for e in tp["partitions"]) == 40
