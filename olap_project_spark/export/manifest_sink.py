@@ -4504,13 +4504,10 @@ def publish_branch(path: str, branch: str) -> list[int]:
     # publish runs this same check symmetrically).
     staged_versions = {v for v, _ in staged}
     main_head = 0
-    for version, entry in _list_manifests(path):
+    for version, _entry, m in _scan_log(path):
         if version in staged_versions:
             continue
-        try:
-            with open(os.path.join(path, entry)) as f:
-                m = json.load(f)
-        except (json.JSONDecodeError, OSError):
+        if m is None:
             main_head = max(main_head, version)  # in-flight: assume main
             continue
         if m.get("branch") is None:
