@@ -1635,7 +1635,7 @@ _SCAN_CACHE: OrderedDict[
 ] = OrderedDict()
 _SCAN_CACHE_MAX = 32
 _SCAN_LOCK = threading.Lock()
-_SCAN_STATS = {"hits": 0, "rebuilds": 0}
+_SCAN_STATS = {"hits": 0, "rebuilds": 0, "extends": 0}
 
 
 def clear_log_cache() -> None:
@@ -1645,6 +1645,7 @@ def clear_log_cache() -> None:
         _SCAN_CACHE.clear()
         _SCAN_STATS["hits"] = 0
         _SCAN_STATS["rebuilds"] = 0
+        _SCAN_STATS["extends"] = 0
 
 
 def _log_fingerprint(path: str) -> tuple | None:
@@ -1693,23 +1694,81 @@ def _scan_log(path: str) -> list[tuple[int, str, dict | None]]:
             _SCAN_CACHE.move_to_end(path)
             _SCAN_STATS["hits"] += 1
             return hit[1]
-    ck = _latest_checkpoint(path)
-    entries: list[tuple[int, str, dict | None]] = []
-    for version, entry in _list_manifests(path):
-        m = ck.get(version)
-        if m is None:
-            try:
-                with open(os.path.join(path, entry)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                m = None
-        entries.append((version, entry, m))
+    entries = None
+    if hit is not None:
+        entries = _extend_scan(path, hit[0], hit[1], fp)
+    if entries is None:
+        ck = _latest_checkpoint(path)
+        entries = []
+        for version, entry in _list_manifests(path):
+            m = ck.get(version)
+            if m is None:
+                try:
+                    with open(os.path.join(path, entry)) as f:
+                        m = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    m = None
+            entries.append((version, entry, m))
+        with _SCAN_LOCK:
+            _SCAN_STATS["rebuilds"] += 1
+            _SCAN_CACHE[path] = (fp, entries)
+            _SCAN_CACHE.move_to_end(path)
+            while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+                _SCAN_CACHE.popitem(last=False)
+    return entries
+
+
+def _extend_scan(
+    path: str,
+    old_fp: tuple,
+    old_entries: list[tuple[int, str, dict | None]],
+    fp: tuple,
+) -> list[tuple[int, str, dict | None]] | None:
+    """INCREMENTAL cache update for the append-only common case: when
+    the fingerprint changed ONLY by manifest files appended past the
+    old tail (every old file identical, no checkpoint churn, new names
+    sorting strictly after — so in-place publishes, vacuums, landed
+    claims, and legacy unordered names all fall through), parse just
+    the new files and extend the cached list. This turns a lifecycle
+    session's write→plan loop from O(log²) total parse work into
+    O(log): each plan call after a commit parses ONE new manifest.
+    Returns None when the mutation shape is anything else — the caller
+    rebuilds from scratch (correctness never rests on this path)."""
+    old_map = {name: (mt, sz) for name, mt, sz in old_fp}
+    new_names = []
+    for name, mt, sz in fp:
+        prev = old_map.pop(name, None)
+        if prev is None:
+            new_names.append(name)
+        elif prev != (mt, sz):
+            return None  # in-place change (publish/landed claim)
+    if old_map:
+        return None  # a file vanished (vacuum/abandon)
+    if not all(
+        n.startswith("_manifest-") and n.endswith(".json")
+        for n in new_names
+    ):
+        return None  # checkpoint churn: rebuild against the new bundle
+    last_old = max(
+        (e for _v, e, _m in old_entries), default=""
+    )
+    new_names.sort()
+    if new_names and last_old and new_names[0] <= last_old:
+        return None  # out-of-order name (legacy uuid): full rebuild
+    entries = list(old_entries)
+    for name in new_names:
+        stem = name[len("_manifest-") : -len(".json")]
+        version = int(stem) if stem.isdigit() else 0
+        try:
+            with open(os.path.join(path, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            m = None
+        entries.append((version, name, m))
     with _SCAN_LOCK:
-        _SCAN_STATS["rebuilds"] += 1
+        _SCAN_STATS["extends"] = _SCAN_STATS.get("extends", 0) + 1
         _SCAN_CACHE[path] = (fp, entries)
         _SCAN_CACHE.move_to_end(path)
-        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
-            _SCAN_CACHE.popitem(last=False)
     return entries
 
 
@@ -2819,16 +2878,42 @@ def update_where(
     # NULL predicate results are non-matches (SQL WHERE semantics) in
     # BOTH the match leg and the ambiguity probe, so they agree.
     pred = _F.coalesce(_F.expr(predicate), _F.lit(False))
-    ambiguous = (
-        df.groupBy(*[_F.col(c) for c in untouched])
-        .agg(
-            _F.max(pred).alias("__any_m"),
-            _F.min(pred).alias("__all_m"),
+    # Two-pass ambiguity probe, sized for 100 TB: pass 1 shuffles only
+    # (64-bit hash of the untouched projection, match flag) — ~9 bytes
+    # a row instead of the full-width tuple — and pass 2 re-checks the
+    # (rare) suspect hashes EXACTLY on the real columns, so a hash
+    # collision between a matched and an unmatched row can never
+    # produce a spurious rejection.
+    h = _F.xxhash64(*[_F.col(c) for c in untouched])
+    suspects = [
+        r["__h"]
+        for r in (
+            df.groupBy(h.alias("__h"))
+            .agg(
+                _F.max(pred).alias("__any_m"),
+                _F.min(pred).alias("__all_m"),
+            )
+            .filter("__any_m AND NOT __all_m")
+            .limit(101)
+            .collect()
         )
-        .filter("__any_m AND NOT __all_m")
-        .limit(1)
-        .count()
-    )
+    ]
+    ambiguous = 0
+    if suspects:
+        if len(suspects) > 100:
+            ambiguous = 1  # overwhelmingly real; skip the exact pass
+        else:
+            ambiguous = (
+                df.filter(h.isin(suspects))
+                .groupBy(*[_F.col(c) for c in untouched])
+                .agg(
+                    _F.max(pred).alias("__any_m"),
+                    _F.min(pred).alias("__all_m"),
+                )
+                .filter("__any_m AND NOT __all_m")
+                .limit(1)
+                .count()
+            )
     if ambiguous:
         raise ValueError(
             "ambiguous UPDATE: rows NOT matching the WHERE share their "
