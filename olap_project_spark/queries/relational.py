@@ -8439,48 +8439,67 @@ def sql_time_travel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_mid = _time.time() + 0.001
         _time.sleep(0.05)
         lk.sql("UPDATE fact SET cents = cents * 2 WHERE k % 5 = 0")
+        # the parity probes run ONCE, at build: SQL VERSION AS OF vs
+        # the library read, the timestamp resolution vs the version,
+        # and the bad-version rejection — the returned frame then
+        # stays lazy (assembled from the SQL as-of read + pinned
+        # flags), so the constructor launches no jobs post-build
+        p = lk.path("fact")
+        sql_v1 = lk.sql(
+            f"SELECT SUM(cents) AS s, COUNT(*) AS n "
+            f"FROM fact VERSION AS OF {v1}"
+        ).collect()[0]
+        lib_v1 = (
+            read_evolved(spark, p, as_of=v1)
+            .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        from datetime import datetime, timezone
+
+        ts = datetime.fromtimestamp(t_mid, tz=timezone.utc).isoformat()
+        ts_row = lk.sql(
+            f"SELECT SUM(cents) AS s, COUNT(*) AS n "
+            f"FROM fact FOR SYSTEM_TIME AS OF '{ts}'"
+        ).collect()[0]
+        try:
+            lk.sql("SELECT * FROM fact VERSION AS OF 999999")
+            bad_rejected = False
+        except ValueError:
+            bad_rejected = True
         with open(done, "w") as fh:
-            _json.dump({"v1": v1, "t_mid": t_mid}, fh)
-    stats = _json.load(open(done))
-    v1, t_mid = stats["v1"], stats["t_mid"]
-    p = lk.path("fact")
-
-    sql_v1 = lk.sql(
-        f"SELECT SUM(cents) AS s, COUNT(*) AS n "
-        f"FROM fact VERSION AS OF {v1}"
-    ).collect()[0]
-    lib_v1 = (
-        read_evolved(spark, p, as_of=v1)
-        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
-        .collect()[0]
-    )
-    from datetime import datetime, timezone
-
-    ts = datetime.fromtimestamp(t_mid, tz=timezone.utc).isoformat()
-    ts_row = lk.sql(
-        f"SELECT SUM(cents) AS s, COUNT(*) AS n "
-        f"FROM fact FOR SYSTEM_TIME AS OF '{ts}'"
-    ).collect()[0]
-    head = lk.sql("SELECT SUM(cents) AS s FROM fact").collect()[0]
-    try:
-        lk.sql("SELECT * FROM fact VERSION AS OF 999999")
-        bad_rejected = False
-    except ValueError:
-        bad_rejected = True
-    return spark.createDataFrame(
-        [
-            (
-                sql_v1["s"],
-                sql_v1["n"],
-                head["s"],
-                sql_v1["s"] == lib_v1["s"] and sql_v1["n"] == lib_v1["n"],
-                ts_row["s"] == sql_v1["s"] and ts_row["n"] == sql_v1["n"],
-                bad_rejected,
+            _json.dump(
+                {
+                    "v1": v1,
+                    "version_matches_library": bool(
+                        sql_v1["s"] == lib_v1["s"]
+                        and sql_v1["n"] == lib_v1["n"]
+                    ),
+                    "timestamp_matches_version": bool(
+                        ts_row["s"] == sql_v1["s"]
+                        and ts_row["n"] == sql_v1["n"]
+                    ),
+                    "bad_version_rejected": bool(bad_rejected),
+                },
+                fh,
             )
-        ],
-        "v1_sum_cents bigint, v1_n bigint, head_sum_cents bigint, "
-        "version_matches_library boolean, "
-        "timestamp_matches_version boolean, bad_version_rejected boolean",
+    stats = _json.load(open(done))
+    return lk.sql(
+        f"SELECT SUM(cents) AS v1_sum_cents, COUNT(*) AS v1_n, "
+        f"(SELECT SUM(cents) FROM fact) AS head_sum_cents "
+        f"FROM fact VERSION AS OF {stats['v1']}"
+    ).select(
+        "v1_sum_cents",
+        "v1_n",
+        "head_sum_cents",
+        F.lit(bool(stats["version_matches_library"])).alias(
+            "version_matches_library"
+        ),
+        F.lit(bool(stats["timestamp_matches_version"])).alias(
+            "timestamp_matches_version"
+        ),
+        F.lit(bool(stats["bad_version_rejected"])).alias(
+            "bad_version_rejected"
+        ),
     )
 
 
@@ -8751,25 +8770,30 @@ def log_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh,
             )
     stats = _json.load(open(done))
-    head = (
+    # lazy head read: the cache-behavior flags are pinned at build,
+    # the totals frame itself stays a lintable plan
+    return (
         read_evolved(spark, path)
-        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
-        .collect()[0]
-    )
-    return spark.createDataFrame(
-        [
-            (
-                head["n"],
-                head["s"],
-                stats["rebuilds_for_burst"],
-                bool(stats["cached_equals_fresh"]),
-                bool(stats["commit_invalidates"]),
-                bool(stats["publish_invalidates"]),
-            )
-        ],
-        "n_rows_head bigint, sum_cents bigint, rebuilds_for_burst bigint, "
-        "cached_equals_fresh boolean, commit_invalidates boolean, "
-        "publish_invalidates boolean",
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows_head"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "n_rows_head",
+            "sum_cents",
+            F.lit(int(stats["rebuilds_for_burst"]))
+            .cast("bigint")
+            .alias("rebuilds_for_burst"),
+            F.lit(bool(stats["cached_equals_fresh"])).alias(
+                "cached_equals_fresh"
+            ),
+            F.lit(bool(stats["commit_invalidates"])).alias(
+                "commit_invalidates"
+            ),
+            F.lit(bool(stats["publish_invalidates"])).alias(
+                "publish_invalidates"
+            ),
+        )
     )
 
 

@@ -176,6 +176,16 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "sql_dml_roundtrip_stats",
     "alter_ddl_stats",
     "log_checkpoint_stats",
+    # round-13 lakehouse lifecycle showcases: the fixture builds (SQL
+    # UPDATE/MERGE chains, matview create+refresh rounds, the cache
+    # burst probes, the build-time parity collects) ARE the semantics;
+    # every returned stats frame stays lazy once built
+    "sql_update_stats",
+    "sql_time_travel_stats",
+    "matview_avg_stats",
+    "log_cache_stats",
+    "matview_join_stats",
+    "sql_merge_breadth_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
