@@ -3302,35 +3302,49 @@ def _log(
     return out if raw else _effective(out)
 
 
+def _checkpoint_names(path: str) -> list[str]:
+    """Every LOG CHECKPOINT filename in the table directory, newest
+    (highest bundled version) first."""
+    names: list[tuple[int, str]] = []
+    if not os.path.isdir(path):
+        return []
+    for entry in os.listdir(path):
+        if entry.startswith("_logcheckpoint-") and entry.endswith(".json"):
+            stem = entry[len("_logcheckpoint-") : -len(".json")]
+            if stem.isdigit():
+                names.append((int(stem), entry))
+    names.sort(reverse=True)
+    return [n for _v, n in names]
+
+
 def _latest_checkpoint(path: str) -> dict[int, dict]:
-    """The newest LOG CHECKPOINT's bundled entries ({version:
-    manifest}), or {} — the pure PARSE CACHE behind
+    """The newest readable LOG CHECKPOINT's bundled entries
+    ({version: manifest}), or {} — the pure PARSE CACHE behind
     :func:`checkpoint_log`. A version absent from the bundle (a
     branch-staged commit, an in-flight claim that landed after the
     checkpoint, anything newer) simply falls back to its own file, so
     a checkpoint can never change WHAT is read — only how many files
-    the driver must open to read it. A corrupt or half-written
-    checkpoint degrades to the empty cache."""
-    best = -1
-    name = None
-    if not os.path.isdir(path):
-        return {}
-    for entry in os.listdir(path):
-        if entry.startswith("_logcheckpoint-") and entry.endswith(".json"):
-            stem = entry[len("_logcheckpoint-") : -len(".json")]
-            if stem.isdigit() and int(stem) > best:
-                best, name = int(stem), entry
-    if name is None:
-        return {}
-    try:
-        with open(os.path.join(path, name)) as f:
-            bundle = json.load(f)
-        return {int(v): m for v, m in bundle["entries"].items()}
-    except (json.JSONDecodeError, OSError, KeyError, ValueError):
-        return {}  # corrupt cache: parse the files instead
+    the driver must open to read it.
+
+    Checkpoints are tried NEWEST-FIRST: a checkpoint that vanishes
+    between the listing and the open (a racing writer retired it) or
+    fails to parse (corrupt, half-written) degrades to the NEXT newest
+    bundle — because :func:`checkpoint_log` retains the previous
+    generation (``keep=2``), a reader racing one full churn cycle
+    still plans from a bundle instead of forfeiting to a per-file
+    parse of the whole log. Only when every checkpoint fails does the
+    cache degrade to empty."""
+    for name in _checkpoint_names(path):
+        try:
+            with open(os.path.join(path, name)) as f:
+                bundle = json.load(f)
+            return {int(v): m for v, m in bundle["entries"].items()}
+        except (json.JSONDecodeError, OSError, KeyError, ValueError):
+            continue  # racing retirement / corrupt: try the previous
+    return {}  # no readable cache: parse the files instead
 
 
-def checkpoint_log(path: str) -> dict:
+def checkpoint_log(path: str, keep: int = 2) -> dict:
     """Write a LOG CHECKPOINT — the Delta ``_last_checkpoint`` /
     Iceberg metadata-file mechanism for the manifest table: ONE JSON
     file bundling every parseable MAIN manifest of the STABLE PREFIX
@@ -3347,6 +3361,15 @@ def checkpoint_log(path: str) -> dict:
     branch-staged commits (excluded by construction; they may mutate
     at publish), late-landing in-flight claims, and everything newer.
     Idempotent: re-checkpointing at the same stable head is a no-op.
+
+    Retention (``keep``, default 2): the newest ``keep`` generations
+    survive a churn — a reader that LISTED the directory just before
+    this call retired the old bundle would otherwise open a vanished
+    file and forfeit the optimization (correct but O(log) parses);
+    keeping the previous generation closes that race for any reader at
+    most one churn behind. Older generations are retired here and by
+    :func:`vacuum_snapshots` (which keeps only the newest — vacuum is
+    a maintenance window by contract).
 
     Returns {"version": k, "bundled": n} (or {"version": None} when
     there is nothing new to checkpoint)."""
@@ -3370,16 +3393,13 @@ def checkpoint_log(path: str) -> dict:
     with open(tmp, "w") as f:
         json.dump({"version": k, "entries": entries}, f)
     os.replace(tmp, final)  # atomic: readers see old or new cache
-    for entry in os.listdir(path):  # retire superseded caches
-        if (
-            entry.startswith("_logcheckpoint-")
-            and entry.endswith(".json")
-            and entry != f"_logcheckpoint-{k:06d}.json"
-        ):
-            try:
-                os.remove(os.path.join(path, entry))
-            except OSError:
-                pass  # a racing reader may hold it; next pass retries
+    # retire superseded caches beyond the newest `keep` generations —
+    # the survivors cover readers that listed before this churn
+    for entry in _checkpoint_names(path)[max(keep, 1) :]:
+        try:
+            os.remove(os.path.join(path, entry))
+        except OSError:
+            pass  # a racing reader may hold it; next pass retries
     return {"version": k, "bundled": len(entries)}
 
 
@@ -5255,6 +5275,9 @@ def vacuum_snapshots(
        time travel is shortened, exactly as in Iceberg/Delta.
 
     Returns counts: orphans_deleted, expired_manifests, expired_files,
+    expired_checkpoints (log-checkpoint generations beyond the newest,
+    collected here because vacuum IS the maintenance window the
+    ``keep=2`` retirement in :func:`checkpoint_log` defers to),
     kept_versions. Driver-side O(#manifests + #staging-files) metadata
     work; no data is read or rewritten.
 
@@ -5395,6 +5418,7 @@ def vacuum_snapshots(
         "orphans_deleted": 0,
         "expired_manifests": 0,
         "expired_files": 0,
+        "expired_checkpoints": 0,
         "in_flight_commits": in_flight,
         "stale_claims_deleted": stale_deleted,
     }
@@ -5435,5 +5459,17 @@ def vacuum_snapshots(
         for dirpath, _dirs, files in sorted(os.walk(staging), reverse=True):
             if dirpath != staging and not files and not os.listdir(dirpath):
                 os.rmdir(dirpath)
+    # LOG-CHECKPOINT GC: checkpoint_log() keeps the newest `keep`
+    # generations alive for racing readers; vacuum — a maintenance
+    # window by the same contract that arms orphan GC — collects every
+    # generation but the newest. A checkpoint is a pure parse cache,
+    # so removing one can never change what is read; the next plan
+    # call falls back to the survivor (or per-file parsing).
+    for entry in _checkpoint_names(path)[1:]:
+        try:
+            os.remove(os.path.join(path, entry))
+            stats["expired_checkpoints"] += 1
+        except OSError:
+            pass  # racing remove: already gone
     stats["kept_versions"] = table_versions(path)
     return stats

@@ -60,6 +60,12 @@ def _state(spark, path):
     )
 
 
+def _checkpoints(path):
+    return sorted(
+        e for e in os.listdir(path) if e.startswith("_logcheckpoint-")
+    )
+
+
 class TestCheckpointSemantics:
     def test_reads_identical_before_and_after(self, registered, tmp_path):
         path = str(tmp_path / "t")
@@ -134,18 +140,30 @@ class TestCheckpointSemantics:
             fh.write("{not json")
         assert _state(registered, path) == [(1, "a")]
 
-    def test_supersession_keeps_one_file(self, registered, tmp_path):
+    def test_supersession_keeps_two_generations(self, registered, tmp_path):
+        """checkpoint_log retains the newest TWO bundles (keep=2): the
+        previous generation survives one churn so a reader that listed
+        the directory just before the churn still opens a live file.
+        A third churn retires the oldest."""
         path = str(tmp_path / "t")
         _write(registered, path, [(1, "a")])
         checkpoint_log(path)
         _write(registered, path, [(2, "b")])
         checkpoint_log(path)
-        cks = [
-            e
-            for e in os.listdir(path)
-            if e.startswith("_logcheckpoint-")
+        assert _checkpoints(path) == [
+            "_logcheckpoint-000001.json",
+            "_logcheckpoint-000002.json",
         ]
-        assert cks == ["_logcheckpoint-000002.json"]
+        _write(registered, path, [(3, "c")])
+        checkpoint_log(path)
+        assert _checkpoints(path) == [
+            "_logcheckpoint-000002.json",
+            "_logcheckpoint-000003.json",
+        ]
+        # keep=1 restores the old retire-immediately behavior
+        _write(registered, path, [(4, "d")])
+        checkpoint_log(path, keep=1)
+        assert _checkpoints(path) == ["_logcheckpoint-000004.json"]
 
     def test_maintain_writes_checkpoint_on_policy(
         self, registered, tmp_path
@@ -166,6 +184,79 @@ class TestCheckpointSemantics:
         assert report["checkpoint"]["version"] is not None
         assert _state(registered, path) == [(1, "r1"), (2, "r2")]
 
+    def test_racing_retirement_falls_back_to_previous_bundle(
+        self, registered, tmp_path, monkeypatch
+    ):
+        """A reader that raced one checkpoint churn (the bundle it
+        listed vanished before the open) plans from the RETAINED
+        previous generation, not a per-file parse of the whole log —
+        pinned by counting exactly which log .json files a cold plan
+        opens in each scenario."""
+        import builtins
+
+        from olap_project_spark.export import manifest_sink as ms
+
+        path = str(tmp_path / "t")
+        for i in range(3):
+            _write(registered, path, [(i, f"r{i}")])
+        checkpoint_log(path)  # gen A: bundles v1-3
+        _write(registered, path, [(3, "r3")])
+        checkpoint_log(path)  # gen B: bundles v1-4; A retained (keep=2)
+        _write(registered, path, [(4, "r4")])  # tail: v5
+        assert _checkpoints(path) == [
+            "_logcheckpoint-000003.json",
+            "_logcheckpoint-000004.json",
+        ]
+        expected = _state(registered, path)
+
+        opens: list[str] = []
+        real_open = builtins.open
+
+        def counting(file, *a, **kw):
+            f = str(file)
+            if f.startswith(path) and f.endswith(".json"):
+                opens.append(os.path.basename(f))
+            return real_open(file, *a, **kw)
+
+        monkeypatch.setattr(builtins, "open", counting)
+        # cold plan, both generations live: newest bundle + the tail
+        ms.clear_log_cache()
+        versions = [v for v, _ in ms._log(path)]
+        assert opens == [
+            "_logcheckpoint-000004.json",
+            "_manifest-000005.json",
+        ]
+        # the race: gen B retired under the reader -> gen A serves,
+        # and only the two post-A manifests are parsed per-file
+        os.remove(os.path.join(path, "_logcheckpoint-000004.json"))
+        opens.clear()
+        ms.clear_log_cache()
+        versions_raced = [v for v, _ in ms._log(path)]
+        assert opens == [
+            "_logcheckpoint-000003.json",
+            "_manifest-000004.json",
+            "_manifest-000005.json",
+        ]
+        assert versions_raced == versions
+        monkeypatch.undo()
+        assert _state(registered, path) == expected
+
+    def test_vacuum_gcs_superseded_checkpoints(self, registered, tmp_path):
+        """vacuum — the maintenance window checkpoint retention defers
+        to — collects every generation but the newest and reports the
+        count; reads are unchanged."""
+        path = str(tmp_path / "t")
+        _write(registered, path, [(1, "a")])
+        checkpoint_log(path)
+        _write(registered, path, [(2, "b")])
+        checkpoint_log(path)
+        assert len(_checkpoints(path)) == 2
+        before = _state(registered, path)
+        stats = vacuum_snapshots(path)
+        assert stats["expired_checkpoints"] == 1
+        assert _checkpoints(path) == ["_logcheckpoint-000002.json"]
+        assert _state(registered, path) == before
+
     def test_era_reads_through_the_cache(self, registered, tmp_path):
         from olap_project_spark.export.manifest_sink import rename_column
 
@@ -185,3 +276,57 @@ class TestCheckpointSemantics:
             "min": "a",
             "max": "a",
         }
+
+
+# ---------------------------------------------------------------------------
+# Property: under ANY interleaving of appends / deletes / checkpoints /
+# compactions / vacuums, every read equals a plain Python model — the
+# checkpoint+retention+GC lifecycle can never change WHAT is read.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op = st.sampled_from(
+    ["append", "delete", "checkpoint", "compact", "vacuum"]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_op, min_size=2, max_size=6))
+def test_reads_invariant_under_checkpoint_lifecycle_interleavings(
+    registered, tmp_path, ops
+):
+    import uuid as _uuid
+
+    path = str(tmp_path / f"ckv_{_uuid.uuid4().hex[:12]}")
+    model: dict[int, str] = {}
+    next_k = 0
+    started = False
+    for op in ops:
+        if op == "append" or not started:
+            rows = [(next_k + i, f"r{next_k + i}") for i in range(2)]
+            next_k += 2
+            _write(registered, path, rows)
+            model.update(rows)
+            started = True
+        elif op == "delete":
+            if not model:
+                continue
+            victim = min(model)
+            delete_where(
+                registered,
+                path,
+                registered.createDataFrame([(victim,)], "k int"),
+            )
+            model.pop(victim)
+        elif op == "checkpoint":
+            checkpoint_log(path)
+        elif op == "compact":
+            compact_snapshots(registered, path, None)
+        elif op == "vacuum":
+            vacuum_snapshots(path)
+        assert _state(registered, path) == sorted(model.items())
