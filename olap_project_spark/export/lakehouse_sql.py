@@ -820,22 +820,27 @@ class LakehouseSQL:
                     )
                     continue
                 am = re.fullmatch(
-                    r"(?is)AVG\s*\((.+)\)\s+AS\s+(" + _IDENT + ")",
+                    r"(?is)(AVG|MIN|MAX)\s*\((.+)\)\s+AS\s+("
+                    + _IDENT
+                    + ")",
                     item.strip(),
                 )
                 if am:
                     aggs.append(
                         {
-                            "expr": am.group(1).strip(),
-                            "as": am.group(2),
-                            "fn": "avg",
+                            "expr": am.group(2).strip(),
+                            "as": am.group(3),
+                            "fn": am.group(1).lower(),
                         }
                     )
                     continue
                 raise ValueError(
                     f"materialized views support GROUP BY keys, "
                     f"SUM(expr) AS name, COUNT(*)/COUNT(expr) AS name, "
-                    f"and AVG(expr) AS name; got {item.strip()!r}"
+                    f"AVG(expr) AS name, and MIN/MAX(expr) AS name "
+                    f"(MIN/MAX refresh incrementally on insert-only "
+                    f"ranges and full-recompute past deletes); got "
+                    f"{item.strip()!r}"
                 )
             spec: dict = {"group_by": keys, "aggs": aggs}
             if dim is not None:

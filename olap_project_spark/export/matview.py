@@ -11,8 +11,14 @@ never a base re-scan. Sums are exact integers (the engine's
 cross-engine convention — express money as cents in the agg expr).
 AVG is stored as its exact (sum, non-null count) pair in hidden state
 columns and derived at read time — the counted-IVM decomposition —
-so it stays exactly incremental; MIN/MAX remain rejected (a delete
-can strand them, the classic non-self-maintainable aggregates).
+so it stays exactly incremental. MIN/MAX — the classic
+non-self-maintainable pair — are supported with the standard demotion
+rule (Snowflake MVs make the same trade): an INSERT-ONLY refresh
+range folds incrementally (``least``/``greatest`` against the stored
+extremum), while any range whose filtered slice carries a delete leg
+— which could strand the stored extremum — falls back to the same
+ATOMIC full recompute a base rewrite takes. Appends dominate a
+lakehouse table's cadence, so the common refresh stays O(changes).
 
 Two relational extensions keep the same exactness:
 
@@ -113,12 +119,23 @@ def _applied_base_version(mv_path: str) -> int:
 
 def _agg_fn(a: dict) -> str:
     fn = a.get("fn", "sum").lower()
-    if fn not in ("sum", "count", "avg"):
+    if fn not in ("sum", "count", "avg", "min", "max"):
         raise ValueError(
-            f"materialized views maintain sum/count/avg, not {fn!r} "
-            "(min/max are not self-maintainable under deletes)"
+            f"materialized views maintain sum/count/avg/min/max, "
+            f"not {fn!r}"
         )
     return fn
+
+
+def _minmax_cols(spec: dict) -> dict[str, str]:
+    """{state column: 'min'|'max'} for the spec's MIN/MAX aggregates —
+    the non-self-maintainable pair whose presence demotes any refresh
+    range containing a delete leg to a full recompute."""
+    return {
+        a["as"]: _agg_fn(a)
+        for a in spec["aggs"]
+        if _agg_fn(a) in ("min", "max")
+    }
 
 
 def _state_cols(spec: dict) -> list[str]:
@@ -170,6 +187,10 @@ def _view_frame(df: DataFrame, spec: dict) -> DataFrame:
             aggs.append(F.sum(e).cast("bigint").alias(a["as"]))
         elif fn == "count":
             aggs.append(F.count(e).cast("bigint").alias(a["as"]))
+        elif fn == "min":
+            aggs.append(F.min(e).cast("bigint").alias(a["as"]))
+        elif fn == "max":
+            aggs.append(F.max(e).cast("bigint").alias(a["as"]))
         else:  # avg: exact decomposition
             aggs.append(
                 F.sum(e).cast("bigint").alias(f"__mv_sum__{a['as']}")
@@ -185,10 +206,15 @@ def _delta_frame(changes: DataFrame, spec: dict) -> DataFrame:
     """Signed-delta aggregation over a CDF slice: inserts weigh +1,
     deletes −1, so summing weighted values per key yields exactly the
     adjustment the view needs. COUNT legs weigh only non-null expr
-    rows — SQL count semantics — so they stay exact under deltas."""
+    rows — SQL count semantics — so they stay exact under deltas.
+    MIN/MAX legs fold the slice's own extremum over INSERT rows only —
+    by the caller's contract a slice reaching this path under a
+    MIN/MAX spec contains no delete legs (those demote to a full
+    recompute), so the insert extremum is the complete adjustment."""
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
+    ins = F.col("_change_type") == "insert"
     aggs = []
     for a in spec["aggs"]:
         fn, e = _agg_fn(a), F.expr(a["expr"])
@@ -199,6 +225,14 @@ def _delta_frame(changes: DataFrame, spec: dict) -> DataFrame:
             aggs.append(F.sum(e * w).cast("bigint").alias(a["as"]))
         elif fn == "count":
             aggs.append(signed_cnt.alias(a["as"]))
+        elif fn == "min":
+            aggs.append(
+                F.min(F.when(ins, e)).cast("bigint").alias(a["as"])
+            )
+        elif fn == "max":
+            aggs.append(
+                F.max(F.when(ins, e)).cast("bigint").alias(a["as"])
+            )
         else:  # avg
             aggs.append(
                 F.sum(e * w).cast("bigint").alias(f"__mv_sum__{a['as']}")
@@ -217,8 +251,8 @@ def mv_create(
     """Define a materialized view over a manifest table and run its
     initial full refresh. ``spec`` = {"group_by": [cols], "aggs":
     [{"expr": <integer-valued SQL expr>, "as": name, ["fn": "sum" |
-    "count" | "avg"]}, ...], ["where": <SQL pred>], ["join": {"path":
-    <dim table>, "using": [equi-key cols]}]}. The view definition
+    "count" | "avg" | "min" | "max"]}, ...], ["where": <SQL pred>],
+    ["join": {"path": <dim table>, "using": [equi-key cols]}]}. The view definition
     persists beside the view's own manifest log (``_mv.json``), so any
     session can refresh it later. Returns the stored metadata."""
     if os.path.exists(_meta_path(mv_path)):
@@ -325,7 +359,9 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     filtered tombstone rows — lands in ONE atomic merge commit, so
     no reader (current or time-traveling) can observe a half-applied
     refresh. Falls back to an atomic full recompute (one rewrite
-    snapshot) when the range crosses a base compaction. Returns
+    snapshot) when the range crosses a base compaction — or when a
+    MIN/MAX spec meets a delete leg in the range (the
+    non-self-maintainable case). Returns
     {"mode": "noop"|"incremental"|"full", "from_version",
     "to_version", "keys_upserted", "keys_deleted"}."""
     meta = _load_meta(mv_path)
@@ -399,21 +435,39 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     except ValueError:
         # a base rewrite (or rename) inside the range
         return _full_recompute()
-    delta = _delta_frame(_input_frame(changes, spec, dim), spec)
+    sliced = _input_frame(changes, spec, dim)
+    minmax = _minmax_cols(spec)
+    if minmax:
+        # MIN/MAX are not self-maintainable under deletes — a delete
+        # leg in the (filtered, joined) slice can strand the stored
+        # extremum, so the refresh demotes to the same atomic full
+        # recompute a base rewrite takes. Insert-only ranges — the
+        # overwhelmingly common append cadence — stay incremental.
+        has_delete = bool(
+            sliced.filter(F.col("_change_type") == "delete")
+            .limit(1)
+            .take(1)
+        )
+        if has_delete:
+            return _full_recompute()
+    delta = _delta_frame(sliced, spec)
     state = read_committed(spark, mv_path, table_schema(mv_path))
     agg_cols = _state_cols(spec) + [_COUNT_COL]
+
+    def _combine(c):
+        if c in minmax:
+            # least/greatest skip NULLs, so a key new to the view
+            # (NULL state) or an all-NULL slice folds correctly
+            f = F.least if minmax[c] == "min" else F.greatest
+            return f(state[c], delta[c]).alias(c)
+        return (
+            F.coalesce(state[c], F.lit(0))
+            + F.coalesce(delta[c], F.lit(0))
+        ).alias(c)
+
     merged = (
         state.join(delta, on=keys, how="right")  # touched keys only
-        .select(
-            *keys,
-            *[
-                (
-                    F.coalesce(state[c], F.lit(0))
-                    + F.coalesce(delta[c], F.lit(0))
-                ).alias(c)
-                for c in agg_cols
-            ],
-        )
+        .select(*keys, *[_combine(c) for c in agg_cols])
         .localCheckpoint(eager=True)  # bounded: touched keys only
     )
     n_up = merge_upsert(

@@ -8621,6 +8621,129 @@ def matview_avg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 13: materialized-view MIN/MAX — incremental on inserts, demoted
+# to the atomic full recompute past deletes
+# --------------------------------------------------------------------------
+@register(
+    "matview_minmax_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    appended AS (
+      SELECT k, st, cents FROM base
+      UNION ALL
+      SELECT k, st, cents + 50 AS cents FROM base WHERE k % 7 = 0
+    ),
+    final AS (
+      SELECT st, cents FROM appended WHERE k % 13 <> 0
+    )
+    SELECT st,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS inc_then_full,
+           TRUE AS equals_recompute
+    FROM final GROUP BY st
+    """,
+)
+def matview_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view MIN/MAX through the gate — the classic
+    non-self-maintainable aggregates, supported with the standard
+    demotion rule (export/matview.py): an INSERT-ONLY refresh range
+    folds incrementally (``least``/``greatest`` against the stored
+    extremum — appends dominate a lakehouse fact's cadence, so the
+    common refresh stays O(changes)), while a range whose filtered
+    slice carries a delete leg — which could strand the stored
+    extremum — demotes that ONE refresh to the same atomic full
+    recompute a base rewrite takes.
+
+    Lineage is pure SQL: a base fact, a view with MIN/MAX/SUM/COUNT,
+    an append-only INSERT burst (shifted copies of the k%7 cohort)
+    whose refresh must report ``mode='incremental'``, then a DELETE
+    (the k%13 cohort) whose refresh must report ``mode='full'`` —
+    ``inc_then_full`` pins exactly that mode sequence, and
+    ``equals_recompute`` pins the refreshed state equal to a
+    from-scratch recompute over the final base, column for column.
+
+    Oracle: DuckDB applies the same append+delete algebra to the raw
+    fact and aggregates the survivors.
+
+    Scale: the insert-only refresh shuffles only the slice's touched
+    keys; the demotion check is a LIMIT-1 existence probe on the
+    filtered CDF slice, not a scan of the base.
+
+    Reference analogue: the reference's dashboards recompute every
+    aggregate on refresh (requirements.md:42-53); here MIN/MAX are
+    maintained incrementally whenever algebra permits and recomputed
+    atomically exactly when it does not."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_mvminmax_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql(
+            "CREATE MATERIALIZED VIEW mv AS SELECT st, "
+            "MIN(cents) AS min_cents, MAX(cents) AS max_cents, "
+            "SUM(cents) AS sum_cents, COUNT(*) AS n_rows "
+            "FROM fact GROUP BY st"
+        )
+        lk.sql(
+            "INSERT INTO fact SELECT k, st, cents + 50 AS cents "
+            "FROM fact WHERE k % 7 = 0"
+        )
+        m1 = lk.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].mode
+        lk.sql("DELETE FROM fact WHERE k % 13 = 0")
+        m2 = lk.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].mode
+        recomputed = lk.sql(
+            "SELECT st, MIN(cents) AS min_cents, MAX(cents) AS "
+            "max_cents, SUM(cents) AS sum_cents, COUNT(*) AS n_rows "
+            "FROM fact GROUP BY st"
+        )
+        view = lk.sql("SELECT * FROM mv")
+        diff = view.exceptAll(recomputed).count() + recomputed.exceptAll(
+            view
+        ).count()
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "inc_then_full": m1 == "incremental" and m2 == "full",
+                    "equal": diff == 0,
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql("SELECT * FROM mv").select(
+        "st",
+        "min_cents",
+        "max_cents",
+        "sum_cents",
+        "n_rows",
+        F.lit(bool(stats["inc_then_full"])).alias("inc_then_full"),
+        F.lit(bool(stats["equal"])).alias("equals_recompute"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Round 13: the in-process manifest-log parse cache — hit/invalidate proof
 # --------------------------------------------------------------------------
 @register(

@@ -280,6 +280,7 @@ class TestDriverContract:
             "log_cache_stats",               # parsed-log cache contract
             "matview_join_stats",            # filtered join IVM views
             "sql_merge_breadth_stats",       # cond-update/delete/insert
+            "matview_minmax_stats",          # MIN/MAX inc-or-demote IVM
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

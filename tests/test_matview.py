@@ -167,6 +167,103 @@ class TestRejections:
             )
 
 
+class TestMinMax:
+    """MIN/MAX views: incremental on insert-only ranges via
+    least/greatest folds (NULL-correct), demoted to the atomic full
+    recompute ONLY when a delete leg survives the view's own WHERE
+    filter — a delete outside the filter stays incremental."""
+
+    SPEC_MM = {
+        "group_by": ["k"],
+        "aggs": [
+            {"expr": "v", "as": "mn", "fn": "min"},
+            {"expr": "v", "as": "mx", "fn": "max"},
+            {"expr": "v", "as": "sum_v", "fn": "sum"},
+        ],
+    }
+
+    def _mm(self, spark, view):
+        return sorted(
+            (r.k, r.mn, r.mx, r.sum_v)
+            for r in mv_read(spark, view).collect()
+        )
+
+    def test_insert_only_incremental_null_correct(
+        self, registered, tmp_path
+    ):
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        _write(registered, base, [("a", 10), ("a", None), ("b", 7)])
+        mv_create(registered, view, base, self.SPEC_MM)
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 7, 7, 7),
+        ]
+        # insert-only range: a's slice is all-NULL (extrema keep),
+        # b's tightens the min, and the mode stays incremental
+        _write(registered, base, [("a", None), ("b", 2)])
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 2, 7, 9),
+        ]
+        # a delete leg demotes exactly one refresh to a full rewrite
+        delete_where(
+            registered,
+            base,
+            registered.createDataFrame([(7,)], "v bigint"),
+        )
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "full"
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 2, 2, 2),
+        ]
+        # and the next append-only range is incremental again
+        _write(registered, base, [("c", 4)])
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 2, 2, 2),
+            ("c", 4, 4, 4),
+        ]
+
+    def test_filtered_minmax_delete_outside_filter_stays_incremental(
+        self, registered, tmp_path
+    ):
+        base, view = str(tmp_path / "b"), str(tmp_path / "v")
+        spec = dict(self.SPEC_MM, where="v >= 5")
+        _write(registered, base, [("a", 10), ("a", 3), ("b", 7)])
+        mv_create(registered, view, base, spec)
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 7, 7, 7),
+        ]
+        # the deleted row never passed the WHERE: the filtered slice
+        # carries no delete leg, so the refresh stays incremental
+        delete_where(
+            registered,
+            base,
+            registered.createDataFrame([(3,)], "v bigint"),
+        )
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "incremental"
+        assert self._mm(registered, view) == [
+            ("a", 10, 10, 10),
+            ("b", 7, 7, 7),
+        ]
+        # deleting an in-filter row demotes; the emptied key vanishes
+        delete_where(
+            registered,
+            base,
+            registered.createDataFrame([(10,)], "v bigint"),
+        )
+        r = mv_refresh(registered, view)
+        assert r["mode"] == "full"
+        assert self._mm(registered, view) == [("b", 7, 7, 7)]
+
+
 class TestExactlyOnceRecovery:
     def test_stale_meta_cache_cannot_double_apply(
         self, registered, tmp_path

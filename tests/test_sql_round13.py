@@ -208,14 +208,42 @@ def test_matview_avg_and_count_col(lh):
     ]
 
 
-def test_matview_min_still_rejected(lh):
+def test_matview_minmax_incremental_on_inserts_full_on_deletes(lh):
+    """MIN/MAX views: insert-only ranges refresh INCREMENTALLY
+    (least/greatest folds against the stored extremum); a delete leg
+    in the range — which could strand the extremum — demotes that one
+    refresh to the atomic full recompute. Values exact throughout."""
     lh.sql("CREATE TABLE ev (g STRING, x BIGINT)")
     lh.sql("INSERT INTO ev SELECT 'a' AS g, 10 AS x")
-    with pytest.raises(ValueError):
-        lh.sql(
-            "CREATE MATERIALIZED VIEW m AS SELECT g, MIN(x) AS mn "
-            "FROM ev GROUP BY g"
-        )
+    lh.sql("INSERT INTO ev SELECT 'a' AS g, 20 AS x")
+    lh.sql("INSERT INTO ev SELECT 'b' AS g, 5 AS x")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW m AS SELECT g, MIN(x) AS mn, "
+        "MAX(x) AS mx, SUM(x) AS sx FROM ev GROUP BY g"
+    )
+    assert _rows(lh.sql("SELECT * FROM m")) == [
+        ("a", 10, 20, 30),
+        ("b", 5, 5, 5),
+    ]
+    # append-only range: incremental, new key + tightened extrema
+    lh.sql("INSERT INTO ev SELECT 'a' AS g, 3 AS x")
+    lh.sql("INSERT INTO ev SELECT 'c' AS g, 7 AS x")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "incremental"
+    assert _rows(lh.sql("SELECT * FROM m")) == [
+        ("a", 3, 20, 33),
+        ("b", 5, 5, 5),
+        ("c", 7, 7, 7),
+    ]
+    # a delete strands nothing: the refresh demotes to a full rewrite
+    lh.sql("DELETE FROM ev WHERE g = 'a' AND x = 3")
+    r = lh.sql("REFRESH MATERIALIZED VIEW m").collect()[0]
+    assert r.mode == "full"
+    assert _rows(lh.sql("SELECT * FROM m")) == [
+        ("a", 10, 20, 30),
+        ("b", 5, 5, 5),
+        ("c", 7, 7, 7),
+    ]
 
 
 # ------------------------------------------------- lazy registration

@@ -186,6 +186,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "log_cache_stats",
     "matview_join_stats",
     "sql_merge_breadth_stats",
+    "matview_minmax_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
