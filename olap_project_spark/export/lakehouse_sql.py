@@ -67,8 +67,11 @@ from olap_project_spark.export.manifest_sink import (
     compact_snapshots,
     delete_where,
     drop_column,
+    drop_tag,
     ensure_manifest_sink,
+    list_tags,
     merge_upsert,
+    read_changes,
     read_evolved,
     rename_column,
     restore_table,
@@ -77,6 +80,7 @@ from olap_project_spark.export.manifest_sink import (
     table_history,
     table_partitions,
     table_schema,
+    tag_snapshot,
     update_where,
     vacuum_snapshots,
     version_at_timestamp,
@@ -159,13 +163,14 @@ class LakehouseSQL:
 
         for name in self._tables():
             if statement is None:
-                base = hist = files = parts = True
+                base = hist = files = parts = tags = True
             else:
                 base = re.search(rf"\b{name}\b", statement) is not None
                 hist = f"{name}__history" in statement
                 files = f"{name}__files" in statement
                 parts = f"{name}__partitions" in statement
-                if not (base or hist or files or parts):
+                tags = f"{name}__tags" in statement
+                if not (base or hist or files or parts or tags):
                     continue
             p = self.path(name)
             if base:
@@ -203,6 +208,11 @@ class LakehouseSQL:
                         ],
                         "partition string, n_rows bigint, n_files int",
                     ).createOrReplaceTempView(f"{name}__partitions")
+            if tags:
+                self.spark.createDataFrame(
+                    sorted(list_tags(p).items()),
+                    "tag string, version int",
+                ).createOrReplaceTempView(f"{name}__tags")
 
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
@@ -401,10 +411,19 @@ class LakehouseSQL:
             p = self.path(name)
             if axis == "VERSION":
                 if lit.startswith("'"):
-                    raise ValueError(
-                        f"VERSION AS OF takes an integer, got {lit}"
-                    )
-                v = int(lit)
+                    # Iceberg's ref form: VERSION AS OF '<tag>' — an
+                    # immutable named snapshot resolves to its pinned
+                    # version (t__tags lists them)
+                    tag = lit[1:-1]
+                    tags = list_tags(p)
+                    if tag not in tags:
+                        raise ValueError(
+                            f"table {name!r} has no tag {tag!r}; "
+                            f"tags: {sorted(tags)}"
+                        )
+                    v = tags[tag]
+                else:
+                    v = int(lit)
                 versions = committed_versions(p)
                 if v not in versions:
                     raise ValueError(
@@ -430,6 +449,43 @@ class LakehouseSQL:
             )
             out.append(s[last : m.start()])
             out.append(view if has_alias else f"{view} AS {name}")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    def _rewrite_table_changes(self, s: str) -> str:
+        """Resolve the Delta-spelled CDF table function:
+        ``table_changes('t', start[, end])`` — every row changed by
+        commits ``start..end`` INCLUSIVE (Delta's convention; ``end``
+        defaults to the head), tagged ``_change_type``
+        ('insert'|'delete') and ``_commit_version`` — becomes a temp
+        view over the library's :func:`read_changes` (whose range is
+        exclusive-start, so ``start-1`` is passed). The same contract
+        applies: a rewrite (compaction) inside the range raises, so an
+        answer returned is an answer proved."""
+        pat = re.compile(
+            rf"\btable_changes\s*\(\s*'({_IDENT})'\s*,\s*(\d+)\s*"
+            rf"(?:,\s*(\d+)\s*)?\)",
+            re.IGNORECASE,
+        )
+        out: list[str] = []
+        last = 0
+        for m in pat.finditer(s):
+            name, start = m.group(1), int(m.group(2))
+            p = self._require(name)
+            head = max(committed_versions(p), default=0)
+            end = int(m.group(3)) if m.group(3) is not None else head
+            if not 1 <= start <= end <= head:
+                raise ValueError(
+                    f"table_changes range [{start}, {end}] out of "
+                    f"bounds for table {name!r} (head {head})"
+                )
+            view = f"{name}__changes_{start}_{end}"
+            read_changes(
+                self.spark, p, table_schema(p), start - 1, end
+            ).createOrReplaceTempView(view)
+            out.append(s[last : m.start()])
+            out.append(view)
             last = m.end()
         out.append(s[last:])
         return "".join(out)
@@ -663,11 +719,43 @@ class LakehouseSQL:
             )
             return self._one_row(table=m.group(1), version=v)
 
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+TAG\s+"
+            rf"({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            s,
+        )
+        if m:
+            # Iceberg's ALTER TABLE … CREATE TAG: an immutable named
+            # ref to a committed snapshot (defaults to the head);
+            # readable as VERSION AS OF '<tag>' and listed by t__tags
+            v = tag_snapshot(
+                self._require(m.group(1)),
+                m.group(2),
+                int(m.group(3)) if m.group(3) is not None else None,
+            )
+            return self._one_row(
+                table=m.group(1), tag=m.group(2), version=v
+            )
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+"
+            rf"({_IDENT})$",
+            s,
+        )
+        if m:
+            existed = drop_tag(self._require(m.group(1)), m.group(2))
+            if not existed:
+                raise ValueError(
+                    f"table {m.group(1)!r} has no tag {m.group(2)!r}"
+                )
+            return self._one_row(table=m.group(1), tag=m.group(2))
+
         if re.match(rf"(?i)^ALTER\s+TABLE\s+{_IDENT}\b", s):
             raise ValueError(
                 f"unsupported ALTER TABLE verb: {s!r} (supported: "
                 "RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
-                "ALTER COLUMN TYPE, SET PARTITION SPEC)"
+                "ALTER COLUMN TYPE, SET PARTITION SPEC, "
+                "CREATE TAG [AS OF VERSION n], DROP TAG)"
             )
 
         m = re.match(
@@ -876,6 +964,7 @@ class LakehouseSQL:
         # the tables the statement references register (lazy — a
         # SELECT over one table folds one table's log, not the
         # catalog's)
+        s = self._rewrite_table_changes(s)
         s = self._rewrite_time_travel(s)
         self._register_catalog(s)
         return self.spark.sql(s)

@@ -218,6 +218,7 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "matview_join_stats",
     "sql_merge_breadth_stats",
     "matview_minmax_stats",
+    "sql_cdf_tags_stats",
     # round-7 refresh slots — 46 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
@@ -261,7 +262,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "doc_chunks",
     "doc_fingerprints",
     "doc_quality_scores",
-    "doc_rolling_hash",
 )
 
 

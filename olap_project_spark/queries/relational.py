@@ -8744,6 +8744,125 @@ def matview_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 13: SQL-only tags + CDF — named snapshot refs and the
+# table_changes() table function through the gate
+# --------------------------------------------------------------------------
+@register(
+    "sql_cdf_tags_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    copies AS (
+      SELECT k, cents + 25 AS cents FROM base WHERE k % 5 = 0
+    ),
+    appended AS (
+      SELECT k, cents FROM base
+      UNION ALL
+      SELECT k, cents FROM copies
+    ),
+    final AS (SELECT k, cents FROM appended WHERE k % 9 <> 0),
+    ch AS (
+      SELECT 'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_changed,
+             CAST(SUM(cents) AS BIGINT) AS sum_changed
+      FROM copies
+      UNION ALL
+      SELECT 'delete',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(cents) AS BIGINT)
+      FROM appended WHERE k % 9 = 0
+    )
+    SELECT change_type, n_changed, sum_changed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS tag_rows,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM base) AS tag_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS cur_rows,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM final) AS cur_cents
+    FROM ch
+    """,
+)
+def sql_cdf_tags_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-ONLY snapshot tags and change-data-feed reads — the two
+    read-side surfaces a warehouse user reaches for after time travel,
+    now first-class in LakehouseSQL (export/lakehouse_sql.py):
+
+    - ``ALTER TABLE t CREATE TAG name [AS OF VERSION n]`` /
+      ``DROP TAG`` (Iceberg's named-ref DDL), ``t__tags`` as a
+      metadata view, and ``VERSION AS OF '<tag>'`` resolving the
+      immutable ref — 'the exact training set of run X' as a durable
+      SQL-addressable artifact;
+    - ``table_changes('t', start[, end])`` — Delta's CDF table
+      function (inclusive commit range) over the library's row-level
+      ``read_changes``: inserts AND row-level deletes, tagged
+      ``_change_type``/``_commit_version``, composable under plain
+      SQL aggregation.
+
+    Lineage is pure SQL: CREATE TABLE AS over orders (v1), CREATE TAG
+    at v1, an append-only INSERT of shifted k%5 copies (v2), a DELETE
+    of the k%9 cohort (v3); the result pins per-change-type row/cents
+    totals from ``table_changes('fact', 2, 3)`` beside the tag-pinned
+    (pre-mutation) and current aggregates — every column a live read,
+    assembled by broadcast of the two 1-row aggregate frames.
+
+    Oracle: DuckDB applies the same append+delete algebra to the raw
+    fact.
+
+    Scale: the tag is one O(1) metadata file; table_changes reads
+    exactly the files the commit range touched (deletes reconstruct
+    against only the pre-delete state) — never a history diff of the
+    table.
+
+    Reference analogue: none — the reference's warehouse rewrites
+    yesterday's partitions wholesale (bigquery_update_scheduler.py:
+    163-260) and keeps no named refs; here both are one metadata
+    verb."""
+    import hashlib
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqlcdf_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql("ALTER TABLE fact CREATE TAG baseline")
+        lk.sql(
+            "INSERT INTO fact SELECT k, cents + 25 AS cents "
+            "FROM fact WHERE k % 5 = 0"
+        )
+        lk.sql("DELETE FROM fact WHERE k % 9 = 0")
+        open(done, "w").close()
+    changes = lk.sql(
+        "SELECT _change_type AS change_type, "
+        "COUNT(*) AS n_changed, SUM(cents) AS sum_changed "
+        "FROM table_changes('fact', 2, 3) GROUP BY _change_type"
+    )
+    tag_agg = lk.sql(
+        "SELECT COUNT(*) AS tag_rows, SUM(cents) AS tag_cents "
+        "FROM fact VERSION AS OF 'baseline'"
+    )
+    cur_agg = lk.sql(
+        "SELECT COUNT(*) AS cur_rows, SUM(cents) AS cur_cents "
+        "FROM fact"
+    )
+    return changes.crossJoin(F.broadcast(tag_agg)).crossJoin(
+        F.broadcast(cur_agg)
+    )
+
+
+# --------------------------------------------------------------------------
 # Round 13: the in-process manifest-log parse cache — hit/invalidate proof
 # --------------------------------------------------------------------------
 @register(

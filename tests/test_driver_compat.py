@@ -281,6 +281,7 @@ class TestDriverContract:
             "matview_join_stats",            # filtered join IVM views
             "sql_merge_breadth_stats",       # cond-update/delete/insert
             "matview_minmax_stats",          # MIN/MAX inc-or-demote IVM
+            "sql_cdf_tags_stats",            # tags + table_changes SQL
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

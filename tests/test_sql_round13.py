@@ -487,3 +487,63 @@ def test_create_table_partitioned_by(lh):
     tp = table_partitions(lh.path("t"), strict=False)
     assert tp["spec"] == {"col": "k", "kind": "bucket", "arg": 4}
     assert sum(e["n_rows"] for e in tp["partitions"]) == 40
+
+
+# ----------------------------------------------------- tags + CDF SQL
+
+
+def test_tag_create_read_list_drop(lh):
+    """ALTER TABLE … CREATE TAG / VERSION AS OF '<tag>' / t__tags /
+    DROP TAG — the Iceberg named-ref lifecycle, SQL-only."""
+    lh.sql("CREATE TABLE t (k INT, v STRING)")
+    lh.sql("INSERT INTO t SELECT 1 AS k, 'a' AS v")
+    r = lh.sql("ALTER TABLE t CREATE TAG golden").collect()[0]
+    assert (r.tag, int(r.version)) == ("golden", 2)
+    lh.sql("INSERT INTO t SELECT 2 AS k, 'b' AS v")
+    # the tag pins the pre-insert snapshot; an explicit version works too
+    assert _rows(lh.sql("SELECT k, v FROM t VERSION AS OF 'golden'")) == [
+        (1, "a")
+    ]
+    lh.sql("ALTER TABLE t CREATE TAG head3 AS OF VERSION 3")
+    assert _rows(lh.sql("SELECT tag, version FROM t__tags")) == [
+        ("golden", 2),
+        ("head3", 3),
+    ]
+    # immutable: re-tagging raises; unknown tags raise on read
+    with pytest.raises(ValueError):
+        lh.sql("ALTER TABLE t CREATE TAG golden")
+    with pytest.raises(ValueError, match="no tag"):
+        lh.sql("SELECT * FROM t VERSION AS OF 'missing'")
+    lh.sql("ALTER TABLE t DROP TAG golden")
+    assert _rows(lh.sql("SELECT tag, version FROM t__tags")) == [
+        ("head3", 3)
+    ]
+    with pytest.raises(ValueError, match="no tag"):
+        lh.sql("ALTER TABLE t DROP TAG golden")
+
+
+def test_table_changes_tvf(lh):
+    """table_changes('t', start[, end]) — Delta's CDF table function,
+    inclusive commit range, inserts AND row-level deletes."""
+    lh.sql("CREATE TABLE t (k INT, v STRING)")        # v1 (empty)
+    lh.sql("INSERT INTO t SELECT 1 AS k, 'a' AS v")   # v2
+    lh.sql("INSERT INTO t SELECT 2 AS k, 'b' AS v")   # v3
+    lh.sql("DELETE FROM t WHERE k = 1")               # v4
+    got = _rows(
+        lh.sql(
+            "SELECT k, v, _change_type, _commit_version "
+            "FROM table_changes('t', 3)"
+        )
+    )
+    assert got == [(1, "a", "delete", 4), (2, "b", "insert", 3)]
+    # bounded end; aggregates compose over the view
+    assert _rows(
+        lh.sql(
+            "SELECT _change_type, COUNT(*) AS n "
+            "FROM table_changes('t', 2, 3) GROUP BY _change_type"
+        )
+    ) == [("insert", 2)]
+    with pytest.raises(ValueError, match="out of bounds"):
+        lh.sql("SELECT * FROM table_changes('t', 0)")
+    with pytest.raises(ValueError, match="out of bounds"):
+        lh.sql("SELECT * FROM table_changes('t', 2, 99)")

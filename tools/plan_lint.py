@@ -187,6 +187,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "matview_join_stats",
     "sql_merge_breadth_stats",
     "matview_minmax_stats",
+    "sql_cdf_tags_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
