@@ -25,8 +25,11 @@ the DDL analogue); here the verbs target the manifest table format:
     ALTER TABLE t ADD COLUMN x INT
     ALTER TABLE t ALTER COLUMN c TYPE BIGINT   -- safe widening
     ALTER TABLE t SET PARTITION SPEC (month(ts), bucket(user_id, 16))
+    ALTER TABLE t CREATE TAG name [AS OF VERSION n]  -- immutable ref
+    ALTER TABLE t DROP TAG name
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
+    OPTIMIZE t WHERE col BETWEEN lo AND hi -- partial (zone-map-scoped)
     VACUUM t
     DESCRIBE HISTORY t
     CREATE MATERIALIZED VIEW v AS
@@ -38,13 +41,15 @@ the DDL analogue); here the verbs target the manifest table format:
     REFRESH MATERIALIZED VIEW v
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
                 materialized views resolve tombstone-filtered, and
-                t__history / t__files / t__partitions resolve as
-                driver-side metadata views — zero data files opened;
-                registration is LAZY — only the tables a statement
-                references fold their logs)
+                t__history / t__files / t__partitions / t__tags
+                resolve as driver-side metadata views — zero data
+                files opened; registration is LAZY — only the tables
+                a statement references fold their logs)
     SELECT ... FROM t VERSION AS OF n           -- time-travel reads
+    SELECT ... FROM t VERSION AS OF '<tag>'     -- named-ref reads
     SELECT ... FROM t [FOR] TIMESTAMP AS OF '2026-01-01 00:00:00'
     SELECT ... FROM t FOR SYSTEM_TIME AS OF '...'  -- BigQuery spelling
+    SELECT ... FROM table_changes('t', start[, end])  -- row-level CDF
 
 Statements are dispatched by a small grammar (regex head + Spark SQL
 for every relational body); anything that is not a lakehouse verb
@@ -794,6 +799,34 @@ class LakehouseSQL:
             except Exception:  # noqa: BLE001 — never registered: fine
                 pass
             return self._one_row(table=name, dropped=True)
+
+        m = re.match(
+            rf"(?i)^OPTIMIZE\s+({_IDENT})\s+WHERE\s+({_IDENT})\s+"
+            rf"BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+            rf"('[^']*'|-?\d+(?:\.\d+)?)$",
+            s,
+        )
+        if m:
+            # PARTIAL compaction — Delta's OPTIMIZE-with-predicate /
+            # Iceberg rewrite_data_files-with-filter: rewrites only
+            # the files whose zone maps overlap [lo, hi]; at 100 TB
+            # this is the only compaction anyone runs
+            from olap_project_spark.export.manifest_sink import (
+                compact_range,
+            )
+
+            name, col, lo, hi = m.groups()
+            p = self._require(name)
+
+            def _lit(x: str):
+                if x.startswith("'"):
+                    return x[1:-1]
+                return float(x) if "." in x else int(x)
+
+            r = compact_range(
+                self.spark, p, table_schema(p), col, _lit(lo), _lit(hi)
+            )
+            return self._one_row(table=name, **r)
 
         m = re.match(
             rf"(?i)^OPTIMIZE\s+({_IDENT})"

@@ -547,3 +547,25 @@ def test_table_changes_tvf(lh):
         lh.sql("SELECT * FROM table_changes('t', 0)")
     with pytest.raises(ValueError, match="out of bounds"):
         lh.sql("SELECT * FROM table_changes('t', 2, 99)")
+
+
+def test_optimize_where_partial_compaction(lh):
+    """OPTIMIZE t WHERE col BETWEEN lo AND hi — partial compaction:
+    only zone-map-overlapping files rewrite; retained files carry."""
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    for lo in (0, 100, 200):  # three disjoint-key files
+        lh.sql(
+            f"INSERT INTO t SELECT id AS k, id * 10 AS cents "
+            f"FROM RANGE({lo}, {lo + 50})"
+        )
+    before = _rows(lh.sql("SELECT k, cents FROM t"))
+    r = lh.sql("OPTIMIZE t WHERE k BETWEEN 0 AND 120").collect()[0]
+    # in-range files consolidated (fewer new files than rewritten),
+    # out-of-range files retained untouched, data byte-identical
+    assert int(r.n_rewritten) > 0 and int(r.n_retained) > 0
+    assert int(r.n_new) < int(r.n_rewritten)
+    assert _rows(lh.sql("SELECT k, cents FROM t")) == before
+    # an unmaterialized delete in range still rejects (library contract)
+    lh.sql("DELETE FROM t WHERE k = 5")
+    with pytest.raises(ValueError, match="resurrect"):
+        lh.sql("OPTIMIZE t WHERE k BETWEEN 0 AND 10")
