@@ -13,6 +13,10 @@ the DDL analogue); here the verbs target the manifest table format:
     DROP TABLE t / DROP MATERIALIZED VIEW v
     RESTORE TABLE t TO TIMESTAMP AS OF '...'
     INSERT INTO t SELECT ...
+    INSERT INTO t BRANCH b SELECT ...      -- WAP: staged, main-invisible
+    ALTER TABLE t PUBLISH BRANCH b         -- atomic fast-forward
+    ALTER TABLE t ABANDON BRANCH b         -- red audit: metadata GC
+    SELECT ... FROM t BRANCH b             -- audit read (main + staged)
     DELETE FROM t WHERE ...                -- equality-delete commit
     UPDATE t SET c = expr [, ...] [WHERE pred]  -- ONE atomic merge
     MERGE INTO t USING (SELECT ...) ON (k1, k2)
@@ -67,6 +71,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from olap_project_spark.export.manifest_sink import (
+    abandon_branch,
     add_column,
     committed_versions,
     compact_snapshots,
@@ -76,7 +81,9 @@ from olap_project_spark.export.manifest_sink import (
     ensure_manifest_sink,
     list_tags,
     merge_upsert,
+    publish_branch,
     read_changes,
+    read_committed,
     read_evolved,
     rename_column,
     restore_table,
@@ -458,6 +465,91 @@ class LakehouseSQL:
         out.append(s[last:])
         return "".join(out)
 
+    def _insert(self, name: str, body: str, branch: str | None) -> DataFrame:
+        """The INSERT execution both grammar forms share: run the
+        body, conform it to the declared schema (bind by name, coerce
+        types, declared order), write through the exactly-once writer
+        — to MAIN or, for WAP, as a BRANCH-STAGED commit invisible to
+        main readers until publish."""
+        p = self._require(name)
+        df = self.sql(body)
+        sch = table_schema(p)
+        if sch is not None:
+            # SQL INSERT conformance: bind by name, coerce to the
+            # declared column types (a literal 100 arrives as INT
+            # even into a BIGINT column), declared order
+            have = set(df.columns)
+            need = {f.name for f in sch.fields}
+            if have != need:
+                raise ValueError(
+                    f"INSERT INTO {name} columns {sorted(have)} != "
+                    f"table columns {sorted(need)}"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in sch.fields
+                ]
+            )
+        from olap_project_spark.export.manifest_sink import (
+            current_partition_spec,
+            write_partitioned,
+        )
+
+        if current_partition_spec(p):
+            # writers inherit the table's declared layout
+            # (Iceberg-style): range-partition on the transforms so
+            # files stay tight and the histograms/pruning hold
+            write_partitioned(self.spark, df, p, branch=branch)
+        else:
+            w = df.write.format(self.fmt).option("path", p)
+            if branch is not None:
+                w = w.option("branch", branch)
+            w.mode("append").save()
+        out = {"table": name, "rows": df.count()}
+        if branch is not None:
+            out["branch"] = branch
+        return self._one_row(**out)
+
+    def _rewrite_branch_reads(self, s: str) -> str:
+        """Resolve ``FROM t BRANCH b`` — the audit read of
+        write-audit-publish: main's committed state PLUS the branch's
+        staged commits (``read_committed(branch=b)``), which is
+        exactly what publish would make main. Non-catalog identifiers
+        pass through untouched."""
+        pat = re.compile(
+            rf"\b({_IDENT})\s+BRANCH\s+({_IDENT})\b", re.IGNORECASE
+        )
+        out: list[str] = []
+        last = 0
+        for m in pat.finditer(s):
+            name, branch = m.group(1), m.group(2)
+            if not self._exists(name):
+                continue  # not a catalog table: leave for spark.sql
+            if branch.upper() in _NOT_AN_ALIAS:
+                # `FROM t branch JOIN …` — an alias literally named
+                # "branch" followed by a keyword, not a branch read
+                continue
+            p = self.path(name)
+            view = f"{name}__branch_{branch}"
+            read_committed(
+                self.spark, p, table_schema(p), branch=branch
+            ).createOrReplaceTempView(view)
+            alias = re.match(
+                rf"\s+(?:AS\s+)?({_IDENT})", s[m.end() :], re.IGNORECASE
+            )
+            has_alias = (
+                alias is not None
+                and alias.group(1).upper() not in _NOT_AN_ALIAS
+            )
+            out.append(s[last : m.start()])
+            out.append(view if has_alias else f"{view} AS {name}")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
     def _rewrite_table_changes(self, s: str) -> str:
         """Resolve the Delta-spelled CDF table function:
         ``table_changes('t', start[, end])`` — every row changed by
@@ -556,50 +648,20 @@ class LakehouseSQL:
             return self._one_row(table=name, rows=0)
 
         m = re.match(
+            rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+BRANCH\s+"
+            rf"({_IDENT})\s+(.+)$",
+            s,
+        )
+        if m:
+            # WAP staging: a branch-tagged commit invisible to main
+            # readers until ALTER TABLE ... PUBLISH BRANCH
+            return self._insert(m.group(1), m.group(3), branch=m.group(2))
+
+        m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+(.+)$", s
         )
         if m:
-            name, body = m.group(1), m.group(2)
-            p = self._require(name)
-            df = self.sql(body)
-            sch = table_schema(p)
-            if sch is not None:
-                # SQL INSERT conformance: bind by name, coerce to the
-                # declared column types (a literal 100 arrives as INT
-                # even into a BIGINT column), declared order
-                have = set(df.columns)
-                need = {f.name for f in sch.fields}
-                if have != need:
-                    raise ValueError(
-                        f"INSERT INTO {name} columns {sorted(have)} != "
-                        f"table columns {sorted(need)}"
-                    )
-                from pyspark.sql import functions as F
-
-                df = df.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        for f in sch.fields
-                    ]
-                )
-            from olap_project_spark.export.manifest_sink import (
-                current_partition_spec,
-                write_partitioned,
-            )
-
-            if current_partition_spec(p):
-                # writers inherit the table's declared layout
-                # (Iceberg-style): range-partition on the transforms so
-                # files stay tight and the histograms/pruning hold
-                write_partitioned(self.spark, df, p)
-            else:
-                (
-                    df.write.format(self.fmt)
-                    .option("path", p)
-                    .mode("append")
-                    .save()
-                )
-            return self._one_row(table=name, rows=df.count())
+            return self._insert(m.group(1), m.group(2), branch=None)
 
         m = re.match(
             rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)$", s
@@ -725,6 +787,36 @@ class LakehouseSQL:
             return self._one_row(table=m.group(1), version=v)
 
         m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+PUBLISH\s+BRANCH\s+"
+            rf"({_IDENT})$",
+            s,
+        )
+        if m:
+            # the WAP gate: fast-forward the branch's staged commits
+            # into main atomically (all-or-nothing, in commit order)
+            published = publish_branch(
+                self._require(m.group(1)), m.group(2)
+            )
+            return self._one_row(
+                table=m.group(1),
+                branch=m.group(2),
+                published=len(published),
+            )
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+ABANDON\s+BRANCH\s+"
+            rf"({_IDENT})$",
+            s,
+        )
+        if m:
+            # red audit: drop the staged commits; pure metadata GC,
+            # main never saw them
+            n = abandon_branch(self._require(m.group(1)), m.group(2))
+            return self._one_row(
+                table=m.group(1), branch=m.group(2), abandoned=n
+            )
+
+        m = re.match(
             rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+TAG\s+"
             rf"({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
             s,
@@ -760,7 +852,8 @@ class LakehouseSQL:
                 f"unsupported ALTER TABLE verb: {s!r} (supported: "
                 "RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
                 "ALTER COLUMN TYPE, SET PARTITION SPEC, "
-                "CREATE TAG [AS OF VERSION n], DROP TAG)"
+                "CREATE TAG [AS OF VERSION n], DROP TAG, "
+                "PUBLISH BRANCH, ABANDON BRANCH)"
             )
 
         m = re.match(
@@ -998,6 +1091,7 @@ class LakehouseSQL:
         # SELECT over one table folds one table's log, not the
         # catalog's)
         s = self._rewrite_table_changes(s)
+        s = self._rewrite_branch_reads(s)
         s = self._rewrite_time_travel(s)
         self._register_catalog(s)
         return self.spark.sql(s)

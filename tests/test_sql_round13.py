@@ -569,3 +569,61 @@ def test_optimize_where_partial_compaction(lh):
     lh.sql("DELETE FROM t WHERE k = 5")
     with pytest.raises(ValueError, match="resurrect"):
         lh.sql("OPTIMIZE t WHERE k BETWEEN 0 AND 10")
+
+
+# ------------------------------------------------------ WAP branches
+
+
+def test_wap_stage_audit_publish(lh):
+    """INSERT INTO t BRANCH b / FROM t BRANCH b / PUBLISH BRANCH —
+    the write-audit-publish loop, SQL-only: staged commits are
+    invisible to main until the atomic publish."""
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k, 100 AS cents")
+    r = lh.sql(
+        "INSERT INTO t BRANCH audit SELECT 2 AS k, 250 AS cents"
+    ).collect()[0]
+    assert (int(r.rows), r.branch) == (1, "audit")
+    # main is blind to the staged commit …
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,)]
+    # … the audit read sees main + staged (what publish would make main)
+    assert _rows(lh.sql("SELECT k, cents FROM t BRANCH audit")) == [
+        (1, 100),
+        (2, 250),
+    ]
+    # audit passes → atomic fast-forward
+    r = lh.sql("ALTER TABLE t PUBLISH BRANCH audit").collect()[0]
+    assert int(r.published) == 1
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,), (2,)]
+
+
+def test_wap_abandon_on_red_audit(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    lh.sql("INSERT INTO t BRANCH audit SELECT -99 AS k")
+    # the audit read flags the bad row; abandon GCs the staging
+    bad = lh.sql(
+        "SELECT COUNT(*) AS n FROM t BRANCH audit WHERE k < 0"
+    ).collect()[0].n
+    assert bad == 1
+    r = lh.sql("ALTER TABLE t ABANDON BRANCH audit").collect()[0]
+    assert int(r.abandoned) == 1
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,)]
+    # nothing left to publish
+    assert (
+        int(
+            lh.sql("ALTER TABLE t PUBLISH BRANCH audit")
+            .collect()[0]
+            .published
+        )
+        == 0
+    )
+
+
+def test_branch_alias_is_not_a_branch_read(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 7 AS k")
+    # `t branch` = alias named branch followed by a keyword: untouched
+    assert _rows(lh.sql("SELECT branch.k FROM t branch WHERE k = 7")) == [
+        (7,)
+    ]
