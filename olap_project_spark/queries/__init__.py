@@ -219,6 +219,7 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "sql_merge_breadth_stats",
     "matview_minmax_stats",
     "sql_cdf_tags_stats",
+    "sql_wap_stats",
     # round-7 refresh slots — 46 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
@@ -261,7 +262,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "discounted_revenue_or",
     "doc_chunks",
     "doc_fingerprints",
-    "doc_quality_scores",
 )
 
 

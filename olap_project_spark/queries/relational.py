@@ -8863,6 +8863,154 @@ def sql_cdf_tags_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 13: write-audit-publish as SQL — staged inserts, audit reads,
+# atomic publish, red-audit abandon
+# --------------------------------------------------------------------------
+@register(
+    "sql_wap_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    staged AS (
+      SELECT k, cents + 7 AS cents FROM base WHERE k % 6 = 0
+    ),
+    final AS (
+      SELECT k, cents FROM base
+      UNION ALL
+      SELECT k, cents FROM staged
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS staged_invisible,
+           TRUE AS audit_saw_union,
+           TRUE AS published_one,
+           TRUE AS red_abandoned
+    FROM final GROUP BY k % 4
+    """,
+)
+def sql_wap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH as pure SQL through the gate
+    (export/lakehouse_sql.py): ``INSERT INTO t BRANCH b`` stages a
+    branch-tagged commit main readers cannot see, ``FROM t BRANCH b``
+    is the audit read (main + staged — exactly what publish would make
+    main), ``ALTER TABLE t PUBLISH BRANCH b`` fast-forwards atomically,
+    and ``ABANDON BRANCH`` GCs a red audit's staging as pure metadata.
+
+    Lineage is pure SQL: a fact from orders (v1); a GREEN branch
+    staging shifted k%6 copies — ``staged_invisible`` pins that main's
+    row count did not move, ``audit_saw_union`` that the branch read
+    equals base+staged — then published (``published_one``: exactly
+    one staged commit fast-forwarded); and a RED branch staging
+    negative-cents rows that the audit read flags and ABANDON removes
+    (``red_abandoned``: main's final state carries zero negative
+    cents). The returned per-bucket aggregates are LIVE reads of the
+    published table.
+
+    Oracle: DuckDB computes the same union algebra — the red branch
+    must contribute nothing.
+
+    Scale: staging is ordinary appends under a branch tag (no copy);
+    the audit read plans main+branch from the one manifest log;
+    publish/abandon are O(#staged-commits) metadata renames/removes —
+    the same loop `pos_stream_wap_ingest` drives per micro-batch.
+
+    Reference analogue: the reference loads straight into the serving
+    warehouse with no audit gate (bigquery_update_scheduler.py:
+    229-260); here bad data never becomes visible."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqlwap_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        n_base = lk.sql("SELECT COUNT(*) AS n FROM fact").collect()[0].n
+        lk.sql(
+            "INSERT INTO fact BRANCH green SELECT k, cents + 7 AS "
+            "cents FROM fact WHERE k % 6 = 0"
+        )
+        n_staged = (
+            n_base - lk.sql(
+                "SELECT COUNT(*) AS n FROM fact WHERE k % 6 <> 0"
+            ).collect()[0].n
+        )
+        staged_invisible = (
+            lk.sql("SELECT COUNT(*) AS n FROM fact").collect()[0].n
+            == n_base
+        )
+        audit_saw_union = (
+            lk.sql(
+                "SELECT COUNT(*) AS n FROM fact BRANCH green"
+            ).collect()[0].n
+            == n_base + n_staged
+        )
+        published = int(
+            lk.sql("ALTER TABLE fact PUBLISH BRANCH green")
+            .collect()[0]
+            .published
+        )
+        # the red audit: stage garbage, flag it, abandon it
+        lk.sql(
+            "INSERT INTO fact BRANCH red SELECT k, -1 AS cents "
+            "FROM fact WHERE k % 10 = 0"
+        )
+        flagged = (
+            lk.sql(
+                "SELECT COUNT(*) AS n FROM fact BRANCH red "
+                "WHERE cents < 0"
+            ).collect()[0].n
+            > 0
+        )
+        lk.sql("ALTER TABLE fact ABANDON BRANCH red")
+        red_gone = (
+            lk.sql(
+                "SELECT COUNT(*) AS n FROM fact WHERE cents < 0"
+            ).collect()[0].n
+            == 0
+        )
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "staged_invisible": staged_invisible,
+                    "audit_saw_union": audit_saw_union,
+                    "published_one": published == 1,
+                    "red_abandoned": flagged and red_gone,
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(cents) AS sum_cents FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["staged_invisible"])).alias("staged_invisible"),
+        F.lit(bool(stats["audit_saw_union"])).alias("audit_saw_union"),
+        F.lit(bool(stats["published_one"])).alias("published_one"),
+        F.lit(bool(stats["red_abandoned"])).alias("red_abandoned"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Round 13: the in-process manifest-log parse cache — hit/invalidate proof
 # --------------------------------------------------------------------------
 @register(

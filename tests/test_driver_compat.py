@@ -282,6 +282,7 @@ class TestDriverContract:
             "sql_merge_breadth_stats",       # cond-update/delete/insert
             "matview_minmax_stats",          # MIN/MAX inc-or-demote IVM
             "sql_cdf_tags_stats",            # tags + table_changes SQL
+            "sql_wap_stats",                 # WAP loop as pure SQL
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

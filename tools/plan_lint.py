@@ -188,6 +188,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "sql_merge_breadth_stats",
     "matview_minmax_stats",
     "sql_cdf_tags_stats",
+    "sql_wap_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
