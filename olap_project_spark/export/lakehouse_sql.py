@@ -13,6 +13,7 @@ the DDL analogue); here the verbs target the manifest table format:
     DROP TABLE t / DROP MATERIALIZED VIEW v
     RESTORE TABLE t TO TIMESTAMP AS OF '...'
     INSERT INTO t SELECT ...
+    COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV [PATTERN = '<glob>']
     INSERT INTO t BRANCH b SELECT ...      -- WAP: staged, main-invisible
     ALTER TABLE t PUBLISH BRANCH b         -- atomic fast-forward
     ALTER TABLE t ABANDON BRANCH b         -- red audit: metadata GC
@@ -35,7 +36,7 @@ the DDL analogue); here the verbs target the manifest table format:
     OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
     OPTIMIZE t WHERE col BETWEEN lo AND hi -- partial (zone-map-scoped)
     VACUUM t
-    DESCRIBE HISTORY t
+    DESCRIBE HISTORY t / DESCRIBE DETAIL t / SHOW CREATE TABLE t
     CREATE MATERIALIZED VIEW v AS
         SELECT k, SUM(expr) AS a, COUNT(*) AS n,
                COUNT(col) AS c, AVG(expr) AS m
@@ -471,8 +472,12 @@ class LakehouseSQL:
         types, declared order), write through the exactly-once writer
         — to MAIN or, for WAP, as a BRANCH-STAGED commit invisible to
         main readers until publish."""
+        return self._conform_and_write(name, self.sql(body), branch)
+
+    def _conform_and_write(
+        self, name: str, df: DataFrame, branch: str | None
+    ) -> DataFrame:
         p = self._require(name)
-        df = self.sql(body)
         sch = table_schema(p)
         if sch is not None:
             # SQL INSERT conformance: bind by name, coerce to the
@@ -646,6 +651,33 @@ class LakehouseSQL:
                     self.path(name), self._parse_transforms(part_spec)
                 )
             return self._one_row(table=name, rows=0)
+
+        m = re.match(
+            rf"(?is)^COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
+            rf"FILEFORMAT\s*=\s*(PARQUET|CSV)"
+            rf"(?:\s+PATTERN\s*=\s*'([^']+)')?$",
+            s,
+        )
+        if m:
+            # bulk file ingest (Databricks COPY INTO shape): read the
+            # staged files, conform to the declared schema, land ONE
+            # exactly-once commit — the idempotent "load this folder"
+            # verb warehouse pipelines start with
+            name, src, fmt, pattern = m.groups()
+            reader = self.spark.read
+            if fmt.upper() == "CSV":
+                sch = table_schema(self.path(name))
+                reader = reader.option("header", True)
+                if sch is not None:
+                    reader = reader.schema(sch)
+                df = reader.csv(
+                    os.path.join(src, pattern) if pattern else src
+                )
+            else:
+                df = reader.parquet(
+                    os.path.join(src, pattern) if pattern else src
+                )
+            return self._conform_and_write(name, df, branch=None)
 
         m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+BRANCH\s+"
@@ -958,6 +990,71 @@ class LakehouseSQL:
             return self.spark.createDataFrame(
                 rows or [("", "")], "name string, kind string"
             ).filter("name <> ''")
+
+        m = re.match(rf"(?i)^SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", s)
+        if m:
+            name = m.group(1)
+            p = self._require(name)
+            sch = table_schema(p)
+            if sch is None:
+                raise ValueError(f"table {name!r} records no schema")
+            from olap_project_spark.export.manifest_sink import (
+                current_partition_spec,
+            )
+
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in sch.fields
+            )
+            ddl = f"CREATE TABLE {name} ({cols})"
+            spec = current_partition_spec(p)
+            if spec:
+                ddl += " PARTITIONED BY (" + ", ".join(
+                    t["col"]
+                    if t["kind"] == "identity"
+                    else (
+                        f"{t['kind']}({t['col']}, {t['arg']})"
+                        if t.get("arg") is not None
+                        else f"{t['kind']}({t['col']})"
+                    )
+                    for t in spec
+                ) + ")"
+            return self._one_row(createtab_stmt=ddl)
+
+        m = re.match(rf"(?i)^DESCRIBE\s+DETAIL\s+({_IDENT})$", s)
+        if m:
+            # Delta's DESCRIBE DETAIL: one row of table-level facts,
+            # folded from the manifest log alone (zero data files)
+            name = m.group(1)
+            p = self._require(name)
+            from olap_project_spark.export.manifest_sink import (
+                current_partition_spec,
+            )
+
+            files = table_files(p)
+            hist = table_history(p)
+            spec = current_partition_spec(p)
+            return self._one_row(
+                name=name,
+                location=p,
+                format="manifest_sink/parquet",
+                num_files=len(files),
+                num_rows=sum(
+                    e["n_rows"] for e in files if e["n_rows"] is not None
+                ),
+                head_version=max(
+                    (h["version"] for h in hist), default=0
+                ),
+                partition_spec=", ".join(
+                    f"{t['kind']}({t['col']}"
+                    + (f", {t['arg']}" if t.get("arg") is not None else "")
+                    + ")"
+                    for t in spec
+                )
+                if spec
+                else "",
+                num_tags=len(list_tags(p)),
+            )
 
         m = re.match(rf"(?i)^DESCRIBE\s+({_IDENT})$", s)
         if m:

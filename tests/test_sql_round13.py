@@ -627,3 +627,62 @@ def test_branch_alias_is_not_a_branch_read(lh):
     assert _rows(lh.sql("SELECT branch.k FROM t branch WHERE k = 7")) == [
         (7,)
     ]
+
+
+# --------------------------------------- COPY INTO / SHOW CREATE / DETAIL
+
+
+def test_copy_into_parquet_and_csv(lh, tmp_path, spark):
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    src = str(tmp_path / "staged_pq")
+    spark.createDataFrame(
+        [(1, 100), (2, 250)], "k int, cents bigint"
+    ).coalesce(1).write.parquet(src)
+    r = lh.sql(
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert int(r.rows) == 2
+    csv_src = str(tmp_path / "staged_csv")
+    spark.createDataFrame(
+        [(3, 999)], "k int, cents bigint"
+    ).coalesce(1).write.option("header", True).csv(csv_src)
+    lh.sql(f"COPY INTO t FROM '{csv_src}' FILEFORMAT = CSV")
+    assert _rows(lh.sql("SELECT k, cents FROM t")) == [
+        (1, 100),
+        (2, 250),
+        (3, 999),
+    ]
+    # declared types hold through both formats
+    sch = {
+        f.name: f.dataType.simpleString()
+        for f in table_schema(lh.path("t")).fields
+    }
+    assert sch == {"k": "int", "cents": "bigint"}
+
+
+def test_show_create_table_round_trips(lh):
+    lh.sql(
+        "CREATE TABLE t (k INT, v STRING, cents BIGINT) "
+        "PARTITIONED BY (bucket(k, 4))"
+    )
+    ddl = lh.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt
+    assert ddl == (
+        "CREATE TABLE t (k INT, v STRING, cents BIGINT) "
+        "PARTITIONED BY (bucket(k, 4))"
+    )
+    # the emitted DDL recreates an equivalent table
+    lh2 = LakehouseSQL(lh.spark, lh.root + "_rt")
+    lh2.sql(ddl)
+    assert lh2.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt == ddl
+
+
+def test_describe_detail(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT id AS k FROM RANGE(0, 10)")
+    lh.sql("ALTER TABLE t CREATE TAG snap")
+    d = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert int(d.num_rows) == 10
+    assert int(d.num_files) >= 1
+    assert int(d.head_version) == 2
+    assert int(d.num_tags) == 1
+    assert d.partition_spec == ""
