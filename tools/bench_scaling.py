@@ -97,6 +97,17 @@ REPS = [
     ("partition_spec_evolution_stats", "mixed-spec era pruning"),
     ("stream_matview_freshness_stats", "stream->view maintain loop"),
     ("sql_lakehouse_ddl_stats", "SQL DDL verb chain"),
+    # round-13 flagships: planning bursts are O(stat) on the parsed-log
+    # cache; the UPDATE verb is one delta-bound merge commit; the join
+    # view folds O(|fact changes|) against a pinned dimension; MIN/MAX
+    # folds are least/greatest on touched keys (full recompute only
+    # past deletes); the WAP loop prices staging+audit+publish as
+    # appends + metadata renames
+    ("log_cache_stats", "parsed-log cache planning burst"),
+    ("sql_update_stats", "atomic SQL UPDATE merge"),
+    ("matview_join_stats", "fact-incremental join view"),
+    ("matview_minmax_stats", "MIN/MAX inc-or-demote view"),
+    ("sql_wap_stats", "SQL write-audit-publish loop"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
