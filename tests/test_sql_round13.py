@@ -686,3 +686,21 @@ def test_describe_detail(lh):
     assert int(d.head_version) == 2
     assert int(d.num_tags) == 1
     assert d.partition_spec == ""
+
+
+def test_copy_into_partitioned_table_inherits_spec(lh, tmp_path, spark):
+    """COPY INTO a PARTITIONED BY table routes through
+    write_partitioned — the loaded files land under the declared
+    layout and the partition histograms stay exact."""
+    from olap_project_spark.export.manifest_sink import table_partitions
+
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT) PARTITIONED BY (bucket(k, 4))")
+    src = str(tmp_path / "staged")
+    spark.createDataFrame(
+        [(i, i * 100) for i in range(20)], "k int, cents bigint"
+    ).coalesce(1).write.parquet(src)
+    lh.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET")
+    tp = table_partitions(lh.path("t"), strict=False)
+    assert tp["spec"] == {"col": "k", "kind": "bucket", "arg": 4}
+    assert sum(e["n_rows"] for e in tp["partitions"]) == 20
+    assert _rows(lh.sql("SELECT k, cents FROM t"))[:2] == [(0, 0), (1, 100)]
