@@ -205,9 +205,10 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 13: new round-13 queries are inserted
 # at the HEAD and the refresh tail is trimmed to keep the list at
-# exactly 50. Current composition: the 46 remaining round-7 rows
-# (CORRECTNESS_r07 order) + the 4 oldest round-8 rows
-# (CORRECTNESS_r08 order; tail trimmed as round-13 additions land).
+# exactly 50. Current composition: the 9 round-13 additions
+# (no driver CORRECTNESS row yet) + the 41 oldest remaining round-7
+# refresh rows (CORRECTNESS_r07 order; tail trimmed as additions
+# landed).
 GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     # round-13 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
