@@ -46,8 +46,8 @@ the DDL analogue); here the verbs target the manifest table format:
     REFRESH MATERIALIZED VIEW v
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
                 materialized views resolve tombstone-filtered, and
-                t__history / t__files / t__partitions / t__tags
-                resolve as driver-side metadata views — zero data
+                t__history / t__files / t__partitions / t__tags /
+                t__branches resolve as driver-side metadata views — zero data
                 files opened; registration is LAZY — only the tables
                 a statement references fold their logs)
     SELECT ... FROM t VERSION AS OF n           -- time-travel reads
@@ -80,6 +80,7 @@ from olap_project_spark.export.manifest_sink import (
     drop_column,
     drop_tag,
     ensure_manifest_sink,
+    list_branches,
     list_tags,
     merge_upsert,
     publish_branch,
@@ -176,14 +177,15 @@ class LakehouseSQL:
 
         for name in self._tables():
             if statement is None:
-                base = hist = files = parts = tags = True
+                base = hist = files = parts = tags = branches = True
             else:
                 base = re.search(rf"\b{name}\b", statement) is not None
                 hist = f"{name}__history" in statement
                 files = f"{name}__files" in statement
                 parts = f"{name}__partitions" in statement
                 tags = f"{name}__tags" in statement
-                if not (base or hist or files or parts or tags):
+                branches = f"{name}__branches" in statement
+                if not (base or hist or files or parts or tags or branches):
                     continue
             p = self.path(name)
             if base:
@@ -226,6 +228,11 @@ class LakehouseSQL:
                     sorted(list_tags(p).items()),
                     "tag string, version int",
                 ).createOrReplaceTempView(f"{name}__tags")
+            if branches:
+                self.spark.createDataFrame(
+                    sorted(list_branches(p).items()),
+                    "branch string, staged_commits int",
+                ).createOrReplaceTempView(f"{name}__branches")
 
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
@@ -408,7 +415,12 @@ class LakehouseSQL:
         :func:`version_at_timestamp` (manifest-file commit mtimes,
         Delta's mechanism); an out-of-range version or a
         timestamp older than the first commit raises rather than
-        silently reading a different snapshot."""
+        silently reading a different snapshot. The same strictness
+        covers DANGLING tags: a tag whose pinned version vacuum has
+        expired raises the missing-version error here, where the
+        library's ``read_committed(as_of=expired)`` reads empty —
+        an interactive SQL user should hear 'this ref no longer
+        resolves', not get a silently empty training set."""
         pat = re.compile(
             rf"\b({_IDENT})\s+(?:FOR\s+)?"
             rf"(VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+"

@@ -2085,6 +2085,22 @@ def drop_tag(path: str, name: str) -> bool:
         return False
 
 
+def list_branches(path: str) -> dict[str, int]:
+    """Every LIVE branch name → number of staged (unpublished)
+    commits — the WAP audit inventory. A branch 'exists' exactly while
+    branch-tagged manifests sit in the log (publish rewrites them into
+    main; abandon removes them), so the listing is a pure fold of the
+    raw log with no separate ref files to drift."""
+    out: dict[str, int] = {}
+    for _v, _entry, m in _scan_log(path):
+        if m is None:
+            continue  # in-flight claim / corrupt file
+        b = m.get("branch")
+        if b is not None:
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
 def _commit_manifest_dict(path: str, manifest: dict) -> int:
     """Commit a driver-built manifest through the SAME claim protocol
     the Spark writer uses (claim the next version exclusively, write

@@ -123,17 +123,17 @@ def test_sql_state_matches_model_under_any_interleaving(
         elif op == "vacuum":
             lh.sql("VACUUM t")
             if last_rewrite:
-                # documented retention boundary: tags pinned below the
-                # expiry anchor now read EMPTY (exactly Iceberg's
-                # expire_snapshots contract); tags at/above survive
+                # documented retention boundary: a tag pinned below
+                # the expiry anchor is now a DANGLING ref — the SQL
+                # layer REFUSES it with an explicit missing-version
+                # error (safer than the library's silent empty read);
+                # tags at/above the anchor survive intact
                 for name, v in list(tag_versions.items()):
                     if v < last_rewrite:
-                        assert (
+                        with pytest.raises(ValueError, match="no version"):
                             lh.sql(
                                 f"SELECT k FROM t VERSION AS OF '{name}'"
-                            ).count()
-                            == 0
-                        )
+                            )
                         tags.pop(name)
                         tag_versions.pop(name)
         # the SQL-visible state equals the model after EVERY op

@@ -704,3 +704,21 @@ def test_copy_into_partitioned_table_inherits_spec(lh, tmp_path, spark):
     assert tp["spec"] == {"col": "k", "kind": "bucket", "arg": 4}
     assert sum(e["n_rows"] for e in tp["partitions"]) == 20
     assert _rows(lh.sql("SELECT k, cents FROM t"))[:2] == [(0, 0), (1, 100)]
+
+
+def test_branches_metadata_view(lh):
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    assert _rows(lh.sql("SELECT * FROM t__branches")) == []
+    lh.sql("INSERT INTO t BRANCH audit SELECT 2 AS k")
+    lh.sql("INSERT INTO t BRANCH audit SELECT 3 AS k")
+    lh.sql("INSERT INTO t BRANCH wip SELECT 9 AS k")
+    assert _rows(lh.sql("SELECT * FROM t__branches")) == [
+        ("audit", 2),
+        ("wip", 1),
+    ]
+    # publish consumes the branch; abandon the other: listing empties
+    lh.sql("ALTER TABLE t PUBLISH BRANCH audit")
+    lh.sql("ALTER TABLE t ABANDON BRANCH wip")
+    assert _rows(lh.sql("SELECT * FROM t__branches")) == []
+    assert _rows(lh.sql("SELECT k FROM t")) == [(1,), (2,), (3,)]
