@@ -15,7 +15,7 @@ the DDL analogue); here the verbs target the manifest table format:
     INSERT INTO t SELECT ...
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV [PATTERN = '<glob>']
     INSERT INTO t BRANCH b SELECT ...      -- WAP: staged, main-invisible
-    ALTER TABLE t PUBLISH BRANCH b         -- atomic fast-forward
+    ALTER TABLE t PUBLISH BRANCH b         -- prefix-monotonic fast-forward
     ALTER TABLE t ABANDON BRANCH b         -- red audit: metadata GC
     SELECT ... FROM t BRANCH b             -- audit read (main + staged)
     DELETE FROM t WHERE ...                -- equality-delete commit
@@ -487,7 +487,11 @@ class LakehouseSQL:
         return self._conform_and_write(name, self.sql(body), branch)
 
     def _conform_and_write(
-        self, name: str, df: DataFrame, branch: str | None
+        self,
+        name: str,
+        df: DataFrame,
+        branch: str | None,
+        props: dict | None = None,
     ) -> DataFrame:
         p = self._require(name)
         sch = table_schema(p)
@@ -519,11 +523,15 @@ class LakehouseSQL:
             # writers inherit the table's declared layout
             # (Iceberg-style): range-partition on the transforms so
             # files stay tight and the histograms/pruning hold
-            write_partitioned(self.spark, df, p, branch=branch)
+            write_partitioned(self.spark, df, p, branch=branch, props=props)
         else:
+            import json as _json
+
             w = df.write.format(self.fmt).option("path", p)
             if branch is not None:
                 w = w.option("branch", branch)
+            if props is not None:
+                w = w.option("commit_props", _json.dumps(props))
             w.mode("append").save()
         out = {"table": name, "rows": df.count()}
         if branch is not None:
@@ -550,6 +558,16 @@ class LakehouseSQL:
                 # "branch" followed by a keyword, not a branch read
                 continue
             p = self.path(name)
+            live = list_branches(p)
+            if branch not in live:
+                # same strictness as dangling tags: a typo'd,
+                # already-published, or abandoned branch must not
+                # silently audit as main's state — the WAP gate would
+                # 'pass' against the wrong data
+                raise ValueError(
+                    f"table {name!r} has no staged branch {branch!r}; "
+                    f"staged branches: {sorted(live)}"
+                )
             view = f"{name}__branch_{branch}"
             read_committed(
                 self.spark, p, table_schema(p), branch=branch
@@ -673,23 +691,44 @@ class LakehouseSQL:
         if m:
             # bulk file ingest (Databricks COPY INTO shape): read the
             # staged files, conform to the declared schema, land ONE
-            # exactly-once commit — the idempotent "load this folder"
-            # verb warehouse pipelines start with
+            # exactly-once commit. IDEMPOTENT the way Databricks is:
+            # every commit records the source files it loaded
+            # (copy_loaded in commit_props), and a re-run loads only
+            # files no prior commit recorded — a retried statement
+            # whose write actually landed appends nothing
             name, src, fmt, pattern = m.groups()
-            reader = self.spark.read
-            if fmt.upper() == "CSV":
-                sch = table_schema(self.path(name))
-                reader = reader.option("header", True)
-                if sch is not None:
-                    reader = reader.schema(sch)
-                df = reader.csv(
-                    os.path.join(src, pattern) if pattern else src
+            p = self._require(name)
+            target = os.path.join(src, pattern) if pattern else src
+
+            def _read(paths):
+                if fmt.upper() == "CSV":
+                    # header binds columns BY NAME (all-string);
+                    # _conform_and_write casts to the declared types.
+                    # Applying the declared schema to the reader would
+                    # bind POSITIONALLY and silently mis-assign a file
+                    # whose header order differs from the table's.
+                    return self.spark.read.option("header", True).csv(
+                        paths
+                    )
+                if isinstance(paths, str):
+                    return self.spark.read.parquet(paths)
+                return self.spark.read.parquet(*paths)
+
+            probe = _read(target)
+            loaded: set[str] = set()
+            for h in table_history(p):
+                loaded.update((h.get("props") or {}).get("copy_loaded", []))
+            new_files = sorted(set(probe.inputFiles()) - loaded)
+            if not new_files:
+                return self._one_row(
+                    table=name, rows=0, skipped_files=len(loaded)
                 )
-            else:
-                df = reader.parquet(
-                    os.path.join(src, pattern) if pattern else src
-                )
-            return self._conform_and_write(name, df, branch=None)
+            return self._conform_and_write(
+                name,
+                _read(new_files),
+                branch=None,
+                props={"copy_loaded": new_files},
+            )
 
         m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s+BRANCH\s+"
@@ -837,7 +876,12 @@ class LakehouseSQL:
         )
         if m:
             # the WAP gate: fast-forward the branch's staged commits
-            # into main atomically (all-or-nothing, in commit order)
+            # into main, oldest first — each commit flip is atomic
+            # (os.replace), so a concurrent reader observes a
+            # MONOTONIC PREFIX of the staged sequence (exactly what it
+            # would see had those commits landed on main directly); a
+            # crash mid-publish leaves the suffix staged and a
+            # re-publish resumes
             published = publish_branch(
                 self._require(m.group(1)), m.group(2)
             )
@@ -1046,14 +1090,25 @@ class LakehouseSQL:
             files = table_files(p)
             hist = table_history(p)
             spec = current_partition_spec(p)
+            # num_rows is STRICT: metadata_aggregate proves the exact
+            # live count (tombstones folded) or raises — summing live
+            # files' n_rows would overstate a table with
+            # unmaterialized deletes/merges, a metadata surface
+            # silently disagreeing with every read
+            from olap_project_spark.export.manifest_sink import (
+                metadata_aggregate,
+            )
+
+            try:
+                n_rows = metadata_aggregate(p)["n_rows"]
+            except ValueError:
+                n_rows = "unknown (unmaterialized row-level changes; OPTIMIZE to materialize)"
             return self._one_row(
                 name=name,
                 location=p,
                 format="manifest_sink/parquet",
                 num_files=len(files),
-                num_rows=sum(
-                    e["n_rows"] for e in files if e["n_rows"] is not None
-                ),
+                num_rows=n_rows,
                 head_version=max(
                     (h["version"] for h in hist), default=0
                 ),

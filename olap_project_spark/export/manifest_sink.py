@@ -4985,6 +4985,7 @@ def write_partitioned(
     n_files: int = 16,
     branch: str | None = None,
     transforms: list[tuple] | None = None,
+    props: dict | None = None,
 ) -> int:
     """Append ``df`` under a HIDDEN-PARTITIONING layout: the rows are
     range-partitioned on the transform of ``col`` (month/days/year/
@@ -5054,6 +5055,8 @@ def write_partitioned(
     )
     if branch is not None:
         w = w.option("branch", branch)
+    if props is not None:
+        w = w.option("commit_props", json.dumps(props))
     w.mode("append").save()
     return _committed_entry_of(path, token, branch)[0]
 

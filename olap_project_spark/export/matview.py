@@ -443,13 +443,24 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         # extremum, so the refresh demotes to the same atomic full
         # recompute a base rewrite takes. Insert-only ranges — the
         # overwhelmingly common append cadence — stay incremental.
-        has_delete = bool(
-            sliced.filter(F.col("_change_type") == "delete")
-            .limit(1)
-            .take(1)
-        )
-        if has_delete:
-            return _full_recompute()
+        # The probe is two-tier: the COMMIT KINDS in range are already
+        # parsed driver-side (free), and only a range that actually
+        # carries delete-capable commits pays the row-level check —
+        # which still matters for filtered views, where a delete that
+        # never passed the WHERE leaves the slice insert-only.
+        range_kinds = {
+            h["kind"]
+            for h in table_history(base_path)
+            if from_v < h["version"] <= head
+        }
+        if range_kinds & {"delete", "merge", "restore"}:
+            has_delete = bool(
+                sliced.filter(F.col("_change_type") == "delete")
+                .limit(1)
+                .take(1)
+            )
+            if has_delete:
+                return _full_recompute()
     delta = _delta_frame(sliced, spec)
     state = read_committed(spark, mv_path, table_schema(mv_path))
     agg_cols = _state_cols(spec) + [_COUNT_COL]

@@ -8897,7 +8897,8 @@ def sql_wap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (export/lakehouse_sql.py): ``INSERT INTO t BRANCH b`` stages a
     branch-tagged commit main readers cannot see, ``FROM t BRANCH b``
     is the audit read (main + staged — exactly what publish would make
-    main), ``ALTER TABLE t PUBLISH BRANCH b`` fast-forwards atomically,
+    main), ``ALTER TABLE t PUBLISH BRANCH b`` fast-forwards oldest-first
+    (each commit flip atomic, readers see a monotonic prefix),
     and ``ABANDON BRANCH`` GCs a red audit's staging as pure metadata.
 
     Lineage is pure SQL: a fact from orders (v1); a GREEN branch

@@ -591,7 +591,7 @@ def test_wap_stage_audit_publish(lh):
         (1, 100),
         (2, 250),
     ]
-    # audit passes → atomic fast-forward
+    # audit passes → fast-forward (per-commit atomic flips)
     r = lh.sql("ALTER TABLE t PUBLISH BRANCH audit").collect()[0]
     assert int(r.published) == 1
     assert _rows(lh.sql("SELECT k FROM t")) == [(1,), (2,)]
@@ -722,3 +722,71 @@ def test_branches_metadata_view(lh):
     lh.sql("ALTER TABLE t ABANDON BRANCH wip")
     assert _rows(lh.sql("SELECT * FROM t__branches")) == []
     assert _rows(lh.sql("SELECT k FROM t")) == [(1,), (2,), (3,)]
+
+
+def test_copy_into_csv_binds_by_header_name(lh, tmp_path, spark):
+    """A staged CSV whose header order differs from the table's
+    declared order must bind BY NAME — positional schema application
+    would silently swap columns."""
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    src = str(tmp_path / "swapped")
+    spark.createDataFrame(
+        [(100, 1), (250, 2)], "cents bigint, k int"  # reversed order
+    ).coalesce(1).write.option("header", True).csv(src)
+    lh.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = CSV")
+    assert _rows(lh.sql("SELECT k, cents FROM t")) == [(1, 100), (2, 250)]
+
+
+def test_copy_into_is_idempotent(lh, tmp_path, spark):
+    """Re-running COPY INTO over the same folder loads nothing (the
+    loaded-file ledger in commit_props), and new files in the folder
+    load exactly once — the Databricks retry contract."""
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    src = str(tmp_path / "staged")
+    spark.createDataFrame(
+        [(1, 100)], "k int, cents bigint"
+    ).coalesce(1).write.parquet(src)
+    r1 = lh.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET").collect()[0]
+    assert int(r1.rows) == 1
+    # the retry: same folder, nothing new -> zero rows, zero commits
+    import olap_project_spark.export.manifest_sink as ms
+
+    before = ms.committed_versions(lh.path("t"))
+    r2 = lh.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET").collect()[0]
+    assert int(r2.rows) == 0
+    assert ms.committed_versions(lh.path("t")) == before
+    # a new staged file loads exactly once
+    spark.createDataFrame(
+        [(2, 250)], "k int, cents bigint"
+    ).coalesce(1).write.mode("append").parquet(src)
+    r3 = lh.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET").collect()[0]
+    assert int(r3.rows) == 1
+    assert _rows(lh.sql("SELECT k, cents FROM t")) == [(1, 100), (2, 250)]
+
+
+def test_branch_read_of_unknown_branch_rejected(lh):
+    """A typo'd / already-published / abandoned branch must not
+    silently audit as main's state."""
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT 1 AS k")
+    with pytest.raises(ValueError, match="no staged branch"):
+        lh.sql("SELECT * FROM t BRANCH nope")
+    lh.sql("INSERT INTO t BRANCH audit SELECT 2 AS k")
+    assert _rows(lh.sql("SELECT k FROM t BRANCH audit")) == [(1,), (2,)]
+    lh.sql("ALTER TABLE t PUBLISH BRANCH audit")
+    # consumed: the ref no longer resolves
+    with pytest.raises(ValueError, match="no staged branch"):
+        lh.sql("SELECT * FROM t BRANCH audit")
+
+
+def test_describe_detail_honest_under_tombstones(lh):
+    """num_rows must not overstate a table with unmaterialized
+    row-level deletes; OPTIMIZE restores the exact count."""
+    lh.sql("CREATE TABLE t (k INT)")
+    lh.sql("INSERT INTO t SELECT id AS k FROM RANGE(0, 10)")
+    lh.sql("DELETE FROM t WHERE k < 3")
+    d = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d.num_rows.startswith("unknown")
+    lh.sql("OPTIMIZE t")
+    d = lh.sql("DESCRIBE DETAIL t").collect()[0]
+    assert int(d.num_rows) == 7
