@@ -9459,3 +9459,300 @@ def sql_merge_breadth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delete_count_matches"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: warehouse-DX verbs through the gate — COPY INTO (exactly-once
+# file ingest, by-name CSV binding), SHOW CREATE TABLE, DESCRIBE DETAIL
+# --------------------------------------------------------------------------
+@register(
+    "sql_warehouse_dx_stats",
+    oracle="""
+    WITH pq AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    csvs AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    final AS (
+      SELECT k, cents FROM pq UNION ALL SELECT k, cents FROM csvs
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS copy_idempotent,
+           TRUE AS csv_bound_by_name,
+           TRUE AS ddl_round_trips,
+           TRUE AS detail_exact
+    FROM final GROUP BY k % 4
+    """,
+)
+def sql_warehouse_dx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-DX verb trio through the SQL gate
+    (export/lakehouse_sql.py): ``COPY INTO`` (Databricks-shaped bulk
+    file ingest — every commit records the source files it loaded, so
+    a retried statement appends NOTHING: exactly-once without a
+    dedup table), ``SHOW CREATE TABLE`` (the reconstructable DDL),
+    and ``DESCRIBE DETAIL`` (one row of log-derived table facts).
+
+    Lineage is pure SQL: an explicit-schema CREATE TABLE; COPY INTO
+    from a staged parquet directory (the k%7=0 slice of orders); the
+    SAME statement re-run — ``copy_idempotent`` pins that the retry
+    loaded 0 rows and committed no version; COPY INTO from a staged
+    CSV whose header order is REVERSED vs the table
+    (``csv_bound_by_name``: columns bind by header name, then cast to
+    the declared types — a positional bind would swap k and cents and
+    the sums would explode); ``ddl_round_trips`` pins SHOW CREATE
+    TABLE's statement text; ``detail_exact`` pins DESCRIBE DETAIL's
+    num_rows (strict metadata count) and head_version against the
+    known commit history.
+
+    Oracle: DuckDB computes the same two-slice union — the retried
+    COPY must contribute nothing.
+
+    Scale: COPY INTO's ledger is commit metadata (file names), so the
+    idempotence check is a log fold, not a data join — retrying a
+    100-TB backfill costs one listing; the by-name CSV bind is what
+    makes heterogeneous staging areas (files written by different
+    tools, different column orders) safe to bulk-load.
+
+    Reference analogue: the reference re-lists the HDFS landing zone
+    and re-reads EVERYTHING every scheduler tick
+    (bigquery_update_scheduler.py:229-246); COPY INTO's file ledger
+    loads each staged file exactly once."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import committed_versions
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqldx_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        base = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        stage_pq = os.path.join(root, "stage_pq")
+        stage_csv = os.path.join(root, "stage_csv")
+        base.filter(F.col("k") % 7 == 0).coalesce(1).write.parquet(
+            stage_pq
+        )
+        # REVERSED column order in the CSV header: by-name binding is
+        # what makes this load correctly
+        base.filter(F.col("k") % 7 == 3).select(
+            "cents", "k"
+        ).coalesce(1).write.option("header", True).csv(stage_csv)
+        n_pq = base.filter(F.col("k") % 7 == 0).count()
+        n_csv = base.filter(F.col("k") % 7 == 3).count()
+
+        lk.sql("CREATE TABLE fact (k BIGINT, cents BIGINT)")
+        p = lk.path("fact")
+        r1 = lk.sql(
+            f"COPY INTO fact FROM '{stage_pq}' FILEFORMAT = PARQUET"
+        ).collect()[0]
+        v_after_first = len(committed_versions(p))
+        r2 = lk.sql(
+            f"COPY INTO fact FROM '{stage_pq}' FILEFORMAT = PARQUET"
+        ).collect()[0]
+        v_after_retry = len(committed_versions(p))
+        r3 = lk.sql(
+            f"COPY INTO fact FROM '{stage_csv}' FILEFORMAT = CSV"
+        ).collect()[0]
+        copy_idempotent = (
+            int(r1.rows) == n_pq
+            and int(r2.rows) == 0
+            and v_after_retry == v_after_first
+            and int(r3.rows) == n_csv
+        )
+        # by-name bind: the CSV slice's cents must aggregate to the
+        # SOURCE slice's sum (a positional bind would have written
+        # key values into cents)
+        csv_sum_src = (
+            base.filter(F.col("k") % 7 == 3)
+            .agg(F.sum("cents").alias("s"))
+            .collect()[0]
+            .s
+        )
+        csv_sum_tbl = lk.sql(
+            "SELECT SUM(cents) AS s FROM fact WHERE k % 7 = 3"
+        ).collect()[0].s
+        csv_bound_by_name = csv_sum_src == csv_sum_tbl
+        ddl = lk.sql("SHOW CREATE TABLE fact").collect()[0].createtab_stmt
+        ddl_round_trips = (
+            ddl == "CREATE TABLE fact (k BIGINT, cents BIGINT)"
+        )
+        detail = lk.sql("DESCRIBE DETAIL fact").collect()[0]
+        detail_exact = (
+            int(detail.num_rows) == n_pq + n_csv
+            and int(detail.head_version) == len(committed_versions(p))
+        )
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "copy_idempotent": bool(copy_idempotent),
+                    "csv_bound_by_name": bool(csv_bound_by_name),
+                    "ddl_round_trips": bool(ddl_round_trips),
+                    "detail_exact": bool(detail_exact),
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(cents) AS sum_cents FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["copy_idempotent"])).alias("copy_idempotent"),
+        F.lit(bool(stats["csv_bound_by_name"])).alias(
+            "csv_bound_by_name"
+        ),
+        F.lit(bool(stats["ddl_round_trips"])).alias("ddl_round_trips"),
+        F.lit(bool(stats["detail_exact"])).alias("detail_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 13: branch inventory — the WAP audit's operational view
+# --------------------------------------------------------------------------
+@register(
+    "branch_inventory_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    g1 AS (SELECT k, cents + 3 AS cents FROM base WHERE k % 10 = 0),
+    g2 AS (SELECT k, cents + 9 AS cents FROM base WHERE k % 20 = 0),
+    final AS (
+      SELECT k, cents FROM base
+      UNION ALL SELECT k, cents FROM g1
+      UNION ALL SELECT k, cents FROM g2
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS inventory_before,
+           TRUE AS inventory_after_publish,
+           TRUE AS inventory_after_abandon
+    FROM final GROUP BY k % 4
+    """,
+)
+def branch_inventory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch INVENTORY — ``list_branches`` (manifest_sink.py) and its
+    SQL surface ``t__branches`` — the operational view a
+    write-audit-publish pipeline runs its audit loop from: which
+    branches exist RIGHT NOW and how many commits each has staged. A
+    branch 'exists' exactly while branch-tagged manifests sit in the
+    log (publish rewrites them into main, abandon removes them), so
+    the inventory is a pure fold of the raw log — no separate ref
+    files that could drift from the commits they describe.
+
+    Lineage: a fact from orders; branch ``green`` stages TWO commits
+    (the k%10=0 and k%20=0 slices), branch ``red`` stages one garbage
+    commit. ``inventory_before`` pins the t__branches view at exactly
+    {green: 2, red: 1}; after ``PUBLISH BRANCH green``,
+    ``inventory_after_publish`` pins {red: 1} (green vanished — its
+    manifests are main's now); after ``ABANDON BRANCH red``,
+    ``inventory_after_abandon`` pins the empty inventory. The
+    returned per-bucket aggregates are LIVE reads of the published
+    table (base + both green slices, nothing red).
+
+    Oracle: DuckDB computes the same publish-only union algebra.
+
+    Scale: the inventory costs one log fold (O(manifests), zero data
+    files) — at a 100-TB table's commit cadence that is the same
+    planning read every query already pays, so 'is anything staged?'
+    is a free operational check, not a table scan.
+
+    Reference analogue: none — the reference's loader has no staging
+    concept; a bad load is visible the moment it lands
+    (bigquery_update_scheduler.py:229-260)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_brinv_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+
+    def inventory() -> dict:
+        return {
+            r.branch: r.staged_commits
+            for r in lk.sql(
+                "SELECT branch, staged_commits FROM fact__branches"
+            ).collect()
+        }
+
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 5 = 0"
+        )
+        lk.sql(
+            "INSERT INTO fact BRANCH green SELECT k, cents + 3 AS "
+            "cents FROM fact WHERE k % 10 = 0"
+        )
+        lk.sql(
+            "INSERT INTO fact BRANCH green SELECT k, cents + 9 AS "
+            "cents FROM fact WHERE k % 20 = 0"
+        )
+        lk.sql(
+            "INSERT INTO fact BRANCH red SELECT k, -1 AS cents "
+            "FROM fact WHERE k % 50 = 0"
+        )
+        before = inventory()
+        lk.sql("ALTER TABLE fact PUBLISH BRANCH green")
+        after_pub = inventory()
+        lk.sql("ALTER TABLE fact ABANDON BRANCH red")
+        after_aband = inventory()
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "inventory_before": before
+                    == {"green": 2, "red": 1},
+                    "inventory_after_publish": after_pub == {"red": 1},
+                    "inventory_after_abandon": after_aband == {},
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(cents) AS sum_cents FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["inventory_before"])).alias("inventory_before"),
+        F.lit(bool(stats["inventory_after_publish"])).alias(
+            "inventory_after_publish"
+        ),
+        F.lit(bool(stats["inventory_after_abandon"])).alias(
+            "inventory_after_abandon"
+        ),
+    )

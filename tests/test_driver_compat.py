@@ -283,6 +283,8 @@ class TestDriverContract:
             "matview_minmax_stats",          # MIN/MAX inc-or-demote IVM
             "sql_cdf_tags_stats",            # tags + table_changes SQL
             "sql_wap_stats",                 # WAP loop as pure SQL
+            "sql_warehouse_dx_stats",        # COPY INTO/SHOW CREATE/DETAIL
+            "branch_inventory_stats",        # t__branches WAP inventory
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -189,6 +189,8 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "matview_minmax_stats",
     "sql_cdf_tags_stats",
     "sql_wap_stats",
+    "sql_warehouse_dx_stats",
+    "branch_inventory_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
