@@ -234,6 +234,14 @@ class LakehouseSQL:
                     "branch string, staged_commits int",
                 ).createOrReplaceTempView(f"{name}__branches")
 
+    @staticmethod
+    def _parse_literal(x: str):
+        """A scalar SQL literal: 'quoted' → str, else int/float —
+        the value types zone maps record and prune by."""
+        if x.startswith("'"):
+            return x[1:-1]
+        return float(x) if "." in x else int(x)
+
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
         return self.spark.createDataFrame(
@@ -486,6 +494,29 @@ class LakehouseSQL:
         main readers until publish."""
         return self._conform_and_write(name, self.sql(body), branch)
 
+    def _conform(self, name: str, df: DataFrame) -> DataFrame:
+        """SQL INSERT conformance: bind by name, coerce to the
+        declared column types (a literal 100 arrives as INT even into
+        a BIGINT column), declared order."""
+        sch = table_schema(self._require(name))
+        if sch is None:
+            return df
+        have = set(df.columns)
+        need = {f.name for f in sch.fields}
+        if have != need:
+            raise ValueError(
+                f"INSERT INTO {name} columns {sorted(have)} != "
+                f"table columns {sorted(need)}"
+            )
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in sch.fields
+            ]
+        )
+
     def _conform_and_write(
         self,
         name: str,
@@ -494,26 +525,7 @@ class LakehouseSQL:
         props: dict | None = None,
     ) -> DataFrame:
         p = self._require(name)
-        sch = table_schema(p)
-        if sch is not None:
-            # SQL INSERT conformance: bind by name, coerce to the
-            # declared column types (a literal 100 arrives as INT
-            # even into a BIGINT column), declared order
-            have = set(df.columns)
-            need = {f.name for f in sch.fields}
-            if have != need:
-                raise ValueError(
-                    f"INSERT INTO {name} columns {sorted(have)} != "
-                    f"table columns {sorted(need)}"
-                )
-            from pyspark.sql import functions as F
-
-            df = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in sch.fields
-                ]
-            )
+        df = self._conform(name, df)
         from olap_project_spark.export.manifest_sink import (
             current_partition_spec,
             write_partitioned,
@@ -728,6 +740,51 @@ class LakehouseSQL:
                 _read(new_files),
                 branch=None,
                 props={"copy_loaded": new_files},
+            )
+
+        m = re.match(
+            rf"(?is)^INSERT\s+OVERWRITE\s+({_IDENT})\s+"
+            rf"(?:WHERE\s+({_IDENT})\s+"
+            rf"(?:BETWEEN\s+('[^']*'|\S+)\s+AND\s+('[^']*'|\S+)"
+            rf"|=\s*('[^']*'|\S+))\s+)?"
+            rf"(SELECT\s+.+)$",
+            s,
+        )
+        if m:
+            # atomic overwrite: the full-table form is ONE rewrite
+            # commit whose live file list is the SELECT's result
+            # (truncate+insert with snapshot isolation); the WHERE
+            # form is Delta's replaceWhere — rows in the range are
+            # replaced in the SAME commit, files outside the range are
+            # retained byte-identical (planned from zone maps /
+            # hidden-partition ranges), and replacement rows that
+            # violate the range REJECT before anything commits
+            name, col, lo, hi, eq, body = m.groups()
+            self._require(name)
+            df = self._conform(name, self.sql(body))
+            from olap_project_spark.export.manifest_sink import (
+                overwrite_table,
+                replace_where,
+            )
+
+            if col is None:
+                v = overwrite_table(self.spark, self.path(name), df)
+                return self._one_row(
+                    table=name, rows=df.count(), version=v
+                )
+            if eq is not None:
+                lo = hi = eq
+            lo_v, hi_v = self._parse_literal(lo), self._parse_literal(hi)
+            sch = table_schema(self.path(name))
+            r = replace_where(
+                self.spark, self.path(name), sch, col, lo_v, hi_v, df
+            )
+            return self._one_row(
+                table=name,
+                rows=df.count(),
+                version=r["version"],
+                replaced_files=r["n_replaced_files"],
+                retained_files=r["n_retained"],
             )
 
         m = re.match(
@@ -998,14 +1055,13 @@ class LakehouseSQL:
 
             name, col, lo, hi = m.groups()
             p = self._require(name)
-
-            def _lit(x: str):
-                if x.startswith("'"):
-                    return x[1:-1]
-                return float(x) if "." in x else int(x)
-
             r = compact_range(
-                self.spark, p, table_schema(p), col, _lit(lo), _lit(hi)
+                self.spark,
+                p,
+                table_schema(p),
+                col,
+                self._parse_literal(lo),
+                self._parse_literal(hi),
             )
             return self._one_row(table=name, **r)
 

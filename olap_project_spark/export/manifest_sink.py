@@ -4824,44 +4824,14 @@ def compact_snapshots(
     return max(committed_versions(path))
 
 
-def compact_range(
-    spark: SparkSession,
-    path: str,
-    schema,
-    col: str,
-    lo,
-    hi,
-    n_files: int = 4,
-) -> dict:
-    """PARTIAL compaction — ``OPTIMIZE WHERE col BETWEEN lo AND hi``
-    (Iceberg ``rewrite_data_files`` with a filter / Delta OPTIMIZE on a
-    partition predicate): rewrite ONLY the files whose zone maps
-    overlap [lo, hi], carry every other file into the rewrite manifest
-    untouched (with its zone maps and row counts), and leave the data
-    of retained files byte-identical on disk. At 100 TB this is the
-    only compaction that exists — nobody rewrites a full table; the
-    maintenance job walks hot key ranges (recent ingest, small-file
-    storms) and consolidates just those, paying I/O proportional to
-    the range, not the table.
-
-    The rewrite snapshot lists the full consolidated state (retained ∪
-    new), so the read path needs no new rules: time travel to
-    pre-compaction versions still reads the old file lists, vacuum's
-    expiry keeps every file the rewrite references, and the zone maps
-    of the rewritten range become tight (range-partitioned + sorted on
-    ``col``) while retained files keep theirs.
-
-    Delete and MERGE snapshots not yet materialized by a full rewrite
-    are REJECTED: a partial rewrite would resurrect tombstoned rows in
-    files it retains (the tombstones stop applying at the rewrite, but
-    retained files were never re-folded — a merge's key-tombstones
-    carry the same hazard as a standalone delete). Deletes/merges
-    BEFORE the latest full rewrite are fine — that rewrite already
-    materialized them. Run a FULL :func:`compact_snapshots` first,
-    then range-compact freely.
-
-    Returns {"version", "n_rewritten", "n_retained", "n_new"}."""
-    log = _log(path)
+def _partial_rewrite_guards(log: list, what: str) -> None:
+    """Shared rejection gate for PARTIAL rewrites (compact_range,
+    replace_where): a scoped rewrite retains files verbatim, so it is
+    only sound when nothing since the last full rewrite re-interprets
+    them. Unmaterialized delete/merge tombstones would be RESURRECTED
+    in retained files (tombstones stop applying at a rewrite), and a
+    column rename shifts the name-keyed stats the retained entries
+    carry. Both raise, naming the full-rewrite alternative."""
     last_rw = -1
     for i, (_v, m) in enumerate(log):
         if m.get("kind", "append") == "rewrite":
@@ -4871,29 +4841,31 @@ def compact_range(
         for _v, m in log[last_rw + 1 :]
     ):
         raise ValueError(
-            "partial compaction over unmaterialized delete/merge "
+            f"{what} over unmaterialized delete/merge "
             "snapshots would resurrect tombstoned rows in retained "
             "files; run a full compact_snapshots() first to "
             "materialize them"
         )
     if any(m.get("kind") == "alter" for _v, m in log[last_rw + 1 :]):
         raise ValueError(
-            "partial compaction cannot cross a column rename (the "
+            f"{what} cannot cross a column rename (the "
             "scoped read and retained stats are name-keyed); run a "
             "full compact_snapshots() first to collapse the eras"
         )
-    rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
-    rewrite_set = set(rewrite_files)
-    if not rewrite_set:  # nothing overlaps: a no-op, commit nothing
-        return {
-            "version": max(committed_versions(path), default=0),
-            "n_rewritten": 0,
-            "n_retained": _total,
-            "n_new": 0,
-        }
-    retain = {}
+
+
+def _retain_entries(
+    path: str, log: list, exclude: set
+) -> tuple[dict, list | None]:
+    """Build the ``retain`` map a partial-rewrite commit carries:
+    every LIVE file not in ``exclude``, with its zone-map stats, row
+    count, null counts and (current-spec) hidden-partition ranges
+    preserved verbatim — so metadata-only aggregates and pruning keep
+    answering exactly for the files the rewrite does not touch.
+    Returns (retain, latest recorded partition spec or None)."""
+    retain: dict = {}
     for name, st in _committed_files(path):
-        if name in rewrite_set:
+        if name in exclude:
             continue
         entry: dict = {"stats": st or {}}
         retain[name] = entry
@@ -4946,6 +4918,188 @@ def compact_range(
                 entry["part"] = rng
             if sp == spec_latest and prows is not None:
                 entry["prows"] = prows
+    return retain, spec_latest
+
+
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    df: DataFrame,
+    n_files: int = 4,
+) -> dict:
+    """Atomic predicate-scoped OVERWRITE — Delta's ``replaceWhere`` /
+    ``INSERT INTO t REPLACE WHERE``: in ONE rewrite commit, every
+    committed row with ``col`` in [lo, hi] disappears and ``df``'s
+    rows take their place. Readers see either the complete old state
+    or the complete new state — never the deleted-but-not-yet-inserted
+    middle a DELETE+INSERT pair exposes (and a crash between the pair
+    can strand permanently).
+
+    Delta's constraint travels too: every row of ``df`` must satisfy
+    the predicate — a violation RAISES before anything commits
+    (silently widening the replaced range is how backfills corrupt
+    neighboring partitions).
+
+    Scale: the replaced range is planned from metadata
+    (:func:`plan_pruned_files` — zone maps + hidden-partition ranges),
+    so only files that MAY hold matching rows are read and rewritten;
+    everything else is carried into the rewrite manifest verbatim
+    (stats, row counts, nulls, partition ranges — :func:`_retain_entries`),
+    byte-identical on disk. Replacing one day of a 100-TB,
+    day-partitioned fact costs I/O proportional to that day, and the
+    enforcement pass scans only ``df``. Unmaterialized delete/merge
+    tombstones or a pending rename reject with the full-rewrite
+    alternative named (same contract as :func:`compact_range`).
+
+    Returns {"version", "n_replaced_files", "n_retained", "n_new"}.
+
+    Reference analogue: the reference's loader can only append or
+    wholesale-replace its BigQuery tables
+    (bigquery_update_scheduler.py:247-260, WRITE_TRUNCATE); a scoped,
+    atomic backfill verb does not exist there."""
+    from pyspark.sql import functions as F
+
+    log = _log(path)
+    _partial_rewrite_guards(log, "replace_where")
+    # NULL-safe on both sides: a NULL key cannot satisfy the range, so
+    # it is a constraint violation in df — and in the keep-filter
+    # below a NULL-key row is KEPT (it provably isn't being replaced);
+    # a bare ~between would silently drop it
+    bad = df.filter(
+        F.col(col).isNull()
+        | ~F.col(col).between(F.lit(lo), F.lit(hi))
+    ).count()
+    if bad:
+        raise ValueError(
+            f"replace_where: {bad} insert rows violate "
+            f"{col} BETWEEN {lo!r} AND {hi!r}; the replacement data "
+            "must live entirely inside the range it replaces"
+        )
+    replaced_files, total = plan_pruned_files(path, col, lo, hi)
+    replaced_set = set(replaced_files)
+    retain, spec_latest = _retain_entries(path, log, replaced_set)
+    new_state = df
+    if replaced_set:
+        keep = read_committed(
+            spark, path, schema, _keep=replaced_set
+        ).filter(
+            F.col(col).isNull()
+            | ~F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+        new_state = keep.unionByName(df)
+    new_state = new_state.repartitionByRange(
+        n_files, col
+    ).sortWithinPartitions(col)
+    token = uuid.uuid4().hex
+    w = (
+        new_state.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("kind", "rewrite")
+        .option("retain", json.dumps(retain))
+        .option("commit_token", token)
+    )
+    if spec_latest is not None:
+        w = w.option("partition_transform", json.dumps(spec_latest))
+    w.mode("append").save()
+    version, _m = _committed_entry_of(path, token)
+    return {
+        "version": version,
+        "n_replaced_files": len(replaced_set),
+        "n_retained": len(retain),
+        "n_new": len(_m["files"]) - len(retain),
+    }
+
+
+def overwrite_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    n_files: int = 4,
+) -> int:
+    """Full-table INSERT OVERWRITE: ONE rewrite commit whose live file
+    list IS ``df`` — the atomic truncate+insert (Delta
+    ``mode("overwrite")`` / the reference's BigQuery WRITE_TRUNCATE,
+    bigquery_update_scheduler.py:247-260, made snapshot-isolated).
+    Unlike a scoped replace, a full rewrite needs NO guards: it
+    materializes every pending tombstone and collapses alter eras by
+    construction, because nothing is retained. Every earlier version
+    stays time-travelable from the untouched old files until vacuum.
+    The table's declared hidden-partitioning spec survives: new files
+    are range-clustered on the spec's source columns and their
+    transform ranges recorded, so pruning keeps working after the
+    swap. Returns the new snapshot version."""
+    spec = current_partition_spec(path)
+    out = df
+    if spec:
+        out = df.repartitionByRange(
+            max(n_files, len(spec)), *[s["col"] for s in spec]
+        ).sortWithinPartitions(*[s["col"] for s in spec])
+    token = uuid.uuid4().hex
+    w = (
+        out.write.format(ensure_manifest_sink(spark))
+        .option("path", path)
+        .option("kind", "rewrite")
+        .option("commit_token", token)
+    )
+    if spec:
+        w = w.option("partition_transform", json.dumps(spec))
+    w.mode("append").save()
+    return _committed_entry_of(path, token)[0]
+
+
+def compact_range(
+    spark: SparkSession,
+    path: str,
+    schema,
+    col: str,
+    lo,
+    hi,
+    n_files: int = 4,
+) -> dict:
+    """PARTIAL compaction — ``OPTIMIZE WHERE col BETWEEN lo AND hi``
+    (Iceberg ``rewrite_data_files`` with a filter / Delta OPTIMIZE on a
+    partition predicate): rewrite ONLY the files whose zone maps
+    overlap [lo, hi], carry every other file into the rewrite manifest
+    untouched (with its zone maps and row counts), and leave the data
+    of retained files byte-identical on disk. At 100 TB this is the
+    only compaction that exists — nobody rewrites a full table; the
+    maintenance job walks hot key ranges (recent ingest, small-file
+    storms) and consolidates just those, paying I/O proportional to
+    the range, not the table.
+
+    The rewrite snapshot lists the full consolidated state (retained ∪
+    new), so the read path needs no new rules: time travel to
+    pre-compaction versions still reads the old file lists, vacuum's
+    expiry keeps every file the rewrite references, and the zone maps
+    of the rewritten range become tight (range-partitioned + sorted on
+    ``col``) while retained files keep theirs.
+
+    Delete and MERGE snapshots not yet materialized by a full rewrite
+    are REJECTED: a partial rewrite would resurrect tombstoned rows in
+    files it retains (the tombstones stop applying at the rewrite, but
+    retained files were never re-folded — a merge's key-tombstones
+    carry the same hazard as a standalone delete). Deletes/merges
+    BEFORE the latest full rewrite are fine — that rewrite already
+    materialized them. Run a FULL :func:`compact_snapshots` first,
+    then range-compact freely.
+
+    Returns {"version", "n_rewritten", "n_retained", "n_new"}."""
+    log = _log(path)
+    _partial_rewrite_guards(log, "partial compaction")
+    rewrite_files, _total = plan_pruned_files(path, col, lo, hi)
+    rewrite_set = set(rewrite_files)
+    if not rewrite_set:  # nothing overlaps: a no-op, commit nothing
+        return {
+            "version": max(committed_versions(path), default=0),
+            "n_rewritten": 0,
+            "n_retained": _total,
+            "n_new": 0,
+        }
+    retain, spec_latest = _retain_entries(path, log, rewrite_set)
     current = read_committed(spark, path, schema, _keep=rewrite_set)
     current = current.repartitionByRange(n_files, col).sortWithinPartitions(
         col

@@ -9756,3 +9756,165 @@ def branch_inventory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inventory_after_abandon"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: INSERT OVERWRITE — atomic truncate+insert and Delta-style
+# replaceWhere as ONE rewrite commit
+# --------------------------------------------------------------------------
+@register(
+    "insert_overwrite_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT k, cents + 1000000 AS cents FROM base
+      WHERE k BETWEEN 1 AND 2999
+      UNION ALL
+      SELECT k, cents FROM base WHERE k NOT BETWEEN 1 AND 2999
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS replace_one_commit,
+           TRUE AS replace_pruned,
+           TRUE AS violation_rejected,
+           TRUE AS time_travel_intact,
+           TRUE AS full_overwrite_atomic
+    FROM final GROUP BY k % 4
+    """,
+)
+def insert_overwrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE`` through the SQL gate — the atomic backfill
+    verb (manifest_sink.replace_where / overwrite_table): the WHERE
+    form replaces every row in a key range and inserts its replacement
+    in ONE rewrite commit (Delta replaceWhere — readers see complete
+    old state or complete new state, never the DELETE+INSERT middle),
+    and the bare form is snapshot-isolated truncate+insert.
+
+    Lineage: a fact CTAS'd from orders, OPTIMIZE ZORDER'd on k so its
+    files carry disjoint k ranges; ``INSERT OVERWRITE fact WHERE k
+    BETWEEN 1 AND 2999`` swaps that slice for shifted copies.
+    ``replace_one_commit`` pins exactly one version for the whole
+    swap; ``replace_pruned`` pins that the planner rewrote only the
+    files whose zone maps overlap the range and RETAINED the rest
+    byte-identical (replaced < total, retained >= 1 — the 100-TB
+    property: replacing one day costs that day's I/O);
+    ``violation_rejected`` pins that replacement rows outside the
+    range raise BEFORE anything commits (Delta's replaceWhere
+    constraint); ``time_travel_intact`` pins the pre-replace version
+    still reads the old sum; ``full_overwrite_atomic`` pins the bare
+    form on a dimension table (25 nations swapped in one commit).
+
+    Oracle: DuckDB computes the same slice-swap algebra.
+
+    Reference analogue: the loader's only write modes are append and
+    wholesale WRITE_TRUNCATE (bigquery_update_scheduler.py:247-260) —
+    a scoped atomic backfill does not exist there."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import committed_versions
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_insovw_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql("OPTIMIZE fact ZORDER BY (k)")
+        p = lk.path("fact")
+        pre_sum = lk.sql(
+            "SELECT SUM(cents) AS s FROM fact"
+        ).collect()[0].s
+        pre_v = len(committed_versions(p))
+        n_total_files = lk.sql(
+            "SELECT COUNT(*) AS n FROM fact__files"
+        ).collect()[0].n
+        r = lk.sql(
+            "INSERT OVERWRITE fact WHERE k BETWEEN 1 AND 2999 "
+            "SELECT k, cents + 1000000 AS cents FROM fact "
+            "WHERE k BETWEEN 1 AND 2999"
+        ).collect()[0]
+        replace_one_commit = (
+            len(committed_versions(p)) == pre_v + 1
+        )
+        replace_pruned = (
+            int(r.replaced_files) < n_total_files
+            and int(r.retained_files) >= 1
+        )
+        try:
+            lk.sql(
+                "INSERT OVERWRITE fact WHERE k BETWEEN 1 AND 10 "
+                "SELECT 99 AS k, 0 AS cents"
+            )
+            violation_rejected = False
+        except ValueError:
+            violation_rejected = True
+        tt_sum = lk.sql(
+            f"SELECT SUM(cents) AS s FROM fact VERSION AS OF {pre_v}"
+        ).collect()[0].s
+        time_travel_intact = tt_sum == pre_sum
+        lk.sql(
+            "CREATE TABLE dim AS SELECT n_nationkey AS id, "
+            "n_name AS name FROM nation"
+        )
+        dv = len(committed_versions(lk.path("dim")))
+        lk.sql(
+            "INSERT OVERWRITE dim SELECT id + 100 AS id, name FROM dim"
+        )
+        full_overwrite_atomic = (
+            len(committed_versions(lk.path("dim"))) == dv + 1
+            and lk.sql(
+                "SELECT COUNT(*) AS n FROM dim WHERE id >= 100"
+            ).collect()[0].n
+            == 25
+            and lk.sql("SELECT COUNT(*) AS n FROM dim").collect()[0].n
+            == 25
+        )
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "replace_one_commit": bool(replace_one_commit),
+                    "replace_pruned": bool(replace_pruned),
+                    "violation_rejected": bool(violation_rejected),
+                    "time_travel_intact": bool(time_travel_intact),
+                    "full_overwrite_atomic": bool(full_overwrite_atomic),
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(cents) AS sum_cents FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["replace_one_commit"])).alias(
+            "replace_one_commit"
+        ),
+        F.lit(bool(stats["replace_pruned"])).alias("replace_pruned"),
+        F.lit(bool(stats["violation_rejected"])).alias(
+            "violation_rejected"
+        ),
+        F.lit(bool(stats["time_travel_intact"])).alias(
+            "time_travel_intact"
+        ),
+        F.lit(bool(stats["full_overwrite_atomic"])).alias(
+            "full_overwrite_atomic"
+        ),
+    )

@@ -285,6 +285,7 @@ class TestDriverContract:
             "sql_wap_stats",                 # WAP loop as pure SQL
             "sql_warehouse_dx_stats",        # COPY INTO/SHOW CREATE/DETAIL
             "branch_inventory_stats",        # t__branches WAP inventory
+            "insert_overwrite_stats",        # atomic replaceWhere verb
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

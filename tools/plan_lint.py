@@ -191,6 +191,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "sql_wap_stats",
     "sql_warehouse_dx_stats",
     "branch_inventory_stats",
+    "insert_overwrite_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
