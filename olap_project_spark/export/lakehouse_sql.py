@@ -177,7 +177,7 @@ class LakehouseSQL:
 
         for name in self._tables():
             if statement is None:
-                base = hist = files = parts = tags = branches = True
+                base = hist = files = parts = tags = branches = ndv = True
             else:
                 base = re.search(rf"\b{name}\b", statement) is not None
                 hist = f"{name}__history" in statement
@@ -185,7 +185,10 @@ class LakehouseSQL:
                 parts = f"{name}__partitions" in statement
                 tags = f"{name}__tags" in statement
                 branches = f"{name}__branches" in statement
-                if not (base or hist or files or parts or tags or branches):
+                ndv = f"{name}__ndv" in statement
+                if not (
+                    base or hist or files or parts or tags or branches or ndv
+                ):
                     continue
             p = self.path(name)
             if base:
@@ -233,6 +236,30 @@ class LakehouseSQL:
                     sorted(list_branches(p).items()),
                     "branch string, staged_commits int",
                 ).createOrReplaceTempView(f"{name}__branches")
+            if ndv:
+                # distinct counts from merged KMV sketches — zero data
+                # files; lists ONLY answerable columns (the strict
+                # read refuses partial sketch coverage and
+                # unmaterialized tombstones — an absent row is "run
+                # ANALYZE TABLE / OPTIMIZE", never a silent guess)
+                from olap_project_spark.export.manifest_sink import (
+                    _ndv_sketches,
+                    table_ndv,
+                )
+
+                rows = []
+                for c in sorted({c for _f, c in _ndv_sketches(p)}):
+                    try:
+                        r = table_ndv(p, c)
+                    except ValueError:
+                        continue
+                    rows.append((c, r["ndv"], r["exact"]))
+                self.spark.createDataFrame(
+                    rows or [("", 0, False)],
+                    "column string, ndv bigint, exact boolean",
+                ).filter("column <> ''").createOrReplaceTempView(
+                    f"{name}__ndv"
+                )
 
     @staticmethod
     def _parse_literal(x: str):
@@ -1081,6 +1108,31 @@ class LakehouseSQL:
                 cluster_by=cluster,
             )
             return self._one_row(table=m.group(1), version=v)
+
+        m = re.match(
+            rf"(?is)^ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+"
+            rf"STATISTICS\s+FOR\s+COLUMNS\s*\((.+)\)$",
+            s,
+        )
+        if m:
+            # per-file KMV NDV sketches as a metadata-only commit —
+            # incremental: files already sketched are skipped, so the
+            # steady-state cost is one pass over NEW files only; the
+            # merged counts surface through t__ndv (zero data files)
+            name, col_list = m.group(1), m.group(2)
+            p = self._require(name)
+            from olap_project_spark.export.manifest_sink import (
+                analyze_table,
+            )
+
+            cols = [c.strip() for c in col_list.split(",") if c.strip()]
+            r = analyze_table(self.spark, p, cols)
+            return self._one_row(
+                table=name,
+                version=r["version"],
+                files_analyzed=r["n_files_analyzed"],
+                sketches=r["n_sketches"],
+            )
 
         m = re.match(rf"(?i)^VACUUM\s+({_IDENT})$", s)
         if m:

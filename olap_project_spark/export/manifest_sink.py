@@ -1092,6 +1092,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             if version <= start["version"] or version > end["version"]:
                 continue
             kind = m.get("kind", "append")
+            if kind == "analyze":
+                continue  # NDV sketches: pure metadata, no rows change
             if kind == "alter":
                 if not (
                     m.get("rename") or m.get("drop") or m.get("widen")
@@ -1942,9 +1944,9 @@ def read_committed(
     pending: list = []
     for version, m in log:
         kind = m.get("kind", "append")
-        if kind == "alter":
-            continue  # metadata-only rename: no rows change; renamed
-            # tables read era-correctly through read_evolved
+        if kind in ("alter", "analyze"):
+            continue  # metadata-only (rename / NDV sketches): no rows
+            # change; renamed tables read era-correctly via read_evolved
         if kind == "rewrite":
             df, pending = None, list(m["files"])
         elif kind == "append":
@@ -4301,6 +4303,8 @@ def read_version_delta(
         if version <= from_v or version > to_v:
             continue
         kind = m.get("kind", "append")
+        if kind == "analyze":
+            continue  # NDV sketches: pure metadata, no file changes
         if kind != "append":
             raise ValueError(
                 f"version delta ({from_v}, {to_v}] crosses the {kind} "
@@ -4547,6 +4551,8 @@ def read_evolved(
 
     for version, m in log:
         kind = m.get("kind", "append")
+        if kind == "analyze":
+            continue  # NDV sketches: pure metadata, no rows change
         if kind == "alter":
             df, pending = flush(df), []
             if df is not None:
@@ -5051,6 +5057,188 @@ def overwrite_table(
     return _committed_entry_of(path, token)[0]
 
 
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    k: int = 256,
+) -> dict:
+    """``ANALYZE TABLE`` — record a PER-FILE KMV distinct-value sketch
+    for each named column as a metadata-only ``kind='analyze'`` commit
+    (Iceberg's puffin NDV blobs / Delta's column stats, folded into
+    the manifest log). The sketch is the ``k`` smallest ``xxhash64``
+    values of the column's distinct non-null values in that file; a
+    file with fewer than ``k`` distinct values stores them ALL and is
+    marked complete (the sketch IS the distinct-hash set, so merges
+    of complete sketches count exactly).
+
+    INCREMENTAL by construction: files that already carry a sketch
+    for a column (at this ``k``) are skipped, so the steady-state cost
+    of keeping a 100-TB table analyzed is one pass over each NEW
+    commit's files — and the whole computation is JVM-side
+    (xxhash64 + distinct + per-file top-k window: one shuffle of
+    8-byte hashes, never values).
+
+    Rewrites invalidate naturally: sketches key on file NAMES, a
+    compaction's new files simply have none until the next analyze.
+    Returns {"version", "n_files_analyzed", "n_sketches"} (version is
+    the current head when nothing needed analyzing — no empty commit).
+
+    Reference analogue: the reference has no statistics surface at
+    all; its BigQuery tables re-scan for every COUNT(DISTINCT)
+    (bigquery_update_scheduler.py:255-260)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"table at {path} records no schema")
+    have = {f.name for f in sch.fields}
+    missing = [c for c in cols if c not in have]
+    if missing:
+        raise ValueError(f"analyze_table: unknown columns {missing}")
+    live = [name for name, _ in _committed_files(path)]
+    existing = _ndv_sketches(path)
+    todo: dict[str, list[str]] = {}
+    for c in cols:
+        for f in live:
+            s = existing.get((f, c))
+            if s is None or s["k"] != k:
+                todo.setdefault(f, []).append(c)
+    head = max(committed_versions(path), default=0)
+    if not todo:
+        return {"version": head, "n_files_analyzed": 0, "n_sketches": 0}
+    base_map = {os.path.basename(n): n for n in todo}
+    payload: dict[str, dict] = {}
+    n_sketches = 0
+    for c in cols:
+        cfiles = [f for f in sorted(todo) if c in todo[f]]
+        if not cfiles:
+            continue
+        fld = next(f for f in sch.fields if f.name == c)
+        scan = _read_files(spark, path, StructType([fld]), cfiles)
+        d = (
+            scan.where(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("f"),
+                F.xxhash64(F.col(c)).alias("h"),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("f").orderBy("h")
+        topk = (
+            d.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .groupBy("f")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.max("r").alias("n"),
+            )
+        )
+        seen = set()
+        for row in topk.collect():
+            fname = base_map[os.path.basename(row.f)]
+            payload.setdefault(fname, {})[c] = {
+                "h": [int(x) for x in row.hs],
+                # n == k is treated as truncated even when the file
+                # held exactly k distinct values — the estimator is
+                # then merely approximate, never wrong-exact
+                "complete": int(row.n) < k,
+            }
+            seen.add(fname)
+            n_sketches += 1
+        for f in cfiles:
+            if f not in seen:  # all-NULL or empty file: zero distinct
+                payload.setdefault(f, {})[c] = {"h": [], "complete": True}
+                n_sketches += 1
+    v = _commit_manifest_dict(
+        path,
+        {"kind": "analyze", "files": [], "ndv": payload, "ndv_k": k},
+    )
+    return {
+        "version": v,
+        "n_files_analyzed": len(todo),
+        "n_sketches": n_sketches,
+    }
+
+
+def _ndv_sketches(
+    path: str, as_of: int | None = None
+) -> dict[tuple, dict]:
+    """Latest recorded sketch per (file, column) — a pure fold of the
+    analyze commits in the log (later analyzes override earlier)."""
+    out: dict[tuple, dict] = {}
+    for _v, m in _log(path, as_of):
+        if m.get("kind") != "analyze":
+            continue
+        kk = int(m.get("ndv_k", 0))
+        for f, cmap in m.get("ndv", {}).items():
+            for c, sk in cmap.items():
+                out[(f, c)] = {
+                    "h": sk["h"],
+                    "complete": bool(sk["complete"]),
+                    "k": kk,
+                }
+    return out
+
+
+def table_ndv(
+    path: str, col: str, as_of: int | None = None
+) -> dict:
+    """DISTINCT-VALUE COUNT from metadata alone — zero data files
+    opened: merge the live files' KMV sketches (union of hash sets;
+    KMV closure: the union's k smallest hashes are the table's k
+    smallest, so per-file sketches merge losslessly). When every live
+    file's sketch is COMPLETE the merged count is exact (modulo
+    64-bit hash collisions — vanishing below billions of distincts);
+    otherwise the classic KMV estimator (k-1)/U(k) over the merged
+    k-minimum.
+
+    STRICT like :func:`metadata_aggregate`: unmaterialized
+    delete/merge tombstones make every per-file sketch an overcount
+    (raises — OPTIMIZE first), and live files missing a sketch for
+    ``col`` raise naming :func:`analyze_table` (a silent partial
+    answer would undercount). A rename retires sketches with the old
+    name — re-analyze under the new one.
+
+    Returns {"ndv", "exact", "n_files"}."""
+    log = _log(path, as_of)
+    if _tombstones_since_last_rewrite(log):
+        raise ValueError(
+            "table_ndv: unmaterialized delete/merge tombstones make "
+            "file sketches an overcount; run compact_snapshots() / "
+            "OPTIMIZE first to materialize them"
+        )
+    live = [n for n, _ in _committed_files(path, as_of)]
+    if not live:
+        return {"ndv": 0, "exact": True, "n_files": 0}
+    sk = _ndv_sketches(path, as_of)
+    missing = [f for f in live if (f, col) not in sk]
+    if missing:
+        raise ValueError(
+            f"table_ndv: {len(missing)} live files carry no NDV "
+            f"sketch for {col!r}; run analyze_table(spark, path, "
+            f"[{col!r}]) to (incrementally) cover them"
+        )
+    union: set[int] = set()
+    complete = True
+    kmin: int | None = None
+    for f in live:
+        s = sk[(f, col)]
+        union.update(s["h"])
+        complete = complete and s["complete"]
+        kmin = s["k"] if kmin is None else min(kmin, s["k"])
+    if complete:
+        return {"ndv": len(union), "exact": True, "n_files": len(live)}
+    hs = sorted(union)[:kmin]
+    u = (hs[-1] + 2**63 + 1) / 2.0**64
+    return {
+        "ndv": int(round((kmin - 1) / u)),
+        "exact": False,
+        "n_files": len(live),
+    }
+
+
 def compact_range(
     spark: SparkSession,
     path: str,
@@ -5249,6 +5437,8 @@ def read_changes(
         if version <= from_v or version > to_v:
             continue
         kind = m.get("kind", "append")
+        if kind == "analyze":
+            continue  # NDV sketches: pure metadata, no row changes
         if kind == "alter":
             raise ValueError(
                 f"row-level CDF ({from_v}, {to_v}] crosses the rename "

@@ -9918,3 +9918,163 @@ def insert_overwrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_overwrite_atomic"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: ANALYZE TABLE — per-file KMV NDV sketches, distinct counts
+# answered from metadata alone
+# --------------------------------------------------------------------------
+@register(
+    "ndv_sketch_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_custkey AS ck
+      FROM orders
+    ),
+    xslice AS (
+      SELECT k, 'X' AS st, ck FROM base WHERE k % 9 = 4
+    ),
+    final AS (
+      SELECT k, st, ck FROM (
+        SELECT k, st, ck FROM base
+        UNION ALL
+        SELECT k, st, ck FROM xslice
+      ) u WHERE k % 18 <> 4
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(ck) AS BIGINT) AS sum_ck,
+           (SELECT CAST(COUNT(DISTINCT st) AS BIGINT) FROM final)
+             AS ndv_status,
+           TRUE AS incremental_analyze,
+           TRUE AS exact_after_inserts,
+           TRUE AS strict_after_delete,
+           TRUE AS k_estimate_ok
+    FROM final GROUP BY k % 4
+    """,
+)
+def ndv_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE`` through the gate — per-file KMV
+    distinct-value sketches (manifest_sink.analyze_table / table_ndv,
+    the Iceberg-puffin-NDV shape folded into the manifest log) and
+    the ``t__ndv`` metadata view that answers COUNT(DISTINCT) with
+    ZERO data files opened.
+
+    The returned ``ndv_status`` column is the strongest possible
+    check: OUR value comes purely from merged sketches in commit
+    metadata, DuckDB's from scanning the data — they must agree
+    exactly (every per-file sketch is complete, and complete sketches
+    merge to exact counts).
+
+    Lifecycle pins: ``incremental_analyze`` — the second ANALYZE
+    after an INSERT sketches ONLY the new files (steady-state cost of
+    keeping a 100-TB table analyzed is one pass per new commit);
+    ``exact_after_inserts`` — the merged count is flagged exact and
+    sees the inserted 4th status; ``strict_after_delete`` — an
+    unmaterialized tombstone empties the view (sketches would
+    overcount; an absent row is "OPTIMIZE first", never a silent
+    guess); ``k_estimate_ok`` — after OPTIMIZE + re-analyze, the
+    high-cardinality key column's estimate is exact when its
+    sketches are complete, else within 10% (KMV k=2048, sigma≈2.2%).
+
+    Reference analogue: none — the reference re-scans BigQuery for
+    every distinct count (bigquery_update_scheduler.py:255-260)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import (
+        analyze_table,
+        table_ndv,
+    )
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_ndvsk_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "o_orderstatus AS st, o_custkey AS ck FROM orders"
+        )
+        lk.sql("ANALYZE TABLE fact COMPUTE STATISTICS FOR COLUMNS (st)")
+        n0 = lk.sql(
+            "SELECT COUNT(*) AS n FROM fact__files"
+        ).collect()[0].n
+        lk.sql(
+            "INSERT INTO fact SELECT k, 'X' AS st, ck FROM fact "
+            "WHERE k % 9 = 4"
+        )
+        n1 = lk.sql(
+            "SELECT COUNT(*) AS n FROM fact__files"
+        ).collect()[0].n
+        r2 = lk.sql(
+            "ANALYZE TABLE fact COMPUTE STATISTICS FOR COLUMNS (st)"
+        ).collect()[0]
+        incremental_analyze = int(r2.files_analyzed) == n1 - n0 > 0
+        st_row = lk.sql(
+            "SELECT ndv, exact FROM fact__ndv WHERE column = 'st'"
+        ).collect()[0]
+        exact_after_inserts = bool(st_row.exact) and st_row.ndv == 4
+        lk.sql("DELETE FROM fact WHERE k % 18 = 4")
+        strict_after_delete = (
+            lk.sql("SELECT COUNT(*) AS n FROM fact__ndv").collect()[0].n
+            == 0
+        )
+        lk.sql("OPTIMIZE fact")
+        lk.sql("ANALYZE TABLE fact COMPUTE STATISTICS FOR COLUMNS (st)")
+        analyze_table(spark, lk.path("fact"), ["k"], k=2048)
+        truth_k = (
+            lk.sql("SELECT COUNT(DISTINCT k) AS n FROM fact")
+            .collect()[0]
+            .n
+        )
+        kr = table_ndv(lk.path("fact"), "k")
+        k_estimate_ok = (
+            (kr["exact"] and kr["ndv"] == truth_k)
+            or (
+                not kr["exact"]
+                and abs(kr["ndv"] - truth_k) / truth_k < 0.10
+            )
+        )
+        ndv_status = lk.sql(
+            "SELECT ndv, exact FROM fact__ndv WHERE column = 'st'"
+        ).collect()[0]
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "incremental_analyze": bool(incremental_analyze),
+                    "exact_after_inserts": bool(exact_after_inserts),
+                    "strict_after_delete": bool(strict_after_delete),
+                    "k_estimate_ok": bool(k_estimate_ok),
+                    "ndv_status": int(ndv_status.ndv)
+                    if ndv_status.exact
+                    else -1,
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(ck) AS sum_ck FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_ck",
+        F.lit(int(stats["ndv_status"])).cast("long").alias("ndv_status"),
+        F.lit(bool(stats["incremental_analyze"])).alias(
+            "incremental_analyze"
+        ),
+        F.lit(bool(stats["exact_after_inserts"])).alias(
+            "exact_after_inserts"
+        ),
+        F.lit(bool(stats["strict_after_delete"])).alias(
+            "strict_after_delete"
+        ),
+        F.lit(bool(stats["k_estimate_ok"])).alias("k_estimate_ok"),
+    )

@@ -286,6 +286,7 @@ class TestDriverContract:
             "sql_warehouse_dx_stats",        # COPY INTO/SHOW CREATE/DETAIL
             "branch_inventory_stats",        # t__branches WAP inventory
             "insert_overwrite_stats",        # atomic replaceWhere verb
+            "ndv_sketch_stats",              # KMV NDV from metadata
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -192,6 +192,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "sql_warehouse_dx_stats",
     "branch_inventory_stats",
     "insert_overwrite_stats",
+    "ndv_sketch_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
