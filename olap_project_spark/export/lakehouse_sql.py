@@ -177,7 +177,8 @@ class LakehouseSQL:
 
         for name in self._tables():
             if statement is None:
-                base = hist = files = parts = tags = branches = ndv = True
+                base = hist = files = parts = tags = branches = True
+                ndv = cons = True
             else:
                 base = re.search(rf"\b{name}\b", statement) is not None
                 hist = f"{name}__history" in statement
@@ -186,8 +187,16 @@ class LakehouseSQL:
                 tags = f"{name}__tags" in statement
                 branches = f"{name}__branches" in statement
                 ndv = f"{name}__ndv" in statement
+                cons = f"{name}__constraints" in statement
                 if not (
-                    base or hist or files or parts or tags or branches or ndv
+                    base
+                    or hist
+                    or files
+                    or parts
+                    or tags
+                    or branches
+                    or ndv
+                    or cons
                 ):
                     continue
             p = self.path(name)
@@ -259,6 +268,18 @@ class LakehouseSQL:
                     "column string, ndv bigint, exact boolean",
                 ).filter("column <> ''").createOrReplaceTempView(
                     f"{name}__ndv"
+                )
+            if cons:
+                from olap_project_spark.export.manifest_sink import (
+                    table_constraints,
+                )
+
+                self.spark.createDataFrame(
+                    sorted(table_constraints(p).items())
+                    or [("", "")],
+                    "name string, expr string",
+                ).filter("name <> ''").createOrReplaceTempView(
+                    f"{name}__constraints"
                 )
 
     @staticmethod
@@ -555,6 +576,7 @@ class LakehouseSQL:
         df = self._conform(name, df)
         from olap_project_spark.export.manifest_sink import (
             current_partition_spec,
+            enforce_constraints,
             write_partitioned,
         )
 
@@ -562,10 +584,12 @@ class LakehouseSQL:
             # writers inherit the table's declared layout
             # (Iceberg-style): range-partition on the transforms so
             # files stay tight and the histograms/pruning hold
+            # (write_partitioned enforces table constraints itself)
             write_partitioned(self.spark, df, p, branch=branch, props=props)
         else:
             import json as _json
 
+            enforce_constraints(self.spark, p, df, "INSERT")
             w = df.write.format(self.fmt).option("path", p)
             if branch is not None:
                 w = w.option("branch", branch)
@@ -898,6 +922,44 @@ class LakehouseSQL:
             )
 
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"({_IDENT})\s+CHECK\s*\((.+)\)$",
+            s,
+        )
+        if m:
+            # table-level CHECK constraint (Delta shape): existing
+            # rows are validated NOW; every later write re-validates
+            # and rejects whole commits on violation
+            from olap_project_spark.export.manifest_sink import (
+                add_constraint,
+            )
+
+            v = add_constraint(
+                self.spark,
+                self._require(m.group(1)),
+                m.group(2),
+                m.group(3).strip(),
+            )
+            return self._one_row(
+                table=m.group(1), constraint=m.group(2), version=v
+            )
+
+        m = re.match(
+            rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"({_IDENT})$",
+            s,
+        )
+        if m:
+            from olap_project_spark.export.manifest_sink import (
+                drop_constraint,
+            )
+
+            v = drop_constraint(self._require(m.group(1)), m.group(2))
+            return self._one_row(
+                table=m.group(1), constraint=m.group(2), version=v
+            )
+
+        m = re.match(
             rf"(?i)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
             rf"({_IDENT})\s+TO\s+({_IDENT})$",
             s,
@@ -1194,6 +1256,9 @@ class LakehouseSQL:
             from olap_project_spark.export.manifest_sink import (
                 current_partition_spec,
             )
+            from olap_project_spark.export.manifest_sink import (
+                table_constraints as _tc,
+            )
 
             files = table_files(p)
             hist = table_history(p)
@@ -1229,6 +1294,7 @@ class LakehouseSQL:
                 if spec
                 else "",
                 num_tags=len(list_tags(p)),
+                num_constraints=len(_tc(p)),
             )
 
         m = re.match(rf"(?i)^DESCRIBE\s+({_IDENT})$", s)

@@ -2249,6 +2249,7 @@ def rename_column(path: str, old: str, new: str) -> int:
             f"cannot rename while write-audit-publish branches {staged} "
             "hold unpublished commits; publish or abandon them first"
         )
+    _reject_constrained_column(path, old, "rename")
     renamed = StructType(
         [
             StructField(new if f.name == old else f.name, f.dataType, f.nullable)
@@ -2302,6 +2303,7 @@ def drop_column(path: str, col: str) -> int:
             f"{staged} hold unpublished commits; publish or abandon "
             "them first"
         )
+    _reject_constrained_column(path, col, "drop")
     remaining = StructType([f for f in sch.fields if f.name != col])
     return _commit_manifest_dict(
         path,
@@ -2407,6 +2409,149 @@ def widen_column(path: str, col: str, dtype: str) -> int:
             "files": [],
         },
     )
+
+
+def _reject_constrained_column(path: str, col: str, what: str) -> None:
+    """A column referenced by a live CHECK constraint cannot be
+    renamed or dropped (the expression would stop resolving and every
+    write would fail late) — Delta's contract: drop the constraint
+    first. Detection is a conservative word-boundary match of the
+    identifier in each expression (a false positive costs an explicit
+    DROP CONSTRAINT; a false negative would break writes)."""
+    import re as _re
+
+    for n, e in table_constraints(path).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", e):
+            raise ValueError(
+                f"cannot {what} column {col!r}: constraint {n!r} "
+                f"references it in CHECK ({e}); DROP CONSTRAINT first"
+            )
+
+
+def table_constraints(path: str, as_of: int | None = None) -> dict:
+    """The table's live CHECK constraints: name → boolean SQL
+    expression — a pure fold of constraint alters in the log
+    (adds override nothing: re-adding a live name rejects; drops
+    retire)."""
+    out: dict[str, str] = {}
+    for _v, m in _log(path, as_of):
+        if m.get("kind") != "alter":
+            continue
+        for n, e in (m.get("constraint_add") or {}).items():
+            out[n] = e
+        for n in m.get("constraint_drop") or []:
+            out.pop(n, None)
+    return out
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`` — a
+    TABLE-LEVEL row contract recorded in the manifest log (Delta CHECK
+    constraints): every subsequent write through the engine's write
+    surfaces (INSERT / COPY INTO / MERGE / UPDATE / INSERT OVERWRITE /
+    write_partitioned) re-validates its rows against every live
+    constraint and REJECTS the whole commit on a violation — bad data
+    never lands, instead of being found by the next audit.
+
+    Delta's add-time contract travels too: the EXISTING committed
+    rows must already satisfy the expression (one validation scan
+    here, so the constraint is an invariant from birth, not a hope).
+    SQL NULL semantics: a row violates only when the expression is
+    FALSE — NULL passes, like SQL CHECK.
+
+    The commit is a pure-metadata alter (no file bytes change): it
+    passes streaming tails and partial rewrites, and costs one
+    manifest. Writes pay ONE extra aggregation over the written rows
+    per commit — the same pass Delta's writer makes.
+
+    Reference analogue: the reference validates rows in Python per
+    micro-batch and routes failures to an error stream
+    (spark_streaming_consumer.py:92-118) but nothing stops a later
+    batch job from appending garbage; a table-level constraint
+    guards every writer."""
+    from pyspark.sql import functions as _F
+
+    if not name.isidentifier():
+        raise ValueError(f"invalid constraint name: {name!r}")
+    if name in table_constraints(path):
+        raise ValueError(
+            f"constraint {name!r} already exists; drop it first"
+        )
+    sch = table_schema(path)
+    if sch is None:
+        raise ValueError(f"table at {path} records no schema")
+    # the expression must resolve against the declared schema (typo'd
+    # columns fail HERE, not at the first write)
+    probe = spark.createDataFrame([], sch)
+    try:
+        probe.filter(_F.expr(expr)).schema
+    except Exception as e:  # noqa: BLE001 - surface the parse error
+        raise ValueError(
+            f"constraint expression {expr!r} does not resolve against "
+            f"the table schema: {e}"
+        ) from None
+    current = read_evolved(spark, path)
+    n_bad = current.filter(
+        _F.expr(expr).cast("boolean") == _F.lit(False)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add constraint {name!r}: {n_bad} existing rows "
+            f"violate CHECK ({expr})"
+        )
+    return _commit_manifest_dict(
+        path,
+        {
+            "kind": "alter",
+            "constraint_add": {name: expr},
+            "files": [],
+        },
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Retire a CHECK constraint — pure metadata; the data it guarded
+    stays, later writes stop validating against it."""
+    if name not in table_constraints(path):
+        raise ValueError(f"no constraint {name!r} at {path}")
+    return _commit_manifest_dict(
+        path,
+        {"kind": "alter", "constraint_drop": [name], "files": []},
+    )
+
+
+def enforce_constraints(
+    spark: SparkSession, path: str, df: DataFrame, what: str = "write"
+) -> None:
+    """Validate ``df`` against every live CHECK constraint in ONE
+    aggregation pass (all constraints as parallel conditional sums);
+    raise naming each violated constraint and its violation count.
+    Called by every data-adding write surface BEFORE its commit."""
+    from pyspark.sql import functions as _F
+
+    cons = table_constraints(path)
+    if not cons:
+        return
+    aggs = [
+        _F.sum(
+            _F.when(
+                _F.expr(e).cast("boolean") == _F.lit(False), 1
+            ).otherwise(0)
+        ).alias(n)
+        for n, e in cons.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        n: int(row[n]) for n in cons if row[n] is not None and row[n]
+    }
+    if bad:
+        detail = "; ".join(
+            f"{n}: {c} rows violate CHECK ({cons[n]})"
+            for n, c in sorted(bad.items())
+        )
+        raise ValueError(f"{what} rejected by table constraints — {detail}")
 
 
 def set_partition_spec(
@@ -2821,6 +2966,7 @@ def merge_upsert(
                     f"{pt.simpleString()} to {ct.simpleString()}, "
                     "which is not a safe widening"
                 )
+    enforce_constraints(spark, path, updates, "MERGE")
     token = uuid.uuid4().hex
     w = (
         updates.write.format(ensure_manifest_sink(spark))
@@ -4852,7 +4998,17 @@ def _partial_rewrite_guards(log: list, what: str) -> None:
             "files; run a full compact_snapshots() first to "
             "materialize them"
         )
-    if any(m.get("kind") == "alter" for _v, m in log[last_rw + 1 :]):
+    if any(
+        m.get("kind") == "alter"
+        and any(
+            k in m
+            for k in ("rename", "drop", "widen", "add", "partition_spec")
+        )
+        for _v, m in log[last_rw + 1 :]
+    ):
+        # pure-metadata alters that move no names and change no file
+        # bytes (CHECK-constraint add/drop) are exempt — retained
+        # stats stay name-exact under them
         raise ValueError(
             f"{what} cannot cross a column rename (the "
             "scoped read and retained stats are name-keyed); run a "
@@ -4985,6 +5141,7 @@ def replace_where(
             f"{col} BETWEEN {lo!r} AND {hi!r}; the replacement data "
             "must live entirely inside the range it replaces"
         )
+    enforce_constraints(spark, path, df, "INSERT OVERWRITE")
     replaced_files, total = plan_pruned_files(path, col, lo, hi)
     replaced_set = set(replaced_files)
     retain, spec_latest = _retain_entries(path, log, replaced_set)
@@ -5038,6 +5195,7 @@ def overwrite_table(
     are range-clustered on the spec's source columns and their
     transform ranges recorded, so pruning keeps working after the
     swap. Returns the new snapshot version."""
+    enforce_constraints(spark, path, df, "INSERT OVERWRITE")
     spec = current_partition_spec(path)
     out = df
     if spec:
@@ -5377,6 +5535,7 @@ def write_partitioned(
                 "transforms=[...], or declare one with "
                 "set_partition_spec first"
             )
+    enforce_constraints(spark, path, df, "write_partitioned")
     token = uuid.uuid4().hex
     pt_cols = [f"_pt{i}" for i in range(len(specs))]
     out = df.select(

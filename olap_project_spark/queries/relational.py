@@ -10078,3 +10078,177 @@ def ndv_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(bool(stats["k_estimate_ok"])).alias("k_estimate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: table-level CHECK constraints — Delta-shape ADD/DROP
+# CONSTRAINT, every write surface re-validated
+# --------------------------------------------------------------------------
+@register(
+    "sql_constraints_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    good AS (
+      SELECT k, cents + 50 AS cents FROM base WHERE k % 11 = 3
+    ),
+    final AS (
+      SELECT k, cents FROM base
+      UNION ALL SELECT k, cents FROM good
+      UNION ALL SELECT CAST(999999983 AS BIGINT), CAST(-5 AS BIGINT)
+      UNION ALL SELECT CAST(999999987 AS BIGINT), CAST(NULL AS BIGINT)
+    )
+    SELECT CAST(k % 4 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS add_time_validated,
+           TRUE AS writes_rejected,
+           TRUE AS null_passes,
+           TRUE AS rename_guarded,
+           TRUE AS drop_reopens
+    FROM final GROUP BY k % 4
+    """,
+)
+def sql_constraints_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level CHECK constraints through the SQL gate
+    (manifest_sink.add_constraint/enforce_constraints — the Delta
+    CHECK-constraint shape): ``ALTER TABLE t ADD CONSTRAINT n CHECK
+    (expr)`` records a row contract in the manifest log; EVERY write
+    surface (INSERT, UPDATE, MERGE, INSERT OVERWRITE, COPY INTO)
+    re-validates its rows in one aggregation pass and rejects the
+    whole commit on violation — bad data never lands.
+
+    Pins: ``add_time_validated`` — adding a constraint the EXISTING
+    rows violate raises (an invariant from birth, not a hope);
+    ``writes_rejected`` — a violating INSERT, UPDATE, MERGE and
+    INSERT OVERWRITE each raise AND commit no version (the log length
+    is unchanged across all four); ``null_passes`` — SQL CHECK
+    semantics: a NULL expression is not a violation;
+    ``rename_guarded`` — renaming a column a live constraint
+    references rejects, naming DROP CONSTRAINT (Delta's contract);
+    ``drop_reopens`` — after DROP CONSTRAINT the sentinel negative
+    row lands. The final aggregates include exactly the ACCEPTED
+    writes — the oracle computes the same algebra, so a single
+    leaked rejected row flips the hashes.
+
+    Scale: a constraint costs one manifest to add and ONE extra
+    aggregation over each write's own rows (never the table) to
+    enforce — what Delta's writer pays.
+
+    Reference analogue: per-batch Python validation routes bad rows
+    to an error stream (spark_streaming_consumer.py:92-118) but
+    nothing guards later batch writers; a table-level constraint
+    binds every write path."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import committed_versions
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_sqlcons_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_orderkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql(
+            "ALTER TABLE fact ADD CONSTRAINT nonneg CHECK (cents >= 0)"
+        )
+        try:
+            lk.sql(
+                "ALTER TABLE fact ADD CONSTRAINT impossible "
+                "CHECK (cents < 0)"
+            )
+            add_time_validated = False
+        except ValueError:
+            add_time_validated = True
+        lk.sql(
+            "INSERT INTO fact SELECT k, cents + 50 AS cents FROM fact "
+            "WHERE k % 11 = 3"
+        )
+        p = lk.path("fact")
+        v0 = len(committed_versions(p))
+        rejected = 0
+        for stmt in (
+            "INSERT INTO fact SELECT 1 AS k, -1 AS cents",
+            "UPDATE fact SET cents = -1 WHERE k % 11 = 5",
+            "MERGE INTO fact USING (SELECT DISTINCT k, -9 AS cents "
+            "FROM fact WHERE k % 11 = 5) ON (k) "
+            "WHEN MATCHED THEN UPDATE SET *",
+            "INSERT OVERWRITE fact WHERE k BETWEEN 1 AND 99 "
+            "SELECT 50 AS k, -1 AS cents",
+        ):
+            try:
+                lk.sql(stmt)
+            except ValueError:
+                rejected += 1
+        writes_rejected = (
+            rejected == 4 and len(committed_versions(p)) == v0
+        )
+        view = {
+            r.name: r.expr
+            for r in lk.sql(
+                "SELECT * FROM fact__constraints"
+            ).collect()
+        }
+        try:
+            lk.sql("ALTER TABLE fact RENAME COLUMN cents TO pennies")
+            rename_guarded = False
+        except ValueError:
+            rename_guarded = view == {"nonneg": "cents >= 0"}
+        lk.sql(
+            "INSERT INTO fact SELECT 999999987 AS k, NULL AS cents"
+        )
+        null_passes = (
+            lk.sql(
+                "SELECT COUNT(*) AS n FROM fact WHERE cents IS NULL"
+            ).collect()[0].n
+            == 1
+        )
+        lk.sql("ALTER TABLE fact DROP CONSTRAINT nonneg")
+        lk.sql("INSERT INTO fact SELECT 999999983 AS k, -5 AS cents")
+        drop_reopens = (
+            lk.sql(
+                "SELECT COUNT(*) AS n FROM fact WHERE cents < 0"
+            ).collect()[0].n
+            == 1
+        )
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "add_time_validated": bool(add_time_validated),
+                    "writes_rejected": bool(writes_rejected),
+                    "null_passes": bool(null_passes),
+                    "rename_guarded": bool(rename_guarded),
+                    "drop_reopens": bool(drop_reopens),
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(k % 4 AS INT) AS bucket, COUNT(*) AS n_rows, "
+        "SUM(cents) AS sum_cents FROM fact GROUP BY k % 4"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["add_time_validated"])).alias(
+            "add_time_validated"
+        ),
+        F.lit(bool(stats["writes_rejected"])).alias("writes_rejected"),
+        F.lit(bool(stats["null_passes"])).alias("null_passes"),
+        F.lit(bool(stats["rename_guarded"])).alias("rename_guarded"),
+        F.lit(bool(stats["drop_reopens"])).alias("drop_reopens"),
+    )

@@ -287,6 +287,7 @@ class TestDriverContract:
             "branch_inventory_stats",        # t__branches WAP inventory
             "insert_overwrite_stats",        # atomic replaceWhere verb
             "ndv_sketch_stats",              # KMV NDV from metadata
+            "sql_constraints_stats",         # table-level CHECK gates
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -193,6 +193,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "branch_inventory_stats",
     "insert_overwrite_stats",
     "ndv_sketch_stats",
+    "sql_constraints_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
