@@ -714,8 +714,19 @@ class LakehouseSQL:
             name, col_list, part_spec = m.group(1), m.group(2), m.group(3)
             if self._exists(name):
                 raise ValueError(f"table {name!r} already exists")
-            cols = []
+            cols, constraints = [], []
             for item in self._split_select(col_list):
+                km = re.match(
+                    rf"(?is)^\s*CONSTRAINT\s+({_IDENT})\s+CHECK\s*"
+                    rf"\((.+)\)\s*$",
+                    item,
+                )
+                if km:
+                    # inline table constraint (standard SQL shape) —
+                    # recorded after the schema commit so the table is
+                    # born guarded
+                    constraints.append((km.group(1), km.group(2).strip()))
+                    continue
                 cm = re.match(
                     rf"(?s)^\s*({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*$",
                     item,
@@ -743,6 +754,13 @@ class LakehouseSQL:
                 set_partition_spec(
                     self.path(name), self._parse_transforms(part_spec)
                 )
+            if constraints:
+                from olap_project_spark.export.manifest_sink import (
+                    add_constraint,
+                )
+
+                for cn, ce in constraints:
+                    add_constraint(self.spark, self.path(name), cn, ce)
             return self._one_row(table=name, rows=0)
 
         m = re.match(
@@ -1228,10 +1246,18 @@ class LakehouseSQL:
                 current_partition_spec,
             )
 
+            from olap_project_spark.export.manifest_sink import (
+                table_constraints as _tcs,
+            )
+
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
                 for f in sch.fields
             )
+            for cn, ce in sorted(_tcs(p).items()):
+                # inline table-constraint clauses: the emitted DDL
+                # re-creates the table GUARDED, not just shaped
+                cols += f", CONSTRAINT {cn} CHECK ({ce})"
             ddl = f"CREATE TABLE {name} ({cols})"
             spec = current_partition_spec(p)
             if spec:

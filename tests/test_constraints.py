@@ -172,3 +172,37 @@ class TestConstraintSQL:
             .n
             == 0
         )
+
+
+class TestCreateTableInlineConstraints:
+    def test_born_guarded_and_show_create_fixed_point(
+        self, spark, tmp_path
+    ):
+        lk = LakehouseSQL(spark, str(tmp_path / "wh3"))
+        lk.sql(
+            "CREATE TABLE t (k BIGINT, cents BIGINT, "
+            "CONSTRAINT nonneg CHECK (cents >= 0)) "
+            "PARTITIONED BY (truncate(k, 100))"
+        )
+        with pytest.raises(ValueError, match="table constraints"):
+            lk.sql("INSERT INTO t SELECT 1 AS k, -1 AS cents")
+        ddl = lk.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt
+        assert "CONSTRAINT nonneg CHECK (cents >= 0)" in ddl
+        # the emitted DDL is re-executable and reaches a fixed point
+        lk2 = LakehouseSQL(spark, str(tmp_path / "wh4"))
+        lk2.sql(ddl)
+        assert (
+            lk2.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt
+            == ddl
+        )
+        with pytest.raises(ValueError, match="table constraints"):
+            lk2.sql("INSERT INTO t SELECT 1 AS k, -1 AS cents")
+
+    def test_multiple_inline_constraints(self, spark, tmp_path):
+        lk = LakehouseSQL(spark, str(tmp_path / "wh5"))
+        lk.sql(
+            "CREATE TABLE t (k BIGINT, cents BIGINT, "
+            "CONSTRAINT a CHECK (cents >= 0), "
+            "CONSTRAINT b CHECK (k > 0))"
+        )
+        assert lk.sql("SELECT * FROM t__constraints").count() == 2
