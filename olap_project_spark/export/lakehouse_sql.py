@@ -690,6 +690,35 @@ class LakehouseSQL:
         s = statement.strip().rstrip(";").strip()
 
         m = re.match(
+            rf"(?i)^CREATE\s+TABLE\s+({_IDENT})\s+CLONE\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+            s,
+        )
+        if m:
+            # zero-copy clone (Delta SHALLOW CLONE strengthened to
+            # full-history): manifests replayed, data files
+            # hard-linked — cloning a 100-TB table moves no bytes
+            dst, src, ver = m.groups()
+            if self._exists(dst):
+                raise ValueError(f"table {dst!r} already exists")
+            from olap_project_spark.export.manifest_sink import (
+                clone_table,
+            )
+
+            r = clone_table(
+                self._require(src),
+                self.path(dst),
+                as_of=int(ver) if ver is not None else None,
+            )
+            return self._one_row(
+                table=dst,
+                source=src,
+                versions_cloned=r["versions_cloned"],
+                files_linked=r["files_linked"],
+                head_version=r["head_version"],
+            )
+
+        m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(.+)$", s
         )
         if m and not re.match(r"(?i)^CREATE\s+MATERIALIZED", s):

@@ -790,3 +790,31 @@ def test_describe_detail_honest_under_tombstones(lh):
     lh.sql("OPTIMIZE t")
     d = lh.sql("DESCRIBE DETAIL t").collect()[0]
     assert int(d.num_rows) == 7
+
+
+class TestSQLClone:
+    def test_clone_verb_and_divergence(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_clone"))
+        lk.sql("CREATE TABLE src (k BIGINT, v BIGINT)")
+        lk.sql("INSERT INTO src SELECT id AS k, id AS v FROM range(100)")
+        lk.sql("INSERT INTO src SELECT 1000 AS k, 1 AS v")
+        r = lk.sql("CREATE TABLE dst CLONE src").collect()[0]
+        assert int(r.versions_cloned) >= 2
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM dst").collect()[0].n == 101
+        )
+        # divergence is free in both directions
+        lk.sql("INSERT INTO dst SELECT 2000 AS k, 2 AS v")
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM src").collect()[0].n == 101
+        )
+        # as-of clone pins the earlier state
+        lk.sql("CREATE TABLE dst2 CLONE src VERSION AS OF 2")
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM dst2").collect()[0].n
+            == 100
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            lk.sql("CREATE TABLE dst CLONE src")
