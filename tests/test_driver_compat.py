@@ -288,6 +288,7 @@ class TestDriverContract:
             "insert_overwrite_stats",        # atomic replaceWhere verb
             "ndv_sketch_stats",              # KMV NDV from metadata
             "sql_constraints_stats",         # table-level CHECK gates
+            "stream_replace_ingest_stats",   # foreachBatch+replaceWhere
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

@@ -194,6 +194,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "insert_overwrite_stats",
     "ndv_sketch_stats",
     "sql_constraints_stats",
+    "stream_replace_ingest_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
