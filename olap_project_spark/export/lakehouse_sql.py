@@ -794,7 +794,7 @@ class LakehouseSQL:
 
         m = re.match(
             rf"(?is)^COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
-            rf"FILEFORMAT\s*=\s*(PARQUET|CSV)"
+            rf"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON)"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?$",
             s,
         )
@@ -819,6 +819,12 @@ class LakehouseSQL:
                     # whose header order differs from the table's.
                     return self.spark.read.option("header", True).csv(
                         paths
+                    )
+                if fmt.upper() == "JSON":
+                    # JSONL: keys bind by name already; types cast by
+                    # the declared schema in _conform_and_write
+                    return self.spark.read.json(
+                        [paths] if isinstance(paths, str) else paths
                     )
                 if isinstance(paths, str):
                     return self.spark.read.parquet(paths)
@@ -1243,10 +1249,21 @@ class LakehouseSQL:
                 sketches=r["n_sketches"],
             )
 
-        m = re.match(rf"(?i)^VACUUM\s+({_IDENT})$", s)
+        m = re.match(
+            rf"(?i)^VACUUM\s+({_IDENT})"
+            rf"(?:\s+RETAIN\s+FROM\s+VERSION\s+(\d+))?$",
+            s,
+        )
         if m:
-            r = vacuum_snapshots(self._require(m.group(1)))
-            return self._one_row(table=m.group(1), **r)
+            # RETAIN FROM VERSION n = Iceberg expire_snapshots'
+            # retain-last boundary: versions below n expire, n and
+            # above stay time-travelable
+            name, keep = m.group(1), m.group(2)
+            r = vacuum_snapshots(
+                self._require(name),
+                keep_from=int(keep) if keep is not None else None,
+            )
+            return self._one_row(table=name, **r)
 
         if re.match(r"(?i)^SHOW\s+TABLES$", s):
             from olap_project_spark.export.matview import _meta_path

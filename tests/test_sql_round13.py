@@ -818,3 +818,47 @@ class TestSQLClone:
         )
         with pytest.raises(ValueError, match="already exists"):
             lk.sql("CREATE TABLE dst CLONE src")
+
+
+class TestCopyIntoJSONAndVacuumRetain:
+    def test_copy_into_json_by_name(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_json"))
+        lk.sql("CREATE TABLE t (k BIGINT, v BIGINT)")
+        stage = str(tmp_path / "stage_json")
+        spark.createDataFrame(
+            [(10, 1), (20, 2)], "k long, v long"
+        ).coalesce(1).write.json(stage)
+        r = lk.sql(
+            f"COPY INTO t FROM '{stage}' FILEFORMAT = JSON"
+        ).collect()[0]
+        assert int(r.rows) == 2
+        # retry loads nothing (the file ledger)
+        r2 = lk.sql(
+            f"COPY INTO t FROM '{stage}' FILEFORMAT = JSON"
+        ).collect()[0]
+        assert int(r2.rows) == 0
+        assert lk.sql("SELECT SUM(v) AS s FROM t").collect()[0].s == 3
+
+    def test_vacuum_retain_from_version(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+        from olap_project_spark.export.manifest_sink import (
+            committed_versions,
+        )
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_vac"))
+        lk.sql("CREATE TABLE t (k BIGINT, v BIGINT)")
+        for i in range(3):
+            lk.sql(f"INSERT INTO t SELECT {i} AS k, {i} AS v")
+        lk.sql("OPTIMIZE t")
+        head = max(committed_versions(lk.path("t")))
+        lk.sql(f"VACUUM t RETAIN FROM VERSION {head}")
+        # versions below the boundary expired; head still reads
+        assert (
+            lk.sql("SELECT COUNT(*) AS n FROM t").collect()[0].n == 3
+        )
+        with pytest.raises(Exception):
+            lk.sql(
+                f"SELECT COUNT(*) AS n FROM t VERSION AS OF {head - 3}"
+            ).collect()

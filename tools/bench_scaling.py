@@ -108,6 +108,16 @@ REPS = [
     ("matview_join_stats", "fact-incremental join view"),
     ("matview_minmax_stats", "MIN/MAX inc-or-demote view"),
     ("sql_wap_stats", "SQL write-audit-publish loop"),
+    # round-13 close flagships: the scoped overwrite reads only the
+    # replaced range (+ one pass over the replacement rows for the
+    # range and constraint contracts); the streaming repair loop is
+    # per-trigger-bound with replace-absorbed retries; ANALYZE is one
+    # hash-distinct pass over NEW files only; the constraint
+    # lifecycle prices enforcement as one aggregation per write
+    ("insert_overwrite_stats", "atomic replaceWhere backfill"),
+    ("stream_replace_ingest_stats", "foreachBatch replace repair"),
+    ("ndv_sketch_stats", "per-file KMV NDV analyze"),
+    ("sql_constraints_stats", "CHECK-constraint write gates"),
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
