@@ -338,14 +338,45 @@ class LakehouseSQL:
         - ``WHEN NOT MATCHED THEN INSERT *`` — insert-if-absent: one
           append commit of the anti-joined source rows.
 
-        ``DELETE`` + ``INSERT`` in one statement is rejected: the
-        manifest format has no single commit kind that tombstones one
-        key set while inserting a DIFFERENT one, and splitting it into
-        two commits would silently break MERGE's atomicity contract —
-        run two statements to opt into that explicitly. Conditions may
+        - ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+          INSERT * WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the
+          FULL SYNC (Delta's three-clause replicate verb): the table
+          becomes exactly the source, compiled to ONE atomic rewrite
+          commit (``overwrite_table``) — the only commit kind that
+          can delete one key set while inserting another atomically;
+          the cost is a table rewrite, which full sync inherently is.
+          A matched-clause condition is rejected here (a conditional
+          sync is not "become the source"; run the conditional MERGE
+          then a DELETE).
+        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` alone — retain
+          only source keys, the same one-commit rewrite of the
+          semi-joined state.
+
+        Any OTHER ``DELETE`` + ``INSERT`` combination is rejected: no
+        delta-shaped commit kind tombstones one key set while
+        inserting a DIFFERENT one, and splitting into two commits
+        would silently break MERGE's atomicity contract — run two
+        statements to opt into that explicitly. Conditions may
         reference source columns (the usual CDC shape: operation
         flags, sequence numbers)."""
         p = self._require(name)
+        full_sync = re.fullmatch(
+            r"(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE"
+            r"\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+            r"\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE",
+            tail,
+        )
+        nmbs_only = re.fullmatch(
+            r"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE",
+            tail,
+        )
+        if full_sync is not None and full_sync.group(1) is not None:
+            raise ValueError(
+                "full-sync MERGE does not take a matched-clause "
+                "condition (the table would not become the source); "
+                "run the conditional MERGE and a DELETE as two "
+                "statements"
+            )
         upsert = re.fullmatch(
             r"(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE"
             r"\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
@@ -363,8 +394,10 @@ class LakehouseSQL:
         ins_only = re.fullmatch(
             r"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", tail
         )
-        if re.search(r"(?is)THEN\s+DELETE", tail) and re.search(
-            r"(?is)THEN\s+INSERT", tail
+        if (
+            full_sync is None
+            and re.search(r"(?is)THEN\s+DELETE", tail)
+            and re.search(r"(?is)THEN\s+INSERT", tail)
         ):
             raise ValueError(
                 "MERGE cannot combine WHEN MATCHED THEN DELETE with "
@@ -373,17 +406,21 @@ class LakehouseSQL:
                 "another); run a MERGE … DELETE and an INSERT-only "
                 "MERGE as two statements"
             )
-        if not (upsert or upd_only or del_only or ins_only):
+        if not (
+            upsert or upd_only or del_only or ins_only or full_sync
+            or nmbs_only
+        ):
             raise ValueError(
                 f"unsupported MERGE clause combination: {tail!r} "
                 "(supported: [AND cond on] UPDATE SET * / DELETE / "
-                "INSERT *, one matched clause + optional INSERT)"
+                "INSERT *, one matched clause + optional INSERT; "
+                "the full-sync triple; NOT MATCHED BY SOURCE DELETE)"
             )
         from pyspark.sql import functions as F
 
         source = self.sql(body)
         sch = table_schema(p)
-        if sch is not None and del_only is None:
+        if sch is not None and del_only is None and nmbs_only is None:
             # SQL MERGE conformance, as INSERT: whole rows bound by
             # name, literal types coerced to the declared column types
             have, need = set(source.columns), {f.name for f in sch.fields}
@@ -410,6 +447,25 @@ class LakehouseSQL:
                     for c in source.columns
                 ]
             )
+        if full_sync is not None:
+            from olap_project_spark.export.manifest_sink import (
+                overwrite_table,
+            )
+
+            n = source.count()
+            v = overwrite_table(self.spark, p, source)
+            return self._one_row(table=name, version=v, n_rows=n)
+        if nmbs_only is not None:
+            from olap_project_spark.export.manifest_sink import (
+                overwrite_table,
+            )
+
+            kept = read_evolved(self.spark, p).join(
+                source.select(*keys).distinct(), on=keys, how="left_semi"
+            )
+            n = kept.count()
+            v = overwrite_table(self.spark, p, kept)
+            return self._one_row(table=name, version=v, n_kept=n)
         if upsert is not None and upsert.group(1) is None:
             r = merge_upsert(self.spark, p, source, keys=keys)
             return self._one_row(

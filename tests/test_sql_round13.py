@@ -862,3 +862,73 @@ class TestCopyIntoJSONAndVacuumRetain:
             lk.sql(
                 f"SELECT COUNT(*) AS n FROM t VERSION AS OF {head - 3}"
             ).collect()
+
+
+class TestMergeFullSync:
+    @pytest.fixture()
+    def lk(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_sync"))
+        lk.sql("CREATE TABLE t (k BIGINT, v BIGINT)")
+        lk.sql(
+            "INSERT INTO t SELECT id AS k, id AS v FROM range(10)"
+        )
+        return lk
+
+    def test_full_sync_triple_is_one_commit(self, lk):
+        from olap_project_spark.export.manifest_sink import (
+            committed_versions,
+        )
+
+        p = lk.path("t")
+        v0 = len(committed_versions(p))
+        # source: keys 5-14 with shifted values — 5 updates, 5
+        # inserts, 5 NMBS deletes, all in ONE commit
+        r = lk.sql(
+            "MERGE INTO t USING (SELECT id + 5 AS k, id AS v "
+            "FROM range(10)) ON (k) "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        ).collect()[0]
+        assert int(r.n_rows) == 10
+        assert len(committed_versions(p)) == v0 + 1
+        state = sorted(
+            (x.k, x.v) for x in lk.sql("SELECT * FROM t").collect()
+        )
+        assert state == [(i + 5, i) for i in range(10)]
+
+    def test_full_sync_rejects_condition(self, lk):
+        with pytest.raises(ValueError, match="full-sync"):
+            lk.sql(
+                "MERGE INTO t USING (SELECT 1 AS k, 1 AS v) ON (k) "
+                "WHEN MATCHED AND v > 0 THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT * "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            )
+
+    def test_nmbs_only_retains_source_keys(self, lk):
+        r = lk.sql(
+            "MERGE INTO t USING (SELECT id * 2 AS k, 0 AS v "
+            "FROM range(5)) ON (k) "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        ).collect()[0]
+        assert int(r.n_kept) == 5  # even keys 0,2,4,6,8 survive
+        state = sorted(
+            x.k for x in lk.sql("SELECT * FROM t").collect()
+        )
+        assert state == [0, 2, 4, 6, 8]
+        # values untouched (delete-only, no update leg)
+        assert (
+            lk.sql("SELECT SUM(v) AS s FROM t").collect()[0].s
+            == 0 + 2 + 4 + 6 + 8
+        )
+
+    def test_other_delete_insert_combos_still_reject(self, lk):
+        with pytest.raises(ValueError, match="two statements"):
+            lk.sql(
+                "MERGE INTO t USING (SELECT 1 AS k, 1 AS v) ON (k) "
+                "WHEN MATCHED THEN DELETE "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
