@@ -2509,3 +2509,163 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# FIM (fill-in-the-middle) training transform — deterministic span split,
+# PSM/SPM formats, exact reconstruction accounting
+# --------------------------------------------------------------------------
+@register(
+    "fim_transform_stats",
+    oracle="""
+    WITH d AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h,
+             COALESCE(text, '') AS text,
+             len(COALESCE(text, '')) AS L
+      FROM documents
+    ),
+    splits AS (
+      SELECT h, text, L,
+             1 + (h % (L - 2)) AS s1
+      FROM d WHERE L >= 4
+    ),
+    splits2 AS (
+      SELECT *,
+             s1 + 1 + (CAST(FLOOR(h / 4096) AS BIGINT) % (L - s1)) AS s2
+      FROM splits
+    ),
+    parts AS (
+      SELECT CASE WHEN h % 2 = 0 THEN 'PSM' ELSE 'SPM' END AS mode,
+             substr(text, 1, CAST(s1 AS INTEGER)) AS prefix,
+             substr(text, CAST(s1 + 1 AS INTEGER),
+                    CAST(s2 - s1 AS INTEGER)) AS middle,
+             substr(text, CAST(s2 + 1 AS INTEGER)) AS suffix,
+             text
+      FROM splits2
+    ),
+    formatted AS (
+      SELECT mode, prefix, middle, suffix,
+             CASE WHEN mode = 'PSM'
+                  THEN '<PRE>' || prefix || '<SUF>' || suffix
+                       || '<MID>' || middle
+                  ELSE '<SUF>' || suffix || '<PRE>' || prefix
+                       || '<MID>' || middle END AS fim_doc,
+             (prefix || middle || suffix = text) AS exact
+      FROM parts
+      UNION ALL
+      SELECT 'RAW', '', '', '', text, TRUE FROM d WHERE L < 4
+    )
+    SELECT mode,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(prefix)) AS BIGINT) AS sum_prefix_chars,
+           CAST(SUM(len(middle)) AS BIGINT) AS sum_middle_chars,
+           CAST(SUM(len(suffix)) AS BIGINT) AS sum_suffix_chars,
+           CAST(SUM(CAST('0x' || substr(md5(fim_doc), 1, 12) AS BIGINT))
+                AS BIGINT) AS fim_checksum,
+           CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+    FROM formatted GROUP BY mode
+    """,
+)
+def fim_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE training transform (the FIM data
+    augmentation for code/infilling models): each document is split
+    at two DETERMINISTIC positions — pure functions of the 48-bit
+    portable md5 hash of its id, so the transform is reproducible
+    across runs AND engines with no RNG — into (prefix, middle,
+    suffix), then reassembled in PSM (``<PRE>p<SUF>s<MID>m``) or SPM
+    order by the hash's parity, the half/half mode mixture the FIM
+    recipe prescribes. Documents shorter than 4 chars pass through
+    untagged (mode RAW).
+
+    The per-mode accounting is the training-pipeline contract:
+    document counts, exact character budgets of each part (prefix +
+    middle + suffix always reconstructs the source — ``n_exact`` ==
+    ``n_docs`` row-for-row), and a 48-bit content CHECKSUM over the
+    fully formatted FIM strings — DuckDB recomputes the same
+    transform from scratch, so one character out of place anywhere
+    in either engine flips the hash.
+
+    Scale: one narrow projection, no shuffle until the 3-key
+    aggregate — the transform itself is whole-stage-codegen string
+    algebra (substr/concat/md5), exactly what runs ahead of the
+    tokenizer at 100 TB. No UDFs anywhere.
+
+    Reference analogue: none — the reference has no training-data
+    surface; this extends the engine's corpus-transform family
+    (span corruption, packing, chunking)."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    d = load(spark, sf_dir, "documents").select(
+        portable_hash48(F.col("doc_id").cast("string")).alias("h"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast(
+            "bigint"
+        ).alias("L"),
+    )
+    fim = (
+        d.filter("L >= 4")
+        .withColumn("s1", F.expr("1 + (h % (L - 2))"))
+        .withColumn(
+            "s2",
+            F.expr(
+                "s1 + 1 + (CAST(FLOOR(h / 4096) AS BIGINT) % (L - s1))"
+            ),
+        )
+        .withColumn(
+            "mode",
+            F.expr("CASE WHEN h % 2 = 0 THEN 'PSM' ELSE 'SPM' END"),
+        )
+        .withColumn("prefix", F.expr("substr(text, 1, CAST(s1 AS INT))"))
+        .withColumn(
+            "middle",
+            F.expr(
+                "substr(text, CAST(s1 + 1 AS INT), CAST(s2 - s1 AS INT))"
+            ),
+        )
+        .withColumn("suffix", F.expr("substr(text, CAST(s2 + 1 AS INT))"))
+        .withColumn(
+            "fim_doc",
+            F.expr(
+                "CASE WHEN mode = 'PSM' THEN concat('<PRE>', prefix, "
+                "'<SUF>', suffix, '<MID>', middle) ELSE "
+                "concat('<SUF>', suffix, '<PRE>', prefix, '<MID>', "
+                "middle) END"
+            ),
+        )
+        .withColumn(
+            "exact", F.expr("concat(prefix, middle, suffix) = text")
+        )
+        .select("mode", "prefix", "middle", "suffix", "fim_doc", "exact")
+    )
+    raw = d.filter("L < 4").select(
+        F.lit("RAW").alias("mode"),
+        F.lit("").alias("prefix"),
+        F.lit("").alias("middle"),
+        F.lit("").alias("suffix"),
+        F.col("text").alias("fim_doc"),
+        F.lit(True).alias("exact"),
+    )
+    return (
+        fim.unionByName(raw)
+        .groupBy("mode")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("prefix")).cast("bigint").alias(
+                "sum_prefix_chars"
+            ),
+            F.sum(F.length("middle")).cast("bigint").alias(
+                "sum_middle_chars"
+            ),
+            F.sum(F.length("suffix")).cast("bigint").alias(
+                "sum_suffix_chars"
+            ),
+            F.sum(portable_hash48(F.col("fim_doc")))
+            .cast("bigint")
+            .alias("fim_checksum"),
+            F.sum(F.when(F.col("exact"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+    )

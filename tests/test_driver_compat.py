@@ -289,6 +289,7 @@ class TestDriverContract:
             "ndv_sketch_stats",              # KMV NDV from metadata
             "sql_constraints_stats",         # table-level CHECK gates
             "stream_replace_ingest_stats",   # foreachBatch+replaceWhere
+            "fim_transform_stats",           # FIM span transform
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
