@@ -8,12 +8,18 @@ The reference's warehouse users speak DDL to BigQuery
 the DDL analogue); here the verbs target the manifest table format:
 
     CREATE TABLE t AS SELECT ...
-    CREATE TABLE t (a INT, b STRING)       -- schema-only empty commit
-        [PARTITIONED BY (days(ts), bucket(k, 16))]
+    CREATE TABLE t (a INT, b STRING
+        [, CONSTRAINT n CHECK (expr)])     -- schema-only empty commit,
+        [PARTITIONED BY (days(ts), bucket(k, 16))]  -- born guarded
+    CREATE TABLE dst CLONE src [VERSION AS OF n]  -- zero-copy clone
     DROP TABLE t / DROP MATERIALIZED VIEW v
     RESTORE TABLE t TO TIMESTAMP AS OF '...'
     INSERT INTO t SELECT ...
-    COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV [PATTERN = '<glob>']
+    INSERT OVERWRITE t SELECT ...          -- atomic truncate+insert
+    INSERT OVERWRITE t WHERE col BETWEEN lo AND hi SELECT ...
+        -- replaceWhere: scoped atomic backfill, range-enforced
+    COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+        [PATTERN = '<glob>']               -- exactly-once file ledger
     INSERT INTO t BRANCH b SELECT ...      -- WAP: staged, main-invisible
     ALTER TABLE t PUBLISH BRANCH b         -- prefix-monotonic fast-forward
     ALTER TABLE t ABANDON BRANCH b         -- red audit: metadata GC
@@ -25,6 +31,15 @@ the DDL analogue); here the verbs target the manifest table format:
         [WHEN NOT MATCHED THEN INSERT *]   -- atomic MoR upsert
     MERGE INTO t USING (...) ON (k) WHEN MATCHED [AND cond] THEN DELETE
     MERGE INTO t USING (...) ON (k) WHEN NOT MATCHED THEN INSERT *
+    MERGE INTO t USING (...) ON (k)        -- FULL SYNC: one rewrite
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    MERGE INTO t USING (...) ON (k)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE  -- retain source keys
+    ALTER TABLE t ADD CONSTRAINT n CHECK (expr)  -- validated now,
+        -- enforced on every later write surface
+    ALTER TABLE t DROP CONSTRAINT n
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t ADD COLUMN x INT
@@ -35,8 +50,13 @@ the DDL analogue); here the verbs target the manifest table format:
     RESTORE TABLE t TO VERSION AS OF n
     OPTIMIZE t [ZORDER BY (c1, c2)]        -- full compaction
     OPTIMIZE t WHERE col BETWEEN lo AND hi -- partial (zone-map-scoped)
-    VACUUM t
+    ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS (a, b)
+        -- per-file KMV NDV sketches; t__ndv answers COUNT(DISTINCT)
+        -- from metadata alone
+    VACUUM t [RETAIN FROM VERSION n]
     DESCRIBE HISTORY t / DESCRIBE DETAIL t / SHOW CREATE TABLE t
+    SHOW PARTITIONS t                      -- log-derived, zero scans
+    EXPLAIN SELECT ...                     -- the plan that runs
     CREATE MATERIALIZED VIEW v AS
         SELECT k, SUM(expr) AS a, COUNT(*) AS n,
                COUNT(col) AS c, AVG(expr) AS m
@@ -47,7 +67,8 @@ the DDL analogue); here the verbs target the manifest table format:
     SELECT ... (any Spark SQL; lakehouse tables resolve era-aware,
                 materialized views resolve tombstone-filtered, and
                 t__history / t__files / t__partitions / t__tags /
-                t__branches resolve as driver-side metadata views — zero data
+                t__branches / t__ndv / t__constraints resolve as
+                driver-side metadata views — zero data
                 files opened; registration is LAZY — only the tables
                 a statement references fold their logs)
     SELECT ... FROM t VERSION AS OF n           -- time-travel reads
@@ -1320,6 +1341,42 @@ class LakehouseSQL:
                 keep_from=int(keep) if keep is not None else None,
             )
             return self._one_row(table=name, **r)
+
+        m = re.match(rf"(?i)^SHOW\s+PARTITIONS\s+({_IDENT})$", s)
+        if m:
+            # per-partition row/file counts from the log alone
+            # (table$partitions) — zero data files opened
+            from olap_project_spark.export.manifest_sink import (
+                table_partitions,
+            )
+
+            p = self._require(m.group(1))
+            try:
+                tp = table_partitions(p, strict=False)
+            except ValueError as e:
+                raise ValueError(
+                    f"table {m.group(1)!r} records no partition "
+                    f"spec: {e}"
+                ) from None
+            return self.spark.createDataFrame(
+                [
+                    (str(e["partition"]), e["n_rows"], e["n_files"])
+                    for e in tp["partitions"]
+                ]
+                or [("", 0, 0)],
+                "partition string, n_rows bigint, n_files int",
+            ).filter("partition <> ''")
+
+        m = re.match(rf"(?is)^EXPLAIN\s+(SELECT\s+.+)$", s)
+        if m:
+            # the optimizer's plan for a catalog query — time-travel
+            # and branch reads resolve first, so the plan shown is the
+            # plan that runs
+            body = self._rewrite_time_travel(
+                self._rewrite_branch_reads(m.group(1))
+            )
+            self._register_catalog(body)
+            return self.spark.sql(f"EXPLAIN {body}")
 
         if re.match(r"(?i)^SHOW\s+TABLES$", s):
             from olap_project_spark.export.matview import _meta_path

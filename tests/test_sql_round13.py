@@ -932,3 +932,41 @@ class TestMergeFullSync:
                 "WHEN MATCHED THEN DELETE "
                 "WHEN NOT MATCHED THEN INSERT *"
             )
+
+
+class TestExplainAndShowPartitions:
+    def test_explain_returns_plan(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_exp"))
+        lk.sql("CREATE TABLE t (k BIGINT, v BIGINT)")
+        lk.sql("INSERT INTO t SELECT 1 AS k, 2 AS v")
+        plan = "\n".join(
+            r[0] for r in lk.sql(
+                "EXPLAIN SELECT SUM(v) AS s FROM t WHERE k = 1"
+            ).collect()
+        )
+        assert "Physical Plan" in plan or "Aggregate" in plan
+
+    def test_show_partitions(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_sp"))
+        lk.sql(
+            "CREATE TABLE t (k BIGINT, v BIGINT) "
+            "PARTITIONED BY (truncate(k, 10))"
+        )
+        lk.sql(
+            "INSERT INTO t SELECT id AS k, id AS v FROM range(30)"
+        )
+        rows = lk.sql("SHOW PARTITIONS t").collect()
+        assert sum(r.n_rows for r in rows) == 30
+        assert len(rows) == 3  # truncate(k,10) buckets 0,10,20
+
+    def test_show_partitions_unpartitioned_raises(self, spark, tmp_path):
+        from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+
+        lk = LakehouseSQL(spark, str(tmp_path / "wh_sp2"))
+        lk.sql("CREATE TABLE t (k BIGINT)")
+        with pytest.raises(ValueError, match="no partition"):
+            lk.sql("SHOW PARTITIONS t")
