@@ -145,3 +145,130 @@ def test_sql_state_matches_model_under_any_interleaving(
         assert _rows(
             lh.sql(f"SELECT k, cents FROM t VERSION AS OF '{name}'")
         ) == sorted(snap.items())
+
+
+_op2 = st.sampled_from(
+    [
+        "insert",
+        "update",
+        "delete",
+        "optimize",
+        "overwrite_full",
+        "overwrite_range",
+        "constraint_add",
+        "constraint_drop",
+        "bad_insert",
+    ]
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_op2, min_size=3, max_size=8))
+def test_overwrite_and_constraints_under_any_interleaving(
+    registered, tmp_path, ops
+):
+    """PROPERTY over the round-13-close verbs: INSERT OVERWRITE (full
+    and range-scoped) and CHECK constraints compose with the existing
+    DML under ANY interleaving — the scoped overwrite REFUSES across
+    unmaterialized tombstones (and the state is untouched by the
+    refusal), the full overwrite materializes them, adding a
+    constraint validates the existing rows, an active constraint
+    rejects violating writes whole, and the SQL-visible state equals
+    the Python model after every op."""
+    root = str(tmp_path / f"sqlprop2_{uuid.uuid4().hex[:12]}")
+    lh = LakehouseSQL(registered, root)
+    lh.sql("CREATE TABLE t (k INT, cents BIGINT)")
+    model: dict[int, int] = {}
+    pending_tombstones = False
+    constraint_active = False
+    next_k = 0
+    neg_k = -5
+
+    def ins_sql(rows):
+        return " UNION ALL ".join(
+            f"SELECT {k} AS k, {c} AS cents" for k, c in rows
+        )
+
+    for op in ops:
+        if op == "insert" or (not model and op in ("update", "delete")):
+            rows = [(next_k, next_k * 10 + 1), (next_k + 1, next_k * 10 + 7)]
+            next_k += 2
+            lh.sql(f"INSERT INTO t {ins_sql(rows)}")
+            model.update(rows)
+        elif op == "update":
+            victim = min(model)
+            lh.sql(f"UPDATE t SET cents = cents + 5 WHERE k = {victim}")
+            model[victim] += 5
+            pending_tombstones = True
+        elif op == "delete":
+            victim = max(model)
+            lh.sql(f"DELETE FROM t WHERE k = {victim}")
+            model.pop(victim)
+            pending_tombstones = True
+        elif op == "optimize":
+            lh.sql("OPTIMIZE t")
+            pending_tombstones = False
+        elif op == "overwrite_full":
+            rows = [(k, c + 1000) for k, c in sorted(model.items())] or [
+                (0, 1)
+            ]
+            lh.sql(f"INSERT OVERWRITE t {ins_sql(rows)}")
+            model = dict(rows)
+            pending_tombstones = False
+        elif op == "overwrite_range":
+            lo = min(model) if model else 0
+            stmt = (
+                f"INSERT OVERWRITE t WHERE k BETWEEN {lo} AND {lo + 1} "
+                f"SELECT {lo} AS k, 4242 AS cents"
+            )
+            if pending_tombstones:
+                # scoped rewrite over unmaterialized tombstones would
+                # resurrect deleted rows in retained files: REFUSES,
+                # and the refusal changes nothing
+                with pytest.raises(ValueError, match="compact_snapshots"):
+                    lh.sql(stmt)
+            else:
+                lh.sql(stmt)
+                model = {
+                    k: c
+                    for k, c in model.items()
+                    if not (lo <= k <= lo + 1)
+                }
+                model[lo] = 4242
+        elif op == "constraint_add":
+            if constraint_active:
+                continue
+            if any(k < 0 for k in model):
+                with pytest.raises(
+                    ValueError, match="existing rows violate"
+                ):
+                    lh.sql(
+                        "ALTER TABLE t ADD CONSTRAINT nonneg "
+                        "CHECK (k >= 0)"
+                    )
+            else:
+                lh.sql(
+                    "ALTER TABLE t ADD CONSTRAINT nonneg CHECK (k >= 0)"
+                )
+                constraint_active = True
+        elif op == "constraint_drop":
+            if constraint_active:
+                lh.sql("ALTER TABLE t DROP CONSTRAINT nonneg")
+                constraint_active = False
+        elif op == "bad_insert":
+            stmt = f"INSERT INTO t SELECT {neg_k} AS k, 0 AS cents"
+            if constraint_active:
+                with pytest.raises(ValueError, match="table constraints"):
+                    lh.sql(stmt)
+            else:
+                lh.sql(stmt)
+                model[neg_k] = 0
+                neg_k -= 1
+        # the SQL-visible state equals the model after EVERY op
+        assert _rows(lh.sql("SELECT k, cents FROM t")) == sorted(
+            model.items()
+        )
