@@ -518,6 +518,14 @@ SHOWCASE = [
         "TakeOrderedAndProject — the index scores only the query cell's "
         "members.",
     ),
+    (
+        "fim_transform_stats",
+        "FIM training transform: the whole split/format/checksum pipeline "
+        "(md5 hash, substr spans, PSM/SPM concat) is pure whole-stage-"
+        "codegen string algebra over one narrow projection — zero Python "
+        "UDFs, no shuffle until the 3-key mode aggregate. The transform "
+        "that runs ahead of the tokenizer at 100 TB is the same plan.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the scale claims
