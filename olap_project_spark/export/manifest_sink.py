@@ -5397,6 +5397,42 @@ def table_ndv(
     }
 
 
+def estimate_join_rows(
+    path_a: str, key_a: str, path_b: str, key_b: str
+) -> dict:
+    """EQUI-JOIN CARDINALITY ESTIMATE from metadata alone — the
+    classic CBO formula ``|A| * |B| / max(ndv_a, ndv_b)`` (System R's
+    containment-of-value-sets assumption, what Spark's CBO and every
+    warehouse optimizer compute from ANALYZE statistics): row counts
+    from :func:`metadata_aggregate`, distinct counts from the KMV
+    sketches (:func:`table_ndv`). ZERO data files are opened, so a
+    planner (or the partition-layout advisor) can ask "how big is
+    this join?" for a 100-TB pair of tables at the cost of two log
+    folds — the decision input for broadcast-vs-shuffle and
+    pre-aggregation choices.
+
+    Inherits table_ndv's strictness: unanalyzed columns or
+    unmaterialized tombstones raise (an estimate from known-stale
+    statistics is a wrong plan waiting to happen, not a fallback).
+    Returns {"rows_a", "rows_b", "ndv_a", "ndv_b", "estimated_rows",
+    "exact_ndv"} — ``exact_ndv`` is True when BOTH sides' sketches
+    merged exactly, making the estimate the true expectation under
+    uniformity rather than a doubly-approximate one."""
+    ra = metadata_aggregate(path_a)["n_rows"]
+    rb = metadata_aggregate(path_b)["n_rows"]
+    na = table_ndv(path_a, key_a)
+    nb = table_ndv(path_b, key_b)
+    denom = max(na["ndv"], nb["ndv"], 1)
+    return {
+        "rows_a": ra,
+        "rows_b": rb,
+        "ndv_a": na["ndv"],
+        "ndv_b": nb["ndv"],
+        "estimated_rows": int(round(ra * rb / denom)),
+        "exact_ndv": bool(na["exact"] and nb["exact"]),
+    }
+
+
 def compact_range(
     spark: SparkSession,
     path: str,

@@ -10463,3 +10463,148 @@ def stream_replace_ingest_stats(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13: join-cardinality estimation from metadata — the CBO formula
+# over row counts + KMV NDV sketches, zero data files
+# --------------------------------------------------------------------------
+@register(
+    "join_cardinality_estimate_stats",
+    oracle="""
+    WITH fact AS (
+      SELECT o_custkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dim AS (
+      SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+    ),
+    joined AS (
+      SELECT f.k, f.cents, d.nation FROM fact f JOIN dim d ON f.k = d.id
+    )
+    SELECT CAST(nation % 5 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS estimate_within_10pct,
+           TRUE AS strict_unanalyzed,
+           TRUE AS metadata_only
+    FROM joined GROUP BY nation % 5
+    """,
+)
+def join_cardinality_estimate_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN-SIZE ESTIMATION FROM METADATA
+    (manifest_sink.estimate_join_rows) — the System-R CBO formula
+    ``|A|*|B| / max(ndv_a, ndv_b)`` computed from the manifest log
+    alone: row counts from metadata_aggregate, key distinct counts
+    from the ANALYZE KMV sketches. The planner question "how big is
+    fact JOIN dim?" costs two log folds and ZERO data files — the
+    input every broadcast-vs-shuffle and pre-aggregation decision
+    needs at 100 TB, where scanning to find out is the mistake.
+
+    Fixture: a fact keyed by customer FK and the customer dimension,
+    both CTAS'd and ANALYZEd. ``estimate_within_10pct`` pins the
+    estimate against the TRUE join count (an FK join's truth is
+    |fact|; the formula's containment assumption holds exactly, so
+    the only error is the KMV estimate's — sigma ~2% at k=2048).
+    ``strict_unanalyzed`` pins that estimating over a table with NO
+    sketches raises naming analyze_table (an estimate from missing
+    statistics is a wrong plan, not a fallback); ``metadata_only``
+    pins the estimator ran without reading data (a claimer/log probe:
+    the estimate call leaves the data-file read counters untouched —
+    asserted here by it succeeding on paths whose staging dirs are
+    momentarily renamed away).
+
+    Oracle: DuckDB computes the true join aggregate; the returned
+    frame is the LIVE join, so the estimate pin rides real data.
+
+    Reference analogue: none — the reference's BigQuery plans are a
+    black box; here the statistics surface is the engine's own."""
+    import hashlib
+    import json as _json
+    import os
+
+    from olap_project_spark.export.lakehouse_sql import LakehouseSQL
+    from olap_project_spark.export.manifest_sink import (
+        analyze_table,
+        estimate_join_rows,
+    )
+    from olap_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/olap_project_spark_joinest_{os.getpid()}_{tag}"
+    done = os.path.join(root, "_built.json")
+    _fresh_build_dir(root, done)
+    lk = LakehouseSQL(spark, root)
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        lk.sql(
+            "CREATE TABLE fact AS SELECT o_custkey AS k, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders"
+        )
+        lk.sql(
+            "CREATE TABLE dim AS SELECT c_custkey AS id, "
+            "c_nationkey AS nation FROM customer"
+        )
+        try:
+            estimate_join_rows(lk.path("fact"), "k", lk.path("dim"), "id")
+            strict_unanalyzed = False
+        except ValueError:
+            strict_unanalyzed = True
+        analyze_table(spark, lk.path("fact"), ["k"], k=2048)
+        analyze_table(spark, lk.path("dim"), ["id"], k=2048)
+        est = estimate_join_rows(
+            lk.path("fact"), "k", lk.path("dim"), "id"
+        )
+        true_join = lk.sql(
+            "SELECT COUNT(*) AS n FROM fact JOIN dim ON fact.k = dim.id"
+        ).collect()[0].n
+        estimate_within_10pct = (
+            abs(est["estimated_rows"] - true_join) / true_join < 0.10
+        )
+        # metadata-only: the estimator answers with the staging dirs
+        # renamed away — nothing it needs lives in a data file
+        moved = []
+        try:
+            for t in ("fact", "dim"):
+                src = os.path.join(lk.path(t), "_staging")
+                dst = src + ".hidden"
+                os.rename(src, dst)
+                moved.append((dst, src))
+            est2 = estimate_join_rows(
+                lk.path("fact"), "k", lk.path("dim"), "id"
+            )
+            metadata_only = est2 == est
+        finally:
+            for dst, src in moved:
+                os.rename(dst, src)
+        with open(done, "w") as fh:
+            _json.dump(
+                {
+                    "estimate_within_10pct": bool(estimate_within_10pct),
+                    "strict_unanalyzed": bool(strict_unanalyzed),
+                    "metadata_only": bool(metadata_only),
+                },
+                fh,
+            )
+    stats = _json.load(open(done))
+    return lk.sql(
+        "SELECT CAST(dim.nation % 5 AS INT) AS bucket, "
+        "COUNT(*) AS n_rows, SUM(fact.cents) AS sum_cents "
+        "FROM fact JOIN dim ON fact.k = dim.id GROUP BY dim.nation % 5"
+    ).select(
+        "bucket",
+        "n_rows",
+        "sum_cents",
+        F.lit(bool(stats["estimate_within_10pct"])).alias(
+            "estimate_within_10pct"
+        ),
+        F.lit(bool(stats["strict_unanalyzed"])).alias(
+            "strict_unanalyzed"
+        ),
+        F.lit(bool(stats["metadata_only"])).alias("metadata_only"),
+    )

@@ -290,6 +290,7 @@ class TestDriverContract:
             "sql_constraints_stats",         # table-level CHECK gates
             "stream_replace_ingest_stats",   # foreachBatch+replaceWhere
             "fim_transform_stats",           # FIM span transform
+            "join_cardinality_estimate_stats",  # CBO from metadata
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):

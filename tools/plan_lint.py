@@ -195,6 +195,7 @@ CONSTRUCT_EXECUTES = EXECUTING | {
     "ndv_sketch_stats",
     "sql_constraints_stats",
     "stream_replace_ingest_stats",
+    "join_cardinality_estimate_stats",
 }
 
 # Queries allowed an UNPARTITIONED window (E4 whitelist): every member
