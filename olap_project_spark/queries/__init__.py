@@ -205,13 +205,14 @@ GATE_WINDOW: tuple[str, ...] = (
 # AFTER the ts-encoding canaries, per the standing procedure).
 # Maintained live during round 13: new round-13 queries are inserted
 # at the HEAD and the refresh tail is trimmed to keep the list at
-# exactly 50. Current composition: the 17 round-13 additions
-# (no driver CORRECTNESS row yet) + the 33 oldest remaining round-7
+# exactly 50. Current composition: the 18 round-13 additions
+# (no driver CORRECTNESS row yet) + the 32 oldest remaining round-7
 # refresh rows (CORRECTNESS_r07 order; tail trimmed as additions
 # landed).
 GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     # round-13 additions — no driver CORRECTNESS row yet
     # (inserted here as they land)
+    "sft_format_stats",
     "join_cardinality_estimate_stats",
     "fim_transform_stats",
     "stream_replace_ingest_stats",
@@ -229,7 +230,7 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "matview_minmax_stats",
     "sql_cdf_tags_stats",
     "sql_wap_stats",
-    # round-7 refresh slots — 33 (the remaining round-7 rows)
+    # round-7 refresh slots — 32 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
     "lm_perplexity_buckets",
@@ -262,7 +263,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "timezone_business_hours",
     "user_key_skew_profile",
     "value_moment_shape",
-    "value_robust_stats",
 )
 
 

@@ -2669,3 +2669,115 @@ def fim_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SFT chat-template formatting — deterministic prompt/response split,
+# loss-mask (trainable-span) accounting, checksum-pinned rendering
+# --------------------------------------------------------------------------
+@register(
+    "sft_format_stats",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h,
+             COALESCE(text, '') AS text,
+             len(COALESCE(text, '')) AS L
+      FROM documents
+    ),
+    ex AS (
+      SELECT source, h, text, L,
+             1 + (h % (L - 2)) AS s
+      FROM d WHERE L >= 10
+    ),
+    parts AS (
+      SELECT source,
+             substr(text, 1, CAST(s AS INTEGER)) AS prompt,
+             substr(text, CAST(s + 1 AS INTEGER)) AS response
+      FROM ex
+    ),
+    rendered AS (
+      SELECT source, prompt, response,
+             '<|system|>You are a helpful assistant.<|user|>'
+               || prompt || '<|assistant|>' || response || '<|end|>'
+               AS example
+      FROM parts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(SUM(len(prompt)) AS BIGINT) AS sum_prompt_chars,
+           CAST(SUM(len(response) + len('<|end|>')) AS BIGINT)
+             AS sum_trainable_chars,
+           CAST(SUM(len(example)) AS BIGINT) AS sum_rendered_chars,
+           CAST(SUM(CAST('0x' || substr(md5(example), 1, 12) AS BIGINT))
+                AS BIGINT) AS template_checksum
+    FROM rendered GROUP BY source
+    """,
+)
+def sft_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT CHAT-TEMPLATE formatting — the supervised-fine-tuning data
+    prep stage: each document becomes a (prompt, response) example at
+    a DETERMINISTIC split point (a pure function of the portable
+    48-bit doc hash — reproducible across runs and engines, no RNG),
+    rendered through a chat template (``<|system|>…<|user|>prompt
+    <|assistant|>response<|end|>``), with LOSS-MASK accounting: the
+    trainable span is exactly the assistant response plus the end
+    token — the per-source ``sum_trainable_chars`` /
+    ``sum_rendered_chars`` ratio is the masked-token budget every SFT
+    run plans around (too low and compute is wasted re-reading
+    prompts; the accounting makes it a measured quantity, not a
+    guess). Documents under 10 chars are skipped (no meaningful
+    split).
+
+    ``template_checksum`` is a 48-bit content hash over the FULLY
+    rendered examples — DuckDB re-renders the template from scratch,
+    so one character out of place in either engine (a lost delimiter,
+    an off-by-one split) flips the hash.
+
+    Scale: one narrow projection of whole-stage-codegen string
+    algebra (md5/substr/concat), no shuffle until the per-source
+    aggregate — the same plan ahead of the tokenizer at 100 TB. No
+    UDFs.
+
+    Reference analogue: none — extends the corpus-transform family
+    (FIM, span corruption, packing, chunking)."""
+    from olap_project_spark.functions.text import portable_hash48
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        portable_hash48(F.col("doc_id").cast("string")).alias("h"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast(
+            "bigint"
+        ).alias("L"),
+    )
+    rendered = (
+        d.filter("L >= 10")
+        .withColumn("s", F.expr("1 + (h % (L - 2))"))
+        .withColumn("prompt", F.expr("substr(text, 1, CAST(s AS INT))"))
+        .withColumn("response", F.expr("substr(text, CAST(s + 1 AS INT))"))
+        .withColumn(
+            "example",
+            F.expr(
+                "concat('<|system|>You are a helpful assistant."
+                "<|user|>', prompt, '<|assistant|>', response, "
+                "'<|end|>')"
+            ),
+        )
+    )
+    return rendered.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_examples"),
+        F.sum(F.length("prompt")).cast("bigint").alias(
+            "sum_prompt_chars"
+        ),
+        F.sum(F.length("response") + F.lit(len("<|end|>")))
+        .cast("bigint")
+        .alias("sum_trainable_chars"),
+        F.sum(F.length("example")).cast("bigint").alias(
+            "sum_rendered_chars"
+        ),
+        F.sum(portable_hash48(F.col("example")))
+        .cast("bigint")
+        .alias("template_checksum"),
+    )

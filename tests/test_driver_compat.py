@@ -291,6 +291,7 @@ class TestDriverContract:
             "stream_replace_ingest_stats",   # foreachBatch+replaceWhere
             "fim_transform_stats",           # FIM span transform
             "join_cardinality_estimate_stats",  # CBO from metadata
+            "sft_format_stats",              # SFT template + loss mask
         ],
     )
     def test_representative_queries_on_vanilla_session(self, vanilla, name, sf_dir):
