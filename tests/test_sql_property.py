@@ -213,9 +213,14 @@ def test_overwrite_and_constraints_under_any_interleaving(
             lh.sql("OPTIMIZE t")
             pending_tombstones = False
         elif op == "overwrite_full":
-            rows = [(k, c + 1000) for k, c in sorted(model.items())] or [
-                (0, 1)
-            ]
+            rows = [(k, c + 1000) for k, c in sorted(model.items())]
+            if not rows:
+                # empty-table fallback must CONSUME a fresh key: a fixed
+                # literal (0, 1) collides with a later INSERT's key 0 and
+                # the dict model cannot represent the duplicate row the
+                # engine then (correctly) holds
+                rows = [(next_k, 1)]
+                next_k += 2
             lh.sql(f"INSERT OVERWRITE t {ins_sql(rows)}")
             model = dict(rows)
             pending_tombstones = False
