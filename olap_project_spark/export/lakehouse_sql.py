@@ -110,6 +110,7 @@ from olap_project_spark.export.manifest_sink import (
     read_evolved,
     rename_column,
     restore_table,
+    save_manifest,
     set_partition_spec,
     table_files,
     table_history,
@@ -514,12 +515,7 @@ class LakehouseSQL:
             inserts = source.join(target_keys, on=keys, how="left_anti")
             n = inserts.count()
             if n:
-                (
-                    inserts.write.format(self.fmt)
-                    .option("path", p)
-                    .mode("append")
-                    .save()
-                )
+                save_manifest(inserts, p)
             return self._one_row(table=name, n_inserted=n)
         clause = upsert or upd_only
         cond = clause.group(1)
@@ -667,12 +663,12 @@ class LakehouseSQL:
             import json as _json
 
             enforce_constraints(self.spark, p, df, "INSERT")
-            w = df.write.format(self.fmt).option("path", p)
+            opts = {}
             if branch is not None:
-                w = w.option("branch", branch)
+                opts["branch"] = branch
             if props is not None:
-                w = w.option("commit_props", _json.dumps(props))
-            w.mode("append").save()
+                opts["commit_props"] = _json.dumps(props)
+            save_manifest(df, p, **opts)
         out = {"table": name, "rows": df.count()}
         if branch is not None:
             out["branch"] = branch
@@ -803,12 +799,7 @@ class LakehouseSQL:
             if self._exists(name):
                 raise ValueError(f"table {name!r} already exists")
             df = self.sql(body)
-            (
-                df.write.format(self.fmt)
-                .option("path", self.path(name))
-                .mode("append")
-                .save()
-            )
+            save_manifest(df, self.path(name))
             return self._one_row(table=name, rows=df.count())
 
         m = re.match(
@@ -846,13 +837,7 @@ class LakehouseSQL:
             # the metastore entry; the first INSERT appends under it
             # (and schema evolution validates against it)
             empty = self.spark.createDataFrame([], ", ".join(cols))
-            (
-                empty.coalesce(1)
-                .write.format(self.fmt)
-                .option("path", self.path(name))
-                .mode("append")
-                .save()
-            )
+            save_manifest(empty.coalesce(1), self.path(name))
             if part_spec is not None:
                 # hidden partitioning from birth: writers inherit the
                 # spec, files prune under it (Iceberg CREATE ...

@@ -54,9 +54,9 @@ from collections.abc import Iterator as _Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -65,7 +65,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import Row, StructField, StructType
+from pyspark.sql.types import StructField, StructType
 
 
 @dataclass
@@ -471,7 +471,7 @@ def set_version_claimer(claimer: VersionClaimer) -> VersionClaimer:
     return prev
 
 
-class ManifestWriter(DataSourceWriter):
+class ManifestWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool, schema: StructType | None = None):
         self.path = options.get("path")
         if not self.path:
@@ -582,15 +582,18 @@ class ManifestWriter(DataSourceWriter):
         # schema (and its evolution history) instead of knowing it
         self.schema = schema
 
-    # Rows buffered per Arrow record batch before flushing to the
-    # parquet writer — bounds task memory to O(batch), not O(partition).
-    # Timestamp columns: arrow schema is timestamp[us, tz=UTC] and the
-    # Python rows carry session-local naive datetimes, so the round
-    # trip is wall-clock-exact under a UTC session timezone — which the
-    # engine pins on every load path (see sources/registry.load_table).
+    # Rows buffered before flushing to the parquet writer — bounds task
+    # memory to O(batch), not O(partition), and keeps row groups at the
+    # historical 64k size (incoming Arrow batches are
+    # ``spark.sql.execution.arrow.maxRecordsPerBatch`` ≈ 10k rows).
+    # Timestamp columns: the incoming batches carry
+    # timestamp[us, tz=<session tz>] and the target schema is
+    # timestamp[us, tz=UTC]; the cast is epoch-preserving, and the
+    # engine pins a UTC session timezone on every load path
+    # (see sources/registry.load_table) so wall clocks agree too.
     BATCH_ROWS = 65536
 
-    def write(self, iterator: Iterator[Row]) -> _PartCommit:
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _PartCommit:  # noqa: F821
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -628,13 +631,7 @@ class ManifestWriter(DataSourceWriter):
         # null-disabling rule
         nulls: dict[str, int] = {c: 0 for c in cols}
 
-        def flush(writer: pq.ParquetWriter, buf: dict[str, list]) -> None:
-            batch = pa.record_batch(
-                [pa.array(buf[c], type=arrow_schema.field(c).type) for c in cols],
-                schema=arrow_schema,
-            )
-            writer.write_batch(batch)
-            feed_partition(batch)
+        def feed_stats(batch: "pa.RecordBatch") -> None:
             # vectorized zone-map update (Arrow min_max kernel); a
             # column drops out of the zone map on the first null or
             # non-orderable-scalar value, matching the read contract
@@ -667,28 +664,29 @@ class ManifestWriter(DataSourceWriter):
 
         bloom: set[int] | None = set() if self.bloom_col else None
 
-        def feed_bloom(buf: dict[str, list]) -> None:
-            for v in buf[self.bloom_col]:
-                if v is not None:
-                    bloom.update(_bloom_positions(int(v)))
+        def feed_bloom(batch: "pa.RecordBatch") -> None:
+            # unique-first: the bloom is a set of bit positions, so
+            # hashing each DISTINCT value once is exactly equivalent
+            arr = batch.column(batch.schema.get_field_index(self.bloom_col))
+            for v in pc.unique(arr.drop_null()).to_pylist():
+                bloom.update(_bloom_positions(int(v)))
 
         token_hashes: set[int] | None = (
             set() if self.token_bloom_col else None
         )
 
-        def feed_tokens(buf: dict[str, list]) -> None:
+        def feed_tokens(batch: "pa.RecordBatch") -> None:
             # Arrow-vectorized tokenization of the batch: lowercase,
             # split on non-alnum runs, flatten, unique — only the
             # UNIQUE tokens (bounded by the batch vocabulary) are
             # hashed in Python
-            import pyarrow as _pa
-            import pyarrow.compute as _pc
-
-            arr = _pa.array(buf[self.token_bloom_col], type=_pa.string())
-            toks = _pc.unique(
-                _pc.list_flatten(
-                    _pc.split_pattern_regex(
-                        _pc.utf8_lower(_pc.coalesce(arr, "")),
+            arr = batch.column(
+                batch.schema.get_field_index(self.token_bloom_col)
+            )
+            toks = pc.unique(
+                pc.list_flatten(
+                    pc.split_pattern_regex(
+                        pc.utf8_lower(pc.coalesce(arr, "")),
                         pattern=TOKEN_SPLIT_RE,
                     )
                 )
@@ -750,28 +748,52 @@ class ManifestWriter(DataSourceWriter):
             if len(part_counts) > PART_VALUES_CAP:
                 part_counts = None
 
-        buf: dict[str, list] = {c: [] for c in cols}
+        # Arrow batches arrive straight from the JVM (no Row
+        # materialization — guide-§4 boundary hygiene); align each to
+        # the declared write schema (a cast is epoch-preserving for
+        # timestamps and a no-op otherwise), feed the metadata
+        # trackers batch-wise, and buffer up to BATCH_ROWS before each
+        # parquet row-group write so the on-disk layout matches the
+        # historical row-path files.
+        pending: list = []
+        pending_rows = 0
         with pq.ParquetWriter(
             os.path.join(out_dir, name), arrow_schema
         ) as writer:
-            for row in iterator:
-                d = row.asDict()
-                for c in cols:
-                    buf[c].append(d.get(c))
-                n += 1
-                if n % self.BATCH_ROWS == 0:
-                    if bloom is not None:
-                        feed_bloom(buf)
-                    if token_hashes is not None:
-                        feed_tokens(buf)
-                    flush(writer, buf)
-                    buf = {c: [] for c in cols}
-            if cols and buf[cols[0]]:
+
+            def flush() -> None:
+                nonlocal pending, pending_rows
+                if pending:
+                    writer.write_table(
+                        pa.Table.from_batches(pending, schema=arrow_schema)
+                    )
+                    pending, pending_rows = [], 0
+
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if batch.schema != arrow_schema:
+                    batch = pa.record_batch(
+                        [
+                            batch.column(
+                                batch.schema.get_field_index(c)
+                            ).cast(arrow_schema.field(c).type)
+                            for c in cols
+                        ],
+                        schema=arrow_schema,
+                    )
+                n += batch.num_rows
+                feed_partition(batch)
+                feed_stats(batch)
                 if bloom is not None:
-                    feed_bloom(buf)
+                    feed_bloom(batch)
                 if token_hashes is not None:
-                    feed_tokens(buf)
-                flush(writer, buf)
+                    feed_tokens(batch)
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                if pending_rows >= self.BATCH_ROWS:
+                    flush()
+            flush()
         return _PartCommit(
             # staging-relative name: commits into a dedicated subdir
             # carry the "<subdir>/" prefix everywhere the file is named
@@ -1998,15 +2020,10 @@ def delete_where(
     branch instead of committing it to main directly. Returns the new
     snapshot version."""
     token = uuid.uuid4().hex
-    w = (
-        keys.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "delete")
-        .option("commit_token", token)
-    )
+    opts = {"kind": "delete", "commit_token": token}
     if branch is not None:
-        w = w.option("branch", branch)
-    w.mode("append").save()
+        opts["branch"] = branch
+    save_manifest(keys, path, **opts)
     return _committed_entry_of(path, token, branch)[0]
 
 
@@ -2798,7 +2815,6 @@ def write_with_expectations(
         ).alias(n)
         for n, p in rules.items()
     ]
-    fmt = ensure_manifest_sink(spark)
     token = uuid.uuid4().hex
     props = json.dumps(
         {"expectations": rules, "on_violation": on_violation}
@@ -2806,15 +2822,12 @@ def write_with_expectations(
     obs = Observation()
     if on_violation == "fail":
         branch = f"_expect-{token[:12]}"
-        (
-            df.observe(obs, *counters)
-            .write.format(fmt)
-            .option("path", path)
-            .option("branch", branch)
-            .option("commit_token", token)
-            .option("commit_props", props)
-            .mode("append")
-            .save()
+        save_manifest(
+            df.observe(obs, *counters),
+            path,
+            branch=branch,
+            commit_token=token,
+            commit_props=props,
         )
         got = obs.get
         violations = {n: int(got[n] or 0) for n in names}
@@ -2850,13 +2863,8 @@ def write_with_expectations(
     valid = df.observe(obs, *counters).filter(
         _F.coalesce(ok, _F.lit(False))
     )
-    (
-        valid.write.format(fmt)
-        .option("path", path)
-        .option("commit_token", token)
-        .option("commit_props", props)
-        .mode("append")
-        .save()
+    save_manifest(
+        valid, path, commit_token=token, commit_props=props
     )
     version, main_manifest = _committed_entry_of(path, token)
     got = obs.get
@@ -2883,13 +2891,8 @@ def write_with_expectations(
                 )
             ),
         )
-        (
-            bad.write.format(fmt)
-            .option("path", qp)
-            .option("commit_token", q_token)
-            .option("commit_props", props)
-            .mode("append")
-            .save()
+        save_manifest(
+            bad, qp, commit_token=q_token, commit_props=props
         )
         # quarantined row count straight from the quarantine commit's
         # manifest — no extra count job
@@ -2968,20 +2971,18 @@ def merge_upsert(
                 )
     enforce_constraints(spark, path, updates, "MERGE")
     token = uuid.uuid4().hex
-    w = (
-        updates.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "merge")
-        .option("merge_keys", json.dumps(list(keys)))
-        .option("commit_token", token)
-    )
+    opts = {
+        "kind": "merge",
+        "merge_keys": json.dumps(list(keys)),
+        "commit_token": token,
+    }
     if props is not None:
         # snapshot-summary provenance (e.g. the matview refresh range
         # — the idempotence record its exactly-once recovery reads)
-        w = w.option("commit_props", json.dumps(props))
+        opts["commit_props"] = json.dumps(props)
     if branch is not None:
-        w = w.option("branch", branch)
-    w.mode("append").save()
+        opts["branch"] = branch
+    save_manifest(updates, path, **opts)
     version, m = _committed_entry_of(path, token, branch)
     return {
         "version": version,
@@ -4965,14 +4966,7 @@ def compact_snapshots(
         current = current.repartitionByRange(
             n_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)
-    writer = (
-        current.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "rewrite")
-    )
-    for k, v in writer_opts.items():
-        writer = writer.option(k, v)
-    writer.mode("append").save()
+    save_manifest(current, path, kind="rewrite", **writer_opts)
     return max(committed_versions(path))
 
 
@@ -5158,16 +5152,14 @@ def replace_where(
         n_files, col
     ).sortWithinPartitions(col)
     token = uuid.uuid4().hex
-    w = (
-        new_state.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "rewrite")
-        .option("retain", json.dumps(retain))
-        .option("commit_token", token)
-    )
+    opts = {
+        "kind": "rewrite",
+        "retain": json.dumps(retain),
+        "commit_token": token,
+    }
     if spec_latest is not None:
-        w = w.option("partition_transform", json.dumps(spec_latest))
-    w.mode("append").save()
+        opts["partition_transform"] = json.dumps(spec_latest)
+    save_manifest(new_state, path, **opts)
     version, _m = _committed_entry_of(path, token)
     return {
         "version": version,
@@ -5203,15 +5195,10 @@ def overwrite_table(
             max(n_files, len(spec)), *[s["col"] for s in spec]
         ).sortWithinPartitions(*[s["col"] for s in spec])
     token = uuid.uuid4().hex
-    w = (
-        out.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "rewrite")
-        .option("commit_token", token)
-    )
+    opts = {"kind": "rewrite", "commit_token": token}
     if spec:
-        w = w.option("partition_transform", json.dumps(spec))
-    w.mode("append").save()
+        opts["partition_transform"] = json.dumps(spec)
+    save_manifest(out, path, **opts)
     return _committed_entry_of(path, token)[0]
 
 
@@ -5487,16 +5474,14 @@ def compact_range(
         col
     )
     token = uuid.uuid4().hex
-    w = (
-        current.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option("kind", "rewrite")
-        .option("retain", json.dumps(retain))
-        .option("commit_token", token)
-    )
+    opts = {
+        "kind": "rewrite",
+        "retain": json.dumps(retain),
+        "commit_token": token,
+    }
     if spec_latest is not None:
-        w = w.option("partition_transform", json.dumps(spec_latest))
-    w.mode("append").save()
+        opts["partition_transform"] = json.dumps(spec_latest)
+    save_manifest(current, path, **opts)
     version, rewrite_m = _committed_entry_of(path, token)
     new_files = [
         f
@@ -5581,20 +5566,17 @@ def write_partitioned(
             for s, c in zip(specs, pt_cols)
         ],
     ).repartitionByRange(n_files, *pt_cols).drop(*pt_cols)
-    w = (
-        out.write.format(ensure_manifest_sink(spark))
-        .option("path", path)
-        .option(
-            "partition_transform",
-            json.dumps(specs[0] if len(specs) == 1 else specs),
-        )
-        .option("commit_token", token)
-    )
+    opts = {
+        "partition_transform": json.dumps(
+            specs[0] if len(specs) == 1 else specs
+        ),
+        "commit_token": token,
+    }
     if branch is not None:
-        w = w.option("branch", branch)
+        opts["branch"] = branch
     if props is not None:
-        w = w.option("commit_props", json.dumps(props))
-    w.mode("append").save()
+        opts["commit_props"] = json.dumps(props)
+    save_manifest(out, path, **opts)
     return _committed_entry_of(path, token, branch)[0]
 
 
@@ -5803,6 +5785,52 @@ def ensure_manifest_sink(spark: SparkSession) -> str:
     except Exception:  # noqa: BLE001 — non-classic shells lack the hook
         pass
     return fmt
+
+
+def save_manifest(df: DataFrame, path: str, **options) -> None:
+    """Fast-path manifest commit: byte-identical write semantics to
+    ``df.write.format(ensure_manifest_sink(spark)).options(...).save()``
+    — the same :class:`ManifestWriter` runs in each task (one staging
+    file per partition, same zone maps/blooms/transform ranges), and
+    the same driver-side :meth:`ManifestWriter.commit` claims the next
+    version — minus the Python-DataSource write protocol's
+    per-statement planner round-trips (datasource lookup + writer
+    instantiation worker + commit worker). The data job is one plain
+    ``mapInArrow`` whose single output row per task is the pickled
+    commit message; measured at gate scale this halves the fixed cost
+    of a small commit, and lifecycle proofs are built from dozens of
+    them.
+
+    ``options`` take the exact option names/values of the DataSource
+    API (``kind``, ``merge_keys``, ``bloom_col``, ``branch``, ...).
+
+    Failure semantics: a failed job leaves unreferenced staging files
+    (the DataSource path's best-effort ``abort`` cleanup does not run);
+    they are invisible to every reader and collected by
+    ``vacuum_snapshots`` orphan GC — the same residue a crashed driver
+    leaves on either path."""
+    import pickle as _pickle
+
+    writer = ManifestWriter(
+        {"path": path, **{k: str(v) for k, v in options.items()}},
+        overwrite=False,
+        schema=df.schema,
+    )
+
+    def _task(batches):
+        import pyarrow as _pa
+
+        msg = writer.write(batches)
+        yield _pa.record_batch(
+            [_pa.array([_pickle.dumps(msg)], type=_pa.binary())],
+            names=["msg"],
+        )
+
+    msgs = [
+        _pickle.loads(bytes(r.msg))
+        for r in df.mapInArrow(_task, "msg binary").collect()
+    ]
+    writer.commit(msgs)
 
 
 def vacuum_snapshots(

@@ -69,7 +69,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from olap_project_spark.export.manifest_sink import (
+from olap_project_spark.export.manifest_sink import (  # noqa: F401 — ensure_manifest_sink re-exported for callers
     committed_versions,
     delete_where,
     ensure_manifest_sink,
@@ -77,6 +77,7 @@ from olap_project_spark.export.manifest_sink import (
     read_changes,
     read_committed,
     read_evolved,
+    save_manifest,
     table_history,
     table_schema,
 )
@@ -286,14 +287,10 @@ def mv_create(
                 f"dimension columns {sorted(clash)} collide with fact "
                 "columns; rename them in the dimension table"
             )
-    fmt = ensure_manifest_sink(spark)
-    (
-        _view_frame(_input_frame(base, spec, dim), spec)
-        .write.format(fmt)
-        .option("path", mv_path)
-        .option("commit_props", json.dumps({"mv_from": 0, "mv_to": head}))
-        .mode("append")
-        .save()
+    save_manifest(
+        _view_frame(_input_frame(base, spec, dim), spec),
+        mv_path,
+        commit_props=json.dumps({"mv_from": 0, "mv_to": head}),
     )
     meta = {"base": base_path, "spec": spec, "base_version": head}
     if j is not None:
@@ -392,7 +389,6 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         }
     base_schema = table_schema(base_path)
     keys = spec["group_by"]
-    fmt = ensure_manifest_sink(spark)
     if j is not None:
         dim = _dim_frame(spark, spec, dim_head)
 
@@ -402,17 +398,11 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         # dimension commit (which voids the pinned-dimension premise
         # fact-side incremental maintenance rests on)
         base = read_evolved(spark, base_path, as_of=head)
-        (
-            _view_frame(_input_frame(base, spec, dim), spec)
-            .write.format(fmt)
-            .option("path", mv_path)
-            .option("kind", "rewrite")
-            .option(
-                "commit_props",
-                json.dumps({"mv_from": from_v, "mv_to": head}),
-            )
-            .mode("append")
-            .save()
+        save_manifest(
+            _view_frame(_input_frame(base, spec, dim), spec),
+            mv_path,
+            kind="rewrite",
+            commit_props=json.dumps({"mv_from": from_v, "mv_to": head}),
         )
         meta["base_version"] = head
         if j is not None:

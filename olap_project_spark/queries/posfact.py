@@ -805,10 +805,11 @@ def pos_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_project_spark.export.manifest_sink import (
         ensure_manifest_sink,
         read_committed,
+        save_manifest,
         table_versions,
     )
 
-    sink_fmt = ensure_manifest_sink(spark)
+    ensure_manifest_sink(spark)  # register the read format on this session
     root = tempfile.mkdtemp(prefix="pos_manifest_")
     table = f"{root}/user_events"
     ckpt = f"{root}/ckpt"
@@ -820,7 +821,7 @@ def pos_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents"),
         )
-        out.write.format(sink_fmt).option("path", table).mode("append").save()
+        save_manifest(out, table)
 
     def run_once() -> None:
         stream = (
@@ -907,11 +908,12 @@ def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_project_spark.export.manifest_sink import (
         ensure_manifest_sink,
         read_committed,
+        save_manifest,
         table_versions,
     )
 
     src_fmt = _ensure_pos_source(spark)
-    sink_fmt = ensure_manifest_sink(spark)
+    ensure_manifest_sink(spark)  # register the read format on this session
     root = tempfile.mkdtemp(prefix="pos_merge_")
     table = f"{root}/user_state"
     ckpt = f"{root}/ckpt"
@@ -946,13 +948,7 @@ def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("total_cents").cast("bigint").alias("total_cents"),
             )
         )
-        (
-            merged.write.format(sink_fmt)
-            .option("path", table)
-            .option("kind", "rewrite")
-            .mode("append")
-            .save()
-        )
+        save_manifest(merged, table, kind="rewrite")
 
     try:
         stream = (
@@ -1046,11 +1042,12 @@ def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_snapshots,
         ensure_manifest_sink,
         read_committed,
+        save_manifest,
         table_versions,
         vacuum_snapshots,
     )
 
-    sink_fmt = ensure_manifest_sink(spark)
+    ensure_manifest_sink(spark)  # register the read format on this session
     root = tempfile.mkdtemp(prefix="manifest_lifecycle_")
     table = f"{root}/user_events"
     ckpt = f"{root}/ckpt"
@@ -1066,9 +1063,7 @@ def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one file per micro-batch commit → deterministic file counts;
         # at real scale you keep the natural task parallelism and the
         # counts scale with it (commit cost is O(tasks) either way)
-        out.coalesce(1).write.format(sink_fmt).option("path", table).mode(
-            "append"
-        ).save()
+        save_manifest(out.coalesce(1), table)
 
     try:
         stream = (
@@ -1199,9 +1194,10 @@ def pos_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_manifest_sink,
         publish_branch,
         read_committed,
+        save_manifest,
     )
 
-    sink_fmt = ensure_manifest_sink(spark)
+    ensure_manifest_sink(spark)  # register the read format on this session
     root = tempfile.mkdtemp(prefix="pos_wap_")
     table = f"{root}/txns"
     ckpt = f"{root}/ckpt"
@@ -1216,14 +1212,7 @@ def pos_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents"),
         )
-        (
-            out.coalesce(1)
-            .write.format(sink_fmt)
-            .option("path", table)
-            .option("branch", branch)
-            .mode("append")
-            .save()
-        )
+        save_manifest(out.coalesce(1), table, branch=branch)
         branch_view = read_committed(spark, table, schema, branch=branch)
         n_staged = out.count()
         violations = branch_view.filter(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olap_project_spark.export.manifest_sink import save_manifest
 from olap_project_spark.queries import load, register
 
 # Exact decimal for money columns (input doubles have ≤2 fractional
@@ -2173,15 +2174,9 @@ def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             region.filter(F.col("r_regionkey") < 3),
             region.filter(F.col("r_regionkey") >= 3),
         ):
-            (
-                # 5-row dim → one writer task; at real scale you keep
-                # the natural partitioning (commit cost is O(tasks))
-                batch.coalesce(1)
-                .write.format("manifest_sink")
-                .option("path", path)
-                .mode("append")
-                .save()
-            )
+            # 5-row dim → one writer task; at real scale you keep
+            # the natural partitioning (commit cost is O(tasks))
+            save_manifest(batch.coalesce(1), path)
         compact_snapshots(spark, path, region.schema)
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -2641,11 +2636,7 @@ def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             region.filter(F.col("r_regionkey") >= 3),
         ):
             (
-                batch.coalesce(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(batch.coalesce(1), path)
             )
         with open(os.path.join(path, "_staging", "part-orphan.jsonl"), "w") as f:
             f.write('{"r_regionkey": 99, "r_name": "ZOMBIE"}\n')
@@ -3069,21 +3060,10 @@ def manifest_schema_evolution_stats(
         # TRAP — ~4.5 s per write); the single-shuffle repartition keeps
         # the write one warm sub-second task.
         (
-            region.filter(F.col("r_regionkey") < 3)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') < 3).repartition(1), path)
         )
         (
-            region.filter(F.col("r_regionkey") >= 3)
-            .withColumn("name_len", F.length("r_name").cast("int"))
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') >= 3).withColumn('name_len', F.length('r_name').cast('int')).repartition(1), path)
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -3160,11 +3140,7 @@ def manifest_file_skipping_stats(
     _fresh_build_dir(root, done)
     if not os.path.exists(done):
         (
-            orders.repartitionByRange(8, "o_orderkey")
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(orders.repartitionByRange(8, 'o_orderkey'), path)
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -3266,11 +3242,7 @@ def manifest_snapshot_diff_stats(
             region.filter(F.col("r_regionkey") >= 3),
         ):
             (
-                batch.coalesce(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(batch.coalesce(1), path)
             )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -3342,11 +3314,7 @@ def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             region.filter(F.col("r_regionkey") >= 3),
         ):
             (
-                batch.coalesce(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(batch.coalesce(1), path)
             )
         compact_snapshots(spark, path, region.schema)
         os.makedirs(root, exist_ok=True)
@@ -3597,11 +3565,7 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     try:
         (
-            region.coalesce(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.coalesce(1), path)
         )  # v1
         delete_where(
             spark,
@@ -3611,12 +3575,7 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).repartition(1),
         )  # v2
         (
-            spark.createDataFrame([(1, "REBORN")], region.schema)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(spark.createDataFrame([(1, 'REBORN')], region.schema).repartition(1), path)
         )  # v3
         rows_v1 = read_committed(spark, path, region.schema, as_of=1).count()
         rows_after_delete = read_committed(
@@ -3717,13 +3676,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage(rows) -> None:
         (
-            spark.createDataFrame(rows, nation.schema)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .option("branch", "ingest")
-            .mode("append")
-            .save()
+            save_manifest(spark.createDataFrame(rows, nation.schema).repartition(1), path, branch='ingest')
         )
 
     def audit_violations() -> int:
@@ -3736,11 +3689,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         (
-            nation.coalesce(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(nation.coalesce(1), path)
         )  # v1 = main
         rows_main_before = read_committed(spark, path, nation.schema).count()
         stage([(101, "NEWLAND"), (102, "")])  # the bad batch
@@ -3847,11 +3796,7 @@ def cdf_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey % 7 = 0 AND o_orderkey % 2 = 1",
         ):
             (
-                base.filter(pred)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(base.filter(pred), path)
             )
         # materialize at v1, then two delta-merge refreshes — the
         # combine is a unionByName + re-aggregate (sums of sums), the
@@ -3980,11 +3925,7 @@ def clustered_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         (
-            pts.repartition(16, "o_orderkey")  # insert-order layout
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(pts.repartition(16, 'o_orderkey'), path)
         )
         before_state = read_committed(spark, path, pts.schema)
         box_before, total_before = box_files()
@@ -4081,11 +4022,7 @@ def lakehouse_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erase_keys = customers.filter("c_custkey % 97 = 0").select("c_custkey")
     try:
         (
-            customers.repartition(4)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(customers.repartition(4), path)
         )  # v1
         delete_where(spark, path, erase_keys)  # v2: logical delete
         total = read_committed(
@@ -4201,12 +4138,7 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     try:
         (
-            data.repartitionByRange(16, "o_orderkey")
-            .write.format(fmt)
-            .option("path", path)
-            .option("bloom_col", "cust2")
-            .mode("append")
-            .save()
+            save_manifest(data.repartitionByRange(16, 'o_orderkey'), path, bloom_col='cust2')
         )
         present = [
             r[0]
@@ -4391,12 +4323,7 @@ def manifest_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for pred in ("n_nationkey < 12", "n_nationkey >= 12"):
             (
-                nation.filter(pred)
-                .coalesce(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(nation.filter(pred).coalesce(1), path)
             )
         compact_snapshots(spark, path, nation.schema, n_files=1,
                           cluster_by=["n_nationkey"])
@@ -4471,16 +4398,11 @@ def manifest_stream_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def append(pred: str) -> None:
         (
-            nation.filter(pred)
-            .coalesce(1)
-            .write.format(fmt)
-            .option("path", src)
-            .mode("append")
-            .save()
+            save_manifest(nation.filter(pred).coalesce(1), src)
         )
 
     def mirror(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.format(fmt).option("path", dst).mode("append").save()
+        save_manifest(batch_df, dst)
 
     def tail_once() -> None:
         q = (
@@ -4649,11 +4571,7 @@ def manifest_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pick another layout candidate"
             )
         (
-            ev.repartition(8)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(ev.repartition(8), path)
         )
         compact_snapshots(
             spark, path, ev.schema, bucket_by="user_id", n_buckets=n_buckets
@@ -4746,12 +4664,7 @@ def manifest_stream_backpressure_stats(
     try:
         for grp in range(5):
             (
-                orders.filter(F.col("o_orderkey") % 20 == grp)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", src)
-                .mode("append")
-                .save()
+                save_manifest(orders.filter(F.col('o_orderkey') % 20 == grp).repartition(1), src)
             )
         total_expected = orders.filter(F.col("o_orderkey") % 20 < 5).count()
         batches: list[tuple[int, int]] = []
@@ -4856,12 +4769,7 @@ def manifest_stale_claim_gc_stats(
     _fresh_build_dir(root, stats_file)
     if not os.path.exists(stats_file):
         (
-            region.filter(F.col("r_regionkey") < 3)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') < 3).repartition(1), path)
         )
         # the crash artifacts: an empty claimed version file and the
         # dead writer's staged-but-unreferenced task output
@@ -4874,12 +4782,7 @@ def manifest_stale_claim_gc_stats(
         guarded = vacuum_snapshots(path)
         freed = vacuum_snapshots(path, stale_claim_ttl_s=0.0)
         (
-            region.filter(F.col("r_regionkey") >= 3)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') >= 3).repartition(1), path)
         )
         stats = {
             "head_with_claim": head_with_claim,
@@ -4974,15 +4877,7 @@ def partial_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds = [-1, mx // 4, mx // 2, 3 * mx // 4, mx]  # keys start at 0
         for i in range(4):
             (
-                orders.filter(
-                    (F.col("o_orderkey") > bounds[i])
-                    & (F.col("o_orderkey") <= bounds[i + 1])
-                )
-                .repartition(2)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(orders.filter((F.col('o_orderkey') > bounds[i]) & (F.col('o_orderkey') <= bounds[i + 1])).repartition(2), path)
             )
         files_before = len(_committed_files(path))
         res = compact_range(
@@ -5084,24 +4979,13 @@ def cdf_delete_change_rows_stats(
     schema = cust.schema
     if not os.path.exists(done):
         (
-            cust.repartition(2)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(cust.repartition(2), path)
         )
         delete_where(
             spark, path, cust.filter(F.col("c_nationkey") < 5).select("c_custkey")
         )
         (
-            cust.filter(
-                (F.col("c_nationkey") < 5) & (F.col("c_custkey") % 10 == 0)
-            )
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(cust.filter((F.col('c_nationkey') < 5) & (F.col('c_custkey') % 10 == 0)).repartition(1), path)
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -5208,11 +5092,7 @@ def mor_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = base.schema
     if not os.path.exists(stats_file):
         (
-            base.repartition(2)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(base.repartition(2), path)
         )
         files_before = {f["file_name"] for f in table_files(path)}
         hot = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
@@ -5327,14 +5207,7 @@ def manifest_batch_reader_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quarters = [-1, mx // 4, mx // 2, 3 * mx // 4, mx]
         for lo, hi in zip(quarters, quarters[1:]):
             (
-                base.filter(
-                    (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
-                )
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(base.filter((F.col('o_orderkey') > lo) & (F.col('o_orderkey') <= hi)).repartition(1), path)
             )
         bump = (
             base.filter(F.col("o_orderkey") > mx - mx // 8)
@@ -5704,20 +5577,10 @@ def auto_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         low = base.filter(F.col("c_custkey") <= mx // 8)
         for i in range(6):  # the storm: one tiny file per commit
             (
-                low.filter(F.col("c_custkey") % 6 == i)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(low.filter(F.col('c_custkey') % 6 == i).repartition(1), path)
             )
         (
-            base.filter(F.col("c_custkey") > mx // 8)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(base.filter(F.col('c_custkey') > mx // 8).repartition(1), path)
         )
         bump = (
             base.filter(F.col("c_custkey") > mx - mx // 8)
@@ -5836,20 +5699,10 @@ def compaction_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         low = orders.filter(F.col("o_orderkey") <= mx // 8)
         for i in range(6):  # the storm: one tiny file per commit
             (
-                low.filter(F.col("o_orderkey") % 6 == i)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(low.filter(F.col('o_orderkey') % 6 == i).repartition(1), path)
             )
         (
-            orders.filter(F.col("o_orderkey") > mx // 4)
-            .repartition(2)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(orders.filter(F.col('o_orderkey') > mx // 4).repartition(2), path)
         )
         plan = plan_compaction_ranges(
             path, "o_orderkey", n_ranges=4, min_files=4,
@@ -5960,28 +5813,10 @@ def manifest_type_widening_stats(
     if not os.path.exists(done):
         mx = part.agg(F.max("p_partkey")).collect()[0][0]
         (
-            part.filter(F.col("p_partkey") <= mx // 2)
-            .select(
-                F.col("p_partkey").cast("int").alias("key"),
-                F.col("p_size").cast("float").alias("size"),
-            )
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(part.filter(F.col('p_partkey') <= mx // 2).select(F.col('p_partkey').cast('int').alias('key'), F.col('p_size').cast('float').alias('size')).repartition(1), path)
         )
         (
-            part.filter(F.col("p_partkey") > mx // 2)
-            .select(
-                F.col("p_partkey").cast("bigint").alias("key"),
-                F.col("p_size").cast("double").alias("size"),
-            )
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(part.filter(F.col('p_partkey') > mx // 2).select(F.col('p_partkey').cast('bigint').alias('key'), F.col('p_size').cast('double').alias('size')).repartition(1), path)
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -6054,21 +5889,11 @@ def manifest_snapshot_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = region.schema
     if not os.path.exists(stats_file):
         (
-            region.filter(F.col("r_regionkey") < 3)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') < 3).repartition(1), path)
         )
         tagged_version = tag_snapshot(path, "baseline")
         (
-            region.filter(F.col("r_regionkey") >= 3)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(region.filter(F.col('r_regionkey') >= 3).repartition(1), path)
         )
         try:
             tag_snapshot(path, "baseline")
@@ -6158,12 +5983,7 @@ def manifest_nested_embeddings_stats(
     if not os.path.exists(done):
         for parity in (0, 1):
             (
-                emb.filter(F.col("vec_id") % 2 == parity)
-                .repartition(2)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(emb.filter(F.col('vec_id') % 2 == parity).repartition(2), path)
             )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -6252,12 +6072,7 @@ def manifest_restore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def append(pred):
             (
-                nation.filter(pred)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(nation.filter(pred).repartition(1), path)
             )
 
         append(F.col("n_nationkey") < 10)  # v1: keys 0..9
@@ -6397,12 +6212,7 @@ def manifest_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def append(pred):
             (
-                nation.filter(pred)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", src)
-                .mode("append")
-                .save()
+                save_manifest(nation.filter(pred).repartition(1), src)
             )
 
         append(F.col("n_nationkey") < 13)  # v1
@@ -6757,14 +6567,7 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
         ).cast("int")
         (
-            docs.withColumn("_cohort", cohort)
-            .repartitionByRange(8, "_cohort", "doc_id")
-            .drop("_cohort")
-            .write.format(fmt)
-            .option("path", path)
-            .option("token_bloom_col", "text")
-            .mode("append")
-            .save()
+            save_manifest(docs.withColumn('_cohort', cohort).repartitionByRange(8, '_cohort', 'doc_id').drop('_cohort'), path, token_bloom_col='text')
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -7226,12 +7029,7 @@ def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for i in range(12):  # a deep commit history, one slice each
             (
-                orders.filter(F.col("k") % 12 == i)
-                .coalesce(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(orders.filter(F.col('k') % 12 == i).coalesce(1), path)
             )
         delete_where(
             spark,
@@ -7240,14 +7038,7 @@ def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ck = checkpoint_log(path)
         (
-            orders.filter(
-                (F.col("k") % 10 == 0) & (F.col("k") % 4 == 2)
-            )
-            .coalesce(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(orders.filter((F.col('k') % 10 == 0) & (F.col('k') % 4 == 2)).coalesce(1), path)
         )  # the tail: re-inserted keys outrank the cached tombstone
         stats = {"ck_version": ck["version"], "bundled": ck["bundled"]}
         os.makedirs(root, exist_ok=True)
@@ -7339,32 +7130,11 @@ def alter_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fresh_build_dir(root, done)
     if not os.path.exists(done):
         (
-            nation.filter(F.col("n_nationkey") < 13)
-            .select(
-                F.col("n_nationkey").cast("int").alias("k"),
-                F.col("n_name").alias("name"),
-            )
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(nation.filter(F.col('n_nationkey') < 13).select(F.col('n_nationkey').cast('int').alias('k'), F.col('n_name').alias('name')).repartition(1), path)
         )
         add_column(path, "score", "bigint")
         (
-            nation.filter(F.col("n_nationkey") >= 13)
-            .select(
-                F.col("n_nationkey").cast("int").alias("k"),
-                F.col("n_name").alias("name"),
-                (F.col("n_nationkey") * 10)
-                .cast("bigint")
-                .alias("score"),
-            )
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(nation.filter(F.col('n_nationkey') >= 13).select(F.col('n_nationkey').cast('int').alias('k'), F.col('n_name').alias('name'), (F.col('n_nationkey') * 10).cast('bigint').alias('score')).repartition(1), path)
         )
         widen_column(path, "k", "bigint")
         rename_column(path, "score", "quality")
@@ -7561,12 +7331,7 @@ def stream_matview_freshness_stats(
         seed = orders.filter(F.col("o_orderkey") % 3 == 0)
         rest = orders.filter(F.col("o_orderkey") % 3 != 0)
         (
-            seed.select("o_orderstatus", "cents")
-            .coalesce(1)
-            .write.format(fmt)
-            .option("path", base)
-            .mode("append")
-            .save()
+            save_manifest(seed.select('o_orderstatus', 'cents').coalesce(1), base)
         )
         spec = {
             "group_by": ["o_orderstatus"],
@@ -7592,11 +7357,7 @@ def stream_matview_freshness_stats(
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             (
-                batch_df.coalesce(1)
-                .write.format(fmt)
-                .option("path", base)
-                .mode("append")
-                .save()
+                save_manifest(batch_df.coalesce(1), base)
             )
             report = maintain(spark, base, None, pol)
             modes.append(report["matviews"][0]["mode"])
@@ -7726,14 +7487,7 @@ def token_search_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
         ).cast("int")
         (
-            docs.withColumn("_cohort", cohort)
-            .repartitionByRange(8, "_cohort", "doc_id")
-            .drop("_cohort")
-            .write.format(fmt)
-            .option("path", path)
-            .option("token_bloom_col", "text")
-            .mode("append")
-            .save()
+            save_manifest(docs.withColumn('_cohort', cohort).repartitionByRange(8, '_cohort', 'doc_id').drop('_cohort'), path, token_bloom_col='text')
         )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -7837,12 +7591,7 @@ def matview_incremental_refresh_stats(
 
         def append(pred):
             (
-                orders.filter(pred)
-                .repartition(4)
-                .write.format(fmt)
-                .option("path", base)
-                .mode("append")
-                .save()
+                save_manifest(orders.filter(pred).repartition(4), base)
             )
 
         append(F.col("o_orderkey") % 2 == 0)  # v1
@@ -7965,12 +7714,7 @@ def metadata_only_aggregate_stats(
             F.col("o_orderkey") % 2 == 1,
         ):
             (
-                orders.filter(pred)
-                .repartition(4)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(orders.filter(pred).repartition(4), path)
             )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
@@ -8057,12 +7801,7 @@ def stream_skip_change_commits_stats(
 
         def append(pred):
             (
-                nation.filter(pred)
-                .repartition(1)
-                .write.format(fmt)
-                .option("path", path)
-                .mode("append")
-                .save()
+                save_manifest(nation.filter(pred).repartition(1), path)
             )
 
         append(F.col("n_nationkey") < 10)  # v1
@@ -8187,22 +7926,11 @@ def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fresh_build_dir(root, stats_file)
     if not os.path.exists(stats_file):
         (
-            nation.filter(F.col("n_nationkey") < 13)
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(nation.filter(F.col('n_nationkey') < 13).repartition(1), path)
         )  # v1 under n_name
         rv = rename_column(path, "n_name", "nation_label")  # v2
         (
-            nation.filter(F.col("n_nationkey") >= 13)
-            .withColumnRenamed("n_name", "nation_label")
-            .repartition(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(nation.filter(F.col('n_nationkey') >= 13).withColumnRenamed('n_name', 'nation_label').repartition(1), path)
         )  # v3 under nation_label
         pre = metadata_aggregate(path, minmax_cols=["nation_label"])
         compact_snapshots(spark, path, None)  # v4: eras collapse
@@ -9092,12 +8820,7 @@ def log_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed: two-thirds of the slice on main, one-third staged on a
         # WAP branch (k % 9 == 0 ⊂ k % 3 == 0)
         (
-            orders.filter((F.col("k") % 3 == 0) & (F.col("k") % 9 != 0))
-            .coalesce(2)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(orders.filter((F.col('k') % 3 == 0) & (F.col('k') % 9 != 0)).coalesce(2), path)
         )
 
         def _totals():
@@ -9120,27 +8843,14 @@ def log_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # commit invalidation: an append is visible on the next call
         n_before = fresh[0]
         (
-            orders.filter(F.col("k") % 9 == 0)
-            .filter(F.col("k") % 2 == 0)
-            .coalesce(1)
-            .write.format(fmt)
-            .option("path", path)
-            .mode("append")
-            .save()
+            save_manifest(orders.filter(F.col('k') % 9 == 0).filter(F.col('k') % 2 == 0).coalesce(1), path)
         )
         commit_ok = _totals()[0] > n_before
         # publish invalidation: stage the odd remainder on a branch —
         # invisible — then publish (IN-PLACE manifest rewrite) —
         # immediately visible
         (
-            orders.filter(F.col("k") % 9 == 0)
-            .filter(F.col("k") % 2 == 1)
-            .coalesce(1)
-            .write.format(fmt)
-            .option("path", path)
-            .option("branch", "wap")
-            .mode("append")
-            .save()
+            save_manifest(orders.filter(F.col('k') % 9 == 0).filter(F.col('k') % 2 == 1).coalesce(1), path, branch='wap')
         )
         staged_invisible = _totals()
         publish_branch(path, "wap")
@@ -10387,9 +10097,7 @@ def stream_replace_ingest_stats(
         )
 
         def land(df: DataFrame) -> None:
-            df.coalesce(2).write.format(fmt).option(
-                "path", src
-            ).mode("append").save()
+            save_manifest(df.coalesce(2), src)
 
         land(base.filter(F.col("bucket") < 4))  # wave 1
         land(  # wave 2: the on-time half of buckets 4-5
