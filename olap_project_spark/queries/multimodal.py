@@ -466,6 +466,26 @@ def media_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_MEDIA = 24
 
 
+def _media_ids(spark: SparkSession, kind: str) -> DataFrame:
+    """Id frame for the codec legs, partitioned to match the work.
+
+    ``spark.range(N_MEDIA)`` defaults to ``defaultParallelism``
+    partitions — at 24 items on local[32] that is 32 mostly-empty
+    tasks, and every task (empty or not) pays the Python-worker
+    round-trip for EACH chained mapInPandas eval downstream (two legs
+    → 2× tasks × worker setup; measured: 64 tasks, ~12 s of pure
+    boundary overhead for 48 tiny payloads). Sizing partitions from
+    the item count (≥8 items per task, capped at the core count so a
+    large corpus still fills the cluster) keeps the boundary crossings
+    proportional to the data."""
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, N_MEDIA // 8)
+    )
+    return spark.range(N_MEDIA, numPartitions=n_parts).select(
+        F.col("id").alias("item_id"), F.lit(kind).alias("kind")
+    )
+
+
 @register(
     "media_codec_decode_stats",
     oracle=f"""
@@ -533,15 +553,7 @@ def media_codec_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         codec_demo_encode,
     )
 
-    ids = (
-        spark.range(N_MEDIA)
-        .select(F.col("id").alias("item_id"), F.lit("bmp").alias("kind"))
-        .unionByName(
-            spark.range(N_MEDIA).select(
-                F.col("id").alias("item_id"), F.lit("wav").alias("kind")
-            )
-        )
-    )
+    ids = _media_ids(spark, "bmp").unionByName(_media_ids(spark, "wav"))
     media = ids.mapInPandas(
         codec_demo_encode, schema="item_id long, media_bytes binary"
     )
@@ -631,9 +643,7 @@ def media_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    ids = spark.range(N_MEDIA).select(
-        F.col("id").alias("item_id"), F.lit("wav").alias("kind")
-    )
+    ids = _media_ids(spark, "wav")
     media = ids.mapInPandas(
         codec_demo_encode, schema="item_id long, media_bytes binary"
     )
@@ -757,9 +767,7 @@ def media_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         codec_demo_encode,
     )
 
-    ids = spark.range(N_MEDIA).select(
-        F.col("id").alias("item_id"), F.lit("bmp").alias("kind")
-    )
+    ids = _media_ids(spark, "bmp")
     media = ids.mapInPandas(
         codec_demo_encode, schema="item_id long, media_bytes binary"
     )
@@ -881,9 +889,7 @@ def media_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_decimate_roundtrip,
     )
 
-    ids = spark.range(N_MEDIA).select(
-        F.col("id").alias("item_id"), F.lit("wav").alias("kind")
-    )
+    ids = _media_ids(spark, "wav")
     media = ids.mapInPandas(
         codec_demo_encode, schema="item_id long, media_bytes binary"
     )
