@@ -8325,9 +8325,12 @@ def matview_avg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AVG(cents) AS avg_cents FROM fact GROUP BY st"
         )
         view = lk.sql("SELECT * FROM mv")
-        diff = view.exceptAll(recomputed).count() + recomputed.exceptAll(
-            view
-        ).count()
+        # one action, not two: |A\\B| + |B\\A| == |A\\B union-all B\\A|
+        diff = (
+            view.exceptAll(recomputed)
+            .unionAll(recomputed.exceptAll(view))
+            .count()
+        )
         with open(done, "w") as fh:
             _json.dump(
                 {
@@ -8448,9 +8451,12 @@ def matview_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM fact GROUP BY st"
         )
         view = lk.sql("SELECT * FROM mv")
-        diff = view.exceptAll(recomputed).count() + recomputed.exceptAll(
-            view
-        ).count()
+        # one action, not two: |A\\B| + |B\\A| == |A\\B union-all B\\A|
+        diff = (
+            view.exceptAll(recomputed)
+            .unionAll(recomputed.exceptAll(view))
+            .count()
+        )
         with open(done, "w") as fh:
             _json.dump(
                 {
@@ -8995,9 +9001,12 @@ def matview_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHERE cents >= 10000 GROUP BY segment"
         )
         view = lk.sql("SELECT * FROM segview")
-        diff = view.exceptAll(recomputed).count() + recomputed.exceptAll(
-            view
-        ).count()
+        # one action, not two: |A\\B| + |B\\A| == |A\\B union-all B\\A|
+        diff = (
+            view.exceptAll(recomputed)
+            .unionAll(recomputed.exceptAll(view))
+            .count()
+        )
         with open(done, "w") as fh:
             _json.dump(
                 {
@@ -9266,8 +9275,16 @@ def sql_warehouse_dx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("k") % 7 == 3).select(
             "cents", "k"
         ).coalesce(1).write.option("header", True).csv(stage_csv)
-        n_pq = base.filter(F.col("k") % 7 == 0).count()
-        n_csv = base.filter(F.col("k") % 7 == 3).count()
+        # one scan for all three source-side probes (slice counts +
+        # the by-name-bind reference sum) instead of three jobs
+        probes = base.agg(
+            F.sum((F.col("k") % 7 == 0).cast("long")).alias("n_pq"),
+            F.sum((F.col("k") % 7 == 3).cast("long")).alias("n_csv"),
+            F.sum(
+                F.when(F.col("k") % 7 == 3, F.col("cents"))
+            ).alias("csv_sum"),
+        ).collect()[0]
+        n_pq, n_csv = int(probes.n_pq), int(probes.n_csv)
 
         lk.sql("CREATE TABLE fact (k BIGINT, cents BIGINT)")
         p = lk.path("fact")
@@ -9291,12 +9308,7 @@ def sql_warehouse_dx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # by-name bind: the CSV slice's cents must aggregate to the
         # SOURCE slice's sum (a positional bind would have written
         # key values into cents)
-        csv_sum_src = (
-            base.filter(F.col("k") % 7 == 3)
-            .agg(F.sum("cents").alias("s"))
-            .collect()[0]
-            .s
-        )
+        csv_sum_src = probes.csv_sum
         csv_sum_tbl = lk.sql(
             "SELECT SUM(cents) AS s FROM fact WHERE k % 7 = 3"
         ).collect()[0].s
