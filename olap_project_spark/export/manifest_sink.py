@@ -40,6 +40,7 @@ files + manifest listing) is store-agnostic and carries over unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -4852,6 +4853,40 @@ def abandon_branch(path: str, branch: str) -> int:
     return len(staged)
 
 
+_RANGE_SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+
+
+@contextlib.contextmanager
+def _tight_range_boundaries(spark: SparkSession, hint: int = 10_000):
+    """Run a layout-rewrite job with a large range-exchange sampling
+    hint. ``repartitionByRange`` picks partition boundaries from a
+    reservoir sample whose seed derives from the RDD id — i.e. from
+    session history — so under the default 100-points-per-partition
+    hint the physical layout of a clustered or hidden-partitioned
+    rewrite is visibly run-dependent: the same rewrite can scatter a
+    zone-map box across a different number of files, or merge two
+    partition-transform values into one file, depending on what ran
+    earlier in the session. A 10,000-point hint makes small-table
+    boundaries exact (the reservoir keeps every row, so layouts are
+    session-independent) and large-table jitter ~10x tighter; the
+    driver-side cost stays bounded at any table size because
+    RangePartitioner clamps the total sample at 1e6 keys. Scoped to
+    the one rewrite job and restored after, so the setting never
+    leaks into query plans."""
+    try:
+        old = spark.conf.get(_RANGE_SAMPLE_CONF)
+    except Exception:
+        old = None
+    spark.conf.set(_RANGE_SAMPLE_CONF, str(hint))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_RANGE_SAMPLE_CONF)
+        else:
+            spark.conf.set(_RANGE_SAMPLE_CONF, old)
+
+
 def compact_snapshots(
     spark: SparkSession,
     path: str,
@@ -4966,7 +5001,8 @@ def compact_snapshots(
         current = current.repartitionByRange(
             n_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)
-    save_manifest(current, path, kind="rewrite", **writer_opts)
+    with _tight_range_boundaries(spark):
+        save_manifest(current, path, kind="rewrite", **writer_opts)
     return max(committed_versions(path))
 
 
@@ -5159,7 +5195,8 @@ def replace_where(
     }
     if spec_latest is not None:
         opts["partition_transform"] = json.dumps(spec_latest)
-    save_manifest(new_state, path, **opts)
+    with _tight_range_boundaries(spark):
+        save_manifest(new_state, path, **opts)
     version, _m = _committed_entry_of(path, token)
     return {
         "version": version,
@@ -5198,7 +5235,8 @@ def overwrite_table(
     opts = {"kind": "rewrite", "commit_token": token}
     if spec:
         opts["partition_transform"] = json.dumps(spec)
-    save_manifest(out, path, **opts)
+    with _tight_range_boundaries(spark):
+        save_manifest(out, path, **opts)
     return _committed_entry_of(path, token)[0]
 
 
@@ -5481,7 +5519,8 @@ def compact_range(
     }
     if spec_latest is not None:
         opts["partition_transform"] = json.dumps(spec_latest)
-    save_manifest(current, path, **opts)
+    with _tight_range_boundaries(spark):
+        save_manifest(current, path, **opts)
     version, rewrite_m = _committed_entry_of(path, token)
     new_files = [
         f
@@ -5576,7 +5615,8 @@ def write_partitioned(
         opts["branch"] = branch
     if props is not None:
         opts["commit_props"] = json.dumps(props)
-    save_manifest(out, path, **opts)
+    with _tight_range_boundaries(spark):
+        save_manifest(out, path, **opts)
     return _committed_entry_of(path, token, branch)[0]
 
 
