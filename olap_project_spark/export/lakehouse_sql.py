@@ -92,6 +92,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.export.manifest_sink import (
     abandon_branch,
     add_column,
@@ -229,7 +230,7 @@ class LakehouseSQL:
                     df = read_evolved(self.spark, p)
                 df.createOrReplaceTempView(name)
             if hist:
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     [
                         (h["version"], h["kind"], h["n_files"], h["n_rows"])
                         for h in table_history(p)
@@ -237,7 +238,7 @@ class LakehouseSQL:
                     "version int, kind string, n_files int, n_rows bigint",
                 ).createOrReplaceTempView(f"{name}__history")
             if files:
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     [
                         (e["version"], e["file_name"], e.get("n_rows"))
                         for e in table_files(p)
@@ -250,7 +251,7 @@ class LakehouseSQL:
                 except ValueError:
                     tp = None  # no transform spec recorded: no view
                 if tp is not None:
-                    self.spark.createDataFrame(
+                    local_frame(self.spark, 
                         [
                             (str(e["partition"]), e["n_rows"], e["n_files"])
                             for e in tp["partitions"]
@@ -258,12 +259,12 @@ class LakehouseSQL:
                         "partition string, n_rows bigint, n_files int",
                     ).createOrReplaceTempView(f"{name}__partitions")
             if tags:
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     sorted(list_tags(p).items()),
                     "tag string, version int",
                 ).createOrReplaceTempView(f"{name}__tags")
             if branches:
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     sorted(list_branches(p).items()),
                     "branch string, staged_commits int",
                 ).createOrReplaceTempView(f"{name}__branches")
@@ -285,7 +286,7 @@ class LakehouseSQL:
                     except ValueError:
                         continue
                     rows.append((c, r["ndv"], r["exact"]))
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     rows or [("", 0, False)],
                     "column string, ndv bigint, exact boolean",
                 ).filter("column <> ''").createOrReplaceTempView(
@@ -296,7 +297,7 @@ class LakehouseSQL:
                     table_constraints,
                 )
 
-                self.spark.createDataFrame(
+                local_frame(self.spark, 
                     sorted(table_constraints(p).items())
                     or [("", "")],
                     "name string, expr string",
@@ -314,7 +315,7 @@ class LakehouseSQL:
 
     def _one_row(self, **kv) -> DataFrame:
         cols = ", ".join(f"{k} string" for k in kv)
-        return self.spark.createDataFrame(
+        return local_frame(self.spark, 
             [tuple(str(v) for v in kv.values())], cols
         )
 
@@ -836,7 +837,7 @@ class LakehouseSQL:
             # an empty commit that RECORDS the schema: the manifest is
             # the metastore entry; the first INSERT appends under it
             # (and schema evolution validates against it)
-            empty = self.spark.createDataFrame([], ", ".join(cols))
+            empty = local_frame(self.spark, [], ", ".join(cols))
             save_manifest(empty.coalesce(1), self.path(name))
             if part_spec is not None:
                 # hidden partitioning from birth: writers inherit the
@@ -1343,7 +1344,7 @@ class LakehouseSQL:
                     f"table {m.group(1)!r} records no partition "
                     f"spec: {e}"
                 ) from None
-            return self.spark.createDataFrame(
+            return local_frame(self.spark, 
                 [
                     (str(e["partition"]), e["n_rows"], e["n_files"])
                     for e in tp["partitions"]
@@ -1375,7 +1376,7 @@ class LakehouseSQL:
                 )
                 for n in self._tables()
             ]
-            return self.spark.createDataFrame(
+            return local_frame(self.spark, 
                 rows or [("", "")], "name string, kind string"
             ).filter("name <> ''")
 
@@ -1474,7 +1475,7 @@ class LakehouseSQL:
                 raise ValueError(
                     f"table {m.group(1)!r} records no schema"
                 )
-            return self.spark.createDataFrame(
+            return local_frame(self.spark, 
                 [
                     (f.name, f.dataType.simpleString())
                     for f in sch.fields
@@ -1485,7 +1486,7 @@ class LakehouseSQL:
         m = re.match(rf"(?i)^DESCRIBE\s+HISTORY\s+({_IDENT})$", s)
         if m:
             hist = table_history(self._require(m.group(1)))
-            return self.spark.createDataFrame(
+            return local_frame(self.spark, 
                 [
                     (h["version"], h["kind"], h["n_files"], h["n_rows"])
                     for h in hist

@@ -68,6 +68,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
+from olap_project_spark.functions.localframe import local_frame
+
 
 @dataclass
 class _PartCommit(WriterCommitMessage):
@@ -1869,7 +1871,7 @@ def _read_files(spark: SparkSession, path: str, schema, names) -> DataFrame:
     the add-only evolution contract."""
     names = sorted(names)
     if not names:
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
     staging = os.path.join(path, "_staging")
     pq = [os.path.join(staging, n) for n in names if n.endswith(".parquet")]
     js = [os.path.join(staging, n) for n in names if not n.endswith(".parquet")]
@@ -1999,7 +2001,7 @@ def read_committed(
                 tomb, on=[f.name for f in key_schema.fields], how="left_anti"
             )
     df = flush(df, pending)
-    return df if df is not None else spark.createDataFrame([], schema)
+    return df if df is not None else local_frame(spark, [], schema)
 
 
 def delete_where(
@@ -2502,7 +2504,7 @@ def add_constraint(
         raise ValueError(f"table at {path} records no schema")
     # the expression must resolve against the declared schema (typo'd
     # columns fail HERE, not at the first write)
-    probe = spark.createDataFrame([], sch)
+    probe = local_frame(spark, [], sch)
     try:
         probe.filter(_F.expr(expr)).schema
     except Exception as e:  # noqa: BLE001 - surface the parse error
@@ -4744,7 +4746,7 @@ def read_evolved(
             df = conform(df, seg).join(tomb, on=keys, how="left_anti")
     df = flush(df)
     if df is None:
-        return spark.createDataFrame([], sch)
+        return local_frame(spark, [], sch)
     return conform(df, sch)
 
 
@@ -5722,7 +5724,7 @@ def read_changes(
             ).withColumn("_commit_version", _F.lit(version).cast("int"))
         )
     if not parts:
-        empty = spark.createDataFrame([], schema)
+        empty = local_frame(spark, [], schema)
         return empty.withColumn("_change_type", _F.lit("")).withColumn(
             "_commit_version", _F.lit(0).cast("int")
         )

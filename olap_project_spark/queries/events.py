@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register
 
 DEC = "decimal(18,2)"
@@ -2552,7 +2553,7 @@ def watermark_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lateness = F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
     seen = ev.select("event_type", lateness.alias("lateness_s"))
-    thr = spark.createDataFrame(
+    thr = local_frame(spark, 
         [(t,) for t in WATERMARK_CANDIDATES_S], "threshold_s int"
     )
     dropped = (F.col("lateness_s") > F.col("threshold_s")).cast("bigint")
@@ -5293,7 +5294,7 @@ def hourly_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(cnts, ["event_type", "h"], "left")
         .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("x"))
     )
-    lags = spark.createDataFrame([(1,), (24,)], "lag int")
+    lags = local_frame(spark, [(1,), (24,)], "lag int")
     a = dense.alias("a")
     y = dense.select(
         F.col("event_type").alias("y_type"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import register
 from olap_project_spark.queries.similarity import _emb
 
@@ -81,7 +82,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sorts only the k-expanded (dist, cluster) keys.)
         from pyspark.sql.window import Window
 
-        cents_df = spark.createDataFrame(
+        cents_df = local_frame(spark, 
             [(k, c) for k, c in enumerate(cents)], "cluster int, cvec array<double>"
         )
         dist = F.aggregate(
@@ -131,7 +132,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_clusters = len(by_cluster)
     e.unpersist()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 n_corpus,

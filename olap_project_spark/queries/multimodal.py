@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olap_project_spark.functions.multimodal import decode_media, with_media_column
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register
 
 
@@ -780,7 +781,7 @@ def media_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("meta") / 1000).cast("bigint").alias("w"),
         (F.col("meta") % 1000).alias("h"),
     )
-    bdf = spark.createDataFrame(
+    bdf = local_frame(spark, 
         [
             (i, bw, bh, _BUCKET_K // (bw * bh), lab)
             for i, bw, bh, lab in ASPECT_BUCKETS

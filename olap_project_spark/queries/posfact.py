@@ -29,6 +29,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import register, session_memo
 from olap_project_spark.queries.transactions import (
     q0_merchant_rollup,
@@ -638,7 +639,7 @@ def pos_daily_rates_vnd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
-    rates = spark.createDataFrame(
+    rates = local_frame(spark, 
         list(_DAILY_RATES), schema="rate_date string, rate_vnd_per_usd double"
     )
     fact = enrich_with_daily_rates(raw, rates, processed_at="2024-01-15 08:30:20")
@@ -765,7 +766,7 @@ def pos_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the sink root is deleted
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -860,7 +861,7 @@ def pos_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -973,7 +974,7 @@ def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").cast("bigint").alias("total_cents"),
         ).collect()[0]
         n_versions = len(table_versions(table))
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     summary["n_users"],
@@ -1111,7 +1112,7 @@ def manifest_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_txns"),
             F.sum("cents").cast("bigint").alias("total_cents"),
         ).collect()[0]
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     versions_ingested,
@@ -1243,7 +1244,7 @@ def pos_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         rows_in_main = read_committed(spark, table, schema).count()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (b, n, v, p, rows_in_main)
                 for b, (n, v, p) in sorted(ledger.items())

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from olap_project_spark.export.manifest_sink import save_manifest
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register
 
 # Exact decimal for money columns (input doubles have ≤2 fractional
@@ -2117,7 +2118,7 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n.join(r, n.n_regionkey == r.r_regionkey).count(),
             )
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "fmt string, n_regions bigint, n_nations bigint, n_joined bigint"
     )
 
@@ -2184,7 +2185,7 @@ def manifest_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v, read_committed(spark, path, region.schema, as_of=v).count())
         for v in (1, 2, 3)
     ]
-    return spark.createDataFrame(rows, "version int, n_rows bigint")
+    return local_frame(spark, rows, "version int, n_rows bigint")
 
 
 # --------------------------------------------------------------------------
@@ -2656,7 +2657,7 @@ def manifest_vacuum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(stats_file) as f:
         stats = _json.load(f)
     n_rows_after = read_committed(spark, path, region.schema).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["versions_before"],
@@ -2753,7 +2754,7 @@ def k_anonymity_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("bal_cents").alias("l_div"),
     )
-    ks = spark.createDataFrame([(k,) for k in _K_LADDER], "k int")
+    ks = local_frame(spark, [(k,) for k in _K_LADDER], "k int")
     viol = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(F.lit(0))
     return (
         classes.crossJoin(F.broadcast(ks))
@@ -3076,7 +3077,7 @@ def manifest_schema_evolution_stats(
         else:
             nulls = -1
         rows.append((v, df.count(), n_cols, nulls))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "version int, n_rows bigint, n_cols int, new_col_nulls bigint"
     )
 
@@ -3172,7 +3173,7 @@ def manifest_file_skipping_stats(
         pruned_agg["n_rows"] == full_agg["n_rows"]
         and pruned_agg["value_cents"] == full_agg["value_cents"]
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 pruned_agg["n_rows"],
@@ -3257,7 +3258,7 @@ def manifest_snapshot_diff_stats(
             .collect()[0]
         )
         rows.append((from_v, to_v, agg["n"], agg["s"]))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "from_v int, to_v int, n_added bigint, added_key_sum bigint"
     )
 
@@ -3320,7 +3321,7 @@ def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
     hist = table_history(path)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (h["version"], h["kind"], h["n_rows"], int(h["has_schema"]))
             for h in hist
@@ -3570,12 +3571,12 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(
             spark,
             path,
-            spark.createDataFrame(
+            local_frame(spark, 
                 [(1,), (3,)], "r_regionkey bigint"
             ).repartition(1),
         )  # v2
         (
-            save_manifest(spark.createDataFrame([(1, 'REBORN')], region.schema).repartition(1), path)
+            save_manifest(local_frame(spark, [(1, 'REBORN')], region.schema).repartition(1), path)
         )  # v3
         rows_v1 = read_committed(spark, path, region.schema, as_of=1).count()
         rows_after_delete = read_committed(
@@ -3599,7 +3600,7 @@ def manifest_delete_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(after.exceptAll(current))
             .isEmpty()  # one symmetric-diff job, not two
         )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     rows_v1,
@@ -3676,7 +3677,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stage(rows) -> None:
         (
-            save_manifest(spark.createDataFrame(rows, nation.schema).repartition(1), path, branch='ingest')
+            save_manifest(local_frame(spark, rows, nation.schema).repartition(1), path, branch='ingest')
         )
 
     def audit_violations() -> int:
@@ -3707,7 +3708,7 @@ def write_audit_publish_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.sum("n_nationkey").cast("bigint").alias("key_sum"),
         ).collect()[0]
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     rows_main_before,
@@ -3821,7 +3822,7 @@ def cdf_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .isEmpty()  # one symmetric-diff job, not two
         )
         rows = view.collect()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (r["o_orderpriority"], r["n_orders"], r["total_cents"], match)
                 for r in rows
@@ -3944,7 +3945,7 @@ def clustered_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "x8 BETWEEN 64 AND 127 AND y8 BETWEEN 64 AND 127"
             ).count()
         )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     total_before,
@@ -4050,7 +4051,7 @@ def lakehouse_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no broadcast hint: the erasure set scales with the table
         # (1/97 of customers) — AQE converts to broadcast when small
         erased_on_disk = raw.join(erase_keys, "c_custkey").count()
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     total,
@@ -4169,7 +4170,7 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             zfiles, _ = plan_pruned_files(path, "cust2", k, k)
             bloom_absent += len(bfiles)
             zone_absent += len(zfiles)
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     len(present),
@@ -4337,7 +4338,7 @@ def manifest_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (v, f["n_rows"], int(zm[0]), int(zm[1]))
                 )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             rows, "version int, n_rows bigint, min_key bigint, max_key bigint"
         ).orderBy("version", "min_key")
     finally:
@@ -4432,7 +4433,7 @@ def manifest_stream_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         identical = int(
             a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
         )
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     rows_first,
@@ -4694,7 +4695,7 @@ def manifest_stream_backpressure_stats(
         q.awaitTermination(60)
         batches.sort()
         counts = [n for _, n in batches]
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [
                 (
                     5,
@@ -4798,7 +4799,7 @@ def manifest_stale_claim_gc_stats(
     with open(stats_file) as f:
         stats = _json.load(f)
     n_rows_final = read_committed(spark, path, region.schema).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["head_with_claim"],
@@ -4902,7 +4903,7 @@ def partial_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_low_half = table.filter(
         F.col("o_orderkey") <= stats["mx"] // 2
     ).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["files_before"],
@@ -5000,7 +5001,7 @@ def cdf_delete_change_rows_stats(
     )
     by = {(r["_change_type"], r["_commit_version"]): r for r in ledger}
     final_rows = read_committed(spark, path, schema).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 by[("insert", 1)]["n"],
@@ -5119,7 +5120,7 @@ def mor_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = state.agg(
         F.count("*").alias("n"), F.sum("bal").cast("bigint").alias("s")
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["n_updates"],
@@ -5247,7 +5248,7 @@ def manifest_batch_reader_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     # re-pin the caller's session as JVM-thread-active for later writers
     ensure_manifest_sink(spark)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 files_total,
@@ -5369,7 +5370,7 @@ def hidden_partitioning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(total, prune_ok, day_rows["n"], day_rows["cents"])],
         "files_total int, prune_ok boolean, rows_day bigint, "
         "value_cents_day bigint",
@@ -5492,7 +5493,7 @@ def multi_transform_pruning_stats(
         )
         .collect()[0]
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(total, day_prune_ok, probe_prune_ok, probe["n"], probe["cents"])],
         "files_total int, day_prune_ok boolean, probe_prune_ok boolean, "
         "rows_probe bigint, cents_probe bigint",
@@ -5625,7 +5626,7 @@ def auto_maintenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = read_committed(spark, path, schema).agg(
         F.count("*").alias("n"), F.sum("bal").cast("bigint").alias("s")
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["flagged_before"],
@@ -5746,7 +5747,7 @@ def compaction_policy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rows_total_committed == low_rows + load(
         spark, sf_dir, "orders"
     ).filter(F.col("o_orderkey") > mx2 // 4).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["flagged_ranges"],
@@ -5832,7 +5833,7 @@ def manifest_type_widening_stats(
         F.sum("key").cast("bigint").alias("ks"),
         F.sum("size").cast("bigint").alias("ss"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(widened, v1_types, agg["n"], agg["ks"], agg["ss"])],
         "widened_types string, v1_types string, n_rows bigint, "
         "key_sum bigint, size_sum bigint",
@@ -5914,7 +5915,7 @@ def manifest_snapshot_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, schema, as_of=read_tag(path, "baseline")
     ).count()
     rows_at_head = read_committed(spark, path, schema).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 rows_at_tag,
@@ -6080,7 +6081,7 @@ def manifest_restore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(  # v3: tombstone keys {1, 11}
             spark,
             path,
-            spark.createDataFrame([(1,), (11,)], "n_nationkey bigint"),
+            local_frame(spark, [(1,), (11,)], "n_nationkey bigint"),
         )
         append(F.col("n_nationkey") >= 20)  # v4: keys 20..24
         sch = nation.schema
@@ -6116,7 +6117,7 @@ def manifest_restore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows_final"),
         F.sum("n_nationkey").alias("sum_key_final"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["restore_version"],
@@ -6248,7 +6249,7 @@ def manifest_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_committed(spark, dst, nation.schema).agg(
         F.count("*").alias("n"), F.sum("n_nationkey").alias("s")
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["versions_cloned"],
@@ -6397,7 +6398,7 @@ def expectations_quarantine_stats(
         .filter(F.array_contains("_violated", "status_known"))
         .count()
     )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["rows_written"],
@@ -6484,7 +6485,7 @@ def manifest_partitions_metadata_stats(
         with open(done, "w") as f:
             _json.dump({"n_days": n_days}, f)
     tp = table_partitions(path)  # strict: every live file accounted
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(e["partition"][0], e["n_rows"]) for e in tp["partitions"]],
         "day_key bigint, n_rows bigint",
     )
@@ -6576,7 +6577,7 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = read_token_search(spark, path, docs.schema, "text", "dup").agg(
         F.count("*").alias("n"), F.sum("doc_id").alias("s")
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 files_total,
@@ -6717,7 +6718,7 @@ def field_id_reader_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ensure_manifest_sink(spark)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 8,
@@ -6856,7 +6857,7 @@ def partition_spec_evolution_stats(
 
     ga = window_agg(*wa).collect()[0]
     gb = window_agg(*wb).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 total,
@@ -7053,7 +7054,7 @@ def log_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("cents").alias("s")
     ).collect()[0]
     tt = read_committed(spark, path, sch, as_of=6).count()
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["ck_version"],
@@ -7146,7 +7147,7 @@ def alter_ddl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sk"),
         F.sum("quality").alias("sq"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 got["n"],
@@ -7502,7 +7503,7 @@ def token_search_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     got_phrase = read_token_search_all(
         spark, path, "text", ["fast", "table"], phrase=True
     ).agg(F.count("*").alias("n"), F.sum("doc_id").alias("s")).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 files_total,
@@ -7724,7 +7725,7 @@ def metadata_only_aggregate_stats(
     k = agg["cols"]["o_orderkey"]
     s = agg["cols"]["o_orderstatus"]
     fl = agg["cols"]["flagged"]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 agg["n_rows"],
@@ -7808,7 +7809,7 @@ def stream_skip_change_commits_stats(
         delete_where(  # v2: remove keys {1, 3}
             spark,
             path,
-            spark.createDataFrame([(1,), (3,)], "n_nationkey bigint"),
+            local_frame(spark, [(1,), (3,)], "n_nationkey bigint"),
         )
         compact_snapshots(spark, path, nation.schema)  # v3 rewrite
         append(F.col("n_nationkey") >= 20)  # v4
@@ -7848,7 +7849,7 @@ def stream_skip_change_commits_stats(
             _json.dump(stats, f)
     with open(stats_file) as f:
         stats = _json.load(f)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 stats["rows_delivered"],
@@ -7952,7 +7953,7 @@ def column_rename_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nationkey").alias("s"),
         F.sum(F.length("nation_label")).alias("l"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 got["n"],

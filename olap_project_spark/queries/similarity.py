@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register, session_memo
 
 NEAR_DUP_COS = 0.45   # corpus max pairwise cosine is ~0.513 (synthetic)
@@ -1299,7 +1300,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for p in range(len(dims))
                 ]
                 rows.append((cid, arr))
-            cents = spark.createDataFrame(
+            cents = local_frame(spark, 
                 rows, "cid bigint, cemb array<double>"
             )
         return cents
@@ -2685,7 +2686,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _k, vid, emb, simq, mmr = best
         selected.append((rank, vid, round(simq, 6), round(mmr, 6)))
         sel_embs.append((vid, emb))
-    return spark.createDataFrame(
+    return local_frame(spark, 
         selected, "rank int, vec_id bigint, sim_to_query double, mmr_score double"
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register
 
 DEC = "decimal(18,2)"
@@ -141,7 +142,7 @@ def price_band_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(p/width)) and equi-join bucket-to-overlapping-bucket — turns
     the nested loop into a hash join."""
     li = load(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(PRICE_BANDS, "band STRING, lo LONG, hi LONG")
+    bands = local_frame(spark, PRICE_BANDS, "band STRING, lo LONG, hi LONG")
     return (
         li.join(
             F.broadcast(bands),

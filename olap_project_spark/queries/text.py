@@ -23,6 +23,7 @@ from olap_project_spark.functions.text import (
     token_count,
     tokens,
 )
+from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register, session_memo
 
 
@@ -2159,7 +2160,7 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offs = toks.withColumn("off", cum - F.col("n_tokens"))
-    ls = spark.createDataFrame([(x,) for x in PACK_LADDER], "l long")
+    ls = local_frame(spark, [(x,) for x in PACK_LADDER], "l long")
     straddle = (
         (F.col("n_tokens") >= 1)
         & (

@@ -200,4 +200,6 @@ def daily_rates_df(
     while d <= end:
         rows.append((d.isoformat(), resolve_rate(d, cascade)))
         d += timedelta(days=1)
-    return spark.createDataFrame(rows, EXCHANGE_RATE_SCHEMA)
+    from olap_project_spark.functions.localframe import local_frame
+
+    return local_frame(spark, rows, EXCHANGE_RATE_SCHEMA)
