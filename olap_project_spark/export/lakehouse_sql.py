@@ -472,23 +472,30 @@ class LakehouseSQL:
             )
         if full_sync is not None:
             from olap_project_spark.export.manifest_sink import (
+                commit_rows,
                 overwrite_table,
             )
 
-            n = source.count()
+            # the rewrite commit's recorded row count IS |source| (a
+            # full overwrite writes exactly the source) — no second
+            # evaluation of the source query
             v = overwrite_table(self.spark, p, source)
-            return self._one_row(table=name, version=v, n_rows=n)
+            return self._one_row(
+                table=name, version=v, n_rows=commit_rows(p, v)
+            )
         if nmbs_only is not None:
             from olap_project_spark.export.manifest_sink import (
+                commit_rows,
                 overwrite_table,
             )
 
             kept = read_evolved(self.spark, p).join(
                 source.select(*keys).distinct(), on=keys, how="left_semi"
             )
-            n = kept.count()
             v = overwrite_table(self.spark, p, kept)
-            return self._one_row(table=name, version=v, n_kept=n)
+            return self._one_row(
+                table=name, version=v, n_kept=commit_rows(p, v)
+            )
         if upsert is not None and upsert.group(1) is None:
             r = merge_upsert(self.spark, p, source, keys=keys)
             return self._one_row(
@@ -500,23 +507,34 @@ class LakehouseSQL:
             victims = source
             if cond:
                 victims = victims.filter(F.expr(cond))
+            # persist: the count decides whether to commit at all, and
+            # the tombstone write then reuses the materialized victims
+            # instead of re-deriving them (one evaluation, not two)
             victims = (
                 victims.select(*keys)
                 .distinct()
                 .join(target_keys, on=keys, how="left_semi")
-            )
-            n = victims.count()
-            v = (
-                delete_where(self.spark, p, victims)
-                if n
-                else None
-            )
+            ).persist()
+            try:
+                n = victims.count()
+                v = (
+                    delete_where(self.spark, p, victims)
+                    if n
+                    else None
+                )
+            finally:
+                victims.unpersist()
             return self._one_row(table=name, version=v, n_deleted=n)
         if ins_only is not None:
-            inserts = source.join(target_keys, on=keys, how="left_anti")
-            n = inserts.count()
-            if n:
-                save_manifest(inserts, p)
+            inserts = source.join(
+                target_keys, on=keys, how="left_anti"
+            ).persist()
+            try:
+                n = inserts.count()
+                if n:
+                    save_manifest(inserts, p)
+            finally:
+                inserts.unpersist()
             return self._one_row(table=name, n_inserted=n)
         clause = upsert or upd_only
         cond = clause.group(1)
@@ -659,7 +677,12 @@ class LakehouseSQL:
             # (Iceberg-style): range-partition on the transforms so
             # files stay tight and the histograms/pruning hold
             # (write_partitioned enforces table constraints itself)
-            write_partitioned(self.spark, df, p, branch=branch, props=props)
+            from olap_project_spark.export.manifest_sink import commit_rows
+
+            v = write_partitioned(
+                self.spark, df, p, branch=branch, props=props
+            )
+            n_rows = commit_rows(p, v, branch=branch)
         else:
             import json as _json
 
@@ -669,8 +692,9 @@ class LakehouseSQL:
                 opts["branch"] = branch
             if props is not None:
                 opts["commit_props"] = _json.dumps(props)
-            save_manifest(df, p, **opts)
-        out = {"table": name, "rows": df.count()}
+            n_rows = save_manifest(df, p, **opts)["n_rows"]
+        # rows from the commit metadata, not a re-run of the insert body
+        out = {"table": name, "rows": n_rows}
         if branch is not None:
             out["branch"] = branch
         return self._one_row(**out)
@@ -800,8 +824,10 @@ class LakehouseSQL:
             if self._exists(name):
                 raise ValueError(f"table {name!r} already exists")
             df = self.sql(body)
-            save_manifest(df, self.path(name))
-            return self._one_row(table=name, rows=df.count())
+            st = save_manifest(df, self.path(name))
+            # rows from the commit messages — the CTAS body is
+            # evaluated exactly once (re-counting re-runs the SELECT)
+            return self._one_row(table=name, rows=st["n_rows"])
 
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
@@ -935,9 +961,16 @@ class LakehouseSQL:
             )
 
             if col is None:
+                from olap_project_spark.export.manifest_sink import (
+                    commit_rows,
+                )
+
                 v = overwrite_table(self.spark, self.path(name), df)
+                # the rewrite writes exactly df: report its recorded
+                # row count instead of re-running the SELECT
                 return self._one_row(
-                    table=name, rows=df.count(), version=v
+                    table=name, rows=commit_rows(self.path(name), v),
+                    version=v
                 )
             if eq is not None:
                 lo = hi = eq
@@ -948,7 +981,7 @@ class LakehouseSQL:
             )
             return self._one_row(
                 table=name,
-                rows=df.count(),
+                rows=r["n_insert_rows"],
                 version=r["version"],
                 replaced_files=r["n_replaced_files"],
                 retained_files=r["n_retained"],
@@ -982,14 +1015,20 @@ class LakehouseSQL:
             # Duplicated rows matching the predicate all disappear
             # (equality semantics), exactly like the library call.
             self._register_catalog(s)
+            # persist: the count decides whether a delete commit is
+            # needed, and the tombstone write then reuses the
+            # materialized keys instead of re-scanning the table
             keys = self.spark.sql(
                 f"SELECT DISTINCT * FROM {name} WHERE {pred}"
-            )
-            n = keys.count()
-            if n:
-                v = delete_where(self.spark, p, keys)
-            else:
-                v = None
+            ).persist()
+            try:
+                n = keys.count()
+                if n:
+                    v = delete_where(self.spark, p, keys)
+                else:
+                    v = None
+            finally:
+                keys.unpersist()
             return self._one_row(table=name, matched_keys=n, version=v)
 
         m = re.match(

@@ -2543,17 +2543,26 @@ def drop_constraint(path: str, name: str) -> int:
 
 
 def enforce_constraints(
-    spark: SparkSession, path: str, df: DataFrame, what: str = "write"
-) -> None:
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    what: str = "write",
+    extra: dict | None = None,
+):
     """Validate ``df`` against every live CHECK constraint in ONE
     aggregation pass (all constraints as parallel conditional sums);
     raise naming each violated constraint and its violation count.
-    Called by every data-adding write surface BEFORE its commit."""
+    Called by every data-adding write surface BEFORE its commit.
+
+    ``extra`` piggy-backs caller aggregates (name → Column) onto the
+    SAME single pass — a validating write that also needs a row count
+    or a range check pays one scan, not two (guide §1.2) — and the
+    aggregated row is returned (None when there was nothing to run)."""
     from pyspark.sql import functions as _F
 
     cons = table_constraints(path)
-    if not cons:
-        return
+    if not cons and not extra:
+        return None
     aggs = [
         _F.sum(
             _F.when(
@@ -2561,7 +2570,7 @@ def enforce_constraints(
             ).otherwise(0)
         ).alias(n)
         for n, e in cons.items()
-    ]
+    ] + [v.alias(n) for n, v in (extra or {}).items()]
     row = df.agg(*aggs).collect()[0]
     bad = {
         n: int(row[n]) for n in cons if row[n] is not None and row[n]
@@ -2572,6 +2581,7 @@ def enforce_constraints(
             for n, c in sorted(bad.items())
         )
         raise ValueError(f"{what} rejected by table constraints — {detail}")
+    return row
 
 
 def set_partition_spec(
@@ -3468,6 +3478,18 @@ def _log(
             continue
         out.append((version, m))
     return out if raw else _effective(out)
+
+
+def commit_rows(path: str, version: int, branch: str | None = None) -> int:
+    """Row count recorded by the commit at ``version`` — read from the
+    manifest metadata (driver-side, served by the log cache), zero
+    Spark actions. The scale-honest way for a write API's caller to
+    report "rows written": re-running the write's SELECT to count it
+    is a full second scan at 100 TB (guide §1.2)."""
+    for v, m in _log(path, branch=branch, raw=True):
+        if v == version:
+            return int(m.get("n_rows", 0))
+    raise ValueError(f"no commit at version {version} in {path}")
 
 
 def _checkpoint_names(path: str) -> list[str]:
@@ -5149,7 +5171,8 @@ def replace_where(
     tombstones or a pending rename reject with the full-rewrite
     alternative named (same contract as :func:`compact_range`).
 
-    Returns {"version", "n_replaced_files", "n_retained", "n_new"}.
+    Returns {"version", "n_replaced_files", "n_retained", "n_new",
+    "n_insert_rows"}.
 
     Reference analogue: the reference's loader can only append or
     wholesale-replace its BigQuery tables
@@ -5162,18 +5185,32 @@ def replace_where(
     # NULL-safe on both sides: a NULL key cannot satisfy the range, so
     # it is a constraint violation in df — and in the keep-filter
     # below a NULL-key row is KEPT (it provably isn't being replaced);
-    # a bare ~between would silently drop it
-    bad = df.filter(
-        F.col(col).isNull()
-        | ~F.col(col).between(F.lit(lo), F.lit(hi))
-    ).count()
+    # a bare ~between would silently drop it. The range check, the
+    # CHECK constraints, and the caller-reported insert-row count all
+    # ride ONE aggregation pass over df (guide §1.2).
+    probe = enforce_constraints(
+        spark,
+        path,
+        df,
+        "INSERT OVERWRITE",
+        extra={
+            "__rw_bad": F.sum(
+                F.when(
+                    F.col(col).isNull()
+                    | ~F.col(col).between(F.lit(lo), F.lit(hi)),
+                    1,
+                ).otherwise(0)
+            ),
+            "__rw_n": F.count(F.lit(1)),
+        },
+    )
+    bad = int(probe["__rw_bad"] or 0)
     if bad:
         raise ValueError(
             f"replace_where: {bad} insert rows violate "
             f"{col} BETWEEN {lo!r} AND {hi!r}; the replacement data "
             "must live entirely inside the range it replaces"
         )
-    enforce_constraints(spark, path, df, "INSERT OVERWRITE")
     replaced_files, total = plan_pruned_files(path, col, lo, hi)
     replaced_set = set(replaced_files)
     retain, spec_latest = _retain_entries(path, log, replaced_set)
@@ -5205,6 +5242,7 @@ def replace_where(
         "n_replaced_files": len(replaced_set),
         "n_retained": len(retain),
         "n_new": len(_m["files"]) - len(retain),
+        "n_insert_rows": int(probe["__rw_n"] or 0),
     }
 
 
@@ -5829,7 +5867,7 @@ def ensure_manifest_sink(spark: SparkSession) -> str:
     return fmt
 
 
-def save_manifest(df: DataFrame, path: str, **options) -> None:
+def save_manifest(df: DataFrame, path: str, **options) -> dict:
     """Fast-path manifest commit: byte-identical write semantics to
     ``df.write.format(ensure_manifest_sink(spark)).options(...).save()``
     — the same :class:`ManifestWriter` runs in each task (one staging
@@ -5850,7 +5888,13 @@ def save_manifest(df: DataFrame, path: str, **options) -> None:
     (the DataSource path's best-effort ``abort`` cleanup does not run);
     they are invisible to every reader and collected by
     ``vacuum_snapshots`` orphan GC — the same residue a crashed driver
-    leaves on either path."""
+    leaves on either path.
+
+    Returns ``{"n_rows", "n_files"}`` of the commit, straight from the
+    task commit messages — the caller-visible row count of what was
+    written WITHOUT re-running ``df``'s plan (counting a 100-TB insert
+    by re-executing its SELECT is a full second scan; guide §1.2,
+    don't compute things twice)."""
     import pickle as _pickle
 
     writer = ManifestWriter(
@@ -5872,7 +5916,18 @@ def save_manifest(df: DataFrame, path: str, **options) -> None:
         _pickle.loads(bytes(r.msg))
         for r in df.mapInArrow(_task, "msg binary").collect()
     ]
+    if not msgs:
+        # a zero-partition input (an empty LocalTableScan plans no
+        # tasks at all) must still stage the one empty file a
+        # one-empty-partition input stages: schema-recording commits
+        # (CREATE TABLE) keep their on-disk shape, and the table
+        # directory exists before the version claim
+        msgs = [writer.write(iter(()))]
     writer.commit(msgs)
+    return {
+        "n_rows": sum(m.n_rows for m in msgs),
+        "n_files": len(msgs),
+    }
 
 
 def vacuum_snapshots(
