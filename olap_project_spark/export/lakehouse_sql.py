@@ -518,7 +518,9 @@ class LakehouseSQL:
             try:
                 n = victims.count()
                 v = (
-                    delete_where(self.spark, p, victims)
+                    # rebalance: same exchange-width inheritance as the
+                    # SQL DELETE (see there)
+                    delete_where(self.spark, p, victims.hint("rebalance"))
                     if n
                     else None
                 )
@@ -532,7 +534,7 @@ class LakehouseSQL:
             try:
                 n = inserts.count()
                 if n:
-                    save_manifest(inserts, p)
+                    save_manifest(inserts.hint("rebalance"), p)
             finally:
                 inserts.unpersist()
             return self._one_row(table=name, n_inserted=n)
@@ -1024,7 +1026,14 @@ class LakehouseSQL:
             try:
                 n = keys.count()
                 if n:
-                    v = delete_where(self.spark, p, keys)
+                    # REBALANCE: the tombstone frame inherits the
+                    # DISTINCT's full exchange width (32 partitions →
+                    # 32 tiny files per delete, each stat'ed and
+                    # anti-joined by every later read); AQE resizes
+                    # the write to the advisory partition size instead
+                    # — one file at gate scale, byte-sized files at
+                    # 100 TB (guide §6: coalesce on write)
+                    v = delete_where(self.spark, p, keys.hint("rebalance"))
                 else:
                     v = None
             finally:

@@ -596,7 +596,9 @@ class ManifestWriter(DataSourceArrowWriter):
     # (see sources/registry.load_table) so wall clocks agree too.
     BATCH_ROWS = 65536
 
-    def write(self, iterator: Iterator["pa.RecordBatch"]) -> _PartCommit:  # noqa: F821
+    def write(
+        self, iterator: Iterator["pa.RecordBatch"], force_file: bool = False  # noqa: F821
+    ) -> _PartCommit:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -758,45 +760,65 @@ class ManifestWriter(DataSourceArrowWriter):
         # trackers batch-wise, and buffer up to BATCH_ROWS before each
         # parquet row-group write so the on-disk layout matches the
         # historical row-path files.
+        #
+        # The parquet file is created LAZILY, on the first non-empty
+        # batch: a task whose partition carries no rows stages NO file
+        # (file_name=None; commit() drops it). A tombstone or merge
+        # frame arriving through a default-width exchange would
+        # otherwise stage dozens of empty parquet files per commit —
+        # every later read then stats, lists, and anti-joins them
+        # (measured: a 2-key SQL DELETE committed 32 files, 30 empty).
+        # Bucketed layouts are the exception: their contract is one
+        # file per bucket id, empty buckets included, so they keep the
+        # eager create.
         pending: list = []
         pending_rows = 0
-        with pq.ParquetWriter(
-            os.path.join(out_dir, name), arrow_schema
-        ) as writer:
+        writer: "pq.ParquetWriter | None" = None
+        force_file = force_file or self.bucket_by is not None
 
-            def flush() -> None:
-                nonlocal pending, pending_rows
-                if pending:
-                    writer.write_table(
-                        pa.Table.from_batches(pending, schema=arrow_schema)
-                    )
-                    pending, pending_rows = [], 0
+        def flush() -> None:
+            nonlocal pending, pending_rows, writer
+            if writer is None and (pending or force_file):
+                writer = pq.ParquetWriter(
+                    os.path.join(out_dir, name), arrow_schema
+                )
+            if pending:
+                writer.write_table(
+                    pa.Table.from_batches(pending, schema=arrow_schema)
+                )
+                pending, pending_rows = [], 0
 
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if batch.schema != arrow_schema:
-                    batch = pa.record_batch(
-                        [
-                            batch.column(
-                                batch.schema.get_field_index(c)
-                            ).cast(arrow_schema.field(c).type)
-                            for c in cols
-                        ],
-                        schema=arrow_schema,
-                    )
-                n += batch.num_rows
-                feed_partition(batch)
-                feed_stats(batch)
-                if bloom is not None:
-                    feed_bloom(batch)
-                if token_hashes is not None:
-                    feed_tokens(batch)
-                pending.append(batch)
-                pending_rows += batch.num_rows
-                if pending_rows >= self.BATCH_ROWS:
-                    flush()
-            flush()
+        if force_file:
+            flush()  # eager create: the empty file IS the payload
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if batch.schema != arrow_schema:
+                batch = pa.record_batch(
+                    [
+                        batch.column(
+                            batch.schema.get_field_index(c)
+                        ).cast(arrow_schema.field(c).type)
+                        for c in cols
+                    ],
+                    schema=arrow_schema,
+                )
+            n += batch.num_rows
+            feed_partition(batch)
+            feed_stats(batch)
+            if bloom is not None:
+                feed_bloom(batch)
+            if token_hashes is not None:
+                feed_tokens(batch)
+            pending.append(batch)
+            pending_rows += batch.num_rows
+            if pending_rows >= self.BATCH_ROWS:
+                flush()
+        flush()
+        if writer is not None:
+            writer.close()
+        if writer is None:
+            return _PartCommit(file_name=None, n_rows=0)
         return _PartCommit(
             # staging-relative name: commits into a dedicated subdir
             # carry the "<subdir>/" prefix everywhere the file is named
@@ -843,6 +865,15 @@ class ManifestWriter(DataSourceArrowWriter):
         # number). The table's state at version v = the union of all
         # commits with version <= v — append-only snapshot semantics,
         # which is what makes read_committed(as_of=...) time travel.
+        #
+        # Empty partitions staged no file (lazy create in write());
+        # drop their messages here. A commit whose EVERY partition was
+        # empty still stages one empty file (driver-side) so
+        # schema-recording commits (CREATE TABLE) keep their on-disk
+        # shape and the table directory exists before the claim.
+        messages = [m for m in messages if m.file_name is not None]
+        if not messages:
+            messages = [self.write(iter(()), force_file=True)]
         manifest = {
             "kind": self.kind,
             "files": sorted(m.file_name for m in messages),
@@ -985,6 +1016,8 @@ class ManifestWriter(DataSourceArrowWriter):
 
     def abort(self, messages: list[_PartCommit]) -> None:
         for m in messages:
+            if m.file_name is None:
+                continue  # empty partition: nothing was staged
             try:
                 os.remove(os.path.join(self.path, "_staging", m.file_name))
             except FileNotFoundError:
@@ -5916,17 +5949,11 @@ def save_manifest(df: DataFrame, path: str, **options) -> dict:
         _pickle.loads(bytes(r.msg))
         for r in df.mapInArrow(_task, "msg binary").collect()
     ]
-    if not msgs:
-        # a zero-partition input (an empty LocalTableScan plans no
-        # tasks at all) must still stage the one empty file a
-        # one-empty-partition input stages: schema-recording commits
-        # (CREATE TABLE) keep their on-disk shape, and the table
-        # directory exists before the version claim
-        msgs = [writer.write(iter(()))]
-    writer.commit(msgs)
+    writer.commit(msgs)  # drops empty-partition messages; an all-empty
+    # commit stages its one empty file inside commit() itself
     return {
         "n_rows": sum(m.n_rows for m in msgs),
-        "n_files": len(msgs),
+        "n_files": sum(1 for m in msgs if m.file_name is not None),
     }
 
 

@@ -474,7 +474,12 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     n_up = merge_upsert(
         spark,
         mv_path,
-        merged,
+        # REBALANCE: the merged frame inherits the refresh join's full
+        # exchange width (session shuffle partitions → that many tiny
+        # files per refresh, re-listed and anti-joined by every later
+        # view read); AQE resizes the commit to the advisory partition
+        # size — one file at gate scale, byte-sized files at 100 TB
+        merged.hint("rebalance"),
         keys=keys,
         props={"mv_from": from_v, "mv_to": head},
     )

@@ -62,6 +62,16 @@ def build_session(
         # Larger scans stay parallel: 128 MiB splits (default) are right
         # for 100 TB; don't shrink for tiny local files.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Manifest reads pass EXACT leaf-file lists (no directory
+        # recursion), so listing is one stat per path. Spark's default
+        # threshold (32 paths) launches a distributed listing JOB the
+        # moment a table holds 33 files — a fixed ~0.1 s job to stat a
+        # handful of local files, paid on every read of every
+        # lifecycle table. Below 1024 paths the driver's listing pool
+        # is faster on any filesystem; above it (real 100-TB tables:
+        # ~200k files at 512 MB) the distributed listing still kicks
+        # in exactly as before.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     if master:

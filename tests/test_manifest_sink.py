@@ -172,9 +172,11 @@ class TestVacuum:
         )
         stats = vacuum_snapshots(path)
         assert stats["orphans_deleted"] == 1 and not os.path.exists(orphan)
-        # both append manifests expired with their 4 staging files each
+        # both append manifests expired with their staging files — one
+        # file per NON-EMPTY partition (3-row + 2-row appends → 3 + 2;
+        # empty partitions stage no file since the lazy-create writer)
         assert stats["expired_manifests"] == 2
-        assert stats["expired_files"] == 8
+        assert stats["expired_files"] == 5
         assert stats["kept_versions"] == [3] == table_versions(path)
         after = sorted(
             (r["k"], r["v"])
