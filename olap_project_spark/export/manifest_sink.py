@@ -509,6 +509,12 @@ class ManifestWriter(DataSourceArrowWriter):
         # in the shared sequence but is INVISIBLE to main readers until
         # published (the tag is dropped atomically by publish_branch)
         self.branch = options.get("branch")
+        # opt-in EAGER file staging: declared layouts (the range-
+        # partitioned rewrite verbs / write_partitioned) contract one
+        # file per declared range, empty ranges included — their file
+        # counts are part of the layout the oracles pin. Accidental-
+        # width writes leave this off and skip empty partitions' files.
+        self.eager_files = str(options.get("eager_files", "")) == "1"
         # opt-in per-file bloom filter over one integer column — the
         # point-lookup skipping index zone maps cannot provide
         self.bloom_col = options.get("bloom_col")
@@ -774,7 +780,9 @@ class ManifestWriter(DataSourceArrowWriter):
         pending: list = []
         pending_rows = 0
         writer: "pq.ParquetWriter | None" = None
-        force_file = force_file or self.bucket_by is not None
+        force_file = (
+            force_file or self.bucket_by is not None or self.eager_files
+        )
 
         def flush() -> None:
             nonlocal pending, pending_rows, writer
@@ -5059,7 +5067,10 @@ def compact_snapshots(
             n_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)
     with _tight_range_boundaries(spark):
-        save_manifest(current, path, kind="rewrite", **writer_opts)
+        # declared layout: one file per range/bucket, empties included
+        save_manifest(
+            current, path, kind="rewrite", eager_files="1", **writer_opts
+        )
     return max(committed_versions(path))
 
 
@@ -5264,6 +5275,7 @@ def replace_where(
         "kind": "rewrite",
         "retain": json.dumps(retain),
         "commit_token": token,
+        "eager_files": "1",  # declared layout: one file per range
     }
     if spec_latest is not None:
         opts["partition_transform"] = json.dumps(spec_latest)
@@ -5308,6 +5320,7 @@ def overwrite_table(
     opts = {"kind": "rewrite", "commit_token": token}
     if spec:
         opts["partition_transform"] = json.dumps(spec)
+        opts["eager_files"] = "1"  # declared layout: one file per range
     with _tight_range_boundaries(spark):
         save_manifest(out, path, **opts)
     return _committed_entry_of(path, token)[0]
@@ -5589,6 +5602,7 @@ def compact_range(
         "kind": "rewrite",
         "retain": json.dumps(retain),
         "commit_token": token,
+        "eager_files": "1",  # declared layout: one file per range
     }
     if spec_latest is not None:
         opts["partition_transform"] = json.dumps(spec_latest)
@@ -5683,6 +5697,7 @@ def write_partitioned(
             specs[0] if len(specs) == 1 else specs
         ),
         "commit_token": token,
+        "eager_files": "1",  # declared layout: one file per range
     }
     if branch is not None:
         opts["branch"] = branch

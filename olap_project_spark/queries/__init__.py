@@ -136,82 +136,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # The driver's correctness gate samples the FIRST 50 registered
 # queries. Rather than relying on module import order, the window is an
 # explicit name list and the registry is rebuilt in that order after all
-# modules import. Round-13 window (swapped in from the pre-staged r13
-# draft after the ts-encoding canaries passed 3/3): the 8 round-12
-# additions that have never had a driver CORRECTNESS row — the
-# lakehouse round-12 arc (multi-token/phrase bloom search,
-# partition-spec evolution, stream→matview freshness, SQL DDL entry,
-# field-id exact reads, SQL DML round-trip, ALTER verbs, log
-# checkpoints) — plus the 38 remaining round-6 refresh rows and the 12
-# oldest round-7 rows. Rotate the list each round to cycle coverage.
+# modules import. Round-14 window (swapped in from the pre-staged r14
+# draft after the ts-encoding canaries passed 3/3): the 18 round-13
+# additions that have never had a driver CORRECTNESS row — the SQL/
+# lakehouse round-13 arc (constraints, NDV sketches, insert-overwrite,
+# warehouse DX, branch inventory, UPDATE/time-travel/CDF-tags/WAP SQL,
+# matview avg/join/minmax, log cache, merge breadth) plus the training
+# curation additions (SFT format, FIM transform, join-cardinality
+# estimate, stream-replace ingest) — and the 32 oldest remaining
+# round-7 refresh rows. Rotate the list each round to cycle coverage.
 GATE_WINDOW: tuple[str, ...] = (
-    # round-12 additions — first driver CORRECTNESS row this round
-    "token_search_multi_stats",
-    "partition_spec_evolution_stats",
-    "stream_matview_freshness_stats",
-    "sql_lakehouse_ddl_stats",
-    "field_id_reader_stats",
-    "sql_dml_roundtrip_stats",
-    "alter_ddl_stats",
-    "log_checkpoint_stats",
-    # round-6 refresh slots — 38 (the last of the round-6 rows)
-    "kmv_set_similarity",
-    "countmin_heavy_hitters",
-    "session_path_topk",
-    "knn_bfs_hops",
-    "vocab_oov_rate",
-    "bloom_pruned_urgent_revenue",
-    "stateful_spend_alerts",
-    "zorder_pruning_benefit",
-    "scd2_user_type_history",
-    "merge_upsert_stats",
-    "table_profile_summary",
-    "cohort_retention_matrix",
-    "multi_touch_attribution",
-    "approx_quantile_contract",
-    "point_in_time_dimension_join",
-    "bm25_retrieval_topk",
-    "cascading_delete_audit",
-    "minhash_lsh_quality",
-    "value_drift_psi",
-    "hybrid_rrf_retrieval",
-    "trailing_user_features",
-    "revenue_share_drilldown",
-    "revenue_growth_mom_yoy",
-    "part_cooccurrence_topk",
-    "incremental_join_view",
-    "latest_event_per_user",
-    "signup_purchase_funnel",
-    "weekly_retention",
-    "geometric_mean_value",
-    "hourly_type_pivot",
-    "value_histogram",
-    "value_percentiles",
-    "props_json_stats",
-    "segment_event_value",
-    "salted_type_stats",
-    "event_transition_matrix",
-    "event_type_associations",
-    "stateful_record_highs",
-    # round-7 refresh slots — 12 (CORRECTNESS_r07 order)
-    "daily_operations_summary",
-    "prefix_filtered_dup_pairs",
-    "stratified_sample_stats",
-    "pq_adc_quality",
-)
-
-
-# Round-14 window, pre-staged (swap into GATE_WINDOW at round-14 start
-# AFTER the ts-encoding canaries, per the standing procedure).
-# Maintained live during round 13: new round-13 queries are inserted
-# at the HEAD and the refresh tail is trimmed to keep the list at
-# exactly 50. Current composition: the 18 round-13 additions
-# (no driver CORRECTNESS row yet) + the 32 oldest remaining round-7
-# refresh rows (CORRECTNESS_r07 order; tail trimmed as additions
-# landed).
-GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
-    # round-13 additions — no driver CORRECTNESS row yet
-    # (inserted here as they land)
     "sft_format_stats",
     "join_cardinality_estimate_stats",
     "fim_transform_stats",
@@ -230,7 +164,6 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "matview_minmax_stats",
     "sql_cdf_tags_stats",
     "sql_wap_stats",
-    # round-7 refresh slots — 32 (the remaining round-7 rows)
     "sql_lateral_top_orders",
     "knn_label_accuracy",
     "lm_perplexity_buckets",
@@ -263,6 +196,67 @@ GATE_WINDOW_R14_DRAFT: tuple[str, ...] = (
     "timezone_business_hours",
     "user_key_skew_profile",
     "value_moment_shape",
+)
+
+
+# Round-15 window, pre-staged (swap into GATE_WINDOW at round-15 start
+# AFTER the ts-encoding canaries, per the standing procedure).
+# Composition: round 14 was an optimization round (no new queries), so
+# the draft is pure refresh — the 14 remaining round-7 rows
+# (CORRECTNESS_r07 order) + the 36 oldest round-8 rows
+# (CORRECTNESS_r08 order), all oracle-backed, none overlapping the
+# active round-14 window.
+GATE_WINDOW_R15_DRAFT: tuple[str, ...] = (
+    "value_robust_stats",
+    "weekly_value_growth",
+    "asof_last_order",
+    "bpe_token_stats",
+    "corpus_curation_report",
+    "customer_spend_deciles",
+    "discounted_revenue_or",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_rolling_hash",
+    "doc_split_assignment",
+    "dominant_part_suppliers",
+    "frame_sample_stats",
+    "ann_candidate_fraction",
+    "repeated_substring_spans",
+    "substring_dedup_savings",
+    "hard_negative_mining",
+    "source_embedding_drift",
+    "pos_stream_user_totals",
+    "pos_merchant_rollup",
+    "pos_fraud_rate_by_city",
+    "pos_rapid_transactions",
+    "pos_top_merchants",
+    "pos_weekend_comparison",
+    "pos_busiest_hours",
+    "pos_top_cities",
+    "pos_large_txn_profile",
+    "pos_fraud_trend",
+    "pos_above_avg_fraud_users",
+    "pos_daily_operations",
+    "lang_fertility_stats",
+    "revenue_increase_q6",
+    "priority_order_counts",
+    "local_supplier_volume",
+    "volume_shipping",
+    "national_market_share",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "top_supplier_quarter",
+    "small_qty_revenue_loss",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "q3_shipping_priority",
+    "supplier_nation_profit",
+    "min_cost_supplier",
+    "important_part_values",
+    "part_supplier_diversity",
+    "sole_late_suppliers",
+    "token_stats_by_source",
 )
 
 

@@ -456,6 +456,40 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric LSH candidate-pair set — the distinct
+    (doc_a < doc_b) pairs sharing at least one (band, band_key) —
+    memoized+persisted: ``minhash_dup_pairs`` (verification) and
+    ``minhash_lsh_quality`` (precision/recall audit) consume the SAME
+    self-join, so the band self-join + distinct runs once per
+    (session, corpus) instead of once per consumer (at 100 TB: the
+    candidate table a dedup pipeline materializes between its verify
+    and audit stages)."""
+
+    def build() -> DataFrame:
+        sh = _shingle_df(spark, sf_dir)
+        bands = session_memo(
+            spark, sf_dir, "minhash_bands", lambda: _minhash_bands(sh)
+        )
+        x = bands.alias("x")
+        y = bands.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    return session_memo(spark, sf_dir, "minhash_cand", build)
+
+
 @register("minhash_dup_pairs", oracle=_minhash_oracle)
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates,
@@ -474,22 +508,8 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus. At ~0.7 similarity, P(candidate)=1-(1-s^4)^8 ≈ 0.93."""
     sh = _shingle_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # memoized: incremental_dedup_matches consumes the same band index
-    bands = session_memo(
-        spark, sf_dir, "minhash_bands", lambda: _minhash_bands(sh)
-    )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # memoized: the quality audit consumes the same candidate set
+    cand = _lsh_candidates(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     verified = (
@@ -1417,23 +1437,8 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into one row."""
     truth = ngram_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingle_df(spark, sf_dir)
-    bands = session_memo(
-        spark, sf_dir, "minhash_bands", lambda: _minhash_bands(sh)
-    )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # memoized: the same candidate set minhash_dup_pairs verifies
+    cand = _lsh_candidates(spark, sf_dir)
     tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_truth = truth.agg(F.count("*").alias("n_truth"))

@@ -1,7 +1,7 @@
 """The driver's correctness gate samples the FIRST 50 registered
-queries. These tests pin the round-13 rotation: the 8 round-12
+queries. These tests pin the round-14 rotation: the 18 round-13
 additions that had never been driver-checked occupy the window alongside
-the oldest (round-6/round-7) refresh rows, every windowed query is
+the oldest (round-7) refresh rows, every windowed query is
 oracle-backed, and reordering loses nothing."""
 
 from __future__ import annotations
@@ -53,16 +53,16 @@ def test_clear_memo_evicts_and_unpersists(spark, sf_dir):
 
 def test_window_covers_the_never_checked_families():
     w = set(GATE_WINDOW)
-    # the round-12 additions that had no driver row before this rotation
+    # the round-13 additions that had no driver row before this rotation
     for name in (
-        "token_search_multi_stats",
-        "partition_spec_evolution_stats",
-        "stream_matview_freshness_stats",
-        "sql_lakehouse_ddl_stats",
-        "field_id_reader_stats",
-        "sql_dml_roundtrip_stats",
-        "alter_ddl_stats",
-        "log_checkpoint_stats",
+        "sft_format_stats",
+        "join_cardinality_estimate_stats",
+        "stream_replace_ingest_stats",
+        "sql_constraints_stats",
+        "ndv_sketch_stats",
+        "insert_overwrite_stats",
+        "matview_join_stats",
+        "sql_wap_stats",
     ):
         assert name in w, name
 
@@ -78,20 +78,20 @@ def test_catalog_in_sync_with_registry():
     assert missing == [], f"run tools/gen_catalog.py; missing: {missing[:5]}"
 
 
-def test_r14_draft_window_is_valid():
-    """The pre-staged round-14 window must stay swappable: exactly 50
+def test_r15_draft_window_is_valid():
+    """The pre-staged round-15 window must stay swappable: exactly 50
     unique registered names, all oracle-backed, none overlapping the
-    active round-13 window (every slot either adds a first-time row or
+    active round-14 window (every slot either adds a first-time row or
     refreshes one of the oldest)."""
-    from olap_project_spark.queries import GATE_WINDOW_R14_DRAFT
+    from olap_project_spark.queries import GATE_WINDOW_R15_DRAFT
 
-    assert len(GATE_WINDOW_R14_DRAFT) == 50
-    assert len(set(GATE_WINDOW_R14_DRAFT)) == 50
-    missing = [n for n in GATE_WINDOW_R14_DRAFT if n not in QUERY_REGISTRY]
+    assert len(GATE_WINDOW_R15_DRAFT) == 50
+    assert len(set(GATE_WINDOW_R15_DRAFT)) == 50
+    missing = [n for n in GATE_WINDOW_R15_DRAFT if n not in QUERY_REGISTRY]
     assert missing == []
     weak = [
-        n for n in GATE_WINDOW_R14_DRAFT if QUERY_REGISTRY[n].oracle is None
+        n for n in GATE_WINDOW_R15_DRAFT if QUERY_REGISTRY[n].oracle is None
     ]
     assert weak == []
-    overlap = set(GATE_WINDOW_R14_DRAFT) & set(GATE_WINDOW)
+    overlap = set(GATE_WINDOW_R15_DRAFT) & set(GATE_WINDOW)
     assert overlap == set(), overlap
