@@ -73,6 +73,29 @@ def build_line(
     )
 
 
+def measure_calibration_rps(spark, n_rows: int = 20_000_000) -> float:
+    """Venue-drift calibration: rows/sec through one FIXED JVM-only
+    plan (range → xxhash64 → sum), timed after a warm run. The plan
+    never changes across rounds, so the ratio of two rounds'
+    calibration numbers is the measurement-venue speed ratio — the
+    denominator that separates venue drift from code effect
+    (round-13 verdict: every untouched query 'regressed' 1.6× while
+    this kind of probe showed the venue itself 1.4× slower).
+    Emitted into BENCH_DETAIL (additive; the driver's one-line JSON
+    contract is unchanged)."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(n_rows).agg(
+            F.sum(F.xxhash64("id")).alias("s")
+        ).collect()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return round(n_rows / min(once(), once()), 1)
+
+
 def measure_ingest_eps(spark, n_rows: int = 200_000) -> float:
     """Events/sec through the full clean+route ingest transform chain
     (P2-P16 + F1-F4) over a synthetic raw-transaction frame — the
@@ -283,12 +306,18 @@ def main() -> None:
         if wanted is None
         else f"BENCH_DETAIL_{'_'.join(sorted(wanted))}.json"
     )
+    try:
+        calibration_rps = measure_calibration_rps(spark)
+    except Exception:
+        calibration_rps = None
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"total_sec": total, "queries": times, "errors": errors,
                    "ann_recall": ann_recall, "ann_fraction": ann_fraction,
                    "memo_builds": memo_builds,
+                   "calibration_rps": calibration_rps,
+                   "ingest_eps": ingest_eps,
                    "family": {n: _family(n) for n in times}},
                   fh, indent=1, sort_keys=True)
 

@@ -57,6 +57,20 @@ def main() -> int:
               f"(attribution is ordering noise): {excluded[:8]}"
               + (" ..." if len(excluded) > 8 else ""))
     print(f"ratio new/old: median {statistics.median(vals):.3f}  p25 {q[0]:.3f}  p75 {q[2]:.3f}")
+    # Venue calibration (BENCH_DETAIL ≥ r14 carries calibration_rps, a
+    # fixed JVM-only plan's rows/sec; ingest_eps is the r13-era probe).
+    # venue_ratio > 1 means the NEW run's venue was faster; dividing
+    # the raw median by it reads the code effect with drift removed.
+    for probe in ("calibration_rps", "ingest_eps"):
+        o, nw = old_doc.get(probe), new_doc.get(probe)
+        if o and nw:
+            venue = nw / o
+            print(
+                f"venue calibration ({probe}): old {o:,.0f}  new {nw:,.0f}"
+                f"  venue_ratio {venue:.3f}  → drift-normalized median "
+                f"{statistics.median(vals) * venue:.3f}"
+            )
+            break
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest movers:", [(n, round(r, 2)) for n, r in movers[:3]])
     print("slowest movers:", [(n, round(r, 2)) for n, r in movers[-3:]])
