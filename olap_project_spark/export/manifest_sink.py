@@ -4919,6 +4919,15 @@ def abandon_branch(path: str, branch: str) -> int:
 
 
 _RANGE_SAMPLE_CONF = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+# Reentrant set/restore guard: the manifest layer supports concurrent
+# writers, and SQLConf is session-global — two overlapping rewrites in
+# threads of one session would otherwise race the restore (one thread
+# resetting the hint to 100 while the other's range exchange is still
+# planning, silently reintroducing the nondeterminism the hint fixes).
+# A depth counter under a lock makes nesting/overlap restore only when
+# the LAST scope exits.
+_RANGE_HINT_LOCK = threading.Lock()
+_RANGE_HINT_DEPTH: dict[str, list] = {}  # session uuid -> [depth, saved]
 
 
 @contextlib.contextmanager
@@ -4938,18 +4947,28 @@ def _tight_range_boundaries(spark: SparkSession, hint: int = 10_000):
     RangePartitioner clamps the total sample at 1e6 keys. Scoped to
     the one rewrite job and restored after, so the setting never
     leaks into query plans."""
-    try:
-        old = spark.conf.get(_RANGE_SAMPLE_CONF)
-    except Exception:
-        old = None
-    spark.conf.set(_RANGE_SAMPLE_CONF, str(hint))
+    uid = spark._jsparkSession.sessionUUID()
+    with _RANGE_HINT_LOCK:
+        entry = _RANGE_HINT_DEPTH.get(uid)
+        if entry is None:
+            try:
+                old = spark.conf.get(_RANGE_SAMPLE_CONF)
+            except Exception:
+                old = None
+            entry = _RANGE_HINT_DEPTH[uid] = [0, old]
+            spark.conf.set(_RANGE_SAMPLE_CONF, str(hint))
+        entry[0] += 1
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(_RANGE_SAMPLE_CONF)
-        else:
-            spark.conf.set(_RANGE_SAMPLE_CONF, old)
+        with _RANGE_HINT_LOCK:
+            entry[0] -= 1
+            if entry[0] == 0:
+                del _RANGE_HINT_DEPTH[uid]
+                if entry[1] is None:
+                    spark.conf.unset(_RANGE_SAMPLE_CONF)
+                else:
+                    spark.conf.set(_RANGE_SAMPLE_CONF, entry[1])
 
 
 def compact_snapshots(

@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olap_project_spark.export.manifest_sink import save_manifest
+from olap_project_spark.export.manifest_sink import (
+    _tight_range_boundaries,
+    save_manifest,
+)
 from olap_project_spark.functions.localframe import local_frame
 from olap_project_spark.queries import load, register
 
@@ -3140,9 +3143,8 @@ def manifest_file_skipping_stats(
     done = os.path.join(root, "_built")
     _fresh_build_dir(root, done)
     if not os.path.exists(done):
-        (
+        with _tight_range_boundaries(spark):
             save_manifest(orders.repartitionByRange(8, 'o_orderkey'), path)
-        )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
     hi = orders.agg(
@@ -4138,9 +4140,8 @@ def manifest_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey", (F.col("o_custkey") * 2).cast("bigint").alias("cust2")
     )
     try:
-        (
+        with _tight_range_boundaries(spark):
             save_manifest(data.repartitionByRange(16, 'o_orderkey'), path, bloom_col='cust2')
-        )
         present = [
             r[0]
             for r in data.select("cust2")
@@ -6567,9 +6568,8 @@ def token_bloom_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort = F.array_contains(
             F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
         ).cast("int")
-        (
+        with _tight_range_boundaries(spark):
             save_manifest(docs.withColumn('_cohort', cohort).repartitionByRange(8, '_cohort', 'doc_id').drop('_cohort'), path, token_bloom_col='text')
-        )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
     kept_dup, files_total = plan_token_pruned_files(path, "text", "dup")
@@ -7487,9 +7487,8 @@ def token_search_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort = F.array_contains(
             F.split(F.lower("text"), TOKEN_SPLIT_RE), "dup"
         ).cast("int")
-        (
+        with _tight_range_boundaries(spark):
             save_manifest(docs.withColumn('_cohort', cohort).repartitionByRange(8, '_cohort', 'doc_id').drop('_cohort'), path, token_bloom_col='text')
-        )
         os.makedirs(root, exist_ok=True)
         open(done, "w").close()
     keep_and, files_total = plan_token_pruned_files_all(
