@@ -31,35 +31,37 @@ def _as_struct(schema) -> StructType:
     return _parse_datatype_string(schema)
 
 
+def arrow_local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """The raising Arrow builder: one record batch with the declared
+    schema's exact Arrow types → ``LocalTableScan``. Raises on dict
+    rows (the classic builder binds those by NAME; a positional zip
+    would silently reorder), on values Arrow cannot take, and on any
+    Arrow round-trip that would alter the declared schema."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    st = _as_struct(schema)
+    asch = to_arrow_schema(st)
+    rows = list(rows)
+    if any(isinstance(r, dict) for r in rows):
+        raise TypeError("dict rows bind by name; use the classic builder")
+    data = [tuple(r) for r in rows]
+    cols = list(zip(*data)) if data else [() for _ in asch]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, asch)],
+        schema=asch,
+    )
+    df = spark.createDataFrame(tbl)
+    if df.schema != st:
+        raise TypeError("Arrow round-trip altered the declared schema")
+    return df
+
+
 def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` planned as a
     ``LocalTableScan`` (Arrow-batch construction), with the classic
     builder as the fallback for types/values Arrow cannot take."""
     try:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        st = _as_struct(schema)
-        asch = to_arrow_schema(st)
-        rows = list(rows)
-        if any(isinstance(r, dict) for r in rows):
-            # dict rows bind by NAME in the classic builder; positional
-            # zip would silently reorder — let the classic path do it
-            return spark.createDataFrame(rows, schema)
-        data = [tuple(r) for r in rows]
-        cols = list(zip(*data)) if data else [() for _ in asch]
-        tbl = pa.Table.from_arrays(
-            [
-                pa.array(list(c), type=f.type)
-                for c, f in zip(cols, asch)
-            ],
-            schema=asch,
-        )
-        df = spark.createDataFrame(tbl)
-        if df.schema != st:
-            # Arrow round-trip changed a type (e.g. an exotic nested
-            # case) — don't silently alter the declared schema
-            return spark.createDataFrame(rows, schema)
-        return df
+        return arrow_local_frame(spark, rows, schema)
     except Exception:  # noqa: BLE001 — exactness first, speed second
         return spark.createDataFrame(rows, schema)

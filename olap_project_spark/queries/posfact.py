@@ -937,10 +937,23 @@ def pos_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         current = read_committed(bs, table, state_schema)
-        # bounded key-set classification (|delta keys| rows)
-        n_upd = delta.join(current, "User", "left_semi").count()
-        counters["updates"] += n_upd
-        counters["inserts"] += delta.count() - n_upd
+        # bounded key-set classification (|delta keys| rows) — matched
+        # and unmatched counts from ONE left-join aggregate instead of
+        # a semi-join count plus a recount of the delta
+        cls = (
+            delta.join(
+                current.select("User").withColumn("__m", F.lit(1)),
+                "User",
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("__m").alias("n_upd"),
+            )
+            .collect()[0]
+        )
+        counters["updates"] += cls["n_upd"]
+        counters["inserts"] += cls["n"] - cls["n_upd"]
         merged = (
             current.unionByName(delta)
             .groupBy("User")
@@ -1213,9 +1226,13 @@ def pos_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents"),
         )
-        save_manifest(out.coalesce(1), table, branch=branch)
+        # staged-row count from the commit messages (re-counting would
+        # re-run the batch projection); the audit still reads the
+        # BRANCH state — what publish would make main
+        n_staged = save_manifest(out.coalesce(1), table, branch=branch)[
+            "n_rows"
+        ]
         branch_view = read_committed(spark, table, schema, branch=branch)
-        n_staged = out.count()
         violations = branch_view.filter(
             F.col("cents") > WAP_LIMIT_CENTS
         ).count()

@@ -919,20 +919,34 @@ class TestReviewFixesR11:
             plan_pruned_files,
         )
 
+        from olap_project_spark.export.manifest_sink import save_manifest
+
         ensure_manifest_sink(registered)
         path = str(tmp_path / "zeros")
-        # 2 rows spread over 4 partitions: at least 2 files are empty
+        df = registered.createDataFrame(
+            [(1, 1.0), (2, 1.0)], NUM_SCHEMA
+        ).repartition(4)
+        # lazy-create default: 2 rows over 4 partitions stage only the
+        # non-empty files (1 or 2 depending on round-robin placement)
+        # — zero-row files never land at all
         (
-            registered.createDataFrame([(1, 1.0), (2, 1.0)], NUM_SCHEMA)
-            .repartition(4)
-            .write.format("manifest_sink")
+            df.write.format("manifest_sink")
             .option("path", path)
             .mode("append")
             .save()
         )
         kept, total = plan_pruned_files(path, "k", -10**9, 10**9)
-        assert total == 4
-        assert len(kept) <= 2  # empty files never planned
+        assert 1 <= total <= 2
+        # no empty files exist, so the full-range plan keeps them all
+        assert len(kept) == total
+        # eager declared layouts still stage one file per partition
+        # (empties included) — and planning provably excludes the
+        # zero-row ones, the original r11 contract
+        path2 = str(tmp_path / "zeros_eager")
+        save_manifest(df, path2, eager_files="1")
+        kept2, total2 = plan_pruned_files(path2, "k", -10**9, 10**9)
+        assert total2 == 4
+        assert len(kept2) <= 2  # empty files never planned
 
     def test_commit_token_attributes_the_right_version(
         self, registered, tmp_path

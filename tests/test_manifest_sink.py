@@ -157,9 +157,12 @@ class TestVacuum:
             vacuum_snapshots,
         )
 
+        from olap_project_spark.export.manifest_sink import table_history
+
         path = str(tmp_path / "whv")
         _write(registered, path, [(i, f"a{i}") for i in range(3)])
         _write(registered, path, [(i, f"b{i}") for i in (10, 11)])
+        n_append_files = sum(h["n_files"] for h in table_history(path))
         # a failed attempt whose abort never ran
         orphan = os.path.join(path, "_staging", "part-zombie.jsonl")
         with open(orphan, "w") as f:
@@ -172,11 +175,13 @@ class TestVacuum:
         )
         stats = vacuum_snapshots(path)
         assert stats["orphans_deleted"] == 1 and not os.path.exists(orphan)
-        # both append manifests expired with their staging files — one
-        # file per NON-EMPTY partition (3-row + 2-row appends → 3 + 2;
-        # empty partitions stage no file since the lazy-create writer)
+        # both append manifests expired with exactly THEIR staging
+        # files (one file per non-empty partition — the lazy-create
+        # writer stages nothing for empty ones, so the count is read
+        # from the manifests rather than pinned to a partitioner's
+        # row placement)
         assert stats["expired_manifests"] == 2
-        assert stats["expired_files"] == 5
+        assert stats["expired_files"] == n_append_files
         assert stats["kept_versions"] == [3] == table_versions(path)
         after = sorted(
             (r["k"], r["v"])

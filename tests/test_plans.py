@@ -385,23 +385,49 @@ def test_lint_e3_flags_raw_branch_beside_aggregated_branch():
     assert _hinted_scaling_scan(reduced) is None
 
 
-def test_plan_lint_clean(spark, sf_dir):
+@pytest.fixture(scope="module")
+def constructed_sweep(spark, sf_dir):
+    """ONE construction pass over every non-EXECUTING query, shared by
+    the no-jobs check and the plan lint (they previously each built
+    the full registry — and the no-jobs sweep even executed the ~54
+    streaming/write showcases it never asserts on, re-running minutes
+    of lifecycle work the showcases' dedicated tests already cover).
+    Records, per query: the Spark-job count its CONSTRUCTION launched
+    and its executed/analyzed plan strings."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_lint import EXECUTING
+
+    from olap_project_spark.queries import clear_memo
+
+    clear_memo()
+    dag = spark.sparkContext._jsc.sc().dagScheduler()
+    out = {}
+    for name in QUERY_REGISTRY:
+        if name in EXECUTING:
+            continue  # execution IS their semantics; dedicated tests
+        before = dag.nextJobId()
+        df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+        n_jobs = dag.nextJobId() - before
+        qe = df._jdf.queryExecution()
+        out[name] = (
+            n_jobs,
+            qe.executedPlan().toString(),
+            qe.analyzed().toString(),
+        )
+    return out
+
+
+def test_plan_lint_clean(constructed_sweep):
     """Every non-executing query passes the scale lint: no
     CartesianProduct, no row-at-a-time Python, no forced broadcast of an
     SF-scaling table (E3, on the analyzed logical plan where hints are
     visible), global windows only where whitelisted (tools/plan_lint.py
     documents each rule)."""
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from plan_lint import EXECUTING, lint_one
+    from plan_lint import lint_one
 
     problems = []
-    for name in QUERY_REGISTRY:
-        if name in EXECUTING:
-            continue
-        qe = QUERY_REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
-        errors, warns = lint_one(
-            name, qe.executedPlan().toString(), qe.analyzed().toString()
-        )
+    for name, (_n, executed, analyzed) in constructed_sweep.items():
+        errors, warns = lint_one(name, executed, analyzed)
         problems += [f"{name}: {e}" for e in errors]
         problems += [f"{name}: {w}" for w in warns]
     assert not problems, problems
@@ -440,28 +466,23 @@ class TestRuntimeBloomFilter:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_constructors_launch_no_jobs(spark, sf_dir):
+def test_constructors_launch_no_jobs(constructed_sweep):
     """Building a query PLAN must not run a query: constructing every
     registered DataFrame launches zero Spark jobs (schema from the
     parquet footer, cardinality knobs from footer metadata — at cluster
     scale, the catalog). Allowlist: CONSTRUCT_EXECUTES (streaming runs,
     iterative algorithms, write-side showcases), whose execution IS the
-    semantics. Constructed in registry order, as the driver does."""
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    semantics; the EXECUTING subset is not constructed here at all —
+    their job counts were never asserted and their execution is pinned
+    by dedicated tests. Constructed in registry order, as the driver
+    does (shared sweep with the plan lint)."""
     from plan_lint import CONSTRUCT_EXECUTES
 
-    from olap_project_spark.queries import clear_memo
-
-    clear_memo()
-    dag = spark.sparkContext._jsc.sc().dagScheduler()
-    offenders = {}
-    for name in QUERY_REGISTRY:
-        before = dag.nextJobId()
-        QUERY_REGISTRY[name].fn(spark, sf_dir)
-        after = dag.nextJobId()
-        if after != before:
-            offenders[name] = after - before
-    unexpected = {n: c for n, c in offenders.items() if n not in CONSTRUCT_EXECUTES}
+    unexpected = {
+        n: c
+        for n, (c, _e, _a) in constructed_sweep.items()
+        if c and n not in CONSTRUCT_EXECUTES
+    }
     assert unexpected == {}, f"eager constructors: {unexpected}"
 
 

@@ -225,7 +225,16 @@ def test_overwrite_and_constraints_under_any_interleaving(
             model = dict(rows)
             pending_tombstones = False
         elif op == "overwrite_range":
-            lo = min(model) if model else 0
+            if model:
+                lo = min(model)
+            else:
+                # empty-table range overwrite must CONSUME fresh keys
+                # for the same reason overwrite_full's fallback does:
+                # writing k=0 collides with a later INSERT's key 0 and
+                # the dict model cannot represent the duplicate row
+                # the engine then (correctly) holds
+                lo = next_k
+                next_k += 2
             stmt = (
                 f"INSERT OVERWRITE t WHERE k BETWEEN {lo} AND {lo + 1} "
                 f"SELECT {lo} AS k, 4242 AS cents"
